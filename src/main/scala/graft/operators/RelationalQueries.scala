@@ -1,0 +1,384 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Star-schema relational operators (SURVEY.md §2.7 coverage matrix):
+  * filters, projections, hash/broadcast/semi/anti joins, hash
+  * aggregation, rollup/cube/grouping-sets, windows, top-k per group,
+  * set ops, pivot/unpivot. Every query is deterministic (total ordering,
+  * exact decimal-summed doubles) so the driver's DuckDB hash-compare is
+  * stable.
+  *
+  * Determinism pattern for floating aggregation: per-row double
+  * arithmetic is bit-identical across engines (IEEE 754); we cast each
+  * row value to DECIMAL(18,s) (same nearest-decimal rounding in both
+  * engines), sum exactly in decimal, and cast the final sum back to
+  * double (one deterministic rounding). This removes the
+  * aggregation-order nondeterminism of double sums that would break a
+  * hash compare, at the cost of one decimal conversion per row.
+  * At 100 TB the same pattern holds: decimal sums still get map-side
+  * partial aggregation (Catalyst plans partial_sum/merge_sum).
+  */
+object RelationalQueries {
+
+  /** Exact double sum: cast to decimal, sum, cast back. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** SQL twin of [[dsum]] for the DuckDB oracle. */
+  private def dsumSql(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  // --------------------------------------------------------------------
+  // q01: filter + hash-agg. TPC-H Q1 pattern — the reference's
+  // scan→filter→parse→group pipeline (file_generator.go:136-173) done
+  // relationally. Partial aggregation is map-side; the only shuffle is
+  // on the 6-value (returnflag, linestatus) key.
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q02: per-group top-k via window row_number (SURVEY §2.7 "top-k";
+  // replaces the reference's list-surgery priority ordering O3 with a
+  // real windowed rank). Ties broken on the unique orderkey so the
+  // result is total-ordered.
+  def q02TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_orderkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+    rev.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"l_returnflag", $"l_orderkey", $"revenue", $"rk")
+      .orderBy($"l_returnflag", $"rk")
+  }
+
+  val q02Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_returnflag, l_orderkey,
+       |    ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+       |  FROM lineitem GROUP BY l_returnflag, l_orderkey),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+       |    ORDER BY revenue DESC, l_orderkey ASC) AS rk FROM rev)
+       |SELECT l_returnflag, l_orderkey, revenue, rk FROM rk
+       |WHERE rk <= 3 ORDER BY l_returnflag, rk""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q03: 3-way join + agg + top-10 (TPC-H Q10 pattern). customer and
+  // orders shuffle-join on custkey; lineitem joins orders on orderkey.
+  // At 100 TB: lineitem⋈orders is the big shuffle — co-partitioning /
+  // bucketing both on orderkey removes it; customer side is 1-2 orders
+  // of magnitude smaller and AQE picks broadcast when it fits.
+  def q03CustomerRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    s"""SELECT c_custkey, c_name,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q04: broadcast dimension join — part is a small dim; the explicit
+  // broadcast() hint keeps the fact-side scan shuffle-free (check
+  // `.explain`: BroadcastHashJoin, no Exchange on lineitem).
+  def q04BroadcastDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"),
+           dsum($"l_quantity").as("sum_qty"),
+           dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"p_brand")
+  }
+
+  val q04Sql: String =
+    s"""SELECT p_brand, COUNT(*) AS n_items,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q05: left-semi join (EXISTS). Orders that contain at least one
+  // high-quantity line; semi-join never duplicates the left side.
+  def q05SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).filter($"l_quantity" >= 49.0)
+    o.join(l, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q05Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.0)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q06: left-anti join (NOT EXISTS): customers with no URGENT order.
+  def q06AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q07: ROLLUP hierarchy totals. NULL group keys are coalesced to a
+  // sentinel so ordering is engine-independent (Spark sorts NULL first,
+  // DuckDB last — SURVEY §7.5 determinism risk).
+  def q07Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"sum_qty")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val q07Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q08: CUBE over order dimensions.
+  def q08Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as(("orderstatus")),
+        coalesce($"o_orderpriority", lit("ALL")).as("orderpriority"),
+        $"n", $"sum_price")
+      .orderBy($"orderstatus", $"orderpriority")
+  }
+
+  val q08Sql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       |  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY orderstatus, orderpriority""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q09: exact distinct aggregation (Catalyst plans expand + two-phase
+  // agg; HLL approximate variant is `llm`-side, no oracle).
+  def q09DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q09Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q10: set operations — INTERSECT and EXCEPT branches union-tagged
+  // into one result (SURVEY §2.7 set ops; reference only had a dead
+  // date-set union, file_generator.go:210-224).
+  def q10SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val building = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+    val bigSpenders = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 300000.0).select($"o_custkey".as("custkey"))
+    val both = building.intersect(bigSpenders).withColumn("tag", lit("both"))
+    val onlySeg = building.except(bigSpenders).withColumn("tag", lit("building_only"))
+    both.unionAll(onlySeg).orderBy($"tag", $"custkey")
+  }
+
+  val q10Sql: String =
+    """WITH building AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |big AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0)
+      |SELECT custkey, 'both' AS tag FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
+      |UNION ALL
+      |SELECT custkey, 'building_only' AS tag FROM (SELECT * FROM building EXCEPT SELECT * FROM big)
+      |ORDER BY tag, custkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q11: windowed time-series delta — the benchviz use-case (per-test
+  // metric drift over dates, www/generate_benchmark_plot.js) done with
+  // lag() instead of chart-side JS: per event_type daily totals and
+  // day-over-day delta.
+  def q11WindowLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(dsum($"value", 6).as("total"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("prev_total", lag($"total", 1).over(w))
+      .withColumn("delta", round($"total" - $"prev_total", 6))
+      .select($"event_type", $"day", $"total", $"prev_total", $"delta")
+      .orderBy($"event_type", $"day")
+  }
+
+  val q11Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    ${dsumSql("value", 6)} AS total
+       |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+       |SELECT event_type, day, total,
+       |  LAG(total, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_total,
+       |  ROUND(total - LAG(total, 1) OVER (PARTITION BY event_type ORDER BY day), 6) AS delta
+       |FROM daily ORDER BY event_type, day""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q12: pivot long→wide (J1 N-way date alignment as groupBy().pivot(),
+  // SURVEY §2.6): per order-month, one count column per returnflag.
+  // Pivot values are enumerated so no extra distinct-collect job runs
+  // (and the plan stays static — required at 100 TB).
+  def q12PivotWide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(date_format($"l_shipdate", "yyyy-MM").as("ship_month"), $"l_returnflag")
+      .groupBy($"ship_month")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("A", "N", "R"))
+      .select($"ship_month", $"A".as("cnt_a"), $"N".as("cnt_n"), $"R".as("cnt_r"))
+      .orderBy($"ship_month")
+  }
+
+  val q12Sql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  COUNT(*) FILTER (WHERE l_returnflag = 'A') AS cnt_a,
+      |  COUNT(*) FILTER (WHERE l_returnflag = 'N') AS cnt_n,
+      |  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS cnt_r
+      |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q13: unpivot wide→long (J2 per-metric unpivot, SURVEY §2.6) via
+  // stack(); oracle is the UNION ALL expansion.
+  def q13Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+      .select($"l_returnflag",
+        expr("stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, 'n_rows', n_rows) AS (metric, val)"))
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  val q13Sql: String =
+    s"""WITH agg AS (
+       |  SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
+       |    ${dsumSql("l_extendedprice")} AS sum_price,
+       |    CAST(COUNT(*) AS DOUBLE) AS n_rows
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, metric, val FROM (
+       |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM agg
+       |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM agg
+       |  UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM agg)
+       |ORDER BY l_returnflag, metric""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_topk_per_group" -> (q02TopKPerGroup _),
+    "q03_customer_revenue" -> (q03CustomerRevenue _),
+    "q04_broadcast_dim_join" -> (q04BroadcastDimJoin _),
+    "q05_semi_join" -> (q05SemiJoin _),
+    "q06_anti_join" -> (q06AntiJoin _),
+    "q07_rollup" -> (q07Rollup _),
+    "q08_cube" -> (q08Cube _),
+    "q09_distinct_agg" -> (q09DistinctAgg _),
+    "q10_set_ops" -> (q10SetOps _),
+    "q11_window_lag" -> (q11WindowLag _),
+    "q12_pivot_wide" -> (q12PivotWide _),
+    "q13_unpivot" -> (q13Unpivot _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_topk_per_group" -> q02Sql,
+    "q03_customer_revenue" -> q03Sql,
+    "q04_broadcast_dim_join" -> q04Sql,
+    "q05_semi_join" -> q05Sql,
+    "q06_anti_join" -> q06Sql,
+    "q07_rollup" -> q07Sql,
+    "q08_cube" -> q08Sql,
+    "q09_distinct_agg" -> q09Sql,
+    "q10_set_ops" -> q10Sql,
+    "q11_window_lag" -> q11Sql,
+    "q12_pivot_wide" -> q12Sql,
+    "q13_unpivot" -> q13Sql,
+  )
+}
