@@ -7,9 +7,11 @@ object SparkEntry {
     operators.RelationalQueries.q01PricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.RelationalQueries.registry
+    operators.RelationalQueries.registry ++
+      operators.BenchQueries.registry
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.RelationalQueries.oracles
+    operators.RelationalQueries.oracles ++
+      operators.BenchQueries.oracles
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{BenchFixture, BenchIngest}
+
+/** Reference-surface queries (SURVEY.md §2) over the deterministic
+  * fixture tree. The fixture is a pure function of its path, so every
+  * query's result is a constant — the DuckDB oracles are literal
+  * SELECTs of the expected rows, making these full hash-checked golden
+  * tests of ingest semantics (P1/P2/P3, A1 last-write-wins, O1 date
+  * sort, A3 catalog, A4 distinct dates, J1 alignment, J2 unpivot,
+  * O3/O4 priority order).
+  *
+  * Queries ignore the star-schema `dir` argument — their input is the
+  * fixture tree (written under target/, never committed).
+  */
+object BenchQueries {
+
+  private val pkgs = Seq("sql", "sql/parser", "util/cache")
+
+  /** Ingested fact table over the shared fixture. */
+  def fact(spark: SparkSession): DataFrame =
+    BenchIngest.ingest(spark, BenchFixture.shared, pkgs)
+
+  def ingestGolden(spark: SparkSession, dir: String): DataFrame =
+    fact(spark).orderBy(col("pkg"), col("test"), col("date"))
+
+  val ingestGoldenSql: String =
+    """SELECT * FROM (VALUES
+      |  ('sql', 'BenchmarkBank2_Cockroach-8', DATE '2015-01-01', CAST(1328086 AS BIGINT), CAST(2317 AS BIGINT), CAST(183965 AS BIGINT), CAST(0.0 AS DOUBLE)),
+      |  ('sql', 'BenchmarkBank2_Cockroach-8', DATE '2015-01-02', CAST(1200000 AS BIGINT), CAST(2300 AS BIGINT), CAST(180000 AS BIGINT), CAST(0.0 AS DOUBLE)),
+      |  ('sql', 'BenchmarkBank2_Cockroach-8', DATE '2015-03-15', CAST(1100000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+      |  ('sql', 'BenchmarkDup-8', DATE '2015-01-01', CAST(200 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+      |  ('sql/parser', 'BenchmarkParse-4', DATE '2015-01-01', CAST(4096 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(12.34 AS DOUBLE)),
+      |  ('util/cache', 'BenchmarkCacheGet-8', DATE '2015-01-02', CAST(250 AS BIGINT), CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(998.77 AS DOUBLE))
+      |) AS t(pkg, test, date, ns_per_op, allocs_per_op, bytes_per_op, mb_per_s)
+      |ORDER BY pkg, test, date""".stripMargin
+
+  def seriesSorted(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.sortedSeries(fact(spark), "sql", "BenchmarkBank2_Cockroach-8")
+
+  val seriesSortedSql: String =
+    """SELECT * FROM (VALUES
+      |  (DATE '2015-01-01', CAST(1328086 AS BIGINT), CAST(2317 AS BIGINT), CAST(183965 AS BIGINT), CAST(0.0 AS DOUBLE)),
+      |  (DATE '2015-01-02', CAST(1200000 AS BIGINT), CAST(2300 AS BIGINT), CAST(180000 AS BIGINT), CAST(0.0 AS DOUBLE)),
+      |  (DATE '2015-03-15', CAST(1100000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))
+      |) AS t(date, ns_per_op, allocs_per_op, bytes_per_op, mb_per_s)
+      |ORDER BY date""".stripMargin
+
+  def catalogQ(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.catalog(fact(spark))
+
+  val catalogSql: String =
+    """SELECT * FROM (VALUES
+      |  ('sql', ['BenchmarkBank2_Cockroach-8', 'BenchmarkDup-8']),
+      |  ('sql/parser', ['BenchmarkParse-4']),
+      |  ('util/cache', ['BenchmarkCacheGet-8'])
+      |) AS t(pkg, tests) ORDER BY pkg""".stripMargin
+
+  def distinctDatesQ(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.distinctDates(fact(spark))
+
+  val distinctDatesSql: String =
+    """SELECT * FROM (VALUES (DATE '2015-01-01'), (DATE '2015-01-02'),
+      |  (DATE '2015-03-15')) AS t(date) ORDER BY date""".stripMargin
+
+  def unpivotQ(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.unpivotMetrics(fact(spark))
+      .filter(col("test") === "BenchmarkBank2_Cockroach-8" &&
+        col("date") === lit("2015-01-01").cast("date"))
+      .select(col("metric"), col("val"))
+      .orderBy(col("metric"))
+
+  val unpivotSql: String =
+    """SELECT * FROM (VALUES
+      |  ('allocs_per_op', CAST(2317.0 AS DOUBLE)),
+      |  ('bytes_per_op', CAST(183965.0 AS DOUBLE)),
+      |  ('mb_per_s', CAST(0.0 AS DOUBLE)),
+      |  ('ns_per_op', CAST(1328086.0 AS DOUBLE))
+      |) AS t(metric, val) ORDER BY metric""".stripMargin
+
+  def alignQ(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.alignSeries(fact(spark), "sql",
+      "BenchmarkBank2_Cockroach-8", "BenchmarkDup-8")
+
+  val alignSql: String =
+    """SELECT * FROM (VALUES
+      |  (DATE '2015-01-01', CAST(1328086 AS BIGINT), CAST(200 AS BIGINT)),
+      |  (DATE '2015-01-02', CAST(1200000 AS BIGINT), CAST(NULL AS BIGINT)),
+      |  (DATE '2015-03-15', CAST(1100000 AS BIGINT), CAST(NULL AS BIGINT))
+      |) AS t(date, a_ns_per_op, b_ns_per_op) ORDER BY date""".stripMargin
+
+  def pivotWideQ(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.pivotWide(fact(spark), "sql",
+      Seq("BenchmarkBank2_Cockroach-8", "BenchmarkDup-8"))
+      .select(col("date"),
+        col("BenchmarkBank2_Cockroach-8").as("t_bank2"),
+        col("BenchmarkDup-8").as("t_dup"))
+
+  val pivotWideSql: String =
+    """SELECT * FROM (VALUES
+      |  (DATE '2015-01-01', CAST(1328086 AS BIGINT), CAST(200 AS BIGINT)),
+      |  (DATE '2015-01-02', CAST(1200000 AS BIGINT), CAST(NULL AS BIGINT)),
+      |  (DATE '2015-03-15', CAST(1100000 AS BIGINT), CAST(NULL AS BIGINT))
+      |) AS t(date, t_bank2, t_dup) ORDER BY date""".stripMargin
+
+  def priorityQ(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.priorityOrder(SeriesOps.catalog(fact(spark)),
+      Seq("BenchmarkDup-8") ++ SeriesOps.ReferencePriorities)
+
+  val prioritySql: String =
+    """SELECT * FROM (VALUES
+      |  ('sql', 'BenchmarkDup-8', 1),
+      |  ('sql', 'BenchmarkBank2_Cockroach-8', 2),
+      |  ('sql/parser', 'BenchmarkParse-4', 1),
+      |  ('util/cache', 'BenchmarkCacheGet-8', 1)
+      |) AS t(pkg, test, rank) ORDER BY pkg, rank""".stripMargin
+
+  /** S5+S6 sink round-trip: write the partitioned series JSON + catalog,
+    * read both back, return a checkable summary. No SQL oracle (sink
+    * side effects aren't DuckDB-expressible) → driver rows-only check;
+    * full content assertions live in BenchSinksSpec.
+    */
+  def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/bench_sink_out"
+    val f = fact(spark)
+    BenchSinks.writeSeriesJson(f, s"$out/series")
+    BenchSinks.writeCatalogJson(f, s"$out/catalog")
+    val series = spark.read.json(s"$out/series")
+    val cat = spark.read.json(s"$out/catalog")
+    series.groupBy(col("pkg")).agg(count(lit(1)).as("n_series"))
+      .join(cat.select(col("pkg"), size(col("tests")).as("n_tests")), Seq("pkg"))
+      .orderBy(col("pkg"))
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bench_ingest_golden" -> (ingestGolden _),
+    "bench_series_sorted" -> (seriesSorted _),
+    "bench_catalog" -> (catalogQ _),
+    "bench_distinct_dates" -> (distinctDatesQ _),
+    "bench_unpivot_metrics" -> (unpivotQ _),
+    "bench_align_fullouter" -> (alignQ _),
+    "bench_pivot_wide" -> (pivotWideQ _),
+    "bench_priority_order" -> (priorityQ _),
+    "bench_sink_roundtrip" -> (sinkRoundtrip _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bench_ingest_golden" -> ingestGoldenSql,
+    "bench_series_sorted" -> seriesSortedSql,
+    "bench_catalog" -> catalogSql,
+    "bench_distinct_dates" -> distinctDatesSql,
+    "bench_unpivot_metrics" -> unpivotSql,
+    "bench_align_fullouter" -> alignSql,
+    "bench_pivot_wide" -> pivotWideSql,
+    "bench_priority_order" -> prioritySql,
+  )
+}

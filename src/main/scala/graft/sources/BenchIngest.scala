@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingest of raw Go-benchmark stdout trees into the flat fact table
+  * `bench_fact(pkg, test, date, ns_per_op, allocs_per_op, bytes_per_op,
+  * mb_per_s)` (FIXTURES.md §1).
+  *
+  * Reference semantics re-expressed declaratively (cites into
+  * /root/reference/filegenerator/file_generator.go):
+  *  - S2/S3: date-dir scan + `*test.stdout` glob (:131-157) → one text
+  *    scan with `pathGlobFilter` + partition keys recovered from
+  *    `input_file_name()`; invalid date dirs and unknown pkgs are
+  *    pruned by filters on those derived columns (partition pruning at
+  *    a real date-partitioned layout).
+  *  - P1: benchmark-line predicate (:72-77) — prefix `Benchmark` and no
+  *    `FAIL` substring.
+  *  - P3: 4 regex metric extracts with **zero (not null) defaults**
+  *    (:79-105); the test name keeps its `-GOMAXPROCS` suffix. The
+  *    reference's MB/s regex `[0-9]+\.?[0-9]+` needs ≥2 digit chars —
+  *    replicated verbatim (SURVEY §2.3 documents the quirk).
+  *  - A1: duplicate (pkg,test,date) keys resolve last-write-wins by
+  *    `ReadDir` order (:153, :167). Distributed scans have no "last",
+  *    so the engine defines the deterministic equivalent: max file
+  *    path, then max line number within the file (window row_number).
+  *  - P2 divergence (documented): the reference's date regex is
+  *    unanchored (:107-111) so `x01-01-2015y` would pass and then be
+  *    used as an unparseable date string; the engine anchors the match
+  *    and types the date (`to_date`, SURVEY §7.5 risk 3).
+  *
+  * Scale notes: files are read `wholetext` so line numbers exist for
+  * the A1 tie-break — benchmark stdout files are KB-sized, so one row
+  * per file is the *better* distribution unit at 100 TB (millions of
+  * small files → combine via `spark.sql.files.maxPartitionBytes`); the
+  * dedup window shuffles once on (pkg,test,date), which is also the
+  * natural output partitioning for every downstream series query.
+  */
+object BenchIngest {
+
+  val DefaultPackages: Seq[String] = Seq(
+    // main.go:23-25 — the reference's closed 12-package list.
+    "sql", "sql/parser", "kv", "roachpb", "storage", "storage/engine",
+    "util/cache", "util/caller", "util/decimal", "util/encoding",
+    "util/interval", "util/log")
+
+  /** Raw (file, line_no, line) rows for `*test.stdout` under valid
+    * date dirs. One input row per file (wholetext), exploded to lines.
+    */
+  def rawLines(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    spark.read
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*test.stdout")
+      .option("recursiveFileLookup", "true")
+      .text(root)
+      .select(input_file_name().as("file"), $"value")
+      .select($"file", posexplode(split($"value", "\n")).as(Seq("line_no", "line")))
+  }
+
+  /** Full ingest: scan → derive (date, pkg) → P1 filter → P3 extract →
+    * A1 last-write-wins dedup.
+    */
+  def ingest(spark: SparkSession, root: String,
+             packages: Seq[String] = DefaultPackages): DataFrame = {
+    import spark.implicits._
+
+    def metric(pattern: String) =
+      coalesce(nullif(regexp_extract($"line", pattern, 1), lit("")), lit("0"))
+
+    val parsed = rawLines(spark, root)
+      .withColumn("date_str",
+        regexp_extract($"file", "/([0-9]{2}-[0-9]{2}-[0-9]{4})/cockroach/", 1))
+      .withColumn("pkg",
+        regexp_extract($"file", "/cockroach/(.+)/[^/]*$", 1))
+      .filter($"date_str" =!= "" && $"pkg".isin(packages: _*))
+      // P1: file_generator.go:72-77
+      .filter($"line".startsWith("Benchmark") && !$"line".contains("FAIL"))
+      .select(
+        $"pkg",
+        trim(element_at(split($"line", "\t"), 1)).as("test"),
+        to_date($"date_str", "dd-MM-yyyy").as("date"),
+        // P3: file_generator.go:88-104 (zero-defaults :85-86)
+        metric("([0-9]+) ns/op").cast("long").as("ns_per_op"),
+        metric("([0-9]+) allocs/op").cast("long").as("allocs_per_op"),
+        metric("([0-9]+) B/op").cast("long").as("bytes_per_op"),
+        metric("([0-9]+\\.?[0-9]+) MB/s").cast("double").as("mb_per_s"),
+        $"file", $"line_no")
+
+    // A1 dedup: last (file, line) wins per (pkg,test,date).
+    val w = Window.partitionBy($"pkg", $"test", $"date")
+      .orderBy($"file".desc, $"line_no".desc)
+    parsed
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn", "file", "line_no")
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BenchQueries, SeriesOps}
+
+class SeriesOpsSpec extends SparkSpec {
+
+  lazy val fact = BenchQueries.fact(spark).cache()
+
+  test("alignment preserves one-row-per-date invariant (J1)") {
+    // generate_benchmark_plot.js:141-143 — per-date uniqueness.
+    val aligned = SeriesOps.alignSeries(fact, "sql",
+      "BenchmarkBank2_Cockroach-8", "BenchmarkDup-8")
+    assert(aligned.groupBy("date").count().filter("count > 1").count() == 0)
+    // missing cells are nulls, not zeros (frontend-model parity, §1.4)
+    assert(aligned.filter("b_ns_per_op IS NULL").count() == 2)
+  }
+
+  test("catalog lists each pkg once with sorted tests (A3)") {
+    val cat = SeriesOps.catalog(fact).collect()
+    assert(cat.length == 3)
+    val sqlTests = cat.find(_.getString(0) == "sql").get.getSeq[String](1)
+    assert(sqlTests == sqlTests.sorted)
+  }
+
+  test("unpivot yields 4 metric rows per observation (J2)") {
+    val n = fact.count()
+    assert(SeriesOps.unpivotMetrics(fact).count() == 4 * n)
+  }
+
+  test("reference priority list: 32 names, reverse-generation order (O3)") {
+    val p = SeriesOps.ReferencePriorities
+    assert(p.length == 32)
+    // last generated = first in priority: Insert x Multinode x 1000
+    assert(p.head == "BenchmarkInsert1000Multinode_Cockroach-16")
+    assert(p.last == "BenchmarkScan1_Cockroach-16")
+    assert(p.contains("BenchmarkDelete100_Cockroach-16"))
+  }
+
+  test("priority order ranks present rows only, then alphabetical (O3/O4)") {
+    val ranked = SeriesOps.priorityOrder(SeriesOps.catalog(fact),
+      Seq("BenchmarkDup-8") ++ SeriesOps.ReferencePriorities).collect()
+    val sql = ranked.filter(_.getString(0) == "sql").map(r => (r.getString(1), r.getInt(2)))
+    assert(sql.toSeq == Seq(("BenchmarkDup-8", 1), ("BenchmarkBank2_Cockroach-8", 2)))
+    // no phantom rows for absent priority names (documented divergence)
+    assert(!ranked.exists(_.getString(1).startsWith("BenchmarkInsert")))
+  }
+
+  test("pivotWide: one column per test, nulls for missing cells (J1-N)") {
+    val wide = SeriesOps.pivotWide(fact, "sql",
+      Seq("BenchmarkBank2_Cockroach-8", "BenchmarkDup-8"))
+    assert(wide.columns.toSeq ==
+      Seq("date", "BenchmarkBank2_Cockroach-8", "BenchmarkDup-8"))
+    assert(wide.count() == 3)
+  }
+}
