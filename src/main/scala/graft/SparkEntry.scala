@@ -8,10 +8,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalQueries.registry ++
-      operators.BenchQueries.registry
+      operators.BenchQueries.registry ++
+      operators.FunctionQueries.registry
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.RelationalQueries.oracles ++
-      operators.BenchQueries.oracles
+      operators.BenchQueries.oracles ++
+      operators.FunctionQueries.oracles
 }

@@ -1,0 +1,277 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Scalar-function breadth (SURVEY.md §2.7: string / date / math /
+  * array / JSON functions) plus the join shapes the reference lacks
+  * (range join, as-of join, grouping sets). Everything stays inside
+  * whole-stage codegen — `org.apache.spark.sql.functions`, no UDFs.
+  */
+object FunctionQueries {
+
+  // --------------------------------------------------------------------
+  // q14: string functions — split/trim/regexp/substring/case/length over
+  // part names (the reference's parse stage P3 generalized,
+  // file_generator.go:79-105).
+  def q14StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(
+        $"p_partkey",
+        upper($"p_brand").as("brand_upper"),
+        lower($"p_type").as("type_lower"),
+        length($"p_name").as("name_len"),
+        substring($"p_type", 1, 5).as("type_pre"),
+        element_at(split($"p_type", " "), 1).as("type_first_word"),
+        regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"),
+        trim(concat(lit("  "), $"p_name", lit("  "))).as("name_trim"),
+        replace($"p_name", lit(" "), lit("_")).as("name_snake"),
+        $"p_name".startsWith("a").as("starts_a"),
+        $"p_name".contains("blue").as("has_blue"))
+      .orderBy($"p_partkey")
+  }
+
+  val q14Sql: String =
+    """SELECT p_partkey, UPPER(p_brand) AS brand_upper,
+      |  LOWER(p_type) AS type_lower, LENGTH(p_name) AS name_len,
+      |  SUBSTRING(p_type, 1, 5) AS type_pre,
+      |  string_split(p_type, ' ')[1] AS type_first_word,
+      |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+      |  TRIM('  ' || p_name || '  ') AS name_trim,
+      |  REPLACE(p_name, ' ', '_') AS name_snake,
+      |  p_name LIKE 'a%' AS starts_a,
+      |  contains(p_name, 'blue') AS has_blue
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q15: date/time functions — the typed replacement for the
+  // reference's DD-MM-YYYY string handling (common.js:42-53).
+  def q15DatetimeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        quarter($"o_orderdate").as("q"),
+        to_date(date_trunc("month", $"o_orderdate")).as("month_start"),
+        date_format($"o_orderdate", "dd-MM-yyyy").as("legacy_key"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")), to_date($"o_orderdate"))
+          .as("days_to_2002"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q15Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS d,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  strftime(o_orderdate, '%d-%m-%Y') AS legacy_key,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q16: math functions. Transcendentals are rounded to 6 decimals —
+  // libm vs JDK StrictMath can differ in the last ulp.
+  def q16MathFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_linenumber" === 1)
+      .select(
+        $"l_orderkey",
+        abs($"l_discount" - 0.05).cast("double").as("abs_d"),
+        ceil($"l_extendedprice").as("ceil_p"),
+        floor($"l_extendedprice").as("floor_p"),
+        round($"l_extendedprice", 1).as("round_p"),
+        round(sqrt($"l_quantity"), 6).as("sqrt_q"),
+        round(log($"l_extendedprice"), 6).as("ln_p"),
+        round(pow($"l_quantity", lit(2.0)), 6).as("q_sq"),
+        pmod($"l_orderkey", lit(7L)).as("key_mod7"),
+        greatest($"l_tax", $"l_discount").as("max_rate"),
+        least($"l_tax", $"l_discount").as("min_rate"))
+      .orderBy($"l_orderkey")
+  }
+
+  val q16Sql: String =
+    """SELECT l_orderkey,
+      |  ABS(l_discount - 0.05) AS abs_d,
+      |  CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_p,
+      |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_p,
+      |  ROUND(l_extendedprice, 1) AS round_p,
+      |  ROUND(SQRT(l_quantity), 6) AS sqrt_q,
+      |  ROUND(LN(l_extendedprice), 6) AS ln_p,
+      |  ROUND(POW(l_quantity, 2.0), 6) AS q_sq,
+      |  l_orderkey % 7 AS key_mod7,
+      |  GREATEST(l_tax, l_discount) AS max_rate,
+      |  LEAST(l_tax, l_discount) AS min_rate
+      |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q17: array functions over tokenized documents (the engine's
+  // array/map surface, SURVEY §2.7; input to the llm text module).
+  def q17ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select(
+        $"doc_id",
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_unique"),
+        slice(array_sort($"toks"), 1, 3).as("first3_sorted"),
+        array_contains($"toks", "spark").as("has_spark"),
+        element_at($"toks", 1).as("first_tok"),
+        element_at($"toks", -1).as("last_tok"))
+      .orderBy($"doc_id")
+  }
+
+  val q17Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+      |  list_sort(toks)[1:3] AS first3_sorted,
+      |  list_contains(toks, 'spark') AS has_spark,
+      |  toks[1] AS first_tok,
+      |  toks[-1] AS last_tok
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q18: JSON extraction from events.props (FIXTURES.md: shape
+  // {"k": <int>}) — the engine's from_json/get_json_object surface.
+  def q18JsonFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        (get_json_object($"props", "$.k").cast("long") % 10).as("k_mod10"),
+        get_json_object($"props", "$.missing").isNull.as("missing_is_null"))
+      .orderBy($"event_id")
+  }
+
+  val q18Sql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+      |  json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q19: range (theta) join — events banded into literal value buckets
+  // via a non-equi condition against a broadcast bounds table
+  // (SURVEY §2.7 "range joins": absent from the reference; BNLJ over a
+  // broadcast 4-row side is the right plan — check `.explain` shows
+  // BroadcastNestedLoopJoin).
+  def q19RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val buckets = spark.createDataFrame(Seq(
+      ("low", 0.0, 50.0), ("mid", 50.0, 120.0),
+      ("high", 120.0, 200.0), ("xhigh", 200.0, 1e9)))
+      .toDF("bucket", "lo", "hi")
+    Tables.events(spark, dir)
+      .join(broadcast(buckets), $"value" >= $"lo" && $"value" < $"hi")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .orderBy($"bucket")
+  }
+
+  val q19Sql: String =
+    """WITH buckets(bucket, lo, hi) AS (VALUES
+      |  ('low', 0.0, 50.0), ('mid', 50.0, 120.0),
+      |  ('high', 120.0, 200.0), ('xhigh', 200.0, 1e9))
+      |SELECT bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN buckets ON value >= lo AND value < hi
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q20: as-of join — for each purchase, the most recent click at or
+  // before it by the same user. Implemented scalably as one window
+  // pass over the interleaved event stream (union + last(ignoreNulls)
+  // over rows-unbounded-preceding): no per-row subquery, one shuffle
+  // on user_id. DuckDB's native ASOF JOIN is the oracle.
+  def q20AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        when($"event_type" === "click", unix_micros($"ts")).as("click_us"))
+    // clicks sort before purchases at equal ts (ASOF allows ts-equality)
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_type".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_us", last($"click_us", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"last_click_us".isNotNull)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts").as("purchase_us"),
+        $"last_click_us",
+        (unix_micros($"ts") - $"last_click_us").as("gap_us"))
+      .orderBy($"event_id")
+  }
+
+  val q20Sql: String =
+    """SELECT p.event_id, p.user_id,
+      |  epoch_us(p.ts) AS purchase_us,
+      |  epoch_us(c.ts) AS last_click_us,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q21: GROUPING SETS (the generalization of rollup/cube) via SQL.
+  def q21GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val q21Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |  (o_orderstatus, o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_string_funcs" -> (q14StringFuncs _),
+    "q15_datetime_funcs" -> (q15DatetimeFuncs _),
+    "q16_math_funcs" -> (q16MathFuncs _),
+    "q17_array_funcs" -> (q17ArrayFuncs _),
+    "q18_json_funcs" -> (q18JsonFuncs _),
+    "q19_range_join" -> (q19RangeJoin _),
+    "q20_asof_join" -> (q20AsofJoin _),
+    "q21_grouping_sets" -> (q21GroupingSets _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q14_string_funcs" -> q14Sql,
+    "q15_datetime_funcs" -> q15Sql,
+    "q16_math_funcs" -> q16Sql,
+    "q17_array_funcs" -> q17Sql,
+    "q18_json_funcs" -> q18Sql,
+    "q19_range_join" -> q19Sql,
+    "q20_asof_join" -> q20Sql,
+    "q21_grouping_sets" -> q21Sql,
+  )
+}
