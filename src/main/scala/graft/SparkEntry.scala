@@ -9,11 +9,21 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalQueries.registry ++
       operators.BenchQueries.registry ++
-      operators.FunctionQueries.registry
+      operators.FunctionQueries.registry ++
+      llm.TextAnalysis.registry ++
+      llm.Dedup.registry ++
+      llm.Similarity.registry ++
+      llm.Multimodal.registry ++
+      streaming.WindowQueries.registry
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.RelationalQueries.oracles ++
       operators.BenchQueries.oracles ++
-      operators.FunctionQueries.oracles
+      operators.FunctionQueries.oracles ++
+      llm.TextAnalysis.oracles ++
+      llm.Dedup.oracles ++
+      llm.Similarity.oracles ++
+      llm.Multimodal.oracles ++
+      streaming.WindowQueries.oracles
 }

@@ -1,0 +1,312 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import TextAnalysis.{h60, h60Sql}
+
+/** Deduplication operators for a training-data pipeline, over
+  * `documents` (exact, n-gram Jaccard, MinHash+LSH, SimHash) and
+  * `embeddings` (cosine near-duplicate).
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup is a single hash-aggregate on a 128-bit digest — one
+  *    shuffle on the digest, no text comparison;
+  *  - near-dup pair generation is never all-pairs: MinHash banding and
+  *    SimHash byte-banding make candidate generation an equi-join on
+  *    (band_id, band_key) — shuffle-partitionable and linear in the
+  *    number of true candidates. The brute-force n-gram Jaccard and
+  *    cosine forms here are the verification baselines the banded
+  *    variants are graded against (and are what the DuckDB oracle can
+  *    express); at scale only the banded path runs.
+  *  - All hashes are the md5-derived 60-bit integer (TextAnalysis.h60),
+  *    so every signature is reproducible in ANSI SQL for the oracle.
+  */
+object Dedup {
+
+  /** Word 3-gram shingles of the space-tokenized text: shingle i =
+    * toks[i] ' ' toks[i+1] ' ' toks[i+2] (1-based, i in 1..n-2). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"""
+          .stripMargin).as("shingles"))
+  }
+
+  private val shingleCte: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM tk)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_dd_exact: exact dedup — group on the md5 digest of normalized
+  // text, canonical = min(doc_id). One shuffle on a 32-char key
+  // regardless of document size; the standard first pass of any
+  // dedup pipeline.
+  def ddExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(lower(regexp_replace(trim($"text"), "\\s+", " "))).as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("canonical_doc"),
+        count(lit(1)).as("n_copies"))
+      .orderBy($"canonical_doc")
+  }
+
+  val ddExactSql: String =
+    """WITH t AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents)
+      |SELECT fp, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies
+      |FROM t GROUP BY fp ORDER BY canonical_doc""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_dd_ngram_jaccard: word-3-gram Jaccard near-dup pairs. Candidate
+  // pairs = docs sharing >= 1 shingle (an equi-join on shingle — at
+  // scale, band on MinHash instead); Jaccard from distinct-shingle
+  // counts: |A∩B| / (|A| + |B| - |A∩B|). Top-100 pairs by similarity,
+  // totally ordered for determinism.
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingled(spark, dir)
+    val sizes = sh.select($"doc_id", size($"shingles").as("n_sh"))
+    val ex = sh.select($"doc_id", explode($"shingles").as("shingle"))
+    val inter = ex.as("a").join(ex.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b", $"n_inter",
+        round($"n_inter".cast("double")
+          / ($"sa.n_sh" + $"sb.n_sh" - $"n_inter"), 6).as("jaccard"))
+      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+      .limit(100)
+  }
+
+  val ddNgramJaccardSql: String =
+    s"""$shingleCte,
+       |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter,
+       |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON doc_a = sa.doc_id
+       |JOIN sz sb ON doc_b = sb.doc_id
+       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_dd_minhash_sigs: k=8 MinHash signatures over the shingle sets.
+  // Universal-hash family h_i(x) = (a_i * x31 + b_i) mod p with
+  // p = 2^31 - 1 and x31 = h60(shingle) mod p — products stay < 2^58,
+  // inside BIGINT, so the signature is bit-identical in any engine.
+  val minhashA = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  val minhashB = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private val P31 = 2147483647L
+
+  def ddMinhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = shingled(spark, dir)
+      .select($"doc_id", explode($"shingles").as("shingle"))
+      .withColumn("x31", h60($"shingle") % P31)
+    val sigCols = minhashA.zip(minhashB).zipWithIndex.map {
+      case ((a, b), i) =>
+        min((col("x31") * a + b) % P31).as(s"sig$i")
+    }
+    ex.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .orderBy($"doc_id")
+  }
+
+  val ddMinhashSigsSql: String = {
+    val sigs = minhashA.zip(minhashB).zipWithIndex.map {
+      case ((a, b), i) => s"MIN(($a * x31 + $b) % $P31) AS sig$i"
+    }.mkString(",\n  ")
+    s"""$shingleCte,
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |hx AS (SELECT doc_id, ${h60Sql("shingle")} % $P31 AS x31 FROM ex)
+       |SELECT doc_id,
+       |  $sigs
+       |FROM hx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // llm_dd_minhash_lsh: LSH banding over the signatures — 4 bands of
+  // r=2 rows. Candidates = pairs agreeing on a full band (equi-join on
+  // (band, key): THE scalable candidate generator); est_jaccard = the
+  // fraction of the 8 signature slots that agree.
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = ddMinhashSigs(spark, dir)
+    val bands = sigs.select($"doc_id", explode(array(
+      (0 until 4).map(j => struct(lit(j).as("band"),
+        concat_ws(":", col(s"sig${2 * j}"), col(s"sig${2 * j + 1}"))
+          .as("key"))): _*)).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.key")
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key"
+          && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val agree = (0 until 8).map(i =>
+        when(col(s"sa.sig$i") === col(s"sb.sig$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sigs.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b",
+        round(agree.cast("double") / 8.0, 6).as("est_jaccard"))
+      .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
+  }
+
+  val ddMinhashLshSql: String = {
+    val sigsSql = ddMinhashSigsSql
+    val bandSelects = (0 until 4).map(j =>
+      s"SELECT doc_id, $j AS band, sig${2 * j} || ':' || sig${2 * j + 1} AS key FROM sigs")
+      .mkString("\n  UNION ALL ")
+    val agree = (0 until 8).map(i =>
+      s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sigs AS ($sigsSql),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST($agree AS DOUBLE) / 8.0, 6) AS est_jaccard
+       |FROM cand
+       |JOIN sigs sa ON doc_a = sa.doc_id
+       |JOIN sigs sb ON doc_b = sb.doc_id
+       |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // llm_dd_simhash: 32-bit SimHash over the distinct-token set: bit b
+  // is set iff sum over tokens of ±1 (sign of bit b of h60(token) mod
+  // 2^31) is positive. Computed as 32 conditional sums in ONE
+  // hash-aggregate — no row explosion, no shuffle beyond groupBy(doc).
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(array_distinct(split($"text", " "))).as("tok"))
+      .withColumn("h", h60($"tok") % P31)
+    val bitSums = (0 until 32).map(b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1))
+        .as(s"v$b"))
+    val simhash = (0 until 32).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    ex.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", simhash.as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val ddSimhashSql: String = {
+    val bitSums = (0 until 32).map(b =>
+      s"SUM(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n  ")
+    val simhash = (0 until 32).map(b =>
+      s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       |hx AS (SELECT doc_id, ${h60Sql("tok")} % $P31 AS h FROM tk),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |FROM hx GROUP BY doc_id)
+       |SELECT doc_id, CAST($simhash AS BIGINT) AS simhash
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // llm_dd_simhash_pairs: near-dup pairs at Hamming distance <= 3 via
+  // byte-banding: split the 32-bit simhash into 4 bytes; by pigeonhole
+  // any pair within distance 3 agrees on >= 1 whole byte, so the
+  // banded equi-join finds EXACTLY the brute-force result (the DuckDB
+  // oracle is the brute-force cross join — equality of the two is the
+  // correctness claim of the banding).
+  def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = ddSimhash(spark, dir)
+    val bands = sh.select($"doc_id", $"simhash", explode(array(
+      (0 until 4).map(j => struct(lit(j).as("band"),
+        expr(s"(simhash div ${1L << (8 * j)}) % 256").as("key"))): _*))
+      .as("bk"))
+      .select($"doc_id", $"simhash", $"bk.band", $"bk.key")
+    bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key"
+          && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        expr("bit_count(int(a.simhash) ^ int(b.simhash))").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"hamming", $"doc_a", $"doc_b")
+  }
+
+  val ddSimhashPairsSql: String =
+    s"""WITH sh AS (${ddSimhashSql.replace("ORDER BY doc_id", "")})
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(CAST(a.simhash AS INT), CAST(b.simhash AS INT))) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(CAST(a.simhash AS INT), CAST(b.simhash AS INT))) <= 3
+       |ORDER BY hamming, doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_dd_embedding_near: embedding-cosine near-duplicate pairs over
+  // `embeddings` — the exact baseline (all pairs, cosine >= 0.4; the synthetic embeddings cap out near 0.51).
+  // Arithmetic is float->double elementwise then a left-fold sum, so
+  // the value is IEEE-identical across engines; Similarity.ssLshBucket
+  // is the banded scale path for the same predicate.
+  def ddEmbeddingNear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        expr("""round(aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
+          | CAST(0 AS DOUBLE), (s, x) -> s + x) / (a.nrm * b.nrm), 6)"""
+          .stripMargin).as("cosine"))
+      .filter($"cosine" >= 0.4)
+      .orderBy($"cosine".desc, $"vec_a", $"vec_b")
+  }
+
+  // DuckDB list_dot_product is a sequential float64 fold — verified
+  // bit-identical to Spark's aggregate(zip_with(...)) left fold.
+  val ddEmbeddingNearSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+      |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_exact" -> (ddExact _),
+    "llm_dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "llm_dd_minhash_sigs" -> (ddMinhashSigs _),
+    "llm_dd_minhash_lsh" -> (ddMinhashLsh _),
+    "llm_dd_simhash" -> (ddSimhash _),
+    "llm_dd_simhash_pairs" -> (ddSimhashPairs _),
+    "llm_dd_embedding_near" -> (ddEmbeddingNear _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_dd_exact" -> ddExactSql,
+    "llm_dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "llm_dd_minhash_sigs" -> ddMinhashSigsSql,
+    "llm_dd_minhash_lsh" -> ddMinhashLshSql,
+    "llm_dd_simhash" -> ddSimhashSql,
+    "llm_dd_simhash_pairs" -> ddSimhashPairsSql,
+    "llm_dd_embedding_near" -> ddEmbeddingNearSql,
+  )
+}

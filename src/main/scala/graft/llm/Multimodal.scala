@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import TextAnalysis.{h60, h60Sql}
+
+/** Multimodal-column plumbing: media payloads are opaque BINARY
+  * columns with typed metadata structs travelling beside them. Since
+  * no image/audio codecs exist in this environment, the decode step is
+  * a DETERMINISTIC FAKE (clearly marked below) — the Spark-side
+  * contract (schema, batch iteration, partition behavior) is real and
+  * tested, and is exactly what a production decode-UDF would plug
+  * into.
+  *
+  * Scale notes: payload bytes stay columnar (parquet BINARY) and are
+  * never collected; decode runs partition-local via mapPartitions
+  * (the Scala analogue of mapInPandas batch UDFs); frame sampling is
+  * a generator (explode of a bounded sequence), so output size is
+  * O(input * sample_rate) with no shuffle before the sink.
+  */
+object Multimodal {
+
+  /** Typed decoded-media metadata (what a real decoder would emit). */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, width: Long, height: Long,
+      channels: Long, format: String)
+
+  // --------------------------------------------------------------------
+  // llm_mm_metadata: binary payload + metadata extraction. The payload
+  // is the utf-8 bytes of documents.text standing in for an encoded
+  // image; "decode" derives deterministic fake dimensions from the
+  // 60-bit content hash (a real pipeline decodes the header instead —
+  // same plan shape: narrow per-row projection over a BINARY column).
+  def mmMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"), $"text")
+      .select(
+        $"doc_id",
+        octet_length($"payload").as("n_bytes"),
+        sha2($"payload", 256).as("sha256"),
+        // -- deterministic FAKE decode (no codecs in env) --
+        (h60($"text") % 1600 + 320).as("width"),
+        (h60($"text") % 840 + 240).as("height"),
+        (h60($"text") % 3 + 1).as("channels"),
+        element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+          (h60($"text") % 3 + 1).cast("int")).as("format"))
+      .orderBy($"doc_id")
+  }
+
+  val mmMetadataSql: String =
+    s"""WITH t AS (SELECT doc_id, encode(text) AS payload, text FROM documents)
+       |SELECT doc_id,
+       |  CAST(octet_length(payload) AS INT) AS n_bytes,
+       |  sha256(text) AS sha256,
+       |  ${h60Sql("text")} % 1600 + 320 AS width,
+       |  ${h60Sql("text")} % 840 + 240 AS height,
+       |  ${h60Sql("text")} % 3 + 1 AS channels,
+       |  (['jpeg', 'png', 'webp'])[CAST(${h60Sql("text")} % 3 + 1 AS INT)] AS format
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_mm_frames: frame sampling — a video of n_frames =
+  // min(n_chars/10 + 1, 50) frames sampled every 5th frame; per-frame
+  // "feature" is a deterministic fake (hash of doc:frame). The
+  // generator (explode of sequence) is the UDTF surface; output is
+  // bounded per row.
+  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        least(expr("n_chars div 10") + 1, lit(50L)).cast("long").as("n_frames"))
+      .select($"doc_id", $"n_frames",
+        explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_idx"))
+      .filter($"frame_idx" % 5 === 0)
+      .select($"doc_id", $"n_frames", $"frame_idx",
+        (h60(concat($"doc_id".cast("string"), lit(":"),
+          $"frame_idx".cast("string"))) % 1000).as("frame_feature"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val mmFramesSql: String =
+    s"""WITH t AS (SELECT doc_id, LEAST(n_chars // 10 + 1, 50) AS n_frames FROM documents),
+       |f AS (SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS frame_idx FROM t)
+       |SELECT doc_id, n_frames, frame_idx,
+       |  ${h60Sql("doc_id || ':' || frame_idx")} % 1000 AS frame_feature
+       |FROM f WHERE frame_idx % 5 = 0 ORDER BY doc_id, frame_idx""".stripMargin
+
+  // --------------------------------------------------------------------
+  // decodeBatch: the partition-local batch "decoder" — the Scala
+  // analogue of a mapInPandas UDF. Iterates a partition's payloads in
+  // one pass and emits typed metadata. The body is a DETERMINISTIC
+  // FAKE of a codec (no image libs in this container); swap the two
+  // marked lines for a real decoder and nothing else changes. Covered
+  // by LlmSpec (not oracle-verified — mapPartitions is opaque to SQL).
+  def decodeMedia(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id".cast("long"), encode($"text", "utf-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          // -- FAKE decode: header-derived dims stand in for codec out --
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          MediaMeta(id, bytes.length.toLong, h % 1600 + 320,
+            h % 840 + 240, h % 3 + 1,
+            Seq("jpeg", "png", "webp")((h % 3).toInt))
+        }
+      }
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_metadata" -> (mmMetadata _),
+    "llm_mm_frames" -> (mmFrames _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_mm_metadata" -> mmMetadataSql,
+    "llm_mm_frames" -> mmFramesSql,
+  )
+}

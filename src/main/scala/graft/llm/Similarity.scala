@@ -1,0 +1,166 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (vec_id, embedding ARRAY<FLOAT>, label).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - brute-force cosine top-k (the exact baseline): broadcast the
+  *    small query set against the full corpus — one narrow pass over
+  *    the corpus, partition-local top-k via window, no corpus shuffle.
+  *    At 100 TB the corpus side stays partitioned; only the query set
+  *    (tiny) is broadcast, so this scales linearly with corpus size.
+  *  - sign-LSH bucketing (the scale path): bucket = sign bits of the
+  *    first 8 dimensions (random-hyperplane LSH with canonical-basis
+  *    hyperplanes — deterministic and oracle-expressible). Candidate
+  *    generation becomes an equi-join on the bucket key; recall is
+  *    traded for a 2^8 reduction in compared pairs. Multi-probe /
+  *    more planes are parameter turns of the same plan shape.
+  *
+  * Cosine arithmetic: cast float->double elementwise, left-fold sum —
+  * bit-identical to the DuckDB oracle's list_dot_product (verified).
+  */
+object Similarity {
+
+  private def withNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+  }
+
+  private val normCte: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_ss_topk: brute-force cosine top-5 neighbors for query vectors
+  // vec_id < 5. broadcast(queries) keeps the corpus un-shuffled; the
+  // only wide op is the final per-query top-k window over ~5*N rows.
+  def ssTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        expr("""round(aggregate(zip_with(qv, v, (x, y) -> x * y),
+          | CAST(0 AS DOUBLE), (s, x) -> s + x) / (qn * nrm), 6)"""
+          .stripMargin).as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssTopkSql: String =
+    s"""$normCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q_id, n.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+       |  FROM n JOIN q ON n.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_ss_lsh_bucket: sign-LSH bucketed ANN — bucket key = sign bits
+  // of dims 1..8; neighbors come only from the query's bucket
+  // (equi-join on the key), top-3 per query among vec_id < 20 queries.
+  def ssLshBucket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucketExpr = expr(
+      """concat_ws('', transform(slice(v, 1, 8),
+        |  x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN '1' ELSE '0' END))"""
+        .stripMargin)
+    val e = withNorm(spark, dir).withColumn("bucket", bucketExpr)
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"bucket".as("qbucket"))
+    val scored = e.join(broadcast(q),
+        $"bucket" === $"qbucket" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"bucket",
+        expr("""round(aggregate(zip_with(qv, v, (x, y) -> x * y),
+          | CAST(0 AS DOUBLE), (s, x) -> s + x) / (qn * nrm), 6)"""
+          .stripMargin).as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssLshBucketSql: String =
+    s"""$normCte,
+       |b AS (SELECT vec_id, v, nrm,
+       |  list_aggregate(list_transform(v[1:8],
+       |    x -> CASE WHEN x >= 0.0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+       |FROM n),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qbucket
+       |  FROM b WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q_id, b.vec_id AS neighbor_id, bucket,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+       |  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, neighbor_id, bucket, cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_ss_ivf: IVF-style coarse quantization — "centroid" id = the
+  // label-means are unavailable without training, so the coarse
+  // quantizer is the grid cell of the first two dimensions (sign+magnitude
+  // bucket). Demonstrates the IVF plan shape: assign -> inverted list
+  // (groupBy cell) -> probe only the query's cell. Output: per-cell
+  // inverted-list stats (the index build step, which IS verifiable).
+  def ssIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withNorm(spark, dir)
+      .withColumn("cell",
+        concat_ws(":",
+          floor(element_at($"v", 1) * 4).cast("long"),
+          floor(element_at($"v", 2) * 4).cast("long")))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        min($"vec_id").as("min_vec"),
+        max($"vec_id").as("max_vec"),
+        round(avg($"nrm"), 6).as("avg_norm"))
+      .orderBy($"cell")
+  }
+
+  val ssIvfIndexSql: String =
+    s"""$normCte,
+       |cells AS (SELECT vec_id, nrm,
+       |  CAST(FLOOR(v[1] * 4) AS BIGINT) || ':' || CAST(FLOOR(v[2] * 4) AS BIGINT) AS cell
+       |FROM n)
+       |SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec,
+       |  MAX(vec_id) AS max_vec, ROUND(AVG(nrm), 6) AS avg_norm
+       |FROM cells GROUP BY cell ORDER BY cell""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_topk" -> (ssTopk _),
+    "llm_ss_lsh_bucket" -> (ssLshBucket _),
+    "llm_ss_ivf_index" -> (ssIvfIndex _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_ss_topk" -> ssTopkSql,
+    "llm_ss_lsh_bucket" -> ssLshBucketSql,
+    "llm_ss_ivf_index" -> ssIvfIndexSql,
+  )
+}

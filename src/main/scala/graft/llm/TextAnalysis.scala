@@ -1,0 +1,195 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * over the `documents` table (doc_id, text, lang, source, n_chars):
+  * token counting (whitespace + BPE-ish regex), language-ID (stopword
+  * n-gram heuristic), quality scoring, and document fingerprinting.
+  *
+  * These extend the reference's text-processing surface (the regex
+  * parse stage, /root/reference/filegenerator/file_generator.go:79-105)
+  * into the LLM-data-pipeline domain. All computation is per-row
+  * narrow work in `org.apache.spark.sql.functions` (whole-stage
+  * codegen, zero shuffles except the final orderBy) — at 100 TB these
+  * run scan-speed with full column pruning to (doc_id, text).
+  */
+object TextAnalysis {
+
+  /** Deterministic 60-bit hash usable identically in Spark and DuckDB:
+    * first 15 hex chars of md5 parsed as an integer. Used across the
+    * dedup/fingerprint operators as the shared hash primitive.
+    * Spark: conv(substr(md5(s),1,15),16,10)::long
+    * DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT
+    */
+  def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def h60Sql(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  // Stopword lists for the language-ID heuristic (public-knowledge
+  // function-word lists; tiny on purpose — the heuristic is the point,
+  // not lexicon coverage).
+  val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "una", "y", "es", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+  private val langOrder = Seq("en", "de", "fr", "es", "zh")
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  // --------------------------------------------------------------------
+  // ta_tokens: token counting — whitespace tokenization plus a BPE-ish
+  // regex segmentation (runs of alphanumerics / single punctuation, the
+  // shape of a byte-level BPE pre-tokenizer).
+  def taTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"), $"text")
+      .select(
+        $"doc_id",
+        size($"toks").as("n_ws_tokens"),
+        size(array_distinct($"toks")).as("n_unique"),
+        size(regexp_extract_all($"text",
+          lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+        round(length(regexp_replace($"text", "\\s+", ""))
+          .cast("double") / size($"toks"), 6).as("mean_tok_len"))
+      .orderBy($"doc_id")
+  }
+
+  val taTokensSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, text FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INT) AS n_ws_tokens,
+      |  CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+      |  ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(toks), 6) AS mean_tok_len
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // ta_lang_id: stopword-hit language ID. Score per language = count of
+  // tokens in that language's function-word list; argmax with a fixed
+  // tie-break order (en > de > fr > es > zh), 'und' when all scores 0.
+  def taLangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", split(trim($"text"), "\\s+").as("toks"))
+      .select(($"doc_id" +: $"lang" +:
+        langOrder.map(l => expr(
+          s"size(filter(toks, t -> t IN ${inList(stop(l))}))")
+          .as(s"score_$l"))): _*)
+    val best = langOrder.map(l => col(s"score_$l")).reduce(greatest(_, _))
+    // first-match-wins in langOrder, mirroring the oracle's CASE chain
+    val predOrdered = langOrder.reverse.foldLeft(lit("und")) { (acc, l) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred_lang", predOrdered)
+      .withColumn("is_correct", $"pred_lang" === $"lang")
+      .drop("toks")
+      .orderBy($"doc_id")
+  }
+
+  val taLangIdSql: String = {
+    val scores = langOrder.map(l =>
+      s"CAST(len(list_filter(toks, t -> t IN ${inList(stop(l))})) AS INT) AS score_$l")
+      .mkString(",\n  ")
+    val bestE = langOrder.map(l => s"score_$l").mkString("GREATEST(", ", ", ")")
+    val predE = langOrder.map(l =>
+      s"WHEN score_$l = $bestE AND $bestE > 0 THEN '$l'").mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |  $scores
+       |FROM t)
+       |SELECT doc_id, lang, score_en, score_de, score_fr, score_es, score_zh,
+       |  CASE $predE ELSE 'und' END AS pred_lang,
+       |  (CASE $predE ELSE 'und' END) = lang AS is_correct
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // ta_quality: heuristic quality score — length, stopword ratio, and
+  // mean word length blended into [0,1]. The standard cheap pre-filter
+  // before expensive model-based scoring in a data pipeline.
+  def taQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val allStops = stop.values.flatten.toSeq.distinct.sorted
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        split(trim($"text"), "\\s+").as("toks"), $"text")
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(toks, t -> t IN ${inList(allStops)}))"))
+      .select(
+        $"doc_id", $"n_chars", $"n_tokens",
+        round($"stop_hits".cast("double") / $"n_tokens", 6).as("stop_ratio"),
+        round(length(regexp_replace($"text", "\\s+", ""))
+          .cast("double") / $"n_tokens", 6).as("mean_wlen"),
+        round(
+          least($"n_tokens".cast("double") / lit(100.0), lit(1.0)) * 0.4
+            + least($"stop_hits".cast("double") / $"n_tokens" * 5.0, lit(1.0)) * 0.4
+            + (lit(1.0) - least(
+                abs(length(regexp_replace($"text", "\\s+", ""))
+                  .cast("double") / $"n_tokens" - 4.5) / 4.5, lit(1.0))) * 0.2,
+          6).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val taQualitySql: String = {
+    val allStops = stop.values.flatten.toSeq.distinct.sorted
+    s"""WITH t AS (SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\\s+') AS toks, text FROM documents),
+       |s AS (SELECT doc_id, n_chars,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(len(list_filter(toks, t -> t IN ${inList(allStops)})) AS INT) AS stop_hits,
+       |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_letters
+       |FROM t)
+       |SELECT doc_id, n_chars, n_tokens,
+       |  ROUND(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       |  ROUND(n_letters / n_tokens, 6) AS mean_wlen,
+       |  ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       |    + LEAST(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.4
+       |    + (1.0 - LEAST(ABS(n_letters / n_tokens - 4.5) / 4.5, 1.0)) * 0.2,
+       |    6) AS quality
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // ta_fingerprint: document fingerprinting — md5 of the
+  // whitespace-normalized lowercased text (the exact-dedup key) plus
+  // the 60-bit integer fingerprint (the hash primitive the
+  // MinHash/SimHash operators build on).
+  def taFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norm = lower(regexp_replace(trim($"text"), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        md5(norm).as("fp_md5"),
+        h60(norm).as("fp_h60"))
+      .orderBy($"doc_id")
+  }
+
+  val taFingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents)
+       |SELECT doc_id, md5(norm) AS fp_md5, ${h60Sql("norm")} AS fp_h60
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_tokens" -> (taTokens _),
+    "llm_ta_lang_id" -> (taLangId _),
+    "llm_ta_quality" -> (taQuality _),
+    "llm_ta_fingerprint" -> (taFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_ta_tokens" -> taTokensSql,
+    "llm_ta_lang_id" -> taLangIdSql,
+    "llm_ta_quality" -> taQualitySql,
+    "llm_ta_fingerprint" -> taFingerprintSql,
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Value-level invariants for the LLM-pipeline operators (the DuckDB
+  * oracle covers exact values; these cover semantics the oracle can't:
+  * the mapPartitions decode path, metric bounds, and the
+  * banding-equals-bruteforce claims).
+  */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeMedia emits one typed row per document, deterministic") {
+    val ds = Multimodal.decodeMedia(spark, sf0001)
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val rows = ds.collect()
+    assert(rows.length == n)
+    assert(rows.forall(m => m.width >= 320 && m.width < 1920))
+    assert(rows.forall(m => m.height >= 240 && m.height < 1080))
+    assert(rows.forall(m => Set("jpeg", "png", "webp")(m.format)))
+    // fake decode must agree with the SQL-side h60 derivation
+    val sqlSide = Multimodal.mmMetadata(spark, sf0001)
+      .select("doc_id", "width", "height", "format")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    rows.foreach { m =>
+      assert(sqlSide(m.doc_id) == ((m.width, m.height, m.format)),
+        s"doc ${m.doc_id}: mapPartitions decode != SQL decode")
+    }
+  }
+
+  test("jaccard values are in (0, 1] and pairs are ordered doc_a < doc_b") {
+    val rows = Dedup.ddNgramJaccard(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      assert(a < b && j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("minhash signatures lie in [0, 2^31-1)") {
+    val sigs = Dedup.ddMinhashSigs(spark, sf0001).collect()
+    assert(sigs.nonEmpty)
+    sigs.foreach { r =>
+      (1 to 8).foreach { i =>
+        val s = r.getLong(i)
+        assert(s >= 0L && s < 2147483647L)
+      }
+    }
+  }
+
+  test("simhash byte-banding finds exactly the brute-force hamming<=3 pairs") {
+    val banded = Dedup.ddSimhashPairs(spark, sf0001)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sh = Dedup.ddSimhash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, ha) <- sh; (idb, hb) <- sh if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ida, idb, d)).toSet
+    assert(banded == brute)
+  }
+
+  test("lsh-bucket neighbors are a subset of brute-force candidates with equal cosine") {
+    val topk = Similarity.ssTopk(spark, sf0001)
+      .select("q_id", "neighbor_id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.ssLshBucket(spark, sf0001)
+      .select("q_id", "neighbor_id", "cosine").collect()
+    assert(lsh.nonEmpty)
+    lsh.filter(r => topk.contains((r.getLong(0), r.getLong(1)))).foreach { r =>
+      assert(math.abs(topk((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-12)
+    }
+  }
+
+  test("language-id prediction is deterministic and within the label set") {
+    val preds = TextAnalysis.taLangId(spark, sf0001)
+      .select("pred_lang").distinct().as[String].collect().toSet
+    assert(preds.subsetOf(Set("en", "de", "fr", "es", "zh", "und")))
+  }
+
+  test("exact dedup partitions the corpus (copies sum to row count)") {
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val sum = Dedup.ddExact(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).as[Long].head()
+    assert(sum == total)
+  }
+}

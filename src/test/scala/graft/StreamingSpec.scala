@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{StreamPipelines, WindowQueries}
+import graft.streaming.StreamPipelines.Event
+
+/** Structured Streaming semantics: watermark drop of late data,
+  * incremental windowed aggregation, and stateful sessionization —
+  * driven through MemoryStream so the micro-batch engine actually runs.
+  * The batch window()/session_window() forms are DuckDB-verified
+  * separately (WindowQueries); here we verify stream==batch agreement
+  * and the streaming-only behaviors.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("tumbling watermarked aggregation matches batch on in-order data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0), Event(4, ts(70), 1, "click", 4.0),
+      Event(5, ts(200), 3, "view", 5.0)) // advances watermark far ahead
+    mem.addData(events: _*)
+    val q = StreamPipelines.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // watermark(200min - 10min) closes hours 0 and 1 -> emitted; hour 3 open
+    val got = spark.table("tumbling_out")
+      .select("w_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(got == Set((0L, "click", 2L, 3.0), (60L, "view", 1L, 3.0),
+      (60L, "click", 1L, 4.0)))
+  }
+
+  test("late rows beyond the watermark are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamPipelines.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Event(1, ts(5), 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, ts(500), 1, "click", 1.0)) // watermark -> 490min
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(10), 1, "click", 100.0)) // hour 0: closed, late
+    q.processAllAvailable()
+    val hour0 = spark.table("late_out")
+      .filter($"w_start" === ts(0)).select("n", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    q.stop()
+    // the late event must NOT appear: hour-0 window emitted with only event 1
+    assert(hour0.toSeq == Seq((1L, 1.0)))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val mem = MemoryStream[Event]
+    val q = StreamPipelines.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    // user 1: events at 1,11min (one session); then 100min (new session).
+    // (Start at minute 1: a row whose event time equals the initial
+    // watermark of 0 would be filtered as late before reaching state.)
+    mem.addData(Event(1, ts(1), 1, "c", 1.0), Event(2, ts(11), 1, "c", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(100), 1, "c", 4.0))
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(1000), 2, "c", 8.0)) // push watermark way ahead
+    q.processAllAvailable()
+    mem.addData(Event(5, ts(2000), 2, "c", 16.0)) // one more batch to flush timeouts
+    q.processAllAvailable()
+    val sessions = spark.table("sess_out")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+        r.getTimestamp(2).getTime / 60000, r.getLong(3), r.getDouble(4))).toSet
+    q.stop()
+    // user1 session A: [1,11], ends 11+30=41min, 2 events, sum 3
+    assert(sessions.contains((1L, 1L, 41L, 2L, 3.0)),
+      s"missing first session in $sessions")
+    // user1 session B: single event at 100min, ends 130min
+    assert(sessions.contains((1L, 100L, 130L, 1L, 4.0)),
+      s"missing second session in $sessions")
+  }
+
+  test("file-source AvailableNow pipeline is incremental and exactly-once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckp = s"$tmp/ckp"
+    graft.sources.Tables.events(spark, sf0001)
+      .limit(100).write.parquet(src)
+    val q1 = StreamPipelines.fileToParquet(spark, src, out, ckp)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+    // re-run with same checkpoint: no new input -> no duplicate output
+    val q2 = StreamPipelines.fileToParquet(spark, src, out, ckp)
+    q2.awaitTermination()
+    val n2 = spark.read.parquet(out).count()
+    assert(n1 == n2, s"rerun duplicated output: $n1 -> $n2")
+  }
+
+  test("batch session_window agrees with hand-rolled sessionization totals") {
+    val batch = WindowQueries.stSession(spark, sf0001)
+    val totalEvents = batch.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .head().getLong(0)
+    val n = graft.sources.Tables.events(spark, sf0001).count()
+    assert(totalEvents == n, "session windows must partition the events")
+  }
+}
