@@ -29,12 +29,18 @@ object Dedup {
     * toks[i] ' ' toks[i+1] ' ' toks[i+2] (1-based, i in 1..n-2). */
   private def shingled(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // zip_with over shifted slices, NOT transform(sequence(...), i ->
+    // toks[i]...): an index lambda re-evaluates the (collapsed) split()
+    // per element access — O(tokens^2) per doc, measured ~5x slower.
     Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"""
-          .stripMargin).as("shingles"))
+        """array_distinct(zip_with(
+          |  slice(toks, 1, size(toks) - 2),
+          |  zip_with(slice(toks, 2, size(toks) - 2),
+          |           slice(toks, 3, size(toks) - 2),
+          |           (y, z) -> concat(y, ' ', z)),
+          |  (x, yz) -> concat(x, ' ', yz)))""".stripMargin).as("shingles"))
   }
 
   private val shingleCte: String =
@@ -266,15 +272,11 @@ object Dedup {
   // is the banded scale path for the same predicate.
   def ddEmbeddingNear(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+    graft.functions.VecDot.register(spark)
+    val e = Similarity.withNorm(spark, dir).drop("label")
     e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        expr("""round(aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
-          | CAST(0 AS DOUBLE), (s, x) -> s + x) / (a.nrm * b.nrm), 6)"""
-          .stripMargin).as("cosine"))
+        expr("round(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 6)").as("cosine"))
       .filter($"cosine" >= 0.4)
       .orderBy($"cosine".desc, $"vec_a", $"vec_b")
   }

@@ -27,13 +27,13 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private def withNorm(spark: SparkSession, dir: String): DataFrame = {
+  private[llm] def withNorm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.VecDot.register(spark)
     Tables.embeddings(spark, dir)
       .select($"vec_id", $"label",
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+        $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
   }
 
   private val normCte: String =
@@ -51,9 +51,7 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
     val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
-        expr("""round(aggregate(zip_with(qv, v, (x, y) -> x * y),
-          | CAST(0 AS DOUBLE), (s, x) -> s + x) / (qn * nrm), 6)"""
-          .stripMargin).as("cosine"))
+        expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
     val w = Window.partitionBy($"q_id")
       .orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))
@@ -92,9 +90,7 @@ object Similarity {
     val scored = e.join(broadcast(q),
         $"bucket" === $"qbucket" && $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"), $"bucket",
-        expr("""round(aggregate(zip_with(qv, v, (x, y) -> x * y),
-          | CAST(0 AS DOUBLE), (s, x) -> s + x) / (qn * nrm), 6)"""
-          .stripMargin).as("cosine"))
+        expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
     val w = Window.partitionBy($"q_id")
       .orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))
