@@ -251,8 +251,8 @@ object Dedup {
           && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         expr("bit_count(int(a.simhash) ^ int(b.simhash))").as("hamming"))
+      .filter($"hamming" <= 3) // before distinct: shrinks the dedup input
       .distinct()
-      .filter($"hamming" <= 3)
       .orderBy($"hamming", $"doc_a", $"doc_b")
   }
 

@@ -253,6 +253,27 @@ object FunctionQueries {
       |  (o_orderstatus, o_orderpriority))
       |ORDER BY status, priority""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q22: typed-Aggregator UDAF — exact top-3 order values per priority
+  // with a k-bounded buffer (map-side combinable; see
+  // graft.functions.TopKDoubles). The UDAF surface of SURVEY §2.7.
+  def q22UdafTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.udf.register("top3_vals",
+      org.apache.spark.sql.functions.udaf(new graft.functions.TopKDoubles(3)))
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(expr("top3_vals(o_totalprice)").as("top3_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderpriority,
+      |  (list_sort(list(o_totalprice), 'DESC'))[1:3] AS top3_price,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_string_funcs" -> (q14StringFuncs _),
     "q15_datetime_funcs" -> (q15DatetimeFuncs _),
@@ -262,6 +283,7 @@ object FunctionQueries {
     "q19_range_join" -> (q19RangeJoin _),
     "q20_asof_join" -> (q20AsofJoin _),
     "q21_grouping_sets" -> (q21GroupingSets _),
+    "q22_udaf_topk" -> (q22UdafTopk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,5 +295,6 @@ object FunctionQueries {
     "q19_range_join" -> q19Sql,
     "q20_asof_join" -> q20Sql,
     "q21_grouping_sets" -> q21Sql,
+    "q22_udaf_topk" -> q22Sql,
   )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Unit coverage for the custom function surface: the codegen VecDot
+  * expression (both eval paths) and the TopKDoubles Aggregator.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot matches a sequential fold, codegen and interpreted") {
+    graft.functions.VecDot.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, 0.2), Seq(0.3, 0.4))).toDF("a", "b")
+    val expected = df.collect().map { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    }
+    // codegen path
+    val got = df.selectExpr("vec_dot(a, b)").as[Double].collect()
+    assert(got.toSeq == expected.toSeq)
+    // interpreted path (wholestage off)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val got2 = df.selectExpr("vec_dot(a, b)").as[Double].collect()
+      assert(got2.toSeq == expected.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("vec_dot is null-safe") {
+    graft.functions.VecDot.register(spark)
+    val row = spark.sql("SELECT vec_dot(NULL, array(1.0d))").collect()(0)
+    assert(row.isNullAt(0))
+  }
+
+  test("TopKDoubles keeps the k largest regardless of partitioning") {
+    spark.udf.register("top3_t",
+      org.apache.spark.sql.functions.udaf(new graft.functions.TopKDoubles(3)))
+    val vals = (1 to 100).map(_.toDouble)
+    val expected = Seq(100.0, 99.0, 98.0)
+    Seq(1, 7, 32).foreach { parts =>
+      val got = spark.createDataset(vals).repartition(parts).toDF("v")
+        .selectExpr("top3_t(v) AS t").as[Seq[Double]].head()
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+}
