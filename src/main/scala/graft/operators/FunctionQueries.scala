@@ -274,6 +274,33 @@ object FunctionQueries {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q23: salted two-stage aggregation — the skew-mitigation pattern: a
+  // hot grouping key is split across 8 salt partitions for the first
+  // (wide) aggregation, then partials are combined in a second, tiny
+  // aggregation. Result is identical to a direct groupBy (the oracle is
+  // the plain GROUP BY); DECIMAL partials make the two-stage sum
+  // order-insensitive and hash-exact.
+  def q23SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(hash($"event_id"), lit(8)))
+      .groupBy($"user_id", $"salt")
+      .agg(sum($"value".cast(dec)).as("part_sum"),
+        count(lit(1)).as("part_n"))
+      .groupBy($"user_id")
+      .agg(sum($"part_sum").cast("double").as("sum_value"),
+        sum($"part_n").as("n"))
+      .orderBy($"user_id")
+  }
+
+  val q23Sql: String =
+    """SELECT user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_string_funcs" -> (q14StringFuncs _),
     "q15_datetime_funcs" -> (q15DatetimeFuncs _),
@@ -284,6 +311,7 @@ object FunctionQueries {
     "q20_asof_join" -> (q20AsofJoin _),
     "q21_grouping_sets" -> (q21GroupingSets _),
     "q22_udaf_topk" -> (q22UdafTopk _),
+    "q23_salted_agg" -> (q23SaltedAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,5 +324,6 @@ object FunctionQueries {
     "q20_asof_join" -> q20Sql,
     "q21_grouping_sets" -> q21Sql,
     "q22_udaf_topk" -> q22Sql,
+    "q23_salted_agg" -> q23Sql,
   )
 }

@@ -82,6 +82,16 @@ object StreamPipelines {
       }
   }
 
+  /** Streaming exact dedup: drop events whose event_id was already
+    * seen, with state bounded by the watermark (a duplicate arriving
+    * later than the watermark delay is passed through rather than
+    * buffered forever — the standard state/completeness trade). The
+    * streaming face of llm_dd_exact. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source -> parquet-sink incremental pipeline: the streaming
     * replacement for the reference's sync-and-rerun batch loop.
     * Trigger.AvailableNow processes the backlog exactly-once and

@@ -35,6 +35,11 @@ class FunctionsSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("GraftExtensions injects vec_dot without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+  }
+
   test("TopKDoubles keeps the k largest regardless of partitioning") {
     spark.udf.register("top3_t",
       org.apache.spark.sql.functions.udaf(new graft.functions.TopKDoubles(3)))

@@ -106,6 +106,23 @@ class StreamingSpec extends SparkSpec {
     assert(n1 == n2, s"rerun duplicated output: $n1 -> $n2")
   }
 
+  test("streaming dedup drops in-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamPipelines.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Event(1, ts(1), 1, "c", 1.0), Event(1, ts(2), 1, "c", 1.0),
+      Event(2, ts(3), 1, "c", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(1, ts(4), 1, "c", 1.0)) // still duplicate
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 2L), s"expected unique ids, got $ids")
+  }
+
   test("batch session_window agrees with hand-rolled sessionization totals") {
     val batch = WindowQueries.stSession(spark, sf0001)
     val totalEvents = batch.agg(org.apache.spark.sql.functions.sum("n_events"))
