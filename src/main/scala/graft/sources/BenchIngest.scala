@@ -59,41 +59,67 @@ object BenchIngest {
       .select($"file", posexplode(split($"value", "\n")).as(Seq("line_no", "line")))
   }
 
+  /** Scan→derive→filter→extract stages (S2-S4, P1, P3), shared by the
+    * batch and streaming ingest paths. Input: (file, line_no, line). */
+  private def parse(df: DataFrame, packages: Seq[String]): DataFrame = {
+    def c(n: String) = col(n)
+    def metric(pattern: String) =
+      coalesce(nullif(regexp_extract(c("line"), pattern, 1), lit("")), lit("0"))
+    df
+      .withColumn("date_str",
+        regexp_extract(c("file"), "/([0-9]{2}-[0-9]{2}-[0-9]{4})/cockroach/", 1))
+      .withColumn("pkg",
+        regexp_extract(c("file"), "/cockroach/(.+)/[^/]*$", 1))
+      .filter(c("date_str") =!= "" && c("pkg").isin(packages: _*))
+      // P1: file_generator.go:72-77
+      .filter(c("line").startsWith("Benchmark") && !c("line").contains("FAIL"))
+      .select(
+        c("pkg"),
+        trim(element_at(split(c("line"), "\t"), 1)).as("test"),
+        to_date(c("date_str"), "dd-MM-yyyy").as("date"),
+        // P3: file_generator.go:88-104 (zero-defaults :85-86)
+        metric("([0-9]+) ns/op").cast("long").as("ns_per_op"),
+        metric("([0-9]+) allocs/op").cast("long").as("allocs_per_op"),
+        metric("([0-9]+) B/op").cast("long").as("bytes_per_op"),
+        metric("([0-9]+\\.?[0-9]+) MB/s").cast("double").as("mb_per_s"),
+        c("file"), c("line_no"))
+  }
+
   /** Full ingest: scan → derive (date, pkg) → P1 filter → P3 extract →
     * A1 last-write-wins dedup.
     */
   def ingest(spark: SparkSession, root: String,
              packages: Seq[String] = DefaultPackages): DataFrame = {
     import spark.implicits._
-
-    def metric(pattern: String) =
-      coalesce(nullif(regexp_extract($"line", pattern, 1), lit("")), lit("0"))
-
-    val parsed = rawLines(spark, root)
-      .withColumn("date_str",
-        regexp_extract($"file", "/([0-9]{2}-[0-9]{2}-[0-9]{4})/cockroach/", 1))
-      .withColumn("pkg",
-        regexp_extract($"file", "/cockroach/(.+)/[^/]*$", 1))
-      .filter($"date_str" =!= "" && $"pkg".isin(packages: _*))
-      // P1: file_generator.go:72-77
-      .filter($"line".startsWith("Benchmark") && !$"line".contains("FAIL"))
-      .select(
-        $"pkg",
-        trim(element_at(split($"line", "\t"), 1)).as("test"),
-        to_date($"date_str", "dd-MM-yyyy").as("date"),
-        // P3: file_generator.go:88-104 (zero-defaults :85-86)
-        metric("([0-9]+) ns/op").cast("long").as("ns_per_op"),
-        metric("([0-9]+) allocs/op").cast("long").as("allocs_per_op"),
-        metric("([0-9]+) B/op").cast("long").as("bytes_per_op"),
-        metric("([0-9]+\\.?[0-9]+) MB/s").cast("double").as("mb_per_s"),
-        $"file", $"line_no")
-
     // A1 dedup: last (file, line) wins per (pkg,test,date).
     val w = Window.partitionBy($"pkg", $"test", $"date")
       .orderBy($"file".desc, $"line_no".desc)
-    parsed
+    parse(rawLines(spark, root), packages)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .drop("rn", "file", "line_no")
+  }
+
+  /** Incremental ingest — the Spark-first replacement for the
+    * reference's `aws s3 sync` + daily re-run loop
+    * (file_generator.go:121-127): a Structured Streaming file source
+    * discovers new `*test.stdout` files exactly-once and appends their
+    * parsed rows. A1's last-write-wins applies at read time (new date
+    * dirs are new (pkg,test,date) keys, so append ≡ upsert for the
+    * reference's daily-snapshot layout). Drive with
+    * Trigger.AvailableNow for the idempotent catch-up run.
+    */
+  def streamingIngest(spark: SparkSession, root: String,
+                      packages: Seq[String] = DefaultPackages): DataFrame = {
+    import spark.implicits._
+    val raw = spark.readStream
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*test.stdout")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "10000")
+      .text(root)
+      .select(input_file_name().as("file"), $"value")
+      .select($"file", posexplode(split($"value", "\n")).as(Seq("line_no", "line")))
+    parse(raw, packages).drop("file", "line_no")
   }
 }

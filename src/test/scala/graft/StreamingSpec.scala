@@ -123,6 +123,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L), s"expected unique ids, got $ids")
   }
 
+  test("streaming ingest discovers new date dirs incrementally, exactly-once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckp = s"$tmp/ckp"
+    def writeFile(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(src, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    def runOnce(): Long = {
+      val q = graft.sources.BenchIngest.streamingIngest(spark, src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    writeFile("01-01-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 100 ns/op\nPASS")
+    assert(runOnce() == 1L)
+    // day 2 lands: only the new file is processed, old rows not duplicated
+    writeFile("02-01-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 90 ns/op\nBenchmarkB-8 \t 10 \t 50 ns/op")
+    assert(runOnce() == 3L)
+    // re-run with no new input: idempotent
+    assert(runOnce() == 3L)
+  }
+
   test("batch session_window agrees with hand-rolled sessionization totals") {
     val batch = WindowQueries.stSession(spark, sf0001)
     val totalEvents = batch.agg(org.apache.spark.sql.functions.sum("n_events"))
