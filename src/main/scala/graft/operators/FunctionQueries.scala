@@ -301,6 +301,34 @@ object FunctionQueries {
       |  COUNT(*) AS n
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q24: correlated scalar subqueries — Catalyst decorrelates both into
+  // aggregate-then-join (RewriteCorrelatedScalarSubquery), so the plan
+  // is two shuffles, not a per-row probe. COALESCE makes the
+  // no-lineitem case explicit (decorrelation turns the empty subquery
+  // into a null via left join).
+  def q24CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v24")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v24")
+    spark.sql(
+      """SELECT o_orderkey,
+        |  COALESCE((SELECT COUNT(*) FROM lineitem_v24 l
+        |            WHERE l.l_orderkey = o.o_orderkey), 0) AS n_items,
+        |  COALESCE((SELECT MAX(l_quantity) FROM lineitem_v24 l
+        |            WHERE l.l_orderkey = o.o_orderkey), 0) AS max_qty
+        |FROM orders_v24 o
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q24Sql: String =
+    """SELECT o_orderkey,
+      |  COALESCE((SELECT COUNT(*) FROM lineitem l
+      |            WHERE l.l_orderkey = o.o_orderkey), 0) AS n_items,
+      |  COALESCE((SELECT MAX(l_quantity) FROM lineitem l
+      |            WHERE l.l_orderkey = o.o_orderkey), 0) AS max_qty
+      |FROM orders o
+      |ORDER BY o_orderkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_string_funcs" -> (q14StringFuncs _),
     "q15_datetime_funcs" -> (q15DatetimeFuncs _),
@@ -312,6 +340,7 @@ object FunctionQueries {
     "q21_grouping_sets" -> (q21GroupingSets _),
     "q22_udaf_topk" -> (q22UdafTopk _),
     "q23_salted_agg" -> (q23SaltedAgg _),
+    "q24_correlated_subq" -> (q24CorrelatedSubquery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,5 +354,6 @@ object FunctionQueries {
     "q21_grouping_sets" -> q21Sql,
     "q22_udaf_topk" -> q22Sql,
     "q23_salted_agg" -> q23Sql,
+    "q24_correlated_subq" -> q24Sql,
   )
 }
