@@ -77,19 +77,21 @@ object Dedup {
   // totally ordered for determinism.
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingled(spark, dir)
-    val sizes = sh.select($"doc_id", size($"shingles").as("n_sh"))
-    val ex = sh.select($"doc_id", explode($"shingles").as("shingle"))
-    val inter = ex.as("a").join(ex.as("b"),
+    // carry |shingles| through the explode so the self-join needs no
+    // extra joins back to a sizes table — a self-join already evaluates
+    // the shingle pipeline twice, and Spark does not dedupe common
+    // subplans, so every avoided branch is a full pipeline re-run.
+    val ex = shingled(spark, dir)
+      .select($"doc_id", size($"shingles").as("n_sh"),
+        explode($"shingles").as("shingle"))
+    ex.as("a").join(ex.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
       .select($"doc_a", $"doc_b", $"n_inter",
         round($"n_inter".cast("double")
-          / ($"sa.n_sh" + $"sb.n_sh" - $"n_inter"), 6).as("jaccard"))
+          / ($"na" + $"nb" - $"n_inter"), 6).as("jaccard"))
       .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
       .limit(100)
   }
@@ -151,25 +153,26 @@ object Dedup {
   // fraction of the 8 signature slots that agree.
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = ddMinhashSigs(spark, dir)
-    val bands = sigs.select($"doc_id", explode(array(
-      (0 until 4).map(j => struct(lit(j).as("band"),
-        concat_ws(":", col(s"sig${2 * j}"), col(s"sig${2 * j + 1}"))
-          .as("key"))): _*)).as("bk"))
-      .select($"doc_id", $"bk.band", $"bk.key")
-    val cand = bands.as("a").join(bands.as("b"),
+    // bands carry the full signature so the candidate self-join needs
+    // no join back to the sigs table (sigs would otherwise be
+    // recomputed 4x — Spark does not dedupe common subplans).
+    val sigCols = (0 until 8).map(i => col(s"sig$i"))
+    val bands = ddMinhashSigs(spark, dir)
+      .select($"doc_id" +: array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          concat_ws(":", col(s"sig${2 * j}"), col(s"sig${2 * j + 1}"))
+            .as("key"))): _*).as("bks") +: sigCols: _*)
+      .select($"doc_id" +: explode($"bks").as("bk") +: sigCols: _*)
+      .select($"doc_id" +: $"bk.band" +: $"bk.key" +: sigCols: _*)
+    val agree = (0 until 8).map(i =>
+        when(col(s"a.sig$i") === col(s"b.sig$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.key" === $"b.key"
           && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-    val agree = (0 until 8).map(i =>
-        when(col(s"sa.sig$i") === col(s"sb.sig$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sigs.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sigs.as("sb"), $"doc_b" === $"sb.doc_id")
-      .select($"doc_a", $"doc_b",
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         round(agree.cast("double") / 8.0, 6).as("est_jaccard"))
+      .distinct()
       .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
   }
 
