@@ -329,6 +329,71 @@ object FunctionQueries {
       |FROM orders o
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q25: exact interpolated percentiles per group (median/p90/p99) —
+  // Spark `percentile` and DuckDB `quantile_cont` share the linear-
+  // interpolation definition, verified bit-exact. At 100 TB swap in
+  // approx_percentile (t-digest) — same plan shape, bounded memory.
+  def q25Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q25Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q26: window-function family breadth — ranking (row_number / rank /
+  // dense_rank / ntile), navigation (lead + first/last over a running
+  // frame) in one pass over a single window partitioning (one shuffle).
+  def q26WindowFamily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "F")
+      .select(
+        $"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lead($"o_orderkey", 1).over(w).as("next_key"),
+        first($"o_totalprice").over(running).as("top_price_so_far"))
+      .filter($"rn" <= 20)
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
+  val q26Sql: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    CAST(RANK() OVER w AS INT) AS rnk,
+      |    CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+      |    CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |    LEAD(o_orderkey, 1) OVER w AS next_key,
+      |    FIRST_VALUE(o_totalprice) OVER
+      |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_price_so_far
+      |  FROM orders WHERE o_orderstatus = 'F'
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey))
+      |SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn,
+      |  rnk, drnk, quartile, next_key, top_price_so_far
+      |FROM t WHERE rn <= 20 ORDER BY o_orderpriority, rn""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_string_funcs" -> (q14StringFuncs _),
     "q15_datetime_funcs" -> (q15DatetimeFuncs _),
@@ -341,6 +406,8 @@ object FunctionQueries {
     "q22_udaf_topk" -> (q22UdafTopk _),
     "q23_salted_agg" -> (q23SaltedAgg _),
     "q24_correlated_subq" -> (q24CorrelatedSubquery _),
+    "q25_percentiles" -> (q25Percentiles _),
+    "q26_window_family" -> (q26WindowFamily _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -355,5 +422,7 @@ object FunctionQueries {
     "q22_udaf_topk" -> q22Sql,
     "q23_salted_agg" -> q23Sql,
     "q24_correlated_subq" -> q24Sql,
+    "q25_percentiles" -> q25Sql,
+    "q26_window_family" -> q26Sql,
   )
 }
