@@ -179,11 +179,64 @@ object TextAnalysis {
        |SELECT doc_id, md5(norm) AS fp_md5, ${h60Sql("norm")} AS fp_h60
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_tfidf: classic TF-IDF — top-3 distinguishing terms per document.
+  // tf = term count / doc token count; idf = ln(N / doc-frequency);
+  // one narrow explode + two hash-aggregates + a broadcast-sized join
+  // of per-term doc frequencies (vocabulary is tiny relative to the
+  // corpus — the standard shape at 100 TB, where the term-df table
+  // stays broadcastable after a frequency cutoff).
+  def taTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count() // corpus-size scalar (one tiny job)
+    val terms = docs
+      .select($"doc_id", size(split($"text", " ")).as("doc_len"),
+        explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"doc_len", $"term")
+      .agg(count(lit(1)).as("tf_count"))
+    val df = terms.groupBy($"term")
+      .agg(countDistinct($"doc_id").as("doc_freq"))
+    val scored = terms.join(broadcast(df), "term")
+      .select($"doc_id", $"term",
+        round(($"tf_count".cast("double") / $"doc_len")
+          * log(lit(nDocs.toDouble) / $"doc_freq"), 6).as("tfidf"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tfidf".desc, $"term".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val taTfidfSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS doc_len,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |terms AS (
+      |  SELECT doc_id, doc_len, term, COUNT(*) AS tf_count
+      |  FROM tk GROUP BY 1, 2, 3),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM terms GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, terms.term,
+      |    ROUND((CAST(tf_count AS DOUBLE) / doc_len)
+      |      * LN(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
+      |  FROM terms JOIN df ON terms.term = df.term CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term ASC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_lang_id" -> (taLangId _),
     "llm_ta_quality" -> (taQuality _),
     "llm_ta_fingerprint" -> (taFingerprint _),
+    "llm_ta_tfidf" -> (taTfidf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -191,5 +244,6 @@ object TextAnalysis {
     "llm_ta_lang_id" -> taLangIdSql,
     "llm_ta_quality" -> taQualitySql,
     "llm_ta_fingerprint" -> taFingerprintSql,
+    "llm_ta_tfidf" -> taTfidfSql,
   )
 }
