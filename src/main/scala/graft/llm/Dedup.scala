@@ -34,11 +34,14 @@ object Dedup {
     // per element access — O(tokens^2) per doc, measured ~5x slower.
     Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("toks"))
+      // greatest(..., 0): slice() throws on negative length, so a 1- or
+      // 2-token doc must clamp to an empty shingle set — matching the
+      // oracle's range(1, len-1), which is empty for len < 3.
       .select($"doc_id", expr(
         """array_distinct(zip_with(
-          |  slice(toks, 1, size(toks) - 2),
-          |  zip_with(slice(toks, 2, size(toks) - 2),
-          |           slice(toks, 3, size(toks) - 2),
+          |  slice(toks, 1, greatest(size(toks) - 2, 0)),
+          |  zip_with(slice(toks, 2, greatest(size(toks) - 2, 0)),
+          |           slice(toks, 3, greatest(size(toks) - 2, 0)),
           |           (y, z) -> concat(y, ' ', z)),
           |  (x, yz) -> concat(x, ' ', yz)))""".stripMargin).as("shingles"))
   }

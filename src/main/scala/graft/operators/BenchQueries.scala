@@ -49,14 +49,17 @@ object BenchQueries {
       |) AS t(date, ns_per_op, allocs_per_op, bytes_per_op, mb_per_s)
       |ORDER BY date""".stripMargin
 
+  // tests serialized to one string: the driver's pandas hash compare
+  // cannot handle array cells (CORRECTNESS_r01 'unhashable numpy.ndarray')
   def catalogQ(spark: SparkSession, dir: String): DataFrame =
     SeriesOps.catalog(fact(spark))
+      .select(col("pkg"), concat_ws(",", col("tests")).as("tests"))
 
   val catalogSql: String =
     """SELECT * FROM (VALUES
-      |  ('sql', ['BenchmarkBank2_Cockroach-8', 'BenchmarkDup-8']),
-      |  ('sql/parser', ['BenchmarkParse-4']),
-      |  ('util/cache', ['BenchmarkCacheGet-8'])
+      |  ('sql', 'BenchmarkBank2_Cockroach-8,BenchmarkDup-8'),
+      |  ('sql/parser', 'BenchmarkParse-4'),
+      |  ('util/cache', 'BenchmarkCacheGet-8')
       |) AS t(pkg, tests) ORDER BY pkg""".stripMargin
 
   def distinctDatesQ(spark: SparkSession, dir: String): DataFrame =

@@ -124,7 +124,9 @@ object FunctionQueries {
         $"doc_id",
         size($"toks").as("n_tokens"),
         size(array_distinct($"toks")).as("n_unique"),
-        slice(array_sort($"toks"), 1, 3).as("first3_sorted"),
+        // joined to a scalar string: the driver's hash compare (pandas)
+        // cannot sort/hash array cells, so array outputs ship serialized
+        concat_ws(",", slice(array_sort($"toks"), 1, 3)).as("first3_sorted"),
         array_contains($"toks", "spark").as("has_spark"),
         element_at($"toks", 1).as("first_tok"),
         element_at($"toks", -1).as("last_tok"))
@@ -136,7 +138,7 @@ object FunctionQueries {
       |SELECT doc_id,
       |  CAST(len(toks) AS INT) AS n_tokens,
       |  CAST(len(list_distinct(toks)) AS INT) AS n_unique,
-      |  list_sort(toks)[1:3] AS first3_sorted,
+      |  array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
       |  list_contains(toks, 'spark') AS has_spark,
       |  toks[1] AS first_tok,
       |  toks[-1] AS last_tok
@@ -263,14 +265,22 @@ object FunctionQueries {
       org.apache.spark.sql.functions.udaf(new graft.functions.TopKDoubles(3)))
     Tables.orders(spark, dir)
       .groupBy($"o_orderpriority")
-      .agg(expr("top3_vals(o_totalprice)").as("top3_price"),
+      .agg(expr("top3_vals(o_totalprice)").as("top3_arr"),
         count(lit(1)).as("n"))
+      // serialized via DECIMAL(18,2): double->string formatting diverges
+      // across engines (scientific notation); fixed-point strings don't
+      .select($"o_orderpriority",
+        concat_ws(",", expr(
+          "transform(top3_arr, x -> cast(cast(x as decimal(18,2)) as string))"))
+          .as("top3_price"),
+        $"n")
       .orderBy($"o_orderpriority")
   }
 
   val q22Sql: String =
     """SELECT o_orderpriority,
-      |  (list_sort(list(o_totalprice), 'DESC'))[1:3] AS top3_price,
+      |  array_to_string(list_transform((list_sort(list(o_totalprice), 'DESC'))[1:3],
+      |    x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS top3_price,
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

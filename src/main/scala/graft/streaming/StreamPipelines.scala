@@ -62,9 +62,12 @@ object StreamPipelines {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // min/max both ways: an out-of-order event inside the
+                // watermark can precede the session start and must
+                // extend it backwards (session_window does the same)
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t),
-                    s.n + 1, s.sum + e.value))
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(userId, new Timestamp(s.start),
                     new Timestamp(s.last + gapMs), s.n, s.sum)

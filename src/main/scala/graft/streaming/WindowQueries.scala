@@ -83,7 +83,7 @@ object WindowQueries {
 
   val stSessionSql: String =
     """WITH o AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, event_id, ts, value,
       |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
       |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
       |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -91,7 +91,7 @@ object WindowQueries {
       |  FROM events),
       |s AS (
       |  SELECT *, SUM(new_session) OVER
-      |    (PARTITION BY user_id ORDER BY ts
+      |    (PARTITION BY user_id ORDER BY ts, event_id
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM o)
       |SELECT user_id,

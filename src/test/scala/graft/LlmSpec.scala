@@ -29,6 +29,18 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("shingles clamp to empty for docs with fewer than 3 tokens") {
+    // slice() throws on negative length — a 1-token doc must yield an
+    // empty shingle set (like the oracle's range(1, len-1)), not crash
+    val tmp = java.nio.file.Files.createTempDirectory("graft_short").toString
+    Seq((1L, "one"), (2L, "two toks"), (3L, "a b c d"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val sigs = Dedup.ddMinhashSigs(spark, tmp).collect()
+    assert(sigs.map(_.getLong(0)).toSeq == Seq(3L),
+      "only the 3+-token doc has shingles to sign")
+    assert(Dedup.ddNgramJaccard(spark, tmp).collect().isEmpty)
+  }
+
   test("jaccard values are in (0, 1] and pairs are ordered doc_a < doc_b") {
     val rows = Dedup.ddNgramJaccard(spark, sf0001).collect()
     assert(rows.nonEmpty)

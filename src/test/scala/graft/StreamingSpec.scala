@@ -91,6 +91,31 @@ class StreamingSpec extends SparkSpec {
       s"missing second session in $sessions")
   }
 
+  test("sessionize extends the session start backwards for out-of-order events") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val mem = MemoryStream[Event]
+    val q = StreamPipelines.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_ooo_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Event(1, ts(20), 1, "c", 1.0))
+    q.processAllAvailable() // watermark -> 10min
+    mem.addData(Event(2, ts(15), 1, "c", 2.0)) // in-watermark, before start
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(1000), 2, "c", 0.0)) // push watermark ahead
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(2000), 2, "c", 0.0)) // flush timeouts
+    q.processAllAvailable()
+    val sessions = spark.table("sess_ooo_out")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+        r.getTimestamp(2).getTime / 60000, r.getLong(3), r.getDouble(4))).toSet
+    q.stop()
+    // session_window semantics: start moves back to 15, end stays 20+30
+    assert(sessions.contains((1L, 15L, 50L, 2L, 3.0)),
+      s"out-of-order event did not extend session start: $sessions")
+  }
+
   test("file-source AvailableNow pipeline is incremental and exactly-once") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckp = s"$tmp/ckp"
