@@ -12,6 +12,7 @@ object SparkEntry {
       operators.FunctionQueries.registry ++
       llm.TextAnalysis.registry ++
       llm.Dedup.registry ++
+      llm.Sampling.registry ++
       llm.Similarity.registry ++
       llm.Multimodal.registry ++
       streaming.WindowQueries.registry
@@ -23,6 +24,7 @@ object SparkEntry {
       operators.FunctionQueries.oracles ++
       llm.TextAnalysis.oracles ++
       llm.Dedup.oracles ++
+      llm.Sampling.oracles ++
       llm.Similarity.oracles ++
       llm.Multimodal.oracles ++
       streaming.WindowQueries.oracles

@@ -80,17 +80,28 @@ object Dedup {
   // totally ordered for determinism.
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // carry |shingles| through the explode so the self-join needs no
-    // extra joins back to a sizes table — a self-join already evaluates
-    // the shingle pipeline twice, and Spark does not dedupe common
-    // subplans, so every avoided branch is a full pipeline re-run.
+    // Candidate pairs via groupBy(shingle) + in-group combinations, NOT
+    // a self-join: Spark does not dedupe common subplans, so joining the
+    // exploded table with itself runs the whole shingle pipeline twice
+    // AND shuffles both copies. One groupBy computes it once with one
+    // shuffle; pairs are generated inside each (typically tiny) shingle
+    // bucket. Same skew profile as the join (a k-doc shingle yields
+    // k*(k-1)/2 pairs either way). |shingles| rides along in the struct
+    // so no join back to a sizes table is needed.
     val ex = shingled(spark, dir)
       .select($"doc_id", size($"shingles").as("n_sh"),
         explode($"shingles").as("shingle"))
-    ex.as("a").join(ex.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
+    ex.groupBy($"shingle")
+      .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("docs"))
+      .filter(size($"docs") > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (a, i) ->
+          |  transform(slice(docs, i + 2, size(docs) - i - 1), b ->
+          |    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+          |                 'na', a.n_sh, 'nb', b.n_sh))))""".stripMargin))
+        .as("p"))
+      .select($"p.*")
+      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
       .agg(count(lit(1)).as("n_inter"))
       .select($"doc_a", $"doc_b", $"n_inter",
         round($"n_inter".cast("double")
@@ -156,9 +167,12 @@ object Dedup {
   // fraction of the 8 signature slots that agree.
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // bands carry the full signature so the candidate self-join needs
-    // no join back to the sigs table (sigs would otherwise be
-    // recomputed 4x — Spark does not dedupe common subplans).
+    // Candidates via groupBy(band, key) + in-group combinations rather
+    // than a band self-join: the join form evaluates the whole
+    // signature pipeline twice (Spark does not dedupe common subplans)
+    // and shuffles both copies; this computes it once with one shuffle.
+    // Bands carry the full signature in the row struct so est_jaccard
+    // needs no join back to the sigs table.
     val sigCols = (0 until 8).map(i => col(s"sig$i"))
     val bands = ddMinhashSigs(spark, dir)
       .select($"doc_id" +: array((0 until 4).map(j =>
@@ -168,12 +182,19 @@ object Dedup {
       .select($"doc_id" +: explode($"bks").as("bk") +: sigCols: _*)
       .select($"doc_id" +: $"bk.band" +: $"bk.key" +: sigCols: _*)
     val agree = (0 until 8).map(i =>
-        when(col(s"a.sig$i") === col(s"b.sig$i"), 1).otherwise(0))
+        when(col(s"pa.sigs")(i) === col(s"pb.sigs")(i), 1).otherwise(0))
       .reduce(_ + _)
-    bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.key" === $"b.key"
-          && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+    bands
+      .groupBy($"band", $"key")
+      .agg(sort_array(collect_list(struct($"doc_id",
+        array(sigCols: _*).as("sigs")))).as("docs"))
+      .filter(size($"docs") > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (a, i) ->
+          |  transform(slice(docs, i + 2, size(docs) - i - 1), b ->
+          |    named_struct('pa', a, 'pb', b))))""".stripMargin)).as("p"))
+      .select($"p.pa".as("pa"), $"p.pb".as("pb"))
+      .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"),
         round(agree.cast("double") / 8.0, 6).as("est_jaccard"))
       .distinct()
       .orderBy($"est_jaccard".desc, $"doc_a", $"doc_b")
@@ -246,20 +267,37 @@ object Dedup {
   // correctness claim of the banding).
   def ddSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Two-level: band/pair logic runs on DISTINCT simhash VALUES, then
+    // value pairs expand back to doc pairs via equi-joins. Natural-text
+    // corpora produce heavily biased simhash bits, so distinct values
+    // D << N docs — the banded candidate join costs O(D-bucket²)
+    // instead of O(N-bucket²), and because every doc has exactly one
+    // value, the expansion emits each doc pair exactly once: the 2M-row
+    // distinct() of the doc-level form disappears entirely.
     val sh = ddSimhash(spark, dir)
-    val bands = sh.select($"doc_id", $"simhash", explode(array(
-      (0 until 4).map(j => struct(lit(j).as("band"),
-        expr(s"(simhash div ${1L << (8 * j)}) % 256").as("key"))): _*))
-      .as("bk"))
-      .select($"doc_id", $"simhash", $"bk.band", $"bk.key")
-    bands.as("a").join(bands.as("b"),
+    val vbands = sh.select($"simhash").distinct()
+      .select($"simhash", explode(array(
+        (0 until 4).map(j => struct(lit(j).as("band"),
+          expr(s"(simhash div ${1L << (8 * j)}) % 256").as("key"))): _*))
+        .as("bk"))
+      .select($"simhash", $"bk.band", $"bk.key")
+    val vpairs = vbands.as("a").join(vbands.as("b"),
         $"a.band" === $"b.band" && $"a.key" === $"b.key"
-          && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          && $"a.simhash" < $"b.simhash")
+      .select($"a.simhash".as("va"), $"b.simhash".as("vb"),
         expr("bit_count(int(a.simhash) ^ int(b.simhash))").as("hamming"))
-      .filter($"hamming" <= 3) // before distinct: shrinks the dedup input
-      .distinct()
-      .orderBy($"hamming", $"doc_a", $"doc_b")
+      .filter($"hamming" <= 3)
+      .distinct() // D²-scale, tiny
+    val cross = vpairs
+      .join(sh.as("x"), $"x.simhash" === $"va")
+      .join(sh.as("y"), $"y.simhash" === $"vb")
+      .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),
+        greatest($"x.doc_id", $"y.doc_id").as("doc_b"), $"hamming")
+    val same = sh.as("x").join(sh.as("y"),
+        $"x.simhash" === $"y.simhash" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        lit(0).as("hamming"))
+    same.union(cross).orderBy($"hamming", $"doc_a", $"doc_b")
   }
 
   val ddSimhashPairsSql: String =

@@ -196,9 +196,14 @@ object TextAnalysis {
         explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"doc_len", $"term")
       .agg(count(lit(1)).as("tf_count"))
-    val df = terms.groupBy($"term")
-      .agg(countDistinct($"doc_id").as("doc_freq"))
-    val scored = terms.join(broadcast(df), "term")
+    // doc_freq as a COUNT window over the term partition: `terms` has
+    // one row per (doc, term), so the partition size IS the distinct
+    // doc frequency — and the window reuses the single `terms` pass
+    // where a groupBy+join would compute `terms` twice (Spark does not
+    // dedupe common subplans).
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy($"term")
+    val scored = terms
+      .withColumn("doc_freq", count(lit(1)).over(wTerm))
       .select($"doc_id", $"term",
         round(($"tf_count".cast("double") / $"doc_len")
           * log(lit(nDocs.toDouble) / $"doc_freq"), 6).as("tfidf"))

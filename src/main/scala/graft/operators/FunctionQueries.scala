@@ -404,6 +404,127 @@ object FunctionQueries {
       |  rnk, drnk, quartile, next_key, top_price_so_far
       |FROM t WHERE rn <= 20 ORDER BY o_orderpriority, rn""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q27: map functions — construction (map_from_arrays / map_concat),
+  // access (element_at), introspection (size / map_keys). The engine's
+  // MapType surface (SURVEY §2.7 array/map row); the oracle states the
+  // expected scalars directly, verifying the map round-trip is lossless.
+  def q27MapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_linenumber" === 1)
+      .select($"l_orderkey",
+        map_from_arrays(
+          array(lit("qty"), lit("price"), lit("disc")),
+          array($"l_quantity", $"l_extendedprice", $"l_discount")).as("m"),
+        $"l_tax")
+      .select($"l_orderkey",
+        element_at($"m", "qty").as("qty_via_map"),
+        size($"m").as("n_keys"),
+        concat_ws(",", array_sort(map_keys($"m"))).as("keys_sorted"),
+        array_contains(map_keys($"m"), "price").as("has_price"),
+        element_at(map_concat($"m", map(lit("tax"), $"l_tax")), "tax")
+          .as("tax_via_map"))
+      .orderBy($"l_orderkey")
+  }
+
+  val q27Sql: String =
+    """SELECT l_orderkey,
+      |  l_quantity AS qty_via_map,
+      |  3 AS n_keys,
+      |  'disc,price,qty' AS keys_sorted,
+      |  TRUE AS has_price,
+      |  l_tax AS tax_via_map
+      |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q28: RANGE window frame — trailing 30-day spend per customer. The
+  // value-based frame q26's ROWS frames can't express; order key is a
+  // day number so Spark's numeric rangeBetween and DuckDB's RANGE
+  // PRECEDING agree exactly. One shuffle on o_custkey.
+  def q28WindowRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = Window.partitionBy($"o_custkey").orderBy($"day_n")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        datediff(to_date($"o_orderdate"),
+          lit(java.sql.Date.valueOf("1990-01-01"))).as("day_n"),
+        $"o_totalprice")
+      .withColumn("sum_30d",
+        sum($"o_totalprice".cast(dec)).over(w).cast("double"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .select($"o_orderkey", $"o_custkey", $"day_n", $"sum_30d", $"n_30d")
+      .orderBy($"o_orderkey")
+  }
+
+  val q28Sql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_n,
+      |    o_totalprice
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, day_n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30d,
+      |  COUNT(*) OVER w AS n_30d
+      |FROM t
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_n
+      |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q29: EXISTS / NOT EXISTS correlated subqueries — the subquery
+  // syntax surface on top of q05/q06's join-API semi/anti joins.
+  // Catalyst rewrites both to left-semi/left-anti joins on o_custkey
+  // (RewritePredicateSubquery): two hash joins, no per-row probing.
+  def q29ExistsSubq(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v29")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v29")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer_v29 c
+        |WHERE EXISTS (SELECT 1 FROM orders_v29 o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v29 o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q29Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q30: LATERAL VIEW posexplode — the generator/UDTF syntax surface
+  // (ordinal-preserving row expansion; llm_mm_frames covers the
+  // function-API generator). Bounded to the first 3 tokens per doc.
+  def q30LateralExplode(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_v30")
+    spark.sql(
+      """SELECT doc_id, pos, tok
+        |FROM documents_v30
+        |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+        |WHERE pos < 3
+        |ORDER BY doc_id, pos""".stripMargin)
+  }
+
+  val q30Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id, CAST(i AS INT) AS pos, toks[i + 1] AS tok
+      |FROM t, range(0, 3) r(i)
+      |WHERE i < len(toks)
+      |ORDER BY doc_id, pos""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_string_funcs" -> (q14StringFuncs _),
     "q15_datetime_funcs" -> (q15DatetimeFuncs _),
@@ -418,6 +539,10 @@ object FunctionQueries {
     "q24_correlated_subq" -> (q24CorrelatedSubquery _),
     "q25_percentiles" -> (q25Percentiles _),
     "q26_window_family" -> (q26WindowFamily _),
+    "q27_map_funcs" -> (q27MapFuncs _),
+    "q28_window_range" -> (q28WindowRange _),
+    "q29_exists_subq" -> (q29ExistsSubq _),
+    "q30_lateral_explode" -> (q30LateralExplode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -434,5 +559,9 @@ object FunctionQueries {
     "q24_correlated_subq" -> q24Sql,
     "q25_percentiles" -> q25Sql,
     "q26_window_family" -> q26Sql,
+    "q27_map_funcs" -> q27Sql,
+    "q28_window_range" -> q28Sql,
+    "q29_exists_subq" -> q29Sql,
+    "q30_lateral_explode" -> q30Sql,
   )
 }
