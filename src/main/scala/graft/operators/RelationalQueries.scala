@@ -66,18 +66,28 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // --------------------------------------------------------------------
-  // q02: per-group top-k via window row_number (SURVEY §2.7 "top-k";
-  // replaces the reference's list-surgery priority ordering O3 with a
-  // real windowed rank). Ties broken on the unique orderkey so the
-  // result is total-ordered.
+  // q02: per-group top-k (SURVEY §2.7 "top-k"; replaces the reference's
+  // list-surgery priority ordering O3 with a real windowed rank), done
+  // in TWO phases: a salted local top-k first, then the global window.
+  // A single window over 3 returnflag partitions sorts the whole group
+  // in 3 tasks — a straggler at any scale. The salt phase ranks within
+  // (group, salt) buckets — fully parallel — and keeps ≤ k rows per
+  // bucket, so the global window sees ≤ k·salts rows per group. Every
+  // global top-k row is top-k within its bucket, so the result is
+  // identical to the single-window form (the oracle).
   def q02TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rev = Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag", $"l_orderkey")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
+    val local = Window.partitionBy($"l_returnflag", $"salt")
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
     val w = Window.partitionBy($"l_returnflag")
       .orderBy($"revenue".desc, $"l_orderkey".asc)
-    rev.withColumn("rk", row_number().over(w))
+    rev.withColumn("salt", pmod(hash($"l_orderkey"), lit(32)))
+      .withColumn("lrk", row_number().over(local))
+      .filter($"lrk" <= 3)
+      .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"l_returnflag", $"l_orderkey", $"revenue", $"rk")
       .orderBy($"l_returnflag", $"rk")

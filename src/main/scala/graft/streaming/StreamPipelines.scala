@@ -85,6 +85,29 @@ object StreamPipelines {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to same-user
+    * clicks from the preceding hour (the streaming face of the q20
+    * as-of pattern). Both sides carry watermarks and the join
+    * condition is time-bounded in both directions, so each side's
+    * buffered state is evictable once the watermark passes — the
+    * requirement for an unbounded run. */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(clicks, expr(
+      """p_user = c_user
+        |AND click_ts <= purchase_ts
+        |AND click_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** Streaming exact dedup: drop events whose event_id was already
     * seen, with state bounded by the watermark (a duplicate arriving
     * later than the watermark delay is passed through rather than

@@ -24,6 +24,26 @@ class SourceFormatsSpec extends SparkSpec {
       sample.collect().toSeq)
   }
 
+  test("orc source round-trips losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    sample.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy($"event_id").collect().toSeq ==
+      sample.collect().toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    sample.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val one = spark.read.parquet(dir).filter($"event_type" === "click")
+    // partition pruning: the physical scan must select only the
+    // matching partition directory
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(one.count() == sample.filter($"event_type" === "click").count())
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_type"), s"no partition filter in:\n$scan")
+  }
+
   test("json source round-trips with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     sample.write.mode("overwrite").json(dir)

@@ -131,6 +131,29 @@ class StreamingSpec extends SparkSpec {
     assert(n1 == n2, s"rerun duplicated output: $n1 -> $n2")
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamPipelines.clickToPurchase(mem.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      Event(1, ts(5), 1, "click", 0.0),
+      Event(2, ts(20), 1, "purchase", 0.0), // 15min after click: joins
+      Event(3, ts(30), 2, "purchase", 0.0), // user 2 never clicked
+      Event(4, ts(100), 3, "click", 0.0),
+      Event(5, ts(170), 3, "purchase", 0.0)) // 70min after click: outside window
+    q.processAllAvailable()
+    mem.addData(Event(6, ts(500), 9, "view", 0.0)) // advance watermark
+    q.processAllAvailable()
+    val got = spark.table("ssj_out")
+      .select("user_id", "purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == Set((1L, 2L, 1L)),
+      s"expected only user 1's purchase joined to its click, got $got")
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
