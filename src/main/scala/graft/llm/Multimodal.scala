@@ -89,6 +89,51 @@ object Multimodal {
        |FROM f WHERE frame_idx % 5 = 0 ORDER BY doc_id, frame_idx""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_mm_resize: the resize/preprocess stage — aspect-preserving fit
+  // of each (fake-)decoded image into a 256px box, plus the
+  // crop-to-multiple-of-16 most vision models require. All arithmetic
+  // is IEEE double ops on identical inputs, so the oracle is exact;
+  // integers come via floor(x + 0.5) because Spark truncates
+  // double→long casts while DuckDB rounds them. Narrow per-row work —
+  // at scale this is the same shape as a real resize: metadata math in
+  // the plan, pixel work in the partition-local decoder.
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        (h60($"text") % 1600 + 320).as("width"),
+        (h60($"text") % 840 + 240).as("height"))
+      .withColumn("scale",
+        when(greatest($"width", $"height") > 256,
+          lit(256.0) / greatest($"width", $"height")).otherwise(lit(1.0)))
+      .withColumn("new_w",
+        floor($"width" * $"scale" + 0.5).cast("long"))
+      .withColumn("new_h",
+        floor($"height" * $"scale" + 0.5).cast("long"))
+      .select($"doc_id", $"width", $"height",
+        round($"scale", 6).as("scale"), $"new_w", $"new_h",
+        greatest($"new_w" - $"new_w" % 16, lit(16L)).as("crop16_w"),
+        greatest($"new_h" - $"new_h" % 16, lit(16L)).as("crop16_h"))
+      .orderBy($"doc_id")
+  }
+
+  val mmResizeSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    ${h60Sql("text")} % 1600 + 320 AS width,
+       |    ${h60Sql("text")} % 840 + 240 AS height
+       |  FROM documents),
+       |s AS (SELECT *, CASE WHEN GREATEST(width, height) > 256
+       |    THEN 256.0 / GREATEST(width, height) ELSE 1.0 END AS scale FROM t),
+       |r AS (SELECT *,
+       |    CAST(FLOOR(width * scale + 0.5) AS BIGINT) AS new_w,
+       |    CAST(FLOOR(height * scale + 0.5) AS BIGINT) AS new_h
+       |  FROM s)
+       |SELECT doc_id, width, height, ROUND(scale, 6) AS scale, new_w, new_h,
+       |  GREATEST(new_w - new_w % 16, 16) AS crop16_w,
+       |  GREATEST(new_h - new_h % 16, 16) AS crop16_h
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // decodeBatch: the partition-local batch "decoder" — the Scala
   // analogue of a mapInPandas UDF. Iterates a partition's payloads in
   // one pass and emits typed metadata. The body is a DETERMINISTIC
@@ -117,10 +162,12 @@ object Multimodal {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mm_metadata" -> (mmMetadata _),
     "llm_mm_frames" -> (mmFrames _),
+    "llm_mm_resize" -> (mmResize _),
   )
 
   val oracles: Map[String, String] = Map(
     "llm_mm_metadata" -> mmMetadataSql,
     "llm_mm_frames" -> mmFramesSql,
+    "llm_mm_resize" -> mmResizeSql,
   )
 }

@@ -525,6 +525,36 @@ object FunctionQueries {
       |WHERE i < len(toks)
       |ORDER BY doc_id, pos""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q31: HAVING with an uncorrelated scalar subquery — keep priorities
+  // whose revenue exceeds 19.9% of total revenue. The scalar subquery is
+  // planned once as its own tiny aggregation and broadcast into the
+  // filter (one extra job, no per-row probing); the global sum routes
+  // through DECIMAL so both engines compare against the identical
+  // double.
+  def q31HavingSubq(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v31")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_v31
+        |GROUP BY o_orderpriority
+        |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) >
+        |  0.199 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          FROM orders_v31)
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q31Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) >
+      |  0.199 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |          FROM orders)
+      |ORDER BY o_orderpriority""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_string_funcs" -> (q14StringFuncs _),
     "q15_datetime_funcs" -> (q15DatetimeFuncs _),
@@ -543,6 +573,7 @@ object FunctionQueries {
     "q28_window_range" -> (q28WindowRange _),
     "q29_exists_subq" -> (q29ExistsSubq _),
     "q30_lateral_explode" -> (q30LateralExplode _),
+    "q31_having_subq" -> (q31HavingSubq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -563,5 +594,6 @@ object FunctionQueries {
     "q28_window_range" -> q28Sql,
     "q29_exists_subq" -> q29Sql,
     "q30_lateral_explode" -> q30Sql,
+    "q31_having_subq" -> q31Sql,
   )
 }

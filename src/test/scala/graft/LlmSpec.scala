@@ -41,6 +41,28 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.ddNgramJaccard(spark, tmp).collect().isEmpty)
   }
 
+  test("hash sampling is deterministic and stratified quotas hold") {
+    import graft.llm.Sampling
+    val a = Sampling.sampleHash(spark, sf0001).collect().toSeq
+    val b = Sampling.sampleHash(spark, sf0001).collect().toSeq
+    assert(a == b, "content-hash sample must be identical across runs")
+    val strat = Sampling.sampleStratified(spark, sf0001)
+      .groupBy("source").count().collect()
+    assert(strat.forall(_.getLong(1) <= 2), "stratum quota exceeded")
+  }
+
+  test("resize fits within the 256 box preserving aspect ratio") {
+    val rows = graft.llm.Multimodal.mmResize(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (w, h, nw, nh) = (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(nw <= 256 && nh <= 256, s"resize escaped the box: $nw x $nh")
+      assert(nw == 256 || nh == 256, "longest side must hit the box edge")
+      val ar = w.toDouble / h; val nar = nw.toDouble / nh
+      assert(math.abs(ar - nar) / ar < 0.02,
+        s"aspect ratio drifted: $ar -> $nar")
+    }
+  }
+
   test("jaccard values are in (0, 1] and pairs are ordered doc_a < doc_b") {
     val rows = Dedup.ddNgramJaccard(spark, sf0001).collect()
     assert(rows.nonEmpty)
