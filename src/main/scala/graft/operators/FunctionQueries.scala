@@ -555,6 +555,68 @@ object FunctionQueries {
       |          FROM orders)
       |ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q33: null semantics — NULLIF/COALESCE/null-safe equality and the
+  // COUNT(col)-skips-nulls contract, exercised per-group so the
+  // null-skipping behavior is visible in aggregates.
+  def q33NullFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        expr("nullif(o_orderstatus, 'P')").as("st_or_null"),
+        $"o_orderstatus")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"st_or_null").as("n_nonnull"), // COUNT(col) skips nulls
+        sum(when($"o_orderstatus" <=> $"st_or_null", 1).otherwise(0))
+          .as("n_null_safe_eq"),
+        sum(when(coalesce($"st_or_null", lit("replaced")) === "replaced", 1)
+          .otherwise(0)).as("n_replaced"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q33Sql: String =
+    """WITH t AS (SELECT o_orderpriority, o_orderstatus,
+      |    NULLIF(o_orderstatus, 'P') AS st_or_null FROM orders)
+      |SELECT o_orderpriority,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(st_or_null) AS n_nonnull,
+      |  SUM(CASE WHEN o_orderstatus IS NOT DISTINCT FROM st_or_null
+      |      THEN 1 ELSE 0 END) AS n_null_safe_eq,
+      |  SUM(CASE WHEN COALESCE(st_or_null, 'replaced') = 'replaced'
+      |      THEN 1 ELSE 0 END) AS n_replaced
+      |FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q34: approximate distinct (HLL++) bounded against its exact twin —
+  // the 100 TB substitute for COUNT(DISTINCT). The estimate itself is
+  // engine-specific, but HLL is a max over register values, so it is
+  // merge-order independent: "within 5% of exact" is a deterministic
+  // boolean the oracle can state as TRUE. (approx_percentile's summary
+  // IS merge-order sensitive, so it stays spec-bounded, not
+  // oracle-declared — see ApproxSpec.)
+  def q34ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("exact_distinct"),
+        // rsd=0.01: the 5% assertion bound is then 5 standard
+        // deviations — the default rsd of 0.05 actually missed it
+        approx_count_distinct($"l_orderkey", 0.01).as("approx"))
+      .select($"l_returnflag", $"exact_distinct",
+        (abs($"approx" - $"exact_distinct") <=
+          greatest(lit(1L), $"exact_distinct" * 5 / 100)).as("approx_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q34Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_distinct,
+      |  TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_string_funcs" -> (q14StringFuncs _),
     "q15_datetime_funcs" -> (q15DatetimeFuncs _),
@@ -574,6 +636,8 @@ object FunctionQueries {
     "q29_exists_subq" -> (q29ExistsSubq _),
     "q30_lateral_explode" -> (q30LateralExplode _),
     "q31_having_subq" -> (q31HavingSubq _),
+    "q33_null_funcs" -> (q33NullFuncs _),
+    "q34_approx_distinct" -> (q34ApproxDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -595,5 +659,7 @@ object FunctionQueries {
     "q29_exists_subq" -> q29Sql,
     "q30_lateral_explode" -> q30Sql,
     "q31_having_subq" -> q31Sql,
+    "q33_null_funcs" -> q33Sql,
+    "q34_approx_distinct" -> q34Sql,
   )
 }

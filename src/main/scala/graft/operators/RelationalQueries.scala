@@ -360,6 +360,36 @@ object RelationalQueries {
        |  UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM agg)
        |ORDER BY l_returnflag, metric""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q32: multiset set ops — INTERSECT ALL / EXCEPT ALL preserve
+  // duplicate counts (q10 covers the distinct variants). Branches are
+  // tagged and unioned BY NAME; output is collapsed to per-key
+  // multiplicities so the result is compact at any scale.
+  def q32SetopsAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def side(flag: String) = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === flag).select($"l_suppkey".as("suppkey"))
+    val ia = side("A").intersectAll(side("R"))
+      .groupBy($"suppkey").agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("intersect_all"))
+    val ea = side("A").exceptAll(side("R"))
+      .groupBy($"suppkey").agg(count(lit(1)).as("n"))
+      .withColumn("tag", lit("except_all"))
+    ia.unionByName(ea)
+      .select($"tag", $"suppkey", $"n")
+      .orderBy($"tag", $"suppkey")
+  }
+
+  val q32Sql: String =
+    """WITH a AS (SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'A'),
+      |r AS (SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'),
+      |ia AS (SELECT suppkey FROM a INTERSECT ALL SELECT suppkey FROM r),
+      |ea AS (SELECT suppkey FROM a EXCEPT ALL SELECT suppkey FROM r)
+      |SELECT 'intersect_all' AS tag, suppkey, COUNT(*) AS n FROM ia GROUP BY suppkey
+      |UNION ALL
+      |SELECT 'except_all' AS tag, suppkey, COUNT(*) AS n FROM ea GROUP BY suppkey
+      |ORDER BY tag, suppkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -374,6 +404,7 @@ object RelationalQueries {
     "q11_window_lag" -> (q11WindowLag _),
     "q12_pivot_wide" -> (q12PivotWide _),
     "q13_unpivot" -> (q13Unpivot _),
+    "q32_setops_all" -> (q32SetopsAll _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -390,5 +421,6 @@ object RelationalQueries {
     "q11_window_lag" -> q11Sql,
     "q12_pivot_wide" -> q12Sql,
     "q13_unpivot" -> q13Sql,
+    "q32_setops_all" -> q32Sql,
   )
 }
