@@ -62,6 +62,21 @@ object BenchQueries {
       |  ('util/cache', 'BenchmarkCacheGet-8')
       |) AS t(pkg, tests) ORDER BY pkg""".stripMargin
 
+  /** J3 (generate_benchmark_plot.js:106-125): flatten the catalog back
+    * to sorted (pkg, test) pairs — the compare-dropdown query. */
+  def flattenQ(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.catalog(fact(spark))
+      .select(col("pkg"), explode(col("tests")).as("test"))
+      .orderBy(col("pkg"), col("test"))
+
+  val flattenSql: String =
+    """SELECT * FROM (VALUES
+      |  ('sql', 'BenchmarkBank2_Cockroach-8'),
+      |  ('sql', 'BenchmarkDup-8'),
+      |  ('sql/parser', 'BenchmarkParse-4'),
+      |  ('util/cache', 'BenchmarkCacheGet-8')
+      |) AS t(pkg, test) ORDER BY pkg, test""".stripMargin
+
   def distinctDatesQ(spark: SparkSession, dir: String): DataFrame =
     SeriesOps.distinctDates(fact(spark))
 
@@ -142,6 +157,7 @@ object BenchQueries {
     "bench_ingest_golden" -> (ingestGolden _),
     "bench_series_sorted" -> (seriesSorted _),
     "bench_catalog" -> (catalogQ _),
+    "bench_catalog_flat" -> (flattenQ _),
     "bench_distinct_dates" -> (distinctDatesQ _),
     "bench_unpivot_metrics" -> (unpivotQ _),
     "bench_align_fullouter" -> (alignQ _),
@@ -154,6 +170,7 @@ object BenchQueries {
     "bench_ingest_golden" -> ingestGoldenSql,
     "bench_series_sorted" -> seriesSortedSql,
     "bench_catalog" -> catalogSql,
+    "bench_catalog_flat" -> flattenSql,
     "bench_distinct_dates" -> distinctDatesSql,
     "bench_unpivot_metrics" -> unpivotSql,
     "bench_align_fullouter" -> alignSql,
