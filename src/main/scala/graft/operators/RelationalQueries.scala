@@ -84,7 +84,7 @@ object RelationalQueries {
       .orderBy($"revenue".desc, $"l_orderkey".asc)
     val w = Window.partitionBy($"l_returnflag")
       .orderBy($"revenue".desc, $"l_orderkey".asc)
-    rev.withColumn("salt", pmod(hash($"l_orderkey"), lit(32)))
+    rev.withColumn("salt", pmod(hash($"l_orderkey"), lit(8)))
       .withColumn("lrk", row_number().over(local))
       .filter($"lrk" <= 3)
       .withColumn("rk", row_number().over(w))
