@@ -318,10 +318,15 @@ object Dedup {
     import spark.implicits._
     graft.functions.VecDot.register(spark)
     val e = Similarity.withNorm(spark, dir).drop("label")
-    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+    // The cosine predicate lives IN the join condition, after the id
+    // comparison: a trailing .filter gets pushed into the join ANDed
+    // in front of the cheap id check, making vec_dot run for all N²
+    // ordered pairs; conjunct order here short-circuits half of them.
+    e.as("a").join(e.as("b"),
+        $"a.vec_id" < $"b.vec_id" &&
+          expr("round(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4"))
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         expr("round(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 6)").as("cosine"))
-      .filter($"cosine" >= 0.4)
       .orderBy($"cosine".desc, $"vec_a", $"vec_b")
   }
 
