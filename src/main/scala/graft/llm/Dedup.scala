@@ -32,18 +32,23 @@ object Dedup {
     // zip_with over shifted slices, NOT transform(sequence(...), i ->
     // toks[i]...): an index lambda re-evaluates the (collapsed) split()
     // per element access — O(tokens^2) per doc, measured ~5x slower.
+    // The single-element transform binds the split() result to a
+    // lambda variable: an aliased projection would be inlined back
+    // into every slice by CollapseProject, re-splitting the document
+    // three times per row.
+    // greatest(..., 0): slice() throws on negative length, so a 1- or
+    // 2-token doc must clamp to an empty shingle set — matching the
+    // oracle's range(1, len-1), which is empty for len < 3.
     Tables.documents(spark, dir)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      // greatest(..., 0): slice() throws on negative length, so a 1- or
-      // 2-token doc must clamp to an empty shingle set — matching the
-      // oracle's range(1, len-1), which is empty for len < 3.
       .select($"doc_id", expr(
-        """array_distinct(zip_with(
-          |  slice(toks, 1, greatest(size(toks) - 2, 0)),
-          |  zip_with(slice(toks, 2, greatest(size(toks) - 2, 0)),
-          |           slice(toks, 3, greatest(size(toks) - 2, 0)),
-          |           (y, z) -> concat(y, ' ', z)),
-          |  (x, yz) -> concat(x, ' ', yz)))""".stripMargin).as("shingles"))
+        """element_at(transform(array(split(text, ' ')), toks ->
+          |  array_distinct(zip_with(
+          |    slice(toks, 1, greatest(size(toks) - 2, 0)),
+          |    zip_with(slice(toks, 2, greatest(size(toks) - 2, 0)),
+          |             slice(toks, 3, greatest(size(toks) - 2, 0)),
+          |             (y, z) -> concat(y, ' ', z)),
+          |    (x, yz) -> concat(x, ' ', yz)))), 1)""".stripMargin)
+        .as("shingles"))
   }
 
   private val shingleCte: String =

@@ -191,19 +191,22 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count() // corpus-size scalar (one tiny job)
+    // doc_len is NOT projected before the explode: an aliased
+    // size(split(text)) survives into the post-Generate projection and
+    // re-splits the whole document once per term row — O(tokens²) per
+    // doc. Both doc_len (sum of tf counts over the doc) and doc_freq
+    // (partition row count over the term) come from windows over the
+    // single aggregated `terms` pass instead; the doc-partition window
+    // shares its shuffle with the rank window below.
     val terms = docs
-      .select($"doc_id", size(split($"text", " ")).as("doc_len"),
-        explode(split($"text", " ")).as("term"))
-      .groupBy($"doc_id", $"doc_len", $"term")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf_count"))
-    // doc_freq as a COUNT window over the term partition: `terms` has
-    // one row per (doc, term), so the partition size IS the distinct
-    // doc frequency — and the window reuses the single `terms` pass
-    // where a groupBy+join would compute `terms` twice (Spark does not
-    // dedupe common subplans).
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy($"term")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
     val scored = terms
       .withColumn("doc_freq", count(lit(1)).over(wTerm))
+      .withColumn("doc_len", sum($"tf_count").over(wDoc))
       .select($"doc_id", $"term",
         round(($"tf_count".cast("double") / $"doc_len")
           * log(lit(nDocs.toDouble) / $"doc_freq"), 6).as("tfidf"))
