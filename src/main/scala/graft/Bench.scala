@@ -26,7 +26,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Belt and braces for harness parsing: the same line on disk, in
+    // case a logger prefix ever mangles stdout again.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), json)
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

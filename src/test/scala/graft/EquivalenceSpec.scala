@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Plan-rewrite equivalence proofs on randomized data: the scalable
+  * formulations used by the engine (salted two-phase top-k, in-group
+  * combination pair generation) must return exactly what their naive
+  * single-shuffle/self-join counterparts return. These guard the
+  * restructured operators against future "optimization" regressions —
+  * the DuckDB oracle checks one fixed dataset; these check arbitrary
+  * ones.
+  */
+class EquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted two-phase top-k equals the single-window top-k") {
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 5000L).map(i =>
+      (s"g${rnd.nextInt(5)}", i, rnd.nextInt(1000).toDouble))
+      .toDF("grp", "id", "v")
+    val w = Window.partitionBy($"grp").orderBy($"v".desc, $"id".asc)
+    val naive = df.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3).select($"grp", $"id", $"rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val local = Window.partitionBy($"grp", $"salt")
+      .orderBy($"v".desc, $"id".asc)
+    val twoPhase = df.withColumn("salt", pmod(hash($"id"), lit(8)))
+      .withColumn("lrk", row_number().over(local)).filter($"lrk" <= 3)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3).select($"grp", $"id", $"rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(twoPhase == naive)
+  }
+
+  test("in-group combination pair generation equals the self-join") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 3000).map(_ =>
+      (rnd.nextInt(200).toLong, s"k${rnd.nextInt(80)}"))
+      .toDF("id", "key").distinct()
+    val joined = df.as("a").join(df.as("b"),
+        $"a.key" === $"b.key" && $"a.id" < $"b.id")
+      .select($"a.id".as("ida"), $"b.id".as("idb")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val combos = df.groupBy($"key")
+      .agg(sort_array(collect_set($"id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), b ->
+          |    named_struct('ida', a, 'idb', b))))""".stripMargin)).as("p"))
+      .select($"p.*").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(combos == joined)
+  }
+}
