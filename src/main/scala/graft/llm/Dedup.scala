@@ -14,9 +14,11 @@ import TextAnalysis.{h60, h60Sql}
   *  - exact dedup is a single hash-aggregate on a 128-bit digest — one
   *    shuffle on the digest, no text comparison;
   *  - near-dup pair generation is never all-pairs: MinHash banding and
-  *    SimHash byte-banding make candidate generation an equi-join on
-  *    (band_id, band_key) — shuffle-partitionable and linear in the
-  *    number of true candidates. The brute-force n-gram Jaccard and
+  *    SimHash byte-banding group rows on (band_id, band_key) and
+  *    enumerate pairs within each bucket — shuffle-partitionable and
+  *    linear in the number of true candidates (SimHash additionally
+  *    dedups to distinct hash values first, since biased bits make
+  *    values repeat heavily). The brute-force n-gram Jaccard and
   *    cosine forms here are the verification baselines the banded
   *    variants are graded against (and are what the DuckDB oracle can
   *    express); at scale only the banded path runs.
@@ -279,7 +281,11 @@ object Dedup {
     // instead of O(N-bucket²), and because every doc has exactly one
     // value, the expansion emits each doc pair exactly once: the 2M-row
     // distinct() of the doc-level form disappears entirely.
-    val sh = ddSimhash(spark, dir)
+    // localCheckpoint: the (doc_id, simhash) table feeds six join
+    // branches; materializing it once replaces six runs of the
+    // explode+md5+32-sum aggregation. It is N rows × 16 bytes — tiny
+    // relative to the corpus at any scale.
+    val sh = ddSimhash(spark, dir).localCheckpoint()
     val vbands = sh.select($"simhash").distinct()
       .select($"simhash", explode(array(
         (0 until 4).map(j => struct(lit(j).as("band"),
