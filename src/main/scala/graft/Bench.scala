@@ -10,14 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup at the smallest SF: compiles every query's codegen
-    // and JITs the hot paths so the timed pass measures steady-state
-    // throughput, not first-query classloading.
+    // Untimed warmup: a small-SF pass compiles every query's codegen,
+    // then one pass at the bench SF itself JITs the hot loops at real
+    // data shapes — the timed pass below measures steady-state
+    // throughput, not classloading or interpreter-tier execution.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
