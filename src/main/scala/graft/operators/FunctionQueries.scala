@@ -617,6 +617,91 @@ object FunctionQueries {
       |  TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q35: calendar arithmetic — month addition (with end-of-month
+  // clamping), last_day, ISO weeks, week truncation, day arithmetic.
+  // Both engines clamp Jan 31 + 1 month to Feb 28 and truncate weeks
+  // to Monday, so results are exact.
+  def q35DatetimeArith(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        add_months(to_date($"o_orderdate"), 3).as("plus3m"),
+        last_day(to_date($"o_orderdate")).as("month_end"),
+        (dayofweek(to_date($"o_orderdate"))).as("dow"),
+        weekofyear(to_date($"o_orderdate")).as("iso_week"),
+        to_date(date_trunc("week", $"o_orderdate")).as("week_start"),
+        date_sub(to_date($"o_orderdate"), 30).as("minus30d"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q35Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+      |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+      |  CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+      |  CAST(o_orderdate - INTERVAL 30 DAY AS DATE) AS minus30d
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q36: bitwise operators — AND/OR/XOR/shifts/popcount over integer
+  // keys (hash-bucketing and bitmap tricks depend on these).
+  def q36Bitwise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        ($"event_id".bitwiseAND(255)).as("low_byte"),
+        ($"event_id".bitwiseOR($"user_id")).as("id_or_user"),
+        ($"event_id".bitwiseXOR($"user_id")).as("id_xor_user"),
+        shiftleft($"event_id" % 1000, 3).as("shl3"),
+        shiftright($"event_id", 2).as("shr2"),
+        bit_count($"event_id").as("popcount"))
+      .orderBy($"event_id")
+  }
+
+  val q36Sql: String =
+    """SELECT event_id,
+      |  event_id & 255 AS low_byte,
+      |  event_id | user_id AS id_or_user,
+      |  xor(event_id, user_id) AS id_xor_user,
+      |  (event_id % 1000) << 3 AS shl3,
+      |  event_id >> 2 AS shr2,
+      |  CAST(bit_count(event_id) AS INT) AS popcount
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q37: string padding / reversal / translation — the remainder of the
+  // string surface beyond q14 (pad-to-width, repeat, char mapping,
+  // 1-based field split).
+  def q37StringExtras(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select($"p_partkey",
+        lpad($"p_brand", 12, "*").as("brand_lpad"),
+        rpad($"p_brand", 12, ".").as("brand_rpad"),
+        reverse($"p_name").as("name_rev"),
+        repeat(substring($"p_type", 1, 2), 3).as("type2x3"),
+        translate($"p_name", "aeiou", "12345").as("name_translated"),
+        expr("split_part(p_type, ' ', 2)").as("type_second_word"),
+        expr("left(p_name, 4)").as("name_left4"),
+        expr("right(p_name, 4)").as("name_right4"))
+      .orderBy($"p_partkey")
+  }
+
+  val q37Sql: String =
+    """SELECT p_partkey,
+      |  lpad(p_brand, 12, '*') AS brand_lpad,
+      |  rpad(p_brand, 12, '.') AS brand_rpad,
+      |  reverse(p_name) AS name_rev,
+      |  repeat(substring(p_type, 1, 2), 3) AS type2x3,
+      |  translate(p_name, 'aeiou', '12345') AS name_translated,
+      |  split_part(p_type, ' ', 2) AS type_second_word,
+      |  left(p_name, 4) AS name_left4,
+      |  right(p_name, 4) AS name_right4
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_string_funcs" -> (q14StringFuncs _),
     "q15_datetime_funcs" -> (q15DatetimeFuncs _),
@@ -638,6 +723,9 @@ object FunctionQueries {
     "q31_having_subq" -> (q31HavingSubq _),
     "q33_null_funcs" -> (q33NullFuncs _),
     "q34_approx_distinct" -> (q34ApproxDistinct _),
+    "q35_datetime_arith" -> (q35DatetimeArith _),
+    "q36_bitwise" -> (q36Bitwise _),
+    "q37_string_extras" -> (q37StringExtras _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -661,5 +749,8 @@ object FunctionQueries {
     "q31_having_subq" -> q31Sql,
     "q33_null_funcs" -> q33Sql,
     "q34_approx_distinct" -> q34Sql,
+    "q35_datetime_arith" -> q35Sql,
+    "q36_bitwise" -> q36Sql,
+    "q37_string_extras" -> q37Sql,
   )
 }
