@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("h60"),
+      new ExpressionInfo(classOf[H60].getName, "h60"),
+      (args: Seq[Expression]) => H60(args.head)))
   }
 }

@@ -22,11 +22,13 @@ object TextAnalysis {
   /** Deterministic 60-bit hash usable identically in Spark and DuckDB:
     * first 15 hex chars of md5 parsed as an integer. Used across the
     * dedup/fingerprint operators as the shared hash primitive.
-    * Spark: conv(substr(md5(s),1,15),16,10)::long
+    * Spark: the fused codegen expression graft.functions.H60
+    *        (== conv(substr(md5(s),1,15),16,10)::long, proven in
+    *        FunctionsSpec)
     * DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT
     */
   def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("h60", c)
   def h60Sql(e: String): String = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
   // Stopword lists for the language-ID heuristic (public-knowledge

@@ -11,8 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * physical layout (verify with `.explain`: `PushedFilters`, `ReadSchema`).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every query path starts here, so it's the chokepoint that makes
+    // the engine's native functions (h60, vec_dot) resolvable by name
+    graft.functions.H60.register(spark)
+    graft.functions.VecDot.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -9,6 +9,29 @@ import org.apache.spark.sql.Row
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("h60 equals the conv(substr(md5)) chain it replaces") {
+    graft.functions.H60.register(spark)
+    val rnd = new scala.util.Random(3)
+    val strs = Seq("", " ", "a", "hello world", "日本語テキスト",
+      "emoji 🎉 mix", "\ttabs\nnewlines") ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(50)).mkString)
+    val df = strs.toDF("s")
+    val rows = df.select(
+      expr("h60(s)").as("fused"),
+      conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("chain"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    // interpreted path (no codegen) must agree too
+    strs.foreach { s =>
+      val e = graft.functions.H60(
+        org.apache.spark.sql.catalyst.expressions.Literal(s))
+      val viaEval = e.eval(null)
+      val viaImpl = graft.functions.H60Impl.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(viaEval == viaImpl)
+    }
+  }
+
   test("vec_dot matches a sequential fold, codegen and interpreted") {
     graft.functions.VecDot.register(spark)
     val df = Seq(
