@@ -261,8 +261,15 @@ object FunctionQueries {
   // graft.functions.TopKDoubles). The UDAF surface of SURVEY §2.7.
   def q22UdafTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.udf.register("top3_vals",
-      org.apache.spark.sql.functions.udaf(new graft.functions.TopKDoubles(3)))
+    // register once per session: unconditional re-registration logs a
+    // "replaced a previously registered function" WARN on every call
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("top3_vals"))) {
+      spark.udf.register("top3_vals",
+        org.apache.spark.sql.functions.udaf(new graft.functions.TopKDoubles(3)))
+    }
     Tables.orders(spark, dir)
       .groupBy($"o_orderpriority")
       .agg(expr("top3_vals(o_totalprice)").as("top3_arr"),
