@@ -98,17 +98,18 @@ object Dedup {
     val ex = shingled(spark, dir)
       .select($"doc_id", size($"shingles").as("n_sh"),
         explode($"shingles").as("shingle"))
+    // pairs via explode × explode + filter, all codegen'd: a nested
+    // transform/slice lambda builds the combination array interpreted
+    // and single-threaded per bucket — measured 2-3× slower here and
+    // far worse on duplicate-heavy data with bigger buckets.
     ex.groupBy($"shingle")
-      .agg(sort_array(collect_list(struct($"doc_id", $"n_sh"))).as("docs"))
+      .agg(collect_list(struct($"doc_id", $"n_sh")).as("docs"))
       .filter(size($"docs") > 1)
-      .select(explode(expr(
-        """flatten(transform(docs, (a, i) ->
-          |  transform(slice(docs, i + 2, size(docs) - i - 1), b ->
-          |    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
-          |                 'na', a.n_sh, 'nb', b.n_sh))))""".stripMargin))
-        .as("p"))
-      .select($"p.*")
-      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
+      .select(explode($"docs").as("a"), $"docs")
+      .select($"a", explode($"docs").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
       .agg(count(lit(1)).as("n_inter"))
       .select($"doc_a", $"doc_b", $"n_inter",
         round($"n_inter".cast("double")
@@ -191,16 +192,17 @@ object Dedup {
     val agree = (0 until 8).map(i =>
         when(col(s"pa.sigs")(i) === col(s"pb.sigs")(i), 1).otherwise(0))
       .reduce(_ + _)
+    // pairs via explode × explode + filter (codegen) — see
+    // ddNgramJaccard for why this beats an interpreted combination
+    // lambda
     bands
       .groupBy($"band", $"key")
-      .agg(sort_array(collect_list(struct($"doc_id",
-        array(sigCols: _*).as("sigs")))).as("docs"))
+      .agg(collect_list(struct($"doc_id",
+        array(sigCols: _*).as("sigs"))).as("docs"))
       .filter(size($"docs") > 1)
-      .select(explode(expr(
-        """flatten(transform(docs, (a, i) ->
-          |  transform(slice(docs, i + 2, size(docs) - i - 1), b ->
-          |    named_struct('pa', a, 'pb', b))))""".stripMargin)).as("p"))
-      .select($"p.pa".as("pa"), $"p.pb".as("pb"))
+      .select(explode($"docs").as("pa"), $"docs")
+      .select($"pa", explode($"docs").as("pb"))
+      .filter($"pa.doc_id" < $"pb.doc_id")
       .select($"pa.doc_id".as("doc_a"), $"pb.doc_id".as("doc_b"),
         round(agree.cast("double") / 8.0, 6).as("est_jaccard"))
       .distinct()

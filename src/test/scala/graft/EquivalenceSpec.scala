@@ -43,13 +43,11 @@ class EquivalenceSpec extends SparkSpec {
       .select($"a.id".as("ida"), $"b.id".as("idb")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val combos = df.groupBy($"key")
-      .agg(sort_array(collect_set($"id")).as("ids"))
+      .agg(collect_set($"id").as("ids"))
       .filter(size($"ids") > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1), b ->
-          |    named_struct('ida', a, 'idb', b))))""".stripMargin)).as("p"))
-      .select($"p.*").distinct()
+      .select(explode($"ids").as("ida"), $"ids")
+      .select($"ida", explode($"ids").as("idb"))
+      .filter($"ida" < $"idb").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(combos == joined)
   }
