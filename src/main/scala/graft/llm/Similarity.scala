@@ -148,15 +148,61 @@ object Similarity {
        |  MAX(vec_id) AS max_vec, ROUND(AVG(nrm), 6) AS avg_norm
        |FROM cells GROUP BY cell ORDER BY cell""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_ivf_search: the probe side of the IVF index — assign each
+  // query vector to its coarse cell and rank ONLY that cell's inverted
+  // list (equi-join on cell, exactly the candidate-pruning the index
+  // build enables). At scale the corpus stays partitioned by cell and
+  // never shuffles; queries broadcast.
+  def ssIvfSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cellExpr = concat_ws(":",
+      floor(element_at($"v", 1) * 4).cast("long"),
+      floor(element_at($"v", 2) * 4).cast("long"))
+    val e = withNorm(spark, dir).withColumn("cell", cellExpr)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"cell".as("qcell"))
+    val scored = e.join(broadcast(q),
+        $"cell" === $"qcell" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"cell",
+        expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssIvfSearchSql: String =
+    s"""$normCte,
+       |cells AS (SELECT vec_id, v, nrm,
+       |  CAST(FLOOR(v[1] * 4) AS BIGINT) || ':' || CAST(FLOOR(v[2] * 4) AS BIGINT) AS cell
+       |FROM n),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS qcell
+       |  FROM cells WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, cells.vec_id AS neighbor_id, cell,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+       |  FROM cells JOIN q ON cells.cell = q.qcell AND cells.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ss_topk" -> (ssTopk _),
     "llm_ss_lsh_bucket" -> (ssLshBucket _),
     "llm_ss_ivf_index" -> (ssIvfIndex _),
+    "llm_ss_ivf_search" -> (ssIvfSearch _),
   )
 
   val oracles: Map[String, String] = Map(
     "llm_ss_topk" -> ssTopkSql,
     "llm_ss_lsh_bucket" -> ssLshBucketSql,
     "llm_ss_ivf_index" -> ssIvfIndexSql,
+    "llm_ss_ivf_search" -> ssIvfSearchSql,
   )
 }
