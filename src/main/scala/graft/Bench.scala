@@ -30,14 +30,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
+    val totalR = math.round(total * 1000) / 1000.0
+    // Per-query detail goes to disk only; stdout gets a short
+    // total-only line (the harness tails stdout with a bounded buffer,
+    // so the final line must stay well under that bound).
+    val fileJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // Belt and braces for harness parsing: the same line on disk, in
-    // case a logger prefix ever mangles stdout again.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), json)
-    catch { case _: Throwable => }
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, fileJson)
+    } catch { case _: Throwable => }
     spark.stop()
+    println(
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
   }
 }

@@ -589,10 +589,10 @@ object FunctionQueries {
       |SELECT o_orderpriority,
       |  COUNT(*) AS n_rows,
       |  COUNT(st_or_null) AS n_nonnull,
-      |  SUM(CASE WHEN o_orderstatus IS NOT DISTINCT FROM st_or_null
-      |      THEN 1 ELSE 0 END) AS n_null_safe_eq,
-      |  SUM(CASE WHEN COALESCE(st_or_null, 'replaced') = 'replaced'
-      |      THEN 1 ELSE 0 END) AS n_replaced
+      |  CAST(SUM(CASE WHEN o_orderstatus IS NOT DISTINCT FROM st_or_null
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq,
+      |  CAST(SUM(CASE WHEN COALESCE(st_or_null, 'replaced') = 'replaced'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_replaced
       |FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // --------------------------------------------------------------------
