@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("h60"),
       new ExpressionInfo(classOf[H60].getName, "h60"),
       (args: Seq[Expression]) => H60(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle3"),
+      new ExpressionInfo(classOf[Shingle3].getName, "shingle3"),
+      (args: Seq[Expression]) => Shingle3(args.head)))
   }
 }

@@ -31,26 +31,15 @@ object Dedup {
     * toks[i] ' ' toks[i+1] ' ' toks[i+2] (1-based, i in 1..n-2). */
   private def shingled(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // zip_with over shifted slices, NOT transform(sequence(...), i ->
-    // toks[i]...): an index lambda re-evaluates the (collapsed) split()
-    // per element access — O(tokens^2) per doc, measured ~5x slower.
-    // The single-element transform binds the split() result to a
-    // lambda variable: an aliased projection would be inlined back
-    // into every slice by CollapseProject, re-splitting the document
-    // three times per row.
-    // greatest(..., 0): slice() throws on negative length, so a 1- or
-    // 2-token doc must clamp to an empty shingle set — matching the
-    // oracle's range(1, len-1), which is empty for len < 3.
+    // One fused codegen pass (graft.functions.Shingle3): tokenize +
+    // 3-gram + distinct with no interpreted lambdas. The previous
+    // zip_with-over-shifted-slices form (itself 5× faster than an
+    // index lambda, which re-splits per element) still ran the lambda
+    // machinery interpreted per row — this is the hottest string path
+    // in the dedup family, so it earns an expression like h60/vec_dot.
+    graft.functions.Shingle3.register(spark)
     Tables.documents(spark, dir)
-      .select($"doc_id", expr(
-        """element_at(transform(array(split(text, ' ')), toks ->
-          |  array_distinct(zip_with(
-          |    slice(toks, 1, greatest(size(toks) - 2, 0)),
-          |    zip_with(slice(toks, 2, greatest(size(toks) - 2, 0)),
-          |             slice(toks, 3, greatest(size(toks) - 2, 0)),
-          |             (y, z) -> concat(y, ' ', z)),
-          |    (x, yz) -> concat(x, ' ', yz)))), 1)""".stripMargin)
-        .as("shingles"))
+      .select($"doc_id", expr("shingle3(text)").as("shingles"))
   }
 
   private val shingleCte: String =
@@ -85,6 +74,17 @@ object Dedup {
   // scale, band on MinHash instead); Jaccard from distinct-shingle
   // counts: |A∩B| / (|A| + |B| - |A∩B|). Top-100 pairs by similarity,
   // totally ordered for determinism.
+  /** Document-frequency cap on candidate buckets: a shingle (or LSH
+    * band key) shared by more than this many docs is a stopword-gram —
+    * non-discriminative for near-dup detection, and the k²-pair
+    * explosion plus the k-struct `collect_list` buffer it would force
+    * are exactly the hot-bucket OOM at corpus scale. Dropping capped
+    * buckets bounds every aggregation buffer at MaxBucketDf structs
+    * (~64 KB) and improves precision; the oracle applies the identical
+    * cap, so the gate stays hash-exact even on data that hits it
+    * (fixtures top out at df=25 at sf0.1, ~100 at 4× replication). */
+  val MaxBucketDf = 1024
+
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Candidate pairs via groupBy(shingle) + in-group combinations, NOT
@@ -92,17 +92,30 @@ object Dedup {
     // exploded table with itself runs the whole shingle pipeline twice
     // AND shuffles both copies. One groupBy computes it once with one
     // shuffle; pairs are generated inside each (typically tiny) shingle
-    // bucket. Same skew profile as the join (a k-doc shingle yields
-    // k*(k-1)/2 pairs either way). |shingles| rides along in the struct
-    // so no join back to a sizes table is needed.
+    // bucket. |shingles| rides along in the struct so no join back to a
+    // sizes table is needed.
     val ex = shingled(spark, dir)
       .select($"doc_id", size($"shingles").as("n_sh"),
         explode($"shingles").as("shingle"))
+    // The df cap must act BEFORE collect_list — a filter on size(docs)
+    // after the fact would already have materialized the hot bucket in
+    // the aggregation buffer. Over-cap shingles are by construction a
+    // TINY set (the stopword-gram head of the Zipf curve), so they are
+    // removed with a broadcast ANTI join — codegen, no extra shuffle
+    // of the exploded table; `ex` still shuffles exactly once, for the
+    // bucket groupBy. The hot-detect branch re-runs the (codegen)
+    // shingle pipeline column-pruned to `shingle`; its output is
+    // near-empty on any sane corpus.
+    val hot = ex.select($"shingle")
+      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" > MaxBucketDf)
+      .select($"shingle")
     // pairs via explode × explode + filter, all codegen'd: a nested
     // transform/slice lambda builds the combination array interpreted
     // and single-threaded per bucket — measured 2-3× slower here and
     // far worse on duplicate-heavy data with bigger buckets.
-    ex.groupBy($"shingle")
+    ex.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .groupBy($"shingle")
       .agg(collect_list(struct($"doc_id", $"n_sh")).as("docs"))
       .filter(size($"docs") > 1)
       .select(explode($"docs").as("a"), $"docs")
@@ -122,9 +135,12 @@ object Dedup {
     s"""$shingleCte,
        |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |keep AS (SELECT shingle FROM ex GROUP BY shingle
+       |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucketDf),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN keep k ON a.shingle = k.shingle
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_inter,
        |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
@@ -182,24 +198,34 @@ object Dedup {
     // Bands carry the full signature in the row struct so est_jaccard
     // needs no join back to the sigs table.
     val sigCols = (0 until 8).map(i => col(s"sig$i"))
+    // localCheckpoint: 4 band rows per doc (struct of band, key, 8-long
+    // sig array) — tiny at any scale, and it feeds both the bucket-size
+    // pre-count and the pair generation, so the signature pipeline
+    // (shingle + 8 hash-mins per doc) runs exactly once.
     val bands = ddMinhashSigs(spark, dir)
       .select($"doc_id" +: array((0 until 4).map(j =>
         struct(lit(j).as("band"),
           concat_ws(":", col(s"sig${2 * j}"), col(s"sig${2 * j + 1}"))
             .as("key"))): _*).as("bks") +: sigCols: _*)
       .select($"doc_id" +: explode($"bks").as("bk") +: sigCols: _*)
-      .select($"doc_id" +: $"bk.band" +: $"bk.key" +: sigCols: _*)
+      .select($"doc_id", $"bk.band", $"bk.key",
+        array(sigCols: _*).as("sigs"))
+      .localCheckpoint()
     val agree = (0 until 8).map(i =>
         when(col(s"pa.sigs")(i) === col(s"pb.sigs")(i), 1).otherwise(0))
       .reduce(_ + _)
+    // Bucket-size cap enforced BEFORE collect_list (see MaxBucketDf): a
+    // degenerate band key shared by k docs would otherwise buffer k
+    // structs in one aggregation row and emit k² candidates.
+    val kept = bands.groupBy($"band", $"key").agg(count(lit(1)).as("df"))
+      .filter($"df" > 1 && $"df" <= MaxBucketDf)
+      .select($"band", $"key")
     // pairs via explode × explode + filter (codegen) — see
     // ddNgramJaccard for why this beats an interpreted combination
     // lambda
-    bands
+    bands.join(kept, Seq("band", "key"))
       .groupBy($"band", $"key")
-      .agg(collect_list(struct($"doc_id",
-        array(sigCols: _*).as("sigs"))).as("docs"))
-      .filter(size($"docs") > 1)
+      .agg(collect_list(struct($"doc_id", $"sigs")).as("docs"))
       .select(explode($"docs").as("pa"), $"docs")
       .select($"pa", explode($"docs").as("pb"))
       .filter($"pa.doc_id" < $"pb.doc_id")
@@ -219,10 +245,13 @@ object Dedup {
     s"""WITH sigs AS ($sigsSql),
        |bands AS (
        |  $bandSelects),
+       |keep AS (SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucketDf),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  JOIN keep k ON a.band = k.band AND a.key = k.key)
        |SELECT doc_a, doc_b,
        |  ROUND(CAST($agree AS DOUBLE) / 8.0, 6) AS est_jaccard
        |FROM cand
@@ -327,10 +356,26 @@ object Dedup {
   // Arithmetic is float->double elementwise then a left-fold sum, so
   // the value is IEEE-identical across engines; Similarity.ssLshBucket
   // is the banded scale path for the same predicate.
+  /** Hard guard for the all-pairs exact baseline: N vectors imply N²/2
+    * cosine evaluations, so this form exists for verification scale
+    * only — the production path for the same predicate is the banded
+    * candidate join (Similarity.ssLshBucket). The guard fails fast
+    * instead of silently launching an O(N²) job on a corpus-sized
+    * input; the count it pays is one narrow-column job. Override for
+    * deliberate large runs with SPARK_GRAFT_ALLOW_ALLPAIRS=1. */
+  val MaxAllPairsRows = 100000L
+
   def ddEmbeddingNear(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VecDot.register(spark)
     val e = Similarity.withNorm(spark, dir).drop("label")
+    if (!sys.env.contains("SPARK_GRAFT_ALLOW_ALLPAIRS")) {
+      val n = e.count()
+      require(n <= MaxAllPairsRows,
+        s"llm_dd_embedding_near is an all-pairs exact baseline (input has $n" +
+          s" rows > $MaxAllPairsRows); use Similarity.ssLshBucket for the" +
+          " banded scale path, or set SPARK_GRAFT_ALLOW_ALLPAIRS=1")
+    }
     // The cosine predicate lives IN the join condition, after the id
     // comparison: a trailing .filter gets pushed into the join ANDed
     // in front of the cheap id check, making vec_dot run for all N²

@@ -192,26 +192,36 @@ object TextAnalysis {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count() // corpus-size scalar (one tiny job)
     // doc_len is NOT projected before the explode: an aliased
     // size(split(text)) survives into the post-Generate projection and
     // re-splits the whole document once per term row — O(tokens²) per
-    // doc. Both doc_len (sum of tf counts over the doc) and doc_freq
-    // (partition row count over the term) come from windows over the
-    // single aggregated `terms` pass instead; the doc-partition window
-    // shares its shuffle with the rank window below.
+    // doc. doc_len is the sum of tf counts over the doc's window
+    // (doc-partitioned — bounded by one document's vocabulary, never
+    // skewed); doc_freq deliberately does NOT use a term-partitioned
+    // window: a window has no partial aggregation, so a stopword term
+    // would funnel its entire corpus-wide row set into one sort task.
+    // Instead doc_freq is a two-phase groupBy (map-side combine
+    // collapses hot terms before the shuffle) broadcast back — the
+    // vocabulary is tiny relative to the corpus, and stays
+    // broadcastable at 100 TB after a frequency cutoff.
     val terms = docs
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf_count"))
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy($"term")
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    // one row per (doc, term) ⇒ count(*) per term == distinct-doc count
+    val termDf = terms.groupBy($"term").agg(count(lit(1)).as("doc_freq"))
+    // corpus size as a scalar subplan (broadcast 1-row cross join)
+    // instead of a driver-side .count() action — keeps the whole query
+    // one job and one plan.
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val wDoc = Window.partitionBy($"doc_id")
     val scored = terms
-      .withColumn("doc_freq", count(lit(1)).over(wTerm))
       .withColumn("doc_len", sum($"tf_count").over(wDoc))
+      .join(broadcast(termDf), "term")
+      .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"term",
         round(($"tf_count".cast("double") / $"doc_len")
-          * log(lit(nDocs.toDouble) / $"doc_freq"), 6).as("tfidf"))
+          * log($"n_docs".cast("double") / $"doc_freq"), 6).as("tfidf"))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"tfidf".desc, $"term".asc)
     scored.withColumn("rank", row_number().over(w))
