@@ -192,11 +192,130 @@ object Similarity {
        |SELECT q_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_ivf_probe: multi-probe IVF — rank the query's cell PLUS its
+  // 8 grid neighbors. Single-probe recall suffers exactly when a query
+  // sits near a cell boundary; probing the 3×3 neighborhood fixes that
+  // for the cost of a 9-element explode on the (tiny, broadcast) query
+  // side — the corpus side is the SAME equi-join on cell and still
+  // never shuffles. At scale this is the standard nprobe>1 turn of the
+  // IVF knob: candidate count grows 9×, not corpus-size×.
+  def ssIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cellExpr = concat_ws(":",
+      floor(element_at($"v", 1) * 4).cast("long"),
+      floor(element_at($"v", 2) * 4).cast("long"))
+    val e = withNorm(spark, dir).withColumn("cell", cellExpr)
+    val probeCells = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      concat_ws(":", ($"cx" + dx).cast("string"),
+        ($"cy" + dy).cast("string"))): _*)
+    val q = withNorm(spark, dir).filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        floor(element_at($"v", 1) * 4).cast("long").as("cx"),
+        floor(element_at($"v", 2) * 4).cast("long").as("cy"))
+      .select($"q_id", $"qv", $"qn", explode(probeCells).as("qcell"))
+    // Each corpus vector lives in exactly one cell and the 9 probe
+    // cells are distinct, so no candidate appears twice — no distinct()
+    // needed before the top-k window.
+    val scored = e.join(broadcast(q),
+        $"cell" === $"qcell" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssIvfProbeSql: String =
+    s"""$normCte,
+       |cells AS (SELECT vec_id, v, nrm,
+       |  CAST(FLOOR(v[1] * 4) AS BIGINT) || ':' || CAST(FLOOR(v[2] * 4) AS BIGINT) AS cell
+       |FROM n),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |    CAST(FLOOR(v[1] * 4) AS BIGINT) AS cx,
+       |    CAST(FLOOR(v[2] * 4) AS BIGINT) AS cy
+       |  FROM n WHERE vec_id < 10),
+       |probes AS (SELECT q_id, qv, qn, (cx + dx) || ':' || (cy + dy) AS qcell
+       |  FROM q0
+       |  CROSS JOIN (VALUES (-1), (0), (1)) AS dxs(dx)
+       |  CROSS JOIN (VALUES (-1), (0), (1)) AS dys(dy)),
+       |scored AS (
+       |  SELECT q_id, cells.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+       |  FROM cells JOIN probes ON cells.cell = probes.qcell AND cells.vec_id <> q_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_ss_recall: recall@3 of the two approximate scale paths against
+  // the brute-force ground truth, per query — the measurement that
+  // makes the baseline↔scale-path trade a number instead of a claim.
+  // Query set = vec_id < 5 (the intersection of all three methods'
+  // query sets); ground truth = brute-force top-3. A left join from
+  // the (method × query) grid keeps 0-recall rows visible.
+  def ssRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = ssTopk(spark, dir)
+      .filter($"rank" <= 3 && $"q_id" < 5)
+      .select($"q_id", $"neighbor_id")
+    val approx =
+      ssLshBucket(spark, dir).filter($"q_id" < 5)
+        .select(lit("lsh_bucket").as("method"), $"q_id", $"neighbor_id")
+      .union(ssIvfProbe(spark, dir).filter($"q_id" < 5)
+        .select(lit("ivf_probe").as("method"), $"q_id", $"neighbor_id"))
+    val grid = exact.select($"q_id").distinct()
+      .crossJoin(Seq("lsh_bucket", "ivf_probe").toDF("method"))
+    val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
+      .groupBy($"method", $"q_id").agg(count(lit(1)).as("n_hit"))
+    grid.join(hits, Seq("method", "q_id"), "left")
+      .select($"method", $"q_id",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        round(coalesce($"n_hit", lit(0L)).cast("double") / 3.0, 6)
+          .as("recall_at_3"))
+      .orderBy($"method", $"q_id")
+  }
+
+  // DuckDB supports nested WITH inside a CTE body, so the three method
+  // queries embed verbatim — same text the standalone oracles run.
+  val ssRecallSql: String =
+    s"""WITH exact3 AS (
+       |  SELECT q_id, neighbor_id FROM ($ssTopkSql)
+       |  WHERE rank <= 3 AND q_id < 5),
+       |approx AS (
+       |  SELECT 'lsh_bucket' AS method, q_id, neighbor_id
+       |  FROM ($ssLshBucketSql) WHERE q_id < 5
+       |  UNION ALL
+       |  SELECT 'ivf_probe' AS method, q_id, neighbor_id
+       |  FROM ($ssIvfProbeSql) WHERE q_id < 5),
+       |grid AS (
+       |  SELECT method, q_id
+       |  FROM (SELECT DISTINCT q_id FROM exact3)
+       |  CROSS JOIN (VALUES ('lsh_bucket'), ('ivf_probe')) AS m(method)),
+       |hits AS (
+       |  SELECT method, a.q_id, COUNT(*) AS n_hit
+       |  FROM approx a JOIN exact3 e
+       |    ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY 1, 2)
+       |SELECT g.method, g.q_id,
+       |  COALESCE(n_hit, 0) AS n_hit,
+       |  ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / 3.0, 6) AS recall_at_3
+       |FROM grid g LEFT JOIN hits h
+       |  ON g.method = h.method AND g.q_id = h.q_id
+       |ORDER BY g.method, g.q_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ss_topk" -> (ssTopk _),
     "llm_ss_lsh_bucket" -> (ssLshBucket _),
     "llm_ss_ivf_index" -> (ssIvfIndex _),
     "llm_ss_ivf_search" -> (ssIvfSearch _),
+    "llm_ss_ivf_probe" -> (ssIvfProbe _),
+    "llm_ss_recall" -> (ssRecall _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -204,5 +323,7 @@ object Similarity {
     "llm_ss_lsh_bucket" -> ssLshBucketSql,
     "llm_ss_ivf_index" -> ssIvfIndexSql,
     "llm_ss_ivf_search" -> ssIvfSearchSql,
+    "llm_ss_ivf_probe" -> ssIvfProbeSql,
+    "llm_ss_recall" -> ssRecallSql,
   )
 }
