@@ -30,6 +30,61 @@ object BenchSinks {
       .partitionBy("pkg")
       .json(outDir)
 
+  /** S5, exact reference layout (file_generator.go:177-190): ONE file
+    * per test at `<out>/<pkg>/<test>.json` whose body is the date-keyed
+    * stats object `{"DD-MM-YYYY":{"N":…,"A":…,"B":…,"M":…}, …}` with
+    * lexically sorted date keys — matching Go's json.Marshal, which
+    * sorts map keys, so a frontend pointed at this output resolves the
+    * same paths and parses the same bodies (common.js:17-27,
+    * generate_benchmark_plot.js:94-104). The only formatting divergence
+    * is integral floats: Go renders `0`, Spark `0.0` — the same JSON
+    * number.
+    *
+    * The write is distributed: the same one-row-per-test series
+    * aggregation as [[writeSeriesJson]], then executors write their
+    * rows' files via the Hadoop FileSystem API (URI-agnostic: file://,
+    * hdfs://, s3a:// deploy roots all work, which is the S8 publish
+    * path). File count equals test count by CONTRACT — the output is a
+    * dashboard's data directory, frontend-sized at any corpus scale,
+    * so per-row files are the point, not a small-files accident.
+    */
+  def writeSeriesJsonExact(fact: DataFrame, outDir: String): Unit =
+    fact
+      .groupBy(col("pkg"), col("test"))
+      .agg(to_json(map_from_entries(array_sort(collect_list(struct(
+        date_format(col("date"), "dd-MM-yyyy").as("date"),
+        struct(
+          col("ns_per_op").as("N"),
+          col("allocs_per_op").as("A"),
+          col("bytes_per_op").as("B"),
+          col("mb_per_s").as("M")).as("stats")))))).as("body"))
+      .select(col("pkg"), col("test"), col("body"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val root = new org.apache.hadoop.fs.Path(outDir)
+        // raw (non-checksumming) local FS for file:// roots — the
+        // deploy dir must hold exactly the reference's files, no .crc
+        // sidecars. A fresh instance, not FileSystem.get: the FS cache
+        // would hand back the checksummed LocalFileSystem.
+        val fs = {
+          val cached = root.getFileSystem(conf)
+          if (cached.getScheme == "file") {
+            val raw = new org.apache.hadoop.fs.RawLocalFileSystem
+            raw.initialize(java.net.URI.create("file:///"), conf)
+            raw
+          } else cached
+        }
+        rows.foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(root, r.getString(0)),
+            r.getString(1) + ".json")
+          val out = fs.create(p, true) // creates parent dirs
+          try out.write(r.getString(2)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
+
   /** S6 (file_generator.go:192-208): the `test_names.json` catalog —
     * `{pkg: [test...]}`. Single small file by contract (`coalesce(1)`
     * is correct here: the catalog is distinct (pkg,test) pairs, tiny

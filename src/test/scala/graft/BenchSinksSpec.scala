@@ -28,6 +28,36 @@ class BenchSinksSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("pkg=")))
   }
 
+  test("exact-layout sink writes <out>/<pkg>/<test>.json per test (S5)") {
+    val out = "/root/repo/target/test_sink_exact"
+    BenchSinks.writeSeriesJsonExact(BenchQueries.fact(spark), out)
+    // reference layout: one file per test, named <pkg>/<test>.json
+    val f = new java.io.File(s"$out/sql/BenchmarkBank2_Cockroach-8.json")
+    assert(f.isFile, s"expected per-test file at ${f.getPath}")
+    // pkg names are package PATHS (e.g. sql/parser) — filepath.Join in
+    // the reference nests them the same way
+    def walk(d: java.io.File): Seq[java.io.File] =
+      d.listFiles().toSeq.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    val files = walk(new java.io.File(out)).map(_.getPath.stripPrefix(out + "/"))
+    assert(files.sorted == Seq(
+      "sql/BenchmarkBank2_Cockroach-8.json", "sql/BenchmarkDup-8.json",
+      "sql/parser/BenchmarkParse-4.json", "util/cache/BenchmarkCacheGet-8.json"),
+      s"got $files")
+    // byte shape: a bare {date: {N,A,B,M}} object, lexically sorted keys
+    val body = new String(java.nio.file.Files.readAllBytes(f.toPath))
+    assert(body.startsWith("{\"01-01-2015\":{\"N\":"))
+    val parsed = spark.read.json(
+      spark.createDataset(Seq(body))(org.apache.spark.sql.Encoders.STRING))
+    val row = parsed.select(
+      col("`01-01-2015`.N"), col("`01-01-2015`.A"),
+      col("`01-01-2015`.B"), col("`01-01-2015`.M")).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3)) ==
+      ((1328086L, 2317L, 183965L, 0.0)))
+    // key order is lexical (Go json.Marshal sorts map keys)
+    val keys = "\"(\\d{2}-\\d{2}-\\d{4})\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    assert(keys == keys.sorted)
+  }
+
   test("catalog JSON sink writes {pkg, tests} rows (S6)") {
     val out = "/root/repo/target/test_sink_catalog"
     BenchSinks.writeCatalogJson(BenchQueries.fact(spark), out)
