@@ -20,17 +20,16 @@ object BenchQueries {
 
   private val pkgs = Seq("sql", "sql/parser", "util/cache")
 
-  private val factCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
-
   /** Ingested fact table over the shared fixture, materialized once per
     * session: nine queries share it, and the fixture is a constant —
     * the same dim-table caching a deployment would use. Ingest itself
     * is exercised uncached in IngestSpec and the streaming-ingest
-    * tests. */
+    * tests. Session-scoped via [[graft.sources.Tables.sessionCached]],
+    * which evicts on application end (no pinned stopped sessions). */
   def fact(spark: SparkSession): DataFrame =
-    factCache.computeIfAbsent(spark, s =>
-      BenchIngest.ingest(s, BenchFixture.shared, pkgs).localCheckpoint())
+    graft.sources.Tables.sessionCached(spark, "bench:fact") {
+      BenchIngest.ingest(spark, BenchFixture.shared, pkgs).localCheckpoint()
+    }
 
   def ingestGolden(spark: SparkSession, dir: String): DataFrame =
     fact(spark).orderBy(col("pkg"), col("test"), col("date"))

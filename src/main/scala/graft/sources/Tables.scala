@@ -11,12 +11,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * physical layout (verify with `.explain`: `PushedFilters`, `ReadSchema`).
   */
 object Tables {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val cleanupHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Session-scoped memo for a named DataFrame. The first build per
+    * (session, key) wins; entries are evicted when the session's
+    * application ends, so a long-lived multi-session process does not
+    * pin stopped sessions or their checkpointed blocks (the listener
+    * replaces an unbounded session-keyed map).
+    */
+  def sessionCached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    if (cleanupHooked.add(spark))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val it = cache.keySet.iterator()
+          while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+          cleanupHooked.remove(spark)
+        }
+      })
+    cache.computeIfAbsent((spark, key), _ => build)
+  }
+
+  /** One parquet-backed DataFrame per (session, dir, table), built once
+    * and reused by every query in the session. Reuse keeps the resolved
+    * file index and inferred schema (file listing + footer reads
+    * otherwise repeat on EVERY `spark.read.parquet` call — measurable
+    * fixed overhead across a 73-query run) while staying a real
+    * parquet scan, so per-query column pruning and filter pushdown
+    * still reach the source.
+    *
+    * `SPARK_GRAFT_TABLE_CACHE=checkpoint` additionally materializes the
+    * table via localCheckpoint — warm-data mode for repeated-query
+    * benchmarking (graft.Bench sets it). Deliberately NOT the default:
+    * a checkpointed table is all columns in block storage, which hides
+    * scan pruning from plan audits and is the wrong trade for a
+    * one-pass query over a 100 TB table.
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // every query path starts here, so it's the chokepoint that makes
-    // the engine's native functions (h60, vec_dot) resolvable by name
+    // the engine's native functions (h60, vec_dot, shingle3)
+    // resolvable by name
     graft.functions.H60.register(spark)
     graft.functions.VecDot.register(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.functions.Shingle3.register(spark)
+    sessionCached(spark, s"$dir/$name") {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val mode = sys.env.get("SPARK_GRAFT_TABLE_CACHE")
+        .orElse(sys.props.get("graft.tableCache"))
+      if (mode.contains("checkpoint")) df.localCheckpoint() else df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
