@@ -399,6 +399,73 @@ object Dedup {
       |WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
       |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_cluster: duplicate-cluster canonicalization — the step a
+  // production dedup pipeline runs AFTER pair generation: connected
+  // components over the near-dup graph, canonical = min doc_id per
+  // component, so "keep one doc per duplicate cluster" is a single
+  // filter on the output. Edges = MinHash-LSH pairs with
+  // est_jaccard >= 0.75 (exact duplicates have identical signatures,
+  // hence est = 1.0 — they are already edges; classes larger than
+  // MaxBucketDf were capped upstream and say so there).
+  //
+  // Algorithm: hash-min label propagation — each round every vertex
+  // takes min(own label, neighbors' labels); converges in O(component
+  // diameter) rounds, and near-dup clusters are short-diameter by
+  // construction. Each round is ONE shuffle join + aggregate over the
+  // edge list (|edges| ≪ corpus), with localCheckpoint truncating the
+  // lineage so round N's plan does not replay rounds 1..N-1 — the
+  // standard large-graph CC shape (GraphX/Pregel hash-min) expressed
+  // in DataFrames. The driver-side loop carries only a convergence
+  // COUNT per round, never rows.
+  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lshPairs = ddMinhashLsh(spark, dir)
+      .filter($"est_jaccard" >= 0.75)
+      .select($"doc_a", $"doc_b")
+    val edges = lshPairs
+      .union(lshPairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .localCheckpoint() // computed once, joined every round
+    var labels = Tables.documents(spark, dir)
+      .select($"doc_id", $"doc_id".as("label")).localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < 50) {
+      val nbrMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min($"label").as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select($"doc_id", $"label",
+          least($"label", coalesce($"nbr_min", $"label")).as("next"))
+        .localCheckpoint()
+      converged = updated.filter($"next" < $"label").isEmpty
+      labels = updated.select($"doc_id", $"next".as("label"))
+      round += 1
+    }
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  // The oracle states the SPEC, not the algorithm: transitive closure
+  // by recursive CTE, then MIN(reachable label) per doc — any correct
+  // CC implementation must produce exactly this.
+  val ddClusterSql: String =
+    s"""WITH RECURSIVE lsh AS (${ddMinhashLshSql}),
+       |edges(a, b) AS (
+       |  SELECT doc_a, doc_b FROM lsh WHERE est_jaccard >= 0.75
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM lsh WHERE est_jaccard >= 0.75),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.doc_id),
+       |comp AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT doc_id, cluster_id, cluster_size
+       |FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dd_exact" -> (ddExact _),
     "llm_dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -407,6 +474,7 @@ object Dedup {
     "llm_dd_simhash" -> (ddSimhash _),
     "llm_dd_simhash_pairs" -> (ddSimhashPairs _),
     "llm_dd_embedding_near" -> (ddEmbeddingNear _),
+    "llm_dd_cluster" -> (ddCluster _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -417,5 +485,6 @@ object Dedup {
     "llm_dd_simhash" -> ddSimhashSql,
     "llm_dd_simhash_pairs" -> ddSimhashPairsSql,
     "llm_dd_embedding_near" -> ddEmbeddingNearSql,
+    "llm_dd_cluster" -> ddClusterSql,
   )
 }

@@ -251,12 +251,121 @@ object TextAnalysis {
       |SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_redact: PII pattern redaction — email / NNN-NNNN phone / IPv4
+  // regexes replaced with typed placeholders, plus per-doc match
+  // counts. The fixture corpus contains no natural PII, so the query
+  // first PLANTS deterministic PII derived from doc_id (making the
+  // expected counts provably nonzero), then redacts it and fingerprints
+  // the cleaned text; the oracle re-derives both sides. Patterns are
+  // restricted to syntax with identical semantics in Java regex
+  // (Spark) and RE2 (DuckDB): literal classes, \d, \b, bounded
+  // repetition — no lookaround, no backrefs. One narrow codegen'd
+  // projection per doc: linear, no shuffle, 100 TB-safe.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\b\\d{3}-\\d{4}\\b"
+  private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def taRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", expr(
+        s"""concat(text, ' contact doc', doc_id, '@example.com or 555-',
+           |  lpad(cast(doc_id % 10000 as string), 4, '0'),
+           |  ' at 10.0.', cast(doc_id % 256 as string), '.7')"""
+          .stripMargin).as("t"))
+      .select($"doc_id",
+        // typed API with lit() patterns — a pattern inside a SQL
+        // string literal would have its \b/\d escapes consumed by the
+        // SQL lexer before the regex engine ever saw them
+        regexp_count($"t", lit(emailPat)).as("n_emails"),
+        regexp_count($"t", lit(phonePat)).as("n_phones"),
+        regexp_count($"t", lit(ipPat)).as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace($"t",
+          emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"),
+          ipPat, "<IP>")).as("fp_redacted"))
+      .orderBy($"doc_id")
+  }
+
+  val taRedactSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    text || ' contact doc' || doc_id || '@example.com or 555-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |    ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$emailPat')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$phonePat')) AS INT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$ipPat')) AS INT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$emailPat', '<EMAIL>', 'g'),
+       |    '$phonePat', '<PHONE>', 'g'),
+       |    '$ipPat', '<IP>', 'g')) AS fp_redacted
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // ta_repetition: within-document repetition signals (the
+  // Gopher-style quality filters): duplicate-token ratio,
+  // most-common-token fraction, duplicate-2-gram ratio. Array metrics
+  // are one narrow projection; the token histogram is explode + two
+  // partial-aggregable hash aggregates keyed by doc (never by token —
+  // no stopword skew), joined back per doc.
+  def taRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val arr = docs.select($"doc_id",
+      expr("size(split(text, ' '))").as("n_toks"),
+      expr("""round(1.0d - size(array_distinct(split(text, ' ')))
+             |  / size(split(text, ' ')), 6)""".stripMargin)
+        .as("dup_tok_ratio"),
+      expr(
+        """CASE WHEN size(split(text, ' ')) < 2 THEN 0.0d ELSE
+          |  round(1.0d - size(array_distinct(element_at(transform(
+          |      array(split(text, ' ')), toks ->
+          |      zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |               slice(toks, 2, greatest(size(toks) - 1, 0)),
+          |               (x, y) -> concat(x, ' ', y))), 1)))
+          |    / (size(split(text, ' ')) - 1), 6) END""".stripMargin)
+        .as("dup_2gram_ratio"))
+    val hist = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(round(max($"c").cast("double") / sum($"c"), 6).as("top_tok_frac"))
+    arr.join(hist, Seq("doc_id"))
+      .select($"doc_id", $"n_toks", $"dup_tok_ratio", $"top_tok_frac",
+        $"dup_2gram_ratio")
+      .orderBy($"doc_id")
+  }
+
+  val taRepetitionSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |arr AS (SELECT doc_id,
+      |    len(toks) AS n_toks,
+      |    ROUND(1.0 - len(list_distinct(toks)) / len(toks), 6) AS dup_tok_ratio,
+      |    CASE WHEN len(toks) < 2 THEN 0.0 ELSE
+      |      ROUND(1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+      |          i -> toks[i] || ' ' || toks[i+1])))
+      |        / (len(toks) - 1), 6) END AS dup_2gram_ratio
+      |  FROM tk),
+      |ex AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+      |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+      |hist AS (SELECT doc_id,
+      |    ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_tok_frac
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_toks AS INT) AS n_toks, dup_tok_ratio,
+      |  top_tok_frac, dup_2gram_ratio
+      |FROM arr JOIN hist USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_lang_id" -> (taLangId _),
     "llm_ta_quality" -> (taQuality _),
     "llm_ta_fingerprint" -> (taFingerprint _),
     "llm_ta_tfidf" -> (taTfidf _),
+    "llm_ta_redact" -> (taRedact _),
+    "llm_ta_repetition" -> (taRepetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -265,5 +374,7 @@ object TextAnalysis {
     "llm_ta_quality" -> taQualitySql,
     "llm_ta_fingerprint" -> taFingerprintSql,
     "llm_ta_tfidf" -> taTfidfSql,
+    "llm_ta_redact" -> taRedactSql,
+    "llm_ta_repetition" -> taRepetitionSql,
   )
 }
