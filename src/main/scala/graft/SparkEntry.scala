@@ -15,6 +15,7 @@ object SparkEntry {
       llm.Sampling.registry ++
       llm.Similarity.registry ++
       llm.Multimodal.registry ++
+      llm.Pipeline.registry ++
       streaming.WindowQueries.registry
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       llm.Sampling.oracles ++
       llm.Similarity.oracles ++
       llm.Multimodal.oracles ++
+      llm.Pipeline.oracles ++
       streaming.WindowQueries.oracles
 }

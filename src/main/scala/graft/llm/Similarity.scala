@@ -309,6 +309,77 @@ object Similarity {
        |  ON g.method = h.method AND g.q_id = h.q_id
        |ORDER BY g.method, g.q_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_kmeans: distributed Lloyd clustering over the embeddings —
+  // the semantic-clustering step a curation pipeline runs for topic
+  // balancing and cluster-based dedup. One full iteration (assign →
+  // recompute means → reassign), k = 4, seeded deterministically with
+  // vectors 0..3.
+  //
+  // Scale shape: assignment is a broadcast of k centroids + a per-row
+  // argmin over a k-element array (array_min of (d2, cid) structs —
+  // lexicographic, so ties break on cid) — the corpus NEVER shuffles
+  // to be assigned. The centroid update posexplodes to (cid, dim) and
+  // runs a partial-aggregable two-phase mean — k×64 result rows. That
+  // is the textbook distributed Lloyd step.
+  //
+  // Determinism: means sum per-dimension values as DECIMAL(28,12)
+  // (order-insensitive, so partial aggregation is safe) and divide
+  // after a double cast; d2 composes vec_dot folds with the identical
+  // ((v·v − 2v·c) + c·c) association in both engines. Binary-fraction
+  // inputs cannot tie at decimal scale 12 (2-adic vs 5-adic), so the
+  // engines' decimal rounding modes never get to disagree.
+  def ssKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val c0 = e.filter($"vec_id" < 4).select($"vec_id".as("cid"), $"v".as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents.agg(collect_list(struct($"cid", $"cv")).as("cents"))
+      e.crossJoin(broadcast(packed))
+        .select($"vec_id", $"v", expr(
+          """array_min(transform(cents, c -> named_struct(
+            |  'd2', vec_dot(v, v) - 2.0d * vec_dot(v, c.cv) + vec_dot(c.cv, c.cv),
+            |  'cid', c.cid)))""".stripMargin).as("best"))
+        .select($"vec_id", $"v", $"best.cid".as("cid"), $"best.d2".as("d2"))
+    }
+    val a1 = assign(c0)
+    val means = a1.select($"cid", posexplode($"v").as(Seq("pos", "val")))
+      .groupBy($"cid", $"pos")
+      .agg((sum($"val".cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("m"))
+    val c1 = means.groupBy($"cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cv"))
+    assign(c1)
+      .select($"vec_id", $"cid", round($"d2", 6).as("d2"))
+      .orderBy($"vec_id")
+  }
+
+  val ssKmeansSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |s1 AS (SELECT e.vec_id, e.v, c.cid,
+      |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+      |      + list_dot_product(c.cv, c.cv) AS d2
+      |  FROM e CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, v, cid, d2 FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s1) WHERE rn = 1),
+      |ex AS (SELECT cid, unnest(list_transform(range(0, len(v)),
+      |    i -> {'pos': i, 'val': v[i+1]}), recursive := true) FROM a1),
+      |means AS (SELECT cid, pos,
+      |    CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM ex GROUP BY 1, 2),
+      |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM means GROUP BY cid),
+      |s2 AS (SELECT e.vec_id, c.cid,
+      |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+      |      + list_dot_product(c.cv, c.cv) AS d2
+      |  FROM e CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cid, d2 FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s2) WHERE rn = 1)
+      |SELECT vec_id, cid, ROUND(d2, 6) AS d2 FROM a2 ORDER BY vec_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ss_topk" -> (ssTopk _),
     "llm_ss_lsh_bucket" -> (ssLshBucket _),
@@ -316,6 +387,7 @@ object Similarity {
     "llm_ss_ivf_search" -> (ssIvfSearch _),
     "llm_ss_ivf_probe" -> (ssIvfProbe _),
     "llm_ss_recall" -> (ssRecall _),
+    "llm_ss_kmeans" -> (ssKmeans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,5 +397,6 @@ object Similarity {
     "llm_ss_ivf_search" -> ssIvfSearchSql,
     "llm_ss_ivf_probe" -> ssIvfProbeSql,
     "llm_ss_recall" -> ssRecallSql,
+    "llm_ss_kmeans" -> ssKmeansSql,
   )
 }
