@@ -58,6 +58,46 @@ class FunctionsSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("shingle3 equals the zip_with/slice chain it replaces") {
+    graft.functions.Shingle3.register(spark)
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "bb", "ccc", "the", "of", "x9", "")
+    val strs = Seq("", "one", "one two", "one two three",
+      "a b c d e", "dup dup dup dup", "x  y z w", " lead", "trail ") ++
+      (1 to 100).map(_ =>
+        (1 to rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.size)))
+          .mkString(" "))
+    val df = strs.toDF("s")
+    val composed =
+      """element_at(transform(array(split(s, ' ')), toks ->
+        |  array_distinct(zip_with(
+        |    slice(toks, 1, greatest(size(toks) - 2, 0)),
+        |    zip_with(slice(toks, 2, greatest(size(toks) - 2, 0)),
+        |             slice(toks, 3, greatest(size(toks) - 2, 0)),
+        |             (y, z) -> concat(y, ' ', z)),
+        |    (x, yz) -> concat(x, ' ', yz)))), 1)""".stripMargin
+    df.select(expr("shingle3(s)").as("fused"), expr(composed).as("chain"))
+      .collect()
+      .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+    // interpreted path must agree with the codegen path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try df.select(expr("shingle3(s)").as("fused"), expr(composed).as("chain"))
+      .collect()
+      .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("shingle3 is null-safe and empty below 3 tokens") {
+    graft.functions.Shingle3.register(spark)
+    val rows = spark.sql(
+      "SELECT shingle3(NULL), shingle3(''), shingle3('a b'), shingle3('a b c')")
+      .collect()(0)
+    assert(rows.isNullAt(0))
+    assert(rows.getSeq[String](1) == Seq())
+    assert(rows.getSeq[String](2) == Seq())
+    assert(rows.getSeq[String](3) == Seq("a b c"))
+  }
+
   test("GraftExtensions injects vec_dot without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
