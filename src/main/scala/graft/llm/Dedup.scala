@@ -87,43 +87,88 @@ object Dedup {
 
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // TWO-LEVEL, like ddSimhashPairs: collapse exact-duplicate classes
+    // first (md5 of normalized text → representative = min doc_id),
+    // run ALL shingle work on representatives (D ≪ N on
+    // duplicate-heavy corpora — a 16×-replicated corpus costs the same
+    // as its base), and expand rep-level pairs back to doc pairs
+    // through the member table. Semantically identical to the
+    // doc-level form: duplicate docs have identical shingle sets, so
+    // cross-class pairs inherit the representative pair's Jaccard and
+    // intra-class pairs share every kept shingle. The df cap weighs
+    // each representative by its class size, so capped semantics match
+    // doc-level df exactly.
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val classes = docs.select($"doc_id",
+      md5(lower(regexp_replace(trim($"text"), "\\s+", " "))).as("fp"))
+    val classInfo = classes.groupBy($"fp")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("w"))
+    val members = classes.join(classInfo, "fp").select($"rep", $"doc_id")
+    // localCheckpoint: one packed row per REPRESENTATIVE (shingle
+    // array + class weight) feeds the hot-detect branch, the bucket
+    // explode, and the intra-class sizes — materializing it once
+    // replaces three runs of the md5-class join + shingle pipeline.
+    // Unlike the doc-level exploded table (corpus × shingles rows,
+    // measured a net loss to checkpoint), this is D rows with packed
+    // arrays — the smallest complete intermediate the operator has.
+    val sh = shingled(spark, dir)
+      .join(classInfo.select($"rep", $"w"), $"doc_id" === $"rep")
+      .select($"rep", $"w", size($"shingles").as("n_sh"), $"shingles")
+      .localCheckpoint()
     // Candidate pairs via groupBy(shingle) + in-group combinations, NOT
-    // a self-join: Spark does not dedupe common subplans, so joining the
-    // exploded table with itself runs the whole shingle pipeline twice
-    // AND shuffles both copies. One groupBy computes it once with one
-    // shuffle; pairs are generated inside each (typically tiny) shingle
-    // bucket. |shingles| rides along in the struct so no join back to a
-    // sizes table is needed.
-    val ex = shingled(spark, dir)
-      .select($"doc_id", size($"shingles").as("n_sh"),
-        explode($"shingles").as("shingle"))
+    // a self-join: Spark does not dedupe common subplans, so joining
+    // the exploded table with itself runs the whole shingle pipeline
+    // twice AND shuffles both copies. |shingles| rides along in the
+    // struct so no join back to a sizes table is needed.
+    val ex = sh.select($"rep", $"w", $"n_sh",
+      explode($"shingles").as("shingle"))
     // The df cap must act BEFORE collect_list — a filter on size(docs)
     // after the fact would already have materialized the hot bucket in
     // the aggregation buffer. Over-cap shingles are by construction a
     // TINY set (the stopword-gram head of the Zipf curve), so they are
     // removed with a broadcast ANTI join — codegen, no extra shuffle
     // of the exploded table; `ex` still shuffles exactly once, for the
-    // bucket groupBy. The hot-detect branch re-runs the (codegen)
-    // shingle pipeline column-pruned to `shingle`; its output is
-    // near-empty on any sane corpus.
-    val hot = ex.select($"shingle")
-      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+    // bucket groupBy.
+    val hot = ex.select($"shingle", $"w")
+      .groupBy($"shingle").agg(sum($"w").as("df"))
       .filter($"df" > MaxBucketDf)
       .select($"shingle")
+    val kept = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
     // pairs via explode × explode + filter, all codegen'd: a nested
     // transform/slice lambda builds the combination array interpreted
     // and single-threaded per bucket — measured 2-3× slower here and
     // far worse on duplicate-heavy data with bigger buckets.
-    ex.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val repPairs = kept
       .groupBy($"shingle")
-      .agg(collect_list(struct($"doc_id", $"n_sh")).as("docs"))
+      .agg(collect_list(struct($"rep", $"n_sh")).as("docs"))
       .filter(size($"docs") > 1)
       .select(explode($"docs").as("a"), $"docs")
       .select($"a", explode($"docs").as("b"))
-      .filter($"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+      .filter($"a.rep" < $"b.rep")
+      .groupBy($"a.rep".as("rep_a"), $"b.rep".as("rep_b"),
         $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
       .agg(count(lit(1)).as("n_inter"))
+    val cross = repPairs
+      .join(members.select($"rep".as("ra"), $"doc_id".as("da")),
+        $"rep_a" === $"ra")
+      .join(members.select($"rep".as("rb"), $"doc_id".as("db")),
+        $"rep_b" === $"rb")
+      .select(least($"da", $"db").as("doc_a"),
+        greatest($"da", $"db").as("doc_b"), $"n_inter", $"na", $"nb")
+    // Intra-class pairs: identical docs co-occur in every KEPT shingle
+    // bucket of their class, so the doc-level form counts n_kept shared
+    // shingles for them — and emits nothing when the class has no kept
+    // shingle (all hot, or fewer than 3 tokens). The inner join with
+    // the kept-count table reproduces both facts.
+    val keptCnt = kept.groupBy($"rep".as("rk")).agg(count(lit(1)).as("n_kept"))
+    val intra = members.select($"rep".as("r1"), $"doc_id".as("d1"))
+      .join(members.select($"rep".as("r2"), $"doc_id".as("d2")),
+        $"r1" === $"r2" && $"d1" < $"d2")
+      .join(sh.select($"rep".as("rs"), $"n_sh"), $"r1" === $"rs")
+      .join(keptCnt, $"r1" === $"rk")
+      .select($"d1".as("doc_a"), $"d2".as("doc_b"),
+        $"n_kept".as("n_inter"), $"n_sh".as("na"), $"n_sh".as("nb"))
+    cross.union(intra)
       .select($"doc_a", $"doc_b", $"n_inter",
         round($"n_inter".cast("double")
           / ($"na" + $"nb" - $"n_inter"), 6).as("jaccard"))
