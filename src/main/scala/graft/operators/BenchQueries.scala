@@ -143,6 +143,53 @@ object BenchQueries {
       |  ('util/cache', 'BenchmarkCacheGet-8', 1)
       |) AS t(pkg, test, rank) ORDER BY pkg, rank""".stripMargin
 
+  /** Recursive date spine: gap-fill the sparse golden series to a
+    * continuous daily axis — the time axis the reference's plot
+    * renders (generate_benchmark_plot.js builds its x-axis from the
+    * union of dates; a SQL consumer wants the spine explicit).
+    * Exercises Spark 4's WITH RECURSIVE end-to-end; the DuckDB oracle
+    * is the same recursive CTE over the fixture literal. The recursion
+    * depth is bounded by the date range (74 rows here) — a driver-side
+    * loop-free spine at any scale, and the LEFT JOIN keeps the series
+    * columns nullable for the gap days exactly like the frontend's
+    * missing-point handling.
+    */
+  def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    fact(spark).createOrReplaceTempView("bench_fact")
+    spark.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT MIN(date) AS d0, MAX(date) AS d1 FROM bench_fact
+        |  WHERE pkg = 'sql' AND test = 'BenchmarkBank2_Cockroach-8'),
+        |spine(date) AS (
+        |  SELECT d0 FROM bounds
+        |  UNION ALL
+        |  SELECT date_add(spine.date, 1) FROM spine, bounds
+        |  WHERE spine.date < bounds.d1)
+        |SELECT s.date, f.ns_per_op
+        |FROM spine s
+        |LEFT JOIN (SELECT date, ns_per_op FROM bench_fact
+        |  WHERE pkg = 'sql' AND test = 'BenchmarkBank2_Cockroach-8') f
+        |  ON s.date = f.date
+        |ORDER BY s.date""".stripMargin)
+  }
+
+  val dateSpineSql: String =
+    s"""WITH RECURSIVE fct AS ($ingestGoldenSql),
+       |bounds AS (
+       |  SELECT MIN(date) AS d0, MAX(date) AS d1 FROM fct
+       |  WHERE pkg = 'sql' AND test = 'BenchmarkBank2_Cockroach-8'),
+       |spine(date) AS (
+       |  SELECT d0 FROM bounds
+       |  UNION ALL
+       |  SELECT spine.date + 1 FROM spine, bounds
+       |  WHERE spine.date < bounds.d1)
+       |SELECT s.date, f.ns_per_op
+       |FROM spine s
+       |LEFT JOIN (SELECT date, ns_per_op FROM fct
+       |  WHERE pkg = 'sql' AND test = 'BenchmarkBank2_Cockroach-8') f
+       |  ON s.date = f.date
+       |ORDER BY s.date""".stripMargin
+
   /** S5+S6 sink round-trip: write the partitioned series JSON + catalog,
     * read both back, return a checkable summary. No SQL oracle (sink
     * side effects aren't DuckDB-expressible) → driver rows-only check;
@@ -170,6 +217,7 @@ object BenchQueries {
     "bench_align_fullouter" -> (alignQ _),
     "bench_pivot_wide" -> (pivotWideQ _),
     "bench_priority_order" -> (priorityQ _),
+    "bench_date_spine" -> (dateSpine _),
     "bench_sink_roundtrip" -> (sinkRoundtrip _),
   )
 
@@ -183,5 +231,6 @@ object BenchQueries {
     "bench_align_fullouter" -> alignSql,
     "bench_pivot_wide" -> pivotWideSql,
     "bench_priority_order" -> prioritySql,
+    "bench_date_spine" -> dateSpineSql,
   )
 }
