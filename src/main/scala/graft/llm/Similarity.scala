@@ -118,6 +118,72 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_lsh_probe: multi-probe sign-LSH — probe the query's bucket
+  // PLUS the 8 buckets at Hamming distance 1 (each sign bit flipped
+  // once). Single-probe sign-LSH has measurably zero recall on this
+  // corpus (see llm_ss_recall: max cosine ≈ 0.51 ⇒ all-8-bit agreement
+  // is improbable); multi-probe is the standard recall knob that costs
+  // a 9-element explode on the broadcast query side and NOTHING on the
+  // corpus side — same equi-join, corpus still never shuffles.
+  def ssLshProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucketExpr = expr(
+      """concat_ws('', transform(slice(v, 1, 8),
+        |  x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN '1' ELSE '0' END))"""
+        .stripMargin)
+    val e = withNorm(spark, dir).withColumn("bucket", bucketExpr)
+    val flips = (1 to 8).map(i => expr(
+      s"""concat(substring(qbucket, 1, ${i - 1}),
+         |  CASE WHEN substring(qbucket, $i, 1) = '1' THEN '0' ELSE '1' END,
+         |  substring(qbucket, ${i + 1}, ${8 - i}))""".stripMargin))
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"bucket".as("qbucket"))
+      .select($"q_id", $"qv", $"qn",
+        explode(array($"qbucket" +: flips: _*)).as("pbucket"))
+    // the 9 probe buckets are distinct strings, so no candidate is
+    // scored twice — no distinct() before the top-k window
+    val scored = e.join(broadcast(q),
+        $"bucket" === $"pbucket" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssLshProbeSql: String = {
+    val flips = (1 to 8).map(i =>
+      s"""substr(qbucket, 1, ${i - 1}) ||
+         |    (CASE WHEN substr(qbucket, $i, 1) = '1' THEN '0' ELSE '1' END) ||
+         |    substr(qbucket, ${i + 1}, ${8 - i})""".stripMargin)
+      .mkString(",\n    ")
+    s"""$normCte,
+       |b AS (SELECT vec_id, v, nrm,
+       |  list_aggregate(list_transform(v[1:8],
+       |    x -> CASE WHEN x >= 0.0 THEN '1' ELSE '0' END), 'string_agg', '') AS bucket
+       |FROM n),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qbucket
+       |  FROM b WHERE vec_id < 20),
+       |probes AS (SELECT q_id, qv, qn,
+       |  unnest([qbucket,
+       |    $flips]) AS pbucket
+       |  FROM q0),
+       |scored AS (
+       |  SELECT q_id, b.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+       |  FROM b JOIN probes p ON b.bucket = p.pbucket AND b.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // llm_ss_ivf: IVF-style coarse quantization — "centroid" id = the
   // label-means are unavailable without training, so the coarse
   // quantizer is the grid cell of the first two dimensions (sign+magnitude
@@ -267,10 +333,12 @@ object Similarity {
     val approx =
       ssLshBucket(spark, dir).filter($"q_id" < 5)
         .select(lit("lsh_bucket").as("method"), $"q_id", $"neighbor_id")
+      .union(ssLshProbe(spark, dir).filter($"q_id" < 5)
+        .select(lit("lsh_probe").as("method"), $"q_id", $"neighbor_id"))
       .union(ssIvfProbe(spark, dir).filter($"q_id" < 5)
         .select(lit("ivf_probe").as("method"), $"q_id", $"neighbor_id"))
     val grid = exact.select($"q_id").distinct()
-      .crossJoin(Seq("lsh_bucket", "ivf_probe").toDF("method"))
+      .crossJoin(Seq("lsh_bucket", "lsh_probe", "ivf_probe").toDF("method"))
     val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
       .groupBy($"method", $"q_id").agg(count(lit(1)).as("n_hit"))
     grid.join(hits, Seq("method", "q_id"), "left")
@@ -291,12 +359,15 @@ object Similarity {
        |  SELECT 'lsh_bucket' AS method, q_id, neighbor_id
        |  FROM ($ssLshBucketSql) WHERE q_id < 5
        |  UNION ALL
+       |  SELECT 'lsh_probe' AS method, q_id, neighbor_id
+       |  FROM ($ssLshProbeSql) WHERE q_id < 5
+       |  UNION ALL
        |  SELECT 'ivf_probe' AS method, q_id, neighbor_id
        |  FROM ($ssIvfProbeSql) WHERE q_id < 5),
        |grid AS (
        |  SELECT method, q_id
        |  FROM (SELECT DISTINCT q_id FROM exact3)
-       |  CROSS JOIN (VALUES ('lsh_bucket'), ('ivf_probe')) AS m(method)),
+       |  CROSS JOIN (VALUES ('lsh_bucket'), ('lsh_probe'), ('ivf_probe')) AS m(method)),
        |hits AS (
        |  SELECT method, a.q_id, COUNT(*) AS n_hit
        |  FROM approx a JOIN exact3 e
@@ -383,6 +454,7 @@ object Similarity {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ss_topk" -> (ssTopk _),
     "llm_ss_lsh_bucket" -> (ssLshBucket _),
+    "llm_ss_lsh_probe" -> (ssLshProbe _),
     "llm_ss_ivf_index" -> (ssIvfIndex _),
     "llm_ss_ivf_search" -> (ssIvfSearch _),
     "llm_ss_ivf_probe" -> (ssIvfProbe _),
@@ -393,6 +465,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "llm_ss_topk" -> ssTopkSql,
     "llm_ss_lsh_bucket" -> ssLshBucketSql,
+    "llm_ss_lsh_probe" -> ssLshProbeSql,
     "llm_ss_ivf_index" -> ssIvfIndexSql,
     "llm_ss_ivf_search" -> ssIvfSearchSql,
     "llm_ss_ivf_probe" -> ssIvfProbeSql,
