@@ -85,8 +85,19 @@ object Dedup {
     * (fixtures top out at df=25 at sf0.1, ~100 at 4× replication). */
   val MaxBucketDf = 1024
 
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(spark,
+      Tables.documents(spark, dir).selectExpr("doc_id", "text"), MaxBucketDf)
+
+  /** Core of [[ddNgramJaccard]] over an arbitrary (doc_id, text)
+    * DataFrame with an explicit df cap — separated so the doc-level
+    * semantics (including the cap and intra-class algebra) can be
+    * property-tested against a naive reference on adversarial corpora
+    * (LlmSpec), independent of the fixtures and the DuckDB oracle. */
+  private[graft] def ngramJaccardOn(
+      spark: SparkSession, docsIn: DataFrame, cap: Long): DataFrame = {
     import spark.implicits._
+    graft.functions.Shingle3.register(spark)
     // TWO-LEVEL, like ddSimhashPairs: collapse exact-duplicate classes
     // first (md5 of normalized text → representative = min doc_id),
     // run ALL shingle work on representatives (D ≪ N on
@@ -98,7 +109,7 @@ object Dedup {
     // intra-class pairs share every kept shingle. The df cap weighs
     // each representative by its class size, so capped semantics match
     // doc-level df exactly.
-    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val docs = docsIn.select($"doc_id", $"text")
     val classes = docs.select($"doc_id",
       md5(lower(regexp_replace(trim($"text"), "\\s+", " "))).as("fp"))
     val classInfo = classes.groupBy($"fp")
@@ -111,7 +122,8 @@ object Dedup {
     // Unlike the doc-level exploded table (corpus × shingles rows,
     // measured a net loss to checkpoint), this is D rows with packed
     // arrays — the smallest complete intermediate the operator has.
-    val sh = shingled(spark, dir)
+    val sh = docs
+      .select($"doc_id", expr("shingle3(text)").as("shingles"))
       .join(classInfo.select($"rep", $"w"), $"doc_id" === $"rep")
       .select($"rep", $"w", size($"shingles").as("n_sh"), $"shingles")
       .localCheckpoint()
@@ -131,7 +143,7 @@ object Dedup {
     // bucket groupBy.
     val hot = ex.select($"shingle", $"w")
       .groupBy($"shingle").agg(sum($"w").as("df"))
-      .filter($"df" > MaxBucketDf)
+      .filter($"df" > cap)
       .select($"shingle")
     val kept = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
     // pairs via explode × explode + filter, all codegen'd: a nested

@@ -11,6 +11,53 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 class LlmSpec extends SparkSpec {
   import spark.implicits._
 
+  test("two-level ngram Jaccard equals the naive doc-level reference under caps") {
+    // Adversarial corpus: duplicate classes of several sizes, sub-3-token
+    // docs, a stopword shingle pushed over a TINY cap so the hot-drop,
+    // intra-class n_kept, and expansion algebra are all exercised —
+    // regimes the fixtures (no over-cap shingles) never reach.
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "hot")
+    val base = (0 until 25).map { i =>
+      val len = rnd.nextInt(10)
+      ((0 until len).map(_ => vocab(rnd.nextInt(vocab.size))) ++
+        (if (i % 3 == 0) Seq("hot", "hot", "hot", "hot") else Nil))
+        .mkString(" ")
+    }
+    // classes of size 1, 2 and 5 (doc ids interleaved so rep != min of
+    // a contiguous block)
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      val copies = if (i % 5 == 0) 5 else if (i % 2 == 0) 2 else 1
+      (0 until copies).map(k => (i + 25L * k, t))
+    }
+    val cap = 6L
+
+    def shingles(t: String): Seq[String] = {
+      val toks = t.split(" ", -1)
+      (0 until math.max(toks.length - 2, 0))
+        .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+    }
+    val shOf = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = docs.flatMap { case (_, t) => shingles(t) }
+      .groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val naive = (for {
+      (a, sa) <- shOf.toSeq; (b, sb) <- shOf.toSeq if a < b
+      inter = sa.toSet.intersect(sb.toSet).count(s => df(s) <= cap)
+      if inter > 0
+    } yield {
+      val j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, inter.toLong, j)
+    }).sortBy { case (a, b, _, j) => (-j, a, b) }.take(100)
+
+    val got = Dedup.ngramJaccardOn(spark, docs.toDF("doc_id", "text"), cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == naive,
+      s"two-level result diverged: got ${got.take(5)}... vs ${naive.take(5)}...")
+  }
+
   test("decodeMedia emits one typed row per document, deterministic") {
     val ds = Multimodal.decodeMedia(spark, sf0001)
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
