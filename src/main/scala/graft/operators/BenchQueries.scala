@@ -143,6 +143,26 @@ object BenchQueries {
       |  ('util/cache', 'BenchmarkCacheGet-8', 1)
       |) AS t(pkg, test, rank) ORDER BY pkg, rank""".stripMargin
 
+  /** O3 faithful form: phantom priority names included unconditionally
+    * for pkg=sql, exactly as the frontend's unshift (see
+    * SeriesOps.priorityWithPhantoms). */
+  def priorityPhantomsQ(spark: SparkSession, dir: String): DataFrame =
+    SeriesOps.priorityWithPhantoms(SeriesOps.catalog(fact(spark)))
+
+  val priorityPhantomsSql: String = {
+    val rows =
+      SeriesOps.ReferencePriorities.zipWithIndex.map { case (t, i) =>
+        s"('sql', '$t', ${i + 1})"
+      } ++ Seq(
+        "('sql', 'BenchmarkBank2_Cockroach-8', 33)",
+        "('sql', 'BenchmarkDup-8', 34)",
+        "('sql/parser', 'BenchmarkParse-4', 1)",
+        "('util/cache', 'BenchmarkCacheGet-8', 1)")
+    s"""SELECT * FROM (VALUES
+       |  ${rows.mkString(",\n  ")}
+       |) AS t(pkg, test, rank) ORDER BY pkg, rank""".stripMargin
+  }
+
   /** Recursive date spine: gap-fill the sparse golden series to a
     * continuous daily axis — the time axis the reference's plot
     * renders (generate_benchmark_plot.js builds its x-axis from the
@@ -217,6 +237,7 @@ object BenchQueries {
     "bench_align_fullouter" -> (alignQ _),
     "bench_pivot_wide" -> (pivotWideQ _),
     "bench_priority_order" -> (priorityQ _),
+    "bench_priority_phantoms" -> (priorityPhantomsQ _),
     "bench_date_spine" -> (dateSpine _),
     "bench_sink_roundtrip" -> (sinkRoundtrip _),
   )
@@ -231,6 +252,7 @@ object BenchQueries {
     "bench_align_fullouter" -> alignSql,
     "bench_pivot_wide" -> pivotWideSql,
     "bench_priority_order" -> prioritySql,
+    "bench_priority_phantoms" -> priorityPhantomsSql,
     "bench_date_spine" -> dateSpineSql,
   )
 }

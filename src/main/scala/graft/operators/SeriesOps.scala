@@ -98,6 +98,31 @@ object SeriesOps {
       .orderBy(col("pkg"), col("rank"))
   }
 
+  /** O3, reference-faithful variant (generate_benchmark_list.js:22-25,
+    * :29-38): the frontend sorts the pkg's test list lexically, then —
+    * for the "sql" directory only — unshifts all 32 synthetic priority
+    * names WHETHER OR NOT they exist in the data. This reproduces that
+    * exactly: phantom rows rank 1..32 for pkg=sql, real tests follow in
+    * lexical order (offset 32 for sql, 0 elsewhere); a real test that
+    * matched a priority name would appear twice, like the frontend's
+    * dropdown. The present-rows-only semantics stay available as
+    * [[priorityOrder]].
+    */
+  def priorityWithPhantoms(catalogDf: DataFrame): DataFrame = {
+    val spark = catalogDf.sparkSession
+    import spark.implicits._
+    val phantoms = ReferencePriorities.zipWithIndex.toDF("test", "idx")
+      .select(lit("sql").as("pkg"), col("test"), col("idx"))
+    val real = catalogDf
+      .select(col("pkg"), posexplode(col("tests")).as(Seq("pos", "test")))
+      .select(col("pkg"), col("test"),
+        (col("pos") + when(col("pkg") === "sql", lit(32)).otherwise(lit(0)))
+          .as("idx"))
+    phantoms.union(real)
+      .select(col("pkg"), col("test"), (col("idx") + 1).as("rank"))
+      .orderBy(col("pkg"), col("rank"))
+  }
+
   /** The reference's 32-name priority list, generate_benchmark_list.js:29-38:
     * 4 ops × 2 suffixes × counts 1,10,100,1000, generated inner-to-outer
     * then unshifted — final order is the reverse of generation order.
