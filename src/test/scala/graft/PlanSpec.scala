@@ -1,0 +1,55 @@
+package graft
+
+import graft.llm.{Dedup, TextAnalysis}
+import graft.operators.RelationalQueries
+
+/** Physical-plan regression guards for the scale-critical plan shapes:
+  * these are the properties the 100 TB design depends on, locked in so
+  * a refactor that silently reintroduces a skewed window or drops a
+  * broadcast fails here rather than in production.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("tfidf doc-frequency is a broadcast join, never a term window") {
+    val plan = planOf(TextAnalysis.taTfidf(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    // windows may exist (doc-partitioned rank/len) but none may
+    // partition by the skew-prone term column
+    val termWindow = plan.split("\n")
+      .filter(_.contains("Window"))
+      .exists(l => l.contains("partitionBy") && l.contains("term")
+        || l.matches(".*Window.*\\[term#\\d+.*"))
+    assert(!termWindow, "found a term-partitioned window:\n" + plan.take(800))
+  }
+
+  test("ngram hot-shingle cap is a broadcast anti-join (no second shuffle of ex)") {
+    val plan = planOf(Dedup.ddNgramJaccard(spark, sf0001))
+    val antiLine = plan.split("\n").exists(l =>
+      l.contains("Broadcast") && l.contains("Join") && l.contains("LeftAnti"))
+    assert(antiLine,
+      "hot-bucket cap must be a broadcast anti join:\n" + plan.take(800))
+  }
+
+  test("dimension join broadcasts the small side") {
+    val plan = planOf(RelationalQueries.q04BroadcastDimJoin(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("lineitem scans prune columns and push filters") {
+    val plan = RelationalQueries.q01PricingSummary(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scan = plan.split("\n").find(_.contains("FileScan parquet"))
+    assert(scan.isDefined, "no parquet FileScan in plan")
+    assert(scan.get.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter not pushed: ${scan.get.take(300)}")
+    // q01 needs only a handful of lineitem columns; a full-width scan
+    // (16 cols) means pruning broke
+    val width = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scan.get)
+      .map(_.group(1).split(",").length).getOrElse(Int.MaxValue)
+    assert(width <= 8, s"scan reads $width columns: ${scan.get.take(300)}")
+  }
+}
