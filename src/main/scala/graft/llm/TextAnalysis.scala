@@ -358,6 +358,65 @@ object TextAnalysis {
       |  top_tok_frac, dup_2gram_ratio
       |FROM arr JOIN hist USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_vocab: corpus vocabulary head — top-20 terms by total frequency
+  // with document frequency alongside. The profiling query behind
+  // stopword lists, df cutoffs (MaxBucketDf), and tokenizer sanity
+  // checks. Two-phase partial-aggregable groupBy on term (map-side
+  // combine collapses hot terms before the shuffle — aggregation by a
+  // skewed key is safe; only WINDOWS over it are not), then a global
+  // top-k via one tiny ordered limit.
+  def taVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("freq"), countDistinct($"doc_id").as("doc_freq"))
+      .orderBy($"freq".desc, $"term".asc)
+      .limit(20)
+  }
+
+  val taVocabSql: String =
+    """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |SELECT term, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+      |FROM ex GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
+  // ta_corpus_stats: one-row corpus profile — document count, token
+  // count, vocabulary size, hapax count (terms seen once), mean doc
+  // length. Everything reduces through partial-aggregable aggregates;
+  // the only term-keyed state is the vocab groupBy (safe, see
+  // taVocab). The denominator math routes through exact integer sums,
+  // so the single output row is bit-stable at any partitioning.
+  def taCorpusStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val termCounts = docs
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+    val vocab = termCounts.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(when($"freq" === 1, 1L).otherwise(0L)).as("hapax_count"),
+      sum($"freq").as("total_tokens"))
+    val base = docs.agg(count(lit(1)).as("n_docs"))
+    base.crossJoin(vocab)
+      .select($"n_docs", $"total_tokens", $"vocab_size", $"hapax_count",
+        round($"total_tokens".cast("double") / $"n_docs", 6)
+          .as("mean_doc_tokens"))
+  }
+
+  val taCorpusStatsSql: String =
+    """WITH ex AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |tc AS (SELECT term, COUNT(*) AS freq FROM ex GROUP BY term),
+      |v AS (SELECT COUNT(*) AS vocab_size,
+      |    CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+      |    CAST(SUM(freq) AS BIGINT) AS total_tokens
+      |  FROM tc),
+      |b AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT n_docs, total_tokens, vocab_size, hapax_count,
+      |  ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_tokens
+      |FROM b CROSS JOIN v""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_lang_id" -> (taLangId _),
@@ -366,6 +425,8 @@ object TextAnalysis {
     "llm_ta_tfidf" -> (taTfidf _),
     "llm_ta_redact" -> (taRedact _),
     "llm_ta_repetition" -> (taRepetition _),
+    "llm_ta_vocab" -> (taVocab _),
+    "llm_ta_corpus_stats" -> (taCorpusStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -376,5 +437,7 @@ object TextAnalysis {
     "llm_ta_tfidf" -> taTfidfSql,
     "llm_ta_redact" -> taRedactSql,
     "llm_ta_repetition" -> taRepetitionSql,
+    "llm_ta_vocab" -> taVocabSql,
+    "llm_ta_corpus_stats" -> taCorpusStatsSql,
   )
 }
