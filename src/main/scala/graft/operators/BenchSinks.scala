@@ -85,6 +85,30 @@ object BenchSinks {
         }
       }
 
+  /** S7 (file_generator.go:229-238 CopyWWW): copy the frontend's
+    * static assets into the deploy root. A driver-side file copy by
+    * nature (a fixed handful of files, no data-parallelism to exploit),
+    * expressed through the Hadoop FileSystem API so source and
+    * destination may each be file://, hdfs://, or s3a:// — the same
+    * URI-agnosticism as [[writeSeriesJsonExact]], which together with
+    * it covers the reference's S8 publish step (`aws s3 sync` ≡
+    * writing every sink against an s3a:// deploy root directly; no
+    * staging-then-sync hop needed in an engine that writes remote URIs
+    * natively).
+    */
+  def copyStaticAssets(files: Seq[String], outDir: String): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dst = new org.apache.hadoop.fs.Path(outDir)
+    val dstFs = dst.getFileSystem(conf)
+    files.foreach { f =>
+      val src = new org.apache.hadoop.fs.Path(f)
+      val srcFs = src.getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcFs, src, dstFs, new org.apache.hadoop.fs.Path(dst, src.getName),
+        false /* keep source */, true /* overwrite */, conf)
+    }
+  }
+
   /** S6 (file_generator.go:192-208): the `test_names.json` catalog —
     * `{pkg: [test...]}`. Single small file by contract (`coalesce(1)`
     * is correct here: the catalog is distinct (pkg,test) pairs, tiny

@@ -58,6 +58,31 @@ class BenchSinksSpec extends SparkSpec {
     assert(keys == keys.sorted)
   }
 
+  test("static assets copy into the deploy root (S7), URI-agnostic") {
+    val srcDir = new java.io.File("/root/repo/target/test_assets_src")
+    srcDir.mkdirs()
+    val names = Seq("index.html", "common.js")
+    names.foreach { n =>
+      java.nio.file.Files.writeString(
+        new java.io.File(srcDir, n).toPath, s"content-of-$n")
+    }
+    val out = "/root/repo/target/test_assets_deploy"
+    // file:// URIs on both sides — the same call takes s3a://
+    BenchSinks.copyStaticAssets(
+      names.map(n => s"file://$srcDir/$n"), s"file://$out")
+    names.foreach { n =>
+      val got = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(out, n).toPath))
+      assert(got == s"content-of-$n")
+    }
+  }
+
+  test("ingest reads through explicit file:// URIs (S1 path shape)") {
+    val viaUri = spark.read.parquet("file:///root/testdata/sf0.001/region.parquet")
+    val viaPath = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    assert(viaUri.count() == viaPath.count())
+  }
+
   test("catalog JSON sink writes {pkg, tests} rows (S6)") {
     val out = "/root/repo/target/test_sink_catalog"
     BenchSinks.writeCatalogJson(BenchQueries.fact(spark), out)
