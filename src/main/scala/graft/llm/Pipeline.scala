@@ -65,11 +65,58 @@ object Pipeline {
        |WHERE cc.doc_id = cc.cluster_id AND q.quality >= 0.5 AND l.is_correct
        |ORDER BY cc.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_pack: training-shard packing — assign documents to
+  // fixed token-budget shards (next-fit by running total), the step
+  // that materializes a curated corpus into pretraining shards.
+  // Deterministic: docs are salted into W buckets by doc_id and packed
+  // within each bucket in doc_id order; a doc goes to the shard where
+  // its bucket's running total starts. The running-total window
+  // partitions on the BUCKET key (W ≈ cluster parallelism, uniform by
+  // construction — never a data-dependent skew key), which is how a
+  // global "cumulative sum" survives 100 TB: one bounded sequential
+  // scan per bucket instead of one global sort task.
+  private val PackBudget = 2000L
+  private val PackBuckets = 8L
+
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_toks"),
+        pmod($"doc_id", lit(PackBuckets)).as("bucket"))
+    val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum_toks", sum($"n_toks").over(w))
+      .select($"doc_id", $"n_toks", $"bucket",
+        expr(s"(cum_toks - n_toks) div $PackBudget").as("shard"),
+        $"cum_toks")
+      .orderBy($"doc_id")
+  }
+
+  val packSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    doc_id % $PackBuckets AS bucket
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_toks, bucket,
+       |    SUM(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+       |  FROM t)
+       |SELECT doc_id, n_toks, bucket,
+       |  (cum_toks - n_toks) // $PackBudget AS shard,
+       |  cum_toks
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_curate" -> (curate _),
+    "llm_pipeline_pack" -> (pack _),
   )
 
   val oracles: Map[String, String] = Map(
     "llm_pipeline_curate" -> curateSql,
+    "llm_pipeline_pack" -> packSql,
   )
 }
