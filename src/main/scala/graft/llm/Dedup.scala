@@ -97,21 +97,36 @@ object Dedup {
   private[graft] def ngramJaccardOn(
       spark: SparkSession, docsIn: DataFrame, cap: Long): DataFrame = {
     import spark.implicits._
+    ngramJaccardPairs(spark, docsIn, cap)
+      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+      .limit(100)
+  }
+
+  /** Full (doc_a, doc_b, n_inter, jaccard) pair table — no ordering or
+    * top-k — so measurement queries (llm_dd_lsh_recall) can threshold
+    * it as ground truth. */
+  private[graft] def ngramJaccardPairs(
+      spark: SparkSession, docsIn: DataFrame, cap: Long): DataFrame = {
+    import spark.implicits._
     graft.functions.Shingle3.register(spark)
     // TWO-LEVEL, like ddSimhashPairs: collapse exact-duplicate classes
-    // first (md5 of normalized text → representative = min doc_id),
-    // run ALL shingle work on representatives (D ≪ N on
-    // duplicate-heavy corpora — a 16×-replicated corpus costs the same
-    // as its base), and expand rep-level pairs back to doc pairs
-    // through the member table. Semantically identical to the
-    // doc-level form: duplicate docs have identical shingle sets, so
+    // first (md5 of the RAW text → representative = min doc_id), run
+    // ALL shingle work on representatives (D ≪ N on duplicate-heavy
+    // corpora — a 16×-replicated corpus costs the same as its base),
+    // and expand rep-level pairs back to doc pairs through the member
+    // table. The fingerprint must be the RAW text, not ddExact's
+    // normalized form: shingling runs on raw text, so only
+    // raw-identical docs are guaranteed identical shingle sets — a
+    // case- or whitespace-variant pair normalizes equal but shingles
+    // differently, and collapsing it would wrongly report jaccard 1.0
+    // (LlmSpec's variant corpus pins this). With that invariant the
+    // rewrite is semantically identical to the doc-level form:
     // cross-class pairs inherit the representative pair's Jaccard and
     // intra-class pairs share every kept shingle. The df cap weighs
     // each representative by its class size, so capped semantics match
     // doc-level df exactly.
     val docs = docsIn.select($"doc_id", $"text")
-    val classes = docs.select($"doc_id",
-      md5(lower(regexp_replace(trim($"text"), "\\s+", " "))).as("fp"))
+    val classes = docs.select($"doc_id", md5($"text").as("fp"))
     val classInfo = classes.groupBy($"fp")
       .agg(min($"doc_id").as("rep"), count(lit(1)).as("w"))
     val members = classes.join(classInfo, "fp").select($"rep", $"doc_id")
@@ -184,11 +199,11 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"n_inter",
         round($"n_inter".cast("double")
           / ($"na" + $"nb" - $"n_inter"), 6).as("jaccard"))
-      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
-      .limit(100)
   }
 
-  val ddNgramJaccardSql: String =
+  /** Oracle pair table (doc-level spec of [[ngramJaccardPairs]]),
+    * shared by the jaccard query and the LSH-recall measurement. */
+  private val ngramPairsSql: String =
     s"""$shingleCte,
        |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
@@ -203,7 +218,10 @@ object Dedup {
        |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
        |FROM inter
        |JOIN sz sa ON doc_a = sa.doc_id
-       |JOIN sz sb ON doc_b = sb.doc_id
+       |JOIN sz sb ON doc_b = sb.doc_id""".stripMargin
+
+  val ddNgramJaccardSql: String =
+    s"""$ngramPairsSql
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin
 
   // --------------------------------------------------------------------
@@ -468,13 +486,19 @@ object Dedup {
   //
   // Algorithm: hash-min label propagation — each round every vertex
   // takes min(own label, neighbors' labels); converges in O(component
-  // diameter) rounds, and near-dup clusters are short-diameter by
-  // construction. Each round is ONE shuffle join + aggregate over the
-  // edge list (|edges| ≪ corpus), with localCheckpoint truncating the
-  // lineage so round N's plan does not replay rounds 1..N-1 — the
-  // standard large-graph CC shape (GraphX/Pregel hash-min) expressed
-  // in DataFrames. The driver-side loop carries only a convergence
-  // COUNT per round, never rows.
+  // diameter) rounds, and the loop runs TO convergence (hash-min
+  // strictly decreases some label every non-converged round over a
+  // finite set, so termination is guaranteed in ≤ diameter rounds —
+  // a fixed round cap would silently return wrong cluster ids on any
+  // longer chain, e.g. sequential document revisions). Each round is
+  // ONE shuffle join + aggregate over the edge list (|edges| ≪
+  // corpus), with localCheckpoint truncating the lineage so round N's
+  // plan does not replay rounds 1..N-1 — the standard large-graph CC
+  // shape (GraphX/Pregel hash-min) expressed in DataFrames. The
+  // driver-side loop carries only a convergence bit per round, never
+  // rows, and each round frees the previous round's checkpoint blocks
+  // once the new one is materialized, so block storage holds at most
+  // two copies of the (doc_id, label) table at any time.
   def ddCluster(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lshPairs = ddMinhashLsh(spark, dir)
@@ -483,11 +507,15 @@ object Dedup {
     val edges = lshPairs
       .union(lshPairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .localCheckpoint() // computed once, joined every round
-    var labels = Tables.documents(spark, dir)
+    var pinned = Tables.documents(spark, dir)
       .select($"doc_id", $"doc_id".as("label")).localCheckpoint()
+    var labels = pinned
     var converged = false
     var round = 0
-    while (!converged && round < 50) {
+    while (!converged) {
+      round += 1
+      // tripwire, not a semantic cap: diameter cannot reach this
+      require(round <= 10000, s"ddCluster: $round rounds without convergence")
       val nbrMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
         .agg(min($"label").as("nbr_min"))
@@ -496,14 +524,28 @@ object Dedup {
           least($"label", coalesce($"nbr_min", $"label")).as("next"))
         .localCheckpoint()
       converged = updated.filter($"next" < $"label").isEmpty
+      freeCheckpoint(pinned) // superseded by `updated`, never read again
+      pinned = updated
       labels = updated.select($"doc_id", $"next".as("label"))
-      round += 1
     }
+    freeCheckpoint(edges) // loop-only input; the result reads `pinned`
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select($"doc_id", $"label".as("cluster_id"), $"cluster_size")
       .orderBy($"doc_id")
   }
+
+  /** Release the blocks behind a `localCheckpoint()`-ed DataFrame.
+    * `Dataset.unpersist` only talks to the CacheManager; checkpoint
+    * blocks belong to the internal RDD, reachable through the
+    * `LogicalRDD` leaf the checkpoint call returned. No-op on
+    * non-checkpointed plans. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   // The oracle states the SPEC, not the algorithm: transitive closure
   // by recursive CTE, then MIN(reachable label) per doc — any correct
@@ -523,6 +565,52 @@ object Dedup {
        |SELECT doc_id, cluster_id, cluster_size
        |FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_lsh_recall: precision/recall of the MinHash-LSH candidate
+  // generator (est_jaccard >= 0.75) against the true 3-gram Jaccard
+  // pairs at the same threshold — the dedup-side mirror of
+  // llm_ss_recall: the banding quality becomes a measured number
+  // instead of a by-construction claim. One summary row; both pair
+  // tables are localCheckpointed because each feeds two consumers
+  // (its own count and the hit join) and Spark does not dedupe common
+  // subplans.
+  def ddLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = ngramJaccardPairs(spark,
+        Tables.documents(spark, dir).selectExpr("doc_id", "text"), MaxBucketDf)
+      .filter($"jaccard" >= 0.75)
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint()
+    val cand = ddMinhashLsh(spark, dir)
+      .filter($"est_jaccard" >= 0.75)
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint()
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select($"n_truth", $"n_cand", $"n_hit",
+        round($"n_hit".cast("double") / $"n_cand", 6).as("precision"),
+        round($"n_hit".cast("double") / $"n_truth", 6).as("recall"))
+  }
+
+  val ddLshRecallSql: String =
+    s"""WITH truth AS (
+       |  SELECT doc_a, doc_b FROM ($ngramPairsSql) WHERE jaccard >= 0.75),
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM ($ddMinhashLshSql) WHERE est_jaccard >= 0.75),
+       |hits AS (
+       |  SELECT c.doc_a, c.doc_b FROM cand c
+       |  JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+       |SELECT
+       |  (SELECT COUNT(*) FROM truth) AS n_truth,
+       |  (SELECT COUNT(*) FROM cand) AS n_cand,
+       |  (SELECT COUNT(*) FROM hits) AS n_hit,
+       |  ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+       |    / (SELECT COUNT(*) FROM cand), 6) AS precision,
+       |  ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+       |    / (SELECT COUNT(*) FROM truth), 6) AS recall""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dd_exact" -> (ddExact _),
     "llm_dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -532,6 +620,7 @@ object Dedup {
     "llm_dd_simhash_pairs" -> (ddSimhashPairs _),
     "llm_dd_embedding_near" -> (ddEmbeddingNear _),
     "llm_dd_cluster" -> (ddCluster _),
+    "llm_dd_lsh_recall" -> (ddLshRecall _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -543,5 +632,6 @@ object Dedup {
     "llm_dd_simhash_pairs" -> ddSimhashPairsSql,
     "llm_dd_embedding_near" -> ddEmbeddingNearSql,
     "llm_dd_cluster" -> ddClusterSql,
+    "llm_dd_lsh_recall" -> ddLshRecallSql,
   )
 }

@@ -102,11 +102,12 @@ object Pipeline {
        |    doc_id % $PackBuckets AS bucket
        |  FROM documents),
        |c AS (SELECT doc_id, n_toks, bucket,
-       |    SUM(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+       |    CAST(SUM(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_toks
        |  FROM t)
        |SELECT doc_id, n_toks, bucket,
-       |  (cum_toks - n_toks) // $PackBudget AS shard,
+       |  CAST((cum_toks - n_toks) // $PackBudget AS BIGINT) AS shard,
        |  cum_toks
        |FROM c ORDER BY doc_id""".stripMargin
 

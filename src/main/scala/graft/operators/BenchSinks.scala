@@ -27,6 +27,8 @@ object BenchSinks {
           col("bytes_per_op").as("B"),
           col("mb_per_s").as("M")).as("stats"))))).as("series"))
       .write.mode(SaveMode.Overwrite)
+      // keep null stats as explicit JSON nulls (Go marshals all keys)
+      .option("ignoreNullFields", "false")
       .partitionBy("pkg")
       .json(outDir)
 
@@ -47,6 +49,10 @@ object BenchSinks {
     * path). File count equals test count by CONTRACT — the output is a
     * dashboard's data directory, frontend-sized at any corpus scale,
     * so per-row files are the point, not a small-files accident.
+    *
+    * `ignoreNullFields=false` because Go's json.Marshal always emits
+    * all four stat keys — a null stat must render as `"M":null`, not
+    * vanish, or a frontend indexing `.M` breaks.
     */
   def writeSeriesJsonExact(fact: DataFrame, outDir: String): Unit =
     fact
@@ -57,7 +63,8 @@ object BenchSinks {
           col("ns_per_op").as("N"),
           col("allocs_per_op").as("A"),
           col("bytes_per_op").as("B"),
-          col("mb_per_s").as("M")).as("stats")))))).as("body"))
+          col("mb_per_s").as("M")).as("stats"))))),
+        Map("ignoreNullFields" -> "false")).as("body"))
       .select(col("pkg"), col("test"), col("body"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val conf = new org.apache.hadoop.conf.Configuration()

@@ -18,10 +18,13 @@ object Tables {
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Session-scoped memo for a named DataFrame. The first build per
-    * (session, key) wins; entries are evicted when the session's
-    * application ends, so a long-lived multi-session process does not
-    * pin stopped sessions or their checkpointed blocks (the listener
-    * replaces an unbounded session-keyed map).
+    * (session, key) wins. Eviction is APPLICATION-END only: Spark has
+    * no per-session close event, so a session closed while the shared
+    * SparkContext lives on (multi-session server use) stays pinned —
+    * along with its checkpointed blocks — until the application exits.
+    * Acceptable for this engine's job-per-application deployments;
+    * a long-lived multi-tenant server would need to key a TTL/weak map
+    * here instead.
     */
   def sessionCached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     if (cleanupHooked.add(spark))

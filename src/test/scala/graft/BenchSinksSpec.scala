@@ -77,6 +77,59 @@ class BenchSinksSpec extends SparkSpec {
     }
   }
 
+  test("exact-layout sink dispatches through a second FS scheme (S8 path shape)") {
+    // graftfs:// (GraftTestFs via test core-site.xml) stands in for a
+    // remote deploy root: the sink must resolve the scheme's FileSystem
+    // and write through it — the branch an s3a:// root takes — rather
+    // than the raw-local fallback reserved for file://.
+    val out = "/root/repo/target/test_sink_scheme"
+    BenchSinks.writeSeriesJsonExact(BenchQueries.fact(spark), s"graftfs://$out")
+    val f = new java.io.File(s"$out/sql/BenchmarkBank2_Cockroach-8.json")
+    assert(f.isFile, s"graftfs:// write did not land at ${f.getPath}")
+    val body = new String(java.nio.file.Files.readAllBytes(f.toPath))
+    assert(body.startsWith("{\"01-01-2015\":{\"N\":"))
+    // and the copy step through the same second scheme, both directions
+    val srcDir = new java.io.File("/root/repo/target/test_assets_src2")
+    srcDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(srcDir, "plot.html").toPath, "asset-body")
+    BenchSinks.copyStaticAssets(
+      Seq(s"graftfs://$srcDir/plot.html"), s"graftfs://$out")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(out, "plot.html").toPath)) == "asset-body")
+  }
+
+  test("null stats serialize as explicit JSON nulls, all four keys present") {
+    import spark.implicits._
+    // mb_per_s is genuinely absent for non-throughput benchmarks; the
+    // Go reference marshals the zero value, and a consumer indexing .M
+    // must never hit a missing key. Fixture data is fully non-null, so
+    // build the null row directly.
+    val fact = Seq(
+      ("sql", "BenchmarkNullM-8", java.sql.Date.valueOf("2015-01-01"),
+        100L, 1L, 64L, Option.empty[Double]))
+      .toDF("pkg", "test", "date", "ns_per_op", "allocs_per_op",
+        "bytes_per_op", "mb_per_s")
+    val out = "/root/repo/target/test_sink_nulls"
+    BenchSinks.writeSeriesJsonExact(fact, out)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$out/sql/BenchmarkNullM-8.json").toPath))
+    assert(body.contains("\"M\":null"), s"null stat dropped from body: $body")
+    Seq("\"N\":", "\"A\":", "\"B\":", "\"M\":").foreach(k =>
+      assert(body.contains(k), s"missing key $k in $body"))
+    // the partitioned-idiom sink honors the same contract
+    val out2 = "/root/repo/target/test_sink_nulls_idiom"
+    BenchSinks.writeSeriesJson(fact, out2)
+    def walk(d: java.io.File): Seq[java.io.File] =
+      d.listFiles().toSeq.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    val jsonBody = walk(new java.io.File(out2))
+      .filter(_.getName.endsWith(".json"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+      .mkString
+    assert(jsonBody.contains("\"M\":null"),
+      s"partitioned sink dropped the null stat: $jsonBody")
+  }
+
   test("ingest reads through explicit file:// URIs (S1 path shape)") {
     val viaUri = spark.read.parquet("file:///root/testdata/sf0.001/region.parquet")
     val viaPath = spark.read.parquet("/root/testdata/sf0.001/region.parquet")

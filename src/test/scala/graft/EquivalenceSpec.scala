@@ -33,6 +33,18 @@ class EquivalenceSpec extends SparkSpec {
     assert(twoPhase == naive)
   }
 
+  test("explode(sequence) date spine equals the WITH RECURSIVE spine") {
+    // the registered plan is the generator; the recursive CTE stays as
+    // the exercised Spark 4 capability and as the shape the DuckDB
+    // oracle uses — they must stay row-identical
+    val fast = graft.operators.BenchQueries.dateSpine(spark, sf0001)
+      .collect().map(r => (r.getDate(0).toString, Option(r.get(1)))).toSeq
+    val rec = graft.operators.BenchQueries.dateSpineRecursive(spark, sf0001)
+      .collect().map(r => (r.getDate(0).toString, Option(r.get(1)))).toSeq
+    assert(fast == rec)
+    assert(fast.length == 74) // continuous daily axis over the golden range
+  }
+
   test("in-group combination pair generation equals the self-join") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 3000).map(_ =>

@@ -26,10 +26,20 @@ class LlmSpec extends SparkSpec {
     }
     // classes of size 1, 2 and 5 (doc ids interleaved so rep != min of
     // a contiguous block)
-    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+    val dups = base.zipWithIndex.flatMap { case (t, i) =>
       val copies = if (i % 5 == 0) 5 else if (i % 2 == 0) 2 else 1
       (0 until copies).map(k => (i + 25L * k, t))
     }
+    // normalization-equivalent but RAW-different twins: case and
+    // whitespace variants normalize equal (lower+trim+collapse) yet
+    // shingle differently, so they must NOT join the raw-dup class —
+    // a normalized class fingerprint would wrongly give them
+    // jaccard 1.0 against their twin (the ADVICE-r3 bug).
+    val variants = base.zipWithIndex.collect {
+      case (t, i) if i % 4 == 0 && t.nonEmpty => (i + 1000L, t.toUpperCase)
+      case (t, i) if i % 4 == 1               => (i + 2000L, " " + t)
+    }
+    val docs = dups ++ variants
     val cap = 6L
 
     def shingles(t: String): Seq[String] = {

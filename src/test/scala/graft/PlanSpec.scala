@@ -33,6 +33,28 @@ class PlanSpec extends SparkSpec {
       "hot-bucket cap must be a broadcast anti join:\n" + plan.take(800))
   }
 
+  test("pack running total windows on the salt bucket, never a single partition") {
+    val plan = planOf(graft.llm.Pipeline.pack(spark, sf0001))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty, "no window in pack plan:\n" + plan.take(600))
+    // windowspecdefinition lists partition columns first: the running
+    // total must partition on the uniform salt bucket — a refactor
+    // that drops it silently globalizes the cumulative sum into one
+    // sequential task at corpus scale
+    assert(winLines.forall(_.matches(".*windowspecdefinition\\(bucket#\\d+.*")),
+      "pack window must partition by bucket:\n" + winLines.mkString("\n"))
+    assert(!plan.contains("SinglePartition"),
+      "pack plan contains a single-partition exchange:\n" + plan.take(800))
+  }
+
+  test("date spine is a generator plan, not recursion") {
+    val plan = planOf(graft.operators.BenchQueries.dateSpine(spark, sf0001))
+    assert(plan.contains("Generate"),
+      "spine must come from explode(sequence(...)):\n" + plan.take(600))
+    assert(!plan.contains("UnionLoop") && !plan.contains("Recursi"),
+      "registered spine plan must not execute recursively:\n" + plan.take(800))
+  }
+
   test("dimension join broadcasts the small side") {
     val plan = planOf(RelationalQueries.q04BroadcastDimJoin(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))

@@ -206,4 +206,47 @@ class StreamingSpec extends SparkSpec {
     val n = graft.sources.Tables.events(spark, sf0001).count()
     assert(totalEvents == n, "session windows must partition the events")
   }
+
+  test("streaming sessionize equals batch session_window row-for-row on the fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val evRows = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    assert(evRows.nonEmpty)
+    val maxTs = evRows.map(_.ts.getTime).max
+    val mem = MemoryStream[Event]
+    val q = StreamPipelines.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_full_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(evRows.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // two far-future sentinel batches: first advances the watermark
+    // past every session end, second flushes the resulting timeouts
+    mem.addData(Event(-1L, new Timestamp(maxTs + 86400000L), -1L, "c", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(-2L, new Timestamp(maxTs + 2 * 86400000L), -1L, "c", 0.0))
+    q.processAllAvailable()
+    // keys at millisecond precision: the state machine tracks millis,
+    // and min/max commute with the µs→ms truncation, so batch µs
+    // bounds divided by 1000 are the exact streaming bounds
+    val streamed = spark.table("sess_full_out")
+      .filter($"user_id" >= 0)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime) -> (r.getLong(3), r.getDouble(4))).toMap
+    q.stop()
+    val batch = WindowQueries.stSession(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 1000,
+        r.getLong(2) / 1000) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"session sets differ: stream-only=${(streamed.keySet -- batch.keySet).take(3)}" +
+        s" batch-only=${(batch.keySet -- streamed.keySet).take(3)}")
+    batch.foreach { case (k, (n, sum)) =>
+      val (sn, ssum) = streamed(k)
+      assert(sn == n, s"$k: n_events $sn != $n")
+      // batch sums decimal-routed and rounded to 6 dp; streaming folds
+      // raw doubles in event order — equal to float noise + rounding
+      assert(math.abs(ssum - sum) < 1e-4, s"$k: sum_value $ssum != $sum")
+    }
+  }
 }
