@@ -27,21 +27,52 @@ import TextAnalysis.{h60, h60Sql}
   */
 object Dedup {
 
-  /** Word 3-gram shingles of the space-tokenized text: shingle i =
-    * toks[i] ' ' toks[i+1] ' ' toks[i+2] (1-based, i in 1..n-2). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // One fused codegen pass (graft.functions.Shingle3): tokenize +
-    // 3-gram + distinct with no interpreted lambdas. The previous
-    // zip_with-over-shifted-slices form (itself 5× faster than an
-    // index lambda, which re-splits per element) still ran the lambda
-    // machinery interpreted per row — this is the hottest string path
-    // in the dedup family, so it earns an expression like h60/vec_dot.
-    graft.functions.Shingle3.register(spark)
-    Tables.documents(spark, dir)
-      .select($"doc_id", expr("shingle3(text)").as("shingles"))
+  /** Exact-duplicate class collapse on the RAW text — the shared first
+    * level of every two-level rewrite here: `classInfo(fp, rep, w)` has
+    * one row per distinct text (representative = min doc_id, w = class
+    * size) and `members(rep, doc_id)` maps every doc to its class.
+    * RAW md5, never the normalized ddExact fingerprint: downstream
+    * shingle/token work runs on raw text, so only raw-identical docs
+    * are guaranteed identical shingle/token sets (a case or whitespace
+    * variant normalizes equal but shingles differently — LlmSpec's
+    * variant corpus pins this). */
+  private def rawClasses(docs: DataFrame): (DataFrame, DataFrame) = {
+    val classes = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val classInfo = classes.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("w"))
+    val members = classes.join(classInfo, "fp")
+      .select(col("rep"), col("doc_id"))
+    (classInfo, members)
   }
 
+  /** [[rawClasses]] of the `documents` table, built ONCE per (session,
+    * dir) and localCheckpointed: six dedup operators start from the
+    * same class collapse, and recomputing its md5 + groupBy + join
+    * sub-plan per query is exactly the duplicated-work shape the
+    * two-level rewrites exist to avoid. Both tables are narrow
+    * (ids + 16-byte digests — at production scale this is the
+    * "fingerprint table" a pipeline materializes once per corpus
+    * snapshot and every dedup stage reads). */
+  private def rawClassesFor(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val classInfo = Tables.sessionCached(spark, s"$dir#dd_classInfo") {
+      rawClasses(Tables.documents(spark, dir).select(
+        col("doc_id"), col("text")))._1.localCheckpoint()
+    }
+    val members = Tables.sessionCached(spark, s"$dir#dd_members") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .join(classInfo, "fp")
+        .select(col("rep"), col("doc_id"))
+        .localCheckpoint()
+    }
+    (classInfo, members)
+  }
+
+  // Shingling is one fused codegen pass (graft.functions.Shingle3:
+  // tokenize + 3-gram + distinct, no interpreted lambdas) — the
+  // hottest string path in the dedup family, so it earns an
+  // expression like h60/vec_dot. The oracle-side equivalent:
   private val shingleCte: String =
     """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -85,9 +116,14 @@ object Dedup {
     * (fixtures top out at df=25 at sf0.1, ~100 at 4× replication). */
   val MaxBucketDf = 1024
 
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardOn(spark,
-      Tables.documents(spark, dir).selectExpr("doc_id", "text"), MaxBucketDf)
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ngramJaccardPairs(spark,
+        Tables.documents(spark, dir).selectExpr("doc_id", "text"),
+        MaxBucketDf, Some(rawClassesFor(spark, dir)))
+      .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
+      .limit(100)
+  }
 
   /** Core of [[ddNgramJaccard]] over an arbitrary (doc_id, text)
     * DataFrame with an explicit df cap — separated so the doc-level
@@ -104,32 +140,26 @@ object Dedup {
 
   /** Full (doc_a, doc_b, n_inter, jaccard) pair table — no ordering or
     * top-k — so measurement queries (llm_dd_lsh_recall) can threshold
-    * it as ground truth. */
+    * it as ground truth. `classesIn` lets dir-based callers pass the
+    * session-cached class collapse ([[rawClassesFor]]); the
+    * property-test path over arbitrary corpora builds its own. */
   private[graft] def ngramJaccardPairs(
-      spark: SparkSession, docsIn: DataFrame, cap: Long): DataFrame = {
+      spark: SparkSession, docsIn: DataFrame, cap: Long,
+      classesIn: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     import spark.implicits._
     graft.functions.Shingle3.register(spark)
     // TWO-LEVEL, like ddSimhashPairs: collapse exact-duplicate classes
-    // first (md5 of the RAW text → representative = min doc_id), run
-    // ALL shingle work on representatives (D ≪ N on duplicate-heavy
-    // corpora — a 16×-replicated corpus costs the same as its base),
-    // and expand rep-level pairs back to doc pairs through the member
-    // table. The fingerprint must be the RAW text, not ddExact's
-    // normalized form: shingling runs on raw text, so only
-    // raw-identical docs are guaranteed identical shingle sets — a
-    // case- or whitespace-variant pair normalizes equal but shingles
-    // differently, and collapsing it would wrongly report jaccard 1.0
-    // (LlmSpec's variant corpus pins this). With that invariant the
-    // rewrite is semantically identical to the doc-level form:
-    // cross-class pairs inherit the representative pair's Jaccard and
-    // intra-class pairs share every kept shingle. The df cap weighs
-    // each representative by its class size, so capped semantics match
-    // doc-level df exactly.
+    // first ([[rawClasses]]), run ALL shingle work on representatives
+    // (D ≪ N on duplicate-heavy corpora — a 16×-replicated corpus
+    // costs the same as its base), and expand rep-level pairs back to
+    // doc pairs through the member table. Raw-identical docs have
+    // identical shingle sets, so the rewrite is semantically identical
+    // to the doc-level form: cross-class pairs inherit the
+    // representative pair's Jaccard and intra-class pairs share every
+    // kept shingle. The df cap weighs each representative by its class
+    // size, so capped semantics match doc-level df exactly.
     val docs = docsIn.select($"doc_id", $"text")
-    val classes = docs.select($"doc_id", md5($"text").as("fp"))
-    val classInfo = classes.groupBy($"fp")
-      .agg(min($"doc_id").as("rep"), count(lit(1)).as("w"))
-    val members = classes.join(classInfo, "fp").select($"rep", $"doc_id")
+    val (classInfo, members) = classesIn.getOrElse(rawClasses(docs))
     // localCheckpoint: one packed row per REPRESENTATIVE (shingle
     // array + class weight) feeds the hot-detect branch, the bucket
     // explode, and the intra-class sizes — materializing it once
@@ -236,14 +266,26 @@ object Dedup {
 
   def ddMinhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ex = shingled(spark, dir)
-      .select($"doc_id", explode($"shingles").as("shingle"))
+    graft.functions.Shingle3.register(spark)
+    // TWO-LEVEL ([[rawClasses]]): identical raw text → identical
+    // shingle set → identical signature, so the shingle + 8×hash-min
+    // aggregation runs once per duplicate class and fans back out
+    // through the member table — signatures for a 16×-replicated
+    // corpus cost ~the base corpus. The expansion adds two narrow
+    // shuffles (fp, rep) of id-sized rows; the saved work is the
+    // exploded-shingle aggregation, which dominates at any scale.
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val (classInfo, members) = rawClassesFor(spark, dir)
+    val ex = docs.join(classInfo.select($"rep"), $"doc_id" === $"rep")
+      .select($"rep", explode(expr("shingle3(text)")).as("shingle"))
       .withColumn("x31", h60($"shingle") % P31)
     val sigCols = minhashA.zip(minhashB).zipWithIndex.map {
       case ((a, b), i) =>
         min((col("x31") * a + b) % P31).as(s"sig$i")
     }
-    ex.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val repSigs = ex.groupBy($"rep").agg(sigCols.head, sigCols.tail: _*)
+    members.join(repSigs, "rep")
+      .select($"doc_id" +: (0 until 8).map(i => col(s"sig$i")): _*)
       .orderBy($"doc_id")
   }
 
@@ -342,8 +384,14 @@ object Dedup {
   // hash-aggregate — no row explosion, no shuffle beyond groupBy(doc).
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ex = Tables.documents(spark, dir)
-      .select($"doc_id",
+    // TWO-LEVEL ([[rawClasses]]): identical raw text → identical
+    // distinct-token set → identical simhash, so the token explosion
+    // and 32-sum aggregation run once per duplicate class — same
+    // rationale and same expansion cost as ddMinhashSigs.
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val (classInfo, members) = rawClassesFor(spark, dir)
+    val ex = docs.join(classInfo.select($"rep"), $"doc_id" === $"rep")
+      .select($"rep",
         explode(array_distinct(split($"text", " "))).as("tok"))
       .withColumn("h", h60($"tok") % P31)
     val bitSums = (0 until 32).map(b =>
@@ -351,8 +399,10 @@ object Dedup {
         .as(s"v$b"))
     val simhash = (0 until 32).map(b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    ex.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select($"doc_id", simhash.as("simhash"))
+    val repHash = ex.groupBy($"rep").agg(bitSums.head, bitSums.tail: _*)
+      .select($"rep", simhash.as("simhash"))
+    members.join(repHash, "rep")
+      .select($"doc_id", $"simhash")
       .orderBy($"doc_id")
   }
 
@@ -566,6 +616,49 @@ object Dedup {
        |FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_decontaminate: benchmark-contamination screening — flag
+  // training documents sharing >= 3 distinct word-3-gram shingles with
+  // any document of a held-out evaluation set (here the deterministic
+  // 10% slice doc_id % 10 == 0 stands in for the benchmark suite). The
+  // step a pretraining pipeline runs so eval answers don't leak into
+  // the training corpus.
+  //
+  // Scale shape: real benchmark suites are MB-sized against a 100 TB
+  // corpus, so the eval shingle table is BROADCAST — the corpus side
+  // is one narrow scan + codegen shingle explode + broadcast hash
+  // join; the only shuffle is the groupBy over the MATCHED rows, which
+  // are rare by construction. The corpus never shuffles.
+  private val DecontamMinShared = 3
+
+  def ddDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.Shingle3.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .select($"doc_id", explode(expr("shingle3(text)")).as("shingle"))
+    val evalSh = sh.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("eval_id"), $"shingle")
+    // shingle3 emits distinct shingles per doc, so the equi-join
+    // yields one row per element of the intersection: count == overlap
+    sh.filter($"doc_id" % 10 =!= 0)
+      .join(broadcast(evalSh), "shingle")
+      .groupBy($"doc_id", $"eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= DecontamMinShared)
+      .orderBy($"doc_id", $"eval_id")
+  }
+
+  val ddDecontaminateSql: String =
+    s"""$shingleCte,
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |ev AS (SELECT doc_id AS eval_id, shingle FROM ex WHERE doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 10 != 0)
+       |SELECT tr.doc_id, ev.eval_id, COUNT(*) AS n_shared
+       |FROM tr JOIN ev USING (shingle)
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $DecontamMinShared
+       |ORDER BY tr.doc_id, ev.eval_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_dd_lsh_recall: precision/recall of the MinHash-LSH candidate
   // generator (est_jaccard >= 0.75) against the true 3-gram Jaccard
   // pairs at the same threshold — the dedup-side mirror of
@@ -577,7 +670,8 @@ object Dedup {
   def ddLshRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val truth = ngramJaccardPairs(spark,
-        Tables.documents(spark, dir).selectExpr("doc_id", "text"), MaxBucketDf)
+        Tables.documents(spark, dir).selectExpr("doc_id", "text"),
+        MaxBucketDf, Some(rawClassesFor(spark, dir)))
       .filter($"jaccard" >= 0.75)
       .select($"doc_a", $"doc_b")
       .localCheckpoint()
@@ -621,6 +715,7 @@ object Dedup {
     "llm_dd_embedding_near" -> (ddEmbeddingNear _),
     "llm_dd_cluster" -> (ddCluster _),
     "llm_dd_lsh_recall" -> (ddLshRecall _),
+    "llm_dd_decontaminate" -> (ddDecontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -633,5 +728,6 @@ object Dedup {
     "llm_dd_embedding_near" -> ddEmbeddingNearSql,
     "llm_dd_cluster" -> ddClusterSql,
     "llm_dd_lsh_recall" -> ddLshRecallSql,
+    "llm_dd_decontaminate" -> ddDecontaminateSql,
   )
 }

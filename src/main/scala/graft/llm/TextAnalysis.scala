@@ -417,6 +417,54 @@ object TextAnalysis {
       |  ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_tokens
       |FROM b CROSS JOIN v""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_chunk: context-window chunking — split each document into
+  // overlapping token windows (64 tokens, stride 48 → 16-token
+  // overlap), the step that turns a curated corpus into model-sized
+  // pieces for embedding or pretraining-sequence pipelines. Output
+  // carries the window's coordinates and a 60-bit fingerprint of the
+  // reassembled chunk text (the chunk body itself would re-emit the
+  // corpus ~1.3×; a consumer re-slices from the coordinates).
+  //
+  // Scale shape: tokenization happens ONCE per document in the
+  // projection feeding the generator (the sequence generator's bounds
+  // need size(toks), so Catalyst cannot collapse the split() past the
+  // Generate — no per-chunk re-tokenization), then a bounded explode
+  // of start offsets and a narrow per-chunk slice+hash. Zero shuffles
+  // except the final orderBy; chunk count per doc is ~n/48.
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  def taChunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", explode(sequence(lit(0),
+        greatest(size($"toks") - 1, lit(0)), lit(ChunkStride))).as("start"))
+      .select($"doc_id",
+        expr(s"start div $ChunkStride").cast("long").as("chunk_id"),
+        $"start".cast("long").as("start_tok"),
+        slice($"toks", $"start" + 1, lit(ChunkTokens)).as("chunk"))
+      .select($"doc_id", $"chunk_id", $"start_tok",
+        size($"chunk").cast("long").as("n_toks"),
+        h60(array_join($"chunk", " ")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val taChunkSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |    unnest(range(0, len(toks), $ChunkStride)) AS start FROM t),
+       |c AS (SELECT doc_id,
+       |    CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+       |    CAST(start AS BIGINT) AS start_tok,
+       |    list_slice(toks, start + 1, start + $ChunkTokens) AS chunk
+       |  FROM s)
+       |SELECT doc_id, chunk_id, start_tok,
+       |  CAST(len(chunk) AS BIGINT) AS n_toks,
+       |  ${h60Sql("array_to_string(chunk, ' ')")} AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_lang_id" -> (taLangId _),
@@ -427,6 +475,7 @@ object TextAnalysis {
     "llm_ta_repetition" -> (taRepetition _),
     "llm_ta_vocab" -> (taVocab _),
     "llm_ta_corpus_stats" -> (taCorpusStats _),
+    "llm_ta_chunk" -> (taChunk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -439,5 +488,6 @@ object TextAnalysis {
     "llm_ta_repetition" -> taRepetitionSql,
     "llm_ta_vocab" -> taVocabSql,
     "llm_ta_corpus_stats" -> taCorpusStatsSql,
+    "llm_ta_chunk" -> taChunkSql,
   )
 }

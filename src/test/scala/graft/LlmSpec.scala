@@ -98,6 +98,40 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.ddNgramJaccard(spark, tmp).collect().isEmpty)
   }
 
+  test("decontamination flags planted n-gram overlap above threshold only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    // eval doc 10 (%10==0): shingles {abc bcd cde def efg}
+    // train doc 1 shares 3 shingles -> flagged with n_shared = 3
+    // train doc 2 shares 2 -> below the >=3 threshold
+    // train doc 3 disjoint
+    Seq((10L, "a b c d e f g"), (1L, "a b c d e x y"),
+      (2L, "a b c d"), (3L, "p q r s t"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = Dedup.ddDecontaminate(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 10L, 3L)), s"got $got")
+  }
+
+  test("chunks tile each document: sequential ids, stride starts, full coverage") {
+    val rows = TextAnalysis.taChunk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nToks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val n = nToks(doc)
+      sorted.zipWithIndex.foreach { case ((_, cid, start, nt), i) =>
+        assert(cid == i && start == 48L * i, s"doc $doc chunk grid broken")
+        assert(nt == math.min(64L, n - start), s"doc $doc chunk $i size $nt")
+      }
+      val (_, _, lastStart, lastN) = sorted.last
+      assert(lastStart + lastN == n, s"doc $doc not covered to its end")
+      assert(lastStart < n, s"doc $doc has an empty trailing chunk")
+    }
+  }
+
   test("hash sampling is deterministic and stratified quotas hold") {
     import graft.llm.Sampling
     val a = Sampling.sampleHash(spark, sf0001).collect().toSeq
