@@ -69,10 +69,30 @@ object Dedup {
     (classInfo, members)
   }
 
-  // Shingling is one fused codegen pass (graft.functions.Shingle3:
-  // tokenize + 3-gram + distinct, no interpreted lambdas) — the
-  // hottest string path in the dedup family, so it earns an
-  // expression like h60/vec_dot. The oracle-side equivalent:
+  /** One packed shingle row per class REPRESENTATIVE — (rep, w, n_sh,
+    * shingles) — built once per (session, dir) and localCheckpointed:
+    * the n-gram pair generator, the MinHash signatures, and the
+    * LSH-recall measurement all start from exactly this table, and the
+    * codegen shingle3 pass over the corpus (tokenize + 3-gram +
+    * distinct fused, no interpreted lambdas) is the hottest string
+    * work in the family. D rows with packed arrays — the smallest
+    * complete intermediate the dedup family has (the production
+    * analogue is the materialized shingle table a pipeline writes next
+    * to the fingerprint table, once per corpus snapshot). */
+  private def repShinglesFor(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, s"$dir#dd_repShingles") {
+      graft.functions.Shingle3.register(spark)
+      val (classInfo, _) = rawClassesFor(spark, dir)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), expr("shingle3(text)").as("shingles"))
+        .join(classInfo.select(col("rep"), col("w")),
+          col("doc_id") === col("rep"))
+        .select(col("rep"), col("w"),
+          size(col("shingles")).as("n_sh"), col("shingles"))
+        .localCheckpoint()
+    }
+
+  // Oracle-side shingling, equivalent to the codegen shingle3 pass:
   private val shingleCte: String =
     """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -118,12 +138,18 @@ object Dedup {
 
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    ngramJaccardPairs(spark,
-        Tables.documents(spark, dir).selectExpr("doc_id", "text"),
-        MaxBucketDf, Some(rawClassesFor(spark, dir)))
+    ngramPairsFor(spark, dir)
       .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
       .limit(100)
   }
+
+  /** Dir-based [[ngramJaccardPairs]] wired to the session-cached class
+    * and rep-shingle tables. */
+  private def ngramPairsFor(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(spark,
+      Tables.documents(spark, dir).selectExpr("doc_id", "text"),
+      MaxBucketDf, Some(rawClassesFor(spark, dir)),
+      Some(repShinglesFor(spark, dir)))
 
   /** Core of [[ddNgramJaccard]] over an arbitrary (doc_id, text)
     * DataFrame with an explicit df cap — separated so the doc-level
@@ -140,12 +166,14 @@ object Dedup {
 
   /** Full (doc_a, doc_b, n_inter, jaccard) pair table — no ordering or
     * top-k — so measurement queries (llm_dd_lsh_recall) can threshold
-    * it as ground truth. `classesIn` lets dir-based callers pass the
-    * session-cached class collapse ([[rawClassesFor]]); the
-    * property-test path over arbitrary corpora builds its own. */
+    * it as ground truth. `classesIn`/`shIn` let dir-based callers pass
+    * the session-cached class collapse ([[rawClassesFor]]) and packed
+    * rep-shingle table ([[repShinglesFor]]); the property-test path
+    * over arbitrary corpora builds its own. */
   private[graft] def ngramJaccardPairs(
       spark: SparkSession, docsIn: DataFrame, cap: Long,
-      classesIn: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+      classesIn: Option[(DataFrame, DataFrame)] = None,
+      shIn: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     graft.functions.Shingle3.register(spark)
     // TWO-LEVEL, like ddSimhashPairs: collapse exact-duplicate classes
@@ -167,11 +195,14 @@ object Dedup {
     // Unlike the doc-level exploded table (corpus × shingles rows,
     // measured a net loss to checkpoint), this is D rows with packed
     // arrays — the smallest complete intermediate the operator has.
-    val sh = docs
-      .select($"doc_id", expr("shingle3(text)").as("shingles"))
-      .join(classInfo.select($"rep", $"w"), $"doc_id" === $"rep")
-      .select($"rep", $"w", size($"shingles").as("n_sh"), $"shingles")
-      .localCheckpoint()
+    // Dir-based callers pass the session-cached build (repShinglesFor).
+    val sh = shIn.getOrElse {
+      docs
+        .select($"doc_id", expr("shingle3(text)").as("shingles"))
+        .join(classInfo.select($"rep", $"w"), $"doc_id" === $"rep")
+        .select($"rep", $"w", size($"shingles").as("n_sh"), $"shingles")
+        .localCheckpoint()
+    }
     // Candidate pairs via groupBy(shingle) + in-group combinations, NOT
     // a self-join: Spark does not dedupe common subplans, so joining
     // the exploded table with itself runs the whole shingle pipeline
@@ -266,18 +297,15 @@ object Dedup {
 
   def ddMinhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.Shingle3.register(spark)
-    // TWO-LEVEL ([[rawClasses]]): identical raw text → identical
-    // shingle set → identical signature, so the shingle + 8×hash-min
-    // aggregation runs once per duplicate class and fans back out
-    // through the member table — signatures for a 16×-replicated
-    // corpus cost ~the base corpus. The expansion adds two narrow
-    // shuffles (fp, rep) of id-sized rows; the saved work is the
-    // exploded-shingle aggregation, which dominates at any scale.
-    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-    val (classInfo, members) = rawClassesFor(spark, dir)
-    val ex = docs.join(classInfo.select($"rep"), $"doc_id" === $"rep")
-      .select($"rep", explode(expr("shingle3(text)")).as("shingle"))
+    // TWO-LEVEL ([[rawClassesFor]]): identical raw text → identical
+    // shingle set → identical signature, so the 8×hash-min aggregation
+    // runs once per duplicate class — over the session-cached packed
+    // rep-shingle table ([[repShinglesFor]], shared with the n-gram
+    // pair generator) — and fans back out through the member table:
+    // signatures for a 16×-replicated corpus cost ~the base corpus.
+    val (_, members) = rawClassesFor(spark, dir)
+    val ex = repShinglesFor(spark, dir)
+      .select($"rep", explode($"shingles").as("shingle"))
       .withColumn("x31", h60($"shingle") % P31)
     val sigCols = minhashA.zip(minhashB).zipWithIndex.map {
       case ((a, b), i) =>
@@ -669,9 +697,7 @@ object Dedup {
   // subplans.
   def ddLshRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val truth = ngramJaccardPairs(spark,
-        Tables.documents(spark, dir).selectExpr("doc_id", "text"),
-        MaxBucketDf, Some(rawClassesFor(spark, dir)))
+    val truth = ngramPairsFor(spark, dir)
       .filter($"jaccard" >= 0.75)
       .select($"doc_a", $"doc_b")
       .localCheckpoint()

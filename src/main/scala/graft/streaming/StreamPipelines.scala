@@ -108,6 +108,25 @@ object StreamPipelines {
         col("click_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** Stream-STATIC broadcast join + cumulative aggregation: screen an
+    * incoming document stream against a static benchmark shingle table
+    * — the streaming face of graft.llm.Dedup.ddDecontaminate, and the
+    * stream-static join surface (the static side is re-planned and
+    * broadcast per micro-batch; no watermark is needed because the
+    * join itself is stateless). Aggregation state is one counter per
+    * MATCHED (doc, eval) pair — bounded by true contamination volume,
+    * not corpus size — emitted in Update mode as a pair's shared-count
+    * grows. A production run would filter `n_shared >= K` at the sink.
+    */
+  def decontaminateStream(docs: DataFrame, evalShingles: DataFrame): DataFrame = {
+    graft.functions.Shingle3.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(expr("shingle3(text)")).as("shingle"))
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Streaming exact dedup: drop events whose event_id was already
     * seen, with state bounded by the watermark (a duplicate arriving
     * later than the watermark delay is passed through rather than

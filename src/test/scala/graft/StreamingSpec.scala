@@ -171,6 +171,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L), s"expected unique ids, got $ids")
   }
 
+  test("stream-static decontamination joins the broadcast eval table per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{explode, expr}
+    graft.functions.Shingle3.register(spark)
+    // eval doc 10 shingles: {abc bcd cde def efg}
+    val evalSh = Seq((10L, "a b c d e f g")).toDF("eval_id", "text")
+      .select($"eval_id", explode(expr("shingle3(text)")).as("shingle"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamPipelines
+      .decontaminateStream(mem.toDF().toDF("doc_id", "text"), evalSh)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Update).start()
+    mem.addData((1L, "a b c d e x y"), (2L, "a b c d"))
+    q.processAllAvailable()
+    mem.addData((3L, "c d e f g"))
+    q.processAllAvailable()
+    // update mode re-emits a key on change; the latest value per key
+    // is the cumulative shared-shingle count
+    val got = spark.table("decon_out")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    q.stop()
+    assert(got == Map((1L, 10L) -> 3L, (2L, 10L) -> 2L, (3L, 10L) -> 3L),
+      s"got $got")
+  }
+
   test("streaming ingest discovers new date dirs incrementally, exactly-once") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckp = s"$tmp/ckp"
