@@ -111,13 +111,46 @@ object Pipeline {
        |  cum_toks
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_split: LEAKAGE-SAFE train/val/test assignment — the
+  // split key is the duplicate-CLUSTER id, not the document id, so
+  // near-duplicate documents always land in the same split (a doc-id
+  // hash split leaks: a train doc's near-copy lands in test and
+  // inflates eval). 80/10/10 by the deterministic content-family hash
+  // h60(cluster_id); every member of a cluster inherits its
+  // assignment. Scale shape: ddCluster's output + one narrow hash
+  // projection — no new shuffle beyond the cluster computation itself.
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.ddCluster(spark, dir)
+      .withColumn("bucket", h60($"cluster_id".cast("string")) % 100)
+      .select($"doc_id", $"cluster_id",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val splitSql: String =
+    s"""WITH cc AS (${Dedup.ddClusterSql}),
+       |b AS (SELECT doc_id, cluster_id,
+       |    ${h60Sql("CAST(cluster_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM cc)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_curate" -> (curate _),
     "llm_pipeline_pack" -> (pack _),
+    "llm_pipeline_split" -> (leakageSafeSplit _),
   )
 
   val oracles: Map[String, String] = Map(
     "llm_pipeline_curate" -> curateSql,
     "llm_pipeline_pack" -> packSql,
+    "llm_pipeline_split" -> splitSql,
   )
 }

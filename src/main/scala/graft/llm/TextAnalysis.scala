@@ -465,6 +465,31 @@ object TextAnalysis {
        |  ${h60Sql("array_to_string(chunk, ' ')")} AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_length_hist: token-length histogram in 64-token bins — the
+  // corpus shape a shard planner or curriculum sampler reads before
+  // packing (how many short/long docs, extremes per bin). All-integer
+  // arithmetic, fully partial-aggregable: one narrow scan + one
+  // groupBy on a bounded key (bins, not docs).
+  def taLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(size(split($"text", " ")).cast("long").as("n_toks"))
+      .groupBy(expr("n_toks div 64").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_toks").as("min_toks"), max($"n_toks").as("max_toks"))
+      .select(($"bin" * 64).as("bin_lo"), $"n_docs", $"min_toks", $"max_toks")
+      .orderBy($"bin_lo")
+  }
+
+  val taLengthHistSql: String =
+    """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+      |h AS (SELECT n_toks // 64 AS bin, COUNT(*) AS n_docs,
+      |    MIN(n_toks) AS min_toks, MAX(n_toks) AS max_toks
+      |  FROM t GROUP BY 1)
+      |SELECT CAST(bin * 64 AS BIGINT) AS bin_lo, n_docs, min_toks, max_toks
+      |FROM h ORDER BY bin_lo""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_lang_id" -> (taLangId _),
@@ -476,6 +501,7 @@ object TextAnalysis {
     "llm_ta_vocab" -> (taVocab _),
     "llm_ta_corpus_stats" -> (taCorpusStats _),
     "llm_ta_chunk" -> (taChunk _),
+    "llm_ta_length_hist" -> (taLengthHist _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -489,5 +515,6 @@ object TextAnalysis {
     "llm_ta_vocab" -> taVocabSql,
     "llm_ta_corpus_stats" -> taCorpusStatsSql,
     "llm_ta_chunk" -> taChunkSql,
+    "llm_ta_length_hist" -> taLengthHistSql,
   )
 }

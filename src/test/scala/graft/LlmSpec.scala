@@ -132,6 +132,17 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split keeps every cluster member in one split") {
+    val rows = graft.llm.Pipeline.leakageSafeSplit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    rows.groupBy(_._2).foreach { case (cid, vs) =>
+      assert(vs.map(_._3).distinct.length == 1,
+        s"cluster $cid spans splits: ${vs.toSeq}")
+    }
+  }
+
   test("hash sampling is deterministic and stratified quotas hold") {
     import graft.llm.Sampling
     val a = Sampling.sampleHash(spark, sf0001).collect().toSeq

@@ -55,6 +55,13 @@ class PlanSpec extends SparkSpec {
       "registered spine plan must not execute recursively:\n" + plan.take(800))
   }
 
+  test("decontamination broadcasts the eval shingle table") {
+    val plan = planOf(Dedup.ddDecontaminate(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval shingles must broadcast — the corpus side may never " +
+        "shuffle to meet a benchmark-sized table:\n" + plan.take(600))
+  }
+
   test("dimension join broadcasts the small side") {
     val plan = planOf(RelationalQueries.q04BroadcastDimJoin(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
