@@ -343,11 +343,16 @@ object Dedup {
     // Bands carry the full signature in the row struct so est_jaccard
     // needs no join back to the sigs table.
     val sigCols = (0 until 8).map(i => col(s"sig$i"))
-    // localCheckpoint: 4 band rows per doc (struct of band, key, 8-long
-    // sig array) — tiny at any scale, and it feeds both the bucket-size
-    // pre-count and the pair generation, so the signature pipeline
-    // (shingle + 8 hash-mins per doc) runs exactly once.
-    val bands = ddMinhashSigs(spark, dir)
+    // Session-cached localCheckpoint: 4 band rows per doc (struct of
+    // band, key, 8-long sig array) — tiny at any scale, and it feeds
+    // the bucket-size pre-count, the pair generation, AND every
+    // downstream consumer of the candidate generator (cluster, recall,
+    // curate, split), so the signature pipeline (shingle + 8 hash-mins
+    // per doc) runs once per session, not once per consumer — the
+    // materialized band index a production dedup pipeline writes next
+    // to the fingerprint and shingle tables.
+    val bands = Tables.sessionCached(spark, s"$dir#dd_bands") {
+      ddMinhashSigs(spark, dir)
       .select($"doc_id" +: array((0 until 4).map(j =>
         struct(lit(j).as("band"),
           concat_ws(":", col(s"sig${2 * j}"), col(s"sig${2 * j + 1}"))
@@ -356,6 +361,7 @@ object Dedup {
       .select($"doc_id", $"bk.band", $"bk.key",
         array(sigCols: _*).as("sigs"))
       .localCheckpoint()
+    }
     val agree = (0 until 8).map(i =>
         when(col(s"pa.sigs")(i) === col(s"pb.sigs")(i), 1).otherwise(0))
       .reduce(_ + _)

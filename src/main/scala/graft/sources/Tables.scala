@@ -36,7 +36,21 @@ object Tables {
           cleanupHooked.remove(spark)
         }
       })
-    cache.computeIfAbsent((spark, key), _ => build)
+    // get-then-putIfAbsent rather than computeIfAbsent: a build may
+    // itself call sessionCached for its inputs (e.g. the LSH band
+    // table builds from the cached class + shingle tables), and a
+    // nested computeIfAbsent on the same map throws "Recursive
+    // update". The benign race (two threads building the same key
+    // once) is acceptable — the driver is effectively single-threaded
+    // per session and the loser's build is discarded.
+    val k = (spark, key)
+    val existing = cache.get(k)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = cache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** One parquet-backed DataFrame per (session, dir, table), built once
