@@ -132,6 +132,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("chunking equals the naive sliding-window reference on random docs") {
+    val rnd = new scala.util.Random(13)
+    val docs = (0L until 60L).map { i =>
+      val n = rnd.nextInt(200)
+      (i, (0 until n).map(_ => s"t${rnd.nextInt(50)}").mkString(" "))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    def h60Ref(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val naive = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 until toks.length by 48).map { start =>
+        val chunk = toks.slice(start, start + 64)
+        (id, (start / 48).toLong, start.toLong, chunk.length.toLong,
+          h60Ref(chunk.mkString(" ")))
+      }
+    }.toSet
+    val got = TextAnalysis.taChunk(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == naive,
+      s"diff: got-only=${(got -- naive).take(3)} ref-only=${(naive -- got).take(3)}")
+  }
+
   test("leakage-safe split keeps every cluster member in one split") {
     val rows = graft.llm.Pipeline.leakageSafeSplit(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
