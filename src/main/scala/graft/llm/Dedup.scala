@@ -471,11 +471,14 @@ object Dedup {
     // instead of O(N-bucket²), and because every doc has exactly one
     // value, the expansion emits each doc pair exactly once: the 2M-row
     // distinct() of the doc-level form disappears entirely.
-    // localCheckpoint: the (doc_id, simhash) table feeds six join
-    // branches; materializing it once replaces six runs of the
-    // explode+md5+32-sum aggregation. It is N rows × 16 bytes — tiny
+    // Session-cached localCheckpoint: the (doc_id, simhash) table
+    // feeds six join branches here and the standalone simhash query;
+    // materializing it once per (session, dir) replaces every rerun of
+    // the explode+32-sum aggregation. It is N rows × 16 bytes — tiny
     // relative to the corpus at any scale.
-    val sh = ddSimhash(spark, dir).localCheckpoint()
+    val sh = Tables.sessionCached(spark, s"$dir#dd_simhash") {
+      ddSimhash(spark, dir).localCheckpoint()
+    }
     val vbands = sh.select($"simhash").distinct()
       .select($"simhash", explode(array(
         (0 until 4).map(j => struct(lit(j).as("band"),

@@ -53,4 +53,29 @@ class SourceFormatsSpec extends SparkSpec {
     assert(back.orderBy($"event_id").collect().toSeq ==
       sample.collect().toSeq)
   }
+
+  test("sessionCached memoizes and supports nested builds") {
+    import graft.sources.Tables
+    // nested: a cached build may itself resolve cached inputs (the LSH
+    // band table builds from the class/shingle tables) — this used to
+    // trip ConcurrentHashMap's recursive-update check
+    var outerBuilds, innerBuilds = 0
+    val outer = Tables.sessionCached(spark, "spec#outer") {
+      outerBuilds += 1
+      val inner = Tables.sessionCached(spark, "spec#inner") {
+        innerBuilds += 1; spark.range(3).toDF()
+      }
+      inner.withColumn("x", org.apache.spark.sql.functions.lit(1))
+    }
+    assert(outer.count() == 3)
+    val again = Tables.sessionCached(spark, "spec#outer") {
+      outerBuilds += 1; spark.range(99).toDF()
+    }
+    assert(again eq outer, "second lookup must return the memoized frame")
+    assert(outerBuilds == 1 && innerBuilds == 1)
+    assert(Tables.sessionCached(spark, "spec#inner") {
+      innerBuilds += 1; spark.range(99).toDF()
+    }.count() == 3)
+    assert(innerBuilds == 1)
+  }
 }
