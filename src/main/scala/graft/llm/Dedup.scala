@@ -144,12 +144,18 @@ object Dedup {
   }
 
   /** Dir-based [[ngramJaccardPairs]] wired to the session-cached class
-    * and rep-shingle tables. */
+    * and rep-shingle tables, itself materialized once per (session,
+    * dir): the jaccard query and the LSH-recall ground truth both
+    * consume the full pair table — the near-dup edge list a production
+    * pipeline persists beside the cluster assignments. */
   private def ngramPairsFor(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(spark,
-      Tables.documents(spark, dir).selectExpr("doc_id", "text"),
-      MaxBucketDf, Some(rawClassesFor(spark, dir)),
-      Some(repShinglesFor(spark, dir)))
+    Tables.sessionCached(spark, s"$dir#dd_ngramPairs") {
+      ngramJaccardPairs(spark,
+        Tables.documents(spark, dir).selectExpr("doc_id", "text"),
+        MaxBucketDf, Some(rawClassesFor(spark, dir)),
+        Some(repShinglesFor(spark, dir)))
+        .localCheckpoint()
+    }
 
   /** Core of [[ddNgramJaccard]] over an arbitrary (doc_id, text)
     * DataFrame with an explicit df cap — separated so the doc-level
@@ -586,7 +592,18 @@ object Dedup {
   // rows, and each round frees the previous round's checkpoint blocks
   // once the new one is materialized, so block storage holds at most
   // two copies of the (doc_id, label) table at any time.
-  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+  // The driver-side propagation loop runs EAGERLY at DataFrame-build
+  // time, so the memo also keeps the loop from re-running for each of
+  // the three consumers (the cluster query, curate, split); the
+  // returned plan reads the final round's checkpointed labels. The
+  // (doc → cluster) assignment is THE artifact a dedup pipeline
+  // persists, so a per-corpus materialization is the production shape.
+  def ddCluster(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, s"$dir#dd_cluster") {
+      ddClusterImpl(spark, dir)
+    }
+
+  private def ddClusterImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lshPairs = ddMinhashLsh(spark, dir)
       .filter($"est_jaccard" >= 0.75)

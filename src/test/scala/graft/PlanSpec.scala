@@ -26,7 +26,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ngram hot-shingle cap is a broadcast anti-join (no second shuffle of ex)") {
-    val plan = planOf(Dedup.ddNgramJaccard(spark, sf0001))
+    // the registered query reads the session-cached pair table, so
+    // guard the plan of the BUILD itself (the uncached path)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text")
+    val plan = planOf(Dedup.ngramJaccardOn(spark, docs, Dedup.MaxBucketDf))
     val antiLine = plan.split("\n").exists(l =>
       l.contains("Broadcast") && l.contains("Join") && l.contains("LeftAnti"))
     assert(antiLine,
