@@ -137,6 +137,29 @@ object StreamPipelines {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** foreachBatch upsert sink: each micro-batch dynamically OVERWRITES
+    * exactly the date partitions it carries — the incremental-repair
+    * semantics of the reference's daily re-sync (a re-generated day
+    * replaces that day's partition; untouched days are never
+    * rewritten). Contract: a re-delivery must carry the day's full
+    * regenerated content, which is how the reference re-uploads whole
+    * day dirs. foreachBatch is the arbitrary-sink surface — the batch
+    * is a plain DataFrame, so the engine's batch writers apply
+    * verbatim inside a streaming checkpointed run. */
+  def ingestUpsertStream(spark: SparkSession, srcDir: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.BenchIngest.streamingIngest(spark, srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("date")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** File-source -> parquet-sink incremental pipeline: the streaming
     * replacement for the reference's sync-and-rerun batch loop.
     * Trigger.AvailableNow processes the backlog exactly-once and

@@ -225,6 +225,41 @@ class StreamingSpec extends SparkSpec {
     assert(runOnce() == 3L)
   }
 
+  test("foreachBatch upsert replaces re-delivered date partitions, keeps others") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckp = s"$tmp/ckp"
+    def writeFile(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(src, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    def runOnce(): Map[(String, String), Long] = {
+      StreamPipelines.ingestUpsertStream(spark, src, out, ckp)
+        .awaitTermination()
+      spark.read.parquet(out)
+        .select("test", "date", "ns_per_op").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+        .toMap
+    }
+    writeFile("01-01-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 100 ns/op")
+    assert(runOnce() == Map(("BenchmarkA-8", "2015-01-01") -> 100L))
+    // a new day lands: its partition is written, day 1 untouched
+    writeFile("02-01-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 90 ns/op")
+    assert(runOnce() == Map(
+      ("BenchmarkA-8", "2015-01-01") -> 100L,
+      ("BenchmarkA-8", "2015-01-02") -> 90L))
+    // day 2 regenerated (full content re-delivered as a new file): its
+    // partition is REPLACED — the stale 90 row disappears, day 1 stays
+    writeFile("02-01-2015/cockroach/sql/b.test.stdout",
+      "BenchmarkA-8 \t 10 \t 95 ns/op\nBenchmarkB-8 \t 10 \t 50 ns/op")
+    assert(runOnce() == Map(
+      ("BenchmarkA-8", "2015-01-01") -> 100L,
+      ("BenchmarkA-8", "2015-01-02") -> 95L,
+      ("BenchmarkB-8", "2015-01-02") -> 50L))
+  }
+
   test("batch session_window agrees with hand-rolled sessionization totals") {
     val batch = WindowQueries.stSession(spark, sf0001)
     val totalEvents = batch.agg(org.apache.spark.sql.functions.sum("n_events"))
