@@ -451,6 +451,143 @@ object Similarity {
       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s2) WHERE rn = 1)
       |SELECT vec_id, cid, ROUND(d2, 6) AS d2 FROM a2 ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Product quantization — the memory-compression member of the ANN
+  // toolbox (alongside bucketed LSH and IVF): each 64-dim vector is
+  // encoded as 8 sub-codes, one per 8-dim subspace, by nearest
+  // codebook centroid; search scores candidates through an
+  // asymmetric-distance (ADC) lookup table instead of touching raw
+  // vectors. Codebooks here are seeded from vectors 0..3 per subspace
+  // (deterministic, like the kmeans seeds — a production build would
+  // run Lloyd per subspace on a sample; the plan shapes are
+  // identical).
+  //
+  // Scale shape: encode is a narrow scan with a BROADCAST 8×4
+  // codebook (the corpus never shuffles to encode); search builds an
+  // (n_queries × 8 × 4)-row ADC table on the broadcast side and joins
+  // it to the unpivoted code table — the corpus side touches only
+  // integer codes, which is the point of PQ at 100 TB: the raw
+  // vectors stay on disk.
+  private val PqSub = 8   // subspaces
+  private val PqDim = 8   // dimensions per subspace
+  private val PqK = 4     // centroids per subspace codebook
+
+  /** (s, cid, cv): centroid `cid` of subspace `s`. */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), explode(array((0 until PqSub).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("v"), s * PqDim + 1, PqDim).as("cv"))): _*)).as("x"))
+      .select(col("x.s").as("s"), col("cid"), col("x.cv").as("cv"))
+
+  def ssPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir).select($"vec_id", $"v")
+    val cb = pqCodebook(e)
+      .groupBy($"s").agg(collect_list(struct($"cid", $"cv")).as("cbs"))
+    // per-subspace argmin via array_min over (d2, cid) structs —
+    // lexicographic, so ties break on cid; d2 composes vec_dot folds
+    // with the same association the kmeans assign proved bit-identical
+    // cross-engine
+    val coded = e
+      .select($"vec_id", explode(array((0 until PqSub).map(s =>
+        struct(lit(s).as("s"),
+          slice($"v", s * PqDim + 1, PqDim).as("sub"))): _*)).as("x"))
+      .select($"vec_id", $"x.s".as("s"), $"x.sub".as("sub"))
+      .join(broadcast(cb), "s")
+      .select($"vec_id", $"s", expr(
+        """array_min(transform(cbs, c -> named_struct(
+          |  'd2', vec_dot(sub, sub) - 2.0d * vec_dot(sub, c.cv) + vec_dot(c.cv, c.cv),
+          |  'cid', c.cid)))""".stripMargin).as("best"))
+      .select($"vec_id", $"s", $"best.cid".as("code"))
+    coded.groupBy($"vec_id")
+      .agg(max(when($"s" === 0, $"code")).as("c0"),
+        (1 until PqSub).map(i =>
+          max(when($"s" === i, $"code")).as(s"c$i")): _*)
+      .orderBy($"vec_id")
+  }
+
+  private val pqCbCte: String = {
+    val sGen = s"(SELECT unnest(range(0, $PqSub)) AS s) sp"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT sp.s, vec_id AS cid,
+       |    v[sp.s * $PqDim + 1 : sp.s * $PqDim + $PqDim] AS cv
+       |  FROM e, $sGen WHERE vec_id < $PqK),
+       |sub AS (SELECT vec_id, sp.s,
+       |    v[sp.s * $PqDim + 1 : sp.s * $PqDim + $PqDim] AS sub
+       |  FROM e, $sGen),
+       |d AS (SELECT vec_id, sub.s, cid,
+       |    list_dot_product(sub, sub) - 2.0 * list_dot_product(sub, cv)
+       |      + list_dot_product(cv, cv) AS d2
+       |  FROM sub JOIN cb ON sub.s = cb.s),
+       |codes_long AS (SELECT vec_id, s, cid AS code FROM (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+       |  FROM d) WHERE rn = 1)""".stripMargin
+  }
+
+  val ssPqEncodeSql: String = {
+    val cols = (0 until PqSub).map(i =>
+      s"MAX(CASE WHEN s = $i THEN code END) AS c$i").mkString(",\n  ")
+    s"""$pqCbCte
+       |SELECT vec_id,
+       |  $cols
+       |FROM codes_long GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  def ssPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir).select($"vec_id", $"v")
+    // ADC table: d2 from each query's subvector to every centroid —
+    // n_queries × 8 × 4 rows, broadcast
+    val adc = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .crossJoin(pqCodebook(e))
+      .select($"q_id", $"s", $"cid", expr(
+        s"""vec_dot(slice(qv, s * $PqDim + 1, $PqDim), slice(qv, s * $PqDim + 1, $PqDim))
+           | - 2.0d * vec_dot(slice(qv, s * $PqDim + 1, $PqDim), cv)
+           | + vec_dot(cv, cv)""".stripMargin).as("d2"))
+    // corpus side: unpivot the session-cached code table and look up —
+    // integer codes only, no raw vectors
+    val codes = Tables.sessionCached(spark, s"$dir#pq_codes") {
+      ssPqEncode(spark, dir).localCheckpoint()
+    }
+    val codeLong = codes
+      .select($"vec_id", explode(array((0 until PqSub).map(i =>
+        struct(lit(i).as("s"), col(s"c$i").as("cid"))): _*)).as("x"))
+      .select($"vec_id", $"x.s".as("s"), $"x.cid".as("cid"))
+    // DECIMAL(28,12) makes the 8-term sum order-insensitive, so the
+    // estimate is identical however the partial aggregation groups
+    val est = codeLong.join(broadcast(adc), Seq("s", "cid"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(round(sum($"d2".cast("decimal(28,12)")).cast("double"), 6)
+        .as("est_d2"))
+    val w = Window.partitionBy($"q_id").orderBy($"est_d2".asc, $"vec_id".asc)
+    est.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"est_d2")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssPqSearchSql: String =
+    s"""$pqCbCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+       |adc AS (SELECT q_id, cb.s, cb.cid,
+       |    list_dot_product(qv[cb.s * $PqDim + 1 : cb.s * $PqDim + $PqDim],
+       |                     qv[cb.s * $PqDim + 1 : cb.s * $PqDim + $PqDim])
+       |      - 2.0 * list_dot_product(qv[cb.s * $PqDim + 1 : cb.s * $PqDim + $PqDim], cv)
+       |      + list_dot_product(cv, cv) AS d2
+       |  FROM q CROSS JOIN cb),
+       |est AS (SELECT q_id, vec_id,
+       |    ROUND(CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE), 6) AS est_d2
+       |  FROM codes_long cl JOIN adc ON cl.s = adc.s AND cl.code = adc.cid
+       |  WHERE vec_id <> q_id
+       |  GROUP BY q_id, vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY est_d2, vec_id) AS rank FROM est)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, est_d2
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ss_topk" -> (ssTopk _),
     "llm_ss_lsh_bucket" -> (ssLshBucket _),
@@ -460,6 +597,8 @@ object Similarity {
     "llm_ss_ivf_probe" -> (ssIvfProbe _),
     "llm_ss_recall" -> (ssRecall _),
     "llm_ss_kmeans" -> (ssKmeans _),
+    "llm_ss_pq_encode" -> (ssPqEncode _),
+    "llm_ss_pq_search" -> (ssPqSearch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -471,5 +610,7 @@ object Similarity {
     "llm_ss_ivf_probe" -> ssIvfProbeSql,
     "llm_ss_recall" -> ssRecallSql,
     "llm_ss_kmeans" -> ssKmeansSql,
+    "llm_ss_pq_encode" -> ssPqEncodeSql,
+    "llm_ss_pq_search" -> ssPqSearchSql,
   )
 }

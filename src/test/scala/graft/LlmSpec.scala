@@ -238,6 +238,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("pq codes lie in the codebook and seed vectors encode to themselves") {
+    val codes = Similarity.ssPqEncode(spark, sf0001).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      (1 to 8).foreach { i =>
+        val c = r.getLong(i)
+        assert(c >= 0 && c < 4, s"code $c outside the 4-entry codebook")
+      }
+    }
+    // a seed vector's subvectors ARE centroids (d2 = 0), so it must
+    // encode to its own cid in every subspace
+    codes.filter(_.getLong(0) < 4).foreach { r =>
+      (1 to 8).foreach(i => assert(r.getLong(i) == r.getLong(0),
+        s"seed ${r.getLong(0)} mis-encoded in subspace ${i - 1}"))
+    }
+  }
+
   test("language-id prediction is deterministic and within the label set") {
     val preds = TextAnalysis.taLangId(spark, sf0001)
       .select("pred_lang").distinct().as[String].collect().toSet
