@@ -337,8 +337,11 @@ object Similarity {
         .select(lit("lsh_probe").as("method"), $"q_id", $"neighbor_id"))
       .union(ssIvfProbe(spark, dir).filter($"q_id" < 5)
         .select(lit("ivf_probe").as("method"), $"q_id", $"neighbor_id"))
+      .union(ssPqSearch(spark, dir).filter($"q_id" < 5)
+        .select(lit("pq_adc").as("method"), $"q_id", $"neighbor_id"))
     val grid = exact.select($"q_id").distinct()
-      .crossJoin(Seq("lsh_bucket", "lsh_probe", "ivf_probe").toDF("method"))
+      .crossJoin(Seq("lsh_bucket", "lsh_probe", "ivf_probe", "pq_adc")
+        .toDF("method"))
     val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
       .groupBy($"method", $"q_id").agg(count(lit(1)).as("n_hit"))
     grid.join(hits, Seq("method", "q_id"), "left")
@@ -349,9 +352,11 @@ object Similarity {
       .orderBy($"method", $"q_id")
   }
 
-  // DuckDB supports nested WITH inside a CTE body, so the three method
+  // DuckDB supports nested WITH inside a CTE body, so the four method
   // queries embed verbatim — same text the standalone oracles run.
-  val ssRecallSql: String =
+  // lazy: ssPqSearchSql is declared later in the object, and a strict
+  // val here would capture null during initialization.
+  lazy val ssRecallSql: String =
     s"""WITH exact3 AS (
        |  SELECT q_id, neighbor_id FROM ($ssTopkSql)
        |  WHERE rank <= 3 AND q_id < 5),
@@ -363,11 +368,15 @@ object Similarity {
        |  FROM ($ssLshProbeSql) WHERE q_id < 5
        |  UNION ALL
        |  SELECT 'ivf_probe' AS method, q_id, neighbor_id
-       |  FROM ($ssIvfProbeSql) WHERE q_id < 5),
+       |  FROM ($ssIvfProbeSql) WHERE q_id < 5
+       |  UNION ALL
+       |  SELECT 'pq_adc' AS method, q_id, neighbor_id
+       |  FROM ($ssPqSearchSql) WHERE q_id < 5),
        |grid AS (
        |  SELECT method, q_id
        |  FROM (SELECT DISTINCT q_id FROM exact3)
-       |  CROSS JOIN (VALUES ('lsh_bucket'), ('lsh_probe'), ('ivf_probe')) AS m(method)),
+       |  CROSS JOIN (VALUES ('lsh_bucket'), ('lsh_probe'), ('ivf_probe'),
+       |    ('pq_adc')) AS m(method)),
        |hits AS (
        |  SELECT method, a.q_id, COUNT(*) AS n_hit
        |  FROM approx a JOIN exact3 e
@@ -539,7 +548,7 @@ object Similarity {
     val e = withNorm(spark, dir).select($"vec_id", $"v")
     // ADC table: d2 from each query's subvector to every centroid —
     // n_queries × 8 × 4 rows, broadcast
-    val adc = e.filter($"vec_id" < 3)
+    val adc = e.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
       .crossJoin(pqCodebook(e))
       .select($"q_id", $"s", $"cid", expr(
@@ -571,7 +580,7 @@ object Similarity {
 
   val ssPqSearchSql: String =
     s"""$pqCbCte,
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
        |adc AS (SELECT q_id, cb.s, cb.cid,
        |    list_dot_product(qv[cb.s * $PqDim + 1 : cb.s * $PqDim + $PqDim],
        |                     qv[cb.s * $PqDim + 1 : cb.s * $PqDim + $PqDim])

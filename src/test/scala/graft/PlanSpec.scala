@@ -66,6 +66,13 @@ class PlanSpec extends SparkSpec {
         "shuffle to meet a benchmark-sized table:\n" + plan.take(600))
   }
 
+  test("pq encode broadcasts the codebook (corpus never shuffles to encode)") {
+    val plan = planOf(graft.llm.Similarity.ssPqEncode(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "codebook join must not shuffle the corpus:\n" + plan.take(800))
+  }
+
   test("dimension join broadcasts the small side") {
     val plan = planOf(RelationalQueries.q04BroadcastDimJoin(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
