@@ -142,15 +142,73 @@ object Pipeline {
        |       ELSE 'test' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_e2e: the COMPLETE corpus→training-shards
+  // materialization as one declarative plan — curate (CC-dedup ∧
+  // quality ∧ lang ∧ hash-split), context-window chunking of the
+  // surviving documents, then token-budget shard packing of the
+  // chunks. This is the query a pretraining data job actually runs;
+  // every stage is the same DataFrame its standalone verified query
+  // returns, so the plan inherits each stage's scale shape: the only
+  // wide ops are the curation joins, the CC stage inside them, and
+  // the bucket-partitioned running total — chunking is a narrow
+  // generator in between, and a doc's chunks stay contiguous in
+  // (bucket, doc_id, chunk_id) order so shards hold runs of
+  // consecutive context windows.
+  def e2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val curated = curate(spark, dir).select($"doc_id")
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .join(curated, "doc_id")
+    val chunks = TextAnalysis.chunkOf(docs)
+      .select($"doc_id", $"chunk_id",
+        size($"chunk").cast("long").as("n_toks"),
+        pmod($"doc_id", lit(PackBuckets)).as("bucket"))
+    val w = Window.partitionBy($"bucket").orderBy($"doc_id", $"chunk_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum_toks", sum($"n_toks").over(w))
+      .select($"doc_id", $"chunk_id", $"n_toks", $"bucket",
+        expr(s"(cum_toks - n_toks) div $PackBudget").as("shard"),
+        $"cum_toks")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val e2eSql: String =
+    s"""WITH cur AS ($curateSql),
+       |t AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+       |  FROM documents d JOIN cur ON d.doc_id = cur.doc_id),
+       |s AS (SELECT doc_id, toks,
+       |    unnest(range(0, len(toks), 48)) AS start FROM t),
+       |c AS (SELECT doc_id,
+       |    CAST(start // 48 AS BIGINT) AS chunk_id,
+       |    CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS n_toks,
+       |    doc_id % $PackBuckets AS bucket
+       |  FROM s),
+       |w AS (SELECT doc_id, chunk_id, n_toks, bucket,
+       |    CAST(SUM(n_toks) OVER (PARTITION BY bucket
+       |      ORDER BY doc_id, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_toks
+       |  FROM c)
+       |SELECT doc_id, chunk_id, n_toks, bucket,
+       |  CAST((cum_toks - n_toks) // $PackBudget AS BIGINT) AS shard,
+       |  cum_toks
+       |FROM w ORDER BY doc_id, chunk_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_curate" -> (curate _),
     "llm_pipeline_pack" -> (pack _),
     "llm_pipeline_split" -> (leakageSafeSplit _),
+    "llm_pipeline_e2e" -> (e2e _),
   )
 
   val oracles: Map[String, String] = Map(
     "llm_pipeline_curate" -> curateSql,
     "llm_pipeline_pack" -> packSql,
     "llm_pipeline_split" -> splitSql,
+    "llm_pipeline_e2e" -> e2eSql,
   )
 }

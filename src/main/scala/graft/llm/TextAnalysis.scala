@@ -435,16 +435,23 @@ object TextAnalysis {
   private val ChunkTokens = 64
   private val ChunkStride = 48
 
+  /** (doc_id, chunk_id, start_tok, chunk) over an arbitrary
+    * (doc_id, text) frame — shared by [[taChunk]] and the end-to-end
+    * pipeline's chunking stage. */
+  private[llm] def chunkOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), explode(sequence(lit(0),
+        greatest(size(col("toks")) - 1, lit(0)),
+        lit(ChunkStride))).as("start"))
+      .select(col("doc_id"),
+        expr(s"start div $ChunkStride").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        slice(col("toks"), col("start") + 1, lit(ChunkTokens)).as("chunk"))
+
   def taChunk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .select($"doc_id", $"toks", explode(sequence(lit(0),
-        greatest(size($"toks") - 1, lit(0)), lit(ChunkStride))).as("start"))
-      .select($"doc_id",
-        expr(s"start div $ChunkStride").cast("long").as("chunk_id"),
-        $"start".cast("long").as("start_tok"),
-        slice($"toks", $"start" + 1, lit(ChunkTokens)).as("chunk"))
+    chunkOf(Tables.documents(spark, dir))
       .select($"doc_id", $"chunk_id", $"start_tok",
         size($"chunk").cast("long").as("n_toks"),
         h60(array_join($"chunk", " ")).as("chunk_fp"))
