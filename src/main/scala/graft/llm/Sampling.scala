@@ -65,13 +65,43 @@ object Sampling {
        |SELECT source, doc_id, CAST(rn AS INT) AS rn
        |FROM r WHERE rn <= 2 ORDER BY source, rn""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_sample_weighted: quality-proportional downsampling — keep a
+  // document with probability equal to its quality score, decided by
+  // the content hash (h60(text) mod 10⁶ < quality × 10⁶). How a
+  // pipeline up-weights high-quality data WITHOUT randomness: the
+  // accept decision is a pure function of content, so re-runs and
+  // other engines select identical rows, and the acceptance rate per
+  // quality stratum converges to the score itself. Narrow scoring
+  // scans plus one doc_id equi-join.
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality")
+    Tables.documents(spark, dir)
+      .select($"doc_id", (h60($"text") % 1000000L).as("draw"))
+      .join(q, "doc_id")
+      .filter($"draw" < $"quality" * 1000000.0)
+      .select($"doc_id", $"draw", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  val sampleWeightedSql: String =
+    s"""WITH q AS (${TextAnalysis.taQualitySql}),
+       |d AS (SELECT doc_id, ${h60Sql("text")} % 1000000 AS draw FROM documents)
+       |SELECT d.doc_id, d.draw, q.quality
+       |FROM d JOIN q ON d.doc_id = q.doc_id
+       |WHERE d.draw < q.quality * 1000000.0
+       |ORDER BY d.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sample_hash" -> (sampleHash _),
     "llm_sample_stratified" -> (sampleStratified _),
+    "llm_sample_weighted" -> (sampleWeighted _),
   )
 
   val oracles: Map[String, String] = Map(
     "llm_sample_hash" -> sampleHashSql,
     "llm_sample_stratified" -> sampleStratifiedSql,
+    "llm_sample_weighted" -> sampleWeightedSql,
   )
 }
