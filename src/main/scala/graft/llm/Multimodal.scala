@@ -159,15 +159,58 @@ object Multimodal {
       }
   }
 
+  // --------------------------------------------------------------------
+  // llm_mm_audio: audio segmentation — interpret the payload as 16 kHz
+  // mono PCM16 (n_samples = bytes/2) and cut the timeline into
+  // 1000 ms windows, keeping the trailing partial window. The
+  // time-axis counterpart of the video frame sampler: all arithmetic
+  // is integer math on lengths (the per-segment DSP lives in the
+  // partition-local decoder at production), so the oracle is exact and
+  // the plan is a narrow scan + bounded generator, zero shuffles.
+  def mmAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        (octet_length(encode($"text", "utf-8")).cast("long") / 2)
+          .cast("long").as("n_samples"))
+      .select($"doc_id", $"n_samples",
+        expr("n_samples div 16").as("duration_ms"))
+      .withColumn("n_seg", expr("(duration_ms + 999) div 1000"))
+      .filter($"n_seg" >= 1)
+      .select($"doc_id", $"n_samples", $"duration_ms",
+        explode(sequence(lit(0L), $"n_seg" - 1)).as("seg"))
+      .select($"doc_id", $"seg",
+        ($"seg" * 1000).as("start_ms"),
+        least(($"seg" + 1) * 1000, $"duration_ms").as("end_ms"))
+      .withColumn("n_seg_samples", ($"end_ms" - $"start_ms") * 16)
+      .orderBy($"doc_id", $"seg")
+  }
+
+  val mmAudioSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples
+      |  FROM documents),
+      |d AS (SELECT doc_id, n_samples, n_samples // 16 AS duration_ms,
+      |    (n_samples // 16 + 999) // 1000 AS n_seg FROM t),
+      |s AS (SELECT doc_id, duration_ms, unnest(range(0, n_seg)) AS seg
+      |  FROM d WHERE n_seg >= 1)
+      |SELECT doc_id, seg,
+      |  seg * 1000 AS start_ms,
+      |  LEAST((seg + 1) * 1000, duration_ms) AS end_ms,
+      |  (LEAST((seg + 1) * 1000, duration_ms) - seg * 1000) * 16 AS n_seg_samples
+      |FROM s ORDER BY doc_id, seg""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mm_metadata" -> (mmMetadata _),
     "llm_mm_frames" -> (mmFrames _),
     "llm_mm_resize" -> (mmResize _),
+    "llm_mm_audio" -> (mmAudio _),
   )
 
   val oracles: Map[String, String] = Map(
     "llm_mm_metadata" -> mmMetadataSql,
     "llm_mm_frames" -> mmFramesSql,
     "llm_mm_resize" -> mmResizeSql,
+    "llm_mm_audio" -> mmAudioSql,
   )
 }

@@ -181,6 +181,21 @@ class LlmSpec extends SparkSpec {
     assert(strat.forall(_.getLong(1) <= 2), "stratum quota exceeded")
   }
 
+  test("audio segmentation tiles the timeline with a trailing partial window") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_audio").toString
+    // 80,000 ASCII chars -> 40,000 samples -> 2500 ms -> segments of
+    // 1000/1000/500 ms; 16 chars -> 8 samples -> 0 ms -> no segments
+    Seq((1L, "x" * 80000), (2L, "y" * 16))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val rows = Multimodal.mmAudio(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 1000L, 16000L),
+      (1L, 1L, 1000L, 2000L, 16000L),
+      (1L, 2L, 2000L, 2500L, 8000L)), s"got ${rows.toSeq}")
+  }
+
   test("resize fits within the 256 box preserving aspect ratio") {
     val rows = graft.llm.Multimodal.mmResize(spark, sf0001).collect()
     rows.foreach { r =>
