@@ -713,6 +713,51 @@ object Dedup {
        |ORDER BY tr.doc_id, ev.eval_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_paragraphs: paragraph-granularity dedup signals (the
+  // CCNet-style pass below document level): split each document into
+  // sentence-ish units on ". ", fingerprint each normalized unit, and
+  // report per document how much of it duplicates text found anywhere
+  // ELSE in the corpus. Catches boilerplate (headers, license blocks,
+  // navigation) that document-level dedup cannot see because the
+  // surrounding text differs.
+  //
+  // Scale shape: corpus-wide paragraph frequency is ONE partial-
+  // aggregable groupBy on the 60-bit fingerprint; the join back to
+  // paragraphs is an equi-join on the same key (co-partitioned with
+  // the groupBy output, no extra shuffle of the big side beyond the
+  // first), then a per-doc aggregation. No window over a hot key.
+  def ddParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val paras = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "\\. ")).as("para"))
+      .filter(length(trim($"para")) > 0)
+      .select($"doc_id", h60(lower(trim($"para"))).as("ph"))
+    val freq = paras.groupBy($"ph").agg(count(lit(1)).as("n_occ"))
+    paras.join(freq, "ph")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when($"n_occ" > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .select($"doc_id", $"n_paras", $"n_dup_paras",
+        round($"n_dup_paras".cast("double") / $"n_paras", 6).as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val ddParagraphsSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, unnest(string_split(text, '. ')) AS para FROM documents),
+       |f AS (SELECT doc_id, ${h60Sql("lower(trim(para))")} AS ph
+       |  FROM p WHERE length(trim(para)) > 0),
+       |fr AS (SELECT ph, COUNT(*) AS n_occ FROM f GROUP BY ph),
+       |d AS (SELECT doc_id,
+       |    COUNT(*) AS n_paras,
+       |    CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dup_paras
+       |  FROM f JOIN fr USING (ph) GROUP BY doc_id)
+       |SELECT doc_id, n_paras, n_dup_paras,
+       |  ROUND(CAST(n_dup_paras AS DOUBLE) / n_paras, 6) AS dup_ratio
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_dd_lsh_recall: precision/recall of the MinHash-LSH candidate
   // generator (est_jaccard >= 0.75) against the true 3-gram Jaccard
   // pairs at the same threshold — the dedup-side mirror of
@@ -768,6 +813,7 @@ object Dedup {
     "llm_dd_cluster" -> (ddCluster _),
     "llm_dd_lsh_recall" -> (ddLshRecall _),
     "llm_dd_decontaminate" -> (ddDecontaminate _),
+    "llm_dd_paragraphs" -> (ddParagraphs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -781,5 +827,6 @@ object Dedup {
     "llm_dd_cluster" -> ddClusterSql,
     "llm_dd_lsh_recall" -> ddLshRecallSql,
     "llm_dd_decontaminate" -> ddDecontaminateSql,
+    "llm_dd_paragraphs" -> ddParagraphsSql,
   )
 }

@@ -112,6 +112,20 @@ class LlmSpec extends SparkSpec {
     assert(got == Seq((1L, 10L, 3L)), s"got $got")
   }
 
+  test("paragraph dedup flags cross-document boilerplate, case-insensitively") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_para").toString
+    // docs 1 and 2 share a boilerplate sentence (differing only in case);
+    // doc 3 is entirely unique — only the shared unit may count as dup
+    Seq((1L, "All rights reserved. alpha body one"),
+      (2L, "all rights reserved. beta body two"),
+      (3L, "gamma only"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = Dedup.ddParagraphs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0)), s"got ${got.toSeq}")
+  }
+
   test("chunks tile each document: sequential ids, stride starts, full coverage") {
     val rows = TextAnalysis.taChunk(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
