@@ -758,6 +758,81 @@ object Dedup {
        |FROM d ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_substring: exact verbatim-span dedup signals — the
+  // suffix-array-style pass (Lee et al. 2022, "Deduplicating Training
+  // Data Makes Language Models Better") approximated with stride-1
+  // 16-token window fingerprints: two documents share a >=16-token
+  // verbatim span iff they share a window fingerprint. Reports pairs
+  // with the shared-window count and a containment ratio
+  // (n_shared / windows of the smaller doc) — 1.0 means the smaller
+  // document appears verbatim inside the larger one, which n-gram
+  // Jaccard under-scores badly (a 200-token doc embedded in a
+  // 2000-token doc has Jaccard ~0.1 but containment 1.0).
+  //
+  // Scale shape: stride-1 windows are linear in corpus tokens (one
+  // narrow generate + h60 projection; the window TEXT never leaves the
+  // projection — only the 8-byte fingerprint is shuffled). Same
+  // hot-bucket discipline as the shingle pipeline: window df
+  // pre-counted, over-cap boilerplate windows dropped via broadcast
+  // anti-join BEFORE any collect buffer forms, pairs via
+  // explode x explode on <= cap-sized buckets.
+  private val SubstrWindow = 16
+
+  def ddSubstring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wins = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= SubstrWindow)
+      .select($"doc_id", $"toks",
+        explode(expr(s"sequence(0, size(toks) - $SubstrWindow)")).as("s"))
+      .select($"doc_id",
+        h60(array_join(expr(s"slice(toks, s + 1, $SubstrWindow)"), " "))
+          .as("wfp"))
+      .distinct()
+    val nw = wins.groupBy($"doc_id").agg(count(lit(1)).as("n_w"))
+    val hot = wins.groupBy($"wfp").agg(count(lit(1)).as("df"))
+      .filter($"df" > MaxBucketDf).select($"wfp")
+    val pairs = wins.join(broadcast(hot), Seq("wfp"), "left_anti")
+      .groupBy($"wfp")
+      .agg(collect_list($"doc_id").as("docs"))
+      .filter(size($"docs") > 1)
+      .select(explode($"docs").as("a"), $"docs")
+      .select($"a", explode($"docs").as("b"))
+      .filter($"a" < $"b")
+      .groupBy($"a".as("doc_a"), $"b".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(nw.select($"doc_id".as("doc_a"), $"n_w".as("nwa")), "doc_a")
+      .join(nw.select($"doc_id".as("doc_b"), $"n_w".as("nwb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"n_shared",
+        round($"n_shared".cast("double") / least($"nwa", $"nwb"), 6)
+          .as("containment"))
+      .orderBy($"containment".desc, $"n_shared".desc, $"doc_a", $"doc_b")
+      .limit(100)
+  }
+
+  val ddSubstringSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SubstrWindow),
+       |w AS (SELECT DISTINCT doc_id,
+       |    ${h60Sql(s"array_to_string(list_slice(toks, s + 1, s + $SubstrWindow), ' ')")} AS wfp
+       |  FROM (SELECT doc_id, toks,
+       |      unnest(range(0, len(toks) - ${SubstrWindow - 1})) AS s FROM t)),
+       |nw AS (SELECT doc_id, COUNT(*) AS n_w FROM w GROUP BY doc_id),
+       |keep AS (SELECT wfp FROM w GROUP BY wfp
+       |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucketDf),
+       |g AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM w a JOIN w b ON a.wfp = b.wfp AND a.doc_id < b.doc_id
+       |  JOIN keep k ON a.wfp = k.wfp
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared,
+       |  ROUND(CAST(n_shared AS DOUBLE) / LEAST(na.n_w, nb.n_w), 6) AS containment
+       |FROM g JOIN nw na ON g.doc_a = na.doc_id
+       |JOIN nw nb ON g.doc_b = nb.doc_id
+       |ORDER BY containment DESC, n_shared DESC, doc_a, doc_b LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_dd_lsh_recall: precision/recall of the MinHash-LSH candidate
   // generator (est_jaccard >= 0.75) against the true 3-gram Jaccard
   // pairs at the same threshold — the dedup-side mirror of
@@ -814,6 +889,7 @@ object Dedup {
     "llm_dd_lsh_recall" -> (ddLshRecall _),
     "llm_dd_decontaminate" -> (ddDecontaminate _),
     "llm_dd_paragraphs" -> (ddParagraphs _),
+    "llm_dd_substring" -> (ddSubstring _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -828,5 +904,6 @@ object Dedup {
     "llm_dd_lsh_recall" -> ddLshRecallSql,
     "llm_dd_decontaminate" -> ddDecontaminateSql,
     "llm_dd_paragraphs" -> ddParagraphsSql,
+    "llm_dd_substring" -> ddSubstringSql,
   )
 }

@@ -126,6 +126,21 @@ class LlmSpec extends SparkSpec {
       (3L, 1L, 0L, 0.0)), s"got ${got.toSeq}")
   }
 
+  test("substring dedup reports full containment for a verbatim embedded doc") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    // doc 1 = exactly one 16-token window; doc 2 embeds it verbatim
+    // among 24 other tokens; doc 3 shares no 16-token span with either
+    val span = (0 until 16).map(i => s"w$i").mkString(" ")
+    val pad = (0 until 12).map(i => s"p$i").mkString(" ")
+    val tail = (0 until 12).map(i => s"q$i").mkString(" ")
+    Seq((1L, span), (2L, s"$pad $span $tail"),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = Dedup.ddSubstring(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 1.0)), s"got ${got.toSeq}")
+  }
+
   test("chunks tile each document: sequential ids, stride starts, full coverage") {
     val rows = TextAnalysis.taChunk(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
