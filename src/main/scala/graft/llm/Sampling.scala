@@ -93,15 +93,117 @@ object Sampling {
        |WHERE d.draw < q.quality * 1000000.0
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_sample_mixture: temperature-based mixture reweighting — the
+  // α-sampling scheme multilingual LLM pipelines use (mT5 / XLM-R,
+  // α = 0.5): a source with raw share p gets temperature share
+  // p^α / Σ p^α, flattening the source distribution so head sources
+  // stop drowning tail ones. Emits the per-source mixing plan: raw
+  // share, temperature share, and the acceptance rate (scaled so the
+  // most up-weighted source keeps everything) that realizes the
+  // mixture by pure downsampling.
+  //
+  // Determinism: p^0.5 = sqrt is correctly rounded IEEE in any
+  // engine; the normalizer sums sqrt terms as DECIMAL(28,12) (order-
+  // insensitive, k-means-centroid pattern), then all ratios are
+  // double ops on identical inputs. Scale shape: one partial-
+  // aggregable groupBy on source; everything after operates on the
+  // source-cardinality table (tiny by definition of a mixture), so
+  // the broadcast scalar joins cost nothing.
+  private val MixAlpha = 0.5 // temperature T = 1/α = 2
+
+  private def mixtureOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSrc = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val total = perSrc.agg(sum($"n_docs").as("n_total"))
+    val scored = perSrc.crossJoin(broadcast(total))
+      .select($"source", $"n_docs",
+        ($"n_docs".cast("double") / $"n_total").as("p_raw"))
+      .select($"source", $"n_docs", $"p_raw",
+        sqrt($"p_raw").cast("decimal(28,12)").as("s_dec"))
+    val z = scored.agg(sum($"s_dec").cast("double").as("z"))
+    scored.crossJoin(broadcast(z))
+      .select($"source", $"n_docs", $"p_raw",
+        ($"s_dec".cast("double") / $"z").as("p_temp"))
+  }
+
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = mixtureOf(spark, dir)
+      .select($"source", $"n_docs", $"p_raw", $"p_temp",
+        ($"p_temp" / $"p_raw").as("boost"))
+    val mx = m.agg(max($"boost").as("max_boost"))
+    m.crossJoin(broadcast(mx))
+      .select($"source", $"n_docs", round($"p_raw", 6).as("p_raw"),
+        round($"p_temp", 6).as("p_temp"),
+        round($"boost" / $"max_boost", 6).as("accept_rate"))
+      .orderBy($"source")
+  }
+
+  private val mixtureCte: String =
+    s"""ps AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |tt AS (SELECT SUM(n_docs) AS n_total FROM ps),
+       |sc AS (SELECT source, n_docs,
+       |    CAST(n_docs AS DOUBLE) / n_total AS p_raw,
+       |    CAST(sqrt(CAST(n_docs AS DOUBLE) / n_total) AS DECIMAL(28,12)) AS s_dec
+       |  FROM ps CROSS JOIN tt),
+       |zz AS (SELECT CAST(SUM(s_dec) AS DOUBLE) AS z FROM sc),
+       |mix AS (SELECT source, n_docs, p_raw,
+       |    CAST(s_dec AS DOUBLE) / z AS p_temp
+       |  FROM sc CROSS JOIN zz),
+       |bo AS (SELECT source, n_docs, p_raw, p_temp, p_temp / p_raw AS boost FROM mix),
+       |mb AS (SELECT MAX(boost) AS max_boost FROM bo),
+       |rates AS (SELECT source, n_docs, p_raw, p_temp,
+       |    boost / max_boost AS accept_rate FROM bo CROSS JOIN mb)""".stripMargin
+
+  val sampleMixtureSql: String =
+    s"""WITH $mixtureCte
+       |SELECT source, n_docs, ROUND(p_raw, 6) AS p_raw,
+       |  ROUND(p_temp, 6) AS p_temp, ROUND(accept_rate, 6) AS accept_rate
+       |FROM rates ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_sample_resample: realize the temperature mixture — keep a doc
+  // iff h60(text) mod 10⁶ < accept_rate × 10⁶, with the per-source
+  // rate from the mixing plan above. The corpus side is one narrow
+  // scan plus a broadcast join on source (the rate table is source-
+  // cardinality); selection is content-deterministic like every
+  // sampler here, so engines and re-runs agree row-for-row.
+  def sampleResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = sampleMixture(spark, dir)
+      .select($"source", $"accept_rate")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source", (h60($"text") % 1000000L).as("draw"))
+      .join(broadcast(rates), "source")
+      .filter($"draw" < $"accept_rate" * 1000000.0)
+      .select($"doc_id", $"source", $"draw")
+      .orderBy($"doc_id")
+  }
+
+  val sampleResampleSql: String =
+    s"""WITH $mixtureCte,
+       |rr AS (SELECT source, ROUND(accept_rate, 6) AS accept_rate FROM rates),
+       |d AS (SELECT doc_id, source, ${h60Sql("text")} % 1000000 AS draw FROM documents)
+       |SELECT d.doc_id, d.source, d.draw
+       |FROM d JOIN rr ON d.source = rr.source
+       |WHERE d.draw < rr.accept_rate * 1000000.0
+       |ORDER BY d.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sample_hash" -> (sampleHash _),
     "llm_sample_stratified" -> (sampleStratified _),
     "llm_sample_weighted" -> (sampleWeighted _),
+    "llm_sample_mixture" -> (sampleMixture _),
+    "llm_sample_resample" -> (sampleResample _),
   )
 
   val oracles: Map[String, String] = Map(
     "llm_sample_hash" -> sampleHashSql,
     "llm_sample_stratified" -> sampleStratifiedSql,
     "llm_sample_weighted" -> sampleWeightedSql,
+    "llm_sample_mixture" -> sampleMixtureSql,
+    "llm_sample_resample" -> sampleResampleSql,
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Value-level invariants for the LLM-pipeline operators (the DuckDB
   * oracle covers exact values; these cover semantics the oracle can't:
@@ -139,6 +139,28 @@ class LlmSpec extends SparkSpec {
     val got = Dedup.ddSubstring(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == Seq((1L, 2L, 1L, 1.0)), s"got ${got.toSeq}")
+  }
+
+  test("temperature mixture flattens a 9:1 source skew and resamples the head") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    val docs = (0L until 90L).map(i => (i, s"head doc number $i", "A")) ++
+      (90L until 100L).map(i => (i, s"tail doc number $i", "B"))
+    docs.toDF("doc_id", "text", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val mix = Sampling.sampleMixture(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // α=0.5: raw 0.9/0.1 → temperature 0.75/0.25; the tail source is
+    // the most up-weighted so it keeps everything, the head keeps 1/3
+    assert(mix == Seq(("A", 90L, 0.9, 0.75, 0.333333),
+      ("B", 10L, 0.1, 0.25, 1.0)), s"got $mix")
+    val kept = Sampling.sampleResample(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val keptB = kept.filter(_._2 == "B")
+    val keptA = kept.filter(_._2 == "A")
+    assert(keptB.length == 10, "most up-weighted source must keep all docs")
+    assert(keptA.length > 0 && keptA.length < 90,
+      s"head source must be strictly downsampled, kept ${keptA.length}")
   }
 
   test("chunks tile each document: sequential ids, stride starts, full coverage") {
