@@ -597,6 +597,44 @@ object Similarity {
        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, est_d2
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_outliers: cluster-distance outlier detection — the
+  // embedding-space cousin of the quality filters: vectors far from
+  // their assigned k-means centroid RELATIVE to their cluster's mean
+  // distance are candidates for removal (mislabeled, corrupted, or
+  // off-distribution points). Reports the top 20 by distance ratio.
+  //
+  // Scale shape: consumes the ssKmeans assignment (broadcast-centroid
+  // argmin — the corpus never shuffles to be assigned); the per-
+  // cluster mean is a k-row aggregate broadcast back; top-20 is a
+  // global sort of per-partition top-20 survivors (orderBy+limit
+  // plans as TakeOrderedAndProject, no full global sort).
+  //
+  // Determinism: d2 arrives already rounded to 6 from ssKmeans; the
+  // cluster mean sums those rounded values as DECIMAL(28,12), so the
+  // ratio composes deterministic doubles in both engines.
+  def ssOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = ssKmeans(spark, dir)
+    val means = k.groupBy($"cid")
+      .agg((sum($"d2".cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("mean_d2"))
+    k.join(broadcast(means), "cid")
+      .select($"vec_id", $"cid", $"d2",
+        round($"d2" / $"mean_d2", 6).as("dist_ratio"))
+      .orderBy($"dist_ratio".desc, $"vec_id")
+      .limit(20)
+  }
+
+  val ssOutliersSql: String =
+    s"""WITH k AS ($ssKmeansSql),
+       |m AS (SELECT cid,
+       |    CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean_d2
+       |  FROM k GROUP BY cid)
+       |SELECT vec_id, k.cid, d2, ROUND(d2 / mean_d2, 6) AS dist_ratio
+       |FROM k JOIN m ON k.cid = m.cid
+       |ORDER BY dist_ratio DESC, vec_id LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ss_topk" -> (ssTopk _),
     "llm_ss_lsh_bucket" -> (ssLshBucket _),
@@ -608,6 +646,7 @@ object Similarity {
     "llm_ss_kmeans" -> (ssKmeans _),
     "llm_ss_pq_encode" -> (ssPqEncode _),
     "llm_ss_pq_search" -> (ssPqSearch _),
+    "llm_ss_outliers" -> (ssOutliers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -621,5 +660,6 @@ object Similarity {
     "llm_ss_kmeans" -> ssKmeansSql,
     "llm_ss_pq_encode" -> ssPqEncodeSql,
     "llm_ss_pq_search" -> ssPqSearchSql,
+    "llm_ss_outliers" -> ssOutliersSql,
   )
 }

@@ -497,6 +497,52 @@ object TextAnalysis {
       |SELECT CAST(bin * 64 AS BIGINT) AS bin_lo, n_docs, min_toks, max_toks
       |FROM h ORDER BY bin_lo""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_lm_score: corpus-likelihood quality scoring — the model-based
+  // filter of the CCNet pipeline re-expressed engine-side. A unigram
+  // LM is "trained" on the corpus itself (term MLE probabilities) and
+  // every document is scored by its mean token probability: low
+  // scores flag documents whose vocabulary is atypical for the corpus
+  // (gibberish, foreign-language slivers, code in a prose corpus) —
+  // the signal a KenLM perplexity filter thresholds. The score is the
+  // mean PROBABILITY, not mean log-prob: log is not correctly-rounded
+  // IEEE, and one ulp of engine divergence breaks a hash gate; the
+  // ranking the filter thresholds is unchanged for the scoring role.
+  //
+  // Scale shape: the term-count model is one partial-aggregable
+  // groupBy; the probability table is vocab-sized (≤ millions of rows
+  // at any corpus scale — Heaps' law) and BROADCASTS to the token
+  // stream, so the corpus never shuffles on the skewed term key: the
+  // only corpus-sized shuffle is the per-doc mean on doc_id.
+  def taLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val counts = toks.groupBy($"term").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum($"c").as("n_total"))
+    val probs = counts.crossJoin(broadcast(total))
+      .select($"term", ($"c".cast("double") / $"n_total").as("p"))
+    toks.join(broadcast(probs), "term")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum($"p".cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 9).as("avg_p"))
+      .orderBy($"doc_id")
+  }
+
+  val taLmScoreSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |ct AS (SELECT term, COUNT(*) AS c FROM tk GROUP BY term),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM ct),
+      |pr AS (SELECT term, CAST(c AS DOUBLE) / n_total AS p
+      |  FROM ct CROSS JOIN tot)
+      |SELECT doc_id, COUNT(*) AS n_toks,
+      |  ROUND(CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+      |    AS avg_p
+      |FROM tk JOIN pr USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_lang_id" -> (taLangId _),
@@ -509,6 +555,7 @@ object TextAnalysis {
     "llm_ta_corpus_stats" -> (taCorpusStats _),
     "llm_ta_chunk" -> (taChunk _),
     "llm_ta_length_hist" -> (taLengthHist _),
+    "llm_ta_lm_score" -> (taLmScore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -523,5 +570,6 @@ object TextAnalysis {
     "llm_ta_corpus_stats" -> taCorpusStatsSql,
     "llm_ta_chunk" -> taChunkSql,
     "llm_ta_length_hist" -> taLengthHistSql,
+    "llm_ta_lm_score" -> taLmScoreSql,
   )
 }
