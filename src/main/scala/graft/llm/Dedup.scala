@@ -780,15 +780,23 @@ object Dedup {
 
   def ddSubstring(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wins = Tables.documents(spark, dir)
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .filter(size($"toks") >= SubstrWindow)
-      .select($"doc_id", $"toks",
-        explode(expr(s"sequence(0, size(toks) - $SubstrWindow)")).as("s"))
-      .select($"doc_id",
-        h60(array_join(expr(s"slice(toks, s + 1, $SubstrWindow)"), " "))
-          .as("wfp"))
-      .distinct()
+    // Session-cached like the other dedup index tables (rawClasses,
+    // repShingles, the band table): the distinct (doc, window-fp) set
+    // feeds THREE consumers below (per-doc counts, df pre-count, the
+    // pair join), and Spark does not dedupe common subplans — without
+    // materialization the explode+md5 pipeline runs three times.
+    val wins = Tables.sessionCached(spark, s"$dir#dd_substrWins") {
+      Tables.documents(spark, dir)
+        .select($"doc_id", split($"text", " ").as("toks"))
+        .filter(size($"toks") >= SubstrWindow)
+        .select($"doc_id", $"toks",
+          explode(expr(s"sequence(0, size(toks) - $SubstrWindow)")).as("s"))
+        .select($"doc_id",
+          h60(array_join(expr(s"slice(toks, s + 1, $SubstrWindow)"), " "))
+            .as("wfp"))
+        .distinct()
+        .localCheckpoint()
+    }
     val nw = wins.groupBy($"doc_id").agg(count(lit(1)).as("n_w"))
     val hot = wins.groupBy($"wfp").agg(count(lit(1)).as("df"))
       .filter($"df" > MaxBucketDf).select($"wfp")
