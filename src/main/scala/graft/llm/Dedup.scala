@@ -780,43 +780,102 @@ object Dedup {
 
   def ddSubstring(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Session-cached like the other dedup index tables (rawClasses,
-    // repShingles, the band table): the distinct (doc, window-fp) set
-    // feeds THREE consumers below (per-doc counts, df pre-count, the
-    // pair join), and Spark does not dedupe common subplans — without
-    // materialization the explode+md5 pipeline runs three times.
-    val wins = Tables.sessionCached(spark, s"$dir#dd_substrWins") {
-      Tables.documents(spark, dir)
-        .select($"doc_id", split($"text", " ").as("toks"))
-        .filter(size($"toks") >= SubstrWindow)
-        .select($"doc_id", $"toks",
-          explode(expr(s"sequence(0, size(toks) - $SubstrWindow)")).as("s"))
-        .select($"doc_id",
-          h60(array_join(expr(s"slice(toks, s + 1, $SubstrWindow)"), " "))
-            .as("wfp"))
-        .distinct()
-        .localCheckpoint()
+    substringPairs(spark,
+      Tables.documents(spark, dir).selectExpr("doc_id", "text"),
+      MaxBucketDf, Some(rawClassesFor(spark, dir)),
+      Some(substrWinsFor(spark, dir)))
+      .orderBy($"containment".desc, $"n_shared".desc, $"doc_a", $"doc_b")
+      .limit(100)
+  }
+
+  /** Rep-level distinct window-fingerprint table (rep, w, wfp) — the
+    * substring analogue of [[repShinglesFor]]'s packed shingle table.
+    * Only class REPRESENTATIVES are windowed (raw-identical docs have
+    * identical window sets), and only the 8-byte fingerprint survives
+    * the projection. */
+  private def substrWins(docs: DataFrame, classInfo: DataFrame): DataFrame =
+    docs.join(classInfo.select(col("rep"), col("w")),
+        col("doc_id") === col("rep"))
+      .select(col("rep"), col("w"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= SubstrWindow)
+      .select(col("rep"), col("w"), col("toks"),
+        explode(expr(s"sequence(0, size(toks) - $SubstrWindow)")).as("s"))
+      .select(col("rep"), col("w"),
+        graft.llm.TextAnalysis.h60(
+          array_join(expr(s"slice(toks, s + 1, $SubstrWindow)"), " "))
+          .as("wfp"))
+      .distinct()
+
+  /** [[substrWins]] built once per (session, dir) and checkpointed —
+    * it feeds three consumers (per-rep counts, df pre-count, the pair
+    * buckets) and Spark does not dedupe common subplans. */
+  private def substrWinsFor(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, s"$dir#dd_substrWins") {
+      val (classInfo, _) = rawClassesFor(spark, dir)
+      substrWins(Tables.documents(spark, dir).selectExpr("doc_id", "text"),
+        classInfo).localCheckpoint()
     }
-    val nw = wins.groupBy($"doc_id").agg(count(lit(1)).as("n_w"))
-    val hot = wins.groupBy($"wfp").agg(count(lit(1)).as("df"))
-      .filter($"df" > MaxBucketDf).select($"wfp")
-    val pairs = wins.join(broadcast(hot), Seq("wfp"), "left_anti")
-      .groupBy($"wfp")
-      .agg(collect_list($"doc_id").as("docs"))
-      .filter(size($"docs") > 1)
-      .select(explode($"docs").as("a"), $"docs")
-      .select($"a", explode($"docs").as("b"))
+
+  /** Two-level core of [[ddSubstring]], mirroring [[ngramJaccardPairs]]:
+    * collapse raw-identical classes, window only the representatives,
+    * and expand rep pairs back through the member table. Doc-level
+    * semantics are preserved exactly: a window's document frequency is
+    * the class-weighted rep frequency, intra-class pairs share every
+    * kept window of their class, and cross pairs inherit the rep
+    * pair's shared count. On a duplicate-heavy corpus (the 16×-
+    * replication stress regime) the window and bucket work is D ≪ N
+    * representatives instead of all N docs. */
+  private[graft] def substringPairs(
+      spark: SparkSession, docsIn: DataFrame, cap: Long,
+      classesIn: Option[(DataFrame, DataFrame)] = None,
+      winsIn: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    graft.functions.H60.register(spark)
+    val docs = docsIn.select($"doc_id", $"text")
+    val (classInfo, members) = classesIn.getOrElse(rawClasses(docs))
+    val wins = winsIn.getOrElse(substrWins(docs, classInfo).localCheckpoint())
+    val nw = wins.groupBy($"rep").agg(count(lit(1)).as("n_w"))
+    // doc-level window frequency = class-weighted rep frequency; the
+    // over-cap (boilerplate) set is tiny — broadcast anti-join, same
+    // discipline as the shingle pipeline: no collect buffer ever holds
+    // a hot bucket.
+    val hot = wins.groupBy($"wfp").agg(sum($"w").as("df"))
+      .filter($"df" > cap).select($"wfp")
+    val kept = wins.join(broadcast(hot), Seq("wfp"), "left_anti")
+    val repPairs = kept
+      .groupBy($"wfp").agg(collect_list($"rep").as("reps"))
+      .filter(size($"reps") > 1)
+      .select(explode($"reps").as("a"), $"reps")
+      .select($"a", explode($"reps").as("b"))
       .filter($"a" < $"b")
-      .groupBy($"a".as("doc_a"), $"b".as("doc_b"))
+      .groupBy($"a".as("rep_a"), $"b".as("rep_b"))
       .agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(nw.select($"doc_id".as("doc_a"), $"n_w".as("nwa")), "doc_a")
-      .join(nw.select($"doc_id".as("doc_b"), $"n_w".as("nwb")), "doc_b")
+      .join(nw.select($"rep".as("rep_a"), $"n_w".as("nwa")), "rep_a")
+      .join(nw.select($"rep".as("rep_b"), $"n_w".as("nwb")), "rep_b")
+    val cross = repPairs
+      .join(members.select($"rep".as("ra"), $"doc_id".as("da")),
+        $"rep_a" === $"ra")
+      .join(members.select($"rep".as("rb"), $"doc_id".as("db")),
+        $"rep_b" === $"rb")
+      .select(least($"da", $"db").as("doc_a"),
+        greatest($"da", $"db").as("doc_b"), $"n_shared", $"nwa", $"nwb")
+    // Intra-class pairs: identical docs share every kept window of
+    // their class (each has doc-frequency >= w >= 2, so the doc-level
+    // keep condition holds for all of them); classes whose windows are
+    // all hot — or that are too short to window — emit nothing, which
+    // the inner joins reproduce.
+    val keptCnt = kept.groupBy($"rep".as("rk")).agg(count(lit(1)).as("n_kept"))
+    val intra = members.select($"rep".as("r1"), $"doc_id".as("d1"))
+      .join(members.select($"rep".as("r2"), $"doc_id".as("d2")),
+        $"r1" === $"r2" && $"d1" < $"d2")
+      .join(keptCnt, $"r1" === $"rk")
+      .join(nw.select($"rep".as("rn"), $"n_w"), $"r1" === $"rn")
+      .select($"d1".as("doc_a"), $"d2".as("doc_b"),
+        $"n_kept".as("n_shared"), $"n_w".as("nwa"), $"n_w".as("nwb"))
+    cross.union(intra)
       .select($"doc_a", $"doc_b", $"n_shared",
         round($"n_shared".cast("double") / least($"nwa", $"nwb"), 6)
           .as("containment"))
-      .orderBy($"containment".desc, $"n_shared".desc, $"doc_a", $"doc_b")
-      .limit(100)
   }
 
   val ddSubstringSql: String =

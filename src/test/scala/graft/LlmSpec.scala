@@ -126,6 +126,63 @@ class LlmSpec extends SparkSpec {
       (3L, 1L, 0L, 0.0)), s"got ${got.toSeq}")
   }
 
+  test("two-level substring pairs equal the naive doc-level reference under caps") {
+    // Adversarial corpus: duplicate classes (sizes 1/2/5), a boilerplate
+    // 16-token prefix shared by enough docs to blow a TINY df cap
+    // (hot-drop path), deliberate 18-token shared spans between doc
+    // pairs (3 kept windows each), sub-16-token docs (no windows), and
+    // uppercase twins that keep only the boilerplate window in common.
+    val rnd = new scala.util.Random(17)
+    def filler(n: Int, tag: String) =
+      (0 until n).map(_ => s"${tag}x${rnd.nextInt(40)}")
+    val boiler = (0 until 16).map(i => s"B$i")
+    val spans = (0 until 5).map(j => (0 until 18).map(i => s"s${j}y$i"))
+    val base = (0 until 30).map { i =>
+      val parts = Seq.newBuilder[String]
+      if (i % 3 == 0) parts ++= boiler
+      parts ++= filler(rnd.nextInt(10) + 8, s"r$i")
+      if (i % 2 == 0) parts ++= spans(i % 5)
+      parts ++= filler(rnd.nextInt(6), s"t$i")
+      parts.result().mkString(" ")
+    }
+    val dups = base.zipWithIndex.flatMap { case (t, i) =>
+      val copies = if (i % 5 == 0) 5 else if (i % 2 == 0) 2 else 1
+      (0 until copies).map(k => (i + 30L * k, t))
+    }
+    val variants = base.zipWithIndex.collect {
+      case (t, i) if i % 6 == 0 => (i + 1000L, t.toUpperCase)
+    }
+    val docs = dups ++ variants
+    val cap = 6L
+
+    def windows(t: String): Seq[String] = {
+      val tk = t.split(" ", -1)
+      (0 to tk.length - 16).map(i => tk.slice(i, i + 16).mkString(" ")).distinct
+    }
+    val wOf = docs.map { case (id, t) => id -> windows(t).toSet }.toMap
+    val df = docs.flatMap { case (_, t) => windows(t) }
+      .groupBy(identity).map { case (w, xs) => w -> xs.size }
+    val naive = (for {
+      (a, wa) <- wOf.toSeq; (b, wb) <- wOf.toSeq if a < b
+      inter = wa.intersect(wb).count(w => df(w) <= cap)
+      if inter > 0
+    } yield {
+      val c = BigDecimal(inter.toDouble / math.min(wa.size, wb.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, inter.toLong, c)
+    }).sortBy { case (a, b, _, _) => (a, b) }
+    assert(naive.nonEmpty && naive.exists(_._4 < 1.0),
+      "corpus must exercise non-trivial pairs")
+
+    val got = Dedup.substringPairs(spark, docs.toDF("doc_id", "text"), cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy { case (a, b, _, _) => (a, b) }
+    assert(got == naive,
+      s"two-level diverged: got-only=${(got.toSet -- naive.toSet).take(3)} " +
+        s"ref-only=${(naive.toSet -- got.toSet).take(3)}")
+  }
+
   test("substring dedup reports full containment for a verbatim embedded doc") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_substr").toString
     // doc 1 = exactly one 16-token window; doc 2 embeds it verbatim
