@@ -73,6 +73,26 @@ class PlanSpec extends SparkSpec {
       "codebook join must not shuffle the corpus:\n" + plan.take(800))
   }
 
+  test("substring hot-window cap is a broadcast anti-join") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text")
+    val plan = planOf(Dedup.substringPairs(spark, docs, Dedup.MaxBucketDf))
+    val antiLine = plan.split("\n").exists(l =>
+      l.contains("Broadcast") && l.contains("Join") && l.contains("LeftAnti"))
+    assert(antiLine,
+      "hot-window cap must be a broadcast anti join:\n" + plan.take(800))
+  }
+
+  test("lm-score probability table broadcasts (corpus never shuffles on term)") {
+    val plan = planOf(TextAnalysis.taLmScore(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocab probabilities must broadcast to the token stream:\n"
+        + plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus token stream must not shuffle on the skewed term key:\n"
+        + plan.take(800))
+  }
+
   test("dimension join broadcasts the small side") {
     val plan = planOf(RelationalQueries.q04BroadcastDimJoin(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
