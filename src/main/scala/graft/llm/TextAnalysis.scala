@@ -543,6 +543,47 @@ object TextAnalysis {
       |FROM tk JOIN pr USING (term)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_bpe_pairs: one distributed BPE-training step — the top adjacent
+  // symbol pairs by corpus frequency, the argmax that drives each
+  // merge of byte-pair-encoding vocabulary induction. Pair counts are
+  // computed over DISTINCT words weighted by word frequency (the
+  // standard BPE formulation), so the per-word explode is bounded by
+  // vocabulary size, not corpus size.
+  //
+  // Scale shape: word counting is one partial-aggregable groupBy; the
+  // pair explode runs on the vocab-sized word table (Heaps' law —
+  // sublinear in corpus size); the pair groupBy is partial-aggregable
+  // on a bounded key space (symbol bigrams). Iterating merges re-runs
+  // this plan on a re-segmented symbol table — each step is the same
+  // shape.
+  def taBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    wf.select($"freq", explode(expr(
+        "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("n_occ"))
+      .orderBy($"n_occ".desc, $"pair".asc)
+      .limit(20)
+  }
+
+  val taBpePairsSql: String =
+    """WITH wd AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wf AS (SELECT w, COUNT(*) AS freq FROM wd
+      |  WHERE length(w) >= 2 GROUP BY w),
+      |pr AS (SELECT freq,
+      |    unnest(list_transform(range(0, length(w) - 1),
+      |      i -> substr(w, i + 1, 2))) AS pair
+      |  FROM wf)
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occ
+      |FROM pr GROUP BY pair
+      |ORDER BY n_occ DESC, pair ASC LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_lang_id" -> (taLangId _),
@@ -556,6 +597,7 @@ object TextAnalysis {
     "llm_ta_chunk" -> (taChunk _),
     "llm_ta_length_hist" -> (taLengthHist _),
     "llm_ta_lm_score" -> (taLmScore _),
+    "llm_ta_bpe_pairs" -> (taBpePairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -571,5 +613,6 @@ object TextAnalysis {
     "llm_ta_chunk" -> taChunkSql,
     "llm_ta_length_hist" -> taLengthHistSql,
     "llm_ta_lm_score" -> taLmScoreSql,
+    "llm_ta_bpe_pairs" -> taBpePairsSql,
   )
 }
