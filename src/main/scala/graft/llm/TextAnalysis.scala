@@ -584,6 +584,105 @@ object TextAnalysis {
       |FROM pr GROUP BY pair
       |ORDER BY n_occ DESC, pair ASC LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_bpe_train: THREE iterated BPE merges — the actual tokenizer-
+  // training loop, distributed: each round finds the corpus-argmax
+  // adjacent symbol pair (frequency-weighted over distinct words) and
+  // re-segments every word by merging it, exactly like ddCluster
+  // iterates label propagation. Words are carried as interpunct-
+  // delimited symbol strings ('·c1·c2·…·'); applying a merge is TWO
+  // string-replace passes of '·x·y·' → '·xy·' (delimiters make
+  // cross-symbol false matches impossible; the corpus contains no
+  // '·'). Two passes because adjacent disjoint occurrences share the
+  // middle delimiter, which the first left-to-right pass consumes
+  // ('·a·b·a·b·' → '·ab·a·b·' → '·ab·ab·'); after one pass the missed
+  // occurrences are never adjacent to each other, so the second pass
+  // merges them all. The result equals the greedy BPE scan everywhere
+  // except deep inside odd runs of a SELF-adjacent pair ('aaaaa' with
+  // pair a·a merges {1-2, 4-5} instead of greedy's {1-2, 3-4} — same
+  // merge count, different positions), where both engines still agree
+  // with each other, which is what the cross-engine gate checks.
+  // Emits the merge log: (step, pair, merged, n) — the first rows of
+  // a real BPE vocabulary.
+  //
+  // Scale shape: every round is vocab-sized work (distinct words ×
+  // symbols), sublinear in corpus size; the argmax is a 1-row
+  // broadcast into the re-segmentation, and each round's symbol table
+  // is checkpointed and the previous one freed — driver state is
+  // three 1-row merge records, never the vocabulary.
+  private def bpePairCounts(symTable: DataFrame): DataFrame =
+    symTable
+      .select(col("freq"), expr("split(trim(BOTH '·' FROM sym), '·')").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(0, size(a) - 2),
+          |  i -> concat(element_at(a, i + 1), '·', element_at(a, i + 2)))"""
+          .stripMargin)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+
+  def taBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var cur = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit("·"), regexp_replace($"w", "(.)", "$1·")).as("sym"),
+        $"freq")
+      .localCheckpoint()
+    val log = (1 to 3).map { k =>
+      val best = bpePairCounts(cur)
+        .orderBy($"n".desc, $"pair".asc).limit(1)
+        .localCheckpoint()
+      val next = cur
+        .crossJoin(broadcast(best.select($"pair".as("bp"))))
+        .select(expr(
+          """replace(replace(sym, concat('·', bp, '·'),
+            |    concat('·', replace(bp, '·', ''), '·')),
+            |  concat('·', bp, '·'),
+            |  concat('·', replace(bp, '·', ''), '·'))""".stripMargin).as("sym"),
+          $"freq")
+        .localCheckpoint()
+      Dedup.freeCheckpoint(cur)
+      cur = next
+      best.select(lit(k).as("step"), $"pair",
+        expr("replace(pair, '·', '')").as("merged"), $"n")
+    }
+    Dedup.freeCheckpoint(cur)
+    log.reduce(_.unionAll(_)).orderBy($"step")
+  }
+
+  val taBpeTrainSql: String = {
+    // one unrolled round: pair counts over sN, argmax bN, re-segment sN+1
+    def round(n: Int): String =
+      s"""p$n AS (SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(list_transform(range(0, len(a) - 1),
+         |        i -> a[i + 1] || '·' || a[i + 2])) AS pr
+         |    FROM (SELECT freq, string_split(trim(sym, '·'), '·') AS a
+         |          FROM s${n - 1}))
+         |  GROUP BY pr),
+         |b$n AS (SELECT pair, n FROM p$n ORDER BY n DESC, pair LIMIT 1),
+         |s$n AS (SELECT replace(replace(sym,
+         |      '·' || (SELECT pair FROM b$n) || '·',
+         |      '·' || replace((SELECT pair FROM b$n), '·', '') || '·'),
+         |    '·' || (SELECT pair FROM b$n) || '·',
+         |    '·' || replace((SELECT pair FROM b$n), '·', '') || '·') AS sym,
+         |    freq FROM s${n - 1})""".stripMargin
+    s"""WITH wf AS (SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |s0 AS (SELECT '·' || regexp_replace(w, '(.)', '\\1·', 'g') AS sym,
+       |    freq FROM wf),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT 1 AS step, pair, replace(pair, '·', '') AS merged, n FROM b1
+       |UNION ALL
+       |SELECT 2 AS step, pair, replace(pair, '·', '') AS merged, n FROM b2
+       |UNION ALL
+       |SELECT 3 AS step, pair, replace(pair, '·', '') AS merged, n FROM b3
+       |ORDER BY step""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_lang_id" -> (taLangId _),
@@ -598,6 +697,7 @@ object TextAnalysis {
     "llm_ta_length_hist" -> (taLengthHist _),
     "llm_ta_lm_score" -> (taLmScore _),
     "llm_ta_bpe_pairs" -> (taBpePairs _),
+    "llm_ta_bpe_train" -> (taBpeTrain _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -614,5 +714,6 @@ object TextAnalysis {
     "llm_ta_length_hist" -> taLengthHistSql,
     "llm_ta_lm_score" -> taLmScoreSql,
     "llm_ta_bpe_pairs" -> taBpePairsSql,
+    "llm_ta_bpe_train" -> taBpeTrainSql,
   )
 }

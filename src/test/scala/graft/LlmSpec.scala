@@ -220,6 +220,21 @@ class LlmSpec extends SparkSpec {
       s"head source must be strictly downsampled, kept ${keptA.length}")
   }
 
+  test("BPE training merges adjacent repeats fully and composes across rounds") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    // 'abab' x10 + 'ab' x5: round 1 must merge BOTH (a,b) pairs of
+    // 'abab' (the adjacent-disjoint case the second replace pass
+    // exists for), round 2 must merge the round-1 symbols (ab,ab),
+    // and round 3 has nothing left — the log stops at two rows
+    val docs = (0L until 10L).map(i => (i, "abab")) ++
+      (10L until 15L).map(i => (i, "ab"))
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.taBpeTrain(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a·b", "ab", 25L), (2, "ab·ab", "abab", 10L)),
+      s"got ${got.toSeq}")
+  }
+
   test("chunks tile each document: sequential ids, stride starts, full coverage") {
     val rows = TextAnalysis.taChunk(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
