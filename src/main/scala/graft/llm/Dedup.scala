@@ -55,11 +55,11 @@ object Dedup {
     * snapshot and every dedup stage reads). */
   private def rawClassesFor(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val classInfo = Tables.sessionCached(spark, s"$dir#dd_classInfo") {
+    val classInfo = Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_classInfo")) {
       rawClasses(Tables.documents(spark, dir).select(
         col("doc_id"), col("text")))._1.localCheckpoint()
     }
-    val members = Tables.sessionCached(spark, s"$dir#dd_members") {
+    val members = Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_members")) {
       Tables.documents(spark, dir)
         .select(col("doc_id"), md5(col("text")).as("fp"))
         .join(classInfo, "fp")
@@ -80,7 +80,7 @@ object Dedup {
     * analogue is the materialized shingle table a pipeline writes next
     * to the fingerprint table, once per corpus snapshot). */
   private def repShinglesFor(spark: SparkSession, dir: String): DataFrame =
-    Tables.sessionCached(spark, s"$dir#dd_repShingles") {
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_repShingles")) {
       graft.functions.Shingle3.register(spark)
       val (classInfo, _) = rawClassesFor(spark, dir)
       Tables.documents(spark, dir)
@@ -149,7 +149,7 @@ object Dedup {
     * consume the full pair table — the near-dup edge list a production
     * pipeline persists beside the cluster assignments. */
   private def ngramPairsFor(spark: SparkSession, dir: String): DataFrame =
-    Tables.sessionCached(spark, s"$dir#dd_ngramPairs") {
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_ngramPairs")) {
       ngramJaccardPairs(spark,
         Tables.documents(spark, dir).selectExpr("doc_id", "text"),
         MaxBucketDf, Some(rawClassesFor(spark, dir)),
@@ -357,7 +357,7 @@ object Dedup {
     // per doc) runs once per session, not once per consumer — the
     // materialized band index a production dedup pipeline writes next
     // to the fingerprint and shingle tables.
-    val bands = Tables.sessionCached(spark, s"$dir#dd_bands") {
+    val bands = Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_bands")) {
       ddMinhashSigs(spark, dir)
       .select($"doc_id" +: array((0 until 4).map(j =>
         struct(lit(j).as("band"),
@@ -482,7 +482,7 @@ object Dedup {
     // materializing it once per (session, dir) replaces every rerun of
     // the explode+32-sum aggregation. It is N rows × 16 bytes — tiny
     // relative to the corpus at any scale.
-    val sh = Tables.sessionCached(spark, s"$dir#dd_simhash") {
+    val sh = Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_simhash")) {
       ddSimhash(spark, dir).localCheckpoint()
     }
     val vbands = sh.select($"simhash").distinct()
@@ -599,7 +599,7 @@ object Dedup {
   // (doc → cluster) assignment is THE artifact a dedup pipeline
   // persists, so a per-corpus materialization is the production shape.
   def ddCluster(spark: SparkSession, dir: String): DataFrame =
-    Tables.sessionCached(spark, s"$dir#dd_cluster") {
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_cluster")) {
       ddClusterImpl(spark, dir)
     }
 
@@ -810,7 +810,7 @@ object Dedup {
     * it feeds three consumers (per-rep counts, df pre-count, the pair
     * buckets) and Spark does not dedupe common subplans. */
   private def substrWinsFor(spark: SparkSession, dir: String): DataFrame =
-    Tables.sessionCached(spark, s"$dir#dd_substrWins") {
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_substrWins")) {
       val (classInfo, _) = rawClassesFor(spark, dir)
       substrWins(Tables.documents(spark, dir).selectExpr("doc_id", "text"),
         classInfo).localCheckpoint()
@@ -923,8 +923,16 @@ object Dedup {
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .select($"n_truth", $"n_cand", $"n_hit",
-        round($"n_hit".cast("double") / $"n_cand", 6).as("precision"),
-        round($"n_hit".cast("double") / $"n_truth", 6).as("recall"))
+        // empty denominators get an explicit vacuous convention (no
+        // candidates → no false positives → precision 1.0; no truth
+        // pairs → nothing missed → recall 1.0) instead of the silent
+        // NULL both engines produce for 0/0
+        when($"n_cand" === 0, lit(1.0))
+          .otherwise(round($"n_hit".cast("double") / $"n_cand", 6))
+          .as("precision"),
+        when($"n_truth" === 0, lit(1.0))
+          .otherwise(round($"n_hit".cast("double") / $"n_truth", 6))
+          .as("recall"))
   }
 
   val ddLshRecallSql: String =
@@ -939,10 +947,12 @@ object Dedup {
        |  (SELECT COUNT(*) FROM truth) AS n_truth,
        |  (SELECT COUNT(*) FROM cand) AS n_cand,
        |  (SELECT COUNT(*) FROM hits) AS n_hit,
-       |  ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-       |    / (SELECT COUNT(*) FROM cand), 6) AS precision,
-       |  ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-       |    / (SELECT COUNT(*) FROM truth), 6) AS recall""".stripMargin
+       |  CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN 1.0
+       |    ELSE ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+       |      / (SELECT COUNT(*) FROM cand), 6) END AS precision,
+       |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0
+       |    ELSE ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+       |      / (SELECT COUNT(*) FROM truth), 6) END AS recall""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dd_exact" -> (ddExact _),

@@ -557,7 +557,7 @@ object Similarity {
            | + vec_dot(cv, cv)""".stripMargin).as("d2"))
     // corpus side: unpivot the session-cached code table and look up —
     // integer codes only, no raw vectors
-    val codes = Tables.sessionCached(spark, s"$dir#pq_codes") {
+    val codes = Tables.sessionCached(spark, Tables.stamped(spark, dir, "pq_codes")) {
       ssPqEncode(spark, dir).localCheckpoint()
     }
     val codeLong = codes

@@ -27,7 +27,8 @@ object BenchQueries {
     * tests. Session-scoped via [[graft.sources.Tables.sessionCached]],
     * which evicts on application end (no pinned stopped sessions). */
   def fact(spark: SparkSession): DataFrame =
-    graft.sources.Tables.sessionCached(spark, "bench:fact") {
+    graft.sources.Tables.sessionCached(spark,
+        graft.sources.Tables.stamped(spark, BenchFixture.shared, "bench_fact")) {
       BenchIngest.ingest(spark, BenchFixture.shared, pkgs).localCheckpoint()
     }
 

@@ -110,13 +110,14 @@ object BenchIngest {
     * Trigger.AvailableNow for the idempotent catch-up run.
     */
   def streamingIngest(spark: SparkSession, root: String,
-                      packages: Seq[String] = DefaultPackages): DataFrame = {
+                      packages: Seq[String] = DefaultPackages,
+                      maxFilesPerTrigger: Int = 10000): DataFrame = {
     import spark.implicits._
     val raw = spark.readStream
       .option("wholetext", "true")
       .option("pathGlobFilter", "*test.stdout")
       .option("recursiveFileLookup", "true")
-      .option("maxFilesPerTrigger", "10000")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .text(root)
       .select(input_file_name().as("file"), $"value")
       .select($"file", posexplode(split($"value", "\n")).as(Seq("line_no", "line")))

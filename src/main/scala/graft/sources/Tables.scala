@@ -53,6 +53,32 @@ object Tables {
     }
   }
 
+  /** Snapshot token for a data directory: (#entries, max mtime, total
+    * bytes) of its top-level listing. Folded into every sessionCached
+    * key derived from the dir's data — `table` scans and the dd/pq
+    * index family — so rewriting a table within a session
+    * (e.g. by this repo's own streaming/ingest writers) invalidates
+    * the cached scans AND the indexes built from them, instead of
+    * silently serving stale results. One listStatus per cache lookup:
+    * microseconds on a local fs, one LIST on an object store — cheap
+    * next to the parquet footer reads the cache avoids. Superseded
+    * (stale-token) entries stay pinned until application end, same
+    * lifetime contract as every other entry here. */
+  def snapshot(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      val ss = fs.listStatus(p)
+      val mt = if (ss.isEmpty) 0L else ss.map(_.getModificationTime).max
+      s"${ss.length}:$mt:${ss.map(_.getLen).sum}"
+    } catch { case _: java.io.FileNotFoundException => "absent" }
+  }
+
+  /** Cache key for a DataFrame derived from `dir`'s data, stamped with
+    * the dir's [[snapshot]] token. */
+  def stamped(spark: SparkSession, dir: String, suffix: String): String =
+    s"$dir@${snapshot(spark, dir)}#$suffix"
+
   /** One parquet-backed DataFrame per (session, dir, table), built once
     * and reused by every query in the session. Reuse keeps the resolved
     * file index and inferred schema (file listing + footer reads
@@ -75,7 +101,7 @@ object Tables {
     graft.functions.H60.register(spark)
     graft.functions.VecDot.register(spark)
     graft.functions.Shingle3.register(spark)
-    sessionCached(spark, s"$dir/$name") {
+    sessionCached(spark, stamped(spark, dir, name)) {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       val mode = sys.env.get("SPARK_GRAFT_TABLE_CACHE")
         .orElse(sys.props.get("graft.tableCache"))

@@ -137,21 +137,37 @@ object StreamPipelines {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** foreachBatch upsert sink: each micro-batch dynamically OVERWRITES
-    * exactly the date partitions it carries — the incremental-repair
-    * semantics of the reference's daily re-sync (a re-generated day
-    * replaces that day's partition; untouched days are never
-    * rewritten). Contract: a re-delivery must carry the day's full
-    * regenerated content, which is how the reference re-uploads whole
-    * day dirs. foreachBatch is the arbitrary-sink surface — the batch
-    * is a plain DataFrame, so the engine's batch writers apply
+  /** foreachBatch upsert sink: each micro-batch MERGES into the date
+    * partitions it touches — last-write-wins per (pkg,test,date) key
+    * (the A1 dedup key), so a re-delivered row replaces its stale
+    * version and untouched days are never rewritten.
+    *
+    * Merge (not blind dynamic overwrite) is load-bearing: the file
+    * source caps files per micro-batch (maxFilesPerTrigger), so a
+    * catch-up backlog can legally split one day's files across two
+    * batches. A per-batch partition overwrite would let the second
+    * batch silently drop the first batch's rows for that day; the
+    * merge keeps them (proved in StreamingSpec with
+    * maxFilesPerTrigger=1). The one semantic trade: a test REMOVED
+    * from a regenerated day lingers until a batch `ingest` compaction
+    * rewrites the table — acceptable for the reference's append-style
+    * daily snapshots, where tests are re-measured, not retracted.
+    *
+    * Scale shape: the read-back is partition-pruned to the batch's
+    * dates (left-semi on a broadcast day list — a micro-batch touches
+    * few days by construction), and the batch side of the anti-join
+    * broadcasts. foreachBatch is the arbitrary-sink surface — the
+    * batch is a plain DataFrame, so the engine's batch writers apply
     * verbatim inside a streaming checkpointed run. */
   def ingestUpsertStream(spark: SparkSession, srcDir: String, outDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    graft.sources.BenchIngest.streamingIngest(spark, srcDir)
+      checkpoint: String, maxFilesPerTrigger: Int = 10000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.BenchIngest.streamingIngest(spark, srcDir,
+        maxFilesPerTrigger = maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        upsertMerge(batch.toDF(), outDir)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("date")
           .parquet(outDir)
@@ -159,6 +175,29 @@ object StreamPipelines {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Union a micro-batch with the sink's existing rows for the batch's
+    * dates, batch winning per (pkg,test,date). localCheckpoint twice:
+    * the batch before the sink read (a streaming batch DF can't be
+    * re-planned inside a second job), and the merged result before the
+    * write (Spark refuses to overwrite a path its plan still reads —
+    * the checkpoint cuts that lineage). */
+  private[streaming] def upsertMerge(batch: DataFrame, outDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint()
+    val existing =
+      try Some(spark.read.parquet(outDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    existing match {
+      case None => b // first batch: nothing to merge
+      case Some(e) =>
+        val kept = e
+          .join(broadcast(b.select(col("date")).distinct()), Seq("date"), "left_semi")
+          .join(broadcast(b.select(col("pkg"), col("test"), col("date"))),
+            Seq("pkg", "test", "date"), "left_anti")
+        b.unionByName(kept).localCheckpoint()
+    }
+  }
 
   /** File-source -> parquet-sink incremental pipeline: the streaming
     * replacement for the reference's sync-and-rerun batch loop.

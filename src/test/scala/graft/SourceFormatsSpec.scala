@@ -78,4 +78,16 @@ class SourceFormatsSpec extends SparkSpec {
     }.count() == 3)
     assert(innerBuilds == 1)
   }
+
+  test("snapshot token invalidates cached tables when the dir is rewritten") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    spark.range(3).toDF("doc_id").write.parquet(s"$dir/t.parquet")
+    assert(Tables.table(spark, dir, "t").count() == 3)
+    // rewrite within the same session: the dir listing changes, so the
+    // stamped key misses and the table is re-resolved (pre-fix this
+    // silently served the stale 3-row frame)
+    spark.range(5).toDF("doc_id").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(Tables.table(spark, dir, "t").count() == 5)
+  }
 }

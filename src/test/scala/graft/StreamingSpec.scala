@@ -260,6 +260,33 @@ class StreamingSpec extends SparkSpec {
       ("BenchmarkB-8", "2015-01-02") -> 50L))
   }
 
+  test("upsert sink loses no rows when one day's files split across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_split").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckp = s"$tmp/ckp"
+    def writeFile(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(src, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    // one day, three files: maxFilesPerTrigger=1 forces three
+    // micro-batches over the SAME date partition — the regression
+    // ADVICE flagged (per-batch dynamic overwrite kept only the last
+    // file's rows; the key-merge keeps all three)
+    writeFile("05-01-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 100 ns/op")
+    writeFile("05-01-2015/cockroach/sql/b.test.stdout",
+      "BenchmarkB-8 \t 10 \t 200 ns/op")
+    writeFile("05-01-2015/cockroach/sql/c.test.stdout",
+      "BenchmarkC-8 \t 10 \t 300 ns/op")
+    StreamPipelines.ingestUpsertStream(spark, src, out, ckp,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("test", "ns_per_op").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("BenchmarkA-8" -> 100L, "BenchmarkB-8" -> 200L,
+      "BenchmarkC-8" -> 300L))
+  }
+
   test("batch session_window agrees with hand-rolled sessionization totals") {
     val batch = WindowQueries.stSession(spark, sf0001)
     val totalEvents = batch.agg(org.apache.spark.sql.functions.sum("n_events"))
