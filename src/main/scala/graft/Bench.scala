@@ -2,11 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    // warm-data mode: base tables localCheckpoint once per (session,
-    // dir) so timed iterations measure query execution, not repeated
-    // parquet decode (see Tables.table; Verify keeps raw scans so the
-    // correctness gate exercises pushdown plans)
-    if (!sys.props.contains("graft.tableCache"))
+    // warm-data mode (default): base tables localCheckpoint once per
+    // (session, dir) so timed iterations measure query execution, not
+    // repeated parquet decode (see Tables.table; Verify keeps raw scans
+    // so the correctness gate exercises pushdown plans).
+    // SPARK_GRAFT_BENCH_MODE=cold keeps raw parquet scans and skips the
+    // bench-SF warm pass, so the timed pass pays parquet decode AND the
+    // session-cached index builds — the metric that keeps index-build
+    // cost regressions visible (BASELINE.md records both totals).
+    val cold = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("cold")
+    if (!cold && !sys.props.contains("graft.tableCache"))
       sys.props("graft.tableCache") = "checkpoint"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,9 +30,10 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
-    }
+    if (!cold)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
