@@ -544,6 +544,66 @@ object TextAnalysis {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // ta_lm_bigram: sequence-model quality scoring — the bigram upgrade
+  // of ta_lm_score. A bigram LM is trained on the corpus (MLE
+  // P(w2|w1) = c(w1 w2) / c(w1 ·), the prefix count derived from the
+  // bigram table itself — no second corpus pass), and each document
+  // with ≥2 tokens is scored by its mean transition probability: low
+  // scores flag locally-implausible token sequences (shuffled text,
+  // boilerplate stitching, OCR noise) that a unigram model cannot
+  // see because it ignores order. Mean PROBABILITY, not log-prob,
+  // for the same hash-gate reason as ta_lm_score.
+  //
+  // Scale shape: bigrams come from the token array per doc (a narrow
+  // generator — no window, no self-join); both model groupBys are
+  // partial-aggregable. The probability table is observed-bigram-
+  // sized and broadcasts here; at 100 TB it outgrows a broadcast and
+  // the scale path is an equi-join on (w1,w2) with the corpus side
+  // salted on w1's head terms — or the standard pruned model (top-M
+  // bigrams + unigram backoff), which restores a broadcast at any
+  // corpus size.
+  def taLmBigram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(t) - 2),
+          |  i -> named_struct('w1', element_at(t, i + 1),
+          |                    'w2', element_at(t, i + 2)))""".stripMargin))
+        .as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val probs = c2.join(broadcast(c1), "w1")
+      .select($"w1", $"w2", ($"c2".cast("double") / $"c1").as("p"))
+    bg.join(broadcast(probs), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum($"p".cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 9).as("avg_p"))
+      .orderBy($"doc_id")
+  }
+
+  val taLmBigramSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, len(t) - 1),
+      |      i -> {'w1': t[i + 1], 'w2': t[i + 2]})) AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2),
+      |f AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM f GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |pr AS (SELECT w1, w2, CAST(c2 AS DOUBLE) / c1 AS p
+      |  FROM c2 JOIN c1 USING (w1))
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+      |    AS avg_p
+      |FROM f JOIN pr USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // ta_bpe_pairs: one distributed BPE-training step — the top adjacent
   // symbol pairs by corpus frequency, the argmax that drives each
   // merge of byte-pair-encoding vocabulary induction. Pair counts are
@@ -696,6 +756,7 @@ object TextAnalysis {
     "llm_ta_chunk" -> (taChunk _),
     "llm_ta_length_hist" -> (taLengthHist _),
     "llm_ta_lm_score" -> (taLmScore _),
+    "llm_ta_lm_bigram" -> (taLmBigram _),
     "llm_ta_bpe_pairs" -> (taBpePairs _),
     "llm_ta_bpe_train" -> (taBpeTrain _),
   )
@@ -713,6 +774,7 @@ object TextAnalysis {
     "llm_ta_chunk" -> taChunkSql,
     "llm_ta_length_hist" -> taLengthHistSql,
     "llm_ta_lm_score" -> taLmScoreSql,
+    "llm_ta_lm_bigram" -> taLmBigramSql,
     "llm_ta_bpe_pairs" -> taBpePairsSql,
     "llm_ta_bpe_train" -> taBpeTrainSql,
   )

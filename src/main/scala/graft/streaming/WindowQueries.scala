@@ -102,15 +102,146 @@ object WindowQueries {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q38_funnel: ordered conversion funnel view → click → purchase.
+  // A click counts only if the user had a view at-or-before it; a
+  // purchase only if a qualifying click precedes it — the ORDERED
+  // semantics product analytics needs (a purchase before any click
+  // does not convert the funnel), which a plain per-type count can't
+  // express. Two stacked running-min windows over the same (user_id,
+  // ts) ordering carry "earliest view so far" / "earliest qualifying
+  // click so far" past each row.
+  //
+  // Scale shape: both window passes and the per-user flag aggregation
+  // share ONE partitioning on user_id — a single corpus shuffle; the
+  // funnel summary reduces to a 1-row frame before the 3-row output
+  // union. No self-joins (the textbook per-stage-join funnel shuffles
+  // the events table once per stage).
+  def q38Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val per = Tables.events(spark, dir)
+      .withColumn("v_ts", min(when($"event_type" === "view", $"ts")).over(ord))
+      .withColumn("c_ts", min(when($"event_type" === "click"
+        && $"v_ts".isNotNull, $"ts")).over(ord))
+      .groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "view", 1).otherwise(0)).as("s1"),
+        max(when($"event_type" === "click" && $"v_ts".isNotNull, 1)
+          .otherwise(0)).as("s2"),
+        max(when($"event_type" === "purchase" && $"c_ts".isNotNull, 1)
+          .otherwise(0)).as("s3"))
+    val t = per.agg(sum($"s1").as("n1"), sum($"s2").as("n2"),
+      sum($"s3").as("n3"))
+    // one generator over the 1-row totals, NOT a 3-way union of
+    // selects from t: union branches re-plan the whole subtree (no
+    // common-subplan reuse in Catalyst), which would scan events
+    // three times
+    t.select(explode(array(
+        struct(lit(1).as("stage"), lit("view").as("name"),
+          $"n1".as("n_users"), lit(1.0).as("conv_from_prev")),
+        struct(lit(2).as("stage"), lit("click_after_view").as("name"),
+          $"n2".as("n_users"),
+          round($"n2".cast("double") / $"n1", 6).as("conv_from_prev")),
+        struct(lit(3).as("stage"), lit("purchase_after_click").as("name"),
+          $"n3".as("n_users"),
+          round($"n3".cast("double") / $"n2", 6).as("conv_from_prev"))))
+        .as("r"))
+      .select($"r.stage", $"r.name", $"r.n_users", $"r.conv_from_prev")
+      .orderBy($"stage")
+  }
+
+  val q38FunnelSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS v_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |o2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND v_ts IS NOT NULL
+      |      THEN ts END) OVER w AS c_ts
+      |  FROM o
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |per AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+      |    MAX(CASE WHEN event_type = 'click' AND v_ts IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS s2,
+      |    MAX(CASE WHEN event_type = 'purchase' AND c_ts IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS s3
+      |  FROM o2 GROUP BY user_id),
+      |t AS (SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+      |    CAST(SUM(s2) AS BIGINT) AS n2,
+      |    CAST(SUM(s3) AS BIGINT) AS n3 FROM per)
+      |SELECT 1 AS stage, 'view' AS name, n1 AS n_users,
+      |  CAST(1.0 AS DOUBLE) AS conv_from_prev FROM t
+      |UNION ALL SELECT 2, 'click_after_view', n2,
+      |  ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM t
+      |UNION ALL SELECT 3, 'purchase_after_click', n3,
+      |  ROUND(CAST(n3 AS DOUBLE) / n2, 6) FROM t
+      |ORDER BY stage""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q39_retention: cohort retention matrix — users grouped by first-
+  // activity date, counted distinct on each later day they return
+  // (the D1/D7/D30 analytics staple). retention = active / cohort
+  // size.
+  //
+  // Scale shape: first-touch is one partial-aggregable groupBy on
+  // user_id; the join back is on the same key (co-partitioned with
+  // the groupBy's shuffle); the (cohort, offset, user) distinct and
+  // the matrix count reduce over bounded keys (days × days). Cohort
+  // sizes are a ≤days-sized table and broadcast.
+  def q39Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"))
+    val first = ev.groupBy($"user_id").agg(min($"d").as("cohort"))
+    val sizes = first.groupBy($"cohort").agg(count(lit(1)).as("cohort_n"))
+    ev.join(first, "user_id")
+      .select($"cohort", datediff($"d", $"cohort").as("day_offset"), $"user_id")
+      .distinct()
+      .groupBy($"cohort", $"day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select($"cohort", $"day_offset", $"n_active", $"cohort_n",
+        round($"n_active".cast("double") / $"cohort_n", 6).as("retention"))
+      .orderBy($"cohort", $"day_offset")
+  }
+
+  val q39RetentionSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |f AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id),
+      |s AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_n
+      |  FROM f GROUP BY cohort),
+      |a AS (SELECT DISTINCT f.cohort,
+      |    CAST(e.d - f.cohort AS INT) AS day_offset, e.user_id
+      |  FROM e JOIN f USING (user_id)),
+      |m AS (SELECT cohort, day_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM a GROUP BY cohort, day_offset)
+      |SELECT m.cohort, m.day_offset, m.n_active, s.cohort_n,
+      |  ROUND(CAST(m.n_active AS DOUBLE) / s.cohort_n, 6) AS retention
+      |FROM m JOIN s USING (cohort)
+      |ORDER BY m.cohort, m.day_offset""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_tumbling" -> (stTumbling _),
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
+    "q38_funnel" -> (q38Funnel _),
+    "q39_retention" -> (q39Retention _),
   )
 
   val oracles: Map[String, String] = Map(
     "st_tumbling" -> stTumblingSql,
     "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,
+    "q38_funnel" -> q38FunnelSql,
+    "q39_retention" -> q39RetentionSql,
   )
 }

@@ -63,4 +63,25 @@ class EquivalenceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(combos == joined)
   }
+
+  test("funnel enforces event ORDER, not mere presence of stage types") {
+    // crafted events: user 1 converts in order; user 2 has all three
+    // types but in reverse (purchase first), so only stage 1 counts;
+    // user 3's click precedes their view, so neither click nor the
+    // later purchase qualifies
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    def ns(min: Int): Long = min * 60L * 1000000000L // nanos, as fixtures store ts
+    Seq(
+      (1L, ns(1), 1L, "view", 1.0), (2L, ns(2), 1L, "click", 1.0),
+      (3L, ns(3), 1L, "purchase", 1.0),
+      (4L, ns(1), 2L, "purchase", 1.0), (5L, ns(2), 2L, "click", 1.0),
+      (6L, ns(3), 2L, "view", 1.0),
+      (7L, ns(1), 3L, "click", 1.0), (8L, ns(2), 3L, "view", 1.0),
+      (9L, ns(3), 3L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.streaming.WindowQueries.q38Funnel(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 3L), (2, 1L), (3, 1L)))
+  }
 }
