@@ -670,6 +670,33 @@ object Dedup {
        |FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_cluster_sizes: duplicate-cluster size histogram — the
+  // diagnostic a dedup pass reports before the corpus owner signs off
+  // on deletion volume (how many singletons survive, how large the
+  // worst near-dup family is, what fraction of docs dedup removes =
+  // n_docs - n_clusters summed over size > 1 rows). Reuses the
+  // session-cached ddCluster labels; the histogram itself reduces
+  // over the bounded cluster_size key — partial-aggregable, no new
+  // corpus shuffle beyond the distinct on (cluster_id, size), which
+  // is cluster-count-sized, not doc-count-sized, after dedup.
+  def ddClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ddCluster(spark, dir)
+      .select($"cluster_id", $"cluster_size").distinct()
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        ($"cluster_size" * count(lit(1))).as("n_docs"))
+      .orderBy($"cluster_size")
+  }
+
+  val ddClusterSizesSql: String =
+    s"""WITH c AS ($ddClusterSql),
+       |d AS (SELECT DISTINCT cluster_id, cluster_size FROM c)
+       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+       |FROM d GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_dd_decontaminate: benchmark-contamination screening — flag
   // training documents sharing >= 3 distinct word-3-gram shingles with
   // any document of a held-out evaluation set (here the deterministic
@@ -963,6 +990,7 @@ object Dedup {
     "llm_dd_simhash_pairs" -> (ddSimhashPairs _),
     "llm_dd_embedding_near" -> (ddEmbeddingNear _),
     "llm_dd_cluster" -> (ddCluster _),
+    "llm_dd_cluster_sizes" -> (ddClusterSizes _),
     "llm_dd_lsh_recall" -> (ddLshRecall _),
     "llm_dd_decontaminate" -> (ddDecontaminate _),
     "llm_dd_paragraphs" -> (ddParagraphs _),
@@ -978,6 +1006,7 @@ object Dedup {
     "llm_dd_simhash_pairs" -> ddSimhashPairsSql,
     "llm_dd_embedding_near" -> ddEmbeddingNearSql,
     "llm_dd_cluster" -> ddClusterSql,
+    "llm_dd_cluster_sizes" -> ddClusterSizesSql,
     "llm_dd_lsh_recall" -> ddLshRecallSql,
     "llm_dd_decontaminate" -> ddDecontaminateSql,
     "llm_dd_paragraphs" -> ddParagraphsSql,

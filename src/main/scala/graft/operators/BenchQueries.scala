@@ -249,6 +249,72 @@ object BenchQueries {
       .orderBy(col("pkg"))
   }
 
+  // --------------------------------------------------------------------
+  // bench_moving_avg: trailing 3-point mean per series — the smoothing
+  // pass a plot layer runs before rendering a noisy ns/op line. One
+  // window partitioned on (pkg,test) ordered by date: the same single
+  // shuffle every series op here uses, and the frame is ROWS-bounded
+  // so state per series is O(3) regardless of history length. The sum
+  // goes through DECIMAL so the cross-engine mean is exact.
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pkg"), col("test")).orderBy(col("date"))
+      .rowsBetween(-2, 0)
+    fact(spark)
+      .select(col("pkg"), col("test"), col("date"), col("ns_per_op"),
+        count(lit(1)).over(w).as("n_pts"),
+        round((sum(col("ns_per_op").cast("decimal(28,6)")).over(w)
+          / count(lit(1)).over(w)).cast("double"), 6).as("ma3"))
+      .orderBy(col("pkg"), col("test"), col("date"))
+  }
+
+  val movingAvgSql: String =
+    s"""WITH fct AS ($ingestGoldenSql)
+       |SELECT pkg, test, date, ns_per_op,
+       |  COUNT(*) OVER w AS n_pts,
+       |  ROUND(CAST(SUM(CAST(ns_per_op AS DECIMAL(28,6))) OVER w
+       |    / COUNT(*) OVER w AS DOUBLE), 6) AS ma3
+       |FROM fct
+       |WINDOW w AS (PARTITION BY pkg, test ORDER BY date
+       |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY pkg, test, date""".stripMargin
+
+  // --------------------------------------------------------------------
+  // bench_regression_flags: day-over-day regression screening — the
+  // question a benchviz user actually asks of the charts ("did this
+  // test get slower?"), answered engine-side: per series, the percent
+  // change vs the previous measurement, flagged when ns/op rose more
+  // than 5%. lag() shares the one (pkg,test) shuffle; rows without a
+  // predecessor are excluded (no change to judge).
+  def regressionFlags(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pkg"), col("test")).orderBy(col("date"))
+    fact(spark)
+      .select(col("pkg"), col("test"), col("date"), col("ns_per_op"),
+        lag(col("ns_per_op"), 1).over(w).as("prev_ns"))
+      .filter(col("prev_ns").isNotNull)
+      .select(col("pkg"), col("test"), col("date"), col("ns_per_op"),
+        col("prev_ns"),
+        round((col("ns_per_op") - col("prev_ns")).cast("double")
+          / col("prev_ns"), 6).as("pct_change"),
+        ((col("ns_per_op") - col("prev_ns")).cast("double")
+          / col("prev_ns") > 0.05).as("is_regression"))
+      .orderBy(col("pkg"), col("test"), col("date"))
+  }
+
+  val regressionFlagsSql: String =
+    s"""WITH fct AS ($ingestGoldenSql),
+       |lg AS (
+       |  SELECT pkg, test, date, ns_per_op,
+       |    LAG(ns_per_op, 1) OVER (PARTITION BY pkg, test ORDER BY date)
+       |      AS prev_ns
+       |  FROM fct)
+       |SELECT pkg, test, date, ns_per_op, prev_ns,
+       |  ROUND(CAST(ns_per_op - prev_ns AS DOUBLE) / prev_ns, 6) AS pct_change,
+       |  CAST(ns_per_op - prev_ns AS DOUBLE) / prev_ns > 0.05 AS is_regression
+       |FROM lg WHERE prev_ns IS NOT NULL
+       |ORDER BY pkg, test, date""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bench_ingest_golden" -> (ingestGolden _),
     "bench_series_sorted" -> (seriesSorted _),
@@ -261,6 +327,8 @@ object BenchQueries {
     "bench_priority_order" -> (priorityQ _),
     "bench_priority_phantoms" -> (priorityPhantomsQ _),
     "bench_date_spine" -> (dateSpine _),
+    "bench_moving_avg" -> (movingAvg _),
+    "bench_regression_flags" -> (regressionFlags _),
     "bench_sink_roundtrip" -> (sinkRoundtrip _),
   )
 
@@ -276,5 +344,7 @@ object BenchQueries {
     "bench_priority_order" -> prioritySql,
     "bench_priority_phantoms" -> priorityPhantomsSql,
     "bench_date_spine" -> dateSpineSql,
+    "bench_moving_avg" -> movingAvgSql,
+    "bench_regression_flags" -> regressionFlagsSql,
   )
 }
