@@ -93,6 +93,30 @@ class PlanSpec extends SparkSpec {
         + plan.take(800))
   }
 
+  test("bigram-LM probability table broadcasts (corpus never shuffles on w1,w2)") {
+    val plan = planOf(TextAnalysis.taLmBigram(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bigram probabilities must broadcast to the bigram stream:\n"
+        + plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus bigram stream must not shuffle on the skewed bigram key:\n"
+        + plan.take(800))
+  }
+
+  test("funnel runs on ONE user_id shuffle (single scan, stacked windows)") {
+    val plan = planOf(graft.streaming.WindowQueries.q38Funnel(spark, sf0001))
+    // exactly one scan of events: the 3-row summary must come from a
+    // generator over the totals, not a union re-planning the subtree
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"funnel scans events $scans times:\n" + plan.take(800))
+    // both running-min windows share the user_id partitioning: no
+    // window may introduce a second hashpartitioning spec
+    val exchanges = plan.split("\n").filter(_.contains("hashpartitioning"))
+      .filter(_.contains("user_id"))
+    assert(exchanges.length <= 1,
+      "funnel re-shuffles on user_id:\n" + exchanges.mkString("\n"))
+  }
+
   test("dimension join broadcasts the small side") {
     val plan = planOf(RelationalQueries.q04BroadcastDimJoin(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
