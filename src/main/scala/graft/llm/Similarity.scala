@@ -409,30 +409,38 @@ object Similarity {
   // ((v·v − 2v·c) + c·c) association in both engines. Binary-fraction
   // inputs cannot tie at decimal scale 12 (2-adic vs 5-adic), so the
   // engines' decimal rounding modes never get to disagree.
+  /** Lloyd assignment: broadcast the k centroids, per-row argmin via
+    * array_min of (d2, cid) structs — lexicographic, ties on cid. */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    e.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("v"), expr(
+        """array_min(transform(cents, c -> named_struct(
+          |  'd2', vec_dot(v, v) - 2.0d * vec_dot(v, c.cv) + vec_dot(c.cv, c.cv),
+          |  'cid', c.cid)))""".stripMargin).as("best"))
+      .select(col("vec_id"), col("v"), col("best.cid").as("cid"),
+        col("best.d2").as("d2"))
+  }
+
+  /** Lloyd update: per-(cid, dim) two-phase DECIMAL mean, repacked to
+    * k centroid vectors. */
+  private def kmUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("val").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cv"))
+
   def ssKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VecDot.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val c0 = e.filter($"vec_id" < 4).select($"vec_id".as("cid"), $"v".as("cv"))
-    def assign(cents: DataFrame): DataFrame = {
-      val packed = cents.agg(collect_list(struct($"cid", $"cv")).as("cents"))
-      e.crossJoin(broadcast(packed))
-        .select($"vec_id", $"v", expr(
-          """array_min(transform(cents, c -> named_struct(
-            |  'd2', vec_dot(v, v) - 2.0d * vec_dot(v, c.cv) + vec_dot(c.cv, c.cv),
-            |  'cid', c.cid)))""".stripMargin).as("best"))
-        .select($"vec_id", $"v", $"best.cid".as("cid"), $"best.d2".as("d2"))
-    }
-    val a1 = assign(c0)
-    val means = a1.select($"cid", posexplode($"v").as(Seq("pos", "val")))
-      .groupBy($"cid", $"pos")
-      .agg((sum($"val".cast("decimal(28,12)")).cast("double")
-        / count(lit(1))).as("m"))
-    val c1 = means.groupBy($"cid")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-        .as("cv"))
-    assign(c1)
+    val c1 = kmUpdate(kmAssign(e, c0))
+    kmAssign(e, c1)
       .select($"vec_id", $"cid", round($"d2", 6).as("d2"))
       .orderBy($"vec_id")
   }
@@ -459,6 +467,67 @@ object Similarity {
       |a2 AS (SELECT vec_id, cid, d2 FROM (SELECT *, ROW_NUMBER() OVER
       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s2) WHERE rn = 1)
       |SELECT vec_id, cid, ROUND(d2, 6) AS d2 FROM a2 ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_ss_kmeans_iter: Lloyd's algorithm ITERATED — three full
+  // assign→update rounds before the final assignment, i.e. the actual
+  // k-means training loop rather than ssKmeans' single demonstration
+  // step. Refinement is visible in the gate output: assignments and
+  // d2 tighten round over round.
+  //
+  // Scale shape per round: identical to ssKmeans (broadcast argmin
+  // assignment — the corpus never shuffles; partial-aggregable
+  // DECIMAL means — k×64 rows out). Between rounds only the k-row
+  // centroid table is localCheckpointed (truncating the plan so round
+  // r doesn't replay rounds 1..r-1); the driver never holds corpus
+  // data — the same loop discipline as ddCluster and taBpeTrain.
+  def ssKmeansIter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    var cents = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"v".as("cv")).localCheckpoint()
+    (1 to 3).foreach { _ =>
+      val next = kmUpdate(kmAssign(e, cents)).localCheckpoint()
+      Dedup.freeCheckpoint(cents)
+      cents = next
+    }
+    val out = kmAssign(e, cents)
+      .select($"vec_id", $"cid", round($"d2", 6).as("d2"))
+      .orderBy($"vec_id")
+    out
+  }
+
+  val ssKmeansIterSql: String = {
+    // one unrolled Lloyd round: assign to c{n-1}, recompute means c{n}
+    def round(n: Int): String =
+      s"""s$n AS (SELECT e.vec_id, e.v, c.cid,
+         |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+         |      + list_dot_product(c.cv, c.cv) AS d2
+         |  FROM e CROSS JOIN c${n - 1} c),
+         |a$n AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s$n) WHERE rn = 1),
+         |ex$n AS (SELECT cid, unnest(list_transform(range(0, len(v)),
+         |    i -> {'pos': i, 'val': v[i+1]}), recursive := true) FROM a$n),
+         |mn$n AS (SELECT cid, pos,
+         |    CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM ex$n GROUP BY 1, 2),
+         |c$n AS (SELECT cid, list(m ORDER BY pos) AS cv FROM mn$n GROUP BY cid)"""
+        .stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |sf AS (SELECT e.vec_id, c.cid,
+       |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+       |      + list_dot_product(c.cv, c.cv) AS d2
+       |  FROM e CROSS JOIN c3 c),
+       |af AS (SELECT vec_id, cid, d2 FROM (SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM sf) WHERE rn = 1)
+       |SELECT vec_id, cid, ROUND(d2, 6) AS d2 FROM af ORDER BY vec_id""".stripMargin
+  }
 
   // --------------------------------------------------------------------
   // Product quantization — the memory-compression member of the ANN
@@ -644,6 +713,7 @@ object Similarity {
     "llm_ss_ivf_probe" -> (ssIvfProbe _),
     "llm_ss_recall" -> (ssRecall _),
     "llm_ss_kmeans" -> (ssKmeans _),
+    "llm_ss_kmeans_iter" -> (ssKmeansIter _),
     "llm_ss_pq_encode" -> (ssPqEncode _),
     "llm_ss_pq_search" -> (ssPqSearch _),
     "llm_ss_outliers" -> (ssOutliers _),
@@ -658,6 +728,7 @@ object Similarity {
     "llm_ss_ivf_probe" -> ssIvfProbeSql,
     "llm_ss_recall" -> ssRecallSql,
     "llm_ss_kmeans" -> ssKmeansSql,
+    "llm_ss_kmeans_iter" -> ssKmeansIterSql,
     "llm_ss_pq_encode" -> ssPqEncodeSql,
     "llm_ss_pq_search" -> ssPqSearchSql,
     "llm_ss_outliers" -> ssOutliersSql,
