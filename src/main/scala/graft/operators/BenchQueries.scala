@@ -315,6 +315,51 @@ object BenchQueries {
        |FROM lg WHERE prev_ns IS NOT NULL
        |ORDER BY pkg, test, date""".stripMargin
 
+  // --------------------------------------------------------------------
+  // bench_anomaly_mad: robust per-series outlier screening — flag
+  // points more than 3 MADs from the series median. The statistical
+  // upgrade of bench_regression_flags' fixed 5% threshold: median/MAD
+  // ignore the outlier being hunted (a mean/stddev gate moves with
+  // it), the standard robust practice for noisy benchmark series.
+  // Spark `percentile` and DuckDB `quantile_cont` share linear
+  // interpolation, so the gate stays hash-exact (the q25 pattern).
+  //
+  // Scale shape: two partial-aggregable groupBys on (pkg,test) plus
+  // joins back on the same key; the median/MAD side tables are
+  // series-count-sized and broadcast under AQE. At production series
+  // volume swap percentile for approx_percentile (t-digest) — same
+  // plan, bounded memory (q25's documented trade).
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val f = fact(spark)
+    val med = f.groupBy(col("pkg"), col("test"))
+      .agg(expr("percentile(ns_per_op, 0.5)").as("med"))
+    val dev = f.join(med, Seq("pkg", "test"))
+      .withColumn("adev", abs(col("ns_per_op") - col("med")))
+    val mad = dev.groupBy(col("pkg"), col("test"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(mad, Seq("pkg", "test"))
+      .select(col("pkg"), col("test"), col("date"), col("ns_per_op"),
+        round(col("med"), 6).as("series_median"),
+        round(col("mad"), 6).as("series_mad"),
+        (col("adev") > lit(3) * col("mad")).as("is_anomaly"))
+      .orderBy(col("pkg"), col("test"), col("date"))
+  }
+
+  val anomalyMadSql: String =
+    s"""WITH fct AS ($ingestGoldenSql),
+       |md AS (SELECT pkg, test, quantile_cont(ns_per_op, 0.5) AS med
+       |  FROM fct GROUP BY pkg, test),
+       |dv AS (SELECT fct.*, med, ABS(ns_per_op - med) AS adev
+       |  FROM fct JOIN md USING (pkg, test)),
+       |mad AS (SELECT pkg, test, quantile_cont(adev, 0.5) AS mad
+       |  FROM dv GROUP BY pkg, test)
+       |SELECT pkg, test, date, ns_per_op,
+       |  ROUND(med, 6) AS series_median,
+       |  ROUND(mad, 6) AS series_mad,
+       |  adev > 3 * mad AS is_anomaly
+       |FROM dv JOIN mad USING (pkg, test)
+       |ORDER BY pkg, test, date""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bench_ingest_golden" -> (ingestGolden _),
     "bench_series_sorted" -> (seriesSorted _),
@@ -329,6 +374,7 @@ object BenchQueries {
     "bench_date_spine" -> (dateSpine _),
     "bench_moving_avg" -> (movingAvg _),
     "bench_regression_flags" -> (regressionFlags _),
+    "bench_anomaly_mad" -> (anomalyMad _),
     "bench_sink_roundtrip" -> (sinkRoundtrip _),
   )
 
@@ -346,5 +392,6 @@ object BenchQueries {
     "bench_date_spine" -> dateSpineSql,
     "bench_moving_avg" -> movingAvgSql,
     "bench_regression_flags" -> regressionFlagsSql,
+    "bench_anomaly_mad" -> anomalyMadSql,
   )
 }
