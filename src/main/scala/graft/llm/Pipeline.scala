@@ -66,6 +66,91 @@ object Pipeline {
        |ORDER BY cc.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_pipeline_attrition: per-stage attrition report for the
+  // curation pipeline — how many documents each filter removes, in
+  // pipeline order (total → canonical-dedup → quality → lang →
+  // split). The sign-off artifact of any curation run: deletion
+  // volume per cause, before anyone trains on the output. Stage
+  // counts are CONJUNCTIVE in pipeline order, so each "dropped"
+  // number is attributable to exactly one stage.
+  //
+  // Scale shape: every stage table is per-doc and equi-joins on
+  // doc_id (the curate plan's own shape); the funnel reduces through
+  // one partial-aggregable 1-row aggregate, and the 5-row report
+  // comes from a generator over it (the q38 pattern — a 5-way union
+  // would re-plan the whole pipeline per branch).
+  def attrition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flags = Dedup.ddCluster(spark, dir)
+      .select($"doc_id", ($"doc_id" === $"cluster_id").cast("int").as("cc_ok"))
+      .join(TextAnalysis.taQuality(spark, dir)
+        .select($"doc_id", ($"quality" >= 0.5).cast("int").as("q_ok")),
+        Seq("doc_id"))
+      .join(TextAnalysis.taLangId(spark, dir)
+        .select($"doc_id", $"is_correct".cast("int").as("l_ok")), Seq("doc_id"))
+      .join(Tables.documents(spark, dir)
+        .select($"doc_id", (h60($"text") % 100 < 50).cast("int").as("sp_ok")),
+        Seq("doc_id"))
+    val t = flags.agg(count(lit(1)).as("n0"),
+      sum($"cc_ok").as("n1"),
+      sum($"cc_ok" * $"q_ok").as("n2"),
+      sum($"cc_ok" * $"q_ok" * $"l_ok").as("n3"),
+      sum($"cc_ok" * $"q_ok" * $"l_ok" * $"sp_ok").as("n4"))
+    def rate(dropped: org.apache.spark.sql.Column,
+        prev: org.apache.spark.sql.Column) =
+      round(dropped.cast("double") / prev, 6)
+    t.select(explode(array(
+        struct(lit(0).as("stage"), lit("total").as("name"),
+          $"n0".as("n_docs"), lit(0L).as("dropped"), lit(0.0).as("drop_rate")),
+        struct(lit(1).as("stage"), lit("canonical_dedup").as("name"),
+          $"n1".as("n_docs"), ($"n0" - $"n1").as("dropped"),
+          rate($"n0" - $"n1", $"n0").as("drop_rate")),
+        struct(lit(2).as("stage"), lit("quality").as("name"),
+          $"n2".as("n_docs"), ($"n1" - $"n2").as("dropped"),
+          rate($"n1" - $"n2", $"n1").as("drop_rate")),
+        struct(lit(3).as("stage"), lit("lang_agreement").as("name"),
+          $"n3".as("n_docs"), ($"n2" - $"n3").as("dropped"),
+          rate($"n2" - $"n3", $"n2").as("drop_rate")),
+        struct(lit(4).as("stage"), lit("hash_split").as("name"),
+          $"n4".as("n_docs"), ($"n3" - $"n4").as("dropped"),
+          rate($"n3" - $"n4", $"n3").as("drop_rate")))).as("r"))
+      .select($"r.stage", $"r.name", $"r.n_docs", $"r.dropped", $"r.drop_rate")
+      .orderBy($"stage")
+  }
+
+  val attritionSql: String =
+    s"""WITH cc AS (${Dedup.ddClusterSql}),
+       |q AS (${TextAnalysis.taQualitySql}),
+       |l AS (${TextAnalysis.taLangIdSql}),
+       |fl AS (
+       |  SELECT cc.doc_id,
+       |    CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS cc_ok,
+       |    CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS q_ok,
+       |    CASE WHEN l.is_correct THEN 1 ELSE 0 END AS l_ok,
+       |    CASE WHEN ${h60Sql("d.text")} % 100 < 50 THEN 1 ELSE 0 END AS sp_ok
+       |  FROM cc
+       |  JOIN q ON cc.doc_id = q.doc_id
+       |  JOIN l ON cc.doc_id = l.doc_id
+       |  JOIN documents d ON cc.doc_id = d.doc_id),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+       |    CAST(SUM(cc_ok) AS BIGINT) AS n1,
+       |    CAST(SUM(cc_ok * q_ok) AS BIGINT) AS n2,
+       |    CAST(SUM(cc_ok * q_ok * l_ok) AS BIGINT) AS n3,
+       |    CAST(SUM(cc_ok * q_ok * l_ok * sp_ok) AS BIGINT) AS n4
+       |  FROM fl)
+       |SELECT 0 AS stage, 'total' AS name, n0 AS n_docs,
+       |  CAST(0 AS BIGINT) AS dropped, CAST(0.0 AS DOUBLE) AS drop_rate FROM t
+       |UNION ALL SELECT 1, 'canonical_dedup', n1, n0 - n1,
+       |  ROUND(CAST(n0 - n1 AS DOUBLE) / n0, 6) FROM t
+       |UNION ALL SELECT 2, 'quality', n2, n1 - n2,
+       |  ROUND(CAST(n1 - n2 AS DOUBLE) / n1, 6) FROM t
+       |UNION ALL SELECT 3, 'lang_agreement', n3, n2 - n3,
+       |  ROUND(CAST(n2 - n3 AS DOUBLE) / n2, 6) FROM t
+       |UNION ALL SELECT 4, 'hash_split', n4, n3 - n4,
+       |  ROUND(CAST(n3 - n4 AS DOUBLE) / n3, 6) FROM t
+       |ORDER BY stage""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_pipeline_pack: training-shard packing — assign documents to
   // fixed token-budget shards (next-fit by running total), the step
   // that materializes a curated corpus into pretraining shards.
@@ -200,6 +285,7 @@ object Pipeline {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_curate" -> (curate _),
+    "llm_pipeline_attrition" -> (attrition _),
     "llm_pipeline_pack" -> (pack _),
     "llm_pipeline_split" -> (leakageSafeSplit _),
     "llm_pipeline_e2e" -> (e2e _),
@@ -207,6 +293,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "llm_pipeline_curate" -> curateSql,
+    "llm_pipeline_attrition" -> attritionSql,
     "llm_pipeline_pack" -> packSql,
     "llm_pipeline_split" -> splitSql,
     "llm_pipeline_e2e" -> e2eSql,
