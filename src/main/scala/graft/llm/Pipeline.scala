@@ -197,6 +197,37 @@ object Pipeline {
        |FROM c ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_pipeline_shard_sizes: packing fill audit — per (bucket, shard)
+  // document count, token fill, and fill rate against the budget. The
+  // diagnostic a shard planner reads after llm_pipeline_pack: a
+  // next-fit packer leaves the tail shard of each bucket underfull,
+  // and oversized docs overflow their shard — both visible here
+  // before training jobs consume skewed shards.
+  //
+  // Scale shape: one partial-aggregable groupBy on the bounded
+  // (bucket, shard) key over pack's output — no new corpus-sized
+  // state.
+  def shardSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pack(spark, dir)
+      .groupBy($"bucket", $"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("fill_toks"))
+      .select($"bucket", $"shard", $"n_docs", $"fill_toks",
+        round($"fill_toks".cast("double") / lit(PackBudget.toDouble), 6)
+          .as("fill_rate"))
+      .orderBy($"bucket", $"shard")
+  }
+
+  val shardSizesSql: String =
+    s"""WITH p AS ($packSql)
+       |SELECT bucket, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS fill_toks,
+       |  ROUND(CAST(SUM(n_toks) AS DOUBLE) / $PackBudget.0, 6) AS fill_rate
+       |FROM p GROUP BY bucket, shard
+       |ORDER BY bucket, shard""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_pipeline_split: LEAKAGE-SAFE train/val/test assignment — the
   // split key is the duplicate-CLUSTER id, not the document id, so
   // near-duplicate documents always land in the same split (a doc-id
@@ -286,6 +317,7 @@ object Pipeline {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_curate" -> (curate _),
     "llm_pipeline_attrition" -> (attrition _),
+    "llm_pipeline_shard_sizes" -> (shardSizes _),
     "llm_pipeline_pack" -> (pack _),
     "llm_pipeline_split" -> (leakageSafeSplit _),
     "llm_pipeline_e2e" -> (e2e _),
@@ -294,6 +326,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "llm_pipeline_curate" -> curateSql,
     "llm_pipeline_attrition" -> attritionSql,
+    "llm_pipeline_shard_sizes" -> shardSizesSql,
     "llm_pipeline_pack" -> packSql,
     "llm_pipeline_split" -> splitSql,
     "llm_pipeline_e2e" -> e2eSql,

@@ -680,7 +680,12 @@ object TextAnalysis {
           .stripMargin)).as("pair"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
 
-  def taBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** The 3-round BPE loop shared by train (consumes the merge log) and
+    * encode (consumes the final symbol table). Returns (log frames,
+    * final checkpointed symbol table) — the caller frees what it
+    * doesn't keep. */
+  private def bpeLoop(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
     import spark.implicits._
     var cur = Tables.documents(spark, dir)
       .select(explode(split($"text", " ")).as("w"))
@@ -707,11 +712,50 @@ object TextAnalysis {
       best.select(lit(k).as("step"), $"pair",
         expr("replace(pair, '·', '')").as("merged"), $"n")
     }
-    Dedup.freeCheckpoint(cur)
+    (log, cur)
+  }
+
+  def taBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (log, finalSyms) = bpeLoop(spark, dir)
+    Dedup.freeCheckpoint(finalSyms)
     log.reduce(_.unionAll(_)).orderBy($"step")
   }
 
-  val taBpeTrainSql: String = {
+  // --------------------------------------------------------------------
+  // ta_bpe_encode: APPLY the trained merges corpus-wide — the other
+  // half of the tokenizer story (taBpeTrain learns the merges; this
+  // tokenizes every document with them) — reporting per-doc token
+  // counts and the char/token compression the 3 merges buy. Words of
+  // length 1 never enter the vocab (no pairs) and count as one token.
+  //
+  // Scale shape: the merge application runs on the VOCAB-sized symbol
+  // table inside bpeLoop (never the corpus); encoding joins the
+  // word→token-count table to the corpus word stream — vocab
+  // broadcasts by Heaps' law, so the corpus only shuffles on doc_id
+  // for the per-doc sum, exactly the lm_score shape.
+  def taBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (log, finalSyms) = bpeLoop(spark, dir)
+    log.foreach(Dedup.freeCheckpoint)
+    val wordToks = finalSyms.select(
+      expr("replace(sym, '·', '')").as("w"),
+      size(expr("split(trim(BOTH '·' FROM sym), '·')")).cast("long").as("n_syms"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .join(broadcast(wordToks), Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce($"n_syms", lit(1L))).as("n_tokens"),
+        sum(length($"w")).cast("long").as("n_chars"))
+      .select($"doc_id", $"n_words", $"n_tokens",
+        round($"n_chars".cast("double") / $"n_tokens", 6).as("compression"))
+      .orderBy($"doc_id")
+  }
+
+  /** Shared oracle CTE chain for the 3-round BPE loop: wf, s0,
+    * (pN, bN, sN) per round — train reads b1..b3, encode reads s3. */
+  private val bpeCtesSql: String = {
     // one unrolled round: pair counts over sN, argmax bN, re-segment sN+1
     def round(n: Int): String =
       s"""p$n AS (SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
@@ -727,21 +771,38 @@ object TextAnalysis {
          |    '·' || (SELECT pair FROM b$n) || '·',
          |    '·' || replace((SELECT pair FROM b$n), '·', '') || '·') AS sym,
          |    freq FROM s${n - 1})""".stripMargin
-    s"""WITH wf AS (SELECT w, COUNT(*) AS freq FROM (
+    s"""wf AS (SELECT w, COUNT(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) >= 2 GROUP BY w),
        |s0 AS (SELECT '·' || regexp_replace(w, '(.)', '\\1·', 'g') AS sym,
        |    freq FROM wf),
        |${round(1)},
        |${round(2)},
-       |${round(3)}
+       |${round(3)}""".stripMargin
+  }
+
+  val taBpeTrainSql: String =
+    s"""WITH $bpeCtesSql
        |SELECT 1 AS step, pair, replace(pair, '·', '') AS merged, n FROM b1
        |UNION ALL
        |SELECT 2 AS step, pair, replace(pair, '·', '') AS merged, n FROM b2
        |UNION ALL
        |SELECT 3 AS step, pair, replace(pair, '·', '') AS merged, n FROM b3
        |ORDER BY step""".stripMargin
-  }
+
+  val taBpeEncodeSql: String =
+    s"""WITH $bpeCtesSql,
+       |wt AS (SELECT replace(sym, '·', '') AS w,
+       |    CAST(len(string_split(trim(sym, '·'), '·')) AS BIGINT) AS n_syms
+       |  FROM s3),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(COALESCE(n_syms, 1)) AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(SUM(length(dw.w)) AS DOUBLE)
+       |    / SUM(COALESCE(n_syms, 1)), 6) AS compression
+       |FROM dw LEFT JOIN wt USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
@@ -759,6 +820,7 @@ object TextAnalysis {
     "llm_ta_lm_bigram" -> (taLmBigram _),
     "llm_ta_bpe_pairs" -> (taBpePairs _),
     "llm_ta_bpe_train" -> (taBpeTrain _),
+    "llm_ta_bpe_encode" -> (taBpeEncode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -777,5 +839,6 @@ object TextAnalysis {
     "llm_ta_lm_bigram" -> taLmBigramSql,
     "llm_ta_bpe_pairs" -> taBpePairsSql,
     "llm_ta_bpe_train" -> taBpeTrainSql,
+    "llm_ta_bpe_encode" -> taBpeEncodeSql,
   )
 }
