@@ -64,6 +64,39 @@ class EquivalenceSpec extends SparkSpec {
     assert(combos == joined)
   }
 
+  test("funnel equals a brute-force per-user scan on random event streams") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 4000).map { i =>
+      (i.toLong, rnd.nextInt(5000).toLong * 60L * 1000000000L,
+        (rnd.nextInt(40) + 1).toLong,
+        Seq("view", "click", "purchase", "signup", "error")(rnd.nextInt(5)),
+        1.0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_prop").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    // independent reference: per-user scan in (ts, event_id) order —
+    // the window formulation must agree with the obvious sequential
+    // state machine
+    val byUser = rows.groupBy(_._3).view.mapValues(_.sortBy(r => (r._2, r._1)))
+    var n1, n2, n3 = 0L
+    byUser.foreach { case (_, evs) =>
+      var seenView, qualClick, s1, s2, s3 = false
+      evs.foreach { e =>
+        e._4 match {
+          case "view" => seenView = true; s1 = true
+          case "click" if seenView => qualClick = true; s2 = true
+          case "purchase" if qualClick => s3 = true
+          case _ =>
+        }
+      }
+      if (s1) n1 += 1; if (s2) n2 += 1; if (s3) n3 += 1
+    }
+    val got = graft.streaming.WindowQueries.q38Funnel(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(got == Map(1 -> n1, 2 -> n2, 3 -> n3))
+  }
+
   test("funnel enforces event ORDER, not mere presence of stage types") {
     // crafted events: user 1 converts in order; user 2 has all three
     // types but in reverse (purchase first), so only stage 1 counts;
