@@ -604,6 +604,89 @@ object TextAnalysis {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // ta_lm_bigram_backoff: the 100 TB form of the bigram scorer — the
+  // model is PRUNED to the top-M bigrams by count (M = 1024 here);
+  // every other transition backs off to 0.4 × unigram P(w2) (stupid
+  // backoff, Brants et al. 2007 — the standard web-scale LM recipe).
+  // This ships the scale path ta_lm_bigram's doc comment promises:
+  // the bigram broadcast is BOUNDED at M rows regardless of corpus
+  // size, and the unigram table broadcasts by Heaps' law as in
+  // ta_lm_score. n_backoff per doc reports how often the pruned model
+  // missed — the coverage number that tunes M.
+  def taLmBigramBackoff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val M = 1024
+    val bg = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(t) - 2),
+          |  i -> named_struct('w1', element_at(t, i + 1),
+          |                    'w2', element_at(t, i + 2)))""".stripMargin))
+        .as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    // top-M via orderBy+limit — plans as TakeOrderedAndProject
+    // (per-partition partial top-M, then merge), never the global
+    // single-partition row_number window
+    val kept = c2
+      .orderBy($"c2".desc, $"w1".asc, $"w2".asc).limit(M)
+      .join(broadcast(c1), "w1")
+      .select($"w1", $"w2", ($"c2".cast("double") / $"c1").as("p_big"))
+    val uni = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w2"))
+      .groupBy($"w2").agg(count(lit(1)).as("cu"))
+    val totalN = uni.agg(sum($"cu").as("n_total"))
+    val puni = uni.crossJoin(broadcast(totalN))
+      .select($"w2", ($"cu".cast("double") / $"n_total").as("p_uni"))
+    bg.join(broadcast(kept), Seq("w1", "w2"), "left")
+      .join(broadcast(puni), Seq("w2"))
+      .select($"doc_id",
+        coalesce($"p_big", $"p_uni" * 0.4).as("p"),
+        $"p_big".isNull.cast("int").as("backoff"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"backoff").as("n_backoff"),
+        round(sum($"p".cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 9).as("avg_p"))
+      .orderBy($"doc_id")
+  }
+
+  val taLmBigramBackoffSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, len(t) - 1),
+      |      i -> {'w1': t[i + 1], 'w2': t[i + 2]})) AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2),
+      |f AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM f GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |kept AS (
+      |  SELECT w1, w2, CAST(c2 AS DOUBLE) / c1 AS p_big FROM (
+      |    SELECT * FROM c2 ORDER BY c2 DESC, w1, w2 LIMIT 1024)
+      |  JOIN c1 USING (w1)),
+      |uni AS (SELECT w2, COUNT(*) AS cu FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w2 FROM documents)
+      |  GROUP BY w2),
+      |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_total FROM uni),
+      |pu AS (SELECT w2, CAST(cu AS DOUBLE) / n_total AS p_uni
+      |  FROM uni CROSS JOIN tot),
+      |sc AS (
+      |  SELECT doc_id,
+      |    COALESCE(p_big, p_uni * 0.4) AS p,
+      |    CASE WHEN p_big IS NULL THEN 1 ELSE 0 END AS backoff
+      |  FROM f
+      |  LEFT JOIN kept USING (w1, w2)
+      |  JOIN pu USING (w2))
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+      |  ROUND(CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9)
+      |    AS avg_p
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // ta_bpe_pairs: one distributed BPE-training step — the top adjacent
   // symbol pairs by corpus frequency, the argmax that drives each
   // merge of byte-pair-encoding vocabulary induction. Pair counts are
@@ -818,6 +901,7 @@ object TextAnalysis {
     "llm_ta_length_hist" -> (taLengthHist _),
     "llm_ta_lm_score" -> (taLmScore _),
     "llm_ta_lm_bigram" -> (taLmBigram _),
+    "llm_ta_lm_bigram_backoff" -> (taLmBigramBackoff _),
     "llm_ta_bpe_pairs" -> (taBpePairs _),
     "llm_ta_bpe_train" -> (taBpeTrain _),
     "llm_ta_bpe_encode" -> (taBpeEncode _),
@@ -837,6 +921,7 @@ object TextAnalysis {
     "llm_ta_length_hist" -> taLengthHistSql,
     "llm_ta_lm_score" -> taLmScoreSql,
     "llm_ta_lm_bigram" -> taLmBigramSql,
+    "llm_ta_lm_bigram_backoff" -> taLmBigramBackoffSql,
     "llm_ta_bpe_pairs" -> taBpePairsSql,
     "llm_ta_bpe_train" -> taBpeTrainSql,
     "llm_ta_bpe_encode" -> taBpeEncodeSql,

@@ -103,6 +103,19 @@ class PlanSpec extends SparkSpec {
         + plan.take(800))
   }
 
+  test("backoff LM prunes top-M via TakeOrderedAndProject, never a global window") {
+    val plan = planOf(TextAnalysis.taLmBigramBackoff(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-M must plan as distributed partial top-k:\n" + plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus bigram stream must not shuffle on a model key:\n"
+        + plan.take(800))
+    val globalWindow = plan.split("\n")
+      .exists(l => l.contains("Window") && l.contains("SinglePartition"))
+    assert(!globalWindow,
+      "found a single-partition window:\n" + plan.take(800))
+  }
+
   test("funnel runs on ONE user_id shuffle (single scan, stacked windows)") {
     val plan = planOf(graft.streaming.WindowQueries.q38Funnel(spark, sf0001))
     // exactly one scan of events: the 3-row summary must come from a
