@@ -166,29 +166,28 @@ object StreamPipelines {
         maxFilesPerTrigger = maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        upsertMerge(batch.toDF(), outDir)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("date")
-          .parquet(outDir)
+        upsertWrite(batch.toDF(), outDir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Union a micro-batch with the sink's existing rows for the batch's
-    * dates, batch winning per (pkg,test,date). localCheckpoint twice:
-    * the batch before the sink read (a streaming batch DF can't be
-    * re-planned inside a second job), and the merged result before the
-    * write (Spark refuses to overwrite a path its plan still reads —
-    * the checkpoint cuts that lineage). */
-  private[streaming] def upsertMerge(batch: DataFrame, outDir: String): DataFrame = {
+  /** Merge a micro-batch with the sink's existing rows for the batch's
+    * dates (batch winning per (pkg,test,date)) and dynamically
+    * overwrite those partitions. localCheckpoint twice: the batch
+    * before the sink read (a streaming batch DF can't be re-planned
+    * inside a second job), and the merged result before the write
+    * (Spark refuses to overwrite a path its plan still reads — the
+    * checkpoint cuts that lineage). Both checkpoints are FREED after
+    * the write commits, so a long-running stream doesn't accumulate
+    * pinned blocks batch over batch. */
+  private[streaming] def upsertWrite(batch: DataFrame, outDir: String): Unit = {
     val spark = batch.sparkSession
     val b = batch.localCheckpoint()
     val existing =
       try Some(spark.read.parquet(outDir))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    existing match {
+    val merged = existing match {
       case None => b // first batch: nothing to merge
       case Some(e) =>
         val kept = e
@@ -197,6 +196,12 @@ object StreamPipelines {
             Seq("pkg", "test", "date"), "left_anti")
         b.unionByName(kept).localCheckpoint()
     }
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date")
+      .parquet(outDir)
+    graft.llm.Dedup.freeCheckpoint(b)
+    if (merged ne b) graft.llm.Dedup.freeCheckpoint(merged)
   }
 
   /** File-source -> parquet-sink incremental pipeline: the streaming
