@@ -360,6 +360,30 @@ object BenchQueries {
        |FROM dv JOIN mad USING (pkg, test)
        |ORDER BY pkg, test, date""".stripMargin
 
+  // --------------------------------------------------------------------
+  // bench_history_ranges: SCD2-style validity windows — each
+  // measurement is valid [date, next measurement date); the open
+  // current row has valid_to NULL. The warehouse pattern that turns
+  // a snapshot series into an as-of-joinable dimension (q20's as-of
+  // probe against exactly this shape). lead() rides the same single
+  // (pkg,test) shuffle as every series op.
+  def historyRanges(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pkg"), col("test")).orderBy(col("date"))
+    fact(spark)
+      .select(col("pkg"), col("test"), col("ns_per_op"),
+        col("date").as("valid_from"),
+        lead(col("date"), 1).over(w).as("valid_to"))
+      .orderBy(col("pkg"), col("test"), col("valid_from"))
+  }
+
+  val historyRangesSql: String =
+    s"""WITH fct AS ($ingestGoldenSql)
+       |SELECT pkg, test, ns_per_op, date AS valid_from,
+       |  LEAD(date, 1) OVER (PARTITION BY pkg, test ORDER BY date)
+       |    AS valid_to
+       |FROM fct ORDER BY pkg, test, valid_from""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bench_ingest_golden" -> (ingestGolden _),
     "bench_series_sorted" -> (seriesSorted _),
@@ -375,6 +399,7 @@ object BenchQueries {
     "bench_moving_avg" -> (movingAvg _),
     "bench_regression_flags" -> (regressionFlags _),
     "bench_anomaly_mad" -> (anomalyMad _),
+    "bench_history_ranges" -> (historyRanges _),
     "bench_sink_roundtrip" -> (sinkRoundtrip _),
   )
 
@@ -393,5 +418,6 @@ object BenchQueries {
     "bench_moving_avg" -> movingAvgSql,
     "bench_regression_flags" -> regressionFlagsSql,
     "bench_anomaly_mad" -> anomalyMadSql,
+    "bench_history_ranges" -> historyRangesSql,
   )
 }
