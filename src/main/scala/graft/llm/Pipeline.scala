@@ -91,11 +91,12 @@ object Pipeline {
       .join(Tables.documents(spark, dir)
         .select($"doc_id", (h60($"text") % 100 < 50).cast("int").as("sp_ok")),
         Seq("doc_id"))
+    // coalesce: defined zeros (not NULLs) on an empty corpus
     val t = flags.agg(count(lit(1)).as("n0"),
-      sum($"cc_ok").as("n1"),
-      sum($"cc_ok" * $"q_ok").as("n2"),
-      sum($"cc_ok" * $"q_ok" * $"l_ok").as("n3"),
-      sum($"cc_ok" * $"q_ok" * $"l_ok" * $"sp_ok").as("n4"))
+      coalesce(sum($"cc_ok"), lit(0L)).as("n1"),
+      coalesce(sum($"cc_ok" * $"q_ok"), lit(0L)).as("n2"),
+      coalesce(sum($"cc_ok" * $"q_ok" * $"l_ok"), lit(0L)).as("n3"),
+      coalesce(sum($"cc_ok" * $"q_ok" * $"l_ok" * $"sp_ok"), lit(0L)).as("n4"))
     def rate(dropped: org.apache.spark.sql.Column,
         prev: org.apache.spark.sql.Column) =
       round(dropped.cast("double") / prev, 6)
@@ -133,10 +134,10 @@ object Pipeline {
        |  JOIN l ON cc.doc_id = l.doc_id
        |  JOIN documents d ON cc.doc_id = d.doc_id),
        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
-       |    CAST(SUM(cc_ok) AS BIGINT) AS n1,
-       |    CAST(SUM(cc_ok * q_ok) AS BIGINT) AS n2,
-       |    CAST(SUM(cc_ok * q_ok * l_ok) AS BIGINT) AS n3,
-       |    CAST(SUM(cc_ok * q_ok * l_ok * sp_ok) AS BIGINT) AS n4
+       |    CAST(COALESCE(SUM(cc_ok), 0) AS BIGINT) AS n1,
+       |    CAST(COALESCE(SUM(cc_ok * q_ok), 0) AS BIGINT) AS n2,
+       |    CAST(COALESCE(SUM(cc_ok * q_ok * l_ok), 0) AS BIGINT) AS n3,
+       |    CAST(COALESCE(SUM(cc_ok * q_ok * l_ok * sp_ok), 0) AS BIGINT) AS n4
        |  FROM fl)
        |SELECT 0 AS stage, 'total' AS name, n0 AS n_docs,
        |  CAST(0 AS BIGINT) AS dropped, CAST(0.0 AS DOUBLE) AS drop_rate FROM t

@@ -134,8 +134,11 @@ object WindowQueries {
           .otherwise(0)).as("s2"),
         max(when($"event_type" === "purchase" && $"c_ts".isNotNull, 1)
           .otherwise(0)).as("s3"))
-    val t = per.agg(sum($"s1").as("n1"), sum($"s2").as("n2"),
-      sum($"s3").as("n3"))
+    // coalesce: on an empty event set the ungrouped agg still emits
+    // one row, and the funnel should report defined zeros, not NULLs
+    val t = per.agg(coalesce(sum($"s1"), lit(0L)).as("n1"),
+      coalesce(sum($"s2"), lit(0L)).as("n2"),
+      coalesce(sum($"s3"), lit(0L)).as("n3"))
     // one generator over the 1-row totals, NOT a 3-way union of
     // selects from t: union branches re-plan the whole subtree (no
     // common-subplan reuse in Catalyst), which would scan events
@@ -175,9 +178,9 @@ object WindowQueries {
       |    MAX(CASE WHEN event_type = 'purchase' AND c_ts IS NOT NULL
       |      THEN 1 ELSE 0 END) AS s3
       |  FROM o2 GROUP BY user_id),
-      |t AS (SELECT CAST(SUM(s1) AS BIGINT) AS n1,
-      |    CAST(SUM(s2) AS BIGINT) AS n2,
-      |    CAST(SUM(s3) AS BIGINT) AS n3 FROM per)
+      |t AS (SELECT CAST(COALESCE(SUM(s1), 0) AS BIGINT) AS n1,
+      |    CAST(COALESCE(SUM(s2), 0) AS BIGINT) AS n2,
+      |    CAST(COALESCE(SUM(s3), 0) AS BIGINT) AS n3 FROM per)
       |SELECT 1 AS stage, 'view' AS name, n1 AS n_users,
       |  CAST(1.0 AS DOUBLE) AS conv_from_prev FROM t
       |UNION ALL SELECT 2, 'click_after_view', n2,
