@@ -62,6 +62,36 @@ object Multimodal {
        |FROM t ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_mm_dedup: exact BINARY-payload dedup — group on the payload's
+  // sha256, canonical = min doc_id, reporting copies and the bytes
+  // deletion would reclaim. The multimodal mirror of llm_dd_exact:
+  // image/audio corpora dedup on content digest before any decode
+  // (the digest is computed scan-side; raw bytes never shuffle — only
+  // the 32-byte hash does, which is the point at 100 TB of media).
+  def mmDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", encode($"text", "utf-8").as("payload"))
+      .select($"doc_id", sha2($"payload", 256).as("sha256"),
+        octet_length($"payload").cast("long").as("n_bytes"))
+      .groupBy($"sha256")
+      .agg(min($"doc_id").as("canonical_doc"),
+        count(lit(1)).as("n_copies"),
+        max($"n_bytes").as("payload_bytes"),
+        (max($"n_bytes") * (count(lit(1)) - 1)).as("reclaimable_bytes"))
+      .orderBy($"canonical_doc")
+  }
+
+  val mmDedupSql: String =
+    """WITH t AS (SELECT doc_id, sha256(text) AS sha256,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT sha256, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_copies,
+      |  MAX(n_bytes) AS payload_bytes,
+      |  CAST(MAX(n_bytes) * (COUNT(*) - 1) AS BIGINT) AS reclaimable_bytes
+      |FROM t GROUP BY sha256 ORDER BY canonical_doc""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_mm_frames: frame sampling — a video of n_frames =
   // min(n_chars/10 + 1, 50) frames sampled every 5th frame; per-frame
   // "feature" is a deterministic fake (hash of doc:frame). The
@@ -202,6 +232,7 @@ object Multimodal {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mm_metadata" -> (mmMetadata _),
+    "llm_mm_dedup" -> (mmDedup _),
     "llm_mm_frames" -> (mmFrames _),
     "llm_mm_resize" -> (mmResize _),
     "llm_mm_audio" -> (mmAudio _),
@@ -209,6 +240,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "llm_mm_metadata" -> mmMetadataSql,
+    "llm_mm_dedup" -> mmDedupSql,
     "llm_mm_frames" -> mmFramesSql,
     "llm_mm_resize" -> mmResizeSql,
     "llm_mm_audio" -> mmAudioSql,
