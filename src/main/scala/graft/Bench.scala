@@ -34,20 +34,37 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => }
       }
+    // Timed pass: N draws per query (median reported). The sandbox
+    // host's throughput fluctuates 3-5x on long shuffle-heavy jobs, so
+    // a single draw is indistinguishable from noise; the median of 3
+    // is the number a plan regression actually moves. Cold mode stays
+    // single-draw by default — its point is the first-run index-build
+    // cost, which later same-session draws no longer pay.
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt)
+      .getOrElse(if (cold) 1 else 3)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> runs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val qs = results.map { case (k, runs) =>
+      val rs = runs.map(r => f"$r%.4f").mkString("[", ",", "]")
+      f""""$k":{"median":${median(runs)}%.4f,"min":${runs.min}%.4f,"runs":$rs}"""
+    }.mkString("{", ",", "}")
+    val total = results.values.map(median).sum
     val totalR = math.round(total * 1000) / 1000.0
     // Per-query detail goes to disk only; stdout gets a short
     // total-only line (the harness tails stdout with a bounded buffer,
     // so the final line must stay well under that bound).
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -55,6 +72,6 @@ object Bench {
     } catch { case _: Throwable => }
     spark.stop()
     println(
-      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"iters":$iters,"sf":"$sfDir"}""")
   }
 }

@@ -529,8 +529,10 @@ object Dedup {
     * only — the production path for the same predicate is the banded
     * candidate join (Similarity.ssLshBucket). The guard fails fast
     * instead of silently launching an O(N²) job on a corpus-sized
-    * input; the count it pays is one narrow-column job. Override for
-    * deliberate large runs with SPARK_GRAFT_ALLOW_ALLPAIRS=1. */
+    * input; the row count comes from the parquet footers (withNorm is
+    * a pure projection of `embeddings`, so footer record counts are
+    * exact) — zero Spark jobs spent deciding. Override for deliberate
+    * large runs with SPARK_GRAFT_ALLOW_ALLPAIRS=1. */
   val MaxAllPairsRows = 100000L
 
   def ddEmbeddingNear(spark: SparkSession, dir: String): DataFrame = {
@@ -538,7 +540,7 @@ object Dedup {
     graft.functions.VecDot.register(spark)
     val e = Similarity.withNorm(spark, dir).drop("label")
     if (!sys.env.contains("SPARK_GRAFT_ALLOW_ALLPAIRS")) {
-      val n = e.count()
+      val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
       require(n <= MaxAllPairsRows,
         s"llm_dd_embedding_near is an all-pairs exact baseline (input has $n" +
           s" rows > $MaxAllPairsRows); use Similarity.ssLshBucket for the" +

@@ -97,9 +97,14 @@ object Pipeline {
       coalesce(sum($"cc_ok" * $"q_ok"), lit(0L)).as("n2"),
       coalesce(sum($"cc_ok" * $"q_ok" * $"l_ok"), lit(0L)).as("n3"),
       coalesce(sum($"cc_ok" * $"q_ok" * $"l_ok" * $"sp_ok"), lit(0L)).as("n4"))
+    // Vacuous-0.0 on an empty previous stage: 0/0 is NaN in Spark but
+    // engine-dependent in DuckDB (ieee_floating_point_ops), so the
+    // division is guarded on both sides — same convention as
+    // ddLshRecall's empty-set 1.0.
     def rate(dropped: org.apache.spark.sql.Column,
         prev: org.apache.spark.sql.Column) =
-      round(dropped.cast("double") / prev, 6)
+      when(prev === 0, lit(0.0))
+        .otherwise(round(dropped.cast("double") / prev, 6))
     t.select(explode(array(
         struct(lit(0).as("stage"), lit("total").as("name"),
           $"n0".as("n_docs"), lit(0L).as("dropped"), lit(0.0).as("drop_rate")),
@@ -142,13 +147,17 @@ object Pipeline {
        |SELECT 0 AS stage, 'total' AS name, n0 AS n_docs,
        |  CAST(0 AS BIGINT) AS dropped, CAST(0.0 AS DOUBLE) AS drop_rate FROM t
        |UNION ALL SELECT 1, 'canonical_dedup', n1, n0 - n1,
-       |  ROUND(CAST(n0 - n1 AS DOUBLE) / n0, 6) FROM t
+       |  CASE WHEN n0 = 0 THEN 0.0
+       |    ELSE ROUND(CAST(n0 - n1 AS DOUBLE) / n0, 6) END FROM t
        |UNION ALL SELECT 2, 'quality', n2, n1 - n2,
-       |  ROUND(CAST(n1 - n2 AS DOUBLE) / n1, 6) FROM t
+       |  CASE WHEN n1 = 0 THEN 0.0
+       |    ELSE ROUND(CAST(n1 - n2 AS DOUBLE) / n1, 6) END FROM t
        |UNION ALL SELECT 3, 'lang_agreement', n3, n2 - n3,
-       |  ROUND(CAST(n2 - n3 AS DOUBLE) / n2, 6) FROM t
+       |  CASE WHEN n2 = 0 THEN 0.0
+       |    ELSE ROUND(CAST(n2 - n3 AS DOUBLE) / n2, 6) END FROM t
        |UNION ALL SELECT 4, 'hash_split', n4, n3 - n4,
-       |  ROUND(CAST(n3 - n4 AS DOUBLE) / n3, 6) FROM t
+       |  CASE WHEN n3 = 0 THEN 0.0
+       |    ELSE ROUND(CAST(n3 - n4 AS DOUBLE) / n3, 6) END FROM t
        |ORDER BY stage""".stripMargin
 
   // --------------------------------------------------------------------

@@ -20,6 +20,24 @@ object BenchQueries {
 
   private val pkgs = Seq("sql", "sql/parser", "util/cache")
 
+  /** Per-JVM scratch root for sinkRoundtrip: concurrent harness runs
+    * (bench alongside verify, or two verifies) each get their own dir,
+    * so neither reads the other's half-written sink output. Lazy so the
+    * dir is only created when the sink query actually runs; registered
+    * for deletion on exit. */
+  lazy val sinkScratchDir: String = {
+    val p = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp")),
+      "graft_bench_sink_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }))
+    p.toString
+  }
+
   /** Ingested fact table over the shared fixture, materialized once per
     * session: nine queries share it, and the fixture is a constant —
     * the same dim-table caching a deployment would use. Ingest itself
@@ -238,7 +256,12 @@ object BenchQueries {
     * full content assertions live in BenchSinksSpec.
     */
   def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/bench_sink_out"
+    // Per-process scratch dir: two concurrent harness runs (bench +
+    // verify, or two verifies) must not clobber each other's sink
+    // output mid-read. Keyed per JVM, not per call, so repeat
+    // invocations in one session overwrite in place instead of
+    // leaking a dir per run; deleted on JVM exit.
+    val out = BenchQueries.sinkScratchDir
     val f = fact(spark)
     BenchSinks.writeSeriesJson(f, s"$out/series")
     BenchSinks.writeCatalogJson(f, s"$out/catalog")

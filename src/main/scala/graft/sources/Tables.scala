@@ -53,24 +53,45 @@ object Tables {
     }
   }
 
-  /** Snapshot token for a data directory: (#entries, max mtime, total
-    * bytes) of its top-level listing. Folded into every sessionCached
-    * key derived from the dir's data — `table` scans and the dd/pq
-    * index family — so rewriting a table within a session
-    * (e.g. by this repo's own streaming/ingest writers) invalidates
-    * the cached scans AND the indexes built from them, instead of
-    * silently serving stale results. One listStatus per cache lookup:
-    * microseconds on a local fs, one LIST on an object store — cheap
-    * next to the parquet footer reads the cache avoids. Superseded
-    * (stale-token) entries stay pinned until application end, same
-    * lifetime contract as every other entry here. */
+  /** Snapshot token for a data directory: (#files, max mtime, total
+    * bytes) over a RECURSIVE file listing, bounded at
+    * [[SnapshotMaxFiles]]. Folded into every sessionCached key derived
+    * from the dir's data — `table` scans and the dd/pq index family —
+    * so rewriting a table within a session (e.g. by this repo's own
+    * streaming/ingest writers) invalidates the cached scans AND the
+    * indexes built from them, instead of silently serving stale
+    * results. Recursion matters for nested sources like the benchmark
+    * stdout tree (per-date, per-pkg nested stdout files): adding or rewriting a
+    * file two levels deep changes neither top-level entry count nor
+    * top-level mtimes, so a flat listing would serve a silently stale
+    * cached fact. `listFiles(recursive)` is one bounded enumeration:
+    * microseconds on a local fs, one paged LIST on an object store —
+    * cheap next to the parquet footer reads the cache avoids. Past the
+    * bound the token degrades to "first N files + truncation marker":
+    * still deterministic, but a mutation strictly beyond file N may
+    * not re-key — acceptable for this engine's table dirs (single-digit
+    * file counts per table at any SF; a 100 TB table dir's mutations
+    * arrive as new part files, which move the count). Mtime is
+    * millisecond-granular, so a same-millisecond same-length in-place
+    * rewrite is (theoretically) invisible. Superseded (stale-token)
+    * entries stay pinned until application end, same lifetime contract
+    * as every other entry here. */
+  val SnapshotMaxFiles = 8192
+
   def snapshot(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     try {
-      val ss = fs.listStatus(p)
-      val mt = if (ss.isEmpty) 0L else ss.map(_.getModificationTime).max
-      s"${ss.length}:$mt:${ss.map(_.getLen).sum}"
+      val it = fs.listFiles(p, true)
+      var n = 0L; var mt = 0L; var len = 0L
+      while (it.hasNext && n < SnapshotMaxFiles) {
+        val s = it.next()
+        n += 1
+        if (s.getModificationTime > mt) mt = s.getModificationTime
+        len += s.getLen
+      }
+      val trunc = if (it.hasNext) ":trunc" else ""
+      s"$n:$mt:$len$trunc"
     } catch { case _: java.io.FileNotFoundException => "absent" }
   }
 
@@ -107,6 +128,32 @@ object Tables {
         .orElse(sys.props.get("graft.tableCache"))
       if (mode.contains("checkpoint")) df.localCheckpoint() else df
     }
+  }
+
+  /** Row count of a parquet file (or dir of part files) read from
+    * footer metadata only — no Spark job, no executor involvement.
+    * Parquet footers carry exact record counts, so this equals
+    * `spark.read.parquet(path).count()` for any unfiltered scan.
+    * Used by fail-fast guards (e.g. the all-pairs baseline in
+    * [[graft.llm.Dedup.ddEmbeddingNear]]) where launching a count job
+    * just to decide whether to refuse a bigger job defeats the point. */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      else Array(fs.getFileStatus(p))
+    files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

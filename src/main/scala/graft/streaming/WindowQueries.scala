@@ -146,12 +146,19 @@ object WindowQueries {
     t.select(explode(array(
         struct(lit(1).as("stage"), lit("view").as("name"),
           $"n1".as("n_users"), lit(1.0).as("conv_from_prev")),
+        // 0/0 guard (empty prior stage): Spark yields NaN, DuckDB's
+        // answer depends on ieee_floating_point_ops — emit a vacuous
+        // 0.0 on both sides instead (same convention as attrition).
         struct(lit(2).as("stage"), lit("click_after_view").as("name"),
           $"n2".as("n_users"),
-          round($"n2".cast("double") / $"n1", 6).as("conv_from_prev")),
+          when($"n1" === 0, lit(0.0))
+            .otherwise(round($"n2".cast("double") / $"n1", 6))
+            .as("conv_from_prev")),
         struct(lit(3).as("stage"), lit("purchase_after_click").as("name"),
           $"n3".as("n_users"),
-          round($"n3".cast("double") / $"n2", 6).as("conv_from_prev"))))
+          when($"n2" === 0, lit(0.0))
+            .otherwise(round($"n3".cast("double") / $"n2", 6))
+            .as("conv_from_prev"))))
         .as("r"))
       .select($"r.stage", $"r.name", $"r.n_users", $"r.conv_from_prev")
       .orderBy($"stage")
@@ -184,9 +191,11 @@ object WindowQueries {
       |SELECT 1 AS stage, 'view' AS name, n1 AS n_users,
       |  CAST(1.0 AS DOUBLE) AS conv_from_prev FROM t
       |UNION ALL SELECT 2, 'click_after_view', n2,
-      |  ROUND(CAST(n2 AS DOUBLE) / n1, 6) FROM t
+      |  CASE WHEN n1 = 0 THEN 0.0
+      |    ELSE ROUND(CAST(n2 AS DOUBLE) / n1, 6) END FROM t
       |UNION ALL SELECT 3, 'purchase_after_click', n3,
-      |  ROUND(CAST(n3 AS DOUBLE) / n2, 6) FROM t
+      |  CASE WHEN n2 = 0 THEN 0.0
+      |    ELSE ROUND(CAST(n3 AS DOUBLE) / n2, 6) END FROM t
       |ORDER BY stage""".stripMargin
 
   // --------------------------------------------------------------------

@@ -3,7 +3,10 @@
 set -e
 cd /root/repo
 SF=${1:-/root/testdata/sf0.01}
-OUT=${2:-/root/repo/target/verify_out}
+# Default outDir is per-PID so concurrent verify runs can't clobber each
+# other (pass an explicit second arg to pin a location instead).
+OUT=${2:-/root/repo/target/verify_out_$$}
+trap '[ -z "${2:-}" ] && rm -rf "$OUT"' EXIT
 sbt -batch compile -warn
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
