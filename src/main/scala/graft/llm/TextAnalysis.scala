@@ -687,6 +687,60 @@ object TextAnalysis {
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // ta_lm_bigram_join: the NO-BROADCAST regime of the bigram scorer —
+  // the form ta_lm_bigram's doc comment promises for when the
+  // observed-bigram table outgrows a broadcast. Scoring becomes a
+  // (w1, w2) shuffle equi-join, and Zipf makes that join skewed: the
+  // head term's bigrams all hash to one reducer. Standard fix = key
+  // salting on the head terms: the top-H w1 by continuation count (a
+  // tiny ordered prefix of the vocab-sized c1 table) get their model
+  // rows REPLICATED S ways, and each corpus bigram with a hot w1
+  // picks its salt deterministically from doc_id; cold keys keep
+  // salt 0 and pay no replication. The scoring join carries a
+  // shuffle_hash hint — a plan-shape guarantee (PlanSpec-guarded)
+  // that neither the static planner nor AQE quietly turns the model
+  // back into a broadcast, which is the failure this form exists to
+  // avoid. Same result, same oracle as ta_lm_bigram.
+  def taLmBigramJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = 8   // salt fan-out (8 beat 32 at sf0.1: window/shuffle
+                // overhead exceeds the parallelism win on small groups)
+    val H = 64  // head terms treated as hot
+    val bg = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(t) - 2),
+          |  i -> named_struct('w1', element_at(t, i + 1),
+          |                    'w2', element_at(t, i + 2)))""".stripMargin))
+        .as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    // c1 stays a broadcast: it is vocab-sized (Heaps-bounded), not
+    // bigram-sized — only the MODEL join below must not broadcast
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val probs = c2.join(broadcast(c1), "w1")
+      .select($"w1", $"w2", ($"c2".cast("double") / $"c1").as("p"))
+    val hot = c1.orderBy($"c1".desc, $"w1".asc).limit(H)
+      .select($"w1", lit(true).as("is_hot"))
+    val saltedProbs = probs.join(broadcast(hot), Seq("w1"), "left")
+      .select($"w1", $"w2", $"p",
+        explode(when($"is_hot", sequence(lit(0), lit(S - 1)))
+          .otherwise(array(lit(0)))).as("salt"))
+    val saltedBg = bg.join(broadcast(hot), Seq("w1"), "left")
+      .select($"doc_id", $"w1", $"w2",
+        when($"is_hot", pmod($"doc_id", lit(S.toLong)).cast("int"))
+          .otherwise(lit(0)).as("salt"))
+    saltedBg.join(saltedProbs.hint("shuffle_hash"),
+        Seq("w1", "w2", "salt"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum($"p".cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 9).as("avg_p"))
+      .orderBy($"doc_id")
+  }
+
+  // --------------------------------------------------------------------
   // ta_bpe_pairs: one distributed BPE-training step — the top adjacent
   // symbol pairs by corpus frequency, the argmax that drives each
   // merge of byte-pair-encoding vocabulary induction. Pair counts are
@@ -901,6 +955,7 @@ object TextAnalysis {
     "llm_ta_length_hist" -> (taLengthHist _),
     "llm_ta_lm_score" -> (taLmScore _),
     "llm_ta_lm_bigram" -> (taLmBigram _),
+    "llm_ta_lm_bigram_join" -> (taLmBigramJoin _),
     "llm_ta_lm_bigram_backoff" -> (taLmBigramBackoff _),
     "llm_ta_bpe_pairs" -> (taBpePairs _),
     "llm_ta_bpe_train" -> (taBpeTrain _),
@@ -921,6 +976,9 @@ object TextAnalysis {
     "llm_ta_length_hist" -> taLengthHistSql,
     "llm_ta_lm_score" -> taLmScoreSql,
     "llm_ta_lm_bigram" -> taLmBigramSql,
+    // the salted join computes the SAME function as the broadcast
+    // form — identical oracle, different (no-broadcast) plan shape
+    "llm_ta_lm_bigram_join" -> taLmBigramSql,
     "llm_ta_lm_bigram_backoff" -> taLmBigramBackoffSql,
     "llm_ta_bpe_pairs" -> taBpePairsSql,
     "llm_ta_bpe_train" -> taBpeTrainSql,

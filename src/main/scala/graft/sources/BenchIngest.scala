@@ -121,6 +121,11 @@ object BenchIngest {
       .text(root)
       .select(input_file_name().as("file"), $"value")
       .select($"file", posexplode(split($"value", "\n")).as(Seq("line_no", "line")))
-    parse(raw, packages).drop("file", "line_no")
+    // (file, line_no) ride along so a sink can resolve duplicate
+    // (pkg,test,date) keys arriving in the SAME micro-batch with the
+    // same (file desc, line desc) tie-break batch ingest's A1 window
+    // uses — upsertWrite does exactly that, then drops both columns.
+    // Across batches last-write-wins is the sink merge's job.
+    parse(raw, packages)
   }
 }

@@ -160,12 +160,17 @@ object StreamPipelines {
     * batch is a plain DataFrame, so the engine's batch writers apply
     * verbatim inside a streaming checkpointed run. */
   def ingestUpsertStream(spark: SparkSession, srcDir: String, outDir: String,
-      checkpoint: String, maxFilesPerTrigger: Int = 10000)
+      checkpoint: String, maxFilesPerTrigger: Int = 10000,
+      beforeBatch: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.sources.BenchIngest.streamingIngest(spark, srcDir,
         maxFilesPerTrigger = maxFilesPerTrigger)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // beforeBatch is a test seam: StreamingSpec injects a crash
+        // here to prove checkpoint recovery replays an uncommitted
+        // batch exactly-once. Production callers leave the no-op.
+        beforeBatch(id)
         upsertWrite(batch.toDF(), outDir)
       }
       .option("checkpointLocation", checkpoint)
@@ -183,7 +188,20 @@ object StreamPipelines {
     * pinned blocks batch over batch. */
   private[streaming] def upsertWrite(batch: DataFrame, outDir: String): Unit = {
     val spark = batch.sparkSession
-    val b = batch.localCheckpoint()
+    // Within-batch A1 dedup: duplicate (pkg,test,date) keys CAN land
+    // in one micro-batch (two stdout files for the same day discovered
+    // together); without this window both rows would survive the union
+    // and sit as duplicate keys in the sink. Same tie-break as batch
+    // ingest: last (file, line) wins. The window partitions on the
+    // merge key — micro-batch-sized input, bounded state.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pkg"), col("test"), col("date"))
+      .orderBy(col("file").desc, col("line_no").desc)
+    val b = batch
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "file", "line_no")
+      .localCheckpoint()
     val existing =
       try Some(spark.read.parquet(outDir))
       catch { case _: org.apache.spark.sql.AnalysisException => None }

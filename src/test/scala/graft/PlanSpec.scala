@@ -51,6 +51,22 @@ class PlanSpec extends SparkSpec {
       "pack plan contains a single-partition exchange:\n" + plan.take(800))
   }
 
+  test("salted bigram scorer joins the model by shuffle, never broadcast") {
+    val plan = planOf(TextAnalysis.taLmBigramJoin(spark, sf0001))
+    // the scoring join must be a shuffled hash join on the salted key
+    val shj = plan.split("\n").exists(l =>
+      l.contains("ShuffledHashJoin") && l.contains("w1") && l.contains("salt"))
+    assert(shj, "model join must be ShuffledHashJoin on (w1,w2,salt):\n"
+      + plan.take(900))
+    // broadcasts of the vocab-bounded c1/hot tables (keyed w1 alone)
+    // are fine; any broadcast join keyed on w2 would be the full
+    // bigram model riding a broadcast — the regression this form bans
+    val modelBroadcast = plan.split("\n").exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("w2"))
+    assert(!modelBroadcast,
+      "bigram model must not be broadcast:\n" + plan.take(900))
+  }
+
   test("date spine is a generator plan, not recursion") {
     val plan = planOf(graft.operators.BenchQueries.dateSpine(spark, sf0001))
     assert(plan.contains("Generate"),

@@ -287,6 +287,69 @@ class StreamingSpec extends SparkSpec {
       "BenchmarkC-8" -> 300L))
   }
 
+  test("upsert dedups duplicate keys arriving in the SAME micro-batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_dup").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckp = s"$tmp/ckp"
+    def writeFile(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(src, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    // two files for the SAME day both measuring BenchmarkA-8 — with
+    // the default trigger they land in ONE micro-batch; the within-
+    // batch A1 window must keep only the last (file, line) version
+    // (b.test.stdout sorts after a.test.stdout), not both rows
+    writeFile("07-01-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 100 ns/op")
+    writeFile("07-01-2015/cockroach/sql/b.test.stdout",
+      "BenchmarkA-8 \t 10 \t 110 ns/op")
+    StreamPipelines.ingestUpsertStream(spark, src, out, ckp)
+      .awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select("test", "ns_per_op").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.toSeq == Seq("BenchmarkA-8" -> 110L),
+      s"expected exactly one deduped row, got ${rows.toSeq}")
+  }
+
+  test("upsert stream resumes from its checkpoint exactly-once after a crash") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_rec").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"; val ckp = s"$tmp/ckp"
+    def writeFile(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(src, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    // three files, maxFilesPerTrigger=1 → three micro-batches; the
+    // first run crashes entering batch 1 (batch 0 committed, batch 1
+    // never ran), the second run restarts from the SAME checkpoint
+    // with no crash and must deliver the remaining batches — each
+    // fact row exactly once, nothing lost, nothing doubled
+    writeFile("08-01-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 100 ns/op")
+    writeFile("08-01-2015/cockroach/sql/b.test.stdout",
+      "BenchmarkB-8 \t 10 \t 200 ns/op")
+    writeFile("09-01-2015/cockroach/sql/c.test.stdout",
+      "BenchmarkC-8 \t 10 \t 300 ns/op")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = StreamPipelines.ingestUpsertStream(spark, src, out, ckp,
+      maxFilesPerTrigger = 1,
+      beforeBatch = id => if (id >= 1 && crashed.compareAndSet(false, true))
+        throw new RuntimeException("injected crash before batch 1"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(spark.read.parquet(out).count() == 1L,
+      "only batch 0 may be committed before the crash")
+    StreamPipelines.ingestUpsertStream(spark, src, out, ckp,
+      maxFilesPerTrigger = 1).awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("test", "ns_per_op").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(got == Seq("BenchmarkA-8" -> 100L, "BenchmarkB-8" -> 200L,
+      "BenchmarkC-8" -> 300L), s"got $got")
+  }
+
   test("batch session_window agrees with hand-rolled sessionization totals") {
     val batch = WindowQueries.stSession(spark, sf0001)
     val totalEvents = batch.agg(org.apache.spark.sql.functions.sum("n_events"))
