@@ -983,6 +983,82 @@ object Dedup {
        |    ELSE ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
        |      / (SELECT COUNT(*) FROM truth), 6) END AS recall""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_semantic: SemDeDup-style semantic deduplication (Abbas et
+  // al. 2023, arXiv:2303.09540) — cluster the embeddings with k-means,
+  // then compare cosines ONLY within each cluster and mark every
+  // vector that has a lower-id in-cluster neighbor at cosine >= 0.4
+  // as a semantic duplicate (greedy keep-first, canonical = min id).
+  // This is the embedding-space analogue of MinHash banding: the
+  // cluster assignment is the candidate generator that replaces the
+  // O(N²) all-pairs scan of ddEmbeddingNear with N²/k per-cluster
+  // work, which is exactly how SemDeDup runs at web scale (k grows
+  // with N; here k=4 over the fixture corpus, trained with one Lloyd
+  // round from deterministic seeds — the same quantizer ssKmeans
+  // verifies).
+  //
+  // Scale shape: assignment is Similarity.kmAssign's broadcast argmin
+  // (corpus never shuffles to be assigned); pair generation is an
+  // equi-join on cid, so candidates stay partition-local after ONE
+  // shuffle on cid. At production k (≈√N), per-cluster populations are
+  // bounded and the join never degenerates; a hot cluster would be
+  // capped the same way ddMinhashLsh caps over-df buckets. Output is
+  // the full per-vector verdict (vec_id, cid, is_dup), so "drop
+  // semantic dups" is a single filter downstream — same contract as
+  // ddCluster's canonical labels.
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    val e = Similarity.withNorm(spark, dir).drop("label", "nrm")
+    val c0 = e.filter($"vec_id" < 4).select($"vec_id".as("cid"), $"v".as("cv"))
+    val c1 = Similarity.kmUpdate(Similarity.kmAssign(e, c0))
+    val a = Similarity.kmAssign(e, c1)
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .select($"vec_id", $"cid", $"v", $"nrm")
+      .localCheckpoint() // two consumers (both join sides); Spark
+                         // doesn't dedupe the common Lloyd subplan
+    val dups = a.as("x").join(a.as("y"),
+        $"x.cid" === $"y.cid" && $"y.vec_id" < $"x.vec_id" &&
+          expr("round(vec_dot(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4"))
+      .select($"x.vec_id".as("vec_id")).distinct()
+    a.join(dups.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cid", coalesce($"hit", lit(false)).as("is_dup"))
+      .orderBy($"vec_id")
+  }
+
+  // One unrolled trained Lloyd round (ssKmeans' oracle shape, keeping
+  // v through the final assignment), then the correlated within-
+  // cluster EXISTS probe.
+  val ddSemanticSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |s1 AS (SELECT e.vec_id, e.v, c.cid,
+      |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+      |      + list_dot_product(c.cv, c.cv) AS d2
+      |  FROM e CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s1) WHERE rn = 1),
+      |ex AS (SELECT cid, unnest(list_transform(range(0, len(v)),
+      |    i -> {'pos': i, 'val': v[i+1]}), recursive := true) FROM a1),
+      |means AS (SELECT cid, pos,
+      |    CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM ex GROUP BY 1, 2),
+      |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM means GROUP BY cid),
+      |s2 AS (SELECT e.vec_id, e.v, c.cid,
+      |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+      |      + list_dot_product(c.cv, c.cv) AS d2
+      |  FROM e CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s2) WHERE rn = 1),
+      |n AS (SELECT vec_id, cid, v, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM a2)
+      |SELECT x.vec_id, x.cid,
+      |  EXISTS (SELECT 1 FROM n y
+      |    WHERE y.cid = x.cid AND y.vec_id < x.vec_id
+      |      AND ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4)
+      |    AS is_dup
+      |FROM n x ORDER BY x.vec_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dd_exact" -> (ddExact _),
     "llm_dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -997,6 +1073,7 @@ object Dedup {
     "llm_dd_decontaminate" -> (ddDecontaminate _),
     "llm_dd_paragraphs" -> (ddParagraphs _),
     "llm_dd_substring" -> (ddSubstring _),
+    "llm_dd_semantic" -> (ddSemantic _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1013,5 +1090,6 @@ object Dedup {
     "llm_dd_decontaminate" -> ddDecontaminateSql,
     "llm_dd_paragraphs" -> ddParagraphsSql,
     "llm_dd_substring" -> ddSubstringSql,
+    "llm_dd_semantic" -> ddSemanticSql,
   )
 }

@@ -324,6 +324,50 @@ object Pipeline {
        |  cum_toks
        |FROM w ORDER BY doc_id, chunk_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_shuffle: deterministic training-order shuffle — the
+  // final step before shards feed an SGD loop: break source/crawl
+  // locality so consecutive training examples are (pseudo)independent.
+  // Each doc is keyed by a content-derived hash (h60 over text and
+  // doc_id, so byte-identical duplicates still spread apart), sharded
+  // by hash mod W, and ordered WITHIN its shard by (hash, doc_id).
+  // Reading shards 0..W-1 in within-shard order yields a permutation
+  // of the corpus that is reproducible across engines and re-runs —
+  // no RNG state, no epoch-seed file.
+  //
+  // Scale shape: the global permutation is the TeraSort decomposition
+  // — ONE shuffle on the uniform shard key, then a partition-local
+  // sort + row_number per shard (W ≈ cluster parallelism; the hash
+  // key is uniform by construction, so no shard skews). A single
+  // global orderBy/row_number would funnel 100 TB through one range
+  // boundary computation + one window task; this shape never holds
+  // more than a shard in one task.
+  private val ShuffleShards = 8L
+
+  def shuffleOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(spark, dir)
+      .select($"doc_id",
+        h60(concat($"text", lit("|"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("shard", pmod($"h", lit(ShuffleShards)))
+    val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+    keyed.withColumn("pos", row_number().over(w))
+      .select($"doc_id", $"shard", $"pos", $"h")
+      .orderBy($"shard", $"pos")
+  }
+
+  val shuffleOrderSql: String =
+    s"""WITH k AS (SELECT doc_id,
+       |    ${h60Sql("text || '|' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM documents),
+       |s AS (SELECT doc_id, h, h % $ShuffleShards AS shard FROM k)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+       |    AS INT) AS pos,
+       |  h
+       |FROM s ORDER BY shard, pos""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_curate" -> (curate _),
     "llm_pipeline_attrition" -> (attrition _),
@@ -331,6 +375,7 @@ object Pipeline {
     "llm_pipeline_pack" -> (pack _),
     "llm_pipeline_split" -> (leakageSafeSplit _),
     "llm_pipeline_e2e" -> (e2e _),
+    "llm_pipeline_shuffle" -> (shuffleOrder _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,5 +385,6 @@ object Pipeline {
     "llm_pipeline_pack" -> packSql,
     "llm_pipeline_split" -> splitSql,
     "llm_pipeline_e2e" -> e2eSql,
+    "llm_pipeline_shuffle" -> shuffleOrderSql,
   )
 }

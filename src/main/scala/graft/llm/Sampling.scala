@@ -191,12 +191,52 @@ object Sampling {
        |WHERE d.draw < rr.accept_rate * 1000000.0
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_sample_lang_balance: language rebalancing — downsample every
+  // language to the size of the SMALLEST one (uniform target), the
+  // blunt-but-standard counterweight to English dominance in web
+  // corpora (the α→0 limit of the temperature mixture above, keyed on
+  // `lang` instead of `source`). Per-language rate = min_count /
+  // count_l; accept iff h60(text) mod 10⁶ < rate × 10⁶ — content-
+  // deterministic like every sampler here.
+  //
+  // Scale shape: the rate table is language-cardinality (tiny,
+  // broadcast); the corpus side is one narrow scan + broadcast join —
+  // no shuffle of the corpus at any size. Expected kept rows per
+  // language converge to min_count each.
+  def sampleLangBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", (h60($"text") % 1000000L).as("draw"))
+    val counts = d.groupBy($"lang").agg(count(lit(1)).as("c"))
+    val minc = counts.agg(min($"c").as("cmin"))
+    val rates = counts.crossJoin(broadcast(minc))
+      .select($"lang", round($"cmin".cast("double") / $"c", 6).as("rate"))
+    d.join(broadcast(rates), "lang")
+      .filter($"draw" < $"rate" * 1000000.0)
+      .select($"doc_id", $"lang", $"draw", $"rate")
+      .orderBy($"doc_id")
+  }
+
+  val sampleLangBalanceSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, ${h60Sql("text")} % 1000000 AS draw
+       |  FROM documents),
+       |ct AS (SELECT lang, COUNT(*) AS c FROM d GROUP BY lang),
+       |mn AS (SELECT MIN(c) AS cmin FROM ct),
+       |rates AS (SELECT lang, ROUND(CAST(cmin AS DOUBLE) / c, 6) AS rate
+       |  FROM ct CROSS JOIN mn)
+       |SELECT d.doc_id, d.lang, d.draw, r.rate
+       |FROM d JOIN rates r ON d.lang = r.lang
+       |WHERE d.draw < r.rate * 1000000.0
+       |ORDER BY d.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sample_hash" -> (sampleHash _),
     "llm_sample_stratified" -> (sampleStratified _),
     "llm_sample_weighted" -> (sampleWeighted _),
     "llm_sample_mixture" -> (sampleMixture _),
     "llm_sample_resample" -> (sampleResample _),
+    "llm_sample_lang_balance" -> (sampleLangBalance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -205,5 +245,6 @@ object Sampling {
     "llm_sample_weighted" -> sampleWeightedSql,
     "llm_sample_mixture" -> sampleMixtureSql,
     "llm_sample_resample" -> sampleResampleSql,
+    "llm_sample_lang_balance" -> sampleLangBalanceSql,
   )
 }

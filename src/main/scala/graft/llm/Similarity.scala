@@ -416,7 +416,7 @@ object Similarity {
   // engines' decimal rounding modes never get to disagree.
   /** Lloyd assignment: broadcast the k centroids, per-row argmin via
     * array_min of (d2, cid) structs — lexicographic, ties on cid. */
-  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[llm] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val packed = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
     e.crossJoin(broadcast(packed))
       .select(col("vec_id"), col("v"), expr(
@@ -429,7 +429,7 @@ object Similarity {
 
   /** Lloyd update: per-(cid, dim) two-phase DECIMAL mean, repacked to
     * k centroid vectors. */
-  private def kmUpdate(assigned: DataFrame): DataFrame =
+  private[llm] def kmUpdate(assigned: DataFrame): DataFrame =
     assigned.select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy(col("cid"), col("pos"))
       .agg((sum(col("val").cast("decimal(28,12)")).cast("double")

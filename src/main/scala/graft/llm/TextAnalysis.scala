@@ -941,6 +941,41 @@ object TextAnalysis {
        |FROM dw LEFT JOIN wt USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_lm_filter: LM-based quality filtering — the curation step
+  // that consumes ta_lm_score: docs whose mean unigram probability
+  // falls in the bottom quartile of the corpus are flagged for
+  // removal (the CCNet/Gopher-style "perplexity filter", expressed on
+  // mean probability because the hash gate needs cross-engine-exact
+  // arithmetic and log() folds differently). Output is the full
+  // per-doc verdict so "drop low-quality" is one filter downstream.
+  //
+  // Scale shape: the cutoff is ONE exact-percentile aggregate over
+  // the scored corpus reduced to a single broadcast row — no global
+  // sort, no row_number over the corpus. The scored input itself is
+  // ta_lm_score's broadcast-model scan. At 100 TB the exact
+  // percentile becomes approx_percentile with a pinned accuracy (the
+  // cutoff is a tuning knob, not a correctness surface); the plan
+  // shape — agg to one row, broadcast into a narrow filter — is
+  // unchanged.
+  def taLmFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = taLmScore(spark, dir).select($"doc_id", $"avg_p")
+    val thr = scored.agg(
+      round(expr("percentile(avg_p, 0.25d)"), 9).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select($"doc_id", $"avg_p", ($"avg_p" >= $"thr").as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  // Spark's exact `percentile` and DuckDB's quantile_cont use the same
+  // (n-1)*p linear interpolation over sorted values.
+  val taLmFilterSql: String =
+    s"""WITH sc AS (SELECT doc_id, avg_p FROM ($taLmScoreSql)),
+       |thr AS (SELECT ROUND(quantile_cont(avg_p, 0.25), 9) AS thr FROM sc)
+       |SELECT doc_id, avg_p, avg_p >= thr AS kept
+       |FROM sc CROSS JOIN thr ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_lang_id" -> (taLangId _),
@@ -954,6 +989,7 @@ object TextAnalysis {
     "llm_ta_chunk" -> (taChunk _),
     "llm_ta_length_hist" -> (taLengthHist _),
     "llm_ta_lm_score" -> (taLmScore _),
+    "llm_ta_lm_filter" -> (taLmFilter _),
     "llm_ta_lm_bigram" -> (taLmBigram _),
     "llm_ta_lm_bigram_join" -> (taLmBigramJoin _),
     "llm_ta_lm_bigram_backoff" -> (taLmBigramBackoff _),
@@ -975,6 +1011,7 @@ object TextAnalysis {
     "llm_ta_chunk" -> taChunkSql,
     "llm_ta_length_hist" -> taLengthHistSql,
     "llm_ta_lm_score" -> taLmScoreSql,
+    "llm_ta_lm_filter" -> taLmFilterSql,
     "llm_ta_lm_bigram" -> taLmBigramSql,
     // the salted join computes the SAME function as the broadcast
     // form — identical oracle, different (no-broadcast) plan shape

@@ -460,6 +460,49 @@ object BenchQueries {
        |  ON p.pkg = f.pkg AND p.test = f.test AND p.probe_date >= f.date
        |ORDER BY p.pkg, p.test, p.probe_date""".stripMargin
 
+  // --------------------------------------------------------------------
+  // bench_pctile_band: percentile band overlay — per series, the
+  // [p05, p95] envelope of its history and a flag on every point that
+  // escapes it. The shaded-band chart layer benchviz-style dashboards
+  // draw behind a noisy ns/op line, computed engine-side so the
+  // frontend gets band edges as data. Complements bench_anomaly_mad:
+  // MAD flags distance from center, the band flags tail membership —
+  // a sustained plateau shift trips the band before it moves 3 MADs.
+  // Spark `percentile` and DuckDB `quantile_cont` share linear
+  // interpolation (the anomaly_mad/q25 pattern), so the gate stays
+  // hash-exact.
+  //
+  // Scale shape: one partial-aggregable groupBy on (pkg,test) to a
+  // series-count-sized band table, broadcast-joined back — the same
+  // two-phase shape as anomaly_mad; at production series volume swap
+  // percentile for approx_percentile (t-digest), same plan.
+  def pctileBand(spark: SparkSession, dir: String): DataFrame = {
+    val f = fact(spark)
+    val band = f.groupBy(col("pkg"), col("test"))
+      .agg(expr("percentile(ns_per_op, 0.05)").as("p05"),
+        expr("percentile(ns_per_op, 0.95)").as("p95"))
+    f.join(broadcast(band), Seq("pkg", "test"))
+      .select(col("pkg"), col("test"), col("date"), col("ns_per_op"),
+        round(col("p05"), 6).as("band_lo"),
+        round(col("p95"), 6).as("band_hi"),
+        (col("ns_per_op") < col("p05") || col("ns_per_op") > col("p95"))
+          .as("is_outside"))
+      .orderBy(col("pkg"), col("test"), col("date"))
+  }
+
+  val pctileBandSql: String =
+    s"""WITH fct AS ($ingestGoldenSql),
+       |bd AS (SELECT pkg, test,
+       |    quantile_cont(ns_per_op, 0.05) AS p05,
+       |    quantile_cont(ns_per_op, 0.95) AS p95
+       |  FROM fct GROUP BY pkg, test)
+       |SELECT pkg, test, date, ns_per_op,
+       |  ROUND(p05, 6) AS band_lo,
+       |  ROUND(p95, 6) AS band_hi,
+       |  ns_per_op < p05 OR ns_per_op > p95 AS is_outside
+       |FROM fct JOIN bd USING (pkg, test)
+       |ORDER BY pkg, test, date""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bench_ingest_golden" -> (ingestGolden _),
     "bench_series_sorted" -> (seriesSorted _),
@@ -477,6 +520,7 @@ object BenchQueries {
     "bench_anomaly_mad" -> (anomalyMad _),
     "bench_history_ranges" -> (historyRanges _),
     "bench_asof_lookup" -> (asofLookup _),
+    "bench_pctile_band" -> (pctileBand _),
     "bench_sink_roundtrip" -> (sinkRoundtrip _),
   )
 
@@ -497,5 +541,6 @@ object BenchQueries {
     "bench_anomaly_mad" -> anomalyMadSql,
     "bench_history_ranges" -> historyRangesSql,
     "bench_asof_lookup" -> asofLookupSql,
+    "bench_pctile_band" -> pctileBandSql,
   )
 }

@@ -241,12 +241,58 @@ object WindowQueries {
       |FROM m JOIN s USING (cohort)
       |ORDER BY m.cohort, m.day_offset""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_interval_join: view→click attribution pairs — every (view,
+  // click) of the same user with the click inside [view_ts, view_ts +
+  // 10 min]. This is THE stream-stream interval join (the Structured
+  // Streaming canonical example): in streaming form both sides are
+  // streams, the time bound plus watermarks let the engine expire
+  // join state (a view older than 10 min past the watermark can never
+  // match again). The streaming wiring of this exact shape is
+  // StreamPipelines.clickToPurchase (watermarks on both sides,
+  // exercised in StreamingSpec's interval-join test); batch form here
+  // is verbatim the same join condition, which is what the oracle can
+  // check.
+  //
+  // Scale shape: an equi-join on user_id carrying the time predicate
+  // as a secondary condition — one shuffle on the join key for each
+  // side, never a cross join; the interval bound is what keeps
+  // streaming state (and any time-bucketed batch variant) finite.
+  def stIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    v.join(c, v("user_id") === c("user_id") &&
+        $"click_ts" >= $"view_ts" &&
+        $"click_ts" <= $"view_ts" + expr("INTERVAL 10 MINUTES"))
+      .select(v("user_id"), $"view_id", $"click_id",
+        unix_micros($"view_ts").as("view_us"),
+        unix_micros($"click_ts").as("click_us"))
+      .orderBy($"user_id", $"view_id", $"click_id")
+  }
+
+  val stIntervalJoinSql: String =
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, view_id, click_id,
+      |  epoch_us(view_ts) AS view_us, epoch_us(click_ts) AS click_us
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |  AND click_ts >= view_ts
+      |  AND click_ts <= view_ts + INTERVAL 10 MINUTE
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_tumbling" -> (stTumbling _),
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
     "q38_funnel" -> (q38Funnel _),
     "q39_retention" -> (q39Retention _),
+    "st_interval_join" -> (stIntervalJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -255,5 +301,6 @@ object WindowQueries {
     "st_session" -> stSessionSql,
     "q38_funnel" -> q38FunnelSql,
     "q39_retention" -> q39RetentionSql,
+    "st_interval_join" -> stIntervalJoinSql,
   )
 }

@@ -405,4 +405,68 @@ class LlmSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_copies")).as[Long].head()
     assert(sum == total)
   }
+
+  test("semantic dups are a subset of all-pairs cosine dups, one verdict per vector") {
+    // Clustering can only REMOVE candidate pairs (cross-cluster pairs
+    // are never compared), so every is_dup=true vector must also have
+    // a lower-id neighbor >= 0.4 in the UNclustered all-pairs baseline.
+    val sem = Dedup.ddSemantic(spark, sf0001)
+    val total = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(sem.count() == total, "one verdict row per vector")
+    val semDups = sem.filter(col("is_dup")).select("vec_id")
+      .as[Long].collect().toSet
+    val allDups = Dedup.ddEmbeddingNear(spark, sf0001)
+      .select(col("vec_b")).as[Long].collect().toSet
+    assert(semDups.subsetOf(allDups),
+      s"semantic dups not in all-pairs baseline: ${semDups -- allDups}")
+  }
+
+  test("lm filter keeps exactly the docs at or above the corpus p25 score") {
+    val out = TextAnalysis.taLmFilter(spark, sf0001)
+      .select("avg_p", "kept").as[(Double, Boolean)].collect()
+    val n = out.length
+    val nKept = out.count(_._2)
+    // ~75% kept (interpolated quartile: at least 75%, at most 75% + 1/n rounding)
+    assert(nKept >= (0.74 * n).toInt && nKept <= (0.77 * n).ceil.toInt,
+      s"kept $nKept of $n")
+    val maxDropped = out.filter(!_._2).map(_._1).maxOption.getOrElse(0.0)
+    val minKept = out.filter(_._2).map(_._1).minOption.getOrElse(1.0)
+    assert(maxDropped < minKept, "threshold must separate kept from dropped")
+  }
+
+  test("language rebalancing keeps roughly min-language-count docs per language") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val minCount = d.groupBy("lang").count()
+      .agg(org.apache.spark.sql.functions.min("count")).as[Long].head()
+    val kept = Sampling.sampleLangBalance(spark, sf0001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    kept.foreach { case (lang, c) =>
+      // hash acceptance is binomial around rate*n = minCount; allow wide
+      // tolerance on the small fixture but pin the order of magnitude
+      assert(c <= 2 * minCount + 10 && c >= minCount / 3,
+        s"$lang kept $c, want ~$minCount")
+    }
+    // the smallest language is kept (almost) whole: rate = 1.0
+    assert(kept.values.max <= 2 * minCount + 10)
+  }
+
+  test("shuffle order is a per-shard contiguous permutation covering the corpus") {
+    val out = graft.llm.Pipeline.shuffleOrder(spark, sf0001)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(out.length == total, "every doc gets exactly one slot")
+    assert(out.map(_._1).distinct.length == out.length, "doc_ids unique")
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.toSeq == (1 to rows.length).toSeq,
+        s"shard $shard positions not contiguous from 1")
+    }
+    // the shuffle actually permutes: within some shard, doc_ids are not
+    // in ascending order (hash-keyed order breaks source locality)
+    val monotone = out.groupBy(_._2).values.forall { rows =>
+      val ids = rows.sortBy(_._3).map(_._1).toSeq
+      ids == ids.sorted
+    }
+    assert(!monotone, "hash order should not preserve doc_id order")
+  }
 }
