@@ -230,12 +230,71 @@ object Multimodal {
       |  (LEAST((seg + 1) * 1000, duration_ms) - seg * 1000) * 16 AS n_seg_samples
       |FROM s ORDER BY doc_id, seg""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_mm_clip_filter: cross-modal alignment filtering — the
+  // LAION-style "CLIP score" gate: each document is scored by the
+  // cosine between ITS embedding (documents ⋈ embeddings on doc_id =
+  // vec_id — the alignment join of a paired text/image corpus) and a
+  // query/prompt embedding; rows below τ = 0.1 are flagged for
+  // removal. The prompt vector here is the deterministic elementwise
+  // DECIMAL mean of vectors 0..3 (a real pipeline ships the encoded
+  // text prompt; the plan is identical — ONE broadcast vector).
+  //
+  // Scale shape: the alignment join is an equi-join on the id (both
+  // sides co-partitionable; at production both tables are bucketed on
+  // the id and the join is shuffle-free); the prompt is a 1-row
+  // broadcast; scoring is a narrow codegen vec_dot projection. No
+  // corpus shuffle beyond the alignment join itself.
+  def mmClipFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val prompt = e.filter($"vec_id" < 4)
+      .select(posexplode($"v").as(Seq("pos", "val")))
+      .groupBy($"pos")
+      .agg((sum($"val".cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("pv"))
+      .select($"pv", expr("sqrt(vec_dot(pv, pv))").as("pnrm"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang")
+      .join(e, $"doc_id" === $"vec_id")
+      .crossJoin(broadcast(prompt))
+      .select($"doc_id", $"lang",
+        expr("round(vec_dot(v, pv) / (sqrt(vec_dot(v, v)) * pnrm), 6)")
+          .as("clip_score"))
+      .select($"doc_id", $"lang", $"clip_score",
+        ($"clip_score" >= 0.1).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val mmClipFilterSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |ex AS (SELECT unnest(list_transform(range(0, len(v)),
+      |    i -> {'pos': i, 'val': v[i+1]}), recursive := true)
+      |  FROM e WHERE vec_id < 4),
+      |pm AS (SELECT pos,
+      |    CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM ex GROUP BY pos),
+      |p AS (SELECT list(m ORDER BY pos) AS pv FROM pm),
+      |pn AS (SELECT pv, sqrt(list_dot_product(pv, pv)) AS pnrm FROM p),
+      |sc AS (SELECT d.doc_id, d.lang,
+      |    ROUND(list_dot_product(e.v, pv)
+      |      / (sqrt(list_dot_product(e.v, e.v)) * pnrm), 6) AS clip_score
+      |  FROM documents d JOIN e ON d.doc_id = e.vec_id CROSS JOIN pn)
+      |SELECT doc_id, lang, clip_score, clip_score >= 0.1 AS kept
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mm_metadata" -> (mmMetadata _),
     "llm_mm_dedup" -> (mmDedup _),
     "llm_mm_frames" -> (mmFrames _),
     "llm_mm_resize" -> (mmResize _),
     "llm_mm_audio" -> (mmAudio _),
+    "llm_mm_clip_filter" -> (mmClipFilter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -244,5 +303,6 @@ object Multimodal {
     "llm_mm_frames" -> mmFramesSql,
     "llm_mm_resize" -> mmResizeSql,
     "llm_mm_audio" -> mmAudioSql,
+    "llm_mm_clip_filter" -> mmClipFilterSql,
   )
 }

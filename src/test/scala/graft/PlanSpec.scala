@@ -151,6 +151,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
 
+  test("shuffle order windows on the shard key, never a single partition") {
+    val plan = planOf(graft.llm.Pipeline.shuffleOrder(spark, sf0001))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty, "no window in shuffle plan:\n" + plan.take(600))
+    // a refactor to a global row_number would funnel the corpus
+    // through one window task — the TeraSort decomposition this op
+    // exists to keep
+    assert(winLines.forall(_.matches(".*windowspecdefinition\\(shard#\\d+.*")),
+      "shuffle window must partition by shard:\n" + winLines.mkString("\n"))
+    assert(!plan.contains("SinglePartition"),
+      "shuffle plan contains a single-partition exchange:\n" + plan.take(800))
+  }
+
+  test("semantic dedup pairs join on the cluster id, never a cartesian product") {
+    val plan = planOf(Dedup.ddSemantic(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"),
+      "within-cluster pairing must be an equi-join on cid:\n" + plan.take(900))
+    // the candidate join must key on cid (the SemDeDup pruning); with
+    // the cid equality present Spark plans a hash/sort-merge join
+    val cidJoin = plan.split("\n").exists(l =>
+      l.contains("Join") && l.contains("cid"))
+    assert(cidJoin, "no cid-keyed join found:\n" + plan.take(900))
+  }
+
+  test("lm filter reduces the cutoff to one row and broadcasts it") {
+    val plan = planOf(TextAnalysis.taLmFilter(spark, sf0001))
+    // the percentile cutoff must come back as a broadcast nested-loop
+    // (1-row cross) or broadcast join — never a corpus-wide sort
+    assert(plan.contains("Broadcast"),
+      "cutoff must be broadcast:\n" + plan.take(800))
+    val globalSort = plan.split("\n").exists(l =>
+      l.contains("Sort") && l.contains("avg_p") && !l.contains("Aggregate"))
+    assert(!globalSort || !plan.contains("rank"),
+      "filter must not rank the corpus:\n" + plan.take(800))
+  }
+
   test("lineitem scans prune columns and push filters") {
     val plan = RelationalQueries.q01PricingSummary(spark, sf0001)
       .queryExecution.executedPlan.toString
