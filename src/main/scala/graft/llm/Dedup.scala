@@ -1059,6 +1059,57 @@ object Dedup {
       |    AS is_dup
       |FROM n x ORDER BY x.vec_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_incremental: incremental batch dedup — the shape a LIVE
+  // pipeline actually runs: a new crawl batch (source = 'src0' stands
+  // in for it) is deduped against the EXISTING corpus's fingerprint
+  // table without re-deduping the corpus itself. Verdict per new doc,
+  // with defined precedence: 'dup_of_corpus' (fingerprint already in
+  // the existing corpus) beats 'dup_in_batch' (a lower-id doc in the
+  // same batch shares it) beats 'unique'. Fingerprint = the ddExact
+  // normalization (md5 of lower/ws-collapsed text), so verdicts
+  // compose with the full-corpus pass.
+  //
+  // Scale shape: the existing side reduces to DISTINCT fingerprints —
+  // exactly the persisted artifact an incremental pipeline keeps per
+  // corpus snapshot (32-char keys, no text) — and the batch joins it
+  // on fp: one shuffle of the (small) batch, one of the fingerprint
+  // table, never the corpus text. Batch-internal dedup is a groupBy
+  // on the batch alone. Corpus cost is amortized across batches
+  // instead of re-paid per batch — the point of incrementality.
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        md5(lower(regexp_replace(trim($"text"), "\\s+", " "))).as("fp"))
+    val batch = d.filter($"source" === "src0")
+    val existingFps = d.filter($"source" =!= "src0")
+      .select($"fp").distinct().withColumn("in_corpus", lit(true))
+    val firstInBatch = batch.groupBy($"fp").agg(min($"doc_id").as("first_id"))
+    batch.join(existingFps, Seq("fp"), "left")
+      .join(firstInBatch, "fp")
+      .select($"doc_id", $"fp",
+        when($"in_corpus", "dup_of_corpus")
+          .when($"doc_id" > $"first_id", "dup_in_batch")
+          .otherwise("unique").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  val ddIncrementalSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |b AS (SELECT doc_id, fp FROM d WHERE source = 'src0'),
+      |ex AS (SELECT DISTINCT fp FROM d WHERE source <> 'src0'),
+      |fb AS (SELECT fp, MIN(doc_id) AS first_id FROM b GROUP BY fp)
+      |SELECT b.doc_id, b.fp,
+      |  CASE WHEN ex.fp IS NOT NULL THEN 'dup_of_corpus'
+      |       WHEN b.doc_id > fb.first_id THEN 'dup_in_batch'
+      |       ELSE 'unique' END AS verdict
+      |FROM b LEFT JOIN ex ON b.fp = ex.fp
+      |JOIN fb ON b.fp = fb.fp
+      |ORDER BY b.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dd_exact" -> (ddExact _),
     "llm_dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -1074,6 +1125,7 @@ object Dedup {
     "llm_dd_paragraphs" -> (ddParagraphs _),
     "llm_dd_substring" -> (ddSubstring _),
     "llm_dd_semantic" -> (ddSemantic _),
+    "llm_dd_incremental" -> (ddIncremental _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1091,5 +1143,6 @@ object Dedup {
     "llm_dd_paragraphs" -> ddParagraphsSql,
     "llm_dd_substring" -> ddSubstringSql,
     "llm_dd_semantic" -> ddSemanticSql,
+    "llm_dd_incremental" -> ddIncrementalSql,
   )
 }
