@@ -1006,11 +1006,21 @@ object Dedup {
   // the full per-vector verdict (vec_id, cid, is_dup), so "drop
   // semantic dups" is a single filter downstream — same contract as
   // ddCluster's canonical labels.
-  def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame =
+    ddSemanticOn(spark, dir, k = 4)
+
+  /** [[ddSemantic]] with a chosen cluster count (seeds = vectors
+    * 0..k-1). k = 1 puts the whole corpus in one cluster, collapsing
+    * the method to the exact all-pairs baseline — the degenerate case
+    * LlmSpec uses to prove the clustering only prunes, never invents,
+    * candidate pairs. Production tunes k upward with N (SemDeDup used
+    * 50k clusters on LAION) so per-cluster populations stay bounded. */
+  private[graft] def ddSemanticOn(
+      spark: SparkSession, dir: String, k: Int): DataFrame = {
     import spark.implicits._
     graft.functions.VecDot.register(spark)
     val e = Similarity.withNorm(spark, dir).drop("label", "nrm")
-    val c0 = e.filter($"vec_id" < 4).select($"vec_id".as("cid"), $"v".as("cv"))
+    val c0 = e.filter($"vec_id" < k).select($"vec_id".as("cid"), $"v".as("cv"))
     val c1 = Similarity.kmUpdate(Similarity.kmAssign(e, c0))
     val a = Similarity.kmAssign(e, c1)
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))

@@ -368,6 +368,73 @@ object Pipeline {
        |  h
        |FROM s ORDER BY shard, pos""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_drift: corpus drift monitoring — compare the language
+  // distribution of an incoming batch (source = 'src0', the same
+  // batch-vs-corpus split llm_dd_incremental uses) against the
+  // existing corpus and flag languages whose share moved more than 2
+  // points. The check a continuously-fed training pipeline runs
+  // before accepting a crawl drop: a language mix shift signals a
+  // crawler/extraction regression upstream, and catching it here is
+  // cheaper than catching it in model evals. full-outer on the
+  // language key so a language APPEARING (or vanishing) in the batch
+  // is a flagged row, not a silently dropped one.
+  //
+  // Scale shape: two partial-aggregable groupBys on lang + two 1-row
+  // totals broadcast back; everything after the first aggregate
+  // operates on language-cardinality tables. The corpus never
+  // shuffles on anything but the bounded lang key.
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id", $"source", $"lang")
+    def shares(df: DataFrame, n: String, s: String): DataFrame = {
+      val counts = df.groupBy($"lang").agg(count(lit(1)).as(n))
+      val total = counts.agg(sum(col(n)).as(s + "_total"))
+      counts.crossJoin(broadcast(total))
+        .select($"lang", col(n),
+          round(col(n).cast("double") / col(s + "_total"), 6).as(s))
+    }
+    val batch = shares(d.filter($"source" === "src0"), "n_batch", "share_batch")
+    val corpus = shares(d.filter($"source" =!= "src0"), "n_corpus", "share_corpus")
+    batch.join(corpus, Seq("lang"), "full_outer")
+      .select($"lang",
+        coalesce($"n_batch", lit(0L)).as("n_batch"),
+        coalesce($"n_corpus", lit(0L)).as("n_corpus"),
+        coalesce($"share_batch", lit(0.0)).as("share_batch"),
+        coalesce($"share_corpus", lit(0.0)).as("share_corpus"),
+        round(coalesce($"share_batch", lit(0.0))
+          - coalesce($"share_corpus", lit(0.0)), 6).as("delta"),
+        (abs(coalesce($"share_batch", lit(0.0))
+          - coalesce($"share_corpus", lit(0.0))) > 0.02).as("drifted"))
+      .orderBy($"lang")
+  }
+
+  val driftSql: String =
+    """WITH d AS (SELECT doc_id, source, lang FROM documents),
+      |b AS (SELECT lang, COUNT(*) AS n_batch FROM d
+      |  WHERE source = 'src0' GROUP BY lang),
+      |bt AS (SELECT CAST(SUM(n_batch) AS BIGINT) AS t FROM b),
+      |bs AS (SELECT lang, n_batch,
+      |    ROUND(CAST(n_batch AS DOUBLE) / t, 6) AS share_batch
+      |  FROM b CROSS JOIN bt),
+      |c AS (SELECT lang, COUNT(*) AS n_corpus FROM d
+      |  WHERE source <> 'src0' GROUP BY lang),
+      |ct AS (SELECT CAST(SUM(n_corpus) AS BIGINT) AS t FROM c),
+      |cs AS (SELECT lang, n_corpus,
+      |    ROUND(CAST(n_corpus AS DOUBLE) / t, 6) AS share_corpus
+      |  FROM c CROSS JOIN ct)
+      |SELECT COALESCE(bs.lang, cs.lang) AS lang,
+      |  COALESCE(n_batch, 0) AS n_batch,
+      |  COALESCE(n_corpus, 0) AS n_corpus,
+      |  COALESCE(share_batch, 0.0) AS share_batch,
+      |  COALESCE(share_corpus, 0.0) AS share_corpus,
+      |  ROUND(COALESCE(share_batch, 0.0) - COALESCE(share_corpus, 0.0), 6)
+      |    AS delta,
+      |  ABS(COALESCE(share_batch, 0.0) - COALESCE(share_corpus, 0.0)) > 0.02
+      |    AS drifted
+      |FROM bs FULL OUTER JOIN cs ON bs.lang = cs.lang
+      |ORDER BY lang""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_curate" -> (curate _),
     "llm_pipeline_attrition" -> (attrition _),
@@ -376,6 +443,7 @@ object Pipeline {
     "llm_pipeline_split" -> (leakageSafeSplit _),
     "llm_pipeline_e2e" -> (e2e _),
     "llm_pipeline_shuffle" -> (shuffleOrder _),
+    "llm_pipeline_drift" -> (drift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -386,5 +454,6 @@ object Pipeline {
     "llm_pipeline_split" -> splitSql,
     "llm_pipeline_e2e" -> e2eSql,
     "llm_pipeline_shuffle" -> shuffleOrderSql,
+    "llm_pipeline_drift" -> driftSql,
   )
 }

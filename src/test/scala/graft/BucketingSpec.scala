@@ -51,4 +51,37 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("bucketed multimodal alignment join (documents x embeddings) is shuffle-free") {
+    // substantiates mmClipFilter's scale claim: bucket both sides of
+    // the paired text/embedding corpus on the id once at ingest and
+    // the alignment join never shuffles again
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh_mm").toString
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_embs")
+    graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang")
+      .write.bucketBy(4, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/b_docs").saveAsTable("b_docs")
+    graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label")
+      .write.bucketBy(4, "vec_id").sortBy("vec_id")
+      .option("path", s"$wh/b_embs").saveAsTable("b_embs")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_docs")
+        .join(spark.table("b_embs"), $"doc_id" === $"vec_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.substring(plan.indexOf("SortMergeJoin")).contains("Exchange"),
+        s"bucketed alignment join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        graft.sources.Tables.documents(spark, sf0001).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_embs")
+    }
+  }
 }

@@ -421,6 +421,20 @@ class LlmSpec extends SparkSpec {
       s"semantic dups not in all-pairs baseline: ${semDups -- allDups}")
   }
 
+  test("semantic dedup with one cluster equals the all-pairs baseline verdicts") {
+    // k=1: every vector lands in the same cluster, so within-cluster
+    // pairing IS all-pairs — the semantic verdict must then match
+    // "has a lower-id neighbor at cosine >= 0.4" from ddEmbeddingNear
+    // exactly. Proves the clustering only PRUNES candidates.
+    val sem1 = graft.llm.Dedup.ddSemanticOn(spark, sf0001, k = 1)
+      .filter(col("is_dup")).select("vec_id").as[Long].collect().toSet
+    val baseline = graft.llm.Dedup.ddEmbeddingNear(spark, sf0001)
+      .select("vec_b").as[Long].collect().toSet
+    assert(sem1 == baseline,
+      s"one-cluster semantic dups must equal baseline: " +
+        s"only-sem=${sem1 -- baseline} only-base=${baseline -- sem1}")
+  }
+
   test("lm filter keeps exactly the docs at or above the corpus p25 score") {
     val out = TextAnalysis.taLmFilter(spark, sf0001)
       .select("avg_p", "kept").as[(Double, Boolean)].collect()
