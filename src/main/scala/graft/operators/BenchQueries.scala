@@ -136,6 +136,31 @@ object BenchQueries {
       |  (DATE '2015-03-15', CAST(1100000 AS BIGINT), CAST(NULL AS BIGINT))
       |) AS t(date, a_ns_per_op, b_ns_per_op) ORDER BY date""".stripMargin
 
+  // --------------------------------------------------------------------
+  // bench_series_ratio: compared-series ratio — the number the
+  // reference's compare view leaves the reader to eyeball: per shared
+  // date, B's ns/op as a fraction of A's. Rides the same J1 alignment
+  // (full outer on date), inner-restricted to dates BOTH series
+  // measured (a ratio against a missing point is undefined, not 0); a
+  // single IEEE double division is correctly rounded in both engines,
+  // so the value is cross-engine exact without decimal routing.
+  def seriesRatioQ(spark: SparkSession, dir: String): DataFrame = {
+    SeriesOps.alignSeries(fact(spark), "sql",
+        "BenchmarkBank2_Cockroach-8", "BenchmarkDup-8")
+      .filter(col("a_ns_per_op").isNotNull && col("b_ns_per_op").isNotNull)
+      .select(col("date"), col("a_ns_per_op"), col("b_ns_per_op"),
+        round(col("b_ns_per_op").cast("double")
+          / col("a_ns_per_op").cast("double"), 9).as("b_over_a"))
+      .orderBy(col("date"))
+  }
+
+  val seriesRatioSql: String =
+    """SELECT date, a_ns_per_op, b_ns_per_op,
+      |  ROUND(CAST(b_ns_per_op AS DOUBLE) / a_ns_per_op, 9) AS b_over_a
+      |FROM (VALUES
+      |  (DATE '2015-01-01', CAST(1328086 AS BIGINT), CAST(200 AS BIGINT))
+      |) AS t(date, a_ns_per_op, b_ns_per_op) ORDER BY date""".stripMargin
+
   def pivotWideQ(spark: SparkSession, dir: String): DataFrame =
     SeriesOps.pivotWide(fact(spark), "sql",
       Seq("BenchmarkBank2_Cockroach-8", "BenchmarkDup-8"))
@@ -512,6 +537,7 @@ object BenchQueries {
     "bench_unpivot_metrics" -> (unpivotQ _),
     "bench_align_fullouter" -> (alignQ _),
     "bench_pivot_wide" -> (pivotWideQ _),
+    "bench_series_ratio" -> (seriesRatioQ _),
     "bench_priority_order" -> (priorityQ _),
     "bench_priority_phantoms" -> (priorityPhantomsQ _),
     "bench_date_spine" -> (dateSpine _),
@@ -533,6 +559,7 @@ object BenchQueries {
     "bench_unpivot_metrics" -> unpivotSql,
     "bench_align_fullouter" -> alignSql,
     "bench_pivot_wide" -> pivotWideSql,
+    "bench_series_ratio" -> seriesRatioSql,
     "bench_priority_order" -> prioritySql,
     "bench_priority_phantoms" -> priorityPhantomsSql,
     "bench_date_spine" -> dateSpineSql,

@@ -48,6 +48,16 @@ class SeriesOpsSpec extends SparkSpec {
     assert(!ranked.exists(_.getString(1).startsWith("BenchmarkInsert")))
   }
 
+  test("series ratio restricts to dates both series measured") {
+    val rows = BenchQueries.seriesRatioQ(spark, "").collect()
+    // only 2015-01-01 has both series; missing-point dates drop, not 0
+    assert(rows.length == 1)
+    assert(rows.head.getDate(0).toString == "2015-01-01")
+    val expected = BigDecimal(200.0 / 1328086.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    assert(rows.head.getDouble(3) == expected)
+  }
+
   test("pivotWide: one column per test, nulls for missing cells (J1-N)") {
     val wide = SeriesOps.pivotWide(fact, "sql",
       Seq("BenchmarkBank2_Cockroach-8", "BenchmarkDup-8"))
