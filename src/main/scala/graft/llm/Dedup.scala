@@ -699,6 +699,49 @@ object Dedup {
        |FROM d GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_keep_best: representative SELECTION per duplicate cluster —
+  // curate's canonicalization keeps the cluster MINIMUM id (cheap,
+  // deterministic), but a production pipeline keeps the BEST member:
+  // highest quality score, doc_id as the tie-break. One row per
+  // cluster: the kept doc, its quality, and how many members the
+  // choice discards.
+  //
+  // Scale shape: the cluster assignment is the session-cached artifact
+  // (no recompute), quality is a narrow scan; one doc_id equi-join,
+  // then a groupBy argmax via max(struct(quality, -doc_id)) — struct
+  // max is PARTIAL-AGGREGABLE (map-side combine per cluster), unlike a
+  // row_number window which would sort every cluster's rows after the
+  // shuffle. Output is cluster-count-sized.
+  def ddKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality")
+    ddCluster(spark, dir)
+      .join(q, "doc_id")
+      .groupBy($"cluster_id")
+      .agg(
+        max($"cluster_size").as("cluster_size"),
+        max(struct($"quality", (-$"doc_id").as("neg_id"))).as("b"))
+      .select($"cluster_id", $"cluster_size",
+        (-$"b.neg_id").as("keep_doc_id"), $"b.quality".as("quality"),
+        ($"cluster_size" - 1L).as("n_dropped"))
+      .orderBy($"cluster_id")
+  }
+
+  // Oracle states the spec (argmax by quality, min-id tie-break) as a
+  // window — any correct selection must match it.
+  val ddKeepBestSql: String =
+    s"""WITH c AS ($ddClusterSql),
+       |q AS (${TextAnalysis.taQualitySql}),
+       |j AS (SELECT c.cluster_id, c.cluster_size, c.doc_id, q.quality
+       |      FROM c JOIN q USING (doc_id)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+       |      FROM j)
+       |SELECT cluster_id, cluster_size, doc_id AS keep_doc_id, quality,
+       |  cluster_size - 1 AS n_dropped
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_dd_decontaminate: benchmark-contamination screening — flag
   // training documents sharing >= 3 distinct word-3-gram shingles with
   // any document of a held-out evaluation set (here the deterministic
@@ -1130,6 +1173,7 @@ object Dedup {
     "llm_dd_embedding_near" -> (ddEmbeddingNear _),
     "llm_dd_cluster" -> (ddCluster _),
     "llm_dd_cluster_sizes" -> (ddClusterSizes _),
+    "llm_dd_keep_best" -> (ddKeepBest _),
     "llm_dd_lsh_recall" -> (ddLshRecall _),
     "llm_dd_decontaminate" -> (ddDecontaminate _),
     "llm_dd_paragraphs" -> (ddParagraphs _),
@@ -1148,6 +1192,7 @@ object Dedup {
     "llm_dd_embedding_near" -> ddEmbeddingNearSql,
     "llm_dd_cluster" -> ddClusterSql,
     "llm_dd_cluster_sizes" -> ddClusterSizesSql,
+    "llm_dd_keep_best" -> ddKeepBestSql,
     "llm_dd_lsh_recall" -> ddLshRecallSql,
     "llm_dd_decontaminate" -> ddDecontaminateSql,
     "llm_dd_paragraphs" -> ddParagraphsSql,

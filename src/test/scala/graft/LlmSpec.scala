@@ -294,6 +294,25 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("keep-best picks the max-quality member of every cluster") {
+    val members = Dedup.ddCluster(spark, sf0001)
+      .join(TextAnalysis.taQuality(spark, sf0001).select("doc_id", "quality"),
+        "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(3)))
+      .groupBy(_._1)
+    val kept = Dedup.ddKeepBest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(kept.length == members.size) // one row per cluster
+    kept.foreach { case (cid, keepId, q, nDropped) =>
+      val cl = members(cid)
+      assert(nDropped == cl.length - 1)
+      val best = cl.map(_._3).max
+      assert(q == best, s"cluster $cid kept q=$q, best=$best")
+      // argmax with min-id tie-break
+      assert(keepId == cl.filter(_._3 == best).map(_._2).min)
+    }
+  }
+
   test("hash sampling is deterministic and stratified quotas hold") {
     import graft.llm.Sampling
     val a = Sampling.sampleHash(spark, sf0001).collect().toSeq
