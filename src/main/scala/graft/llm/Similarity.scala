@@ -933,6 +933,49 @@ object Similarity {
        |FROM k JOIN m ON k.cid = m.cid
        |ORDER BY dist_ratio DESC, vec_id LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_dim_stats: per-dimension mean/variance over the embedding
+  // corpus — the normalization statistics a feature pipeline computes
+  // once and broadcasts to z-score every vector (and the drift
+  // diagnostic compared across corpus snapshots: a dimension whose
+  // mean/variance moved is an upstream encoder change). One
+  // posexplode pass + a partial-aggregable groupBy on the dim-count-
+  // sized pos key; output is dim-count rows regardless of corpus
+  // size. Variance = E[x²] − E[x]² with both moments routed through
+  // DECIMAL sums, then composed in correctly-rounded double ops —
+  // bit-stable at any partitioning and across engines. (x is a
+  // FLOAT widened to double, so x·x is exact: 48 mantissa bits.)
+  def ssDimStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withNorm(spark, dir).select($"v")
+      .select(posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"pos")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast("decimal(28,12)")).as("s1"),
+        sum(($"x" * $"x").cast("decimal(28,12)")).as("s2"))
+      .select($"pos".cast("long").as("pos"), $"n",
+        round($"s1".cast("double") / $"n", 9).as("mean"),
+        round($"s2".cast("double") / $"n"
+          - ($"s1".cast("double") / $"n") * ($"s1".cast("double") / $"n"),
+          9).as("variance"))
+      .orderBy($"pos")
+  }
+
+  val ssDimStatsSql: String =
+    s"""$normCte,
+       |ex AS (SELECT unnest(list_transform(range(0, len(v)),
+       |    i -> {'pos': i, 'x': v[i + 1]})) AS u FROM n),
+       |f AS (SELECT u.pos AS pos, u.x AS x FROM ex),
+       |a AS (SELECT pos, COUNT(*) AS n,
+       |    SUM(CAST(x AS DECIMAL(28,12))) AS s1,
+       |    SUM(CAST(x * x AS DECIMAL(28,12))) AS s2
+       |  FROM f GROUP BY pos)
+       |SELECT pos, n, ROUND(CAST(s1 AS DOUBLE) / n, 9) AS mean,
+       |  ROUND(CAST(s2 AS DOUBLE) / n
+       |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 9)
+       |    AS variance
+       |FROM a ORDER BY pos""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ss_topk" -> (ssTopk _),
     "llm_ss_lsh_bucket" -> (ssLshBucket _),
@@ -949,6 +992,7 @@ object Similarity {
     "llm_ss_pq_encode_trained" -> (ssPqEncodeTrained _),
     "llm_ss_pq_search_trained" -> (ssPqSearchTrained _),
     "llm_ss_outliers" -> (ssOutliers _),
+    "llm_ss_dim_stats" -> (ssDimStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -967,5 +1011,6 @@ object Similarity {
     "llm_ss_pq_encode_trained" -> ssPqEncodeTrainedSql,
     "llm_ss_pq_search_trained" -> ssPqSearchTrainedSql,
     "llm_ss_outliers" -> ssOutliersSql,
+    "llm_ss_dim_stats" -> ssDimStatsSql,
   )
 }

@@ -418,6 +418,48 @@ object TextAnalysis {
       |FROM b CROSS JOIN v""".stripMargin
 
   // --------------------------------------------------------------------
+  // ta_source_report: per-source quality scorecard — the corpus
+  // governance view a data owner reads before admitting/weighting a
+  // source: volume (docs, tokens), mean quality, and how much of the
+  // source falls below the curation gate (quality < 0.5, curate's
+  // threshold). Per-doc quality is the taQuality scan; one groupBy on
+  // the low-cardinality source key (20 values — partial-aggregable,
+  // no skew concern at any corpus size); the mean routes through a
+  // DECIMAL sum so the per-source rows are bit-stable at any
+  // partitioning. low_rate needs no 0/0 guard: a source group has
+  // n_docs >= 1 by construction.
+  def taSourceReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = taQuality(spark, dir).select($"doc_id", $"n_tokens", $"quality")
+    Tables.documents(spark, dir).select($"doc_id", $"source")
+      .join(q, "doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens".cast("long")).as("total_tokens"),
+        round(sum($"quality".cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("mean_quality"),
+        sum(when($"quality" < 0.5, 1L).otherwise(0L)).as("n_low"))
+      .withColumn("low_rate",
+        round($"n_low".cast("double") / $"n_docs", 6))
+      .orderBy($"source")
+  }
+
+  val taSourceReportSql: String =
+    s"""WITH q AS (${taQualitySql}),
+       |j AS (SELECT d.source, q.n_tokens, q.quality
+       |      FROM documents d JOIN q USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  ROUND(CAST(SUM(CAST(quality AS DECIMAL(28,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_quality,
+       |  CAST(SUM(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_low,
+       |  ROUND(CAST(SUM(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 6) AS low_rate
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
   // ta_chunk: context-window chunking — split each document into
   // overlapping token windows (64 tokens, stride 48 → 16-token
   // overlap), the step that turns a curated corpus into model-sized
@@ -741,6 +783,67 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------------------
+  // ta_collocations: PMI collocation extraction — the top word pairs
+  // whose joint bigram probability exceeds what their marginals
+  // predict (Church & Hanks 1990), the standard phrase-mining /
+  // tokenizer-seeding diagnostic. Reported as LIFT =
+  // p(w1,w2) / (p(w1)·p(w2)) rather than its log2 (= PMI): the two
+  // are order-isomorphic, and mul/div are correctly-rounded IEEE ops
+  // so the value is bit-identical across engines, where libm log2
+  // differs in the last ulp between the JVM and DuckDB. Marginals are
+  // the bigram table's own position marginals (self-consistent — no
+  // separate unigram pass), min-count 5 kills the hapax-pair noise
+  // PMI is notorious for.
+  //
+  // Scale shape: everything reduces over the bigram-count table —
+  // corpus touched once; the two marginal tables are vocab-sized
+  // (Heaps-bounded) broadcasts like c1 in the LM family; the total is
+  // a 1-row broadcast (q31's scalar pattern). Top-k is
+  // TakeOrderedAndProject, never a global sort.
+  def taCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables.documents(spark, dir)
+      .select(split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(t) - 2),
+          |  i -> named_struct('w1', element_at(t, i + 1),
+          |                    'w2', element_at(t, i + 2)))""".stripMargin))
+        .as("b"))
+      .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val m1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val m2 = c2.groupBy($"w2").agg(sum($"c2").as("r2"))
+    val n = c2.agg(sum($"c2").as("n"))
+    c2.filter($"c2" >= 5)
+      .join(broadcast(m1), "w1")
+      .join(broadcast(m2), "w2")
+      .crossJoin(broadcast(n))
+      .select($"w1", $"w2", $"c2",
+        round(($"c2".cast("double") * $"n")
+          / ($"c1".cast("double") * $"r2"), 9).as("lift"))
+      .orderBy($"lift".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
+  val taCollocationsSql: String =
+    """WITH bg AS (
+      |  SELECT unnest(list_transform(range(0, len(t) - 1),
+      |      i -> {'w1': t[i + 1], 'w2': t[i + 2]})) AS b
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2),
+      |f AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM f GROUP BY w1, w2),
+      |m1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |m2 AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS r2 FROM c2 GROUP BY w2),
+      |n AS (SELECT CAST(SUM(c2) AS BIGINT) AS n FROM c2)
+      |SELECT w1, w2, c2,
+      |  ROUND(CAST(c2 AS DOUBLE) * n / (CAST(c1 AS DOUBLE) * r2), 9) AS lift
+      |FROM c2 JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+      |WHERE c2 >= 5
+      |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
   // ta_bpe_pairs: one distributed BPE-training step — the top adjacent
   // symbol pairs by corpus frequency, the argmax that drives each
   // merge of byte-pair-encoding vocabulary induction. Pair counts are
@@ -986,6 +1089,8 @@ object TextAnalysis {
     "llm_ta_repetition" -> (taRepetition _),
     "llm_ta_vocab" -> (taVocab _),
     "llm_ta_corpus_stats" -> (taCorpusStats _),
+    "llm_ta_source_report" -> (taSourceReport _),
+    "llm_ta_collocations" -> (taCollocations _),
     "llm_ta_chunk" -> (taChunk _),
     "llm_ta_length_hist" -> (taLengthHist _),
     "llm_ta_lm_score" -> (taLmScore _),
@@ -1008,6 +1113,8 @@ object TextAnalysis {
     "llm_ta_repetition" -> taRepetitionSql,
     "llm_ta_vocab" -> taVocabSql,
     "llm_ta_corpus_stats" -> taCorpusStatsSql,
+    "llm_ta_source_report" -> taSourceReportSql,
+    "llm_ta_collocations" -> taCollocationsSql,
     "llm_ta_chunk" -> taChunkSql,
     "llm_ta_length_hist" -> taLengthHistSql,
     "llm_ta_lm_score" -> taLmScoreSql,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, TextAnalysis}
+import graft.llm.{Dedup, Similarity, TextAnalysis}
 import graft.operators.RelationalQueries
 
 /** Physical-plan regression guards for the scale-critical plan shapes:
@@ -130,6 +130,24 @@ class PlanSpec extends SparkSpec {
       .exists(l => l.contains("Window") && l.contains("SinglePartition"))
     assert(!globalWindow,
       "found a single-partition window:\n" + plan.take(800))
+  }
+
+  test("collocations: marginals broadcast, top-k is TakeOrderedAndProject") {
+    val plan = planOf(TextAnalysis.taCollocations(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must plan as distributed partial top-k:\n" + plan.take(600))
+    assert(plan.contains("BroadcastHashJoin"),
+      "marginal tables must broadcast:\n" + plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "the bigram-count table must not shuffle on a marginal key:\n"
+        + plan.take(800))
+  }
+
+  test("dim stats is one pos-keyed aggregation, no join or window") {
+    val plan = planOf(Similarity.ssDimStats(spark, sf0001))
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("HashAggregate"), plan.take(600))
   }
 
   test("funnel runs on ONE user_id shuffle (single scan, stacked windows)") {
