@@ -286,6 +286,42 @@ object WindowQueries {
       |  AND click_ts <= view_ts + INTERVAL 10 MINUTE
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_dedup_first: the batch face of StreamPipelines.dedupStream —
+  // earliest event per (user_id, event_type), event_id as tie-break.
+  // Streaming keeps the FIRST arrival per key within the watermark
+  // (dropDuplicatesWithinWatermark, StreamingSpec); over a closed
+  // batch "first" means event-time minimum, which is what this
+  // computes and the oracle hash-checks. Both engines order on
+  // MICROSECOND time (Spark's timestamp grain): the oracle must not
+  // tie-break on the raw nanosecond ts or a sub-microsecond pair
+  // would legally sort differently in the two engines.
+  //
+  // Scale shape: one groupBy on the dedup key with a lexicographic
+  // min(struct(ts, event_id, ...)) — partial-aggregable argmin
+  // (map-side combine), no per-key window sort, no join.
+  def stDedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type",
+        struct(unix_micros($"ts").as("ts_us"), $"event_id", $"value").as("e"))
+      .groupBy($"user_id", $"event_type")
+      .agg(min($"e").as("f"))
+      .select($"user_id", $"event_type", $"f.ts_us".as("ts_us"),
+        $"f.event_id".as("event_id"), $"f.value".as("value"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val stDedupFirstSql: String =
+    """WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      |    event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type, ts_us, event_id, value
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_tumbling" -> (stTumbling _),
     "st_sliding" -> (stSliding _),
@@ -293,6 +329,7 @@ object WindowQueries {
     "q38_funnel" -> (q38Funnel _),
     "q39_retention" -> (q39Retention _),
     "st_interval_join" -> (stIntervalJoin _),
+    "st_dedup_first" -> (stDedupFirst _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -302,5 +339,6 @@ object WindowQueries {
     "q38_funnel" -> q38FunnelSql,
     "q39_retention" -> q39RetentionSql,
     "st_interval_join" -> stIntervalJoinSql,
+    "st_dedup_first" -> stDedupFirstSql,
   )
 }
