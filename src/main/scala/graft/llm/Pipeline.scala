@@ -435,6 +435,69 @@ object Pipeline {
       |FROM bs FULL OUTER JOIN cs ON bs.lang = cs.lang
       |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_budget: token-budget data selection — keep the
+  // highest-quality documents until a token budget is filled (here
+  // 30% of corpus tokens, integer math so the budget is exact in both
+  // engines). The DataComp/FineWeb-style selection step: "train on
+  // the best B tokens", not "train on quality >= θ" (a fixed θ can't
+  // hit a compute budget).
+  //
+  // Spec = prefix of the (quality DESC, doc_id) order whose running
+  // token sum fits B — but a GLOBAL ordered running sum is the one
+  // shape that doesn't distribute (pack's problem, without pack's
+  // freedom to salt, because the order is semantic here). Scale
+  // shape instead: bucket by quality (bucket = floor(quality·20); a
+  // step function of the global order, so bucket boundaries align
+  // with it exactly). Bucket token totals are a 20-row aggregate; the
+  // bucket-level running sum is a window over those 20 rows (bounded,
+  // like the priority list); whole buckets under budget are kept with
+  // NO sort; only the single BOUNDARY bucket's rows pay an ordered
+  // within-bucket running sum. At 100 TB with a pathologically fat
+  // boundary bucket, re-bucket it on a finer quality grid (the same
+  // step recursively) — the pattern stays one narrow scan + bounded
+  // windows.
+  def budget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.taQuality(spark, dir)
+      .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"), $"quality")
+    val tot = q.agg(sum($"n_tokens").as("tot"))
+    val docs = q.crossJoin(broadcast(tot))
+      .select($"doc_id", $"n_tokens", $"quality",
+        expr("tot * 3 div 10").as("b_max"),
+        least(floor($"quality" * 20).cast("int"), lit(19)).as("bkt"))
+    val wB = Window.orderBy($"bkt".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = docs.groupBy($"bkt").agg(sum($"n_tokens").as("tok_b"))
+      .withColumn("cum_b", sum($"tok_b").over(wB))
+      .withColumn("cum_prev", $"cum_b" - $"tok_b")
+      .select($"bkt", $"cum_b", $"cum_prev")
+    val joined = docs.join(broadcast(cum), "bkt")
+    val full = joined.filter($"cum_b" <= $"b_max")
+      .select($"doc_id", $"quality", $"n_tokens")
+    val wIn = Window.partitionBy($"bkt").orderBy($"quality".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .filter($"cum_prev" <= $"b_max" && $"cum_b" > $"b_max")
+      .withColumn("wcum", sum($"n_tokens").over(wIn))
+      .filter($"cum_prev" + $"wcum" <= $"b_max")
+      .select($"doc_id", $"quality", $"n_tokens")
+    full.union(boundary).orderBy($"doc_id")
+  }
+
+  // The oracle states the SPEC (global ordered prefix sum) — the
+  // bucketed plan must reproduce it exactly.
+  val budgetSql: String =
+    s"""WITH q AS (${TextAnalysis.taQualitySql}),
+       |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) * 3 // 10 AS b_max FROM q),
+       |r AS (SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM q)
+       |SELECT doc_id, quality, n_tokens FROM r, t
+       |WHERE cum <= b_max ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_curate" -> (curate _),
     "llm_pipeline_attrition" -> (attrition _),
@@ -444,6 +507,7 @@ object Pipeline {
     "llm_pipeline_e2e" -> (e2e _),
     "llm_pipeline_shuffle" -> (shuffleOrder _),
     "llm_pipeline_drift" -> (drift _),
+    "llm_pipeline_budget" -> (budget _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -455,5 +519,6 @@ object Pipeline {
     "llm_pipeline_e2e" -> e2eSql,
     "llm_pipeline_shuffle" -> shuffleOrderSql,
     "llm_pipeline_drift" -> driftSql,
+    "llm_pipeline_budget" -> budgetSql,
   )
 }

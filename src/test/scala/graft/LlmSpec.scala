@@ -313,6 +313,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("token-budget selection equals the quality-ordered prefix reference") {
+    val q = TextAnalysis.taQuality(spark, sf0001)
+      .select("doc_id", "n_tokens", "quality").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+    val budget = q.map(_._2).sum * 3 / 10
+    var cum = 0L
+    val ref = q.sortBy(t => (-t._3, t._1)).flatMap { case (id, n, _) =>
+      cum += n; if (cum <= budget) Some(id) else None
+    }.toSet
+    val got = graft.llm.Pipeline.budget(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == ref,
+      s"diff: got-only=${(got -- ref).take(3)} ref-only=${(ref -- got).take(3)}")
+  }
+
   test("hash sampling is deterministic and stratified quotas hold") {
     import graft.llm.Sampling
     val a = Sampling.sampleHash(spark, sf0001).collect().toSeq
