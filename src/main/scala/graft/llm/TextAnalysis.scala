@@ -418,6 +418,50 @@ object TextAnalysis {
       |FROM b CROSS JOIN v""".stripMargin
 
   // --------------------------------------------------------------------
+  // ta_oov: out-of-vocabulary rate per document against the corpus's
+  // own top-V vocabulary — the tokenizer-coverage diagnostic run
+  // before/after a vocab change (a doc with high OOV share fragments
+  // into byte-fallback tokens and trains badly). V = 16 here because
+  // the fixture's soup vocabulary is 31 terms — a larger V would put
+  // every token in-vocab and never exercise the OOV side; production
+  // V is the
+  // tokenizer's vocab size — still a broadcast at 100 TB (Heaps'
+  // law: vocab grows sublinearly; 256k terms ≪ executor memory).
+  //
+  // Scale shape: one explode pass; the vocab is a V-row
+  // TakeOrderedAndProject broadcast LEFT-joined to the token stream
+  // (no shuffle of the corpus — tokens of a doc stay colocated, so
+  // the per-doc reduce is map-side-combinable).
+  def taOov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val vocab = toks.groupBy($"term").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"term").limit(16)
+      .select($"term", lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round($"n_oov".cast("double") / $"n_tokens", 6))
+      .orderBy($"doc_id")
+  }
+
+  val taOovSql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |v AS (SELECT term FROM (SELECT term, COUNT(*) AS freq FROM tk
+      |  GROUP BY term ORDER BY freq DESC, term LIMIT 16)),
+      |j AS (SELECT tk.doc_id, v.term IS NOT NULL AS iv
+      |  FROM tk LEFT JOIN v ON tk.term = v.term)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+      |  ROUND(CAST(SUM(CASE WHEN iv THEN 0 ELSE 1 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS oov_rate
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // ta_source_report: per-source quality scorecard — the corpus
   // governance view a data owner reads before admitting/weighting a
   // source: volume (docs, tokens), mean quality, and how much of the
@@ -1090,6 +1134,7 @@ object TextAnalysis {
     "llm_ta_vocab" -> (taVocab _),
     "llm_ta_corpus_stats" -> (taCorpusStats _),
     "llm_ta_source_report" -> (taSourceReport _),
+    "llm_ta_oov" -> (taOov _),
     "llm_ta_collocations" -> (taCollocations _),
     "llm_ta_chunk" -> (taChunk _),
     "llm_ta_length_hist" -> (taLengthHist _),
@@ -1114,6 +1159,7 @@ object TextAnalysis {
     "llm_ta_vocab" -> taVocabSql,
     "llm_ta_corpus_stats" -> taCorpusStatsSql,
     "llm_ta_source_report" -> taSourceReportSql,
+    "llm_ta_oov" -> taOovSql,
     "llm_ta_collocations" -> taCollocationsSql,
     "llm_ta_chunk" -> taChunkSql,
     "llm_ta_length_hist" -> taLengthHistSql,
