@@ -461,19 +461,27 @@ object Pipeline {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val q = TextAnalysis.taQuality(spark, dir)
-      .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"), $"quality")
-    val tot = q.agg(sum($"n_tokens").as("tot"))
-    val docs = q.crossJoin(broadcast(tot))
-      .select($"doc_id", $"n_tokens", $"quality",
-        expr("tot * 3 div 10").as("b_max"),
+      .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"), $"quality",
         least(floor($"quality" * 20).cast("int"), lit(19)).as("bkt"))
-    val wB = Window.orderBy($"bkt".desc)
+    val wCum = Window.orderBy($"bkt".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = docs.groupBy($"bkt").agg(sum($"n_tokens").as("tok_b"))
-      .withColumn("cum_b", sum($"tok_b").over(wB))
+    val wAll = Window.orderBy($"bkt".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // The 20-row bucket table — totals, running sum, budget (derived
+    // from the full-range sum, so the corpus total costs no second
+    // scan) — MATERIALIZED once (localCheckpoint, the repo's k-row
+    // table convention): both union branches below reference it, and
+    // without materialization Catalyst re-derives it per reference,
+    // which re-runs the corpus scan + single-partition bucket window
+    // SIX times (caught by the PlanSpec guard).
+    val bt = q.groupBy($"bkt").agg(sum($"n_tokens").as("tok_b"))
+      .withColumn("cum_b", sum($"tok_b").over(wCum))
+      .withColumn("tot", sum($"tok_b").over(wAll))
+      .withColumn("b_max", expr("tot * 3 div 10"))
       .withColumn("cum_prev", $"cum_b" - $"tok_b")
-      .select($"bkt", $"cum_b", $"cum_prev")
-    val joined = docs.join(broadcast(cum), "bkt")
+      .select($"bkt", $"cum_b", $"cum_prev", $"b_max")
+      .localCheckpoint()
+    val joined = q.join(broadcast(bt), "bkt")
     val full = joined.filter($"cum_b" <= $"b_max")
       .select($"doc_id", $"quality", $"n_tokens")
     val wIn = Window.partitionBy($"bkt").orderBy($"quality".desc, $"doc_id")

@@ -150,6 +150,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(600))
   }
 
+  test("budget selection: doc rows never single-partition; joins broadcast") {
+    val plan = planOf(graft.llm.Pipeline.budget(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin"),
+      "bucket/total tables must broadcast, not shuffle-join:\n" + plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    // exactly one SinglePartition exchange is legal: the 20-row bucket
+    // cumsum window. A second would mean doc rows were globally sorted.
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1,
+      s"$single single-partition exchanges (doc rows funneled):\n" + plan.take(1200))
+  }
+
   test("funnel runs on ONE user_id shuffle (single scan, stacked windows)") {
     val plan = planOf(graft.streaming.WindowQueries.q38Funnel(spark, sf0001))
     // exactly one scan of events: the 3-row summary must come from a
