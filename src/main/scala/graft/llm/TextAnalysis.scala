@@ -855,7 +855,12 @@ object TextAnalysis {
           |                    'w2', element_at(t, i + 2)))""".stripMargin))
         .as("b"))
       .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+    // the bigram-count table feeds FOUR consumers (both marginals,
+    // the total, and the scored stream) — materialize it once or
+    // Catalyst re-derives the corpus explode + shuffle per consumer
+    // (the same re-derivation class the budget PlanSpec guard caught)
     val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val m1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
     val m2 = c2.groupBy($"w2").agg(sum($"c2").as("r2"))
     val n = c2.agg(sum($"c2").as("n"))

@@ -141,6 +141,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "the bigram-count table must not shuffle on a marginal key:\n"
         + plan.take(800))
+    // the bigram table is materialized once; its four consumers must
+    // read the checkpointed rows, not re-derive the corpus explode
+    assert(!plan.contains("Generate"),
+      "corpus explode re-derived downstream of the checkpoint:\n"
+        + plan.take(800))
   }
 
   test("dim stats is one pos-keyed aggregation, no join or window") {
