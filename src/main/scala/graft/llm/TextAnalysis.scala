@@ -604,7 +604,11 @@ object TextAnalysis {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", explode(split($"text", " ")).as("term"))
+    // vocab-sized model table, two consumers (total, probs) —
+    // materialized once so the corpus explode+shuffle behind it runs
+    // once, not per consumer
     val counts = toks.groupBy($"term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val total = counts.agg(sum($"c").as("n_total"))
     val probs = counts.crossJoin(broadcast(total))
       .select($"term", ($"c".cast("double") / $"n_total").as("p"))
@@ -659,7 +663,10 @@ object TextAnalysis {
           |                    'w2', element_at(t, i + 2)))""".stripMargin))
         .as("b"))
       .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    // bigram-type-sized model table, two consumers (c1, probs) —
+    // materialized once so the bigram explode+shuffle runs once
     val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
     val probs = c2.join(broadcast(c1), "w1")
       .select($"w1", $"w2", ($"c2".cast("double") / $"c1").as("p"))
@@ -711,7 +718,9 @@ object TextAnalysis {
           |                    'w2', element_at(t, i + 2)))""".stripMargin))
         .as("b"))
       .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    // materialized once: consumed by c1 AND the top-M prune
     val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
     // top-M via orderBy+limit — plans as TakeOrderedAndProject
     // (per-partition partial top-M, then merge), never the global
@@ -720,9 +729,11 @@ object TextAnalysis {
       .orderBy($"c2".desc, $"w1".asc, $"w2".asc).limit(M)
       .join(broadcast(c1), "w1")
       .select($"w1", $"w2", ($"c2".cast("double") / $"c1").as("p_big"))
+    // vocab-sized, two consumers (total, p_uni) — materialized once
     val uni = Tables.documents(spark, dir)
       .select(explode(split($"text", " ")).as("w2"))
       .groupBy($"w2").agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
     val totalN = uni.agg(sum($"cu").as("n_total"))
     val puni = uni.crossJoin(broadcast(totalN))
       .select($"w2", ($"cu".cast("double") / $"n_total").as("p_uni"))
@@ -801,7 +812,11 @@ object TextAnalysis {
           |                    'w2', element_at(t, i + 2)))""".stripMargin))
         .as("b"))
       .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    // materialized once: consumed by c1 (twice removed via hot) AND
+    // the probs build — without it the bigram shuffle re-runs per
+    // consumer chain
     val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     // c1 stays a broadcast: it is vocab-sized (Heaps-bounded), not
     // bigram-sized — only the MODEL join below must not broadcast
     val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
