@@ -388,7 +388,9 @@ object Pipeline {
     import spark.implicits._
     val d = Tables.documents(spark, dir).select($"doc_id", $"source", $"lang")
     def shares(df: DataFrame, n: String, s: String): DataFrame = {
+      // language-cardinality, two consumers (total, shares) — once
       val counts = df.groupBy($"lang").agg(count(lit(1)).as(n))
+        .localCheckpoint()
       val total = counts.agg(sum(col(n)).as(s + "_total"))
       counts.crossJoin(broadcast(total))
         .select($"lang", col(n),

@@ -114,8 +114,12 @@ object Sampling {
 
   private def mixtureOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // source-cardinality table with two consumers (total, scored) —
+    // materialized once so the corpus groupBy behind it runs once,
+    // not per consumer (shared-subplan audit, round 6)
     val perSrc = Tables.documents(spark, dir)
       .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     val total = perSrc.agg(sum($"n_docs").as("n_total"))
     val scored = perSrc.crossJoin(broadcast(total))
       .select($"source", $"n_docs",
@@ -208,7 +212,9 @@ object Sampling {
     import spark.implicits._
     val d = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", (h60($"text") % 1000000L).as("draw"))
+    // language-cardinality, two consumers (min, rates) — once
     val counts = d.groupBy($"lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val minc = counts.agg(min($"c").as("cmin"))
     val rates = counts.crossJoin(broadcast(minc))
       .select($"lang", round($"cmin".cast("double") / $"c", 6).as("rate"))

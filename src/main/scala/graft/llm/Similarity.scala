@@ -327,9 +327,12 @@ object Similarity {
   // the (method × query) grid keeps 0-recall rows visible.
   def ssRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ground truth feeds the grid AND the hit join — materialized
+    // once or the brute-force pass re-runs per consumer
     val exact = ssTopk(spark, dir)
       .filter($"rank" <= 3 && $"q_id" < 5)
       .select($"q_id", $"neighbor_id")
+      .localCheckpoint()
     val approx =
       ssLshBucket(spark, dir).filter($"q_id" < 5)
         .select(lit("lsh_bucket").as("method"), $"q_id", $"neighbor_id")
@@ -913,7 +916,9 @@ object Similarity {
   // ratio composes deterministic doubles in both engines.
   def ssOutliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val k = ssKmeans(spark, dir)
+    // two consumers (cluster means, ratio join) — materialized once
+    // or the assign→update→assign chain re-runs twice
+    val k = ssKmeans(spark, dir).localCheckpoint()
     val means = k.groupBy($"cid")
       .agg((sum($"d2".cast("decimal(28,12)")).cast("double")
         / count(lit(1))).as("mean_d2"))

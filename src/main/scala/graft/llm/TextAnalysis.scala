@@ -1127,7 +1127,10 @@ object TextAnalysis {
   // unchanged.
   def taLmFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // two consumers (threshold, verdicts) — materialized once or the
+    // whole scoring pipeline (explode + model + join) re-runs twice
     val scored = taLmScore(spark, dir).select($"doc_id", $"avg_p")
+      .localCheckpoint()
     val thr = scored.agg(
       round(expr("percentile(avg_p, 0.25d)"), 9).as("thr"))
     scored.crossJoin(broadcast(thr))
