@@ -1027,6 +1027,47 @@ object Dedup {
        |      / (SELECT COUNT(*) FROM truth), 6) END AS recall""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_jaccard_est: MinHash estimator calibration — for every LSH
+  // candidate pair, the k=8 signature-agreement estimate next to the
+  // TRUE 3-gram Jaccard, ranked by absolute error (worst-calibrated
+  // first, top 100). ddLshRecall answers "did banding find the right
+  // SET of pairs"; this answers "how far off is the per-pair ESTIMATE"
+  // — the number that decides whether k=8 signatures are enough before
+  // trusting est_jaccard as a dedup threshold at production scale
+  // (E[err] ~ 1/√k; a fat tail here says raise k, not the threshold).
+  //
+  // Scale shape: both inputs are session-cached artifacts (the band
+  // index and the near-dup edge list); the join is an equi-join on the
+  // pair key over candidate-sized tables — the corpus is never
+  // re-scanned. A candidate pair missing from the truth table shares
+  // only over-cap (boilerplate) or zero shingles → true Jaccard 0
+  // under the df-cap convention both engines already share.
+  def ddJaccardEst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cand = ddMinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+    val truth = ngramPairsFor(spark, dir)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    cand.join(truth, Seq("doc_a", "doc_b"), "left")
+      .select($"doc_a", $"doc_b", $"est_jaccard",
+        coalesce($"jaccard", lit(0.0)).as("true_jaccard"),
+        round(abs($"est_jaccard" - coalesce($"jaccard", lit(0.0))), 6)
+          .as("abs_err"))
+      .orderBy($"abs_err".desc, $"doc_a", $"doc_b")
+      .limit(100)
+  }
+
+  val ddJaccardEstSql: String =
+    s"""WITH cand AS (SELECT doc_a, doc_b, est_jaccard FROM ($ddMinhashLshSql)),
+       |truth AS (SELECT doc_a, doc_b, jaccard FROM ($ngramPairsSql))
+       |SELECT c.doc_a, c.doc_b, c.est_jaccard,
+       |  COALESCE(t.jaccard, 0.0) AS true_jaccard,
+       |  ROUND(ABS(c.est_jaccard - COALESCE(t.jaccard, 0.0)), 6) AS abs_err
+       |FROM cand c LEFT JOIN truth t
+       |  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |ORDER BY abs_err DESC, c.doc_a, c.doc_b LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_dd_semantic: SemDeDup-style semantic deduplication (Abbas et
   // al. 2023, arXiv:2303.09540) — cluster the embeddings with k-means,
   // then compare cosines ONLY within each cluster and mark every
@@ -1175,6 +1216,7 @@ object Dedup {
     "llm_dd_cluster_sizes" -> (ddClusterSizes _),
     "llm_dd_keep_best" -> (ddKeepBest _),
     "llm_dd_lsh_recall" -> (ddLshRecall _),
+    "llm_dd_jaccard_est" -> (ddJaccardEst _),
     "llm_dd_decontaminate" -> (ddDecontaminate _),
     "llm_dd_paragraphs" -> (ddParagraphs _),
     "llm_dd_substring" -> (ddSubstring _),
@@ -1194,6 +1236,7 @@ object Dedup {
     "llm_dd_cluster_sizes" -> ddClusterSizesSql,
     "llm_dd_keep_best" -> ddKeepBestSql,
     "llm_dd_lsh_recall" -> ddLshRecallSql,
+    "llm_dd_jaccard_est" -> ddJaccardEstSql,
     "llm_dd_decontaminate" -> ddDecontaminateSql,
     "llm_dd_paragraphs" -> ddParagraphsSql,
     "llm_dd_substring" -> ddSubstringSql,

@@ -528,6 +528,86 @@ object BenchQueries {
        |FROM fct JOIN bd USING (pkg, test)
        |ORDER BY pkg, test, date""".stripMargin
 
+  // --------------------------------------------------------------------
+  // bench_changepoint: CUSUM level-shift detection per series — the
+  // question behind every benchviz chart ("did this benchmark step to a
+  // new level, and when?") answered engine-side. Classic cumulative-sum
+  // test (Page 1954 / Taylor's CUSUM changepoint form): S_i = prefix
+  // sum of deviations from the series mean; a sustained level shift
+  // makes |S| build to a peak AT the shift point, while noise keeps S
+  // near zero. We emit the argmax-|S| date as the changepoint estimate
+  // and S's range normalized by n·(max−min) as a unitless confidence
+  // score (a clean half-way step scores ≈ 0.25; i.i.d. noise decays as
+  // 1/√n), flagged at 0.15.
+  //
+  // Cross-engine exactness: the textbook S_i = Σ(x_j − x̄) drags an
+  // IEEE division (the mean) through an order-sensitive running sum.
+  // Scaled by n it is integer-exact: S'_i = n·prefix_i − i·total, all
+  // BIGINT, so Spark's sequential window sum and DuckDB's segment-tree
+  // window agg agree bit-for-bit; the single division happens once at
+  // the end, on integer-exact operands. Tie-break: max(struct(|S|,
+  // date)) picks the latest date among equal peaks (oracle mirrors
+  // with ORDER BY |S| DESC, date DESC).
+  //
+  // Scale shape: the prefix sum and row_number ride the ONE (pkg,test)
+  // shuffle every series op shares; per-series stats are a
+  // partial-aggregable groupBy broadcast back; output is one row per
+  // series. A 1-point (or constant) series has x_range 0 → score 0 by
+  // the vacuous-value convention (ddLshRecall's), never 0/0.
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pkg"), col("test")).orderBy(col("date"))
+    val f = fact(spark)
+    val stats = f.groupBy(col("pkg"), col("test"))
+      .agg(count(lit(1)).as("n"), sum(col("ns_per_op")).as("total"),
+        (max(col("ns_per_op")) - min(col("ns_per_op"))).as("x_range"))
+    val cu = f.select(col("pkg"), col("test"), col("date"), col("ns_per_op"))
+      .withColumn("pre", sum(col("ns_per_op")).over(w))
+      .withColumn("i", row_number().over(w))
+      .join(broadcast(stats), Seq("pkg", "test"))
+      .withColumn("cusum", col("n") * col("pre") - col("i") * col("total"))
+    cu.groupBy(col("pkg"), col("test"))
+      .agg(max(col("n")).as("n_points"),
+        max(struct(abs(col("cusum")).as("a"), col("date").as("d"))).as("am"),
+        (max(col("cusum")) - min(col("cusum"))).as("s_range"),
+        max(col("n") * col("x_range")).as("denom"))
+      .select(col("pkg"), col("test"), col("n_points"),
+        col("am.d").as("cp_date"),
+        when(col("denom") === 0, lit(0.0))
+          .otherwise(round(col("s_range") / col("denom"), 6))
+          .as("shift_score"))
+      .withColumn("is_shift", col("shift_score") > 0.15)
+      .orderBy(col("pkg"), col("test"))
+  }
+
+  val changepointSql: String =
+    s"""WITH fct AS ($ingestGoldenSql),
+       |st AS (SELECT pkg, test, COUNT(*) AS n, SUM(ns_per_op) AS total,
+       |    MAX(ns_per_op) - MIN(ns_per_op) AS x_range
+       |  FROM fct GROUP BY pkg, test),
+       |cu AS (SELECT f.pkg, f.test, f.date,
+       |    st.n * SUM(f.ns_per_op) OVER (PARTITION BY f.pkg, f.test
+       |      ORDER BY f.date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - ROW_NUMBER() OVER (PARTITION BY f.pkg, f.test ORDER BY f.date)
+       |        * st.total AS cusum,
+       |    st.n, st.x_range
+       |  FROM fct f JOIN st USING (pkg, test)),
+       |ag AS (SELECT pkg, test, MAX(n) AS n_points,
+       |    MAX(cusum) - MIN(cusum) AS s_range, MAX(n * x_range) AS denom
+       |  FROM cu GROUP BY pkg, test),
+       |cp AS (SELECT pkg, test, date AS cp_date, ROW_NUMBER() OVER (
+       |    PARTITION BY pkg, test ORDER BY ABS(cusum) DESC, date DESC) AS rn
+       |  FROM cu)
+       |SELECT pkg, test, n_points, cp_date, shift_score,
+       |  shift_score > 0.15 AS is_shift
+       |FROM (SELECT a.pkg, a.test, a.n_points, c.cp_date,
+       |    CASE WHEN a.denom = 0 THEN 0.0
+       |      ELSE ROUND(CAST(a.s_range AS DOUBLE) / a.denom, 6) END
+       |      AS shift_score
+       |  FROM ag a JOIN cp c ON a.pkg = c.pkg AND a.test = c.test
+       |    AND c.rn = 1)
+       |ORDER BY pkg, test""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bench_ingest_golden" -> (ingestGolden _),
     "bench_series_sorted" -> (seriesSorted _),
@@ -547,6 +627,7 @@ object BenchQueries {
     "bench_history_ranges" -> (historyRanges _),
     "bench_asof_lookup" -> (asofLookup _),
     "bench_pctile_band" -> (pctileBand _),
+    "bench_changepoint" -> (changepoint _),
     "bench_sink_roundtrip" -> (sinkRoundtrip _),
   )
 
@@ -569,5 +650,6 @@ object BenchQueries {
     "bench_history_ranges" -> historyRangesSql,
     "bench_asof_lookup" -> asofLookupSql,
     "bench_pctile_band" -> pctileBandSql,
+    "bench_changepoint" -> changepointSql,
   )
 }

@@ -709,6 +709,113 @@ object FunctionQueries {
       |  right(p_name, 4) AS name_right4
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q40: referential-integrity audit — orphan counts for every foreign-
+  // key edge of the star schema, the data-quality gate a warehouse runs
+  // before trusting a join (an orphan child row silently vanishes from
+  // an inner join). Scale shape: the child side collapses to
+  // (key, row_count) via a partial-aggregable groupBy FIRST, so the
+  // anti-join shuffles one row per DISTINCT key, not one per child row
+  // — at 100 TB the lineitem→orders edge moves |keys| rows, not |rows|.
+  // Orphan row counts come back by summing the collapsed counts.
+  def q40FkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame = {
+      val perKey = child.groupBy(col(key).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val orphans = perKey
+        .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("orphan_keys"),
+          coalesce(sum(col("cnt")), lit(0L)).as("orphan_rows"))
+      child.agg(count(lit(1)).as("child_rows"))
+        .crossJoin(orphans)
+        .select(lit(name).as("edge"), col("child_rows"),
+          col("orphan_keys"), col("orphan_rows"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    edge("customer->nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey")
+      .unionAll(edge("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"))
+      .unionAll(edge("lineitem->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionAll(edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionAll(edge("orders->customer", ord, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .orderBy(col("edge"))
+  }
+
+  val q40Sql: String = {
+    def edge(name: String, child: String, key: String,
+             parent: String, pkey: String): String =
+      s"""SELECT '$name' AS edge,
+         |  (SELECT COUNT(*) FROM $child) AS child_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS orphan_keys,
+         |  CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS orphan_rows
+         |FROM (SELECT $key AS k, COUNT(*) AS cnt FROM $child GROUP BY 1) c
+         |LEFT JOIN $parent p ON c.k = p.$pkey WHERE p.$pkey IS NULL""".stripMargin
+    Seq(
+      edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
+  // --------------------------------------------------------------------
+  // q41: join-key skew audit — per candidate shuffle key: row count,
+  // distinct keys, the heaviest key's share, and max/avg skew ratio.
+  // This is the pre-flight diagnostic that decides whether a join or
+  // aggregation needs q23's salting (or AQE skew handling) BEFORE the
+  // straggler appears at 100 TB: a skew_ratio near 1 shuffles evenly;
+  // events.event_type (5 values over millions of rows) is the shape
+  // that funnels a reducer. Two-phase plan: per-key counts are one
+  // partial-aggregable groupBy; the summary reduces the (key,count)
+  // table to ONE row — nothing wider than the distinct-key table ever
+  // shuffles, and no window touches the hot key.
+  def q41SkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(label: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_per_key"),
+          expr("percentile(cnt, 0.99)").as("p99"))
+        .select(lit(label).as("join_key"), col("n_rows"), col("n_keys"),
+          col("max_per_key"), round(col("p99"), 6).as("p99_per_key"),
+          round(col("max_per_key") * col("n_keys") / col("n_rows"), 6)
+            .as("skew_ratio"),
+          (col("max_per_key") * col("n_keys") > lit(4) * col("n_rows"))
+            .as("is_skewed"))
+    val li = Tables.lineitem(spark, dir)
+    val ev = Tables.events(spark, dir)
+    audit("events.event_type", ev, "event_type")
+      .unionAll(audit("events.user_id", ev, "user_id"))
+      .unionAll(audit("lineitem.l_orderkey", li, "l_orderkey"))
+      .unionAll(audit("lineitem.l_partkey", li, "l_partkey"))
+      .unionAll(audit("orders.o_custkey", Tables.orders(spark, dir), "o_custkey"))
+      .orderBy(col("join_key"))
+  }
+
+  val q41Sql: String = {
+    def audit(label: String, table: String, key: String): String =
+      s"""SELECT '$label' AS join_key,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+         |  ROUND(quantile_cont(cnt, 0.99), 6) AS p99_per_key,
+         |  ROUND(MAX(cnt) * COUNT(*) / SUM(cnt), 6) AS skew_ratio,
+         |  MAX(cnt) * COUNT(*) > 4 * SUM(cnt) AS is_skewed
+         |FROM (SELECT $key, COUNT(*) AS cnt FROM $table GROUP BY 1) t""".stripMargin
+    Seq(
+      audit("events.event_type", "events", "event_type"),
+      audit("events.user_id", "events", "user_id"),
+      audit("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      audit("lineitem.l_partkey", "lineitem", "l_partkey"),
+      audit("orders.o_custkey", "orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_string_funcs" -> (q14StringFuncs _),
     "q15_datetime_funcs" -> (q15DatetimeFuncs _),
@@ -733,6 +840,8 @@ object FunctionQueries {
     "q35_datetime_arith" -> (q35DatetimeArith _),
     "q36_bitwise" -> (q36Bitwise _),
     "q37_string_extras" -> (q37StringExtras _),
+    "q40_fk_integrity" -> (q40FkIntegrity _),
+    "q41_skew_audit" -> (q41SkewAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -759,5 +868,7 @@ object FunctionQueries {
     "q35_datetime_arith" -> q35Sql,
     "q36_bitwise" -> q36Sql,
     "q37_string_extras" -> q37Sql,
+    "q40_fk_integrity" -> q40Sql,
+    "q41_skew_audit" -> q41Sql,
   )
 }
