@@ -537,8 +537,8 @@ object BenchQueries {
   // makes |S| build to a peak AT the shift point, while noise keeps S
   // near zero. We emit the argmax-|S| date as the changepoint estimate
   // and S's range normalized by n·(max−min) as a unitless confidence
-  // score (a clean half-way step scores ≈ 0.25; i.i.d. noise decays as
-  // 1/√n), flagged at 0.15.
+  // score (a clean half-way step scores exactly 0.25 — n·δ·f(1−f) over
+  // n·δ at f=1/2; i.i.d. noise decays as 1/√n), flagged at 0.15.
   //
   // Cross-engine exactness: the textbook S_i = Σ(x_j − x̄) drags an
   // IEEE division (the mean) through an order-sensitive running sum.
@@ -554,10 +554,17 @@ object BenchQueries {
   // partial-aggregable groupBy broadcast back; output is one row per
   // series. A 1-point (or constant) series has x_range 0 → score 0 by
   // the vacuous-value convention (ddLshRecall's), never 0/0.
-  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+  def changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepointOn(fact(spark))
+
+  /** Core of [[changepoint]] over an arbitrary (pkg, test, date,
+    * ns_per_op) frame — separated so the CUSUM semantics (argmax
+    * location, flag threshold, constant-series convention) are
+    * unit-testable on synthetic step/constant series independent of
+    * the fixture (SeriesOpsSpec). */
+  private[graft] def changepointOn(f: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pkg"), col("test")).orderBy(col("date"))
-    val f = fact(spark)
     val stats = f.groupBy(col("pkg"), col("test"))
       .agg(count(lit(1)).as("n"), sum(col("ns_per_op")).as("total"),
         (max(col("ns_per_op")) - min(col("ns_per_op"))).as("x_range"))
@@ -570,7 +577,9 @@ object BenchQueries {
       .agg(max(col("n")).as("n_points"),
         max(struct(abs(col("cusum")).as("a"), col("date").as("d"))).as("am"),
         (max(col("cusum")) - min(col("cusum"))).as("s_range"),
-        max(col("n") * col("x_range")).as("denom"))
+        // s_range is n× the textbook CUSUM range, so the normalizer
+        // n·(max−min) carries an extra factor of n: n²·x_range
+        max(col("n") * col("n") * col("x_range")).as("denom"))
       .select(col("pkg"), col("test"), col("n_points"),
         col("am.d").as("cp_date"),
         when(col("denom") === 0, lit(0.0))
@@ -593,7 +602,7 @@ object BenchQueries {
        |    st.n, st.x_range
        |  FROM fct f JOIN st USING (pkg, test)),
        |ag AS (SELECT pkg, test, MAX(n) AS n_points,
-       |    MAX(cusum) - MIN(cusum) AS s_range, MAX(n * x_range) AS denom
+       |    MAX(cusum) - MIN(cusum) AS s_range, MAX(n * n * x_range) AS denom
        |  FROM cu GROUP BY pkg, test),
        |cp AS (SELECT pkg, test, date AS cp_date, ROW_NUMBER() OVER (
        |    PARTITION BY pkg, test ORDER BY ABS(cusum) DESC, date DESC) AS rn

@@ -236,4 +236,39 @@ class PlanSpec extends SparkSpec {
       .map(_.group(1).split(",").length).getOrElse(Int.MaxValue)
     assert(width <= 8, s"scan reads $width columns: ${scan.get.take(300)}")
   }
+
+  test("fk audit collapses child keys before the anti-join (no row-level anti)") {
+    val plan = planOf(graft.operators.FunctionQueries
+      .q40FkIntegrity(spark, sf0001))
+    assert(plan.split("\n").exists(_.contains("LeftAnti")),
+      "no anti join in fk audit:\n" + plan.take(600))
+    assert(!plan.contains("CartesianProduct"),
+      // the 1-row × 1-row combiner must plan as BNLJ over broadcasts,
+      // never a real cartesian of data-sized inputs
+      "cartesian product in fk audit:\n" + plan.take(800))
+    // each anti-join probes with (key, count) aggregate output, so a
+    // HashAggregate must sit between scan and join — spot-check via
+    // the partial-count expression the collapse introduces
+    assert(plan.contains("partial_count")
+        || plan.split("\n").count(_.contains("HashAggregate")) >= 10,
+      "child side not pre-aggregated:\n" + plan.take(800))
+  }
+
+  test("skew audit is pure two-phase aggregation (no window, no join)") {
+    val plan = planOf(graft.operators.FunctionQueries
+      .q41SkewAudit(spark, sf0001))
+    assert(!plan.contains("Window"),
+      "skew audit must not window over the hot key:\n" + plan.take(800))
+    assert(!plan.contains("Join"),
+      "skew audit needs no join:\n" + plan.take(800))
+  }
+
+  test("changepoint windows ride the series key, never a single partition") {
+    val plan = planOf(graft.operators.BenchQueries.changepoint(spark, sf0001))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty, "no window in changepoint plan:\n" + plan.take(600))
+    assert(winLines.forall(_.matches(".*windowspecdefinition\\(pkg#\\d+.*")),
+      "changepoint window must partition by (pkg,test):\n"
+        + winLines.mkString("\n"))
+  }
 }

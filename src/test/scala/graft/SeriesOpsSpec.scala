@@ -65,4 +65,27 @@ class SeriesOpsSpec extends SparkSpec {
       Seq("date", "BenchmarkBank2_Cockroach-8", "BenchmarkDup-8"))
     assert(wide.count() == 3)
   }
+
+  test("changepoint: CUSUM peaks at the step, constant series scores 0") {
+    import spark.implicits._
+    // clean half-way step: 10 points at 100 then 10 at 200 — the CUSUM
+    // |S| peak sits on the LAST pre-step point and the normalized
+    // score is its theoretical 0.25 (n·δ·f(1-f) / n·δ with f=1/2)
+    val step = (1 to 20).map(i =>
+      ("p", "step", java.sql.Date.valueOf(f"2015-01-$i%02d"),
+        if (i <= 10) 100L else 200L))
+    // constant series: x_range 0 → vacuous score 0.0, never 0/0
+    val const = (1 to 5).map(i =>
+      ("p", "const", java.sql.Date.valueOf(f"2015-02-$i%02d"), 42L))
+    val f = (step ++ const).toDF("pkg", "test", "date", "ns_per_op")
+    val out = BenchQueries.changepointOn(f).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val s = out("step")
+    assert(s.getDate(3).toString == "2015-01-10", s.toString)
+    assert(s.getDouble(4) == 0.25, s.toString)
+    assert(s.getBoolean(5), s.toString)
+    val c = out("const")
+    assert(c.getDouble(4) == 0.0, c.toString)
+    assert(!c.getBoolean(5), c.toString)
+  }
 }
