@@ -508,8 +508,51 @@ object Pipeline {
        |SELECT doc_id, quality, n_tokens FROM r, t
        |WHERE cum <= b_max ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_dup_sources: duplication attributed to its origin —
+  // per source, how many docs sit in a duplicate cluster and how many
+  // are removable (non-canonical members, i.e. the deletion volume),
+  // worst offender first. llm_dd_cluster_sizes says HOW MUCH duplication
+  // exists; this says WHERE it comes from — the governance view that
+  // turns a dedup pass into a crawler/source decision (a source whose
+  // removable_rate spikes is re-crawling or mirroring content).
+  //
+  // Scale shape: one equi-join on doc_id between the session-cached
+  // cluster labels and a narrow (doc_id, source) scan, then a
+  // partial-aggregable groupBy on the source key (bounded cardinality);
+  // conditional sums reduce map-side, output is source-count rows.
+  def dupSources(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = Dedup.ddCluster(spark, dir)
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+    Tables.documents(spark, dir).select($"doc_id", $"source")
+      .join(labels, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"cluster_size" > 1, 1L).otherwise(0L)).as("n_in_dup_cluster"),
+        sum(when($"doc_id" =!= $"cluster_id", 1L).otherwise(0L)).as("n_removable"))
+      .select($"source", $"n_docs", $"n_in_dup_cluster", $"n_removable",
+        round($"n_removable".cast("double") / $"n_docs", 6)
+          .as("removable_rate"))
+      .orderBy($"removable_rate".desc, $"source")
+  }
+
+  val dupSourcesSql: String =
+    s"""WITH c AS (${Dedup.ddClusterSql})
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN c.cluster_size > 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_in_dup_cluster,
+       |  CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_removable,
+       |  ROUND(CAST(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0
+       |    END) AS DOUBLE) / COUNT(*), 6) AS removable_rate
+       |FROM documents d JOIN c ON d.doc_id = c.doc_id
+       |GROUP BY d.source
+       |ORDER BY removable_rate DESC, source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_curate" -> (curate _),
+    "llm_pipeline_dup_sources" -> (dupSources _),
     "llm_pipeline_attrition" -> (attrition _),
     "llm_pipeline_shard_sizes" -> (shardSizes _),
     "llm_pipeline_pack" -> (pack _),
@@ -522,6 +565,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "llm_pipeline_curate" -> curateSql,
+    "llm_pipeline_dup_sources" -> dupSourcesSql,
     "llm_pipeline_attrition" -> attritionSql,
     "llm_pipeline_shard_sizes" -> shardSizesSql,
     "llm_pipeline_pack" -> packSql,

@@ -1146,10 +1146,52 @@ object TextAnalysis {
        |SELECT doc_id, avg_p, avg_p >= thr AS kept
        |FROM sc CROSS JOIN thr ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_quality_calib: per-SOURCE calibrated quality gate — flag
+  // each doc below its OWN source's p25 quality, not the corpus-wide
+  // cutoff (llm_ta_lm_filter's shape). A global threshold conflates
+  // source style with quality: it would gut a tersely-written but
+  // clean source while passing a verbose low-quality one. Per-domain
+  // quantile calibration is how production curation actually gates
+  // (quality percentile WITHIN the domain), and the delta between this
+  // verdict and the global one is the mix-shift a curation review
+  // reads.
+  //
+  // Scale shape: narrow quality scan + doc_id equi-join for the source
+  // key; the per-source cutoffs are ONE partial-aggregable groupBy on
+  // the bounded source key, broadcast back — no window over the corpus,
+  // no global sort; at production volume swap percentile →
+  // approx_percentile, same plan. Docs compare against the ROUNDED
+  // cutoff so both engines gate on identical doubles.
+  def taQualityCalib(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir).select($"doc_id", $"source")
+      .join(taQuality(spark, dir).select($"doc_id", $"quality"), "doc_id")
+    val gates = scored.groupBy($"source")
+      .agg(round(expr("percentile(quality, 0.25)"), 6).as("source_p25"))
+    scored.join(broadcast(gates), "source")
+      .select($"doc_id", $"source", $"quality", $"source_p25",
+        ($"quality" < $"source_p25").as("below_gate"))
+      .orderBy($"doc_id")
+  }
+
+  val taQualityCalibSql: String =
+    s"""WITH q AS ($taQualitySql),
+       |sc AS (SELECT q.doc_id, d.source, q.quality
+       |  FROM q JOIN documents d USING (doc_id)),
+       |g AS (SELECT source, ROUND(quantile_cont(quality, 0.25), 6)
+       |    AS source_p25
+       |  FROM sc GROUP BY source)
+       |SELECT sc.doc_id, sc.source, sc.quality, g.source_p25,
+       |  sc.quality < g.source_p25 AS below_gate
+       |FROM sc JOIN g ON sc.source = g.source
+       |ORDER BY sc.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_lang_id" -> (taLangId _),
     "llm_ta_quality" -> (taQuality _),
+    "llm_ta_quality_calib" -> (taQualityCalib _),
     "llm_ta_fingerprint" -> (taFingerprint _),
     "llm_ta_tfidf" -> (taTfidf _),
     "llm_ta_redact" -> (taRedact _),
@@ -1175,6 +1217,7 @@ object TextAnalysis {
     "llm_ta_tokens" -> taTokensSql,
     "llm_ta_lang_id" -> taLangIdSql,
     "llm_ta_quality" -> taQualitySql,
+    "llm_ta_quality_calib" -> taQualityCalibSql,
     "llm_ta_fingerprint" -> taFingerprintSql,
     "llm_ta_tfidf" -> taTfidfSql,
     "llm_ta_redact" -> taRedactSql,

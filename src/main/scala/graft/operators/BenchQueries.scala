@@ -617,6 +617,42 @@ object BenchQueries {
        |    AND c.rn = 1)
        |ORDER BY pkg, test""".stripMargin
 
+  // --------------------------------------------------------------------
+  // bench_series_norm: per-series min-max normalization of ns/op to
+  // [0,1] — the rescaling a comparison chart applies before overlaying
+  // series whose absolute levels differ by orders of magnitude (the
+  // compare view plots a 1.3M-ns/op series against a 200-ns/op one;
+  // normalized, their SHAPES are comparable). A constant series has no
+  // shape: x_range 0 → norm 0.0 by the vacuous-value convention, never
+  // 0/0.
+  //
+  // Scale shape: per-series min/max is one partial-aggregable groupBy
+  // broadcast back; the subtraction stays integer-exact and only the
+  // final division is IEEE (identical operands both engines, rounded
+  // to 6).
+  def seriesNorm(spark: SparkSession, dir: String): DataFrame = {
+    val f = fact(spark)
+    val mm = f.groupBy(col("pkg"), col("test"))
+      .agg(min(col("ns_per_op")).as("mn"), max(col("ns_per_op")).as("mx"))
+    f.join(broadcast(mm), Seq("pkg", "test"))
+      .select(col("pkg"), col("test"), col("date"), col("ns_per_op"),
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise(round((col("ns_per_op") - col("mn")).cast("double")
+            / (col("mx") - col("mn")), 6)).as("norm"))
+      .orderBy(col("pkg"), col("test"), col("date"))
+  }
+
+  val seriesNormSql: String =
+    s"""WITH fct AS ($ingestGoldenSql),
+       |mm AS (SELECT pkg, test, MIN(ns_per_op) AS mn, MAX(ns_per_op) AS mx
+       |  FROM fct GROUP BY pkg, test)
+       |SELECT pkg, test, date, ns_per_op,
+       |  CASE WHEN mx = mn THEN 0.0
+       |    ELSE ROUND(CAST(ns_per_op - mn AS DOUBLE) / (mx - mn), 6) END
+       |    AS norm
+       |FROM fct JOIN mm USING (pkg, test)
+       |ORDER BY pkg, test, date""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bench_ingest_golden" -> (ingestGolden _),
     "bench_series_sorted" -> (seriesSorted _),
@@ -637,6 +673,7 @@ object BenchQueries {
     "bench_asof_lookup" -> (asofLookup _),
     "bench_pctile_band" -> (pctileBand _),
     "bench_changepoint" -> (changepoint _),
+    "bench_series_norm" -> (seriesNorm _),
     "bench_sink_roundtrip" -> (sinkRoundtrip _),
   )
 
@@ -660,5 +697,6 @@ object BenchQueries {
     "bench_asof_lookup" -> asofLookupSql,
     "bench_pctile_band" -> pctileBandSql,
     "bench_changepoint" -> changepointSql,
+    "bench_series_norm" -> seriesNormSql,
   )
 }
