@@ -288,8 +288,62 @@ object Multimodal {
       |SELECT doc_id, lang, clip_score, clip_score >= 0.1 AS kept
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_mm_chunk_dedup: chunk-level payload fingerprinting — the media
+  // counterpart of llm_dd_paragraphs, and the fixed-block form of the
+  // content-defined-chunking dedup storage systems run on binary
+  // streams: per payload, the count and ratio of 256-unit blocks whose
+  // fingerprint occurs more than once corpus-wide. Whole-payload
+  // digests (llm_mm_dedup) miss an appended watermark or truncated
+  // tail; block fingerprints catch the shared prefix/middle. Chunk
+  // unit rides the repo's fake-decode convention (payload = utf8(text),
+  // so blocks are 256 chars); real media swaps in byte blocks over the
+  // binary column, same plan.
+  //
+  // Scale shape: only (doc_id, 16-byte md5) rows ever shuffle — never
+  // payload bytes; block frequency is one partial-aggregable groupBy
+  // on the fingerprint; the join back is an equi-join on the same key.
+  // An empty payload gets one empty-block fingerprint (greatest(n,1))
+  // — Spark's sequence(0,-1) would otherwise DESCEND, not empty out.
+  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ch = Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .select($"doc_id", explode(expr(
+        "sequence(0, greatest(cast(ceil(length(text) / 256.0) as int), 1) - 1)"))
+        .as("ci"), $"text")
+      .select($"doc_id",
+        expr("md5(substring(text, ci * 256 + 1, 256))").as("fp"))
+    val freq = ch.groupBy($"fp").agg(count(lit(1)).as("n_occ"))
+    ch.join(freq, "fp")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"n_occ" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+        round($"n_dup_chunks".cast("double") / $"n_chunks", 6)
+          .as("dup_chunk_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val mmChunkDedupSql: String =
+    """WITH ch AS (SELECT doc_id,
+      |    unnest(range(0, greatest(CAST(ceil(length(text) / 256.0) AS INT),
+      |      1))) AS ci, text
+      |  FROM documents),
+      |fp AS (SELECT doc_id, md5(substring(text, ci * 256 + 1, 256)) AS fp
+      |  FROM ch),
+      |fr AS (SELECT fp, COUNT(*) AS n_occ FROM fp GROUP BY fp)
+      |SELECT f.doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_chunks,
+      |  ROUND(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS dup_chunk_ratio
+      |FROM fp f JOIN fr USING (fp)
+      |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mm_metadata" -> (mmMetadata _),
+    "llm_mm_chunk_dedup" -> (mmChunkDedup _),
     "llm_mm_dedup" -> (mmDedup _),
     "llm_mm_frames" -> (mmFrames _),
     "llm_mm_resize" -> (mmResize _),
@@ -299,6 +353,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "llm_mm_metadata" -> mmMetadataSql,
+    "llm_mm_chunk_dedup" -> mmChunkDedupSql,
     "llm_mm_dedup" -> mmDedupSql,
     "llm_mm_frames" -> mmFramesSql,
     "llm_mm_resize" -> mmResizeSql,
