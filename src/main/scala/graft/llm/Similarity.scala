@@ -74,6 +74,55 @@ object Similarity {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_hard_negatives: hard-negative mining for contrastive
+  // training (the DPR/Contriever data op): for each query vector, the
+  // top-3 OTHER-labeled neighbors by cosine — the semantically-closest
+  // wrong answers, which carry most of the gradient signal in a
+  // contrastive batch. Random negatives are easy; these are mined from
+  // exactly the region the model confuses. Same harness as ssTopk
+  // (brute force over the fixture); at production scale the candidate
+  // set comes from ssIvfProbe/ssLshBucket first, then this label
+  // filter + top-k runs on the probed candidates — identical tail.
+  //
+  // Scale shape: queries broadcast, corpus never shuffles to score;
+  // the label disagreement is a codegen'd predicate in the join
+  // condition (prunes before the window); top-k = per-query
+  // row_number over the shared (q_id) partitioning.
+  def ssHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"v".as("qv"), $"nrm".as("qn"))
+    val scored = e.join(broadcast(q), $"label" =!= $"q_label")
+      .select($"q_id", $"q_label", $"vec_id".as("neighbor_id"),
+        $"label".as("neg_label"),
+        expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssHardNegativesSql: String =
+    s"""$normCte,
+       |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+       |  FROM n WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q_id, q_label, n.vec_id AS neighbor_id,
+       |    n.label AS neg_label,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+       |  FROM n JOIN q ON n.label <> q.q_label),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, q_label, neighbor_id, neg_label, cosine,
+       |  CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_ss_lsh_bucket: sign-LSH bucketed ANN — bucket key = sign bits
   // of dims 1..8; neighbors come only from the query's bucket
   // (equi-join on the key), top-3 per query among vec_id < 20 queries.
@@ -983,6 +1032,7 @@ object Similarity {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ss_topk" -> (ssTopk _),
+    "llm_ss_hard_negatives" -> (ssHardNegatives _),
     "llm_ss_lsh_bucket" -> (ssLshBucket _),
     "llm_ss_lsh_probe" -> (ssLshProbe _),
     "llm_ss_ivf_index" -> (ssIvfIndex _),
@@ -1002,6 +1052,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "llm_ss_topk" -> ssTopkSql,
+    "llm_ss_hard_negatives" -> ssHardNegativesSql,
     "llm_ss_lsh_bucket" -> ssLshBucketSql,
     "llm_ss_lsh_probe" -> ssLshProbeSql,
     "llm_ss_ivf_index" -> ssIvfIndexSql,
