@@ -1030,6 +1030,49 @@ object Similarity {
        |    AS variance
        |FROM a ORDER BY pos""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_ivf_balance: inverted-list balance audit over the IVF
+  // layout — the operational health check every ANN index needs at
+  // scale: a hot cell (imbalance = max/mean list size) means one probe
+  // task scans a disproportionate candidate list, and probe latency is
+  // the straggler cell, not the average. Emits the one-row summary
+  // that drives re-training or cell splitting: cell count, max/avg/p90
+  // list sizes, imbalance factor, and the corpus share of the hottest
+  // cell. Plan: the cell groupBy is the same partial-aggregable
+  // shuffle the index build pays; the summary then aggregates the
+  // cell-count-sized list table to ONE row — at 100 TB the second
+  // stage touches thousands of rows, not vectors.
+  def ssIvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lists = withNorm(spark, dir)
+      .withColumn("cell",
+        concat_ws(":",
+          floor(element_at($"v", 1) * 4).cast("long"),
+          floor(element_at($"v", 2) * 4).cast("long")))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"))
+    lists.agg(
+      count(lit(1)).as("n_cells"),
+      sum($"n").as("n_vectors"),
+      max($"n").as("max_list"),
+      round(avg($"n"), 6).as("avg_list"),
+      round(max($"n") / avg($"n"), 6).as("imbalance"),
+      round(expr("percentile(n, 0.9)"), 6).as("p90_list"),
+      round(max($"n").cast("double") / sum($"n"), 6).as("top_cell_share"))
+  }
+
+  val ssIvfBalanceSql: String =
+    s"""$normCte,
+       |cells AS (SELECT CAST(FLOOR(v[1] * 4) AS BIGINT) || ':' ||
+       |    CAST(FLOOR(v[2] * 4) AS BIGINT) AS cell FROM n),
+       |l AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell)
+       |SELECT COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_vectors,
+       |  MAX(n) AS max_list, ROUND(AVG(n), 6) AS avg_list,
+       |  ROUND(MAX(n) / AVG(n), 6) AS imbalance,
+       |  ROUND(quantile_cont(n, 0.9), 6) AS p90_list,
+       |  ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_cell_share
+       |FROM l""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ss_topk" -> (ssTopk _),
     "llm_ss_hard_negatives" -> (ssHardNegatives _),
@@ -1038,6 +1081,7 @@ object Similarity {
     "llm_ss_ivf_index" -> (ssIvfIndex _),
     "llm_ss_ivf_search" -> (ssIvfSearch _),
     "llm_ss_ivf_probe" -> (ssIvfProbe _),
+    "llm_ss_ivf_balance" -> (ssIvfBalance _),
     "llm_ss_recall" -> (ssRecall _),
     "llm_ss_kmeans" -> (ssKmeans _),
     "llm_ss_kmeans_iter" -> (ssKmeansIter _),
@@ -1058,6 +1102,7 @@ object Similarity {
     "llm_ss_ivf_index" -> ssIvfIndexSql,
     "llm_ss_ivf_search" -> ssIvfSearchSql,
     "llm_ss_ivf_probe" -> ssIvfProbeSql,
+    "llm_ss_ivf_balance" -> ssIvfBalanceSql,
     "llm_ss_recall" -> ssRecallSql,
     "llm_ss_kmeans" -> ssKmeansSql,
     "llm_ss_kmeans_iter" -> ssKmeansIterSql,

@@ -1187,11 +1187,75 @@ object TextAnalysis {
        |FROM sc JOIN g ON sc.source = g.source
        |ORDER BY sc.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_gopher_rules: hard rule-based document filtering (the Gopher /
+  // Rae et al. 2021 repetition of C4's heuristic gates) — unlike
+  // ta_quality's soft 0-1 score, each rule is a named boolean with an
+  // absolute threshold, and `keep` is their conjunction, so a filtered
+  // corpus is reproducible from the rule table alone. Rules: token
+  // count in [50, 100k], mean word length in [3, 10], ≥2 stopword
+  // hits, symbol ratio ≤ 0.1 (non-alphanumeric non-space chars per
+  // char). On the synthetic corpus the binding rules are r_len and
+  // r_stop (wlen/symbol pass universally — documented, not tuned
+  // away: the thresholds are the published ones). Plan: one narrow
+  // codegen projection over documents, zero shuffles — at 100 TB this
+  // is a pure scan-side gate that composes with partition pruning.
+  def taGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val allStops = stop.values.flatten.toSeq.distinct.sorted
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        split(trim($"text"), "\\s+").as("toks"), $"text")
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(toks, t -> t IN ${inList(allStops)}))"))
+      .withColumn("mean_wlen",
+        round(length(regexp_replace($"text", "\\s+", ""))
+          .cast("double") / $"n_tokens", 6))
+      .withColumn("symbol_ratio",
+        round(length(regexp_replace($"text", "[A-Za-z0-9\\s]", ""))
+          .cast("double") / $"n_chars", 6))
+      .select(
+        $"doc_id", $"n_tokens", $"mean_wlen", $"stop_hits", $"symbol_ratio",
+        ($"n_tokens" >= 50 && $"n_tokens" <= 100000).as("r_len"),
+        ($"mean_wlen" >= 3.0 && $"mean_wlen" <= 10.0).as("r_wlen"),
+        ($"stop_hits" >= 2).as("r_stop"),
+        ($"symbol_ratio" <= 0.1).as("r_symbol"))
+      .withColumn("keep",
+        $"r_len" && $"r_wlen" && $"r_stop" && $"r_symbol")
+      .orderBy($"doc_id")
+  }
+
+  val taGopherRulesSql: String = {
+    val allStops = stop.values.flatten.toSeq.distinct.sorted
+    s"""WITH t AS (SELECT doc_id, n_chars,
+       |    string_split(trim(text), ' ') AS toks, text
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |    / len(toks), 6) AS mean_wlen,
+       |  CAST(len(list_filter(toks, t -> t IN ${inList(allStops)})) AS INT)
+       |    AS stop_hits,
+       |  ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       |    AS DOUBLE) / n_chars, 6) AS symbol_ratio
+       |FROM t)
+       |SELECT doc_id, n_tokens, mean_wlen, stop_hits, symbol_ratio,
+       |  n_tokens BETWEEN 50 AND 100000 AS r_len,
+       |  mean_wlen BETWEEN 3.0 AND 10.0 AS r_wlen,
+       |  stop_hits >= 2 AS r_stop,
+       |  symbol_ratio <= 0.1 AS r_symbol,
+       |  (n_tokens BETWEEN 50 AND 100000) AND (mean_wlen BETWEEN 3.0 AND 10.0)
+       |    AND stop_hits >= 2 AND symbol_ratio <= 0.1 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_lang_id" -> (taLangId _),
     "llm_ta_quality" -> (taQuality _),
     "llm_ta_quality_calib" -> (taQualityCalib _),
+    "llm_ta_gopher_rules" -> (taGopherRules _),
     "llm_ta_fingerprint" -> (taFingerprint _),
     "llm_ta_tfidf" -> (taTfidf _),
     "llm_ta_redact" -> (taRedact _),
@@ -1218,6 +1282,7 @@ object TextAnalysis {
     "llm_ta_lang_id" -> taLangIdSql,
     "llm_ta_quality" -> taQualitySql,
     "llm_ta_quality_calib" -> taQualityCalibSql,
+    "llm_ta_gopher_rules" -> taGopherRulesSql,
     "llm_ta_fingerprint" -> taFingerprintSql,
     "llm_ta_tfidf" -> taTfidfSql,
     "llm_ta_redact" -> taRedactSql,

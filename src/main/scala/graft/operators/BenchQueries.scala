@@ -653,6 +653,61 @@ object BenchQueries {
        |FROM fct JOIN mm USING (pkg, test)
        |ORDER BY pkg, test, date""".stripMargin
 
+  // --------------------------------------------------------------------
+  // bench_gap_audit: series completeness — per (pkg,test), which of
+  // the corpus's observed dates the series is MISSING. The frontend
+  // renders missing cells as nulls (generate_benchmark_plot.js:129-139)
+  // but never reports them; a CI operator wants the inverse view ("this
+  // benchmark stopped reporting after March 15") as a table. Gap = the
+  // (series × distinct-dates) grid anti-joined against the fact.
+  //
+  // Scale shape: the date spine is calendar-bounded and broadcast; the
+  // grid is |series|·|dates| rows of KEYS only (no payload), and the
+  // anti-join shuffles on the same (pkg,test,date) key the fact is
+  // already keyed by. missing_dates is a comma-joined string, bounded
+  // by the spine length — never an unbounded collect.
+  def gapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val f = fact(spark)
+    val dates = f.select(col("date")).distinct()
+    val series = f.select(col("pkg"), col("test")).distinct()
+    val grid = series.crossJoin(broadcast(dates))
+    val missing = grid
+      .join(f.select(col("pkg"), col("test"), col("date")),
+        Seq("pkg", "test", "date"), "left_anti")
+      .groupBy(col("pkg"), col("test"))
+      .agg(count(lit(1)).as("n_missing"),
+        concat_ws(",", sort_array(collect_list(col("date").cast("string"))))
+          .as("missing_dates"))
+    f.groupBy(col("pkg"), col("test"))
+      .agg(count(lit(1)).as("n_present"))
+      .join(missing, Seq("pkg", "test"), "left")
+      .select(col("pkg"), col("test"), col("n_present"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        coalesce(col("missing_dates"), lit("")).as("missing_dates"))
+      .orderBy(col("pkg"), col("test"))
+  }
+
+  val gapAuditSql: String =
+    s"""WITH fct AS ($ingestGoldenSql),
+       |d AS (SELECT DISTINCT date FROM fct),
+       |s AS (SELECT DISTINCT pkg, test FROM fct),
+       |grid AS (SELECT s.pkg, s.test, d.date FROM s CROSS JOIN d),
+       |miss AS (SELECT g.pkg, g.test, g.date FROM grid g
+       |  LEFT JOIN fct f
+       |    ON f.pkg = g.pkg AND f.test = g.test AND f.date = g.date
+       |  WHERE f.pkg IS NULL),
+       |ma AS (SELECT pkg, test, COUNT(*) AS n_missing,
+       |    string_agg(CAST(date AS VARCHAR), ',' ORDER BY date)
+       |      AS missing_dates
+       |  FROM miss GROUP BY pkg, test),
+       |p AS (SELECT pkg, test, COUNT(*) AS n_present
+       |  FROM fct GROUP BY pkg, test)
+       |SELECT p.pkg, p.test, p.n_present,
+       |  COALESCE(ma.n_missing, 0) AS n_missing,
+       |  COALESCE(ma.missing_dates, '') AS missing_dates
+       |FROM p LEFT JOIN ma ON p.pkg = ma.pkg AND p.test = ma.test
+       |ORDER BY p.pkg, p.test""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bench_ingest_golden" -> (ingestGolden _),
     "bench_series_sorted" -> (seriesSorted _),
@@ -674,6 +729,7 @@ object BenchQueries {
     "bench_pctile_band" -> (pctileBand _),
     "bench_changepoint" -> (changepoint _),
     "bench_series_norm" -> (seriesNorm _),
+    "bench_gap_audit" -> (gapAudit _),
     "bench_sink_roundtrip" -> (sinkRoundtrip _),
   )
 
@@ -698,5 +754,6 @@ object BenchQueries {
     "bench_pctile_band" -> pctileBandSql,
     "bench_changepoint" -> changepointSql,
     "bench_series_norm" -> seriesNormSql,
+    "bench_gap_audit" -> gapAuditSql,
   )
 }

@@ -517,4 +517,30 @@ class LlmSpec extends SparkSpec {
     }
     assert(!monotone, "hash order should not preserve doc_id order")
   }
+
+  test("gopher rules: keep is the conjunction and r_len binds on short docs") {
+    val rows = TextAnalysis.taGopherRules(spark, sf0001)
+      .select("n_tokens", "r_len", "r_wlen", "r_stop", "r_symbol", "keep")
+      .as[(Int, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nt, rl, rw, rs, ry, keep) =>
+      assert(keep == (rl && rw && rs && ry), "keep must be the rule conjunction")
+      assert(rl == (nt >= 50 && nt <= 100000), "r_len threshold")
+    }
+    // the corpus spans the r_len boundary — the gate is not vacuous
+    assert(rows.exists(!_._2) && rows.exists(_._2), "r_len should split the corpus")
+  }
+
+  test("ivf balance summary is internally consistent with the index layout") {
+    val b = Similarity.ssIvfBalance(spark, sf0001).collect().head
+    val idx = Similarity.ssIvfIndex(spark, sf0001)
+      .agg(count(lit(1)), sum("n_vectors"), max("n_vectors"))
+      .as[(Long, Long, Long)].collect().head
+    assert(b.getAs[Long]("n_cells") == idx._1)
+    assert(b.getAs[Long]("n_vectors") == idx._2)
+    assert(b.getAs[Long]("max_list") == idx._3)
+    assert(b.getAs[Double]("imbalance") >= 1.0, "max/mean >= 1 by definition")
+    assert(b.getAs[Double]("top_cell_share") <= 1.0 &&
+      b.getAs[Double]("top_cell_share") > 0.0)
+  }
 }

@@ -88,4 +88,19 @@ class SeriesOpsSpec extends SparkSpec {
     assert(c.getDouble(4) == 0.0, c.toString)
     assert(!c.getBoolean(5), c.toString)
   }
+
+  test("gap audit reports per-series missing dates against the corpus spine") {
+    val out = BenchQueries.gapAudit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // Bank2 observes all 3 corpus dates — complete series, empty gap list
+    val full = out(("sql", "BenchmarkBank2_Cockroach-8"))
+    assert(full.getLong(2) == 3 && full.getLong(3) == 0)
+    assert(full.getString(4) == "")
+    // BenchmarkDup-8 reports only 2015-01-01 — missing the other two
+    val dup = out(("sql", "BenchmarkDup-8"))
+    assert(dup.getLong(2) == 1 && dup.getLong(3) == 2)
+    assert(dup.getString(4) == "2015-01-02,2015-03-15")
+    // invariant: n_present + n_missing = |spine| for every series
+    out.values.foreach(r => assert(r.getLong(2) + r.getLong(3) == 3))
+  }
 }
