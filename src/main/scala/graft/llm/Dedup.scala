@@ -139,6 +139,7 @@ object Dedup {
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     ngramPairsFor(spark, dir)
+      .select($"doc_a", $"doc_b", $"n_inter", $"jaccard")
       .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
       .limit(100)
   }
@@ -166,6 +167,7 @@ object Dedup {
       spark: SparkSession, docsIn: DataFrame, cap: Long): DataFrame = {
     import spark.implicits._
     ngramJaccardPairs(spark, docsIn, cap)
+      .select($"doc_a", $"doc_b", $"n_inter", $"jaccard")
       .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
       .limit(100)
   }
@@ -263,7 +265,7 @@ object Dedup {
       .select($"d1".as("doc_a"), $"d2".as("doc_b"),
         $"n_kept".as("n_inter"), $"n_sh".as("na"), $"n_sh".as("nb"))
     cross.union(intra)
-      .select($"doc_a", $"doc_b", $"n_inter",
+      .select($"doc_a", $"doc_b", $"n_inter", $"na", $"nb",
         round($"n_inter".cast("double")
           / ($"na" + $"nb" - $"n_inter"), 6).as("jaccard"))
   }
@@ -282,13 +284,14 @@ object Dedup {
        |  JOIN keep k ON a.shingle = k.shingle
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_inter,
+       |  CAST(sa.n_sh AS BIGINT) AS na, CAST(sb.n_sh AS BIGINT) AS nb,
        |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
        |FROM inter
        |JOIN sz sa ON doc_a = sa.doc_id
        |JOIN sz sb ON doc_b = sb.doc_id""".stripMargin
 
   val ddNgramJaccardSql: String =
-    s"""$ngramPairsSql
+    s"""SELECT doc_a, doc_b, n_inter, jaccard FROM ($ngramPairsSql)
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin
 
   // --------------------------------------------------------------------
@@ -1204,6 +1207,49 @@ object Dedup {
       |JOIN fb ON b.fp = fb.fp
       |ORDER BY b.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_containment: asymmetric near-SUBSET detection over the
+  // 3-gram pair table — containment C(A,B) = |A∩B| / |A| in both
+  // directions. Jaccard misses the quotation/inclusion case: a short
+  // doc fully embedded in a long one has C ≈ 1 but Jaccard ≈ |A|/|B|,
+  // far below any near-dup threshold. Pairs with max-direction
+  // containment ≥ 0.9 but Jaccard < 0.5 are flagged `near_subset` —
+  // the "article + boilerplate wrapper" duplicates a symmetric
+  // detector keeps. Convention: n_inter counts KEPT (under-df-cap)
+  // shared shingles while |A| is the full set size — the same
+  // convention the Jaccard column already uses, applied identically
+  // in the oracle.
+  //
+  // Scale shape: consumes the session-cached pair table (candidate
+  // generation already bounded by the df cap) and joins nothing new —
+  // the containment algebra is a pure projection over pair rows.
+  def ddContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ngramPairsFor(spark, dir)
+      .select($"doc_a", $"doc_b",
+        $"na".cast("long").as("na"), $"nb".cast("long").as("nb"),
+        $"jaccard",
+        round($"n_inter".cast("double") / $"na", 6).as("contain_a"),
+        round($"n_inter".cast("double") / $"nb", 6).as("contain_b"))
+      .withColumn("near_subset",
+        greatest($"contain_a", $"contain_b") >= 0.9 && $"jaccard" < 0.5)
+      .orderBy(greatest($"contain_a", $"contain_b").desc,
+        $"doc_a", $"doc_b")
+      .limit(100)
+  }
+
+  val ddContainmentSql: String =
+    s"""SELECT doc_a, doc_b, na, nb, jaccard,
+       |  ROUND(CAST(n_inter AS DOUBLE) / na, 6) AS contain_a,
+       |  ROUND(CAST(n_inter AS DOUBLE) / nb, 6) AS contain_b,
+       |  GREATEST(ROUND(CAST(n_inter AS DOUBLE) / na, 6),
+       |      ROUND(CAST(n_inter AS DOUBLE) / nb, 6)) >= 0.9
+       |    AND jaccard < 0.5 AS near_subset
+       |FROM ($ngramPairsSql)
+       |ORDER BY GREATEST(ROUND(CAST(n_inter AS DOUBLE) / na, 6),
+       |  ROUND(CAST(n_inter AS DOUBLE) / nb, 6)) DESC, doc_a, doc_b
+       |LIMIT 100""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dd_exact" -> (ddExact _),
     "llm_dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -1217,6 +1263,7 @@ object Dedup {
     "llm_dd_keep_best" -> (ddKeepBest _),
     "llm_dd_lsh_recall" -> (ddLshRecall _),
     "llm_dd_jaccard_est" -> (ddJaccardEst _),
+    "llm_dd_containment" -> (ddContainment _),
     "llm_dd_decontaminate" -> (ddDecontaminate _),
     "llm_dd_paragraphs" -> (ddParagraphs _),
     "llm_dd_substring" -> (ddSubstring _),
@@ -1237,6 +1284,7 @@ object Dedup {
     "llm_dd_keep_best" -> ddKeepBestSql,
     "llm_dd_lsh_recall" -> ddLshRecallSql,
     "llm_dd_jaccard_est" -> ddJaccardEstSql,
+    "llm_dd_containment" -> ddContainmentSql,
     "llm_dd_decontaminate" -> ddDecontaminateSql,
     "llm_dd_paragraphs" -> ddParagraphsSql,
     "llm_dd_substring" -> ddSubstringSql,

@@ -341,6 +341,63 @@ object Multimodal {
       |FROM fp f JOIN fr USING (fp)
       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_mm_byte_stats: payload byte-diversity screening — over the
+  // first 256 payload units, the distinct-unit ratio and the
+  // adjacent-repeat ratio (run-length compressibility proxy). A
+  // constant or zero-padded payload (truncated download, corrupt
+  // decode) collapses to distinct_ratio ≈ 0 / repeat_ratio ≈ 1 and is
+  // flagged, without decoding anything. The prefix cap bounds per-row
+  // work at any payload size; a production variant reads the parquet
+  // BINARY prefix the same way.
+  //
+  // Scale shape: pure narrow projection (higher-order array exprs,
+  // all codegen) — zero shuffles, composes with partition pruning.
+  private val BytePrefix = 256
+
+  def mmByteStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, BytePrefix).as("prefix"))
+      .select($"doc_id",
+        length($"prefix").as("prefix_len"),
+        expr(s"size(array_distinct(transform(sequence(1, length(prefix)), " +
+          "i -> substring(prefix, i, 1))))").as("n_distinct"),
+        when(length($"prefix") < 2, lit(0)).otherwise(
+          expr("size(filter(sequence(2, length(prefix)), " +
+            "i -> substring(prefix, i, 1) = substring(prefix, i - 1, 1)))"))
+          .as("n_repeats"))
+      .select($"doc_id", $"prefix_len", $"n_distinct", $"n_repeats",
+        round($"n_distinct".cast("double") / $"prefix_len", 6)
+          .as("distinct_ratio"),
+        when($"prefix_len" < 2, lit(0.0)).otherwise(
+          round($"n_repeats".cast("double") / ($"prefix_len" - 1), 6))
+          .as("repeat_ratio"))
+      .withColumn("flag_low_diversity", $"distinct_ratio" < 0.05)
+      .orderBy($"doc_id")
+  }
+
+  val mmByteStatsSql: String =
+    s"""WITH p AS (SELECT doc_id, substr(text, 1, $BytePrefix) AS prefix
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(length(prefix) AS INT) AS prefix_len,
+       |  CAST(len(list_distinct(list_transform(range(1, length(prefix) + 1),
+       |    i -> substr(prefix, i, 1)))) AS INT) AS n_distinct,
+       |  CASE WHEN length(prefix) < 2 THEN 0
+       |    ELSE CAST(len(list_filter(range(2, length(prefix) + 1),
+       |      i -> substr(prefix, i, 1) = substr(prefix, i - 1, 1))) AS INT)
+       |    END AS n_repeats
+       |FROM p)
+       |SELECT doc_id, prefix_len, n_distinct, n_repeats,
+       |  ROUND(CAST(n_distinct AS DOUBLE) / prefix_len, 6) AS distinct_ratio,
+       |  CASE WHEN prefix_len < 2 THEN 0.0
+       |    ELSE ROUND(CAST(n_repeats AS DOUBLE) / (prefix_len - 1), 6) END
+       |    AS repeat_ratio,
+       |  ROUND(CAST(n_distinct AS DOUBLE) / prefix_len, 6) < 0.05
+       |    AS flag_low_diversity
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mm_metadata" -> (mmMetadata _),
     "llm_mm_chunk_dedup" -> (mmChunkDedup _),
@@ -349,6 +406,7 @@ object Multimodal {
     "llm_mm_resize" -> (mmResize _),
     "llm_mm_audio" -> (mmAudio _),
     "llm_mm_clip_filter" -> (mmClipFilter _),
+    "llm_mm_byte_stats" -> (mmByteStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -359,5 +417,6 @@ object Multimodal {
     "llm_mm_resize" -> mmResizeSql,
     "llm_mm_audio" -> mmAudioSql,
     "llm_mm_clip_filter" -> mmClipFilterSql,
+    "llm_mm_byte_stats" -> mmByteStatsSql,
   )
 }

@@ -550,6 +550,74 @@ object Pipeline {
        |GROUP BY d.source
        |ORDER BY removable_rate DESC, source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_epoch_plan: per-source repetition (epoch) planning
+  // under a global token budget — the "how many passes over each
+  // source" decision (Muennighoff et al. 2023: data-constrained
+  // scaling repeats small high-value sources up to ~4 epochs). Budget
+  // B = 2× corpus tokens; each source's target is its temperature
+  // share (α = 0.5, the mixture op's flattening) of B; epochs =
+  // ceil(target / tokens) capped at 4; planned = min(target,
+  // epochs·tokens) — a capped source undershoots its target, which
+  // the report makes visible. sqrt (correctly-rounded IEEE) not
+  // pow(x, 0.5), and the share denominator Σ√p runs through DECIMAL
+  // so the plan is bit-stable at any partitioning.
+  //
+  // Scale shape: everything after the one groupBy(source) scan
+  // operates on the source-cardinality table (tiny by definition);
+  // the two 1-row totals ride broadcast nested-loop cross joins.
+  private val EpochBudgetMult = 2L
+  private val MaxEpochs = 4L
+
+  def epochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("n_toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("tokens"))
+    val tot = per.agg(sum($"tokens").as("corpus_toks"))
+    val shares = per.crossJoin(tot)
+      .withColumn("raw_share", $"tokens".cast("double") / $"corpus_toks")
+      .withColumn("w", sqrt($"raw_share"))
+    val wsum = shares
+      .agg(sum($"w".cast("decimal(28,12)")).cast("double").as("w_sum"))
+    val target = $"w" / $"w_sum" * lit(EpochBudgetMult) * $"corpus_toks"
+    val epochs = least(ceil(target / $"tokens"), lit(MaxEpochs))
+    shares.crossJoin(wsum)
+      .select($"source", $"n_docs", $"tokens",
+        round($"raw_share", 6).as("raw_share"),
+        round($"w" / $"w_sum", 6).as("temp_share"),
+        round(target, 6).as("target_toks"),
+        epochs.as("epochs"),
+        round(least(target, epochs * $"tokens"), 6).as("planned_toks"))
+      .orderBy($"source")
+  }
+
+  val epochPlanSql: String =
+    s"""WITH t AS (SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |per AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS tokens
+       |  FROM t GROUP BY source),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_toks FROM per),
+       |s AS (SELECT per.*, corpus_toks,
+       |    CAST(tokens AS DOUBLE) / corpus_toks AS raw_share,
+       |    SQRT(CAST(tokens AS DOUBLE) / corpus_toks) AS w
+       |  FROM per CROSS JOIN tot),
+       |ws AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE)
+       |    AS w_sum FROM s)
+       |SELECT source, n_docs, tokens,
+       |  ROUND(raw_share, 6) AS raw_share,
+       |  ROUND(w / w_sum, 6) AS temp_share,
+       |  ROUND(w / w_sum * $EpochBudgetMult * corpus_toks, 6) AS target_toks,
+       |  CAST(LEAST(CEIL(w / w_sum * $EpochBudgetMult * corpus_toks / tokens),
+       |    $MaxEpochs) AS BIGINT) AS epochs,
+       |  ROUND(LEAST(w / w_sum * $EpochBudgetMult * corpus_toks,
+       |    LEAST(CEIL(w / w_sum * $EpochBudgetMult * corpus_toks / tokens),
+       |      $MaxEpochs) * tokens), 6) AS planned_toks
+       |FROM s CROSS JOIN ws ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_curate" -> (curate _),
     "llm_pipeline_dup_sources" -> (dupSources _),
@@ -561,6 +629,7 @@ object Pipeline {
     "llm_pipeline_shuffle" -> (shuffleOrder _),
     "llm_pipeline_drift" -> (drift _),
     "llm_pipeline_budget" -> (budget _),
+    "llm_pipeline_epoch_plan" -> (epochPlan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -574,5 +643,6 @@ object Pipeline {
     "llm_pipeline_shuffle" -> shuffleOrderSql,
     "llm_pipeline_drift" -> driftSql,
     "llm_pipeline_budget" -> budgetSql,
+    "llm_pipeline_epoch_plan" -> epochPlanSql,
   )
 }

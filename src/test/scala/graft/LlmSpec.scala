@@ -531,6 +531,56 @@ class LlmSpec extends SparkSpec {
     assert(rows.exists(!_._2) && rows.exists(_._2), "r_len should split the corpus")
   }
 
+  test("containment: exact-dup pairs contain fully; flag algebra holds") {
+    val rows = Dedup.ddContainment(spark, sf0001)
+      .select("jaccard", "contain_a", "contain_b", "near_subset")
+      .as[(Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (j, ca, cb, flag) =>
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0)
+      // containment dominates jaccard in both directions by set algebra
+      assert(j <= ca + 1e-9 && j <= cb + 1e-9, s"jaccard $j > containment")
+      assert(flag == (math.max(ca, cb) >= 0.9 && j < 0.5), "flag algebra")
+    }
+    // output rides max-direction containment, descending (total order)
+    val keys = rows.map { case (_, ca, cb, _) => math.max(ca, cb) }
+    assert(keys.zip(keys.tail).forall { case (x, y) => x >= y },
+      "rows must be ordered by max containment desc")
+  }
+
+  test("epoch plan: caps hold and temperature flattens toward tail sources") {
+    val rows = graft.llm.Pipeline.epochPlan(spark, sf0001)
+      .select("tokens", "raw_share", "temp_share", "target_toks",
+        "epochs", "planned_toks")
+      .as[(Long, Double, Double, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (toks, _, _, target, ep, planned) =>
+      assert(ep >= 1 && ep <= 4, s"epochs $ep out of [1,4]")
+      assert(planned <= target + 1e-6, "planned never exceeds target")
+      assert(planned <= ep * toks + 1e-6, "planned never exceeds capacity")
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3, "temp shares sum to 1")
+    // flattening: the smallest source's temp share exceeds its raw share
+    val smallest = rows.minBy(_._1)
+    assert(smallest._3 > smallest._2, "tail source should be upweighted")
+  }
+
+  test("byte stats: ratios bounded and natural text is not flagged") {
+    val rows = Multimodal.mmByteStats(spark, sf0001)
+      .select("prefix_len", "n_distinct", "n_repeats", "distinct_ratio",
+        "repeat_ratio", "flag_low_diversity")
+      .as[(Int, Int, Int, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (len, nd, nr, dr, rr, flag) =>
+      assert(len <= 256 && nd >= 1 && nd <= len)
+      assert(nr >= 0 && nr <= math.max(len - 1, 0))
+      assert(dr > 0.0 && dr <= 1.0 && rr >= 0.0 && rr <= 1.0)
+      assert(flag == (dr < 0.05))
+    }
+    // word-salad text over a real vocabulary never looks constant
+    assert(rows.forall(!_._6), "no natural-text doc should flag")
+  }
+
   test("ivf balance summary is internally consistent with the index layout") {
     val b = Similarity.ssIvfBalance(spark, sf0001).collect().head
     val idx = Similarity.ssIvfIndex(spark, sf0001)
