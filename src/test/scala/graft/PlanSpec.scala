@@ -271,4 +271,31 @@ class PlanSpec extends SparkSpec {
       "changepoint window must partition by (pkg,test):\n"
         + winLines.mkString("\n"))
   }
+
+  test("gopher rules and byte stats are pure scans (no exchange, no join)") {
+    // both claim "narrow codegen projection, zero shuffles" — the sort
+    // for the oracle's total order is the only allowed exchange, so
+    // strip everything at/below the top-level Sort before asserting
+    def preSort(df: org.apache.spark.sql.DataFrame): String = {
+      val plan = planOf(df)
+      plan.split("\n").takeWhile(l => !l.contains("Sort ")).mkString("\n")
+    }
+    Seq(TextAnalysis.taGopherRules(spark, sf0001),
+        graft.llm.Multimodal.mmByteStats(spark, sf0001)).foreach { df =>
+      val head = preSort(df)
+      assert(!head.contains("Join"), "unexpected join:\n" + head.take(600))
+      assert(!head.contains("HashAggregate"),
+        "unexpected aggregate:\n" + head.take(600))
+    }
+  }
+
+  test("epoch plan does all planning math on the source-cardinality table") {
+    val plan = planOf(graft.llm.Pipeline.epochPlan(spark, sf0001))
+    // exactly one aggregation keyed on source touches corpus-sized
+    // data; totals are 1-row cross joins (broadcast nested loop)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "1-row totals must ride broadcast cross joins:\n" + plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-sized join belongs in the plan:\n" + plan.take(800))
+  }
 }
