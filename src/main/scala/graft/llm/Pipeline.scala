@@ -551,6 +551,54 @@ object Pipeline {
        |ORDER BY removable_rate DESC, source""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_pipeline_source_overlap: cross-source duplication matrix —
+  // for every source pair, how many duplicate clusters contain docs
+  // from BOTH, with per-side doc counts. dup_sources says how much
+  // each source duplicates; this says WHICH sources mirror each other
+  // (the C4-vs-CommonCrawl overlap question), which decides whether
+  // to drop a whole feed rather than dedup it document by document.
+  //
+  // Scale shape: labels filter to dup clusters first, then collapse
+  // to the (cluster, source) grain — cluster-count-sized, not
+  // doc-count-sized — before the self-join on cluster_id; the matrix
+  // reduces over the bounded source×source key.
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSrc = Tables.documents(spark, dir).select($"doc_id", $"source")
+      .join(Dedup.ddCluster(spark, dir)
+        .select($"doc_id", $"cluster_id", $"cluster_size"), "doc_id")
+      .filter($"cluster_size" > 1)
+      .groupBy($"cluster_id", $"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // both sides of the pair join
+    perSrc.as("a")
+      .join(perSrc.as("b"),
+        col("a.cluster_id") === col("b.cluster_id")
+          && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum(col("a.n_docs")).as("n_docs_a"),
+        sum(col("b.n_docs")).as("n_docs_b"))
+      .orderBy($"n_shared_clusters".desc, $"source_a", $"source_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH c AS (${Dedup.ddClusterSql}),
+       |l AS (SELECT c.doc_id, c.cluster_id, d.source
+       |  FROM c JOIN documents d ON c.doc_id = d.doc_id
+       |  WHERE c.cluster_size > 1),
+       |pc AS (SELECT cluster_id, source, COUNT(*) AS n_docs
+       |  FROM l GROUP BY cluster_id, source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  COUNT(*) AS n_shared_clusters,
+       |  CAST(SUM(a.n_docs) AS BIGINT) AS n_docs_a,
+       |  CAST(SUM(b.n_docs) AS BIGINT) AS n_docs_b
+       |FROM pc a JOIN pc b
+       |  ON a.cluster_id = b.cluster_id AND a.source < b.source
+       |GROUP BY 1, 2
+       |ORDER BY n_shared_clusters DESC, source_a, source_b""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_pipeline_epoch_plan: per-source repetition (epoch) planning
   // under a global token budget — the "how many passes over each
   // source" decision (Muennighoff et al. 2023: data-constrained
@@ -630,6 +678,7 @@ object Pipeline {
     "llm_pipeline_drift" -> (drift _),
     "llm_pipeline_budget" -> (budget _),
     "llm_pipeline_epoch_plan" -> (epochPlan _),
+    "llm_pipeline_source_overlap" -> (sourceOverlap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -644,5 +693,6 @@ object Pipeline {
     "llm_pipeline_drift" -> driftSql,
     "llm_pipeline_budget" -> budgetSql,
     "llm_pipeline_epoch_plan" -> epochPlanSql,
+    "llm_pipeline_source_overlap" -> sourceOverlapSql,
   )
 }

@@ -322,6 +322,46 @@ object WindowQueries {
       |FROM r WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q42_active_users: DAU / trailing-7-day WAU / stickiness per day —
+  // the engagement staple next to retention (q39). WAU is a
+  // distinct-over-sliding-window, which has no partial-aggregable
+  // form; the scale decomposition is: reduce events to DISTINCT
+  // (day, user) pairs first (bounded by days × users, orders of
+  // magnitude under event count), then range-join those pairs to the
+  // BROADCAST calendar spine (≤7 output rows per pair) and re-count
+  // distinct per day. The corpus-sized event table is touched once.
+  def q42ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val du = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+      .localCheckpoint() // feeds spine, dau, and the range join
+    val days = du.select($"d".as("day")).distinct()
+    val dau = du.groupBy($"d".as("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .join(broadcast(days), $"d" >= date_sub($"day", 6) && $"d" <= $"day")
+      .select($"day", $"user_id").distinct()
+      .groupBy($"day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select($"day", $"dau", $"wau",
+        round($"dau".cast("double") / $"wau", 6).as("stickiness"))
+      .orderBy($"day")
+  }
+
+  val q42ActiveUsersSql: String =
+    """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      |  FROM events),
+      |days AS (SELECT DISTINCT d AS day FROM du),
+      |dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
+      |  FROM du GROUP BY d),
+      |w AS (SELECT DISTINCT days.day, du.user_id FROM du JOIN days
+      |  ON du.d BETWEEN days.day - 6 AND days.day),
+      |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+      |  FROM w GROUP BY day)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_tumbling" -> (stTumbling _),
     "st_sliding" -> (stSliding _),
@@ -330,6 +370,7 @@ object WindowQueries {
     "q39_retention" -> (q39Retention _),
     "st_interval_join" -> (stIntervalJoin _),
     "st_dedup_first" -> (stDedupFirst _),
+    "q42_active_users" -> (q42ActiveUsers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,5 +381,6 @@ object WindowQueries {
     "q39_retention" -> q39RetentionSql,
     "st_interval_join" -> stIntervalJoinSql,
     "st_dedup_first" -> stDedupFirstSql,
+    "q42_active_users" -> q42ActiveUsersSql,
   )
 }

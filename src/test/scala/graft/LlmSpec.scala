@@ -581,6 +581,31 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(!_._6), "no natural-text doc should flag")
   }
 
+  test("active users: WAU dominates DAU and stickiness is bounded") {
+    val rows = graft.streaming.WindowQueries.q42ActiveUsers(spark, sf0001)
+      .select("dau", "wau", "stickiness")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (dau, wau, st) =>
+      assert(dau >= 1 && wau >= dau, "a day's actives are inside its week")
+      assert(st > 0.0 && st <= 1.0, s"stickiness $st out of (0,1]")
+    }
+  }
+
+  test("source overlap matrix is symmetric-canonical and dominated by dup_sources") {
+    val rows = graft.llm.Pipeline.sourceOverlap(spark, sf0001)
+      .select("source_a", "source_b", "n_shared_clusters", "n_docs_a", "n_docs_b")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "fixture has cross-source near-dup clusters")
+    rows.foreach { case (a, b, n, da, db) =>
+      assert(a < b, "pairs must be canonical (source_a < source_b)")
+      assert(n >= 1 && da >= n && db >= n,
+        "each shared cluster contributes at least one doc per side")
+    }
+    assert(rows.map { case (a, b, _, _, _) => (a, b) }.distinct.length
+      == rows.length, "one row per source pair")
+  }
+
   test("ivf balance summary is internally consistent with the index layout") {
     val b = Similarity.ssIvfBalance(spark, sf0001).collect().head
     val idx = Similarity.ssIvfIndex(spark, sf0001)
