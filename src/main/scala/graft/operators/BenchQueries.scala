@@ -708,6 +708,51 @@ object BenchQueries {
        |FROM p LEFT JOIN ma ON p.pkg = ma.pkg AND p.test = ma.test
        |ORDER BY p.pkg, p.test""".stripMargin
 
+  // --------------------------------------------------------------------
+  // bench_alerts: the unified alert digest — every flagged row from
+  // the three series detectors (day-over-day regression, MAD anomaly,
+  // CUSUM level shift) in one feed with a comparable relative score:
+  // pct_change for regressions, |x − median| / median for anomalies
+  // (from the ROUNDED median both engines share), shift_score for
+  // changepoints. This is the operational output a benchmark monitor
+  // actually pages on; the per-detector queries stay the drill-down.
+  //
+  // Scale shape: pure union of the three already-scale-shaped plans
+  // (series-keyed windows and partial-aggregable groupBys over the
+  // session-cached fact); the digest adds no new shuffle of its own.
+  def alerts(spark: SparkSession, dir: String): DataFrame = {
+    val reg = regressionFlags(spark, dir).filter(col("is_regression"))
+      .select(lit("regression").as("alert_type"), col("pkg"), col("test"),
+        col("date"), col("pct_change").as("score"))
+    val anom = anomalyMad(spark, dir).filter(col("is_anomaly"))
+      .select(lit("anomaly").as("alert_type"), col("pkg"), col("test"),
+        col("date"),
+        when(col("series_median") === 0, lit(0.0))
+          .otherwise(round(abs(col("ns_per_op") - col("series_median"))
+            / col("series_median"), 6)).as("score"))
+    val cp = changepoint(spark, dir).filter(col("is_shift"))
+      .select(lit("changepoint").as("alert_type"), col("pkg"), col("test"),
+        col("cp_date").as("date"), col("shift_score").as("score"))
+    reg.union(anom).union(cp)
+      .orderBy(col("alert_type"), col("pkg"), col("test"), col("date"))
+  }
+
+  val alertsSql: String =
+    s"""SELECT * FROM (
+       |SELECT 'regression' AS alert_type, pkg, test, date,
+       |  pct_change AS score
+       |FROM ($regressionFlagsSql) WHERE is_regression
+       |UNION ALL
+       |SELECT 'anomaly', pkg, test, date,
+       |  CASE WHEN series_median = 0 THEN 0.0
+       |    ELSE ROUND(ABS(ns_per_op - series_median) / series_median, 6)
+       |    END
+       |FROM ($anomalyMadSql) WHERE is_anomaly
+       |UNION ALL
+       |SELECT 'changepoint', pkg, test, cp_date, shift_score
+       |FROM ($changepointSql) WHERE is_shift)
+       |ORDER BY alert_type, pkg, test, date""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bench_ingest_golden" -> (ingestGolden _),
     "bench_series_sorted" -> (seriesSorted _),
@@ -730,6 +775,7 @@ object BenchQueries {
     "bench_changepoint" -> (changepoint _),
     "bench_series_norm" -> (seriesNorm _),
     "bench_gap_audit" -> (gapAudit _),
+    "bench_alerts" -> (alerts _),
     "bench_sink_roundtrip" -> (sinkRoundtrip _),
   )
 
@@ -755,5 +801,6 @@ object BenchQueries {
     "bench_changepoint" -> changepointSql,
     "bench_series_norm" -> seriesNormSql,
     "bench_gap_audit" -> gapAuditSql,
+    "bench_alerts" -> alertsSql,
   )
 }

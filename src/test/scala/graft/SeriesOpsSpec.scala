@@ -103,4 +103,19 @@ class SeriesOpsSpec extends SparkSpec {
     // invariant: n_present + n_missing = |spine| for every series
     out.values.foreach(r => assert(r.getLong(2) + r.getLong(3) == 3))
   }
+
+  test("alert digest carries exactly the detectors' flagged rows") {
+    val alerts = BenchQueries.alerts(spark, sf0001).collect()
+    val nReg = BenchQueries.regressionFlags(spark, sf0001)
+      .filter("is_regression").count()
+    val nAnom = BenchQueries.anomalyMad(spark, sf0001)
+      .filter("is_anomaly").count()
+    val nCp = BenchQueries.changepoint(spark, sf0001)
+      .filter("is_shift").count()
+    assert(alerts.length == nReg + nAnom + nCp)
+    // the golden fixture's Bank2 decline trips the CUSUM detector
+    val cp = alerts.filter(_.getString(0) == "changepoint")
+    assert(cp.length == nCp && nCp >= 1)
+    assert(cp.exists(r => r.getString(2) == "BenchmarkBank2_Cockroach-8"))
+  }
 }
