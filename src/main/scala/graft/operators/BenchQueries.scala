@@ -334,10 +334,17 @@ object BenchQueries {
   // change vs the previous measurement, flagged when ns/op rose more
   // than 5%. lag() shares the one (pkg,test) shuffle; rows without a
   // predecessor are excluded (no change to judge).
-  def regressionFlags(spark: SparkSession, dir: String): DataFrame = {
+  def regressionFlags(spark: SparkSession, dir: String): DataFrame =
+    regressionFlagsOn(fact(spark))
+
+  /** Core of [[regressionFlags]] over an arbitrary fact-shaped frame
+    * (pkg, test, date, ns_per_op) — separated so the streaming
+    * monitor ([[graft.streaming.StreamPipelines.alertingStream]]) can
+    * run the identical detector over its incrementally-merged sink. */
+  private[graft] def regressionFlagsOn(f: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pkg"), col("test")).orderBy(col("date"))
-    fact(spark)
+    f
       .select(col("pkg"), col("test"), col("date"), col("ns_per_op"),
         lag(col("ns_per_op"), 1).over(w).as("prev_ns"))
       .filter(col("prev_ns").isNotNull)

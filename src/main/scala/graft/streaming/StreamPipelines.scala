@@ -177,6 +177,57 @@ object StreamPipelines {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous benchmark monitor: each micro-batch upsert-merges into
+    * the fact sink ([[upsertWrite]]), then appends the NEW day-over-day
+    * regression alerts that batch creates — the streaming face of
+    * `bench_alerts`' regression branch, running the IDENTICAL detector
+    * (BenchQueries.regressionFlagsOn) over the incrementally-merged
+    * sink. Alert identity is the (pkg, test, date) key: an alert
+    * already in the sink is never re-emitted (first alert wins — pager
+    * semantics), so re-delivered or re-generated days don't re-page.
+    *
+    * Scale shape: only series the batch TOUCHED can create new alerts,
+    * so the merged-sink read is pruned by a broadcast left-semi on the
+    * batch's (pkg,test) set before the detector's per-series window
+    * runs; the alert-dedup anti-join keys on the alert sink, which
+    * grows with true regressions, not with data volume. */
+  def alertingStream(spark: SparkSession, srcDir: String, outDir: String,
+      alertDir: String, checkpoint: String, maxFilesPerTrigger: Int = 10000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.sources.BenchIngest.streamingIngest(spark, srcDir,
+        maxFilesPerTrigger = maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // one checkpoint, two consumers (the upsert and the touched
+        // set) — a streaming batch DF cannot be re-planned in a
+        // second job
+        val b = batch.toDF().localCheckpoint()
+        upsertWrite(b, outDir)
+        val touched = b.select(col("pkg"), col("test")).distinct()
+        val merged = spark.read.parquet(outDir)
+          .join(broadcast(touched), Seq("pkg", "test"), "left_semi")
+        val flags = graft.operators.BenchQueries.regressionFlagsOn(merged)
+          .filter(col("is_regression"))
+          .select(col("pkg"), col("test"), col("date"),
+            col("pct_change").as("score"))
+        val existing =
+          try Some(spark.read.parquet(alertDir))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val fresh = existing match {
+          case None => flags
+          case Some(e) => flags.join(e.select("pkg", "test", "date"),
+            Seq("pkg", "test", "date"), "left_anti")
+        }
+        // cut lineage before appending to the path the plan reads
+        val out = fresh.localCheckpoint()
+        out.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(alertDir)
+        graft.llm.Dedup.freeCheckpoint(b)
+        graft.llm.Dedup.freeCheckpoint(out)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Merge a micro-batch with the sink's existing rows for the batch's
     * dates (batch winning per (pkg,test,date)) and dynamically
     * overwrite those partitions. localCheckpoint twice: the batch

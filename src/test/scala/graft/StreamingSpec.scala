@@ -350,6 +350,44 @@ class StreamingSpec extends SparkSpec {
       "BenchmarkC-8" -> 300L), s"got $got")
   }
 
+  test("alerting stream pages once per regression, never re-pages on re-delivery") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_alerting").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"
+    val alerts = s"$tmp/alerts"; val ckp = s"$tmp/ckp"
+    def writeFile(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(src, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    def readAlerts(): Seq[(String, String)] =
+      spark.read.parquet(alerts).select("test", "date").collect()
+        .map(r => r.getString(0) -> r.getDate(1).toString).toSeq.sorted
+    // day 1 → 2: +20% = regression; the monitor pages once
+    writeFile("01-02-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 100 ns/op")
+    writeFile("02-02-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 120 ns/op")
+    StreamPipelines.alertingStream(spark, src, out, alerts, ckp)
+      .awaitTermination()
+    assert(readAlerts() == Seq("BenchmarkA-8" -> "2015-02-02"))
+    // day 3 regresses again (+10%) AND day 2 is re-delivered verbatim:
+    // exactly one NEW alert; the day-2 alert is not re-emitted
+    writeFile("03-02-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 132 ns/op")
+    writeFile("02-02-2015/cockroach/sql/b.test.stdout",
+      "BenchmarkA-8 \t 10 \t 120 ns/op")
+    StreamPipelines.alertingStream(spark, src, out, alerts, ckp)
+      .awaitTermination()
+    assert(readAlerts() == Seq("BenchmarkA-8" -> "2015-02-02",
+      "BenchmarkA-8" -> "2015-02-03"))
+    // a non-regressing day adds no alert
+    writeFile("04-02-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 131 ns/op")
+    StreamPipelines.alertingStream(spark, src, out, alerts, ckp)
+      .awaitTermination()
+    assert(readAlerts().size == 2)
+  }
+
   test("batch session_window agrees with hand-rolled sessionization totals") {
     val batch = WindowQueries.stSession(spark, sf0001)
     val totalEvents = batch.agg(org.apache.spark.sql.functions.sum("n_events"))
