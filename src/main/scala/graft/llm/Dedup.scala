@@ -343,6 +343,30 @@ object Dedup {
   // r=2 rows. Candidates = pairs agreeing on a full band (equi-join on
   // (band, key): THE scalable candidate generator); est_jaccard = the
   // fraction of the 8 signature slots that agree.
+  /** Session-cached band index: 4 rows per doc — (doc_id, band, key,
+    * 8-long sig array). Tiny at any scale; feeds the bucket-size
+    * pre-count, pair generation, AND every downstream consumer of the
+    * candidate generator (cluster, recall, curate, split, incremental
+    * near-dup), so the signature pipeline (shingle + 8 hash-mins per
+    * doc) runs once per session, not once per consumer — the
+    * materialized band index a production dedup pipeline writes next
+    * to the fingerprint and shingle tables. */
+  private def bandsFor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigCols = (0 until 8).map(i => col(s"sig$i"))
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_bands")) {
+      ddMinhashSigs(spark, dir)
+        .select($"doc_id" +: array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            concat_ws(":", col(s"sig${2 * j}"), col(s"sig${2 * j + 1}"))
+              .as("key"))): _*).as("bks") +: sigCols: _*)
+        .select($"doc_id" +: explode($"bks").as("bk") +: sigCols: _*)
+        .select($"doc_id", $"bk.band", $"bk.key",
+          array(sigCols: _*).as("sigs"))
+        .localCheckpoint()
+    }
+  }
+
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Candidates via groupBy(band, key) + in-group combinations rather
@@ -351,26 +375,7 @@ object Dedup {
     // and shuffles both copies; this computes it once with one shuffle.
     // Bands carry the full signature in the row struct so est_jaccard
     // needs no join back to the sigs table.
-    val sigCols = (0 until 8).map(i => col(s"sig$i"))
-    // Session-cached localCheckpoint: 4 band rows per doc (struct of
-    // band, key, 8-long sig array) — tiny at any scale, and it feeds
-    // the bucket-size pre-count, the pair generation, AND every
-    // downstream consumer of the candidate generator (cluster, recall,
-    // curate, split), so the signature pipeline (shingle + 8 hash-mins
-    // per doc) runs once per session, not once per consumer — the
-    // materialized band index a production dedup pipeline writes next
-    // to the fingerprint and shingle tables.
-    val bands = Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_bands")) {
-      ddMinhashSigs(spark, dir)
-      .select($"doc_id" +: array((0 until 4).map(j =>
-        struct(lit(j).as("band"),
-          concat_ws(":", col(s"sig${2 * j}"), col(s"sig${2 * j + 1}"))
-            .as("key"))): _*).as("bks") +: sigCols: _*)
-      .select($"doc_id" +: explode($"bks").as("bk") +: sigCols: _*)
-      .select($"doc_id", $"bk.band", $"bk.key",
-        array(sigCols: _*).as("sigs"))
-      .localCheckpoint()
-    }
+    val bands = bandsFor(spark, dir)
     val agree = (0 until 8).map(i =>
         when(col(s"pa.sigs")(i) === col(s"pb.sigs")(i), 1).otherwise(0))
       .reduce(_ + _)
@@ -1208,6 +1213,92 @@ object Dedup {
       |ORDER BY b.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_incremental_near: incremental NEAR-dup screening — the
+  // MinHash-band face of llm_dd_incremental: the new batch (source =
+  // 'src0') joins the EXISTING corpus's band index, so candidates are
+  // batch×corpus bucket-mates only — the corpus never self-joins,
+  // which is the whole point of incrementality at 100 TB (per-batch
+  // cost rides |batch|, the corpus contributes only its persisted
+  // band index). Per batch doc: its best corpus match (highest
+  // est_jaccard, lowest doc_id tie-break) and a verdict —
+  // near_dup_of_corpus (est ≥ 0.75), candidate_only (bucket-mate but
+  // weak), clean (no bucket-mate). Corpus-side buckets over the df
+  // cap are dropped, same hot-bucket convention as ddMinhashLsh.
+  def ddIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val bands = bandsFor(spark, dir)
+    val batchBands = bands
+      .join(src.filter($"source" === "src0"), "doc_id")
+    val corpusBands = bands
+      .join(src.filter($"source" =!= "src0"), "doc_id")
+      .localCheckpoint() // feeds the df pre-count AND the probe join
+    val okBuckets = corpusBands.groupBy($"band", $"key")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxBucketDf)
+      .select($"band", $"key")
+    val agree = (0 until 8).map(i =>
+        when(col("pa.sigs")(i) === col("pb.sigs")(i), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = batchBands.as("pa")
+      .join(corpusBands.join(okBuckets, Seq("band", "key")).as("pb"),
+        col("pa.band") === col("pb.band") && col("pa.key") === col("pb.key"))
+      .select(col("pa.doc_id").as("batch_doc"),
+        col("pb.doc_id").as("corpus_doc"),
+        round(agree.cast("double") / 8.0, 6).as("est"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"batch_doc").orderBy($"est".desc, $"corpus_doc")
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    src.filter($"source" === "src0").select($"doc_id".as("batch_doc"))
+      .join(best, Seq("batch_doc"), "left")
+      .select($"batch_doc", $"corpus_doc".as("matched_doc"),
+        coalesce($"est", lit(0.0)).as("est_jaccard"),
+        when($"est" >= 0.75, "near_dup_of_corpus")
+          .when($"est".isNotNull, "candidate_only")
+          .otherwise("clean").as("verdict"))
+      .orderBy($"batch_doc")
+  }
+
+  val ddIncrementalNearSql: String = {
+    val bandSelects = (0 until 4).map(j =>
+      s"SELECT doc_id, $j AS band, sig${2 * j} || ':' || sig${2 * j + 1} AS key FROM sigs")
+      .mkString("\n  UNION ALL ")
+    val agree = (0 until 8).map(i =>
+      s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sigs AS ($ddMinhashSigsSql),
+       |src AS (SELECT doc_id, source FROM documents),
+       |bands AS (
+       |  $bandSelects),
+       |bb AS (SELECT b.* FROM bands b JOIN src USING (doc_id)
+       |  WHERE src.source = 'src0'),
+       |cb AS (SELECT b.* FROM bands b JOIN src USING (doc_id)
+       |  WHERE src.source <> 'src0'),
+       |ok AS (SELECT band, key FROM cb GROUP BY band, key
+       |  HAVING COUNT(*) <= $MaxBucketDf),
+       |cand AS (SELECT DISTINCT bb.doc_id AS batch_doc,
+       |    cb.doc_id AS corpus_doc
+       |  FROM bb JOIN cb ON bb.band = cb.band AND bb.key = cb.key
+       |  JOIN ok ON cb.band = ok.band AND cb.key = ok.key),
+       |sc AS (SELECT batch_doc, corpus_doc,
+       |    ROUND(CAST($agree AS DOUBLE) / 8.0, 6) AS est
+       |  FROM cand
+       |  JOIN sigs sa ON batch_doc = sa.doc_id
+       |  JOIN sigs sb ON corpus_doc = sb.doc_id),
+       |r AS (SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY batch_doc
+       |    ORDER BY est DESC, corpus_doc) AS rn FROM sc),
+       |b0 AS (SELECT doc_id FROM src WHERE source = 'src0')
+       |SELECT b0.doc_id AS batch_doc, r.corpus_doc AS matched_doc,
+       |  COALESCE(r.est, 0.0) AS est_jaccard,
+       |  CASE WHEN r.est >= 0.75 THEN 'near_dup_of_corpus'
+       |       WHEN r.est IS NOT NULL THEN 'candidate_only'
+       |       ELSE 'clean' END AS verdict
+       |FROM b0 LEFT JOIN r ON b0.doc_id = r.batch_doc AND r.rn = 1
+       |ORDER BY batch_doc""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // llm_dd_containment: asymmetric near-SUBSET detection over the
   // 3-gram pair table — containment C(A,B) = |A∩B| / |A| in both
   // directions. Jaccard misses the quotation/inclusion case: a short
@@ -1264,6 +1355,7 @@ object Dedup {
     "llm_dd_lsh_recall" -> (ddLshRecall _),
     "llm_dd_jaccard_est" -> (ddJaccardEst _),
     "llm_dd_containment" -> (ddContainment _),
+    "llm_dd_incremental_near" -> (ddIncrementalNear _),
     "llm_dd_decontaminate" -> (ddDecontaminate _),
     "llm_dd_paragraphs" -> (ddParagraphs _),
     "llm_dd_substring" -> (ddSubstring _),
@@ -1285,6 +1377,7 @@ object Dedup {
     "llm_dd_lsh_recall" -> ddLshRecallSql,
     "llm_dd_jaccard_est" -> ddJaccardEstSql,
     "llm_dd_containment" -> ddContainmentSql,
+    "llm_dd_incremental_near" -> ddIncrementalNearSql,
     "llm_dd_decontaminate" -> ddDecontaminateSql,
     "llm_dd_paragraphs" -> ddParagraphsSql,
     "llm_dd_substring" -> ddSubstringSql,

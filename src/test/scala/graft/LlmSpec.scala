@@ -581,6 +581,26 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(!_._6), "no natural-text doc should flag")
   }
 
+  test("incremental near-dup covers the batch once with consistent verdicts") {
+    val batchN = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter("source = 'src0'").count()
+    val rows = Dedup.ddIncrementalNear(spark, sf0001)
+      .select("batch_doc", "matched_doc", "est_jaccard", "verdict")
+      .as[(Long, Option[Long], Double, String)].collect()
+    assert(rows.length == batchN, "exactly one verdict per batch doc")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (_, m, est, v) =>
+      v match {
+        case "clean"              => assert(m.isEmpty && est == 0.0)
+        case "candidate_only"     => assert(m.nonEmpty && est < 0.75)
+        case "near_dup_of_corpus" => assert(m.nonEmpty && est >= 0.75)
+        case other                => fail(s"unknown verdict $other")
+      }
+    }
+    // the fixture's cross-source near-dups surface as matches
+    assert(rows.exists(_._2.nonEmpty), "some batch doc should match")
+  }
+
   test("active users: WAU dominates DAU and stickiness is bounded") {
     val rows = graft.streaming.WindowQueries.q42ActiveUsers(spark, sf0001)
       .select("dau", "wau", "stickiness")
