@@ -1031,6 +1031,63 @@ object Similarity {
        |FROM a ORDER BY pos""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_sq8: int8 scalar quantization audit — per dimension, the
+  // [min, max] range a uniform 8-bit quantizer would use and the
+  // MEASURED reconstruction error (mean/max absolute) of
+  // encode-then-decode over the corpus. The third compression point
+  // beside PQ (llm_ss_pq_*): SQ8 is 4× smaller than float32 with a
+  // per-dimension affine codec and no codebook training; the error
+  // table is what decides SQ8-vs-PQ-vs-raw per deployment. Constant
+  // dimensions (max = min) quantize to code 0 with zero error by
+  // convention, never 0/0.
+  //
+  // Scale shape: one posexplode pass; ranges are a dim-count table
+  // broadcast back; the error aggregation is partial-aggregable with
+  // the mean routed through DECIMAL sums (bit-stable at any
+  // partitioning); codes/dequants are per-row codegen arithmetic —
+  // the corpus never shuffles to encode, the same property as PQ.
+  def ssSq8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = withNorm(spark, dir).select($"v")
+      .select(posexplode($"v").as(Seq("pos", "x")))
+    val rng = ex.groupBy($"pos")
+      .agg(min($"x").as("mn"), max($"x").as("mx"))
+    val code = when($"mx" === $"mn", lit(0)).otherwise(
+      round(($"x" - $"mn") / ($"mx" - $"mn") * 255, 0).cast("int"))
+    ex.join(broadcast(rng), "pos")
+      .select($"pos", $"x", $"mn", $"mx",
+        ($"mn" + code.cast("double") * ($"mx" - $"mn") / 255.0).as("deq"))
+      .groupBy($"pos")
+      .agg(count(lit(1)).as("n"),
+        round(min($"mn"), 9).as("dim_min"),
+        round(max($"mx"), 9).as("dim_max"),
+        round(sum(abs($"x" - $"deq").cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)), 9).as("mean_abs_err"),
+        round(max(abs($"x" - $"deq")), 9).as("max_abs_err"))
+      .select($"pos".cast("long").as("pos"), $"n", $"dim_min", $"dim_max",
+        $"mean_abs_err", $"max_abs_err")
+      .orderBy($"pos")
+  }
+
+  val ssSq8Sql: String =
+    s"""$normCte,
+       |ex AS (SELECT unnest(list_transform(range(0, len(v)),
+       |    i -> {'pos': i, 'x': v[i + 1]})) AS u FROM n),
+       |f AS (SELECT u.pos AS pos, u.x AS x FROM ex),
+       |rng AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM f GROUP BY pos),
+       |d AS (SELECT f.pos, f.x, rng.mn, rng.mx,
+       |    rng.mn + CAST(CASE WHEN rng.mx = rng.mn THEN 0
+       |      ELSE CAST(ROUND((f.x - rng.mn) / (rng.mx - rng.mn) * 255, 0)
+       |        AS INT) END AS DOUBLE) * (rng.mx - rng.mn) / 255.0 AS deq
+       |  FROM f JOIN rng USING (pos))
+       |SELECT pos, COUNT(*) AS n,
+       |  ROUND(MIN(mn), 9) AS dim_min, ROUND(MAX(mx), 9) AS dim_max,
+       |  ROUND(CAST(SUM(CAST(ABS(x - deq) AS DECIMAL(28,12))) AS DOUBLE)
+       |    / COUNT(*), 9) AS mean_abs_err,
+       |  ROUND(MAX(ABS(x - deq)), 9) AS max_abs_err
+       |FROM d GROUP BY pos ORDER BY pos""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_ss_ivf_balance: inverted-list balance audit over the IVF
   // layout — the operational health check every ANN index needs at
   // scale: a hot cell (imbalance = max/mean list size) means one probe
@@ -1082,6 +1139,7 @@ object Similarity {
     "llm_ss_ivf_search" -> (ssIvfSearch _),
     "llm_ss_ivf_probe" -> (ssIvfProbe _),
     "llm_ss_ivf_balance" -> (ssIvfBalance _),
+    "llm_ss_sq8" -> (ssSq8 _),
     "llm_ss_recall" -> (ssRecall _),
     "llm_ss_kmeans" -> (ssKmeans _),
     "llm_ss_kmeans_iter" -> (ssKmeansIter _),
@@ -1103,6 +1161,7 @@ object Similarity {
     "llm_ss_ivf_search" -> ssIvfSearchSql,
     "llm_ss_ivf_probe" -> ssIvfProbeSql,
     "llm_ss_ivf_balance" -> ssIvfBalanceSql,
+    "llm_ss_sq8" -> ssSq8Sql,
     "llm_ss_recall" -> ssRecallSql,
     "llm_ss_kmeans" -> ssKmeansSql,
     "llm_ss_kmeans_iter" -> ssKmeansIterSql,

@@ -1188,6 +1188,44 @@ object TextAnalysis {
        |ORDER BY sc.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // ta_langid_confusion: measured accuracy of the language-ID
+  // heuristic — the full confusion matrix of predicted vs true labels
+  // (the corpus carries ground truth in `lang`), with per-true-class
+  // shares. The measurement discipline of the recall panels applied
+  // to the classifier: "92% of de docs classify de, 5% fall to und"
+  // is a number, not a claim, and it's what decides whether the
+  // n-gram heuristic suffices or a real model is needed upstream.
+  //
+  // Scale shape: the matrix reduces over the bounded lang×lang key
+  // (partial-aggregable); per-class totals are a ≤|langs|-row table
+  // broadcast back.
+  def taLangIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = taLangId(spark, dir)
+      .select($"lang".as("lang_true"), $"pred_lang")
+      .groupBy($"lang_true", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val tot = m.groupBy($"lang_true").agg(sum($"n").as("tot"))
+    m.join(broadcast(tot), "lang_true")
+      .select($"lang_true", $"pred_lang", $"n",
+        round($"n".cast("double") / $"tot", 6).as("share"),
+        ($"lang_true" === $"pred_lang").as("is_correct"))
+      .orderBy($"lang_true", $"pred_lang")
+  }
+
+  val taLangIdConfusionSql: String =
+    s"""WITH p AS ($taLangIdSql),
+       |m AS (SELECT lang AS lang_true, pred_lang, COUNT(*) AS n
+       |  FROM p GROUP BY 1, 2),
+       |t AS (SELECT lang_true, CAST(SUM(n) AS BIGINT) AS tot
+       |  FROM m GROUP BY lang_true)
+       |SELECT m.lang_true, m.pred_lang, m.n,
+       |  ROUND(CAST(m.n AS DOUBLE) / t.tot, 6) AS share,
+       |  m.lang_true = m.pred_lang AS is_correct
+       |FROM m JOIN t USING (lang_true)
+       |ORDER BY m.lang_true, m.pred_lang""".stripMargin
+
+  // --------------------------------------------------------------------
   // ta_gopher_rules: hard rule-based document filtering (the Gopher /
   // Rae et al. 2021 repetition of C4's heuristic gates) — unlike
   // ta_quality's soft 0-1 score, each rule is a named boolean with an
@@ -1256,6 +1294,7 @@ object TextAnalysis {
     "llm_ta_quality" -> (taQuality _),
     "llm_ta_quality_calib" -> (taQualityCalib _),
     "llm_ta_gopher_rules" -> (taGopherRules _),
+    "llm_ta_langid_confusion" -> (taLangIdConfusion _),
     "llm_ta_fingerprint" -> (taFingerprint _),
     "llm_ta_tfidf" -> (taTfidf _),
     "llm_ta_redact" -> (taRedact _),
@@ -1283,6 +1322,7 @@ object TextAnalysis {
     "llm_ta_quality" -> taQualitySql,
     "llm_ta_quality_calib" -> taQualityCalibSql,
     "llm_ta_gopher_rules" -> taGopherRulesSql,
+    "llm_ta_langid_confusion" -> taLangIdConfusionSql,
     "llm_ta_fingerprint" -> taFingerprintSql,
     "llm_ta_tfidf" -> taTfidfSql,
     "llm_ta_redact" -> taRedactSql,

@@ -626,6 +626,33 @@ class LlmSpec extends SparkSpec {
       == rows.length, "one row per source pair")
   }
 
+  test("langid confusion: shares sum to 1 per class; diagonal agrees with lang_id") {
+    val rows = TextAnalysis.taLangIdConfusion(spark, sf0001)
+      .select("lang_true", "pred_lang", "n", "share", "is_correct")
+      .as[(String, String, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-3, "shares sum to 1")
+    }
+    val diag = rows.filter(_._5).map(_._3).sum
+    val correct = TextAnalysis.taLangId(spark, sf0001)
+      .filter("is_correct").count()
+    assert(diag == correct, "diagonal mass must equal per-doc correctness")
+  }
+
+  test("sq8: reconstruction error bounded by half a quantization step") {
+    val rows = Similarity.ssSq8(spark, sf0001)
+      .select("dim_min", "dim_max", "mean_abs_err", "max_abs_err")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (mn, mx, mean, mxe) =>
+      val step = (mx - mn) / 255.0
+      assert(mean <= mxe + 1e-12, "mean <= max")
+      // uniform quantizer: |x - deq| <= step/2 (+ float slack)
+      assert(mxe <= step / 2 + 1e-9, s"max err $mxe exceeds half-step $step")
+    }
+  }
+
   test("ivf balance summary is internally consistent with the index layout") {
     val b = Similarity.ssIvfBalance(spark, sf0001).collect().head
     val idx = Similarity.ssIvfIndex(spark, sf0001)
