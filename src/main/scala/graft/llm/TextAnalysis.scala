@@ -1188,6 +1188,55 @@ object TextAnalysis {
        |ORDER BY sc.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // ta_feature_hash: feature-hashed document vectors (the hashing
+  // trick, Weinberger et al. 2009) — each token hashes into one of 16
+  // buckets; a document's vector is its per-bucket token counts,
+  // L2-normalized. The model-free embedding for clustering/dedup when
+  // no encoder exists: dimensionality is FIXED by construction (no
+  // vocabulary table at all — the property that matters at 100 TB,
+  // where a vocab join is a shuffle and a hash is a projection).
+  // Long-form output (doc_id, bucket, cnt, weight); absent buckets
+  // are implicit zeros.
+  //
+  // Scale shape: explode → one partial-aggregable groupBy on
+  // (doc_id, bucket) (≤16 live groups per doc); per-doc L2 norms are
+  // a second partial-aggregable reduce joined back on doc_id, with
+  // the sum-of-squares DECIMAL-routed so the norm is bit-stable.
+  private val HashBuckets = 16L
+
+  def taFeatureHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bux = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .select($"doc_id", pmod(h60($"tok"), lit(HashBuckets)).as("bucket"))
+      .groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val nrm = bux.groupBy($"doc_id")
+      .agg(sqrt(sum(($"cnt" * $"cnt").cast("decimal(28,12)"))
+        .cast("double")).as("l2"))
+    bux.join(nrm, "doc_id")
+      .select($"doc_id", $"bucket", $"cnt",
+        round($"cnt" / $"l2", 9).as("weight"))
+      .orderBy($"doc_id", $"bucket")
+  }
+
+  val taFeatureHashSql: String =
+    s"""WITH tk AS (SELECT doc_id,
+       |    unnest(string_split(trim(text), ' ')) AS tok
+       |  FROM documents),
+       |b AS (SELECT doc_id, ${h60Sql("tok")} % $HashBuckets AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM tk GROUP BY 1, 2),
+       |n AS (SELECT doc_id,
+       |    SQRT(CAST(SUM(CAST(cnt * cnt AS DECIMAL(28,12))) AS DOUBLE))
+       |      AS l2
+       |  FROM b GROUP BY doc_id)
+       |SELECT b.doc_id, b.bucket, b.cnt,
+       |  ROUND(b.cnt / n.l2, 9) AS weight
+       |FROM b JOIN n USING (doc_id)
+       |ORDER BY b.doc_id, b.bucket""".stripMargin
+
+  // --------------------------------------------------------------------
   // ta_langid_confusion: measured accuracy of the language-ID
   // heuristic — the full confusion matrix of predicted vs true labels
   // (the corpus carries ground truth in `lang`), with per-true-class
@@ -1295,6 +1344,7 @@ object TextAnalysis {
     "llm_ta_quality_calib" -> (taQualityCalib _),
     "llm_ta_gopher_rules" -> (taGopherRules _),
     "llm_ta_langid_confusion" -> (taLangIdConfusion _),
+    "llm_ta_feature_hash" -> (taFeatureHash _),
     "llm_ta_fingerprint" -> (taFingerprint _),
     "llm_ta_tfidf" -> (taTfidf _),
     "llm_ta_redact" -> (taRedact _),
@@ -1323,6 +1373,7 @@ object TextAnalysis {
     "llm_ta_quality_calib" -> taQualityCalibSql,
     "llm_ta_gopher_rules" -> taGopherRulesSql,
     "llm_ta_langid_confusion" -> taLangIdConfusionSql,
+    "llm_ta_feature_hash" -> taFeatureHashSql,
     "llm_ta_fingerprint" -> taFingerprintSql,
     "llm_ta_tfidf" -> taTfidfSql,
     "llm_ta_redact" -> taRedactSql,

@@ -626,6 +626,18 @@ class LlmSpec extends SparkSpec {
       == rows.length, "one row per source pair")
   }
 
+  test("feature hash: unit L2 norm per doc, bucket space bounded at 16") {
+    val rows = TextAnalysis.taFeatureHash(spark, sf0001)
+      .select("doc_id", "bucket", "weight")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, b, _) => b >= 0 && b < 16 })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val nrm = math.sqrt(rs.map(r => r._3 * r._3).sum)
+      assert(math.abs(nrm - 1.0) < 1e-6, s"doc norm $nrm != 1")
+    }
+  }
+
   test("langid confusion: shares sum to 1 per class; diagonal agrees with lang_id") {
     val rows = TextAnalysis.taLangIdConfusion(spark, sf0001)
       .select("lang_true", "pred_lang", "n", "share", "is_correct")
