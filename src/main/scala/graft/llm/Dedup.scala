@@ -1213,6 +1213,85 @@ object Dedup {
       |ORDER BY b.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_minhash_k: signature-length calibration sweep — the
+  // estimator error |est − true Jaccard| over the LSH candidate
+  // pairs, measured at signature prefixes k = 2, 4, 8. MinHash error
+  // scales ~1/√k, so this one table answers "is k=8 enough, and what
+  // would halving the signature cost" with a measured curve instead
+  // of the asymptotic claim — the calibration artifact behind the
+  // engine's k=8 choice. Truth convention matches llm_dd_jaccard_est:
+  // a candidate pair absent from the pair table has true Jaccard 0.
+  //
+  // Scale shape: per-doc signatures come from the session-cached band
+  // index (4 rows/doc, deduped to 1 — no signature recompute); all
+  // three prefix estimates are per-row projections over the
+  // candidate-pair table, reduced in ONE partial-aggregable pass with
+  // DECIMAL-routed means, then unpivoted to 3 rows.
+  def ddMinhashK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = bandsFor(spark, dir).select($"doc_id", $"sigs")
+      .dropDuplicates("doc_id")
+    val truth = ngramPairsFor(spark, dir)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    val pairs = ddMinhashLsh(spark, dir).select($"doc_a", $"doc_b")
+      .join(sigs.select($"doc_id".as("doc_a"), $"sigs".as("sa")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sigs".as("sb")), "doc_b")
+      .join(truth, Seq("doc_a", "doc_b"), "left")
+      .withColumn("tj", coalesce($"jaccard", lit(0.0)))
+    def estK(k: Int) = (0 until k).map(i =>
+        when($"sa"(i) === $"sb"(i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    val errs = Seq(2, 4, 8).foldLeft(pairs) { (df, k) =>
+      df.withColumn(s"err$k", abs(round(estK(k), 6) - $"tj"))
+    }
+    val aggCols = Seq(2, 4, 8).flatMap(k => Seq(
+      sum(col(s"err$k").cast("decimal(28,12)")).cast("double").as(s"s$k"),
+      max(col(s"err$k")).as(s"m$k")))
+    val agg = errs.agg(count(lit(1)).as("n_pairs"), aggCols: _*)
+    agg.select(expr(
+      """stack(3,
+        |  2, n_pairs, round(s2 / n_pairs, 6), round(m2, 6),
+        |  4, n_pairs, round(s4 / n_pairs, 6), round(m4, 6),
+        |  8, n_pairs, round(s8 / n_pairs, 6), round(m8, 6)
+        |) AS (k, n_pairs, mean_abs_err, max_abs_err)""".stripMargin))
+      .orderBy($"k")
+  }
+
+  val ddMinhashKSql: String = {
+    def agreeK(k: Int) = (0 until k).map(i =>
+      s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END").mkString(" + ")
+    val errCols = Seq(2, 4, 8).map(k =>
+      s"ABS(ROUND(CAST(${agreeK(k)} AS DOUBLE) / $k.0, 6) - tj) AS err$k")
+      .mkString(",\n  ")
+    s"""WITH cand AS (SELECT doc_a, doc_b FROM ($ddMinhashLshSql)),
+       |sigs AS ($ddMinhashSigsSql),
+       |tr AS (SELECT doc_a, doc_b, jaccard FROM ($ngramPairsSql)),
+       |p AS (SELECT c.doc_a, c.doc_b,
+       |    COALESCE(tr.jaccard, 0.0) AS tj,
+       |  $errCols
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_b = sb.doc_id
+       |  LEFT JOIN tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b),
+       |a AS (SELECT COUNT(*) AS n_pairs,
+       |    CAST(SUM(CAST(err2 AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+       |    MAX(err2) AS m2,
+       |    CAST(SUM(CAST(err4 AS DECIMAL(28,12))) AS DOUBLE) AS s4,
+       |    MAX(err4) AS m4,
+       |    CAST(SUM(CAST(err8 AS DECIMAL(28,12))) AS DOUBLE) AS s8,
+       |    MAX(err8) AS m8
+       |  FROM p)
+       |SELECT k, n_pairs, mean_abs_err, max_abs_err FROM (
+       |  SELECT 2 AS k, n_pairs, ROUND(s2 / n_pairs, 6) AS mean_abs_err,
+       |    ROUND(m2, 6) AS max_abs_err FROM a
+       |  UNION ALL SELECT 4, n_pairs, ROUND(s4 / n_pairs, 6), ROUND(m4, 6)
+       |    FROM a
+       |  UNION ALL SELECT 8, n_pairs, ROUND(s8 / n_pairs, 6), ROUND(m8, 6)
+       |    FROM a)
+       |ORDER BY k""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // llm_dd_incremental_near: incremental NEAR-dup screening — the
   // MinHash-band face of llm_dd_incremental: the new batch (source =
   // 'src0') joins the EXISTING corpus's band index, so candidates are
@@ -1356,6 +1435,7 @@ object Dedup {
     "llm_dd_jaccard_est" -> (ddJaccardEst _),
     "llm_dd_containment" -> (ddContainment _),
     "llm_dd_incremental_near" -> (ddIncrementalNear _),
+    "llm_dd_minhash_k" -> (ddMinhashK _),
     "llm_dd_decontaminate" -> (ddDecontaminate _),
     "llm_dd_paragraphs" -> (ddParagraphs _),
     "llm_dd_substring" -> (ddSubstring _),
@@ -1378,6 +1458,7 @@ object Dedup {
     "llm_dd_jaccard_est" -> ddJaccardEstSql,
     "llm_dd_containment" -> ddContainmentSql,
     "llm_dd_incremental_near" -> ddIncrementalNearSql,
+    "llm_dd_minhash_k" -> ddMinhashKSql,
     "llm_dd_decontaminate" -> ddDecontaminateSql,
     "llm_dd_paragraphs" -> ddParagraphsSql,
     "llm_dd_substring" -> ddSubstringSql,

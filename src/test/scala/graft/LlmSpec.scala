@@ -581,6 +581,22 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(!_._6), "no natural-text doc should flag")
   }
 
+  test("minhash-k sweep: longer signatures never increase worst-case error floor") {
+    val rows = Dedup.ddMinhashK(spark, sf0001)
+      .select("k", "n_pairs", "mean_abs_err", "max_abs_err")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8))
+    assert(rows.map(_._2).distinct.length == 1, "same candidate set at all k")
+    rows.foreach { case (_, n, mean, mx) =>
+      assert(n > 0 && mean >= 0.0 && mx >= mean)
+      assert(mx <= 1.0, "abs error of two [0,1] quantities")
+    }
+    // k=8's mean error should not exceed k=2's (1/sqrt(k) scaling,
+    // allowing slack for the small fixture's variance)
+    val byK = rows.map(r => r._1 -> r._3).toMap
+    assert(byK(8) <= byK(2) + 0.05, s"k=8 err ${byK(8)} vs k=2 ${byK(2)}")
+  }
+
   test("incremental near-dup covers the batch once with consistent verdicts") {
     val batchN = spark.read.parquet(s"$sf0001/documents.parquet")
       .filter("source = 'src0'").count()
