@@ -393,9 +393,11 @@ object Similarity {
         .select(lit("pq_adc").as("method"), $"q_id", $"neighbor_id"))
       .union(ssPqSearchTrained(spark, dir).filter($"q_id" < 5)
         .select(lit("pq_adc_trained").as("method"), $"q_id", $"neighbor_id"))
+      .union(ssSq8Search(spark, dir)
+        .select(lit("sq8_asym").as("method"), $"q_id", $"neighbor_id"))
     val grid = exact.select($"q_id").distinct()
       .crossJoin(Seq("lsh_bucket", "lsh_probe", "ivf_probe", "pq_adc",
-        "pq_adc_trained").toDF("method"))
+        "pq_adc_trained", "sq8_asym").toDF("method"))
     val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
       .groupBy($"method", $"q_id").agg(count(lit(1)).as("n_hit"))
     grid.join(hits, Seq("method", "q_id"), "left")
@@ -428,12 +430,15 @@ object Similarity {
        |  FROM ($ssPqSearchSql) WHERE q_id < 5
        |  UNION ALL
        |  SELECT 'pq_adc_trained' AS method, q_id, neighbor_id
-       |  FROM ($ssPqSearchTrainedSql) WHERE q_id < 5),
+       |  FROM ($ssPqSearchTrainedSql) WHERE q_id < 5
+       |  UNION ALL
+       |  SELECT 'sq8_asym' AS method, q_id, neighbor_id
+       |  FROM ($ssSq8SearchSql)),
        |grid AS (
        |  SELECT method, q_id
        |  FROM (SELECT DISTINCT q_id FROM exact3)
        |  CROSS JOIN (VALUES ('lsh_bucket'), ('lsh_probe'), ('ivf_probe'),
-       |    ('pq_adc'), ('pq_adc_trained')) AS m(method)),
+       |    ('pq_adc'), ('pq_adc_trained'), ('sq8_asym')) AS m(method)),
        |hits AS (
        |  SELECT method, a.q_id, COUNT(*) AS n_hit
        |  FROM approx a JOIN exact3 e
@@ -1088,6 +1093,73 @@ object Similarity {
        |FROM d GROUP BY pos ORDER BY pos""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_sq8_search: asymmetric search over the SQ8-compressed
+  // corpus — queries stay exact float vectors, the corpus is
+  // encode-then-decoded through the int8 codec (what a production
+  // store would keep on disk at 4× compression), brute-force cosine
+  // top-3. Completes the SQ8 audit: llm_ss_sq8 measures element
+  // error, this measures what that error DOES to retrieval, and
+  // `llm_ss_recall` adds it to the measured panel next to PQ.
+  //
+  // Scale shape: the dim-count range table broadcasts; dequantized
+  // vectors rebuild per-row (sorted-struct collect bounded by dim
+  // count); queries broadcast so the corpus never shuffles to score.
+  def ssSq8Search(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = withNorm(spark, dir)
+      .select($"vec_id", posexplode($"v").as(Seq("pos", "x")))
+    val rng = ex.groupBy($"pos")
+      .agg(min($"x").as("mn"), max($"x").as("mx"))
+    val code = when($"mx" === $"mn", lit(0)).otherwise(
+      round(($"x" - $"mn") / ($"mx" - $"mn") * 255, 0).cast("int"))
+    val dvec = ex.join(broadcast(rng), "pos")
+      .select($"vec_id", $"pos",
+        ($"mn" + code.cast("double") * ($"mx" - $"mn") / 255.0).as("dq"))
+      .groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"pos", $"dq"))).as("pd"))
+      .select($"vec_id", expr("transform(pd, s -> s.dq)").as("dv"))
+      .withColumn("dn", expr("sqrt(vec_dot(dv, dv))"))
+    val q = withNorm(spark, dir).filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = dvec.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        expr("round(vec_dot(qv, dv) / (qn * dn), 6)").as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssSq8SearchSql: String =
+    s"""$normCte,
+       |ex AS (SELECT vec_id, u.pos AS pos, u.x AS x FROM (
+       |  SELECT vec_id, unnest(list_transform(range(0, len(v)),
+       |    i -> {'pos': i, 'x': v[i + 1]})) AS u FROM n)),
+       |rng AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos),
+       |d AS (SELECT vec_id, pos,
+       |    rng.mn + CAST(CASE WHEN rng.mx = rng.mn THEN 0
+       |      ELSE CAST(ROUND((ex.x - rng.mn) / (rng.mx - rng.mn) * 255, 0)
+       |        AS INT) END AS DOUBLE) * (rng.mx - rng.mn) / 255.0 AS dq
+       |  FROM ex JOIN rng USING (pos)),
+       |dv AS (SELECT vec_id, list(dq ORDER BY pos) AS dv,
+       |    sqrt(list_dot_product(list(dq ORDER BY pos),
+       |      list(dq ORDER BY pos))) AS dn
+       |  FROM d GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+       |  WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q_id, dv.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(qv, dv.dv) / (qn * dn), 6) AS cosine
+       |  FROM dv JOIN q ON dv.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_ss_ivf_balance: inverted-list balance audit over the IVF
   // layout — the operational health check every ANN index needs at
   // scale: a hot cell (imbalance = max/mean list size) means one probe
@@ -1140,6 +1212,7 @@ object Similarity {
     "llm_ss_ivf_probe" -> (ssIvfProbe _),
     "llm_ss_ivf_balance" -> (ssIvfBalance _),
     "llm_ss_sq8" -> (ssSq8 _),
+    "llm_ss_sq8_search" -> (ssSq8Search _),
     "llm_ss_recall" -> (ssRecall _),
     "llm_ss_kmeans" -> (ssKmeans _),
     "llm_ss_kmeans_iter" -> (ssKmeansIter _),
@@ -1162,6 +1235,7 @@ object Similarity {
     "llm_ss_ivf_probe" -> ssIvfProbeSql,
     "llm_ss_ivf_balance" -> ssIvfBalanceSql,
     "llm_ss_sq8" -> ssSq8Sql,
+    "llm_ss_sq8_search" -> ssSq8SearchSql,
     "llm_ss_recall" -> ssRecallSql,
     "llm_ss_kmeans" -> ssKmeansSql,
     "llm_ss_kmeans_iter" -> ssKmeansIterSql,

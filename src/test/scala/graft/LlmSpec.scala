@@ -668,6 +668,19 @@ class LlmSpec extends SparkSpec {
     assert(diag == correct, "diagonal mass must equal per-doc correctness")
   }
 
+  test("recall panel: sq8 (256-level) dominates seeded 4-entry PQ") {
+    val rows = Similarity.ssRecall(spark, sf0001)
+      .select("method", "recall_at_3").as[(String, Double)].collect()
+    val mean = rows.groupBy(_._1).view.mapValues(v =>
+      v.map(_._2).sum / v.length).toMap
+    assert(mean.contains("sq8_asym") && mean.contains("pq_adc"))
+    rows.foreach { case (_, r) => assert(r >= 0.0 && r <= 1.0) }
+    // a 256-level per-dim codec cannot lose to a 4-entry subspace
+    // codebook on the same corpus
+    assert(mean("sq8_asym") >= mean("pq_adc"),
+      s"sq8 ${mean("sq8_asym")} < pq ${mean("pq_adc")}")
+  }
+
   test("sq8: reconstruction error bounded by half a quantization step") {
     val rows = Similarity.ssSq8(spark, sf0001)
       .select("dim_min", "dim_max", "mean_abs_err", "max_abs_err")
