@@ -1213,6 +1213,45 @@ object Dedup {
       |ORDER BY b.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_boilerplate: boilerplate mining — the top-20 3-gram
+  // shingles by document frequency, with corpus share and an example
+  // doc. The df cap treats the Zipf head as noise to DROP; this query
+  // REPORTS it, because in production that head IS the boilerplate
+  // (site chrome, license headers, navigation text) that a cleaning
+  // pass strips before dedup — you can't strip what you haven't
+  // identified. Complement of llm_dd_paragraphs (which dedups repeated
+  // paragraphs; this surfaces repeated PHRASES below paragraph grain).
+  //
+  // Scale shape: rides the session-cached rep-shingle table (shingle
+  // work runs once per session); df is a partial-aggregable weighted
+  // groupBy; top-20 plans as TakeOrderedAndProject.
+  def ddBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    repShinglesFor(spark, dir)
+      .select($"rep", $"w", explode($"shingles").as("shingle"))
+      .groupBy($"shingle")
+      .agg(sum($"w").as("df"), min($"rep").as("example_doc"))
+      .crossJoin(total)
+      .select($"shingle", $"df", $"example_doc",
+        round($"df".cast("double") / $"n", 6).as("doc_share"))
+      .orderBy($"df".desc, $"shingle")
+      .limit(20)
+  }
+
+  val ddBoilerplateSql: String =
+    s"""$shingleCte,
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |agg AS (SELECT shingle, COUNT(*) AS df,
+       |    MIN(doc_id) AS example_doc
+       |  FROM ex GROUP BY shingle),
+       |t AS (SELECT COUNT(*) AS n FROM documents)
+       |SELECT shingle, df, example_doc,
+       |  ROUND(CAST(df AS DOUBLE) / n, 6) AS doc_share
+       |FROM agg CROSS JOIN t
+       |ORDER BY df DESC, shingle LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_dd_minhash_k: signature-length calibration sweep — the
   // estimator error |est − true Jaccard| over the LSH candidate
   // pairs, measured at signature prefixes k = 2, 4, 8. MinHash error
@@ -1436,6 +1475,7 @@ object Dedup {
     "llm_dd_containment" -> (ddContainment _),
     "llm_dd_incremental_near" -> (ddIncrementalNear _),
     "llm_dd_minhash_k" -> (ddMinhashK _),
+    "llm_dd_boilerplate" -> (ddBoilerplate _),
     "llm_dd_decontaminate" -> (ddDecontaminate _),
     "llm_dd_paragraphs" -> (ddParagraphs _),
     "llm_dd_substring" -> (ddSubstring _),
@@ -1459,6 +1499,7 @@ object Dedup {
     "llm_dd_containment" -> ddContainmentSql,
     "llm_dd_incremental_near" -> ddIncrementalNearSql,
     "llm_dd_minhash_k" -> ddMinhashKSql,
+    "llm_dd_boilerplate" -> ddBoilerplateSql,
     "llm_dd_decontaminate" -> ddDecontaminateSql,
     "llm_dd_paragraphs" -> ddParagraphsSql,
     "llm_dd_substring" -> ddSubstringSql,

@@ -581,6 +581,23 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(!_._6), "no natural-text doc should flag")
   }
 
+  test("boilerplate miner: df-descending, share bounded, example doc contains shingle") {
+    val rows = Dedup.ddBoilerplate(spark, sf0001)
+      .select("shingle", "df", "example_doc", "doc_share")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.length == 20)
+    val dfs = rows.map(_._2)
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b }, "df desc")
+    rows.foreach { case (_, df, _, share) =>
+      assert(df >= 1 && share > 0.0 && share <= 1.0)
+    }
+    // spot-check: the example doc's text actually contains the shingle
+    val (sh, _, ex, _) = rows.head
+    val txt = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter($"doc_id" === ex).select("text").as[String].head()
+    assert(txt.contains(sh), s"doc $ex does not contain '$sh'")
+  }
+
   test("minhash-k sweep: longer signatures never increase worst-case error floor") {
     val rows = Dedup.ddMinhashK(spark, sf0001)
       .select("k", "n_pairs", "mean_abs_err", "max_abs_err")
