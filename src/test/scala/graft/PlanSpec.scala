@@ -289,6 +289,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("active users range-joins the broadcast spine, never a cartesian") {
+    val plan = planOf(graft.streaming.WindowQueries
+      .q42ActiveUsers(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the calendar spine must broadcast into the range join:\n"
+        + plan.take(800))
+    assert(!plan.contains("CartesianProduct"),
+      "no unbroadcast cartesian allowed:\n" + plan.take(800))
+  }
+
+  test("gap audit broadcasts the date spine into the grid") {
+    val plan = planOf(graft.operators.BenchQueries.gapAudit(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "series×dates grid must build from a broadcast spine:\n"
+        + plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("incremental near-dup's top-1 window keys on batch_doc") {
+    val plan = planOf(graft.llm.Dedup.ddIncrementalNear(spark, sf0001))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty, "missing the per-batch-doc top-1 window")
+    assert(winLines.forall(_.matches(".*windowspecdefinition\\(batch_doc#\\d+.*")),
+      "window must partition on batch_doc (cap-bounded groups):\n"
+        + winLines.mkString("\n"))
+  }
+
   test("epoch plan does all planning math on the source-cardinality table") {
     val plan = planOf(graft.llm.Pipeline.epochPlan(spark, sf0001))
     // exactly one aggregation keyed on source touches corpus-sized
