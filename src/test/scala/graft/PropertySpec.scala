@@ -49,4 +49,23 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"inputs $a / $b")
     }
   }
+
+  test("SQ8 codec: round-trip error <= half-step for arbitrary value/range") {
+    // the scalar spec of llm_ss_sq8/llm_ss_sq8_search's codec:
+    // code = round((x-mn)/(mx-mn)*255), deq = mn + code*(mx-mn)/255
+    def deq(x: Double, mn: Double, mx: Double): Double =
+      if (mx == mn) mn
+      else mn + math.round((x - mn) / (mx - mn) * 255).toDouble * (mx - mn) / 255.0
+    val cases = samples(for {
+      mn <- Gen.chooseNum(-1e3, 1e3)
+      w <- Gen.chooseNum(0.0, 1e3)
+      f <- Gen.chooseNum(0.0, 1.0)
+    } yield (mn, mn + w, mn + w * f), 500)
+    cases.foreach { case (mn, mx, x) =>
+      val err = math.abs(x - deq(x, mn, mx))
+      val halfStep = (mx - mn) / 255.0 / 2.0
+      assert(err <= halfStep + 1e-9 * math.max(1.0, math.abs(mx)),
+        s"x=$x in [$mn,$mx]: err $err > half-step $halfStep")
+    }
+  }
 }
