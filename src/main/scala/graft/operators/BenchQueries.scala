@@ -384,8 +384,13 @@ object BenchQueries {
   // series-count-sized and broadcast under AQE. At production series
   // volume swap percentile for approx_percentile (t-digest) — same
   // plan, bounded memory (q25's documented trade).
-  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
-    val f = fact(spark)
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame =
+    anomalyMadOn(fact(spark))
+
+  /** Core of [[anomalyMad]] over an arbitrary fact-shaped frame (see
+    * [[alertsOn]] for why the detectors need synthetic-series entry
+    * points). */
+  private[graft] def anomalyMadOn(f: DataFrame): DataFrame = {
     val med = f.groupBy(col("pkg"), col("test"))
       .agg(expr("percentile(ns_per_op, 0.5)").as("med"))
     val dev = f.join(med, Seq("pkg", "test"))
@@ -727,17 +732,25 @@ object BenchQueries {
   // Scale shape: pure union of the three already-scale-shaped plans
   // (series-keyed windows and partial-aggregable groupBys over the
   // session-cached fact); the digest adds no new shuffle of its own.
-  def alerts(spark: SparkSession, dir: String): DataFrame = {
-    val reg = regressionFlags(spark, dir).filter(col("is_regression"))
+  def alerts(spark: SparkSession, dir: String): DataFrame =
+    alertsOn(fact(spark))
+
+  /** Core of [[alerts]] over an arbitrary fact-shaped frame —
+    * separated so the digest can be exercised on synthetic series
+    * that trip ALL THREE detectors (the shared fixture has no MAD
+    * anomaly, so the anomaly leg would otherwise be value-dead in
+    * every test; SeriesOpsSpec feeds it a spiked series). */
+  private[graft] def alertsOn(f: DataFrame): DataFrame = {
+    val reg = regressionFlagsOn(f).filter(col("is_regression"))
       .select(lit("regression").as("alert_type"), col("pkg"), col("test"),
         col("date"), col("pct_change").as("score"))
-    val anom = anomalyMad(spark, dir).filter(col("is_anomaly"))
+    val anom = anomalyMadOn(f).filter(col("is_anomaly"))
       .select(lit("anomaly").as("alert_type"), col("pkg"), col("test"),
         col("date"),
         when(col("series_median") === 0, lit(0.0))
           .otherwise(round(abs(col("ns_per_op") - col("series_median"))
             / col("series_median"), 6)).as("score"))
-    val cp = changepoint(spark, dir).filter(col("is_shift"))
+    val cp = changepointOn(f).filter(col("is_shift"))
       .select(lit("changepoint").as("alert_type"), col("pkg"), col("test"),
         col("cp_date").as("date"), col("shift_score").as("score"))
     reg.union(anom).union(cp)

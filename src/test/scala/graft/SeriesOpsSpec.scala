@@ -104,6 +104,31 @@ class SeriesOpsSpec extends SparkSpec {
     out.values.foreach(r => assert(r.getLong(2) + r.getLong(3) == 3))
   }
 
+  test("alert digest fires all three detector types on a synthetic fact") {
+    import spark.implicits._
+    // one series per detector: a +20% day-over-day jump (regression,
+    // and with 20 points the jump is also a MAD spike), a step shift
+    // (changepoint), and a flat control that must stay silent
+    val spike = (1 to 20).map(i =>
+      ("p", "spiky", java.sql.Date.valueOf(f"2015-03-$i%02d"),
+        if (i == 15) 200L else 100L))
+    val step = (1 to 20).map(i =>
+      ("p", "stepper", java.sql.Date.valueOf(f"2015-03-$i%02d"),
+        if (i <= 10) 100L else 200L))
+    val flat = (1 to 20).map(i =>
+      ("p", "flat", java.sql.Date.valueOf(f"2015-03-$i%02d"), 100L))
+    val f = (spike ++ step ++ flat).toDF("pkg", "test", "date", "ns_per_op")
+    val out = BenchQueries.alertsOn(f).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getDate(3).toString))
+    assert(out.contains(("regression", "spiky", "2015-03-15")),
+      s"missing the spike regression in ${out.toSeq}")
+    assert(out.contains(("anomaly", "spiky", "2015-03-15")),
+      s"missing the MAD anomaly in ${out.toSeq}")
+    assert(out.exists { case (t, s, _) => t == "changepoint" && s == "stepper" },
+      s"missing the step changepoint in ${out.toSeq}")
+    assert(!out.exists(_._2 == "flat"), "flat series must stay silent")
+  }
+
   test("alert digest carries exactly the detectors' flagged rows") {
     val alerts = BenchQueries.alerts(spark, sf0001).collect()
     val nReg = BenchQueries.regressionFlags(spark, sf0001)
