@@ -269,6 +269,64 @@ object Pipeline {
        |FROM b ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_pipeline_split_audit: the leakage check itself — one row
+  // proving the split's contract: straddling_clusters counts
+  // duplicate clusters whose members landed in MORE THAN ONE split
+  // (must be 0 by construction, and now it's a MEASURED 0 — eval
+  // contamination via near-dups is the highest-stakes silent failure
+  // a data pipeline has), plus realized train/val/test shares against
+  // the 80/10/10 spec (hash buckets realize the spec only in
+  // expectation; the audit shows the actual draw).
+  //
+  // Scale shape: per-cluster split-cardinality is one
+  // partial-aggregable groupBy on cluster_id (the split already
+  // shuffles on it); the audit reduces that table and the doc-level
+  // conditional sums to ONE row.
+  def splitAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = leakageSafeSplit(spark, dir)
+      .select($"doc_id", $"cluster_id", $"split")
+      .localCheckpoint() // feeds the per-cluster and per-doc reductions
+    val perCluster = s.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n_splits"))
+    val straddle = perCluster.agg(
+      count(lit(1)).as("n_clusters"),
+      sum(when($"n_splits" > 1, 1L).otherwise(0L))
+        .as("straddling_clusters"))
+    s.agg(
+      count(lit(1)).as("n_docs"),
+      round(sum(when($"split" === "train", 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 6).as("train_share"),
+      round(sum(when($"split" === "val", 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 6).as("val_share"),
+      round(sum(when($"split" === "test", 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 6).as("test_share"))
+      .crossJoin(straddle)
+      .select($"n_docs", $"n_clusters", $"straddling_clusters",
+        $"train_share", $"val_share", $"test_share")
+  }
+
+  val splitAuditSql: String =
+    s"""WITH s AS ($splitSql),
+       |pc AS (SELECT cluster_id, COUNT(DISTINCT split) AS n_splits
+       |  FROM s GROUP BY cluster_id),
+       |st AS (SELECT COUNT(*) AS n_clusters,
+       |    CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS straddling_clusters
+       |  FROM pc),
+       |d AS (SELECT COUNT(*) AS n_docs,
+       |    ROUND(CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / COUNT(*), 6) AS train_share,
+       |    ROUND(CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / COUNT(*), 6) AS val_share,
+       |    ROUND(CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / COUNT(*), 6) AS test_share
+       |  FROM s)
+       |SELECT n_docs, n_clusters, straddling_clusters,
+       |  train_share, val_share, test_share
+       |FROM d CROSS JOIN st""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_pipeline_e2e: the COMPLETE corpus→training-shards
   // materialization as one declarative plan — curate (CC-dedup ∧
   // quality ∧ lang ∧ hash-split), context-window chunking of the
@@ -679,6 +737,7 @@ object Pipeline {
     "llm_pipeline_budget" -> (budget _),
     "llm_pipeline_epoch_plan" -> (epochPlan _),
     "llm_pipeline_source_overlap" -> (sourceOverlap _),
+    "llm_pipeline_split_audit" -> (splitAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -694,5 +753,6 @@ object Pipeline {
     "llm_pipeline_budget" -> budgetSql,
     "llm_pipeline_epoch_plan" -> epochPlanSql,
     "llm_pipeline_source_overlap" -> sourceOverlapSql,
+    "llm_pipeline_split_audit" -> splitAuditSql,
   )
 }

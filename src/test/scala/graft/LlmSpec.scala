@@ -581,6 +581,16 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(!_._6), "no natural-text doc should flag")
   }
 
+  test("split audit: zero straddling clusters and shares partition the corpus") {
+    val r = graft.llm.Pipeline.splitAudit(spark, sf0001).collect().head
+    assert(r.getAs[Long]("straddling_clusters") == 0L,
+      "a duplicate cluster must never straddle splits")
+    val shares = Seq("train_share", "val_share", "test_share")
+      .map(r.getAs[Double])
+    assert(math.abs(shares.sum - 1.0) < 1e-3, s"shares $shares must sum to 1")
+    assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_clusters"))
+  }
+
   test("boilerplate miner: df-descending, share bounded, example doc contains shingle") {
     val rows = Dedup.ddBoilerplate(spark, sf0001)
       .select("shingle", "df", "example_doc", "doc_share")
