@@ -388,6 +388,37 @@ class StreamingSpec extends SparkSpec {
     assert(readAlerts().size == 2)
   }
 
+  test("alerting stream pages each regressed day once under out-of-order arrival") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_alert_ooo").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"
+    val alerts = s"$tmp/alerts"; val ckp = s"$tmp/ckp"
+    def writeFile(rel: String, content: String): Unit = {
+      val p = java.nio.file.Paths.get(src, rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    def readAlerts(): Seq[String] =
+      spark.read.parquet(alerts).select("date").collect()
+        .map(_.getDate(0).toString).toSeq.sorted
+    // days arrive OUT OF ORDER: 1 then 3 (skipping 2). With only
+    // days 1+3 merged, day 3's predecessor is day 1: +32% pages.
+    writeFile("01-03-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 100 ns/op")
+    writeFile("03-03-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 132 ns/op")
+    StreamPipelines.alertingStream(spark, src, out, alerts, ckp)
+      .awaitTermination()
+    assert(readAlerts() == Seq("2015-03-03"))
+    // the missing middle day lands late at +20% over day 1: it pages
+    // once; day 3 (now +10% over day 2, still a regression) does NOT
+    // re-page — first-alert-wins holds under reordering
+    writeFile("02-03-2015/cockroach/sql/a.test.stdout",
+      "BenchmarkA-8 \t 10 \t 120 ns/op")
+    StreamPipelines.alertingStream(spark, src, out, alerts, ckp)
+      .awaitTermination()
+    assert(readAlerts() == Seq("2015-03-02", "2015-03-03"))
+  }
+
   test("batch session_window agrees with hand-rolled sessionization totals") {
     val batch = WindowQueries.stSession(spark, sf0001)
     val totalEvents = batch.agg(org.apache.spark.sql.functions.sum("n_events"))
