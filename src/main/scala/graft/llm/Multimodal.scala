@@ -361,14 +361,21 @@ object Multimodal {
       .select($"doc_id", substring($"text", 1, BytePrefix).as("prefix"))
       .select($"doc_id",
         length($"prefix").as("prefix_len"),
-        expr(s"size(array_distinct(transform(sequence(1, length(prefix)), " +
-          "i -> substring(prefix, i, 1))))").as("n_distinct"),
+        // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not
+        // empty — an empty (fully-truncated) payload would otherwise
+        // score n_distinct 1 and a 1/0 ratio instead of the defined
+        // zeros (and an empty payload is exactly what this screen
+        // exists to flag)
+        when(length($"prefix") < 1, lit(0)).otherwise(
+          expr(s"size(array_distinct(transform(sequence(1, length(prefix)), " +
+            "i -> substring(prefix, i, 1))))")).as("n_distinct"),
         when(length($"prefix") < 2, lit(0)).otherwise(
           expr("size(filter(sequence(2, length(prefix)), " +
             "i -> substring(prefix, i, 1) = substring(prefix, i - 1, 1)))"))
           .as("n_repeats"))
       .select($"doc_id", $"prefix_len", $"n_distinct", $"n_repeats",
-        round($"n_distinct".cast("double") / $"prefix_len", 6)
+        when($"prefix_len" < 1, lit(0.0)).otherwise(
+          round($"n_distinct".cast("double") / $"prefix_len", 6))
           .as("distinct_ratio"),
         when($"prefix_len" < 2, lit(0.0)).otherwise(
           round($"n_repeats".cast("double") / ($"prefix_len" - 1), 6))
@@ -382,19 +389,24 @@ object Multimodal {
        |  FROM documents),
        |m AS (SELECT doc_id,
        |  CAST(length(prefix) AS INT) AS prefix_len,
-       |  CAST(len(list_distinct(list_transform(range(1, length(prefix) + 1),
-       |    i -> substr(prefix, i, 1)))) AS INT) AS n_distinct,
+       |  CASE WHEN length(prefix) < 1 THEN 0
+       |    ELSE CAST(len(list_distinct(list_transform(
+       |      range(1, length(prefix) + 1),
+       |      i -> substr(prefix, i, 1)))) AS INT) END AS n_distinct,
        |  CASE WHEN length(prefix) < 2 THEN 0
        |    ELSE CAST(len(list_filter(range(2, length(prefix) + 1),
        |      i -> substr(prefix, i, 1) = substr(prefix, i - 1, 1))) AS INT)
        |    END AS n_repeats
        |FROM p)
        |SELECT doc_id, prefix_len, n_distinct, n_repeats,
-       |  ROUND(CAST(n_distinct AS DOUBLE) / prefix_len, 6) AS distinct_ratio,
+       |  CASE WHEN prefix_len < 1 THEN 0.0
+       |    ELSE ROUND(CAST(n_distinct AS DOUBLE) / prefix_len, 6) END
+       |    AS distinct_ratio,
        |  CASE WHEN prefix_len < 2 THEN 0.0
        |    ELSE ROUND(CAST(n_repeats AS DOUBLE) / (prefix_len - 1), 6) END
        |    AS repeat_ratio,
-       |  ROUND(CAST(n_distinct AS DOUBLE) / prefix_len, 6) < 0.05
+       |  CASE WHEN prefix_len < 1 THEN 0.0
+       |    ELSE ROUND(CAST(n_distinct AS DOUBLE) / prefix_len, 6) END < 0.05
        |    AS flag_low_diversity
        |FROM m ORDER BY doc_id""".stripMargin
 

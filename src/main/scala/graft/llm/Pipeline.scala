@@ -677,10 +677,15 @@ object Pipeline {
 
   def epochPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // localCheckpoint: the source-cardinality table feeds the total,
+    // the Σ√p sum, AND the final projection — unmaterialized, Catalyst
+    // re-derives the tokenizing corpus scan per consumer (the
+    // shared-subplan convention; the table is |sources| rows)
     val per = Tables.documents(spark, dir)
       .select($"source", size(split($"text", " ")).cast("long").as("n_toks"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("tokens"))
+      .localCheckpoint()
     val tot = per.agg(sum($"tokens").as("corpus_toks"))
     val shares = per.crossJoin(tot)
       .withColumn("raw_share", $"tokens".cast("double") / $"corpus_toks")

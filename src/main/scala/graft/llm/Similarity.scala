@@ -1051,12 +1051,26 @@ object Similarity {
   // the mean routed through DECIMAL sums (bit-stable at any
   // partitioning); codes/dequants are per-row codegen arithmetic —
   // the corpus never shuffles to encode, the same property as PQ.
+  /** Session-cached SQ8 codec table: per-dimension [mn, mx] — the
+    * dim-count artifact the audit, the asymmetric search, and the
+    * recall panel all derive from (the band-index convention: one
+    * corpus range scan per session, not one per consumer). */
+  private def sq8RangesFor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "ss_sq8Ranges")) {
+      withNorm(spark, dir).select($"v")
+        .select(posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"pos")
+        .agg(min($"x").as("mn"), max($"x").as("mx"))
+        .localCheckpoint()
+    }
+  }
+
   def ssSq8(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ex = withNorm(spark, dir).select($"v")
       .select(posexplode($"v").as(Seq("pos", "x")))
-    val rng = ex.groupBy($"pos")
-      .agg(min($"x").as("mn"), max($"x").as("mx"))
+    val rng = sq8RangesFor(spark, dir)
     val code = when($"mx" === $"mn", lit(0)).otherwise(
       round(($"x" - $"mn") / ($"mx" - $"mn") * 255, 0).cast("int"))
     ex.join(broadcast(rng), "pos")
@@ -1108,8 +1122,7 @@ object Similarity {
     import spark.implicits._
     val ex = withNorm(spark, dir)
       .select($"vec_id", posexplode($"v").as(Seq("pos", "x")))
-    val rng = ex.groupBy($"pos")
-      .agg(min($"x").as("mn"), max($"x").as("mx"))
+    val rng = sq8RangesFor(spark, dir)
     val code = when($"mx" === $"mn", lit(0)).otherwise(
       round(($"x" - $"mn") / ($"mx" - $"mn") * 255, 0).cast("int"))
     val dvec = ex.join(broadcast(rng), "pos")

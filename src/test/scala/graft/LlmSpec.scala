@@ -565,6 +565,23 @@ class LlmSpec extends SparkSpec {
     assert(smallest._3 > smallest._2, "tail source should be upweighted")
   }
 
+  test("byte stats: empty payload gets defined zeros and IS flagged") {
+    // Spark's sequence(1, 0) is DESCENDING, not empty — unguarded,
+    // an empty (fully-truncated) payload scored n_distinct 1 and a
+    // 1/0 ratio instead of flagging (the code-review catch)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bytestats").toString
+    Seq((1L, "", "en", "src0", 0L), (2L, "some real text", "en", "src0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = Multimodal.mmByteStats(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val empty = out(1L)
+    assert(empty.getInt(1) == 0 && empty.getInt(2) == 0, "defined zeros")
+    assert(empty.getDouble(4) == 0.0 && empty.getDouble(5) == 0.0)
+    assert(empty.getBoolean(6), "an empty payload must flag low diversity")
+    assert(!out(2L).getBoolean(6), "real text must not flag")
+  }
+
   test("byte stats: ratios bounded and natural text is not flagged") {
     val rows = Multimodal.mmByteStats(spark, sf0001)
       .select("prefix_len", "n_distinct", "n_repeats", "distinct_ratio",
