@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Build the 16x-replicated stress fixture SURVEY.md §6 measures against.
+
+Usage: python3 tools/replicate.py [srcDir] [outDir] [factor]
+Defaults: /root/testdata/sf0.1 -> target/scale16, factor 16.
+
+Replication shifts ids by k*10^7 (events by k*10^8) per replica k, so
+ids stay unique while every document gains factor-1 exact copies — the
+adversarial regime for the dedup pair generators. events.ts must stay
+parquet TIMESTAMP(NANOS) (graft.sources.Tables.events reads it via
+nanosAsLong), so events go through pyarrow, not DuckDB's us-granular
+parquet writer.
+"""
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "target/scale16"
+factor = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+import os
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+con.sql(f"""
+COPY (SELECT doc_id + k*10000000 AS doc_id, text, lang, source, n_chars
+      FROM read_parquet('{src}/documents.parquet'), range(0, {factor}) t(k))
+TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+con.sql(f"""
+COPY (SELECT vec_id + k*10000000 AS vec_id, embedding, label
+      FROM read_parquet('{src}/embeddings.parquet'), range(0, {factor}) t(k))
+TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+
+t = pq.read_table(f"{src}/events.parquet")
+parts = []
+for k in range(factor):
+    parts.append(pa.table({
+        "event_id": pc.add(t["event_id"], k * 100000000),
+        "ts": t["ts"],
+        "user_id": pc.add(t["user_id"], k * 10000000),
+        "event_type": t["event_type"],
+        "value": t["value"],
+        "props": t["props"],
+    }))
+pq.write_table(pa.concat_tables(parts), f"{out}/events.parquet")
+
+for name in ["documents", "embeddings", "events"]:
+    n = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/{name}.parquet')"
+    ).fetchone()[0]
+    print(f"{name}: {n} rows")
