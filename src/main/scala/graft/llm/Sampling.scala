@@ -236,6 +236,108 @@ object Sampling {
        |WHERE d.draw < r.rate * 1000000.0
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_sample_dsir: data selection by importance resampling (the
+  // hashed-feature DSIR recipe, Xie et al. 2023): score every document
+  // by how target-like its token distribution is, where "target" is a
+  // domain slice of the corpus itself (here lang = 'en') and the
+  // features are hashed token buckets — bounded feature space at ANY
+  // vocabulary size, the property that makes the method run at 100 TB.
+  //
+  //  - bucket(term) = h60(term) mod 64 (the hashing trick; same
+  //    md5-derived primitive as every sampler here — reproducible in
+  //    ANSI SQL, no model download),
+  //  - per-bucket unigram LMs with add-1 smoothing: p_target(b) and
+  //    p_raw(b),
+  //  - doc weight = Σ_b n_b(doc) · ln(p_target(b) / p_raw(b)) — the
+  //    importance log-ratio of the doc under target vs raw,
+  //  - output = top-64 docs by weight (the resampling step; hash-rank
+  //    tie-break is unnecessary since weights embed content).
+  //
+  // Scale shape: both LMs are 64-row tables (broadcast); the only
+  // shuffles are the partial-aggregable (doc_id, bucket) counts and
+  // the final top-k. Per-bucket products are single doubles; the
+  // per-doc sum folds in DECIMAL so aggregation order can't move the
+  // 6th decimal.
+  private val DsirBuckets = 64
+  private val DsirTopK = 64
+
+  def sampleDsir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source",
+        explode(split($"text", " ")).as("term"))
+      .select($"doc_id", $"lang", $"source",
+        (h60($"term") % DsirBuckets).as("b"))
+    val docB = toks.groupBy($"doc_id", $"lang", $"source", $"b")
+      .agg(count(lit(1)).as("n"))
+    val rawB = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgtB = toks.filter($"lang" === "en")
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(count(lit(1)).as("tr"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"))
+    val spine = spark.range(DsirBuckets).select($"id".as("b"))
+    val lr = spine
+      .join(rawB, Seq("b"), "left")
+      .join(tgtB, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"b",
+        log(((coalesce($"ct", lit(0L)) + 1).cast("double")
+            / ($"tt" + DsirBuckets))
+          / ((coalesce($"cr", lit(0L)) + 1).cast("double")
+            / ($"tr" + DsirBuckets))).as("lr"))
+    // top-k = orderBy+limit (TakeOrderedAndProject: per-partition
+    // top-64 then a k-row merge — no global sort); the rank window
+    // then runs over the 64 survivors only.
+    val w = Window.orderBy($"dsir_weight".desc, $"doc_id".asc)
+    docB.join(broadcast(lr), "b")
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(sum($"n").as("n_toks"),
+        round(sum(($"n" * $"lr").cast("decimal(28,12)")).cast("double"), 6)
+          .as("dsir_weight"))
+      .orderBy($"dsir_weight".desc, $"doc_id".asc)
+      .limit(DsirTopK)
+      .withColumn("rank", row_number().over(w))
+      .select($"rank", $"doc_id", $"lang", $"source", $"n_toks",
+        $"dsir_weight")
+      .orderBy($"rank")
+  }
+
+  val sampleDsirSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, source,
+       |    ${h60Sql("term")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, source,
+       |      unnest(string_split(text, ' ')) AS term FROM documents)),
+       |doc_b AS (SELECT doc_id, lang, source, b, COUNT(*) AS n
+       |  FROM tk GROUP BY 1, 2, 3, 4),
+       |raw_b AS (SELECT b, COUNT(*) AS cr FROM tk GROUP BY b),
+       |tgt_b AS (SELECT b, COUNT(*) AS ct FROM tk WHERE lang = 'en'
+       |  GROUP BY b),
+       |totals AS (SELECT COUNT(*) AS tr,
+       |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt FROM tk),
+       |spine AS (SELECT unnest(range(0, $DsirBuckets)) AS b),
+       |lr AS (
+       |  SELECT spine.b,
+       |    LN((CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + $DsirBuckets))
+       |      / (CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / (tr + $DsirBuckets)))
+       |      AS lr
+       |  FROM spine
+       |  LEFT JOIN raw_b ON spine.b = raw_b.b
+       |  LEFT JOIN tgt_b ON spine.b = tgt_b.b
+       |  CROSS JOIN totals),
+       |wts AS (
+       |  SELECT doc_id, lang, source, CAST(SUM(n) AS BIGINT) AS n_toks,
+       |    ROUND(CAST(SUM(CAST(n * lr AS DECIMAL(28,12))) AS DOUBLE), 6)
+       |      AS dsir_weight
+       |  FROM doc_b JOIN lr ON doc_b.b = lr.b
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |    (ORDER BY dsir_weight DESC, doc_id ASC) AS rank FROM wts)
+       |SELECT CAST(rank AS INT) AS rank, doc_id, lang, source, n_toks,
+       |  dsir_weight
+       |FROM ranked WHERE rank <= $DsirTopK ORDER BY rank""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sample_hash" -> (sampleHash _),
     "llm_sample_stratified" -> (sampleStratified _),
@@ -243,6 +345,7 @@ object Sampling {
     "llm_sample_mixture" -> (sampleMixture _),
     "llm_sample_resample" -> (sampleResample _),
     "llm_sample_lang_balance" -> (sampleLangBalance _),
+    "llm_sample_dsir" -> (sampleDsir _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -252,5 +355,6 @@ object Sampling {
     "llm_sample_mixture" -> sampleMixtureSql,
     "llm_sample_resample" -> sampleResampleSql,
     "llm_sample_lang_balance" -> sampleLangBalanceSql,
+    "llm_sample_dsir" -> sampleDsirSql,
   )
 }

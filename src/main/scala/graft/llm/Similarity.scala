@@ -953,6 +953,101 @@ object Similarity {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_ivfpq: the COMBINED IVF + PQ search — the standard shape of
+  // a production-scale ANN index (coarse quantizer prunes, product
+  // codes rank): candidates come from the query's 3×3 probed grid
+  // cells exactly as in ssIvfProbe, and are ranked by the Lloyd-
+  // trained 32×4-bit cosine-metric ADC exactly as in
+  // ssPqSearchTrained. At query time the corpus contributes ONLY its
+  // cell key, its integer code row, and its stored norm — raw corpus
+  // vectors are never touched, which is the property that lets the
+  // index serve from RAM while vectors stay on disk.
+  //
+  // Scale shape: the candidate prune is an equi-join of corpus cells
+  // against the broadcast probe list (corpus never shuffles; per-query
+  // candidates ∝ probed-list length, not corpus size), and the code
+  // unpivot runs AFTER the prune, so ADC decode work is candidates×32,
+  // not corpus×32 — the plan-level difference between this and
+  // ssPqSearchTrained's full-corpus scan. Wide ops: the (q_id,vec_id)
+  // partial-agg DECIMAL sum and a top-k window over candidate rows.
+  def ssIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val corpus = e.select($"vec_id", $"nrm",
+      concat_ws(":",
+        floor(element_at($"v", 1) * 4).cast("long"),
+        floor(element_at($"v", 2) * 4).cast("long")).as("cell"))
+    val probeCells = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      concat_ws(":", ($"cx" + dx).cast("string"),
+        ($"cy" + dy).cast("string"))): _*)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        floor(element_at($"v", 1) * 4).cast("long").as("cx"),
+        floor(element_at($"v", 2) * 4).cast("long").as("cy"))
+    val probes = q.select($"q_id", explode(probeCells).as("qcell"))
+    // each corpus vector is in exactly one cell and the 9 probes are
+    // distinct cells, so no (q_id, vec_id) candidate repeats
+    val cand = corpus.join(broadcast(probes),
+        $"cell" === $"qcell" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"nrm")
+    val adc = q.crossJoin(pqTrainedCb(spark, dir))
+      .select($"q_id", $"qn", $"s", $"cid",
+        expr(s"vec_dot(slice(qv, s * $PqTDim + 1, $PqTDim), cv)").as("dp"))
+    val codes = Tables.sessionCached(spark,
+        Tables.stamped(spark, dir, "pq_codes_trained")) {
+      ssPqEncodeTrained(spark, dir).localCheckpoint()
+    }
+    val candCodes = cand.join(codes, "vec_id")
+      .select($"q_id", $"vec_id", $"nrm",
+        explode(array((0 until PqTSub).map(i =>
+          struct(lit(i).as("s"), col(s"c$i").as("cid"))): _*)).as("x"))
+      .select($"q_id", $"vec_id", $"nrm", $"x.s".as("s"), $"x.cid".as("cid"))
+    val est = candCodes.join(broadcast(adc), Seq("q_id", "s", "cid"))
+      .groupBy($"q_id", $"vec_id")
+      .agg(round((sum($"dp".cast("decimal(28,12)")).cast("double")
+        / (max($"qn") * max($"nrm"))), 6).as("est_cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"est_cos".desc, $"vec_id".asc)
+    est.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"est_cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssIvfPqSql: String =
+    s"""$pqTrainedCte,
+       |cells AS (SELECT vec_id, nrm,
+       |    CAST(FLOOR(v[1] * 4) AS BIGINT) || ':' ||
+       |      CAST(FLOOR(v[2] * 4) AS BIGINT) AS cell
+       |  FROM nn),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |    CAST(FLOOR(v[1] * 4) AS BIGINT) AS cx,
+       |    CAST(FLOOR(v[2] * 4) AS BIGINT) AS cy
+       |  FROM nn WHERE vec_id < 5),
+       |probes AS (SELECT q_id, (cx + dx) || ':' || (cy + dy) AS qcell
+       |  FROM q0
+       |  CROSS JOIN (VALUES (-1), (0), (1)) AS dxs(dx)
+       |  CROSS JOIN (VALUES (-1), (0), (1)) AS dys(dy)),
+       |cand AS (SELECT q_id, cells.vec_id AS vec_id, nrm
+       |  FROM cells JOIN probes ON cells.cell = probes.qcell
+       |    AND cells.vec_id <> probes.q_id),
+       |adc AS (SELECT q_id, qn, cb.s, cb.cid,
+       |    list_dot_product(qv[cb.s * $PqTDim + 1 : cb.s * $PqTDim + $PqTDim],
+       |      cv) AS dp
+       |  FROM q0 CROSS JOIN cb$PqTrainRounds cb),
+       |est AS (SELECT c.q_id, c.vec_id,
+       |    ROUND(CAST(SUM(CAST(dp AS DECIMAL(28,12))) AS DOUBLE)
+       |      / (MAX(qn) * MAX(c.nrm)), 6) AS est_cos
+       |  FROM cand c
+       |  JOIN codes_tr ct ON ct.vec_id = c.vec_id
+       |  JOIN adc ON adc.q_id = c.q_id AND adc.s = ct.s
+       |    AND adc.cid = ct.code
+       |  GROUP BY c.q_id, c.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY est_cos DESC, vec_id) AS rank FROM est)
+       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, est_cos
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_ss_outliers: cluster-distance outlier detection — the
   // embedding-space cousin of the quality filters: vectors far from
   // their assigned k-means centroid RELATIVE to their cluster's mean
@@ -1234,6 +1329,7 @@ object Similarity {
     "llm_ss_pq_train" -> (ssPqTrain _),
     "llm_ss_pq_encode_trained" -> (ssPqEncodeTrained _),
     "llm_ss_pq_search_trained" -> (ssPqSearchTrained _),
+    "llm_ss_ivfpq" -> (ssIvfPq _),
     "llm_ss_outliers" -> (ssOutliers _),
     "llm_ss_dim_stats" -> (ssDimStats _),
   )
@@ -1257,6 +1353,7 @@ object Similarity {
     "llm_ss_pq_train" -> ssPqTrainSql,
     "llm_ss_pq_encode_trained" -> ssPqEncodeTrainedSql,
     "llm_ss_pq_search_trained" -> ssPqSearchTrainedSql,
+    "llm_ss_ivfpq" -> ssIvfPqSql,
     "llm_ss_outliers" -> ssOutliersSql,
     "llm_ss_dim_stats" -> ssDimStatsSql,
   )

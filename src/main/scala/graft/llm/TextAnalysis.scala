@@ -252,6 +252,96 @@ object TextAnalysis {
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
   // --------------------------------------------------------------------
+  // ta_bm25: BM25 ranking of the corpus against a fixed query term set
+  // — the retrieval scorer a data pipeline runs for query-based corpus
+  // selection (and the classic lexical baseline every embedding
+  // retriever is measured against). Standard Robertson/Sparck-Jones
+  // form, k1 = 1.2, b = 0.75, idf = ln((N - df + 0.5)/(df + 0.5) + 1).
+  //
+  // Scale shape: df and avgdl are tiny aggregates (|Q| rows and 1 row)
+  // broadcast back; per-doc tf is an explode FILTERED to the query
+  // terms before any aggregation, so the wide path carries at most |Q|
+  // rows per doc. One doc_id shuffle joins tf to doc length; the
+  // 3-term score sum goes through DECIMAL so it folds identically in
+  // any aggregation order.
+  private val Bm25Terms = Seq("spark", "filter", "merge")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  def taBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select($"doc_id", size(split($"text", " ")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl".cast("decimal(28,6)")).cast("double")
+        / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id",
+        (log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+          * ($"tf" * (Bm25K1 + 1.0))
+          / ($"tf" + lit(Bm25K1)
+            * (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / $"avgdl")))
+          .cast("decimal(28,12)").as("ts"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        round(sum($"ts").cast("double"), 6).as("bm25"))
+    // top-k = orderBy+limit (TakeOrderedAndProject — per-partition
+    // top-10 + a 10-row merge, no global sort); rank is assigned over
+    // the 10 survivors only.
+    val w = Window.orderBy($"bm25".desc, $"doc_id".asc)
+    scored.orderBy($"bm25".desc, $"doc_id".asc).limit(10)
+      .withColumn("rank", row_number().over(w))
+      .select($"rank", $"doc_id", $"n_terms", $"bm25")
+      .orderBy($"rank")
+  }
+
+  val taBm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    // k1/b and every intermediate are forced to DOUBLE: a bare 1.2 is
+    // a DECIMAL literal in DuckDB, and decimal-exact 1.2 (or k1+1 =
+    // 2.2) differs from the binary double the Scala side computes
+    // with — enough to flip the 6th decimal on a ratio.
+    val k1 = s"CAST($Bm25K1 AS DOUBLE)"
+    val b = s"CAST($Bm25B AS DOUBLE)"
+    s"""WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM dl),
+       |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(LN((n_docs - df.df + CAST(0.5 AS DOUBLE))
+       |        / (df.df + CAST(0.5 AS DOUBLE)) + 1.0)
+       |      * (tf.tf * ($k1 + 1.0))
+       |      / (tf.tf + $k1 * (1.0 - $b + $b * dl.dl / avgdl))
+       |      AS DECIMAL(28,12)) AS ts
+       |  FROM tf JOIN df ON tf.term = df.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+       |    ROUND(CAST(SUM(ts) AS DOUBLE), 6) AS bm25
+       |  FROM scored GROUP BY doc_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER
+       |    (ORDER BY bm25 DESC, doc_id ASC) AS rank FROM agg)
+       |SELECT CAST(rank AS INT) AS rank, doc_id, n_terms, bm25
+       |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // ta_redact: PII pattern redaction — email / NNN-NNNN phone / IPv4
   // regexes replaced with typed placeholders, plus per-doc match
   // counts. The fixture corpus contains no natural PII, so the query
@@ -1347,6 +1437,7 @@ object TextAnalysis {
     "llm_ta_feature_hash" -> (taFeatureHash _),
     "llm_ta_fingerprint" -> (taFingerprint _),
     "llm_ta_tfidf" -> (taTfidf _),
+    "llm_ta_bm25" -> (taBm25 _),
     "llm_ta_redact" -> (taRedact _),
     "llm_ta_repetition" -> (taRepetition _),
     "llm_ta_vocab" -> (taVocab _),
@@ -1376,6 +1467,7 @@ object TextAnalysis {
     "llm_ta_feature_hash" -> taFeatureHashSql,
     "llm_ta_fingerprint" -> taFingerprintSql,
     "llm_ta_tfidf" -> taTfidfSql,
+    "llm_ta_bm25" -> taBm25Sql,
     "llm_ta_redact" -> taRedactSql,
     "llm_ta_repetition" -> taRepetitionSql,
     "llm_ta_vocab" -> taVocabSql,

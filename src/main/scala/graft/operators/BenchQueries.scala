@@ -328,6 +328,85 @@ object BenchQueries {
        |ORDER BY pkg, test, date""".stripMargin
 
   // --------------------------------------------------------------------
+  // bench_ewma: exponentially weighted moving average per series —
+  // the other standard smoother next to bench_moving_avg's flat
+  // window: recent points dominate (alpha = 0.3), so level shifts show
+  // up in the smoothed line a couple of points sooner than in ma3.
+  // Uses the truncated adjusted form ewma_t = Σ_{j<K} w_j·x_{t-j} /
+  // Σ_{j<K} w_j with w_j = 0.7^j and K = 10 — well-defined from the
+  // first point (no seed bias) and bounded state.
+  //
+  // Cross-engine exactness: 0.7^j for j < 10 is a ≤ 9-digit decimal,
+  // so the weights are EXACT DECIMAL literals (a 10-row broadcast
+  // table, not runtime pow() whose libm may differ per engine);
+  // weight × ns_per_op and both sums stay in DECIMAL (order-
+  // insensitive), and only the final division runs in double.
+  //
+  // Scale shape: the lag join is an equi-join on (pkg,test) with a
+  // bounded rn-range predicate — one shuffle on the series key, K
+  // candidate rows per output row regardless of history length, no
+  // global sort. (A ROWS window can't express distance-dependent
+  // weights, hence the self-join form.)
+  private val EwmaK = 10
+
+  /** w_j = 0.7^j, j = 0..K-1, as exact decimal strings. */
+  private def ewmaWeights: Seq[(Int, java.math.BigDecimal)] =
+    (0 until EwmaK).scanLeft(
+        (0, new java.math.BigDecimal("1"))) { case ((_, w), j) =>
+      (j + 1, w.multiply(new java.math.BigDecimal("0.7")))
+    }.take(EwmaK)
+
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pkg"), col("test")).orderBy(col("date"))
+    val f = fact(spark)
+      .select(col("pkg"), col("test"), col("date"), col("ns_per_op"))
+      .withColumn("rn", row_number().over(w))
+    val wt = ewmaWeights
+      .map { case (j, v) => (j, v.toPlainString) }
+      .toDF("j", "wtx")
+      .select(col("j"), col("wtx").cast("decimal(12,11)").as("wt"))
+    val cur = f.select(col("pkg"), col("test"), col("date"),
+      col("ns_per_op"), col("rn"))
+    val past = f.select(col("pkg").as("p2"), col("test").as("t2"),
+      col("ns_per_op").as("x"), col("rn").as("rn2"))
+    cur.join(past,
+        col("pkg") === col("p2") && col("test") === col("t2") &&
+          col("rn2") <= col("rn") && col("rn2") > col("rn") - EwmaK)
+      .join(broadcast(wt), col("j") === col("rn") - col("rn2"))
+      .groupBy(col("pkg"), col("test"), col("date"), col("ns_per_op"))
+      .agg(count(lit(1)).cast("int").as("n_pts"),
+        round((sum(col("x").cast("decimal(20,6)") * col("wt"))
+            .cast("double")
+          / sum(col("wt")).cast("double")), 6).as("ewma"))
+      .orderBy(col("pkg"), col("test"), col("date"))
+  }
+
+  val ewmaSql: String = {
+    val wtRows = ewmaWeights
+      .map { case (j, v) =>
+        s"($j, CAST(${v.toPlainString} AS DECIMAL(12,11)))" }
+      .mkString(", ")
+    s"""WITH fct AS ($ingestGoldenSql),
+       |rnk AS (SELECT pkg, test, date, ns_per_op, ROW_NUMBER() OVER
+       |    (PARTITION BY pkg, test ORDER BY date) AS rn FROM fct),
+       |wt AS (SELECT * FROM (VALUES $wtRows) AS w(j, wt)),
+       |pairs AS (
+       |  SELECT a.pkg, a.test, a.date, a.ns_per_op,
+       |    b.ns_per_op AS x, wt.wt
+       |  FROM rnk a JOIN rnk b ON a.pkg = b.pkg AND a.test = b.test
+       |    AND b.rn <= a.rn AND b.rn > a.rn - $EwmaK
+       |  JOIN wt ON wt.j = a.rn - b.rn)
+       |SELECT pkg, test, date, ns_per_op,
+       |  CAST(COUNT(*) AS INT) AS n_pts,
+       |  ROUND(CAST(SUM(CAST(x AS DECIMAL(20,6)) * wt) AS DOUBLE)
+       |    / CAST(SUM(wt) AS DOUBLE), 6) AS ewma
+       |FROM pairs GROUP BY pkg, test, date, ns_per_op
+       |ORDER BY pkg, test, date""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // bench_regression_flags: day-over-day regression screening — the
   // question a benchviz user actually asks of the charts ("did this
   // test get slower?"), answered engine-side: per series, the percent
@@ -787,6 +866,7 @@ object BenchQueries {
     "bench_priority_phantoms" -> (priorityPhantomsQ _),
     "bench_date_spine" -> (dateSpine _),
     "bench_moving_avg" -> (movingAvg _),
+    "bench_ewma" -> (ewma _),
     "bench_regression_flags" -> (regressionFlags _),
     "bench_anomaly_mad" -> (anomalyMad _),
     "bench_history_ranges" -> (historyRanges _),
@@ -813,6 +893,7 @@ object BenchQueries {
     "bench_priority_phantoms" -> priorityPhantomsSql,
     "bench_date_spine" -> dateSpineSql,
     "bench_moving_avg" -> movingAvgSql,
+    "bench_ewma" -> ewmaSql,
     "bench_regression_flags" -> regressionFlagsSql,
     "bench_anomaly_mad" -> anomalyMadSql,
     "bench_history_ranges" -> historyRangesSql,
