@@ -395,9 +395,11 @@ object Similarity {
         .select(lit("pq_adc_trained").as("method"), $"q_id", $"neighbor_id"))
       .union(ssSq8Search(spark, dir)
         .select(lit("sq8_asym").as("method"), $"q_id", $"neighbor_id"))
+      .union(ssIvfPq(spark, dir).filter($"q_id" < 5)
+        .select(lit("ivfpq").as("method"), $"q_id", $"neighbor_id"))
     val grid = exact.select($"q_id").distinct()
       .crossJoin(Seq("lsh_bucket", "lsh_probe", "ivf_probe", "pq_adc",
-        "pq_adc_trained", "sq8_asym").toDF("method"))
+        "pq_adc_trained", "sq8_asym", "ivfpq").toDF("method"))
     val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
       .groupBy($"method", $"q_id").agg(count(lit(1)).as("n_hit"))
     grid.join(hits, Seq("method", "q_id"), "left")
@@ -433,12 +435,16 @@ object Similarity {
        |  FROM ($ssPqSearchTrainedSql) WHERE q_id < 5
        |  UNION ALL
        |  SELECT 'sq8_asym' AS method, q_id, neighbor_id
-       |  FROM ($ssSq8SearchSql)),
+       |  FROM ($ssSq8SearchSql)
+       |  UNION ALL
+       |  SELECT 'ivfpq' AS method, q_id, neighbor_id
+       |  FROM ($ssIvfPqSql) WHERE q_id < 5),
        |grid AS (
        |  SELECT method, q_id
        |  FROM (SELECT DISTINCT q_id FROM exact3)
        |  CROSS JOIN (VALUES ('lsh_bucket'), ('lsh_probe'), ('ivf_probe'),
-       |    ('pq_adc'), ('pq_adc_trained'), ('sq8_asym')) AS m(method)),
+       |    ('pq_adc'), ('pq_adc_trained'), ('sq8_asym'), ('ivfpq'))
+       |    AS m(method)),
        |hits AS (
        |  SELECT method, a.q_id, COUNT(*) AS n_hit
        |  FROM approx a JOIN exact3 e

@@ -325,4 +325,55 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "no corpus-sized join belongs in the plan:\n" + plan.take(800))
   }
+
+  test("ivfpq prunes candidates by a broadcast probe join, never a sort-merge") {
+    val plan = planOf(graft.llm.Similarity.ssIvfPq(spark, sf0001))
+    // every join in the search must ride a broadcast (probe cells,
+    // ADC table, code lookup) — a SortMergeJoin means the corpus got
+    // shuffled to be searched
+    assert(!plan.contains("SortMergeJoin"),
+      "ivfpq must not shuffle the corpus:\n" + plan.take(900))
+    // the candidate prune itself: cell equi-join against the
+    // broadcast 9-cell probe list
+    val cellJoin = plan.split("\n").exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cell"))
+    assert(cellJoin, "missing broadcast cell-probe join:\n" + plan.take(900))
+    // ranking window stays per-query
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.forall(_.matches(".*windowspecdefinition\\(q_id#\\d+.*")),
+      "top-k window must partition by q_id:\n" + winLines.mkString("\n"))
+  }
+
+  test("bm25 broadcasts df and plans the top-k as TakeOrderedAndProject") {
+    val plan = planOf(TextAnalysis.taBm25(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-10 must be TakeOrderedAndProject, not a global sort:\n"
+        + plan.take(900))
+    val termJoin = plan.split("\n").exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("term"))
+    assert(termJoin, "df join must broadcast the |Q|-row table:\n"
+      + plan.take(900))
+  }
+
+  test("dsir broadcasts the 64-row log-ratio table and top-ks without a global sort") {
+    val plan = planOf(graft.llm.Sampling.sampleDsir(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-64 must be TakeOrderedAndProject:\n" + plan.take(900))
+    val lrJoin = plan.split("\n").exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("b#"))
+    assert(lrJoin, "doc-bucket × log-ratio join must broadcast lr:\n"
+      + plan.take(900))
+    assert(!plan.contains("SortMergeJoin"), plan.take(900))
+  }
+
+  test("ewma windows and lag-join stay keyed on the series, no single partition") {
+    val plan = planOf(graft.operators.BenchQueries.ewma(spark, sf0001))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty && winLines.forall(
+        _.matches(".*windowspecdefinition\\(pkg#\\d+.*")),
+      "rn windows must partition by (pkg,test):\n" + winLines.mkString("\n"))
+    assert(!plan.contains("SinglePartition"),
+      "ewma must not funnel a series op into one partition:\n"
+        + plan.take(900))
+  }
 }
