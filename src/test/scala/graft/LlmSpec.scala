@@ -750,4 +750,58 @@ class LlmSpec extends SparkSpec {
     assert(b.getAs[Double]("top_cell_share") <= 1.0 &&
       b.getAs[Double]("top_cell_share") > 0.0)
   }
+
+  test("ivfpq neighbors stay in probed cells and score exactly as trained ADC") {
+    // prune semantics: every returned neighbor must live in the 3×3
+    // grid neighborhood of its query's coarse cell
+    val cells = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        floor(element_at(col("embedding").cast("array<double>"), 1) * 4)
+          .as("cx"),
+        floor(element_at(col("embedding").cast("array<double>"), 2) * 4)
+          .as("cy"))
+    val res = Similarity.ssIvfPq(spark, sf0001)
+    val joined = res
+      .join(cells.select(col("vec_id").as("q_id"), col("cx").as("qcx"),
+        col("cy").as("qcy")), "q_id")
+      .join(cells.select(col("vec_id").as("neighbor_id"),
+        col("cx").as("ncx"), col("cy").as("ncy")), "neighbor_id")
+      .select(abs(col("ncx") - col("qcx")).as("dx"),
+        abs(col("ncy") - col("qcy")).as("dy"))
+      .as[(Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (dx, dy) =>
+      assert(dx <= 1 && dy <= 1, s"neighbor outside probed cells: $dx,$dy")
+    }
+    // ranking semantics: where ivfpq and the full-corpus trained ADC
+    // return the same (query, neighbor), the estimate is IDENTICAL —
+    // the prune changes the candidate set, never the scorer
+    val overlap = res.select(col("q_id"), col("neighbor_id"),
+        col("est_cos").as("ivfpq_cos"))
+      .join(Similarity.ssPqSearchTrained(spark, sf0001)
+        .select(col("q_id"), col("neighbor_id"), col("est_cos")),
+        Seq("q_id", "neighbor_id"))
+      .as[(Long, Long, Double, Double)].collect()
+    assert(overlap.nonEmpty, "expected shared (q, neighbor) pairs")
+    overlap.foreach { case (q, n, a, b0) =>
+      assert(a == b0, s"ADC estimate diverged for ($q,$n): $a vs $b0")
+    }
+  }
+
+  test("dsir: weights rank target-language docs above raw on average") {
+    // the importance log-ratio is built to pull lang='en' (the target
+    // slice) upward: the selected top-64 must be en-enriched vs the
+    // corpus share, and every weight must be finite
+    val sel = Sampling.sampleDsir(spark, sf0001)
+      .select(col("lang"), col("dsir_weight")).as[(String, Double)].collect()
+    assert(sel.length > 0 && sel.length <= 64)
+    sel.foreach { case (_, w) =>
+      assert(!w.isNaN && !w.isInfinite, s"non-finite weight $w") }
+    val enSel = sel.count(_._1 == "en").toDouble / sel.length
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang")).as[String].collect()
+    val enAll = corpus.count(_ == "en").toDouble / corpus.length
+    assert(enSel > enAll,
+      s"top-64 en share $enSel not enriched over corpus $enAll")
+  }
 }

@@ -143,4 +143,27 @@ class SeriesOpsSpec extends SparkSpec {
     assert(cp.length == nCp && nCp >= 1)
     assert(cp.exists(r => r.getString(2) == "BenchmarkBank2_Cockroach-8"))
   }
+
+  test("ewma matches the hand-computed exponential weighting on the golden series") {
+    val rows = BenchQueries.ewma(spark, sf0001).collect()
+      .filter(r => r.getString(0) == "sql"
+        && r.getString(1) == "BenchmarkBank2_Cockroach-8")
+      .sortBy(_.getDate(2).toString)
+    assert(rows.length == 3)
+    // golden values 1328086, 1200000, 1100000; w_j = 0.7^j
+    val xs = Seq(1328086.0, 1200000.0, 1100000.0)
+    val expected = Seq(
+      xs(0),
+      (xs(1) + 0.7 * xs(0)) / 1.7,
+      (xs(2) + 0.7 * xs(1) + 0.49 * xs(0)) / 2.19)
+    rows.zip(expected).zipWithIndex.foreach { case ((r, e), i) =>
+      assert(r.getInt(4) == i + 1, s"n_pts at $i: $r")
+      assert(math.abs(r.getDouble(5) - e) <= 1e-6,
+        s"ewma[$i] = ${r.getDouble(5)}, expected $e")
+    }
+    // a single-point series is its own EWMA (no seed bias)
+    val dup = BenchQueries.ewma(spark, sf0001).collect()
+      .filter(r => r.getString(1) == "BenchmarkDup-8")
+    assert(dup.length == 1 && dup.head.getDouble(5) == 200.0)
+  }
 }
