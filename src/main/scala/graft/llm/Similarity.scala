@@ -397,9 +397,11 @@ object Similarity {
         .select(lit("sq8_asym").as("method"), $"q_id", $"neighbor_id"))
       .union(ssIvfPq(spark, dir).filter($"q_id" < 5)
         .select(lit("ivfpq").as("method"), $"q_id", $"neighbor_id"))
+      .union(ssIvfKmeans(spark, dir).filter($"q_id" < 5)
+        .select(lit("ivf_kmeans").as("method"), $"q_id", $"neighbor_id"))
     val grid = exact.select($"q_id").distinct()
       .crossJoin(Seq("lsh_bucket", "lsh_probe", "ivf_probe", "pq_adc",
-        "pq_adc_trained", "sq8_asym", "ivfpq").toDF("method"))
+        "pq_adc_trained", "sq8_asym", "ivfpq", "ivf_kmeans").toDF("method"))
     val hits = approx.join(exact, Seq("q_id", "neighbor_id"))
       .groupBy($"method", $"q_id").agg(count(lit(1)).as("n_hit"))
     grid.join(hits, Seq("method", "q_id"), "left")
@@ -438,13 +440,16 @@ object Similarity {
        |  FROM ($ssSq8SearchSql)
        |  UNION ALL
        |  SELECT 'ivfpq' AS method, q_id, neighbor_id
-       |  FROM ($ssIvfPqSql) WHERE q_id < 5),
+       |  FROM ($ssIvfPqSql) WHERE q_id < 5
+       |  UNION ALL
+       |  SELECT 'ivf_kmeans' AS method, q_id, neighbor_id
+       |  FROM ($ssIvfKmeansSql) WHERE q_id < 5),
        |grid AS (
        |  SELECT method, q_id
        |  FROM (SELECT DISTINCT q_id FROM exact3)
        |  CROSS JOIN (VALUES ('lsh_bucket'), ('lsh_probe'), ('ivf_probe'),
-       |    ('pq_adc'), ('pq_adc_trained'), ('sq8_asym'), ('ivfpq'))
-       |    AS m(method)),
+       |    ('pq_adc'), ('pq_adc_trained'), ('sq8_asym'), ('ivfpq'),
+       |    ('ivf_kmeans')) AS m(method)),
        |hits AS (
        |  SELECT method, a.q_id, COUNT(*) AS n_hit
        |  FROM approx a JOIN exact3 e
@@ -549,53 +554,136 @@ object Similarity {
   // centroid table is localCheckpointed (truncating the plan so round
   // r doesn't replay rounds 1..r-1); the driver never holds corpus
   // data — the same loop discipline as ddCluster and taBpeTrain.
+  /** The 3-round Lloyd centroids (k = 4, seeded vec 0..3) —
+    * session-cached so the training loop runs once per (session, dir)
+    * and both [[ssKmeansIter]] and the trained-IVF search serve from
+    * the same k-row table (index-build cost shows in cold-mode bench,
+    * like the PQ codebooks). */
+  private def kmTrainedCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "km_cents")) {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val e = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      var cents = e.filter($"vec_id" < 4)
+        .select($"vec_id".as("cid"), $"v".as("cv")).localCheckpoint()
+      (1 to 3).foreach { _ =>
+        val next = kmUpdate(kmAssign(e, cents)).localCheckpoint()
+        Dedup.freeCheckpoint(cents)
+        cents = next
+      }
+      cents
+    }
+
   def ssKmeansIter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VecDot.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    var cents = e.filter($"vec_id" < 4)
-      .select($"vec_id".as("cid"), $"v".as("cv")).localCheckpoint()
-    (1 to 3).foreach { _ =>
-      val next = kmUpdate(kmAssign(e, cents)).localCheckpoint()
-      Dedup.freeCheckpoint(cents)
-      cents = next
-    }
-    val out = kmAssign(e, cents)
+    kmAssign(e, kmTrainedCents(spark, dir))
       .select($"vec_id", $"cid", round($"d2", 6).as("d2"))
       .orderBy($"vec_id")
-    out
   }
 
-  val ssKmeansIterSql: String = {
-    // one unrolled Lloyd round: assign to c{n-1}, recompute means c{n}
-    def round(n: Int): String =
-      s"""s$n AS (SELECT e.vec_id, e.v, c.cid,
-         |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
-         |      + list_dot_product(c.cv, c.cv) AS d2
-         |  FROM e CROSS JOIN c${n - 1} c),
-         |a$n AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
-         |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s$n) WHERE rn = 1),
-         |ex$n AS (SELECT cid, unnest(list_transform(range(0, len(v)),
-         |    i -> {'pos': i, 'val': v[i+1]}), recursive := true) FROM a$n),
-         |mn$n AS (SELECT cid, pos,
-         |    CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
-         |  FROM ex$n GROUP BY 1, 2),
-         |c$n AS (SELECT cid, list(m ORDER BY pos) AS cv FROM mn$n GROUP BY cid)"""
-        .stripMargin
+  /** One unrolled Lloyd round: assign to c{n-1}, recompute means c{n}. */
+  private def kmRoundSql(n: Int): String =
+    s"""s$n AS (SELECT e.vec_id, e.v, c.cid,
+       |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+       |      + list_dot_product(c.cv, c.cv) AS d2
+       |  FROM e CROSS JOIN c${n - 1} c),
+       |a$n AS (SELECT vec_id, v, cid FROM (SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM s$n) WHERE rn = 1),
+       |ex$n AS (SELECT cid, unnest(list_transform(range(0, len(v)),
+       |    i -> {'pos': i, 'val': v[i+1]}), recursive := true) FROM a$n),
+       |mn$n AS (SELECT cid, pos,
+       |    CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM ex$n GROUP BY 1, 2),
+       |c$n AS (SELECT cid, list(m ORDER BY pos) AS cv FROM mn$n GROUP BY cid)"""
+      .stripMargin
+
+  /** The 3-round training chain (ends at `c3` = trained centroids,
+    * with `e` in scope) plus the final assignment `af` — shared by the
+    * iterated-kmeans oracle and the trained-IVF search oracle. */
+  private lazy val kmTrainedCte: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
-       |${round(1)},
-       |${round(2)},
-       |${round(3)},
-       |sf AS (SELECT e.vec_id, c.cid,
+       |${kmRoundSql(1)},
+       |${kmRoundSql(2)},
+       |${kmRoundSql(3)},
+       |sf AS (SELECT e.vec_id, e.v, c.cid,
        |    list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
        |      + list_dot_product(c.cv, c.cv) AS d2
        |  FROM e CROSS JOIN c3 c),
-       |af AS (SELECT vec_id, cid, d2 FROM (SELECT *, ROW_NUMBER() OVER
-       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM sf) WHERE rn = 1)
+       |af AS (SELECT vec_id, v, cid, d2 FROM (SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM sf) WHERE rn = 1)"""
+      .stripMargin
+
+  val ssKmeansIterSql: String =
+    s"""$kmTrainedCte
        |SELECT vec_id, cid, ROUND(d2, 6) AS d2 FROM af ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_ss_ivf_kmeans: IVF with a TRAINED coarse quantizer — the grid
+  // cells of ssIvf* stand in for a quantizer when no training is
+  // allowed; the production index (FAISS IVFFlat) trains it with
+  // Lloyd. Centroids = the session-cached 3-round loop shared with
+  // ssKmeansIter; inverted lists = the broadcast-argmin assignment;
+  // each query probes its nprobe = 2 nearest centroids and ranks the
+  // probed lists by EXACT cosine (flat storage — the code-ranked
+  // variant of the same prune is ssIvfPq).
+  //
+  // Scale shape: the k-row centroid table broadcasts twice (corpus
+  // assignment argmin; query probe-list argsort) — the corpus never
+  // shuffles to be indexed OR searched; candidates ∝ probed-list
+  // sizes; the only wide ops are the per-query top-k window and the
+  // one equi-join on cid against the broadcast probe set.
+  def ssIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val cents = kmTrainedCents(spark, dir)
+    val assign = kmAssign(e.select($"vec_id", $"v"), cents)
+      .select($"vec_id", $"v", $"cid")
+    val packed = cents.agg(collect_list(struct($"cid", $"cv")).as("cents"))
+    val qp = e.filter($"vec_id" < 10)
+      .crossJoin(broadcast(packed))
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        expr("""slice(array_sort(transform(cents, c -> named_struct(
+          |  'd2', vec_dot(v, v) - 2.0d * vec_dot(v, c.cv) + vec_dot(c.cv, c.cv),
+          |  'cid', c.cid))), 1, 2)""".stripMargin).as("probes"))
+      .select($"q_id", $"qv", $"qn", explode($"probes.cid").as("pcid"))
+    val scored = assign.join(broadcast(qp),
+        $"cid" === $"pcid" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"cid",
+        expr("round(vec_dot(qv, v) / (qn * sqrt(vec_dot(v, v))), 6)")
+          .as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"neighbor_id", $"cid", $"cosine")
+      .orderBy($"q_id", $"rank")
   }
+
+  val ssIvfKmeansSql: String =
+    s"""$kmTrainedCte,
+       |qs AS (SELECT vec_id AS q_id, v AS qv,
+       |    sqrt(list_dot_product(v, v)) AS qn
+       |  FROM e WHERE vec_id < 10),
+       |qd AS (SELECT q_id, qv, qn, c.cid,
+       |    list_dot_product(qv, qv) - 2.0 * list_dot_product(qv, c.cv)
+       |      + list_dot_product(c.cv, c.cv) AS d2
+       |  FROM qs CROSS JOIN c3 c),
+       |qp AS (SELECT q_id, qv, qn, cid FROM (SELECT *, ROW_NUMBER() OVER
+       |    (PARTITION BY q_id ORDER BY d2, cid) AS rn FROM qd)
+       |  WHERE rn <= 2),
+       |scored AS (SELECT qp.q_id, af.vec_id AS neighbor_id, af.cid,
+       |    ROUND(list_dot_product(qp.qv, af.v)
+       |      / (qp.qn * sqrt(list_dot_product(af.v, af.v))), 6) AS cosine
+       |  FROM af JOIN qp ON af.cid = qp.cid AND af.vec_id <> qp.q_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+       |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, cid, cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   // --------------------------------------------------------------------
   // Product quantization — the memory-compression member of the ANN
@@ -1336,6 +1424,7 @@ object Similarity {
     "llm_ss_pq_encode_trained" -> (ssPqEncodeTrained _),
     "llm_ss_pq_search_trained" -> (ssPqSearchTrained _),
     "llm_ss_ivfpq" -> (ssIvfPq _),
+    "llm_ss_ivf_kmeans" -> (ssIvfKmeans _),
     "llm_ss_outliers" -> (ssOutliers _),
     "llm_ss_dim_stats" -> (ssDimStats _),
   )
@@ -1360,6 +1449,7 @@ object Similarity {
     "llm_ss_pq_encode_trained" -> ssPqEncodeTrainedSql,
     "llm_ss_pq_search_trained" -> ssPqSearchTrainedSql,
     "llm_ss_ivfpq" -> ssIvfPqSql,
+    "llm_ss_ivf_kmeans" -> ssIvfKmeansSql,
     "llm_ss_outliers" -> ssOutliersSql,
     "llm_ss_dim_stats" -> ssDimStatsSql,
   )
