@@ -356,11 +356,17 @@ object BenchQueries {
       (j + 1, w.multiply(new java.math.BigDecimal("0.7")))
     }.take(EwmaK)
 
-  def ewma(spark: SparkSession, dir: String): DataFrame = {
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaOn(spark, fact(spark))
+
+  /** Core of [[ewma]] over an arbitrary fact-shaped frame
+    * (pkg, test, date, ns_per_op) — separated so PropertySpec can run
+    * it against an independent per-series reference on random series. */
+  private[graft] def ewmaOn(spark: SparkSession, fIn: DataFrame): DataFrame = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pkg"), col("test")).orderBy(col("date"))
-    val f = fact(spark)
+    val f = fIn
       .select(col("pkg"), col("test"), col("date"), col("ns_per_op"))
       .withColumn("rn", row_number().over(w))
     val wt = ewmaWeights

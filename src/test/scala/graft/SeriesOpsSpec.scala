@@ -166,4 +166,43 @@ class SeriesOpsSpec extends SparkSpec {
       .filter(r => r.getString(1) == "BenchmarkDup-8")
     assert(dup.length == 1 && dup.head.getDouble(5) == 200.0)
   }
+
+  test("ewma equals the sequential reference on random series (incl. K truncation)") {
+    import spark.implicits._
+    // seeded random series longer than K=10 so the truncated-window
+    // path is exercised; the reference mirrors the query's arithmetic
+    // exactly (exact BigDecimal weight sums, double division, HALF_UP
+    // round) so equality is bit-for-bit
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 6).flatMap { s =>
+      val len = 1 + rnd.nextInt(25)
+      (0 until len).map { i =>
+        ("p", s"series$s", java.sql.Date.valueOf(
+          java.time.LocalDate.of(2015, 1, 1).plusDays(i)),
+          rnd.nextInt(1000000000).toLong)
+      }
+    }
+    val f = rows.toDF("pkg", "test", "date", "ns_per_op")
+    val got = BenchQueries.ewmaOn(spark, f).collect()
+      .map(r => (r.getString(1), r.getDate(2).toString) ->
+        (r.getInt(4), r.getDouble(5))).toMap
+    val w = (0 until 10).scanLeft(java.math.BigDecimal.ONE)(
+      (acc, _) => acc.multiply(new java.math.BigDecimal("0.7"))).take(10)
+    rows.groupBy(_._2).foreach { case (series, rs) =>
+      val sorted = rs.sortBy(_._3.toString)
+      val xs = sorted.map(_._4)
+      xs.indices.foreach { t =>
+        val window = (0 until math.min(10, t + 1)).map(j => (xs(t - j), w(j)))
+        val num = window.map { case (x, wj) =>
+          new java.math.BigDecimal(x).multiply(wj) }
+          .reduce(_.add(_))
+        val den = window.map(_._2).reduce(_.add(_))
+        val want = BigDecimal(num.doubleValue() / den.doubleValue())
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (nPts, gotV) = got((series, sorted(t)._3.toString))
+        assert(nPts == window.size, s"$series t=$t n_pts")
+        assert(gotV == want, s"$series t=$t: got $gotV want $want")
+      }
+    }
+  }
 }
