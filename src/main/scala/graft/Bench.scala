@@ -42,7 +42,12 @@ object Bench {
     // cost, which later same-session draws no longer pay.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt)
       .getOrElse(if (cold) 1 else 3)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated name filter (same contract as Verify's)
+    // for isolating one query's timing during plan work.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -56,15 +56,14 @@ object Dedup {
   private def rawClassesFor(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val classInfo = Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_classInfo")) {
-      rawClasses(Tables.documents(spark, dir).select(
-        col("doc_id"), col("text")))._1.localCheckpoint()
+      Tables.materialize(rawClasses(Tables.documents(spark, dir).select(
+        col("doc_id"), col("text")))._1)
     }
     val members = Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_members")) {
-      Tables.documents(spark, dir)
+      Tables.materialize(Tables.documents(spark, dir)
         .select(col("doc_id"), md5(col("text")).as("fp"))
         .join(classInfo, "fp")
-        .select(col("rep"), col("doc_id"))
-        .localCheckpoint()
+        .select(col("rep"), col("doc_id")))
     }
     (classInfo, members)
   }
@@ -83,13 +82,12 @@ object Dedup {
     Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_repShingles")) {
       graft.functions.Shingle3.register(spark)
       val (classInfo, _) = rawClassesFor(spark, dir)
-      Tables.documents(spark, dir)
+      Tables.materialize(Tables.documents(spark, dir)
         .select(col("doc_id"), expr("shingle3(text)").as("shingles"))
         .join(classInfo.select(col("rep"), col("w")),
           col("doc_id") === col("rep"))
         .select(col("rep"), col("w"),
-          size(col("shingles")).as("n_sh"), col("shingles"))
-        .localCheckpoint()
+          size(col("shingles")).as("n_sh"), col("shingles")))
     }
 
   // Oracle-side shingling, equivalent to the codegen shingle3 pass:
@@ -151,11 +149,10 @@ object Dedup {
     * pipeline persists beside the cluster assignments. */
   private def ngramPairsFor(spark: SparkSession, dir: String): DataFrame =
     Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_ngramPairs")) {
-      ngramJaccardPairs(spark,
+      Tables.materialize(ngramJaccardPairs(spark,
         Tables.documents(spark, dir).selectExpr("doc_id", "text"),
         MaxBucketDf, Some(rawClassesFor(spark, dir)),
-        Some(repShinglesFor(spark, dir)))
-        .localCheckpoint()
+        Some(repShinglesFor(spark, dir))))
     }
 
   /** Core of [[ddNgramJaccard]] over an arbitrary (doc_id, text)
@@ -355,15 +352,14 @@ object Dedup {
     import spark.implicits._
     val sigCols = (0 until 8).map(i => col(s"sig$i"))
     Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_bands")) {
-      ddMinhashSigs(spark, dir)
+      Tables.materialize(ddMinhashSigs(spark, dir)
         .select($"doc_id" +: array((0 until 4).map(j =>
           struct(lit(j).as("band"),
             concat_ws(":", col(s"sig${2 * j}"), col(s"sig${2 * j + 1}"))
               .as("key"))): _*).as("bks") +: sigCols: _*)
         .select($"doc_id" +: explode($"bks").as("bk") +: sigCols: _*)
         .select($"doc_id", $"bk.band", $"bk.key",
-          array(sigCols: _*).as("sigs"))
-        .localCheckpoint()
+          array(sigCols: _*).as("sigs")))
     }
   }
 
@@ -491,7 +487,7 @@ object Dedup {
     // the explode+32-sum aggregation. It is N rows × 16 bytes — tiny
     // relative to the corpus at any scale.
     val sh = Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_simhash")) {
-      ddSimhash(spark, dir).localCheckpoint()
+      Tables.materialize(ddSimhash(spark, dir))
     }
     val vbands = sh.select($"simhash").distinct()
       .select($"simhash", explode(array(
@@ -610,7 +606,7 @@ object Dedup {
   // persists, so a per-corpus materialization is the production shape.
   def ddCluster(spark: SparkSession, dir: String): DataFrame =
     Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_cluster")) {
-      ddClusterImpl(spark, dir)
+      Tables.persistArtifact(ddClusterImpl(spark, dir))
     }
 
   private def ddClusterImpl(spark: SparkSession, dir: String): DataFrame = {
@@ -892,8 +888,8 @@ object Dedup {
   private def substrWinsFor(spark: SparkSession, dir: String): DataFrame =
     Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_substrWins")) {
       val (classInfo, _) = rawClassesFor(spark, dir)
-      substrWins(Tables.documents(spark, dir).selectExpr("doc_id", "text"),
-        classInfo).localCheckpoint()
+      Tables.materialize(substrWins(
+        Tables.documents(spark, dir).selectExpr("doc_id", "text"), classInfo))
     }
 
   /** Two-level core of [[ddSubstring]], mirroring [[ngramJaccardPairs]]:

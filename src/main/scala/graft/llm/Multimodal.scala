@@ -342,14 +342,24 @@ object Multimodal {
       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
-  // llm_mm_byte_stats: payload byte-diversity screening — over the
-  // first 256 payload units, the distinct-unit ratio and the
+  // llm_mm_byte_stats: payload unit-diversity screening — over the
+  // first 256 payload UNITS, the distinct-unit ratio and the
   // adjacent-repeat ratio (run-length compressibility proxy). A
   // constant or zero-padded payload (truncated download, corrupt
   // decode) collapses to distinct_ratio ≈ 0 / repeat_ratio ≈ 1 and is
   // flagged, without decoding anything. The prefix cap bounds per-row
-  // work at any payload size; a production variant reads the parquet
-  // BINARY prefix the same way.
+  // work at any payload size.
+  //
+  // Unit semantics: the fixture carries payloads in a STRING column,
+  // so `substring` slices CHARACTERS (codepoints) and the ratios here
+  // are character-diversity — on a multi-byte corpus that is NOT the
+  // same number as byte-diversity (one repeated 3-byte codepoint is 1
+  // distinct unit here, 3 distinct bytes raw). A production variant
+  // over a parquet BINARY payload column swaps `substring(text,...)`
+  // for byte slicing on the binary prefix and gets true byte ratios
+  // from the identical plan shape; the screening decision (constant /
+  // padded payloads collapse to the degenerate corner) is the same
+  // under either unit.
   //
   // Scale shape: pure narrow projection (higher-order array exprs,
   // all codegen) — zero shuffles, composes with partition pruning.

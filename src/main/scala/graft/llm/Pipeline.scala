@@ -681,23 +681,36 @@ object Pipeline {
     // the Σ√p sum, AND the final projection — unmaterialized, Catalyst
     // re-derives the tokenizing corpus scan per consumer (the
     // shared-subplan convention; the table is |sources| rows)
+    // Degenerate-case guards make the planner TOTAL: null text rows
+    // (sum over all-null → null tokens), a corpus whose every token
+    // count is zero (corpus_toks = 0 → 0/0 raw shares), and the
+    // resulting w_sum = 0 each get the defined-zeros convention
+    // (share 0, target 0, epochs 0) instead of null/NaN rows whose
+    // cross-engine rendering differs. None of them fire on a normal
+    // corpus — split() yields ≥1 token per non-null doc — so the
+    // guarded plan is hash-identical on real data.
     val per = Tables.documents(spark, dir)
       .select($"source", size(split($"text", " ")).cast("long").as("n_toks"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum($"n_toks"), lit(0L)).as("tokens"))
       .localCheckpoint()
-    val tot = per.agg(sum($"tokens").as("corpus_toks"))
+    val tot = per.agg(coalesce(sum($"tokens"), lit(0L)).as("corpus_toks"))
     val shares = per.crossJoin(tot)
-      .withColumn("raw_share", $"tokens".cast("double") / $"corpus_toks")
+      .withColumn("raw_share", when($"corpus_toks" === 0, lit(0.0))
+        .otherwise($"tokens".cast("double") / $"corpus_toks"))
       .withColumn("w", sqrt($"raw_share"))
     val wsum = shares
-      .agg(sum($"w".cast("decimal(28,12)")).cast("double").as("w_sum"))
-    val target = $"w" / $"w_sum" * lit(EpochBudgetMult) * $"corpus_toks"
-    val epochs = least(ceil(target / $"tokens"), lit(MaxEpochs))
+      .agg(coalesce(sum($"w".cast("decimal(28,12)")).cast("double"), lit(0.0))
+        .as("w_sum"))
+    val share = when($"w_sum" === 0, lit(0.0)).otherwise($"w" / $"w_sum")
+    val target = share * lit(EpochBudgetMult) * $"corpus_toks"
+    val epochs = when($"tokens" === 0, lit(0L))
+      .otherwise(least(ceil(target / $"tokens"), lit(MaxEpochs)))
     shares.crossJoin(wsum)
       .select($"source", $"n_docs", $"tokens",
         round($"raw_share", 6).as("raw_share"),
-        round($"w" / $"w_sum", 6).as("temp_share"),
+        round(share, 6).as("temp_share"),
         round(target, 6).as("target_toks"),
         epochs.as("epochs"),
         round(least(target, epochs * $"tokens"), 6).as("planned_toks"))
@@ -709,25 +722,33 @@ object Pipeline {
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
        |  FROM documents),
        |per AS (SELECT source, COUNT(*) AS n_docs,
-       |    CAST(SUM(n_toks) AS BIGINT) AS tokens
+       |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS tokens
        |  FROM t GROUP BY source),
-       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_toks FROM per),
+       |tot AS (SELECT CAST(COALESCE(SUM(tokens), 0) AS BIGINT)
+       |    AS corpus_toks FROM per),
        |s AS (SELECT per.*, corpus_toks,
-       |    CAST(tokens AS DOUBLE) / corpus_toks AS raw_share,
-       |    SQRT(CAST(tokens AS DOUBLE) / corpus_toks) AS w
+       |    CASE WHEN corpus_toks = 0 THEN 0.0
+       |      ELSE CAST(tokens AS DOUBLE) / corpus_toks END AS raw_share,
+       |    SQRT(CASE WHEN corpus_toks = 0 THEN 0.0
+       |      ELSE CAST(tokens AS DOUBLE) / corpus_toks END) AS w
        |  FROM per CROSS JOIN tot),
-       |ws AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE)
-       |    AS w_sum FROM s)
+       |ws AS (SELECT COALESCE(CAST(SUM(CAST(w AS DECIMAL(28,12)))
+       |    AS DOUBLE), 0.0) AS w_sum FROM s),
+       |x AS (SELECT s.*, w_sum,
+       |    CASE WHEN w_sum = 0 THEN 0.0 ELSE w / w_sum END AS sh
+       |  FROM s CROSS JOIN ws),
+       |y AS (SELECT x.*, sh * $EpochBudgetMult * corpus_toks AS target,
+       |    CASE WHEN tokens = 0 THEN 0
+       |      ELSE CAST(LEAST(CEIL(sh * $EpochBudgetMult * corpus_toks
+       |        / tokens), $MaxEpochs) AS BIGINT) END AS epochs
+       |  FROM x)
        |SELECT source, n_docs, tokens,
        |  ROUND(raw_share, 6) AS raw_share,
-       |  ROUND(w / w_sum, 6) AS temp_share,
-       |  ROUND(w / w_sum * $EpochBudgetMult * corpus_toks, 6) AS target_toks,
-       |  CAST(LEAST(CEIL(w / w_sum * $EpochBudgetMult * corpus_toks / tokens),
-       |    $MaxEpochs) AS BIGINT) AS epochs,
-       |  ROUND(LEAST(w / w_sum * $EpochBudgetMult * corpus_toks,
-       |    LEAST(CEIL(w / w_sum * $EpochBudgetMult * corpus_toks / tokens),
-       |      $MaxEpochs) * tokens), 6) AS planned_toks
-       |FROM s CROSS JOIN ws ORDER BY source""".stripMargin
+       |  ROUND(sh, 6) AS temp_share,
+       |  ROUND(target, 6) AS target_toks,
+       |  epochs,
+       |  ROUND(LEAST(target, epochs * tokens), 6) AS planned_toks
+       |FROM y ORDER BY source""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_curate" -> (curate _),

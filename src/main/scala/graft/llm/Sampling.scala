@@ -277,6 +277,15 @@ object Sampling {
     val totals = toks.agg(count(lit(1)).as("tr"),
       sum(when($"lang" === "en", 1L).otherwise(0L)).as("tt"))
     val spine = spark.range(DsirBuckets).select($"id".as("b"))
+    // KNOWN HASH FRAGILITY (documented, accepted): the importance
+    // log-ratio goes through libm ln() on both engines, which is not
+    // correctly rounded — a one-ulp JVM/DuckDB divergence inside the
+    // 64-row table could move a 6th decimal across a rounding
+    // boundary. 64 fixed smoothed count-ratios make the exposure tiny
+    // (and it has never fired at sf0.01/sf0.1 on this platform); the
+    // log-free alternative would rank by the PRODUCT of probability
+    // ratios in DECIMAL, which overflows fixed precision at real doc
+    // lengths — so the log form stays, with this note as the contract.
     val lr = spine
       .join(rawB, Seq("b"), "left")
       .join(tgtB, Seq("b"), "left")

@@ -572,7 +572,7 @@ object Similarity {
         Dedup.freeCheckpoint(cents)
         cents = next
       }
-      cents
+      Tables.persistArtifact(cents)
     }
 
   def ssKmeansIter(spark: SparkSession, dir: String): DataFrame = {
@@ -804,7 +804,7 @@ object Similarity {
     // corpus side: unpivot the session-cached code table and look up —
     // integer codes only, no raw vectors
     val codes = Tables.sessionCached(spark, Tables.stamped(spark, dir, codesKey)) {
-      encode.localCheckpoint()
+      Tables.materialize(encode)
     }
     val codeLong = codes
       .select($"vec_id", explode(array((0 until PqSub).map(i =>
@@ -896,7 +896,7 @@ object Similarity {
         cb = next
       }
       Dedup.freeCheckpoint(sub)
-      cb
+      Tables.persistArtifact(cb)
     }
 
   /** llm_ss_pq_train: the trained codebooks in long form (subspace,
@@ -932,7 +932,7 @@ object Similarity {
         expr(s"vec_dot(slice(qv, s * $PqTDim + 1, $PqTDim), cv)").as("dp"))
     val codes = Tables.sessionCached(spark,
         Tables.stamped(spark, dir, "pq_codes_trained")) {
-      ssPqEncodeTrained(spark, dir).localCheckpoint()
+      Tables.materialize(ssPqEncodeTrained(spark, dir))
     }
     val codeLong = codes
       .select($"vec_id", explode(array((0 until PqTSub).map(i =>
@@ -1089,7 +1089,7 @@ object Similarity {
         expr(s"vec_dot(slice(qv, s * $PqTDim + 1, $PqTDim), cv)").as("dp"))
     val codes = Tables.sessionCached(spark,
         Tables.stamped(spark, dir, "pq_codes_trained")) {
-      ssPqEncodeTrained(spark, dir).localCheckpoint()
+      Tables.materialize(ssPqEncodeTrained(spark, dir))
     }
     val candCodes = cand.join(codes, "vec_id")
       .select($"q_id", $"vec_id", $"nrm",
@@ -1247,11 +1247,10 @@ object Similarity {
   private def sq8RangesFor(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.sessionCached(spark, Tables.stamped(spark, dir, "ss_sq8Ranges")) {
-      withNorm(spark, dir).select($"v")
+      Tables.materialize(withNorm(spark, dir).select($"v")
         .select(posexplode($"v").as(Seq("pos", "x")))
         .groupBy($"pos")
-        .agg(min($"x").as("mn"), max($"x").as("mx"))
-        .localCheckpoint()
+        .agg(min($"x").as("mn"), max($"x").as("mx")))
     }
   }
 
@@ -1323,9 +1322,15 @@ object Similarity {
       .withColumn("dn", expr("sqrt(vec_dot(dv, dv))"))
     val q = withNorm(spark, dir).filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    // zero-norm guard, mirroring the sq8 audit's mx = mn convention: a
+    // constant-per-dimension corpus dequantizes to a vector whose norm
+    // can be exactly 0 (and a zero query vector has qn = 0); cosine is
+    // then DEFINED as 0 rather than a NaN that silently reorders or
+    // drops rows in the top-k window.
     val scored = dvec.join(broadcast(q), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
-        expr("round(vec_dot(qv, dv) / (qn * dn), 6)").as("cosine"))
+        expr("case when dn = 0d or qn = 0d then 0d " +
+          "else round(vec_dot(qv, dv) / (qn * dn), 6) end").as("cosine"))
     val w = Window.partitionBy($"q_id")
       .orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))
@@ -1352,7 +1357,9 @@ object Similarity {
        |  WHERE vec_id < 5),
        |scored AS (
        |  SELECT q_id, dv.vec_id AS neighbor_id,
-       |    ROUND(list_dot_product(qv, dv.dv) / (qn * dn), 6) AS cosine
+       |    CASE WHEN dn = 0 OR qn = 0 THEN 0.0
+       |      ELSE ROUND(list_dot_product(qv, dv.dv) / (qn * dn), 6)
+       |    END AS cosine
        |  FROM dv JOIN q ON dv.vec_id <> q.q_id),
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id

@@ -220,6 +220,15 @@ object TextAnalysis {
       .join(broadcast(termDf), "term")
       .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"term",
+        // KNOWN HASH FRAGILITY (documented, accepted): ln() is not a
+        // correctly-rounded IEEE op, so JVM and DuckDB libm may differ
+        // in the last ulp; round(..,6) absorbs it at every observed
+        // input, but an idf whose 6th decimal sits within one ulp of a
+        // rounding boundary could hash-split engines. The DECIMAL-ln
+        // weight-table trick (ewma) doesn't apply to a data-dependent
+        // argument; the mean-probability form (ta_lm_score) is the
+        // log-free alternative where ranking tolerates it. tfidf/bm25
+        // keep the textbook log form and pin this note instead.
         round(($"tf_count".cast("double") / $"doc_len")
           * log($"n_docs".cast("double") / $"doc_freq"), 6).as("tfidf"))
     val w = Window.partitionBy($"doc_id")
@@ -287,6 +296,8 @@ object TextAnalysis {
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select($"doc_id",
+        // same documented one-ulp ln() fragility as tfidf (see note
+        // there); the BM25 idf term is inherently logarithmic
         (log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
           * ($"tf" * (Bm25K1 + 1.0))
           / ($"tf" + lit(Bm25K1)
@@ -1312,7 +1323,7 @@ object TextAnalysis {
 
   val taFeatureHashSql: String =
     s"""WITH tk AS (SELECT doc_id,
-       |    unnest(string_split(trim(text), ' ')) AS tok
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
        |  FROM documents),
        |b AS (SELECT doc_id, ${h60Sql("tok")} % $HashBuckets AS bucket,
        |    CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1406,7 +1417,7 @@ object TextAnalysis {
   val taGopherRulesSql: String = {
     val allStops = stop.values.flatten.toSeq.distinct.sorted
     s"""WITH t AS (SELECT doc_id, n_chars,
-       |    string_split(trim(text), ' ') AS toks, text
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks, text
        |  FROM documents),
        |m AS (SELECT doc_id,
        |  CAST(len(toks) AS INT) AS n_tokens,

@@ -47,7 +47,8 @@ object BenchQueries {
   def fact(spark: SparkSession): DataFrame =
     graft.sources.Tables.sessionCached(spark,
         graft.sources.Tables.stamped(spark, BenchFixture.shared, "bench_fact")) {
-      BenchIngest.ingest(spark, BenchFixture.shared, pkgs).localCheckpoint()
+      graft.sources.Tables.materialize(
+        BenchIngest.ingest(spark, BenchFixture.shared, pkgs))
     }
 
   def ingestGolden(spark: SparkSession, dir: String): DataFrame =
@@ -275,10 +276,19 @@ object BenchQueries {
        |  ON s.date = f.date
        |ORDER BY s.date""".stripMargin
 
-  /** S5+S6 sink round-trip: write the partitioned series JSON + catalog,
-    * read both back, return a checkable summary. No SQL oracle (sink
-    * side effects aren't DuckDB-expressible) → driver rows-only check;
-    * full content assertions live in BenchSinksSpec.
+  /** S5+S6 sink round-trip, ORACLE-CHECKED end to end: write the
+    * reference-exact `<pkg>/<test>.json` deploy tree (S5), the
+    * Spark-idiom partitioned series sink, and the catalog (S6), then
+    * read the deploy tree's ACTUAL bytes back (wholetext — the files
+    * on disk, not the pre-write frame) and reduce each file to a
+    * summary row: relative path, date-key count, lexical first/last
+    * date key, and DECIMAL-routed stat sums. The DuckDB oracle
+    * recomputes the same summary from the golden fact, closing the
+    * loop path layout → JSON body → parse → aggregate against an
+    * independent engine (previously this was the registry's one
+    * rows-only entry). Byte-level body shape (key order, null
+    * rendering) stays asserted in BenchSinksSpec; catalog CONTENT is
+    * hash-checked by bench_catalog.
     */
   def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     // Per-process scratch dir: two concurrent harness runs (bench +
@@ -288,14 +298,39 @@ object BenchQueries {
     // leaking a dir per run; deleted on JVM exit.
     val out = BenchQueries.sinkScratchDir
     val f = fact(spark)
+    BenchSinks.writeSeriesJsonExact(f, s"$out/deploy")
     BenchSinks.writeSeriesJson(f, s"$out/series")
     BenchSinks.writeCatalogJson(f, s"$out/catalog")
-    val series = spark.read.json(s"$out/series")
-    val cat = spark.read.json(s"$out/catalog")
-    series.groupBy(col("pkg")).agg(count(lit(1)).as("n_series"))
-      .join(cat.select(col("pkg"), size(col("tests")).as("n_tests")), Seq("pkg"))
-      .orderBy(col("pkg"))
+    val bodyType = "MAP<STRING, STRUCT<N: BIGINT, A: BIGINT, B: BIGINT, M: DOUBLE>>"
+    spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.json")
+      .text(s"$out/deploy")
+      .select(
+        regexp_replace(input_file_name(), "^.*?/deploy/", "").as("rel_path"),
+        from_json(col("value"), bodyType, Map.empty[String, String]).as("series"))
+      .select(col("rel_path"), explode(col("series")))
+      .groupBy(col("rel_path"))
+      .agg(count(lit(1)).as("n_dates"),
+        min(col("key")).as("first_key"),
+        max(col("key")).as("last_key"),
+        sum(col("value.N")).as("sum_ns"),
+        round(sum(col("value.M").cast("decimal(18,6)")).cast("double"), 6)
+          .as("sum_mbs"))
+      .orderBy(col("rel_path"))
   }
+
+  val sinkRoundtripSql: String =
+    s"""WITH fct AS ($ingestGoldenSql)
+       |SELECT pkg || '/' || test || '.json' AS rel_path,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dates,
+       |  MIN(strftime(date, '%d-%m-%Y')) AS first_key,
+       |  MAX(strftime(date, '%d-%m-%Y')) AS last_key,
+       |  CAST(SUM(ns_per_op) AS BIGINT) AS sum_ns,
+       |  ROUND(CAST(SUM(CAST(mb_per_s AS DECIMAL(18,6))) AS DOUBLE), 6)
+       |    AS sum_mbs
+       |FROM fct GROUP BY pkg, test ORDER BY rel_path""".stripMargin
 
   // --------------------------------------------------------------------
   // bench_moving_avg: trailing 3-point mean per series — the smoothing
@@ -909,5 +944,6 @@ object BenchQueries {
     "bench_series_norm" -> seriesNormSql,
     "bench_gap_audit" -> gapAuditSql,
     "bench_alerts" -> alertsSql,
+    "bench_sink_roundtrip" -> sinkRoundtripSql,
   )
 }

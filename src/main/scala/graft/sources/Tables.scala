@@ -100,6 +100,47 @@ object Tables {
   def stamped(spark: SparkSession, dir: String, suffix: String): String =
     s"$dir@${snapshot(spark, dir)}#$suffix"
 
+  private def cacheMode: Option[String] =
+    sys.env.get("SPARK_GRAFT_TABLE_CACHE").orElse(sys.props.get("graft.tableCache"))
+
+  /** Materialization for session-cached DERIVED artifacts (the ingest
+    * fact, the dedup class collapse and band index, trained centroids /
+    * codebooks, SQ8 ranges): `localCheckpoint` by default — executor
+    * block storage with TRUNCATED lineage, free on local[*] and the
+    * right warm-mode trade there — or a RELIABLE `checkpoint` when
+    * `SPARK_GRAFT_TABLE_CACHE=reliable` (or
+    * `-Dgraft.tableCache=reliable`). The distinction only matters on a
+    * real cluster: a localCheckpointed artifact's blocks die with any
+    * executor that held them, and truncated lineage means they are
+    * UNRECOVERABLE mid-job — an executor loss hours into a long warm
+    * pipeline kills it. Reliable mode writes the blocks to the
+    * checkpoint filesystem instead (defaulted under the session's
+    * warehouse dir — any scheme, so an object-store warehouse gives
+    * durable artifacts), surviving executor loss at the cost of one
+    * write + remote read. Base TABLE scans never route through this:
+    * the source parquet is already durable, and re-copying a 100 TB
+    * input to the checkpoint dir would be the wrong trade in every
+    * mode. */
+  def materialize(df: DataFrame): DataFrame =
+    if (cacheMode.contains("reliable")) {
+      val spark = df.sparkSession
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(
+          spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+            + "/graft-checkpoints")
+      df.checkpoint()
+    } else df.localCheckpoint()
+
+  /** [[materialize]] for a value whose build ALREADY ends in a local
+    * checkpoint (iterative training loops checkpoint per round): a
+    * no-op by default — the last round's local checkpoint IS the
+    * artifact — but a reliable re-checkpoint of the final table when
+    * `SPARK_GRAFT_TABLE_CACHE=reliable`, so the per-round transients
+    * stay cheap while the long-lived artifact gets the durable copy. */
+  def persistArtifact(df: DataFrame): DataFrame =
+    if (cacheMode.contains("reliable")) materialize(df) else df
+
   /** One parquet-backed DataFrame per (session, dir, table), built once
     * and reused by every query in the session. Reuse keeps the resolved
     * file index and inferred schema (file listing + footer reads
@@ -124,9 +165,7 @@ object Tables {
     graft.functions.Shingle3.register(spark)
     sessionCached(spark, stamped(spark, dir, name)) {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      val mode = sys.env.get("SPARK_GRAFT_TABLE_CACHE")
-        .orElse(sys.props.get("graft.tableCache"))
-      if (mode.contains("checkpoint")) df.localCheckpoint() else df
+      if (cacheMode.contains("checkpoint")) df.localCheckpoint() else df
     }
   }
 

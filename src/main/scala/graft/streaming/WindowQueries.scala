@@ -328,19 +328,27 @@ object WindowQueries {
   // distinct-over-sliding-window, which has no partial-aggregable
   // form; the scale decomposition is: reduce events to DISTINCT
   // (day, user) pairs first (bounded by days × users, orders of
-  // magnitude under event count), then range-join those pairs to the
-  // BROADCAST calendar spine (≤7 output rows per pair) and re-count
-  // distinct per day. The corpus-sized event table is touched once.
+  // magnitude under event count), then EXPLODE each pair into the ≤7
+  // trailing windows it belongs to (sequence(d, d+6) — a narrow
+  // Generate, exactly 7 rows per pair regardless of history length)
+  // and re-count distinct per day. The corpus-sized event table is
+  // touched once, and no plan node scales with the calendar: the
+  // previous range-join form broadcast the day spine into a
+  // BroadcastNestedLoopJoin evaluating |pairs| × |days| predicates,
+  // which degrades linearly with years of history for the same ≤7
+  // surviving rows (PlanSpec pins the Generate shape). Phantom days
+  // (d+1..d+6 past a pair's own activity) are pruned by the final
+  // inner join against DAU's observed-day spine, which this exactly
+  // preserves from the range-join form — same rows, same hash.
   def q42ActiveUsers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val du = Tables.events(spark, dir)
       .select($"user_id", to_date($"ts").as("d")).distinct()
-      .localCheckpoint() // feeds spine, dau, and the range join
-    val days = du.select($"d".as("day")).distinct()
+      .localCheckpoint() // feeds dau and the exploded wau pass
     val dau = du.groupBy($"d".as("day")).agg(count(lit(1)).as("dau"))
     val wau = du
-      .join(broadcast(days), $"d" >= date_sub($"day", 6) && $"d" <= $"day")
-      .select($"day", $"user_id").distinct()
+      .select(explode(sequence($"d", date_add($"d", 6))).as("day"), $"user_id")
+      .distinct()
       .groupBy($"day").agg(count(lit(1)).as("wau"))
     dau.join(wau, "day")
       .select($"day", $"dau", $"wau",

@@ -99,6 +99,58 @@ class BenchSinksSpec extends SparkSpec {
       new java.io.File(out, "plot.html").toPath)) == "asset-body")
   }
 
+  test("full sync-to-publish loop runs end-to-end over a non-local scheme (S1+S8)") {
+    // The complete reference loop — raw stdout tree in, deployed
+    // dashboard dir out — with EVERY hop on the second FS scheme:
+    // the source scan (S1 sync read), the Spark-committer partitioned
+    // series write and catalog write (commit-protocol rename behavior,
+    // which the exact-layout sink's manual FS writes don't exercise),
+    // the exact-layout deploy write, and the asset copy (S8 publish).
+    // graftfs:// resolves through core-site.xml exactly like an
+    // object-store connector; file:// shortcuts never apply.
+    val src = "/root/repo/target/test_e2e_scheme_src"
+    graft.sources.BenchFixture.write(src)
+    val out = "/root/repo/target/test_e2e_scheme_out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+
+    // S1: ingest THROUGH the scheme (input_file_name carries graftfs://
+    // paths; the date/pkg regexes must be scheme-agnostic)
+    val fact = graft.sources.BenchIngest.ingest(spark, s"graftfs://$src",
+      Seq("sql", "sql/parser", "util/cache"))
+    val factLocal = graft.sources.BenchIngest.ingest(spark, src,
+      Seq("sql", "sql/parser", "util/cache"))
+    assert(fact.count() == factLocal.count(),
+      "scheme-read ingest must equal the file:// run")
+
+    // S5 partitioned + S6 catalog: Spark committer (temporary dir +
+    // rename) through the scheme
+    BenchSinks.writeSeriesJson(fact, s"graftfs://$out/series")
+    BenchSinks.writeCatalogJson(fact, s"graftfs://$out/catalog")
+    // S5 exact layout + S7 assets: manual FS writes through the scheme
+    BenchSinks.writeSeriesJsonExact(fact, s"graftfs://$out/deploy")
+    val assetDir = new java.io.File("/root/repo/target/test_e2e_scheme_assets")
+    assetDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(assetDir, "index.html").toPath, "dash-body")
+    BenchSinks.copyStaticAssets(
+      Seq(s"graftfs://$assetDir/index.html"), s"graftfs://$out/deploy")
+
+    // read everything back THROUGH the scheme and check content
+    val series = spark.read.json(s"graftfs://$out/series")
+    assert(series.count() == 4, "4 (pkg,test) series expected")
+    val cat = spark.read.json(s"graftfs://$out/catalog")
+    assert(cat.count() == 3)
+    assert(new java.io.File(s"$out/deploy/sql/BenchmarkDup-8.json").isFile)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$out/deploy/index.html").toPath)) == "dash-body")
+    // committer left no temporary turds behind
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten
+        .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    assert(!walk(new java.io.File(out)).exists(_.getPath.contains("_temporary")),
+      "uncommitted temporary output left in the deploy root")
+  }
+
   test("null stats serialize as explicit JSON nulls, all four keys present") {
     import spark.implicits._
     // mb_per_s is genuinely absent for non-throughput benchmarks; the

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Degenerate-input totality: the r6 verdict/advice items on 0/0 rate
+  * columns (attrition, q38), the epoch planner's empty-corpus case,
+  * and SQ8 search's zero-norm cosines. Each guarded expression must
+  * produce its DEFINED value (zeros), never NaN/null — NaN is
+  * engine-dependent in DuckDB (`ieee_floating_point_ops`), so a NaN
+  * that leaks is a broken hash contract waiting for an empty
+  * partition.
+  */
+class DegenerateInputSpec extends SparkSpec {
+
+  /** A star-schema dir whose documents/events tables are EMPTY but
+    * carry the production schemas (events.ts as raw nanos-long, which
+    * is what Tables.events reads via nanosAsLong). */
+  private lazy val emptyDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
+    val docs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    docs.write.parquet(s"$d/documents.parquet")
+    val events = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+    events.write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("attrition reports defined zero rates on an empty corpus") {
+    val rows = graft.llm.Pipeline.attrition(spark, emptyDir)
+      .orderBy("stage").collect()
+    assert(rows.length == 5, "the 5-stage report must exist even when empty")
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
+      assert(!r.getDouble(4).isNaN, s"NaN drop_rate at stage ${r.getInt(0)}")
+      assert(r.getDouble(4) == 0.0)
+    }
+  }
+
+  test("q38 funnel emits vacuous 0.0 conversions on an empty event set") {
+    val rows = graft.streaming.WindowQueries.q38Funnel(spark, emptyDir)
+      .orderBy("stage").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 0L, 0L))
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(1.0, 0.0, 0.0),
+      "empty prior stages must convert at the defined 0.0, not NaN")
+  }
+
+  test("epoch planner is total on an empty corpus") {
+    assert(graft.llm.Pipeline.epochPlan(spark, emptyDir).collect().isEmpty,
+      "no sources -> no plan rows (not a null/NaN row)")
+  }
+
+  test("sq8 search defines cosine 0 for zero-norm vectors, never NaN") {
+    // All-zero corpus: every dimension has mx = mn = 0, the dequantized
+    // vectors have norm 0, and the query vectors themselves have norm 0
+    // — the double-degenerate corner. The audit convention (code 0 at
+    // mx = mn) extends to the search: cosine is 0, rows keep flowing
+    // through the top-k window on the deterministic id tie-break.
+    val d = java.nio.file.Files.createTempDirectory("graft_zero_vec").toString
+    val rows = (0L until 8L).map(i =>
+      Row(i, Seq.fill(4)(0.0f), 0))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    emb.write.parquet(s"$d/embeddings.parquet")
+    val got = graft.llm.Similarity.ssSq8Search(spark, d).collect()
+    assert(got.length == 15, s"5 queries x top-3 expected, got ${got.length}")
+    got.foreach { r =>
+      val c = r.getDouble(2)
+      assert(!c.isNaN && c == 0.0, s"expected defined 0.0 cosine, got $c")
+    }
+  }
+}

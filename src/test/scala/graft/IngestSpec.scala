@@ -67,4 +67,36 @@ class IngestSpec extends SparkSpec {
       .orderBy("date").select("date").collect().map(_.getDate(0).toString)
     assert(dates.toSeq == Seq("2015-01-01", "2015-01-02", "2015-03-15"))
   }
+
+  test("snapshot-stamped fact cache sees files added DEEP in the stdout tree") {
+    import graft.sources.Tables
+    // The live incremental-ingest shape: a new day's stdout lands
+    // nested at <date>/cockroach/<pkg>/<file> — two levels below the
+    // root, where neither the root's entry count nor the root's
+    // entry mtimes change. Tables.snapshot must recurse, or the
+    // session-cached fact silently serves the stale pre-drop answer
+    // (the r6 verdict's top finding).
+    val root = Files.createTempDirectory("graft_deepsnap").toString
+    def fact() = Tables.sessionCached(spark,
+        Tables.stamped(spark, root, "deep_fact")) {
+      BenchIngest.ingest(spark, root, Seq("sql")).localCheckpoint()
+    }
+    val d1 = java.nio.file.Paths.get(root, "01-01-2015", "cockroach", "sql")
+    Files.createDirectories(d1)
+    Files.write(d1.resolve("a.test.stdout"),
+      "BenchmarkDeepA-8 \t 1000 \t 500 ns/op".getBytes("UTF-8"))
+    assert(fact().count() == 1)
+    // new file two directory levels below root, pre-existing date dir
+    Files.write(d1.resolve("b.test.stdout"),
+      "BenchmarkDeepB-8 \t 1000 \t 700 ns/op".getBytes("UTF-8"))
+    assert(fact().count() == 2,
+      "deep-tree change did not re-key the session-cached fact")
+    // and a whole new nested day, also below the top level
+    val d2 = java.nio.file.Paths.get(root, "02-01-2015", "cockroach", "sql")
+    Files.createDirectories(d2)
+    Files.write(d2.resolve("c.test.stdout"),
+      "BenchmarkDeepA-8 \t 1000 \t 400 ns/op".getBytes("UTF-8"))
+    assert(fact().count() == 3,
+      "new nested date dir did not re-key the session-cached fact")
+  }
 }

@@ -289,12 +289,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("active users range-joins the broadcast spine, never a cartesian") {
+  test("active users explodes the 7-day window, never a nested-loop join") {
     val plan = planOf(graft.streaming.WindowQueries
       .q42ActiveUsers(spark, sf0001))
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      "the calendar spine must broadcast into the range join:\n"
-        + plan.take(800))
+    // the WAU pass must be the narrow Generate (7 rows per (day,user)
+    // pair), not the r6-flagged BroadcastNestedLoopJoin against the
+    // day spine whose predicate count scales with calendar length
+    assert(plan.contains("Generate"),
+      "expected explode(sequence(d, d+6)) Generate:\n" + plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "calendar-scaling nested-loop join crept back:\n" + plan.take(800))
     assert(!plan.contains("CartesianProduct"),
       "no unbroadcast cartesian allowed:\n" + plan.take(800))
   }

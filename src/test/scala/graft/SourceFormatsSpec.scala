@@ -79,6 +79,39 @@ class SourceFormatsSpec extends SparkSpec {
     assert(innerBuilds == 1)
   }
 
+  test("reliable cache mode writes artifacts to disk and survives block loss") {
+    import graft.sources.Tables
+    // SPARK_GRAFT_TABLE_CACHE=reliable (here via the sys-prop alias):
+    // derived artifacts checkpoint to the reliable checkpoint FS
+    // instead of executor block storage, so on a real cluster an
+    // executor loss doesn't strand a warm pipeline mid-job. Local
+    // proof: the checkpoint files exist on disk, and after dropping
+    // every cached block the frame still answers from those files.
+    sys.props("graft.tableCache") = "reliable"
+    try {
+      val df = Tables.materialize(
+        spark.range(10).toDF("x").withColumn("y", col("x") * 2))
+      val ckDir = spark.sparkContext.getCheckpointDir
+      assert(ckDir.isDefined, "reliable mode must set a checkpoint dir")
+      val local = new java.io.File(
+        new java.net.URI(ckDir.get).getPath)
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      assert(walk(local).nonEmpty,
+        s"no checkpoint files under ${local.getPath}")
+      // simulate executor loss: unpersist every block behind the plan
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = true)
+        case _ => ()
+      }
+      assert(df.count() == 10, "reliable artifact unreadable after block loss")
+      // and the no-op path for already-materialized loop artifacts
+      assert(Tables.persistArtifact(df).count() == 10)
+    } finally sys.props.remove("graft.tableCache")
+  }
+
   test("snapshot token invalidates cached tables when the dir is rewritten") {
     import graft.sources.Tables
     val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString

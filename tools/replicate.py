@@ -25,6 +25,25 @@ factor = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 import os
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
+
+# The id shift keeps replica ids unique ONLY while every source id is
+# below the shift; on a bigger source the replicas would silently
+# collide and corrupt the stress fixture the scaling records measure.
+# Fail loudly instead.
+for table, col, shift in [
+    ("documents", "doc_id", 10_000_000),
+    ("embeddings", "vec_id", 10_000_000),
+    ("events", "event_id", 100_000_000),
+    ("events", "user_id", 10_000_000),
+]:
+    mx = con.sql(
+        f"SELECT MAX({col}) FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchone()[0]
+    if mx is not None and mx >= shift:
+        sys.exit(
+            f"replicate.py: {table}.{col} max {mx} >= shift {shift}; "
+            "replica ids would collide — refusing to build the fixture")
+
 con.sql(f"""
 COPY (SELECT doc_id + k*10000000 AS doc_id, text, lang, source, n_chars
       FROM read_parquet('{src}/documents.parquet'), range(0, {factor}) t(k))
