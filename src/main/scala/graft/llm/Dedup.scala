@@ -574,6 +574,164 @@ object Dedup {
       |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_embedding_lsh: the BANDED scale path for ddEmbeddingNear's
+  // predicate — sign-LSH bands (16 bands × 4 sign bits over the 64
+  // dims) bucket the corpus, candidate pairs come from shared
+  // (band, bucket) cells, and only candidates pay an exact cosine
+  // verification. Never an all-pairs join: the corpus explodes to
+  // bands×N narrow rows, buckets collapse through one groupBy, and
+  // in-bucket pair expansion is bounded by the df cap — the same
+  // count-first bucket-cap discipline as the MinHash-LSH shingle path
+  // (a bucket over the cap is dropped WITH that stated recall trade).
+  //
+  // Band sizing is τ-dependent, and the fixture makes the trade
+  // visible rather than hiding it: at this baseline's τ = 0.4 a sign
+  // bit agrees with p = 1 − θ/π ≈ 0.63, so 4-bit bands hit with
+  // p⁴ ≈ 0.16 and 16 bands recall ≈ 1 − (1−p⁴)¹⁶ ≈ 0.94 — but a
+  // random pair (p = 0.5) still hits a 4-bit band with 1/16, so
+  // near-noise thresholds keep candidate volume high (measured in
+  // ddEmbeddingLshRecall, not asserted away). At production near-dup
+  // thresholds (τ ≥ 0.8 ⇒ p ≈ 0.8) the same construction separates
+  // sharply (band hit 0.41 vs 1/16 random), which is why SemDeDup-
+  // style pipelines run it at high τ; the operator takes the
+  // threshold as a parameter of the MATH, not a new plan.
+  private val EmbLshBands = 16
+  private val EmbLshBits = 4
+  private val EmbLshMaxBucket = 256L
+
+  def ddEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshVerified(spark, dir)
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+
+  // shared by the pair query and the recall panel
+  private def embeddingBanded(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecDot.register(spark)
+    Similarity.withNorm(spark, dir)
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${EmbLshBands - 1}), j -> named_struct(
+           |  'band', j,
+           |  'key', concat_ws('', transform(
+           |    slice(v, j * $EmbLshBits + 1, $EmbLshBits),
+           |    x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN '1' ELSE '0' END))))"""
+          .stripMargin)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private def embeddingCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val banded = embeddingBanded(spark, dir)
+    // count-first df cap: bucket sizes are a ≤ bands·2^bits-row table,
+    // broadcast back so no bucket ever expands past the cap
+    val kept = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") <= EmbLshMaxBucket)
+      .select(col("band"), col("key"))
+    banded.join(broadcast(kept), Seq("band", "key"))
+      // in-bucket combinations via groupBy + sorted-array expansion,
+      // not a self-join (repo convention: Spark does not dedupe common
+      // subplans, and the sorted array gives vec_a < vec_b for free)
+      .groupBy(col("band"), col("key"))
+      .agg(array_sort(collect_list(col("vec_id"))).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    b -> named_struct('vec_a', a, 'vec_b', b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .distinct()
+  }
+
+  private def embeddingLshVerified(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.withNorm(spark, dir)
+    embeddingCandidates(spark, dir)
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr("round(vec_dot(va, vb) / (na * nb), 6)").as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+
+  private val embLshCandSql: String =
+    s"""e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e2),
+       |bk AS (SELECT vec_id, j AS band,
+       |    list_aggregate(list_transform(
+       |      v[j*$EmbLshBits+1 : j*$EmbLshBits+$EmbLshBits],
+       |      x -> CASE WHEN x >= 0.0 THEN '1' ELSE '0' END),
+       |      'string_agg', '') AS key
+       |  FROM n2, range(0, $EmbLshBands) t(j)),
+       |sz AS (SELECT band, key, COUNT(*) AS nb FROM bk GROUP BY 1, 2),
+       |inb AS (SELECT bk.vec_id, bk.band, bk.key FROM bk
+       |  JOIN sz USING (band, key) WHERE sz.nb <= $EmbLshMaxBucket),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM inb a JOIN inb b ON a.band = b.band AND a.key = b.key
+       |    AND a.vec_id < b.vec_id),
+       |ver AS (SELECT c.vec_a, c.vec_b,
+       |    ROUND(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+       |      AS cosine
+       |  FROM cand c JOIN n2 na ON c.vec_a = na.vec_id
+       |  JOIN n2 nb ON c.vec_b = nb.vec_id
+       |  WHERE ROUND(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+       |    >= 0.4)""".stripMargin
+
+  val ddEmbeddingLshSql: String =
+    s"""WITH $embLshCandSql
+       |SELECT vec_a, vec_b, cosine FROM ver
+       |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_dd_embedding_lsh_recall: the measurement panel for the banded
+  // path — candidate volume, verified pairs, exact-baseline truth,
+  // recall, and candidate efficiency, in one row. The numbers are the
+  // DESIGN INPUT for band sizing (see ddEmbeddingLsh's τ analysis):
+  // a recall under target says more/shorter bands, an efficiency near
+  // the all-pairs ratio says the threshold sits too close to the
+  // noise floor for banding to pay. Same measured-not-claimed
+  // discipline as llm_dd_lsh_recall and llm_ss_recall.
+  def ddEmbeddingLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = ddEmbeddingNear(spark, dir)
+      .select($"vec_a", $"vec_b").localCheckpoint()
+    val cand = embeddingCandidates(spark, dir).localCheckpoint()
+    val ver = embeddingLshVerified(spark, dir).select($"vec_a", $"vec_b")
+      .localCheckpoint()
+    val hits = ver.join(truth, Seq("vec_a", "vec_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(ver.agg(count(lit(1)).as("n_pairs")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select($"n_truth", $"n_cand", $"n_pairs",
+        // vacuous conventions as in ddLshRecall: nothing to find →
+        // recall 1; no candidates → efficiency 1
+        when($"n_truth" === 0, lit(1.0))
+          .otherwise(round($"n_hit".cast("double") / $"n_truth", 6))
+          .as("recall"),
+        when($"n_cand" === 0, lit(1.0))
+          .otherwise(round($"n_pairs".cast("double") / $"n_cand", 6))
+          .as("cand_efficiency"))
+  }
+
+  val ddEmbeddingLshRecallSql: String =
+    s"""WITH $embLshCandSql,
+       |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+       |  WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4),
+       |hits AS (SELECT v.vec_a, v.vec_b FROM ver v
+       |  JOIN truth t ON v.vec_a = t.vec_a AND v.vec_b = t.vec_b)
+       |SELECT
+       |  (SELECT COUNT(*) FROM truth) AS n_truth,
+       |  (SELECT COUNT(*) FROM cand) AS n_cand,
+       |  (SELECT COUNT(*) FROM ver) AS n_pairs,
+       |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0
+       |    ELSE ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+       |      / (SELECT COUNT(*) FROM truth), 6) END AS recall,
+       |  CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN 1.0
+       |    ELSE ROUND(CAST((SELECT COUNT(*) FROM ver) AS DOUBLE)
+       |      / (SELECT COUNT(*) FROM cand), 6) END AS cand_efficiency"""
+      .stripMargin
+
+  // --------------------------------------------------------------------
   // llm_dd_cluster: duplicate-cluster canonicalization — the step a
   // production dedup pipeline runs AFTER pair generation: connected
   // components over the near-dup graph, canonical = min doc_id per
@@ -1463,6 +1621,8 @@ object Dedup {
     "llm_dd_simhash" -> (ddSimhash _),
     "llm_dd_simhash_pairs" -> (ddSimhashPairs _),
     "llm_dd_embedding_near" -> (ddEmbeddingNear _),
+    "llm_dd_embedding_lsh" -> (ddEmbeddingLsh _),
+    "llm_dd_embedding_lsh_recall" -> (ddEmbeddingLshRecall _),
     "llm_dd_cluster" -> (ddCluster _),
     "llm_dd_cluster_sizes" -> (ddClusterSizes _),
     "llm_dd_keep_best" -> (ddKeepBest _),
@@ -1487,6 +1647,8 @@ object Dedup {
     "llm_dd_simhash" -> ddSimhashSql,
     "llm_dd_simhash_pairs" -> ddSimhashPairsSql,
     "llm_dd_embedding_near" -> ddEmbeddingNearSql,
+    "llm_dd_embedding_lsh" -> ddEmbeddingLshSql,
+    "llm_dd_embedding_lsh_recall" -> ddEmbeddingLshRecallSql,
     "llm_dd_cluster" -> ddClusterSql,
     "llm_dd_cluster_sizes" -> ddClusterSizesSql,
     "llm_dd_keep_best" -> ddKeepBestSql,

@@ -237,6 +237,92 @@ object Sampling {
        |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_sample_neyman: variance-aware stratified allocation (Neyman
+  // 1934): given a total audit budget of B draws, allocate per-source
+  // sample sizes n_h proportional to N_h.sd_h — the allocation that
+  // minimizes the estimator variance of a stratified mean, and the
+  // statistically-correct upgrade of llm_sample_stratified's equal
+  // quota when strata differ in spread (a homogeneous boilerplate
+  // source needs few draws; a high-variance scraped source needs
+  // many). Spread is measured on n_chars (the audit variable).
+  //
+  // Cross-engine exactness: the sample variance runs on the EXACT
+  // integer identity (n.sxx - sx^2) / (n(n-1)) — integer sums of
+  // int64 chars stay below 2^53, so the double conversion is exact
+  // and the single division + sqrt are correctly rounded IEEE. The
+  // weight total routes through DECIMAL(28,12) (the epochPlan
+  // pattern); allocations use floor(), which is exact on any double.
+  // Degenerate conventions: a single-doc or constant stratum has
+  // sd = 0; if EVERY stratum is constant (wsum = 0) the allocation
+  // falls back to proportional, so the planner is total.
+  //
+  // Scale shape: one partial-aggregable groupBy(source) over a
+  // two-column projection; everything after operates on the
+  // |sources|-row table (1-row totals via crossJoin broadcast).
+  private[graft] val NeymanBudget = 100L
+
+  def sampleNeyman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select($"source", $"n_chars".cast("long").as("x"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_h"),
+        coalesce(sum($"x"), lit(0L)).as("sx"),
+        coalesce(sum($"x" * $"x"), lit(0L)).as("sxx"))
+    val sd = when($"n_h" <= 1, lit(0.0)).otherwise(
+      sqrt(($"n_h" * $"sxx" - $"sx" * $"sx").cast("double")
+        / ($"n_h" * ($"n_h" - 1)).cast("double")))
+    val w = per.select($"source", $"n_h", $"sx", $"sxx",
+      ($"n_h".cast("double") * sd).as("wh"), sd.as("sd"))
+    val tot = w.agg(
+      coalesce(sum($"wh".cast("decimal(28,12)")).cast("double"), lit(0.0))
+        .as("wsum"),
+      coalesce(sum($"n_h"), lit(0L)).as("n_tot"))
+    val share = when($"wsum" === 0,
+        $"n_h".cast("double") / $"n_tot")
+      .otherwise($"wh" / $"wsum")
+    w.crossJoin(tot)
+      .select($"source", $"n_h",
+        round($"sx".cast("double") / $"n_h", 6).as("mean_chars"),
+        round($"sd", 6).as("sd_chars"),
+        round(share, 6).as("alloc_share"),
+        floor(lit(NeymanBudget) * share).cast("long").as("neyman_n"),
+        floor(lit(NeymanBudget)
+          * ($"n_h".cast("double") / $"n_tot")).cast("long").as("prop_n"))
+      .orderBy($"source")
+  }
+
+  val sampleNeymanSql: String =
+    s"""WITH per AS (SELECT source, COUNT(*) AS n_h,
+       |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sx,
+       |    CAST(COALESCE(SUM(n_chars * n_chars), 0) AS BIGINT) AS sxx
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, n_h, sx, sxx,
+       |    CAST(n_h AS DOUBLE) * (CASE WHEN n_h <= 1 THEN 0.0
+       |      ELSE SQRT(CAST(n_h * sxx - sx * sx AS DOUBLE)
+       |        / CAST(n_h * (n_h - 1) AS DOUBLE)) END) AS wh,
+       |    CASE WHEN n_h <= 1 THEN 0.0
+       |      ELSE SQRT(CAST(n_h * sxx - sx * sx AS DOUBLE)
+       |        / CAST(n_h * (n_h - 1) AS DOUBLE)) END AS sd
+       |  FROM per),
+       |tot AS (SELECT
+       |    COALESCE(CAST(SUM(CAST(wh AS DECIMAL(28,12))) AS DOUBLE), 0.0)
+       |      AS wsum,
+       |    CAST(COALESCE(SUM(n_h), 0) AS BIGINT) AS n_tot FROM w),
+       |x AS (SELECT w.*, wsum, n_tot,
+       |    CASE WHEN wsum = 0 THEN CAST(n_h AS DOUBLE) / n_tot
+       |      ELSE wh / wsum END AS share
+       |  FROM w CROSS JOIN tot)
+       |SELECT source, n_h,
+       |  ROUND(CAST(sx AS DOUBLE) / n_h, 6) AS mean_chars,
+       |  ROUND(sd, 6) AS sd_chars,
+       |  ROUND(share, 6) AS alloc_share,
+       |  CAST(FLOOR($NeymanBudget * share) AS BIGINT) AS neyman_n,
+       |  CAST(FLOOR($NeymanBudget * (CAST(n_h AS DOUBLE) / n_tot)) AS BIGINT)
+       |    AS prop_n
+       |FROM x ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_sample_dsir: data selection by importance resampling (the
   // hashed-feature DSIR recipe, Xie et al. 2023): score every document
   // by how target-like its token distribution is, where "target" is a
@@ -355,6 +441,7 @@ object Sampling {
     "llm_sample_resample" -> (sampleResample _),
     "llm_sample_lang_balance" -> (sampleLangBalance _),
     "llm_sample_dsir" -> (sampleDsir _),
+    "llm_sample_neyman" -> (sampleNeyman _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -365,5 +452,6 @@ object Sampling {
     "llm_sample_resample" -> sampleResampleSql,
     "llm_sample_lang_balance" -> sampleLangBalanceSql,
     "llm_sample_dsir" -> sampleDsirSql,
+    "llm_sample_neyman" -> sampleNeymanSql,
   )
 }

@@ -74,6 +74,73 @@ object TextAnalysis {
       |FROM t ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // ta_fertility: tokenizer fertility by language — BPE-ish tokens per
+  // whitespace word, per lang, against the corpus-wide rate. THE
+  // multilingual tokenizer-equity number (a language whose fertility
+  // runs 2x the corpus mean pays 2x the context budget per word and
+  // trains on effectively shorter documents); reported per lang with
+  // the relative rate so the inequity is a column, not a derivation.
+  // Uses taTokens' exact segmentations (whitespace words; the
+  // byte-level-BPE-shaped runs-of-alphanumerics regex).
+  //
+  // Scale shape: ONE partial-aggregable groupBy(lang) over a narrow
+  // scan projection; corpus totals are a 1-row crossJoin. Nothing
+  // here scales with anything but |langs|.
+  def taFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables.documents(spark, dir)
+      .select($"lang",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_words"),
+        size(regexp_extract_all($"text",
+          lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum($"n_words"), lit(0L)).as("words"),
+        coalesce(sum($"n_bpe"), lit(0L)).as("bpe_tokens"))
+    val tot = per.agg(
+      coalesce(sum($"words"), lit(0L)).as("tw"),
+      coalesce(sum($"bpe_tokens"), lit(0L)).as("tb"))
+    per.crossJoin(tot)
+      .select($"lang", $"n_docs", $"words", $"bpe_tokens",
+        when($"words" === 0, lit(0.0))
+          .otherwise(round($"bpe_tokens".cast("double") / $"words", 6))
+          .as("fertility"),
+        when($"tw" === 0, lit(0.0))
+          .otherwise(round($"tb".cast("double") / $"tw", 6))
+          .as("corpus_fertility"),
+        // relative rate from the UNROUNDED ratios (one division each,
+        // correctly rounded, same operation order both engines)
+        when($"words" === 0 || $"tb" === 0 || $"tw" === 0, lit(0.0))
+          .otherwise(round(($"bpe_tokens".cast("double") / $"words")
+            / ($"tb".cast("double") / $"tw"), 6))
+          .as("rel_fertility"))
+      .orderBy($"lang")
+  }
+
+  val taFertilitySql: String =
+    s"""WITH t AS (SELECT lang,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+       |      AS BIGINT) AS n_bpe
+       |  FROM documents),
+       |per AS (SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS words,
+       |    CAST(COALESCE(SUM(n_bpe), 0) AS BIGINT) AS bpe_tokens
+       |  FROM t GROUP BY lang),
+       |tot AS (SELECT CAST(COALESCE(SUM(words), 0) AS BIGINT) AS tw,
+       |    CAST(COALESCE(SUM(bpe_tokens), 0) AS BIGINT) AS tb FROM per)
+       |SELECT lang, n_docs, words, bpe_tokens,
+       |  CASE WHEN words = 0 THEN 0.0
+       |    ELSE ROUND(CAST(bpe_tokens AS DOUBLE) / words, 6) END AS fertility,
+       |  CASE WHEN tw = 0 THEN 0.0
+       |    ELSE ROUND(CAST(tb AS DOUBLE) / tw, 6) END AS corpus_fertility,
+       |  CASE WHEN words = 0 OR tb = 0 OR tw = 0 THEN 0.0
+       |    ELSE ROUND((CAST(bpe_tokens AS DOUBLE) / words)
+       |      / (CAST(tb AS DOUBLE) / tw), 6) END AS rel_fertility
+       |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------------
   // ta_lang_id: stopword-hit language ID. Score per language = count of
   // tokens in that language's function-word list; argmax with a fixed
   // tie-break order (en > de > fr > es > zh), 'und' when all scores 0.
@@ -1440,6 +1507,7 @@ object TextAnalysis {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_tokens" -> (taTokens _),
+    "llm_ta_fertility" -> (taFertility _),
     "llm_ta_lang_id" -> (taLangId _),
     "llm_ta_quality" -> (taQuality _),
     "llm_ta_quality_calib" -> (taQualityCalib _),
@@ -1470,6 +1538,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "llm_ta_tokens" -> taTokensSql,
+    "llm_ta_fertility" -> taFertilitySql,
     "llm_ta_lang_id" -> taLangIdSql,
     "llm_ta_quality" -> taQualitySql,
     "llm_ta_quality_calib" -> taQualityCalibSql,

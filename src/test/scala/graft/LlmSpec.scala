@@ -804,4 +804,56 @@ class LlmSpec extends SparkSpec {
     assert(enSel > enAll,
       s"top-64 en share $enSel not enriched over corpus $enAll")
   }
+
+  test("embedding LSH: verified pairs are a high-recall subset of the baseline") {
+    import org.apache.spark.sql.functions._
+    val truth = graft.llm.Dedup.ddEmbeddingNear(spark, sf0001)
+      .select(col("vec_a"), col("vec_b"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = graft.llm.Dedup.ddEmbeddingLsh(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // subset with IDENTICAL cosines (the verification is exact, so a
+    // banded pair can never disagree with the baseline on the value)
+    banded.foreach { case (k, c) =>
+      assert(truth.get(k).contains(c), s"pair $k: banded $c vs ${truth.get(k)}")
+    }
+    val recall = banded.size.toDouble / truth.size
+    assert(recall >= 0.9, s"fixture recall $recall below the 16x4-band design point")
+    // and the panel row agrees with the recomputation
+    val row = graft.llm.Dedup.ddEmbeddingLshRecall(spark, sf0001).collect()(0)
+    assert(row.getLong(0) == truth.size && row.getLong(2) == banded.size)
+    assert(math.abs(row.getDouble(3) - recall) < 1e-6 + 5e-7)
+  }
+
+  test("fertility: per-lang rates reconcile with corpus totals") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.llm.TextAnalysis.taFertility(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val tw = rows.map(_.getLong(2)).sum
+    val tb = rows.map(_.getLong(3)).sum
+    val corpusF = rows.head.getDouble(5)
+    assert(math.abs(corpusF - tb.toDouble / tw) < 1e-6,
+      "corpus fertility must equal total bpe / total words")
+    rows.foreach { r =>
+      // BPE-ish segmentation never merges whitespace words
+      assert(r.getLong(3) >= r.getLong(2), s"bpe < words for ${r.getString(0)}")
+      assert(r.getDouble(4) >= 1.0 - 1e-6)
+      // rel ~ fertility / corpus (rounding at 6dp on each side)
+      assert(math.abs(r.getDouble(6) - r.getDouble(4) / corpusF) < 1e-3)
+    }
+  }
+
+  test("neyman allocation: shares partition the budget, variance beats equal") {
+    val rows = graft.llm.Sampling.sampleNeyman(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(4))
+    assert(math.abs(shares.sum - 1.0) < 1e-3, s"shares sum ${shares.sum}")
+    val alloc = rows.map(_.getLong(5)).sum
+    assert(alloc <= graft.llm.Sampling.NeymanBudget,
+      "floor() allocations may undershoot but never exceed the budget")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, "sd must be non-negative")
+      assert(r.getLong(5) >= 0L && r.getLong(6) >= 0L)
+    }
+  }
 }

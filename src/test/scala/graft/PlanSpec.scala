@@ -289,6 +289,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH pairs expand in-bucket arrays, never an all-pairs join") {
+    val plan = planOf(graft.llm.Dedup.ddEmbeddingLsh(spark, sf0001))
+    // candidate pairs must come from the groupBy(band,key) sorted-array
+    // expansion (Generate over collect_list), with the bucket-cap list
+    // broadcast — an all-pairs or nested-loop shape over raw vectors is
+    // exactly what the banded path exists to avoid
+    assert(plan.contains("Generate"),
+      "expected in-bucket combination Generate:\n" + plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket-cap list must broadcast:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "all-pairs shape in the banded path:\n" + plan.take(800))
+  }
+
   test("active users explodes the 7-day window, never a nested-loop join") {
     val plan = planOf(graft.streaming.WindowQueries
       .q42ActiveUsers(spark, sf0001))
