@@ -526,12 +526,13 @@ object Dedup {
   // llm_dd_embedding_near: embedding-cosine near-duplicate pairs over
   // `embeddings` — the exact baseline (all pairs, cosine >= 0.4; the synthetic embeddings cap out near 0.51).
   // Arithmetic is float->double elementwise then a left-fold sum, so
-  // the value is IEEE-identical across engines; Similarity.ssLshBucket
-  // is the banded scale path for the same predicate.
+  // the value is IEEE-identical across engines; ddEmbeddingLsh below
+  // is the banded scale path for the same predicate, with its recall
+  // measured against this baseline in ddEmbeddingLshRecall.
   /** Hard guard for the all-pairs exact baseline: N vectors imply N²/2
     * cosine evaluations, so this form exists for verification scale
     * only — the production path for the same predicate is the banded
-    * candidate join (Similarity.ssLshBucket). The guard fails fast
+    * pair generator ([[ddEmbeddingLsh]]). The guard fails fast
     * instead of silently launching an O(N²) job on a corpus-sized
     * input; the row count comes from the parquet footers (withNorm is
     * a pure projection of `embeddings`, so footer record counts are
@@ -547,8 +548,8 @@ object Dedup {
       val n = Tables.parquetRowCount(spark, s"$dir/embeddings.parquet")
       require(n <= MaxAllPairsRows,
         s"llm_dd_embedding_near is an all-pairs exact baseline (input has $n" +
-          s" rows > $MaxAllPairsRows); use Similarity.ssLshBucket for the" +
-          " banded scale path, or set SPARK_GRAFT_ALLOW_ALLPAIRS=1")
+          s" rows > $MaxAllPairsRows); use ddEmbeddingLsh for the banded" +
+          " scale path, or set SPARK_GRAFT_ALLOW_ALLPAIRS=1")
     }
     // The cosine predicate lives IN the join condition, after the id
     // comparison: a trailing .filter gets pushed into the join ANDed
@@ -603,22 +604,27 @@ object Dedup {
     embeddingLshVerified(spark, dir)
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
 
-  // shared by the pair query and the recall panel
+  /** (vec_id, v, nrm, band, key) rows — every vector exploded to its
+    * band buckets, vectors riding along so consumers can score
+    * in-place. Shared by the pair generator, the recall panel, and
+    * the incremental batch probe. */
   private def embeddingBanded(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VecDot.register(spark)
     Similarity.withNorm(spark, dir)
-      .select(col("vec_id"), explode(expr(
+      .select(col("vec_id"), col("v"), col("nrm"), explode(expr(
         s"""transform(sequence(0, ${EmbLshBands - 1}), j -> named_struct(
            |  'band', j,
            |  'key', concat_ws('', transform(
            |    slice(v, j * $EmbLshBits + 1, $EmbLshBits),
            |    x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN '1' ELSE '0' END))))"""
           .stripMargin)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   private def embeddingCandidates(spark: SparkSession, dir: String): DataFrame = {
     val banded = embeddingBanded(spark, dir)
+      .select(col("vec_id"), col("band"), col("key"))
     // count-first df cap: bucket sizes are a ≤ bands·2^bits-row table,
     // broadcast back so no bucket ever expands past the cap
     val kept = banded.groupBy(col("band"), col("key"))
@@ -650,17 +656,7 @@ object Dedup {
     * times (identical doubles) and collapsed by the final distinct,
     * which runs over the tiny qualifying set, not the candidates. */
   private def embeddingLshVerified(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VecDot.register(spark)
-    val banded = Similarity.withNorm(spark, dir)
-      .select(col("vec_id"), col("v"), col("nrm"), explode(expr(
-        s"""transform(sequence(0, ${EmbLshBands - 1}), j -> named_struct(
-           |  'band', j,
-           |  'key', concat_ws('', transform(
-           |    slice(v, j * $EmbLshBits + 1, $EmbLshBits),
-           |    x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN '1' ELSE '0' END))))"""
-          .stripMargin)).as("bk"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = embeddingBanded(spark, dir)
     // count-first cap (never collect an unbounded bucket), then one
     // aggregation carrying the packed vectors
     val kept = banded.groupBy(col("band"), col("key"))
@@ -765,6 +761,101 @@ object Dedup {
        |    ELSE ROUND(CAST((SELECT COUNT(*) FROM ver) AS DOUBLE)
        |      / (SELECT COUNT(*) FROM cand), 6) END AS cand_efficiency"""
       .stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_dd_incremental_embedding: the EMBEDDING face of the
+  // incremental family (llm_dd_incremental / _incremental_near for
+  // exact digests and MinHash bands): a new batch of vectors
+  // (vec_id % 10 = 0 — the deterministic stand-in for "today's
+  // arrivals") probes the corpus's sign-LSH band buckets, so
+  // candidates are batch×corpus bucket-mates only and the exact
+  // cosine runs in-place on the probe join — the corpus never
+  // self-joins, per-batch cost rides |batch|, and the corpus
+  // contributes only its persisted band layout (ddEmbeddingLsh's).
+  // Per batch vector: best corpus match (highest cosine, lowest id
+  // tie-break) and the ddIncrementalNear verdict vocabulary —
+  // near_dup_of_corpus (cosine ≥ 0.4), candidate_only (bucket-mate
+  // below threshold), clean (no bucket-mate). Corpus buckets over
+  // the cap are dropped, same hot-bucket convention throughout.
+  def ddIncrementalEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = embeddingBanded(spark, dir)
+    // count-first cap on CORPUS members only (the batch probes, it
+    // doesn't inflate the bucket), broadcast back — a bucket is never
+    // collected before its size is known, same as embeddingLshVerified
+    val ok = banded.filter($"vec_id" % 10 =!= 0)
+      .groupBy($"band", $"key")
+      .agg(count(lit(1)).as("nb"))
+      .filter($"nb" <= EmbLshMaxBucket)
+      .select($"band", $"key")
+    // batch×corpus pairs expand INSIDE the bucket with the cosine
+    // computed in-place (codegen HOFs over the packed array) — no
+    // vector-carrying shuffle join, and batch rows in corpus-free
+    // buckets drop with the broadcast semi-shape (they have no mates).
+    // A pair sharing k bands repeats with an IDENTICAL rounded cosine,
+    // so the top-1 window's winning values are unchanged — deduping
+    // candidates would only add a full-width shuffle before the window.
+    val scored = banded.join(broadcast(ok), Seq("band", "key"))
+      .groupBy($"band", $"key")
+      .agg(expr(
+        "collect_list(named_struct('vec_id', vec_id, 'v', v, 'nrm', nrm))")
+        .as("rows"))
+      .select(explode(expr(
+        """flatten(transform(filter(rows, a -> a.vec_id % 10 = 0), a ->
+          |  transform(filter(rows, b -> b.vec_id % 10 <> 0), b ->
+          |    named_struct('batch_vec', a.vec_id, 'corpus_vec', b.vec_id,
+          |      'cosine',
+          |      round(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 6)))))"""
+          .stripMargin)).as("p"))
+      .select($"p.batch_vec".as("batch_vec"),
+        $"p.corpus_vec".as("corpus_vec"), $"p.cosine".as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"batch_vec").orderBy($"cosine".desc, $"corpus_vec")
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    Similarity.withNorm(spark, dir)
+      .filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("batch_vec"))
+      .join(best, Seq("batch_vec"), "left")
+      .select($"batch_vec", $"corpus_vec".as("matched_vec"),
+        coalesce($"cosine", lit(0.0)).as("cosine"),
+        when($"cosine" >= 0.4, "near_dup_of_corpus")
+          .when($"cosine".isNotNull, "candidate_only")
+          .otherwise("clean").as("verdict"))
+      .orderBy($"batch_vec")
+  }
+
+  val ddIncrementalEmbeddingSql: String =
+    s"""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n2 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e2),
+       |bk AS (SELECT vec_id, j AS band,
+       |    list_aggregate(list_transform(
+       |      v[j*$EmbLshBits+1 : j*$EmbLshBits+$EmbLshBits],
+       |      x -> CASE WHEN x >= 0.0 THEN '1' ELSE '0' END),
+       |      'string_agg', '') AS key
+       |  FROM n2, range(0, $EmbLshBands) t(j)),
+       |bb AS (SELECT * FROM bk WHERE vec_id % 10 = 0),
+       |cb AS (SELECT * FROM bk WHERE vec_id % 10 <> 0),
+       |ok AS (SELECT band, key FROM cb GROUP BY band, key
+       |  HAVING COUNT(*) <= $EmbLshMaxBucket),
+       |sc AS (SELECT DISTINCT bb.vec_id AS batch_vec,
+       |    cb.vec_id AS corpus_vec,
+       |    ROUND(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+       |      AS cosine
+       |  FROM bb JOIN cb ON bb.band = cb.band AND bb.key = cb.key
+       |  JOIN ok ON cb.band = ok.band AND cb.key = ok.key
+       |  JOIN n2 na ON bb.vec_id = na.vec_id
+       |  JOIN n2 nb ON cb.vec_id = nb.vec_id),
+       |r AS (SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY batch_vec
+       |    ORDER BY cosine DESC, corpus_vec) AS rn FROM sc),
+       |b0 AS (SELECT vec_id FROM n2 WHERE vec_id % 10 = 0)
+       |SELECT b0.vec_id AS batch_vec, r.corpus_vec AS matched_vec,
+       |  COALESCE(r.cosine, 0.0) AS cosine,
+       |  CASE WHEN r.cosine >= 0.4 THEN 'near_dup_of_corpus'
+       |       WHEN r.cosine IS NOT NULL THEN 'candidate_only'
+       |       ELSE 'clean' END AS verdict
+       |FROM b0 LEFT JOIN r ON b0.vec_id = r.batch_vec AND r.rn = 1
+       |ORDER BY batch_vec""".stripMargin
 
   // --------------------------------------------------------------------
   // llm_dd_cluster: duplicate-cluster canonicalization — the step a
@@ -1658,6 +1749,7 @@ object Dedup {
     "llm_dd_embedding_near" -> (ddEmbeddingNear _),
     "llm_dd_embedding_lsh" -> (ddEmbeddingLsh _),
     "llm_dd_embedding_lsh_recall" -> (ddEmbeddingLshRecall _),
+    "llm_dd_incremental_embedding" -> (ddIncrementalEmbedding _),
     "llm_dd_cluster" -> (ddCluster _),
     "llm_dd_cluster_sizes" -> (ddClusterSizes _),
     "llm_dd_keep_best" -> (ddKeepBest _),
@@ -1684,6 +1776,7 @@ object Dedup {
     "llm_dd_embedding_near" -> ddEmbeddingNearSql,
     "llm_dd_embedding_lsh" -> ddEmbeddingLshSql,
     "llm_dd_embedding_lsh_recall" -> ddEmbeddingLshRecallSql,
+    "llm_dd_incremental_embedding" -> ddIncrementalEmbeddingSql,
     "llm_dd_cluster" -> ddClusterSql,
     "llm_dd_cluster_sizes" -> ddClusterSizesSql,
     "llm_dd_keep_best" -> ddKeepBestSql,

@@ -661,6 +661,26 @@ class LlmSpec extends SparkSpec {
     assert(rows.exists(_._2.nonEmpty), "some batch doc should match")
   }
 
+  test("incremental embedding near-dup covers the batch once with consistent verdicts") {
+    val batchN = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter("vec_id % 10 = 0").count()
+    val rows = Dedup.ddIncrementalEmbedding(spark, sf0001)
+      .select("batch_vec", "matched_vec", "cosine", "verdict")
+      .as[(Long, Option[Long], Double, String)].collect()
+    assert(rows.length == batchN, "exactly one verdict per batch vector")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (_, m, cos, v) =>
+      v match {
+        case "clean"              => assert(m.isEmpty && cos == 0.0)
+        case "candidate_only"     => assert(m.nonEmpty && cos < 0.4)
+        case "near_dup_of_corpus" => assert(m.nonEmpty && cos >= 0.4)
+        case other                => fail(s"unknown verdict $other")
+      }
+    }
+    // sign-LSH buckets are dense enough that some batch vector matches
+    assert(rows.exists(_._2.nonEmpty), "some batch vector should match")
+  }
+
   test("active users: WAU dominates DAU and stickiness is bounded") {
     val rows = graft.streaming.WindowQueries.q42ActiveUsers(spark, sf0001)
       .select("dau", "wau", "stickiness")

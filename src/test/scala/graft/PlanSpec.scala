@@ -335,6 +335,25 @@ class PlanSpec extends SparkSpec {
         + winLines.mkString("\n"))
   }
 
+  test("incremental embedding probe joins band buckets, never all pairs") {
+    val plan = planOf(graft.llm.Dedup.ddIncrementalEmbedding(spark, sf0001))
+    // batch probes the corpus's band buckets: the cap list broadcasts
+    // and pairs expand from the in-bucket Generate; the corpus must
+    // never appear in an all-pairs or nested-loop shape vs the batch
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket-cap list must broadcast:\n" + plan.take(800))
+    assert(plan.contains("Generate"),
+      "expected in-bucket batch×corpus Generate:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "all-pairs shape in the incremental probe:\n" + plan.take(800))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty, "missing the per-batch-vec top-1 window")
+    assert(winLines.forall(_.matches(".*windowspecdefinition\\(batch_vec#\\d+.*")),
+      "window must partition on batch_vec (cap-bounded groups):\n"
+        + winLines.mkString("\n"))
+  }
+
   test("epoch plan does all planning math on the source-cardinality table") {
     val plan = planOf(graft.llm.Pipeline.epochPlan(spark, sf0001))
     // exactly one aggregation keyed on source touches corpus-sized
