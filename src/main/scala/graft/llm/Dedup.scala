@@ -1532,6 +1532,70 @@ object Dedup {
        |ORDER BY df DESC, shingle LIMIT 20""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_novelty: per-document novelty scoring — the per-doc FACE of
+  // boilerplate mining: for each document, the fraction of its distinct
+  // word-3-gram shingles that appear in NO other document (novelty =
+  // 1 − shared-shingle share). Low-novelty documents are assembled from
+  // text the corpus already contains (chrome, templates, quote-heavy
+  // pages) and are precisely what a curation pass down-weights even
+  // when no single near-dup pair fires; llm_dd_boilerplate names the
+  // offending phrases, this scores the offending documents. Documents
+  // too short to shingle (< 3 tokens) share nothing by construction
+  // and score novelty 1.0.
+  //
+  // Scale shape: rides the session-cached rep-shingle table (shingle
+  // work runs once per session; exact-dup class members inherit their
+  // representative's score through the members table, so the string
+  // work is per CLASS, not per doc). Document frequency is a
+  // partial-aggregable weighted groupBy on the shingle key; the
+  // join-back fans out exactly df rows per shingle (bounded, no
+  // window ever partitions on the term key), and the final per-rep
+  // rollup is a doc-keyed groupBy. AQE absorbs residual partition
+  // skew from the Zipf head.
+  def ddNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, members) = rawClassesFor(spark, dir)
+    val ex = repShinglesFor(spark, dir)
+      .select($"rep", $"w", explode($"shingles").as("shingle"))
+    // df counts DOCUMENTS containing the shingle: members of an exact
+    // class have identical text, so the class weight w is the count
+    val df = ex.groupBy($"shingle")
+      .agg(sum($"w").as("n_df"))
+    val perRep = ex.join(df, "shingle")
+      .groupBy($"rep")
+      .agg(count(lit(1)).as("n_shingles"),
+        // shared = some OTHER doc has it too: another class (n_df > w
+        // would also work), or a duplicate sibling in this one (w > 1)
+        sum(when($"n_df" >= 2, 1L).otherwise(0L)).as("n_common"))
+    members.join(perRep, Seq("rep"), "left")
+      .select($"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+        coalesce($"n_common", lit(0L)).as("n_common"),
+        when(coalesce($"n_shingles", lit(0L)) === 0, lit(1.0))
+          .otherwise(round(lit(1.0)
+            - $"n_common".cast("double") / $"n_shingles", 6))
+          .as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  val ddNoveltySql: String =
+    s"""$shingleCte,
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |df AS (SELECT shingle, COUNT(*) AS n_df FROM ex GROUP BY shingle),
+       |per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN n_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_common
+       |  FROM ex JOIN df USING (shingle) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(n_shingles, 0) AS n_shingles,
+       |  COALESCE(n_common, 0) AS n_common,
+       |  CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 1.0
+       |    ELSE ROUND(1.0 - CAST(n_common AS DOUBLE) / n_shingles, 6)
+       |  END AS novelty
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_dd_minhash_k: signature-length calibration sweep — the
   // estimator error |est − true Jaccard| over the LSH candidate
   // pairs, measured at signature prefixes k = 2, 4, 8. MinHash error
@@ -1759,6 +1823,7 @@ object Dedup {
     "llm_dd_incremental_near" -> (ddIncrementalNear _),
     "llm_dd_minhash_k" -> (ddMinhashK _),
     "llm_dd_boilerplate" -> (ddBoilerplate _),
+    "llm_dd_novelty" -> (ddNovelty _),
     "llm_dd_decontaminate" -> (ddDecontaminate _),
     "llm_dd_paragraphs" -> (ddParagraphs _),
     "llm_dd_substring" -> (ddSubstring _),
@@ -1786,6 +1851,7 @@ object Dedup {
     "llm_dd_incremental_near" -> ddIncrementalNearSql,
     "llm_dd_minhash_k" -> ddMinhashKSql,
     "llm_dd_boilerplate" -> ddBoilerplateSql,
+    "llm_dd_novelty" -> ddNoveltySql,
     "llm_dd_decontaminate" -> ddDecontaminateSql,
     "llm_dd_paragraphs" -> ddParagraphsSql,
     "llm_dd_substring" -> ddSubstringSql,

@@ -147,6 +147,101 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  // --------------------------------------------------------------------
+  // llm_ss_knn_purity: embedding-quality audit — per label, the
+  // micro-averaged purity of every vector's 5 nearest IN-CELL
+  // neighbors (share of neighbor slots holding the same label). A
+  // well-trained embedding puts same-label points together, so purity
+  // near 1 says the space supports label-conditional retrieval and
+  // SemDeDup-style clustering; a label whose purity sits near the
+  // label's corpus share says its region is noise. Neighbors come
+  // from the vector's own coarse grid cell (the IVF approximation the
+  // rest of the family uses) — the audit measures the space AS the
+  // index sees it. Micro-averaging keeps the result hash-stable:
+  // integer neighbor/same counts sum exactly, one rounded division at
+  // the end.
+  //
+  // Scale shape: a corpus-wide knn audit is inherently a self-join,
+  // so both sides shuffle ONCE on the cell key and the in-cell m²
+  // scoring streams through the co-partitioned sort-merge join (no
+  // per-cell collect buffer). The count-first cap excludes cells
+  // whose m² work would mark a mis-sized grid (n_eval < n_vectors in
+  // the output makes the exclusion visible); production tunes the
+  // grid resolution — IVF's nlist knob — so cells sit under the cap.
+  private[graft] val KnnCellCap = 2048L
+
+  def ssKnnPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cellExpr = concat_ws(":",
+      floor(element_at($"v", 1) * 4).cast("long"),
+      floor(element_at($"v", 2) * 4).cast("long"))
+    val e = withNorm(spark, dir).withColumn("cell", cellExpr)
+    val ok = e.groupBy($"cell").agg(count(lit(1)).as("nb"))
+      .filter($"nb" <= KnnCellCap).select($"cell")
+    val inCell = e.join(broadcast(ok), Seq("cell"))
+    val scored = inCell.as("a")
+      .join(inCell.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"a.label".as("label"),
+        $"b.vec_id".as("neighbor_id"), $"b.label".as("n_label"),
+        expr("round(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 6)").as("cosine"))
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    val perVec = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .groupBy($"vec_id", $"label")
+      .agg(count(lit(1)).as("nn"),
+        sum(when($"n_label" === $"label", 1L).otherwise(0L)).as("ns"))
+    val byLabel = perVec.groupBy($"label")
+      .agg(count(lit(1)).as("n_eval"), sum($"nn").as("n_neighbors"),
+        sum($"ns").as("n_same"))
+    withNorm(spark, dir).groupBy($"label")
+      .agg(count(lit(1)).as("n_vectors"))
+      .join(byLabel, Seq("label"), "left")
+      .select($"label", $"n_vectors",
+        coalesce($"n_eval", lit(0L)).as("n_eval"),
+        coalesce($"n_neighbors", lit(0L)).as("n_neighbors"),
+        coalesce($"n_same", lit(0L)).as("n_same"),
+        when(coalesce($"n_neighbors", lit(0L)) === 0, lit(0.0))
+          .otherwise(round($"n_same".cast("double") / $"n_neighbors", 6))
+          .as("purity"))
+      .orderBy($"label")
+  }
+
+  val ssKnnPuritySql: String =
+    s"""$normCte,
+       |c AS (SELECT vec_id, label, v, nrm,
+       |  CAST(FLOOR(v[1] * 4) AS BIGINT) || ':' || CAST(FLOOR(v[2] * 4) AS BIGINT) AS cell
+       |FROM n),
+       |ok AS (SELECT cell FROM c GROUP BY cell
+       |  HAVING COUNT(*) <= $KnnCellCap),
+       |ic AS (SELECT c.* FROM c JOIN ok USING (cell)),
+       |scored AS (
+       |  SELECT a.vec_id AS vec_id, a.label AS label,
+       |    b.vec_id AS neighbor_id, b.label AS n_label,
+       |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM ic a JOIN ic b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored),
+       |pv AS (SELECT vec_id, label, COUNT(*) AS nn,
+       |    CAST(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ns
+       |  FROM ranked WHERE rank <= 5 GROUP BY vec_id, label),
+       |bl AS (SELECT label, COUNT(*) AS n_eval,
+       |    CAST(SUM(nn) AS BIGINT) AS n_neighbors,
+       |    CAST(SUM(ns) AS BIGINT) AS n_same
+       |  FROM pv GROUP BY label),
+       |al AS (SELECT label, COUNT(*) AS n_vectors FROM n GROUP BY label)
+       |SELECT al.label, n_vectors,
+       |  COALESCE(n_eval, 0) AS n_eval,
+       |  COALESCE(n_neighbors, 0) AS n_neighbors,
+       |  COALESCE(n_same, 0) AS n_same,
+       |  CASE WHEN COALESCE(n_neighbors, 0) = 0 THEN 0.0
+       |    ELSE ROUND(CAST(n_same AS DOUBLE) / n_neighbors, 6)
+       |  END AS purity
+       |FROM al LEFT JOIN bl ON al.label = bl.label
+       |ORDER BY al.label""".stripMargin
+
   val ssLshBucketSql: String =
     s"""$normCte,
        |b AS (SELECT vec_id, v, nrm,
@@ -1413,6 +1508,7 @@ object Similarity {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ss_topk" -> (ssTopk _),
+    "llm_ss_knn_purity" -> (ssKnnPurity _),
     "llm_ss_hard_negatives" -> (ssHardNegatives _),
     "llm_ss_lsh_bucket" -> (ssLshBucket _),
     "llm_ss_lsh_probe" -> (ssLshProbe _),
@@ -1438,6 +1534,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "llm_ss_topk" -> ssTopkSql,
+    "llm_ss_knn_purity" -> ssKnnPuritySql,
     "llm_ss_hard_negatives" -> ssHardNegativesSql,
     "llm_ss_lsh_bucket" -> ssLshBucketSql,
     "llm_ss_lsh_probe" -> ssLshProbeSql,

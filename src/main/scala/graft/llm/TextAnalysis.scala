@@ -586,6 +586,96 @@ object TextAnalysis {
       |FROM b CROSS JOIN v""".stripMargin
 
   // --------------------------------------------------------------------
+  // ta_zipf: Zipf's-law fit over the vocabulary head — OLS of
+  // ln(freq) on ln(rank) for the top-1000 terms, reporting slope
+  // (natural text sits near −1), intercept, and r² fit quality. The
+  // corpus-health check behind "does this source look like language":
+  // machine-generated or template-heavy corpora bend the curve (r²
+  // drops, slope flattens), and a slope drifting across snapshots
+  // flags a composition change before any downstream metric moves.
+  // Complements taCorpusStats (head shape, not just head size).
+  //
+  // Determinism: the two ln() surfaces route through DECIMAL(15,9)
+  // immediately (the sampleNeyman pattern), so all five OLS sums are
+  // exact decimal folds — aggregation order cannot move a bit — and
+  // the closed-form slope/intercept/r² are computed from identical
+  // doubles with identical IEEE expression trees on both engines.
+  // ln() itself is the §5.1 exposure class, mitigated by the 9-dp
+  // quantization. Degenerate corpora (vocabulary of one term) zero
+  // the denominators and report 0.0 across the board.
+  //
+  // Scale shape: one partial-aggregable groupBy(term) (safe on the
+  // skewed key, see taVocab), top-M as TakeOrderedAndProject; the
+  // rank window and the OLS run on the M-row head only.
+  private[graft] val ZipfTopM = 1000
+
+  def taZipf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"term".asc).limit(ZipfTopM)
+    val xy = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"freq".desc, $"term".asc)))
+      .select(log($"rank".cast("double")).cast("decimal(15,9)").as("x"),
+        log($"freq".cast("double")).cast("decimal(15,9)").as("y"))
+    val s = xy.agg(count(lit(1)).as("n_terms"),
+      sum($"x").cast("double").as("sx"),
+      sum($"y").cast("double").as("sy"),
+      sum($"x" * $"y").cast("double").as("sxy"),
+      sum($"x" * $"x").cast("double").as("sxx"),
+      sum($"y" * $"y").cast("double").as("syy"))
+    val n = $"n_terms".cast("double")
+    val dxx = n * $"sxx" - $"sx" * $"sx"
+    val dxy = n * $"sxy" - $"sx" * $"sy"
+    val dyy = n * $"syy" - $"sy" * $"sy"
+    s.select($"n_terms",
+      when(dxx === 0, lit(0.0))
+        .otherwise(round(dxy / dxx, 6)).as("slope"),
+      when(dxx === 0, lit(0.0))
+        .otherwise(round(($"sy" - dxy / dxx * $"sx") / n, 6))
+        .as("intercept"),
+      when(dxx === 0 || dyy === 0, lit(0.0))
+        .otherwise(round(dxy * dxy / (dxx * dyy), 6)).as("r2"))
+  }
+
+  val taZipfSql: String =
+    s"""WITH ex AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       |tc AS (SELECT term, COUNT(*) AS freq FROM ex GROUP BY term
+       |  ORDER BY freq DESC, term ASC LIMIT $ZipfTopM),
+       |rk AS (SELECT freq,
+       |    ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+       |  FROM tc),
+       |xy AS (SELECT
+       |    CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(15,9)) AS x,
+       |    CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(15,9)) AS y
+       |  FROM rk),
+       |s AS (SELECT COUNT(*) AS n_terms,
+       |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+       |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+       |    CAST(SUM(y * y) AS DOUBLE) AS syy
+       |  FROM xy)
+       |SELECT n_terms,
+       |  CASE WHEN CAST(n_terms AS DOUBLE) * sxx - sx * sx = 0 THEN 0.0
+       |    ELSE ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |      / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) END AS slope,
+       |  CASE WHEN CAST(n_terms AS DOUBLE) * sxx - sx * sx = 0 THEN 0.0
+       |    ELSE ROUND((sy - (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |        / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) * sx)
+       |      / CAST(n_terms AS DOUBLE), 6) END AS intercept,
+       |  CASE WHEN CAST(n_terms AS DOUBLE) * sxx - sx * sx = 0
+       |      OR CAST(n_terms AS DOUBLE) * syy - sy * sy = 0 THEN 0.0
+       |    ELSE ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |      * (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |      / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+       |        * (CAST(n_terms AS DOUBLE) * syy - sy * sy)), 6)
+       |  END AS r2
+       |FROM s""".stripMargin
+
+  // --------------------------------------------------------------------
   // ta_oov: out-of-vocabulary rate per document against the corpus's
   // own top-V vocabulary — the tokenizer-coverage diagnostic run
   // before/after a vocab change (a doc with high OOV share fragments
@@ -1521,6 +1611,7 @@ object TextAnalysis {
     "llm_ta_repetition" -> (taRepetition _),
     "llm_ta_vocab" -> (taVocab _),
     "llm_ta_corpus_stats" -> (taCorpusStats _),
+    "llm_ta_zipf" -> (taZipf _),
     "llm_ta_source_report" -> (taSourceReport _),
     "llm_ta_oov" -> (taOov _),
     "llm_ta_collocations" -> (taCollocations _),
@@ -1552,6 +1643,7 @@ object TextAnalysis {
     "llm_ta_repetition" -> taRepetitionSql,
     "llm_ta_vocab" -> taVocabSql,
     "llm_ta_corpus_stats" -> taCorpusStatsSql,
+    "llm_ta_zipf" -> taZipfSql,
     "llm_ta_source_report" -> taSourceReportSql,
     "llm_ta_oov" -> taOovSql,
     "llm_ta_collocations" -> taCollocationsSql,

@@ -661,6 +661,83 @@ class LlmSpec extends SparkSpec {
     assert(rows.exists(_._2.nonEmpty), "some batch doc should match")
   }
 
+  test("novelty: one bounded score per doc, exact duplicates score zero") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nDocs = docs.count()
+    val rows = Dedup.ddNovelty(spark, sf0001)
+      .select("doc_id", "n_shingles", "n_common", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == nDocs, "exactly one score per document")
+    rows.foreach { case (id, nSh, nC, nov) =>
+      assert(nC <= nSh, s"doc $id: common $nC exceeds shingles $nSh")
+      assert(nov >= 0.0 && nov <= 1.0, s"doc $id novelty $nov out of [0,1]")
+      if (nSh == 0) assert(nov == 1.0, s"unshingleable doc $id must be novel")
+    }
+    // every member of a multi-doc exact class shares ALL its shingles
+    // with its siblings, so (given it shingles at all) novelty is 0
+    import org.apache.spark.sql.functions.{md5, lower, regexp_replace, trim, col}
+    val dupIds = docs
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+      .groupBy("fp").agg(org.apache.spark.sql.functions.collect_list("doc_id").as("ids"))
+      .filter("size(ids) > 1")
+      .selectExpr("explode(ids) as doc_id")
+      .as[Long].collect().toSet
+    // (sf0.001 happens to carry no exact dups; the property still
+    // guards the sf0.01 shape where the verify drive runs)
+    val byId = rows.map(r => r._1 -> r).toMap
+    dupIds.foreach { id =>
+      val (_, nSh, _, nov) = byId(id)
+      if (nSh > 0) assert(nov == 0.0,
+        s"exact-dup doc $id has novelty $nov, expected 0")
+    }
+    // the fixture's heavy template reuse must register: some document
+    // shares every shingle it has (novelty 0 with shingles present)
+    assert(rows.exists(r => r._2 > 0 && r._4 == 0.0),
+      "no fully-templated document found — fixture shape changed?")
+  }
+
+  test("knn purity: per-label counts reconcile and purities are bounded") {
+    val rows = graft.llm.Similarity.ssKnnPurity(spark, sf0001)
+      .select("label", "n_vectors", "n_eval", "n_neighbors", "n_same", "purity")
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per label")
+    rows.foreach { case (l, nv, ne, nn, ns, p) =>
+      assert(ne <= nv, s"label $l: evaluated $ne of $nv vectors")
+      assert(nn <= 5 * ne, s"label $l: more than 5 neighbor slots per vector")
+      assert(ns <= nn, s"label $l: same-label count exceeds neighbor count")
+      assert(p >= 0.0 && p <= 1.0, s"label $l purity $p out of [0,1]")
+    }
+    // the audit covers the corpus: total vectors reconcile with the table
+    val total = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == total, "n_vectors must partition the corpus")
+    // measured-not-claimed: the synthetic labels are ~independent of
+    // the space (micro purity ≈ chance ≈ 0.08 at sf0.001) — exactly
+    // the "this embedding does not support label retrieval" verdict
+    // the audit exists to deliver. Assert only internal consistency:
+    // micro purity defined, positive, and reproduced by the per-label
+    // rows' own counts.
+    val micro = rows.map(_._5).sum.toDouble / rows.map(_._4).sum
+    assert(micro > 0.0 && micro < 1.0, s"degenerate micro purity $micro")
+    rows.filter(_._4 > 0).foreach { case (l, _, _, nn, ns, p) =>
+      assert(math.abs(p - ns.toDouble / nn) < 1e-6,
+        s"label $l purity $p does not match its own counts $ns/$nn")
+    }
+  }
+
+  test("zipf fit: negative slope with a sane r2 over the vocab head") {
+    val Array((n, slope, intercept, r2)) = TextAnalysis.taZipf(spark, sf0001)
+      .select("n_terms", "slope", "intercept", "r2")
+      .as[(Long, Double, Double, Double)].collect()
+    val vocab = TextAnalysis.taCorpusStats(spark, sf0001)
+      .select("vocab_size").as[Long].head()
+    assert(n == math.min(vocab, 1000L), "fit runs over min(vocab, M) terms")
+    assert(slope < 0.0, s"rank-frequency slope $slope must fall")
+    assert(r2 > 0.0 && r2 <= 1.0, s"r2 $r2 out of (0,1]")
+    assert(intercept > 0.0, "head frequency must exceed 1 (ln-intercept > 0)")
+  }
+
   test("incremental embedding near-dup covers the batch once with consistent verdicts") {
     val batchN = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .filter("vec_id % 10 = 0").count()

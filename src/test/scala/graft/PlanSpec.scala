@@ -354,6 +354,39 @@ class PlanSpec extends SparkSpec {
         + winLines.mkString("\n"))
   }
 
+  test("novelty never windows on the shingle key") {
+    val plan = planOf(graft.llm.Dedup.ddNovelty(spark, sf0001))
+    // df and the join-back are shingle-keyed (partial-aggregable /
+    // df-bounded); a window partitioned on the term key would be the
+    // skew-unsafe shape this op is designed to avoid
+    assert(!plan.contains("windowspecdefinition"),
+      "no window belongs in the novelty plan:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("knn purity self-joins co-partitioned on cell with the cap broadcast") {
+    val plan = planOf(graft.llm.Similarity.ssKnnPurity(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      "cell-cap list must broadcast:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "all-pairs shape in the knn audit:\n" + plan.take(800))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty && winLines.forall(
+      _.matches(".*windowspecdefinition\\(vec_id#\\d+.*")),
+      "top-5 window must partition on vec_id (cap-bounded groups):\n"
+        + winLines.mkString("\n"))
+  }
+
+  test("zipf head plans as TakeOrderedAndProject, OLS stays on M rows") {
+    val plan = planOf(graft.llm.TextAnalysis.taZipf(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-M head must plan as TakeOrderedAndProject:\n" + plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("epoch plan does all planning math on the source-cardinality table") {
     val plan = planOf(graft.llm.Pipeline.epochPlan(spark, sf0001))
     // exactly one aggregation keyed on source touches corpus-sized
