@@ -1803,7 +1803,80 @@ object Dedup {
        |  ROUND(CAST(n_inter AS DOUBLE) / nb, 6)) DESC, doc_a, doc_b
        |LIMIT 100""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_quality_prop: quality-score propagation over the near-dup
+  // graph — two damped averaging rounds (s' = s/2 + mean(neighbor s)/2)
+  // along jaccard>=0.5 edges. The label/quality-smoothing step of a
+  // curation pipeline: a page that near-duplicates high-quality pages
+  // inherits credit, a spam cluster drags its members down; two rounds
+  // reach the 2-hop neighborhood, which is where near-dup graph
+  // signal lives (components are small — see llm_dd_cluster_sizes).
+  // Scale shape: edges come from the SESSION-CACHED banded pair table
+  // (the same candidate generator every dedup consumer reuses — never
+  // all-pairs); each round is one doc_id-keyed equi-join + a
+  // partial-aggregable group-avg, i.e. two narrow shuffles per round
+  // on the highest-cardinality key there is. Neighbor means ride
+  // DECIMAL(18,6) so summation order can't move the hash; hub-degree
+  // skew is absorbed by partial aggregation (no per-term window). In
+  // a production pipeline each round's output persists as a snapshot
+  // table (the incremental-dedup pattern); here two rounds compose in
+  // one plan against the cached pair table.
+  def ddQualityProp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = ngramPairsFor(spark, dir).filter($"jaccard" >= 0.5)
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    val s0 = Tables.documents(spark, dir)
+      .select($"doc_id",
+        round(least($"n_chars" / 1000.0, lit(1.0)), 6).as("s"))
+    def step(s: DataFrame): DataFrame = {
+      val nb = edges
+        .join(s.select($"doc_id".as("nb_id"), $"s".as("nb_s")),
+          $"dst" === $"nb_id")
+        .groupBy($"src".as("doc_id"))
+        .agg((sum($"nb_s".cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1))).as("nb"))
+      s.join(nb, Seq("doc_id"), "left")
+        .select($"doc_id",
+          round(when($"nb".isNull, $"s")
+            .otherwise($"s" * 0.5 + $"nb" * 0.5), 6).as("s"))
+    }
+    val s1 = step(s0)
+    val s2 = step(s1)
+    s0.select($"doc_id", $"s".as("score0"))
+      .join(s1.select($"doc_id", $"s".as("score1")), "doc_id")
+      .join(s2.select($"doc_id", $"s".as("score2")), "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  val ddQualityPropSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($ngramPairsSql)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+       |s0 AS (SELECT doc_id,
+       |    ROUND(LEAST(n_chars / 1000.0, 1.0), 6) AS s FROM documents),
+       |n1 AS (SELECT e.src AS doc_id,
+       |    CAST(SUM(CAST(s0.s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS nb
+       |  FROM edges e JOIN s0 ON s0.doc_id = e.dst GROUP BY e.src),
+       |s1 AS (SELECT s0.doc_id,
+       |    ROUND(CASE WHEN n1.nb IS NULL THEN s0.s
+       |      ELSE s0.s * 0.5 + n1.nb * 0.5 END, 6) AS s
+       |  FROM s0 LEFT JOIN n1 USING (doc_id)),
+       |n2 AS (SELECT e.src AS doc_id,
+       |    CAST(SUM(CAST(s1.s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS nb
+       |  FROM edges e JOIN s1 ON s1.doc_id = e.dst GROUP BY e.src),
+       |s2 AS (SELECT s1.doc_id,
+       |    ROUND(CASE WHEN n2.nb IS NULL THEN s1.s
+       |      ELSE s1.s * 0.5 + n2.nb * 0.5 END, 6) AS s
+       |  FROM s1 LEFT JOIN n2 USING (doc_id))
+       |SELECT s0.doc_id, s0.s AS score0, s1.s AS score1, s2.s AS score2
+       |FROM s0 JOIN s1 USING (doc_id) JOIN s2 USING (doc_id)
+       |ORDER BY s0.doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_quality_prop" -> (ddQualityProp _),
     "llm_dd_exact" -> (ddExact _),
     "llm_dd_ngram_jaccard" -> (ddNgramJaccard _),
     "llm_dd_minhash_sigs" -> (ddMinhashSigs _),
@@ -1832,6 +1905,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dd_quality_prop" -> ddQualityPropSql,
     "llm_dd_exact" -> ddExactSql,
     "llm_dd_ngram_jaccard" -> ddNgramJaccardSql,
     "llm_dd_minhash_sigs" -> ddMinhashSigsSql,

@@ -420,7 +420,71 @@ object Multimodal {
        |    AS flag_low_diversity
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_mm_aspect_buckets: aspect-ratio bucketing for image training —
+  // group images by nearest canonical aspect ratio (1:1, 4:3, 3:4,
+  // 16:9, 9:16) so batches contain same-shape images (resize-free
+  // batching, the standard diffusion/VLM data-loader prep), and report
+  // per-bucket batch counts at batch_size=32. Nearest = min |aspect −
+  // ratio| with first-match-wins in the fixed order above (the
+  // taLangId argmax pattern — identical CASE chain in both engines).
+  // Scale shape: a narrow per-row projection (the same fake-decode
+  // h60 dims as mmMetadata) into a 5-group aggregate — partial-
+  // aggregable, no shuffle beyond the 5-row exchange; min/max are
+  // order-independent so no DECIMAL routing is needed.
+  def mmAspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ratios = Seq(
+      "1:1" -> lit(1.0), "4:3" -> lit(4.0 / 3.0), "3:4" -> lit(0.75),
+      "16:9" -> lit(16.0 / 9.0), "9:16" -> lit(0.5625))
+    val m = Tables.documents(spark, dir)
+      .select($"doc_id",
+        (h60($"text") % 1600 + 320).as("width"),
+        (h60($"text") % 840 + 240).as("height"))
+      .withColumn("aspect",
+        $"width".cast("double") / $"height")
+    val dists = ratios.map { case (_, r) => abs($"aspect" - r) }
+    val best = dists.reduce(least(_, _))
+    val bucket = ratios.zip(dists).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, ((name, _), d)) =>
+        when(d === best, lit(name)).otherwise(acc)
+      }
+    m.withColumn("bucket", bucket)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_images"),
+        round(min($"aspect"), 6).as("min_aspect"),
+        round(max($"aspect"), 6).as("max_aspect"))
+      .withColumn("n_batches", (($"n_images" + 31) / 32).cast("long"))
+      .select($"bucket", $"n_images", $"n_batches",
+        $"min_aspect", $"max_aspect")
+      .orderBy($"bucket")
+  }
+
+  val mmAspectBucketsSql: String = {
+    val rs = Seq("1:1" -> "1.0", "4:3" -> "(4.0 / 3.0)", "3:4" -> "0.75",
+      "16:9" -> "(16.0 / 9.0)", "9:16" -> "0.5625")
+    val dcols = rs.map { case (n, r) => s"abs(aspect - $r)" }
+    val bestE = dcols.mkString("LEAST(", ", ", ")")
+    val caseE = rs.zip(dcols).map { case ((n, _), d) =>
+      s"WHEN $d = $bestE THEN '$n'" }.mkString("\n    ")
+    s"""WITH m AS (SELECT doc_id,
+       |    ${h60Sql("text")} % 1600 + 320 AS width,
+       |    ${h60Sql("text")} % 840 + 240 AS height
+       |  FROM documents),
+       |a AS (SELECT doc_id,
+       |    CAST(width AS DOUBLE) / height AS aspect FROM m),
+       |b AS (SELECT doc_id, aspect,
+       |    CASE $caseE END AS bucket
+       |  FROM a)
+       |SELECT bucket, COUNT(*) AS n_images,
+       |  CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches,
+       |  ROUND(MIN(aspect), 6) AS min_aspect,
+       |  ROUND(MAX(aspect), 6) AS max_aspect
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_aspect_buckets" -> (mmAspectBuckets _),
     "llm_mm_metadata" -> (mmMetadata _),
     "llm_mm_chunk_dedup" -> (mmChunkDedup _),
     "llm_mm_dedup" -> (mmDedup _),
@@ -432,6 +496,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_mm_aspect_buckets" -> mmAspectBucketsSql,
     "llm_mm_metadata" -> mmMetadataSql,
     "llm_mm_chunk_dedup" -> mmChunkDedupSql,
     "llm_mm_dedup" -> mmDedupSql,

@@ -750,7 +750,68 @@ object Pipeline {
        |  ROUND(LEAST(target, epochs * tokens), 6) AS planned_toks
        |FROM y ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_curriculum: length-staged training order — short
+  // (easy) documents first, the classic curriculum-learning schedule,
+  // with a deterministic within-stage shuffle so each stage is still
+  // i.i.d.-looking. The contract is an exact, reproducible GLOBAL
+  // position per document, which is the shape that usually doesn't
+  // distribute (a global row_number is one sequential task). Scale
+  // decomposition, same discipline as [[budget]] and [[pack]]:
+  //   stage  = fixed arithmetic length band (no quantile pass),
+  //   bucket = h60 shuffle-hash mod 32 (uniform salt),
+  //   pos    = prefix-count of all earlier (stage,bucket) groups
+  //            [a 160-row aggregate: window over a bounded table,
+  //            broadcast back] + row_number within (stage,bucket)
+  //            [window over 160 uniform partitions, never global].
+  // Every term is integer arithmetic — hash-exact by construction.
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id",
+        least(floor($"n_chars" / 400).cast("int"), lit(4)).as("stage"),
+        (h60(concat(lit("cur:"), $"doc_id".cast("string"))) % 32)
+          .cast("int").as("bucket"),
+        h60(concat(lit("cur:"), $"doc_id".cast("string"))).as("skey"))
+    val wCum = Window.orderBy($"stage", $"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bounded (<=160-row) group table: counts + exclusive prefix sum
+    val sb = d.groupBy($"stage", $"bucket").agg(count(lit(1)).as("n"))
+      .withColumn("cum_prev", sum($"n").over(wCum) - $"n")
+      .select($"stage", $"bucket", $"cum_prev")
+      .localCheckpoint()
+    val wIn = Window.partitionBy($"stage", $"bucket")
+      .orderBy($"skey", $"doc_id")
+    d.join(broadcast(sb), Seq("stage", "bucket"))
+      .withColumn("rn", row_number().over(wIn))
+      .select($"doc_id", $"stage", $"bucket",
+        ($"cum_prev" + $"rn").cast("long").as("pos"))
+      .orderBy($"pos")
+  }
+
+  val curriculumSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    LEAST(CAST(FLOOR(n_chars / 400) AS INT), 4) AS stage,
+       |    CAST(${h60Sql("'cur:' || doc_id")} % 32 AS INT) AS bucket,
+       |    ${h60Sql("'cur:' || doc_id")} AS skey
+       |  FROM documents),
+       |sb AS (SELECT stage, bucket, COUNT(*) AS n FROM d GROUP BY 1, 2),
+       |cb AS (SELECT stage, bucket,
+       |    CAST(SUM(n) OVER (ORDER BY stage, bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+       |      AS BIGINT) AS cum_prev
+       |  FROM sb),
+       |rn AS (SELECT doc_id, stage, bucket, ROW_NUMBER() OVER
+       |    (PARTITION BY stage, bucket ORDER BY skey, doc_id) AS rn
+       |  FROM d)
+       |SELECT rn.doc_id, rn.stage, rn.bucket,
+       |  CAST(cb.cum_prev + rn.rn AS BIGINT) AS pos
+       |FROM rn JOIN cb USING (stage, bucket)
+       |ORDER BY pos""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_curriculum" -> (curriculum _),
     "llm_pipeline_curate" -> (curate _),
     "llm_pipeline_dup_sources" -> (dupSources _),
     "llm_pipeline_attrition" -> (attrition _),
@@ -767,6 +828,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_pipeline_curriculum" -> curriculumSql,
     "llm_pipeline_curate" -> curateSql,
     "llm_pipeline_dup_sources" -> dupSourcesSql,
     "llm_pipeline_attrition" -> attritionSql,

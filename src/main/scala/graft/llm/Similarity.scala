@@ -1506,7 +1506,75 @@ object Similarity {
        |  ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_cell_share
        |FROM l""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_knn_join: distributed kNN JOIN — BOTH sides large. Every
+  // other search op in this file broadcasts the query set; that shape
+  // dies when the "queries" are themselves corpus-scale (joining every
+  // document to its nearest neighbors for SemDeDup-style clustering or
+  // whole-corpus hard-negative mining). The scale shape is different
+  // in kind: assign BOTH sides to the same coarse IVF grid cells
+  // (ssIvfIndex's 2-dim grid), expand the query side to its 3x3
+  // neighbor cells (multi-probe rides the exploding side, a constant
+  // 9x), then a plain shuffle equi-join on the cell key — each side
+  // shuffles ONCE, hash-partitioned by cell; candidates meet only
+  // inside a cell; the per-query top-k is the usual q_id window.
+  // No broadcast anywhere: hint("merge") pins SortMergeJoin so the
+  // plan survives a query side 10^6x this fixture (AQE would happily
+  // broadcast the sf0.01 query side and hide the regression).
+  // Here the "query" batch is every 10th vector — a side too large to
+  // broadcast by construction at production scale.
+  def ssKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+      .withColumn("cx", floor(element_at($"v", 1) * 4).cast("long"))
+      .withColumn("cy", floor(element_at($"v", 2) * 4).cast("long"))
+    val corpus = e.select($"vec_id", $"v", $"nrm",
+      concat_ws(":", $"cx", $"cy").as("cell"))
+    // 9 probe cells per query: distinct strings, so no candidate pair
+    // is generated twice and no distinct() is needed before the top-k
+    val probes = for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield concat_ws(":", $"cx" + lit(dx), $"cy" + lit(dy))
+    val q = e.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        explode(array(probes: _*)).as("cell"))
+    val scored = corpus.hint("merge")
+      .join(q, Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssKnnJoinSql: String =
+    s"""$normCte,
+       |c AS (SELECT vec_id, v, nrm,
+       |  CAST(FLOOR(v[1] * 4) AS BIGINT) AS cx,
+       |  CAST(FLOOR(v[2] * 4) AS BIGINT) AS cy FROM n),
+       |corpus AS (SELECT vec_id, v, nrm,
+       |  CAST(cx AS VARCHAR) || ':' || CAST(cy AS VARCHAR) AS cell FROM c),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |    CAST(cx + dx AS VARCHAR) || ':' || CAST(cy + dy AS VARCHAR) AS cell
+       |  FROM c, (SELECT unnest([-1, 0, 1]) AS dx),
+       |       (SELECT unnest([-1, 0, 1]) AS dy)
+       |  WHERE vec_id % 10 = 0),
+       |scored AS (
+       |  SELECT q_id, corpus.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+       |  FROM corpus JOIN q USING (cell)
+       |  WHERE corpus.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_knn_join" -> (ssKnnJoin _),
     "llm_ss_topk" -> (ssTopk _),
     "llm_ss_knn_purity" -> (ssKnnPurity _),
     "llm_ss_hard_negatives" -> (ssHardNegatives _),
@@ -1533,6 +1601,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ss_knn_join" -> ssKnnJoinSql,
     "llm_ss_topk" -> ssTopkSql,
     "llm_ss_knn_purity" -> ssKnnPuritySql,
     "llm_ss_hard_negatives" -> ssHardNegativesSql,

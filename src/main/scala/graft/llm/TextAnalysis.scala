@@ -1595,7 +1595,67 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // ta_readability: Flesch/Flesch-Kincaid readability per document —
+  // the classic curriculum/difficulty signal next to ta_quality's
+  // junk filter. Syllables use the standard cheap proxy (count of
+  // [aeiouy]+ vowel groups; splitting on whitespace neither creates
+  // nor destroys vowel groups, so the whole-text count equals the
+  // per-word sum); sentences = runs of terminal punctuation, min 1.
+  // Scale shape: one narrow per-doc projection — three regexes and a
+  // handful of double ops, all codegen'd; no shuffle except the
+  // oracle-compare ORDER BY. The band CASE tests the UNROUNDED ease
+  // score in both engines so the 4-dp rounding can't flip a band.
+  def taReadability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"text")
+      .withColumn("n_words", size(split(trim($"text"), "\\s+")))
+      .withColumn("n_sentences",
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1)))
+      .withColumn("n_syllables",
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")))
+      .withColumn("wps",
+        $"n_words".cast("double") / $"n_sentences")
+      .withColumn("spw",
+        $"n_syllables".cast("double") / greatest($"n_words", lit(1)))
+      .withColumn("ease_raw",
+        lit(206.835) - lit(1.015) * $"wps" - lit(84.6) * $"spw")
+      .select($"doc_id", $"lang", $"n_words", $"n_sentences", $"n_syllables",
+        round(lit(0.39) * $"wps" + lit(11.8) * $"spw" - lit(15.59), 4)
+          .as("fk_grade"),
+        round($"ease_raw", 4).as("flesch_ease"),
+        when($"ease_raw" >= 70, lit("easy"))
+          .when($"ease_raw" >= 50, lit("standard"))
+          .otherwise(lit("difficult")).as("band"))
+      .orderBy($"doc_id")
+  }
+
+  val taReadabilitySql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+       |      AS n_words,
+       |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+       |      AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)
+       |      AS n_syllables
+       |  FROM documents),
+       |m AS (SELECT *,
+       |    CAST(n_words AS DOUBLE) / n_sentences AS wps,
+       |    CAST(n_syllables AS DOUBLE) / GREATEST(n_words, 1) AS spw
+       |  FROM t),
+       |r AS (SELECT *,
+       |    206.835 - 1.015 * wps - 84.6 * spw AS ease_raw FROM m)
+       |SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+       |  ROUND(0.39 * wps + 11.8 * spw - 15.59, 4) AS fk_grade,
+       |  ROUND(ease_raw, 4) AS flesch_ease,
+       |  CASE WHEN ease_raw >= 70 THEN 'easy'
+       |       WHEN ease_raw >= 50 THEN 'standard'
+       |       ELSE 'difficult' END AS band
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_readability" -> (taReadability _),
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_fertility" -> (taFertility _),
     "llm_ta_lang_id" -> (taLangId _),
@@ -1628,6 +1688,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_readability" -> taReadabilitySql,
     "llm_ta_tokens" -> taTokensSql,
     "llm_ta_fertility" -> taFertilitySql,
     "llm_ta_lang_id" -> taLangIdSql,

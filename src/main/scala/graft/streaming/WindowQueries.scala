@@ -103,6 +103,75 @@ object WindowQueries {
       |ORDER BY user_id, session_start_us""".stripMargin
 
   // --------------------------------------------------------------------
+  // q43_session_stats: per-user engagement rollup of st_session —
+  // session count, bounce rate (single-event sessions), events per
+  // session, mean session duration (session_window semantics: end =
+  // last event + gap, so duration includes the gap tail), and the
+  // busiest session. The product-analytics staple one level above
+  // st_session's raw sessions. Scale shape: session_window already
+  // hash-partitions by user_id (session assignment is a per-key sort
+  // within that exchange), and the user rollup groups on the SAME key
+  // — one shuffle total, and the rollup is partial-aggregable.
+  // Durations are integer micros (exact sums); the mean duration is
+  // FLOOR-divided integer micros (a 6-dp double round of a ~1e9 value
+  // sits at the edge of double precision and is not portable — the
+  // repo's integer-at-the-boundary rule), and the two small rates are
+  // single divisions of exact longs, identical in both engines.
+  def q43SessionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sess = Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        (unix_micros($"w.end") - unix_micros($"w.start")).as("dur_us"),
+        $"n_events")
+    sess.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when($"n_events" === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum($"n_events").as("n_events_total"),
+        sum($"dur_us").as("tot_dur_us"),
+        max($"n_events").as("max_session_events"))
+      .select($"user_id", $"n_sessions", $"n_bounce", $"n_events_total",
+        round($"n_bounce".cast("double") / $"n_sessions", 6)
+          .as("bounce_rate"),
+        round($"n_events_total".cast("double") / $"n_sessions", 6)
+          .as("events_per_session"),
+        expr("tot_dur_us div n_sessions").as("avg_dur_us"),
+        $"max_session_events")
+      .orderBy($"user_id")
+  }
+
+  val q43SessionStatsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |s AS (
+      |  SELECT *, SUM(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM o),
+      |per AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    epoch_us(MAX(ts)) + 1800000000 - epoch_us(MIN(ts)) AS dur_us
+      |  FROM s GROUP BY user_id, session_id)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounce,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events_total,
+      |  ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS bounce_rate,
+      |  ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+      |    AS events_per_session,
+      |  CAST(SUM(dur_us) // COUNT(*) AS BIGINT) AS avg_dur_us,
+      |  CAST(MAX(n_events) AS BIGINT) AS max_session_events
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // q38_funnel: ordered conversion funnel view → click → purchase.
   // A click counts only if the user had a view at-or-before it; a
   // purchase only if a qualifying click precedes it — the ORDERED
@@ -371,6 +440,7 @@ object WindowQueries {
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_session_stats" -> (q43SessionStats _),
     "st_tumbling" -> (stTumbling _),
     "st_sliding" -> (stSliding _),
     "st_session" -> (stSession _),
@@ -382,6 +452,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q43_session_stats" -> q43SessionStatsSql,
     "st_tumbling" -> stTumblingSql,
     "st_sliding" -> stSlidingSql,
     "st_session" -> stSessionSql,

@@ -940,6 +940,107 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("knn join: contiguous ranks, monotone cosine, self excluded") {
+    val rows = Similarity.ssKnnJoin(spark, sf0001)
+      .select("q_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty, "knn join returned no pairs")
+    rows.foreach { case (q, n, c, r) =>
+      assert(q % 10 == 0, s"non-batch query $q leaked in")
+      assert(n != q, s"query $q matched itself")
+      assert(r >= 1 && r <= 3, s"rank $r out of range")
+      assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6, s"cosine $c out of range")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4).toSeq
+      assert(sorted.map(_._4) == (1 to sorted.length),
+        s"query $q ranks not contiguous: ${sorted.map(_._4)}")
+      assert(sorted.map(_._3).sliding(2).forall {
+        case Seq(a, b) => a >= b
+        case _ => true
+      }, s"query $q cosine not monotone along ranks")
+    }
+  }
+
+  test("curriculum: pos is an exact permutation, easy stages first") {
+    val rows = graft.llm.Pipeline.curriculum(spark, sf0001)
+      .select("doc_id", "stage", "pos")
+      .as[(Long, Int, Long)].collect()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length.toLong == n, "one position per document")
+    assert(rows.map(_._3).sorted.toSeq == (1L to n).toSeq,
+      "pos must be exactly the permutation 1..N")
+    val stagesAlongOrder = rows.sortBy(_._3).map(_._2).toSeq
+    assert(stagesAlongOrder.sliding(2).forall {
+      case Seq(a, b) => a <= b
+      case _ => true
+    }, "stage must be non-decreasing along curriculum order")
+  }
+
+  test("readability: sane counts and band agrees with ease thresholds") {
+    val rows = TextAnalysis.taReadability(spark, sf0001)
+      .select("doc_id", "n_words", "n_sentences", "n_syllables",
+        "fk_grade", "flesch_ease", "band")
+      .as[(Long, Int, Int, Int, Double, Double, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, s, sy, _, ease, band) =>
+      assert(s >= 1, s"doc $id: sentences floor is 1")
+      assert(w >= 1 && sy >= 0, s"doc $id: bad counts")
+      assert(Set("easy", "standard", "difficult")(band))
+      // rounded ease vs raw-threshold band: stay clear of the 4-dp lip
+      if (ease >= 70.0001) assert(band == "easy", s"doc $id: $ease -> $band")
+      if (ease < 49.9999) assert(band == "difficult", s"doc $id: $ease -> $band")
+    }
+  }
+
+  test("quality prop: scores bounded, isolated docs keep their seed") {
+    val rows = Dedup.ddQualityProp(spark, sf0001)
+      .as[(Long, Double, Double, Double)].collect()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length.toLong == n, "one row per document")
+    rows.foreach { case (id, s0, s1, s2) =>
+      Seq(s0, s1, s2).foreach(s =>
+        assert(s >= 0.0 && s <= 1.0, s"doc $id score $s out of [0,1]"))
+    }
+    // averaging along edges can't push everyone off their seed: the
+    // fixture's isolated docs (no jaccard>=0.5 neighbor) are the
+    // majority and must ride through both rounds unchanged
+    assert(rows.count(r => r._3 == r._2 && r._4 == r._2) * 2 > rows.length,
+      "expected most documents to be isolated from the near-dup graph")
+  }
+
+  test("aspect buckets: cover the corpus, batch counts are exact ceilings") {
+    val rows = Multimodal.mmAspectBuckets(spark, sf0001)
+      .as[(String, Long, Long, Double, Double)].collect()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_._2).sum == n, "buckets must partition the corpus")
+    rows.foreach { case (b, ni, nb, mn, mx) =>
+      assert(Set("1:1", "4:3", "3:4", "16:9", "9:16")(b), s"bucket $b")
+      assert(nb == (ni + 31) / 32, s"bucket $b: $nb batches for $ni images")
+      assert(mn <= mx, s"bucket $b: min aspect above max")
+    }
+  }
+
+  test("session stats: bounces bounded, totals reconcile with events") {
+    val rows = graft.streaming.WindowQueries.q43SessionStats(spark, sf0001)
+      .select("user_id", "n_sessions", "n_bounce", "n_events_total",
+        "bounce_rate", "events_per_session", "avg_dur_us",
+        "max_session_events")
+      .as[(Long, Long, Long, Long, Double, Double, Long, Long)].collect()
+    val nEvents = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(rows.map(_._4).sum == nEvents,
+      "per-user event totals must partition the events table")
+    rows.foreach { case (u, ns, nb, ne, br, eps, avg, mx) =>
+      assert(ns >= 1 && nb <= ns && ne >= ns, s"user $u: counts inconsistent")
+      assert(mx <= ne, s"user $u: busiest session exceeds total")
+      assert(br >= 0.0 && br <= 1.0, s"user $u: bounce rate $br")
+      assert(eps >= 1.0, s"user $u: events/session $eps below 1")
+      // session_window end = last event + gap, so every duration (and
+      // the floored mean) is at least the 30-minute gap
+      assert(avg >= 1800000000L, s"user $u: avg duration $avg below gap")
+    }
+  }
+
   test("neyman allocation: shares partition the budget, variance beats equal") {
     val rows = graft.llm.Sampling.sampleNeyman(spark, sf0001).collect()
     assert(rows.nonEmpty)

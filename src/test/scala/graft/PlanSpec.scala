@@ -155,6 +155,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(600))
   }
 
+  test("knn join shuffles both sides on the cell key — never broadcasts") {
+    val plan = planOf(graft.llm.Similarity.ssKnnJoin(spark, sf0001))
+    // both sides are corpus-scale by contract: the join must be a
+    // shuffle join on the cell key; an (AQE-injected) broadcast would
+    // hide the regression until the query side is 10^6x larger
+    assert(plan.contains("SortMergeJoin"), plan.take(700))
+    assert(!plan.contains("BroadcastHashJoin"),
+      "knn join must not broadcast either side:\n" + plan.take(900))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "knn join degenerated to a nested loop:\n" + plan.take(900))
+  }
+
+  test("curriculum: doc rows see only the (stage,bucket) window") {
+    val plan = planOf(graft.llm.Pipeline.curriculum(spark, sf0001))
+    // the <=160-row group table is checkpointed before the registered
+    // plan and joined back by broadcast; doc rows must never shuffle
+    // to meet it, and no doc-row window may be global
+    assert(plan.contains("BroadcastHashJoin"), plan.take(700))
+    assert(!plan.contains("SortMergeJoin"),
+      "group table must broadcast, not shuffle-join:\n" + plan.take(900))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty, "expected the within-group row_number window")
+    assert(winLines.forall(l =>
+      l.contains("stage#") && l.contains("bucket#")),
+      "doc-row window must partition by (stage, bucket):\n"
+        + winLines.mkString("\n"))
+  }
+
   test("budget selection: doc rows never single-partition; joins broadcast") {
     val plan = planOf(graft.llm.Pipeline.budget(spark, sf0001))
     assert(!plan.contains("SortMergeJoin"),
