@@ -1875,7 +1875,56 @@ object Dedup {
        |FROM s0 JOIN s1 USING (doc_id) JOIN s2 USING (doc_id)
        |ORDER BY s0.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_soft_weights: soft dedup — instead of DELETING near-dups
+  // (ddKeepBest), weight every cluster member 1/cluster_size so each
+  // duplicate family contributes one document's worth of gradient
+  // (the repeated-data downweighting used when hard deletion is too
+  // aggressive, e.g. licensed corpora counted once per family). The
+  // per-source rollup reports effective (weighted) size vs raw count
+  // — the number that actually enters the mixture planner — and the
+  // shrinkage soft dedup applies. Scale shape: rides the session-
+  // cached ddCluster labels (no new corpus work beyond one doc_id
+  // equi-join to fetch source) and reduces to a source-cardinality
+  // partial-aggregable rollup. Weights are rounded to 6 dp BEFORE
+  // the DECIMAL(18,6) sum, so the fold is exact at any partitioning
+  // (1.0/size is one IEEE division — identical in both engines).
+  def ddSoftWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val w = ddCluster(spark, dir)
+      .select($"doc_id",
+        round(lit(1.0) / $"cluster_size", 6).as("weight"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"source")
+      .join(w, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"weight".cast(DecimalType(18, 6))).cast("double")
+          .as("eff_docs"))
+      .select($"source", $"n_docs",
+        round($"eff_docs", 6).as("eff_docs"),
+        round(lit(1.0) - $"eff_docs" / $"n_docs", 6).as("shrinkage"))
+      .orderBy($"source")
+  }
+
+  val ddSoftWeightsSql: String =
+    s"""WITH cc AS ($ddClusterSql),
+       |w AS (SELECT doc_id,
+       |    ROUND(CAST(1.0 AS DOUBLE) / cluster_size, 6) AS weight
+       |  FROM cc),
+       |j AS (SELECT d.source, w.weight FROM documents d
+       |  JOIN w USING (doc_id)),
+       |ag AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) AS eff_docs
+       |  FROM j GROUP BY source)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  ROUND(eff_docs, 6) AS eff_docs,
+       |  ROUND(CAST(1.0 AS DOUBLE) - eff_docs / n_docs, 6) AS shrinkage
+       |FROM ag ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_soft_weights" -> (ddSoftWeights _),
     "llm_dd_quality_prop" -> (ddQualityProp _),
     "llm_dd_exact" -> (ddExact _),
     "llm_dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -1905,6 +1954,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dd_soft_weights" -> ddSoftWeightsSql,
     "llm_dd_quality_prop" -> ddQualityPropSql,
     "llm_dd_exact" -> ddExactSql,
     "llm_dd_ngram_jaccard" -> ddNgramJaccardSql,

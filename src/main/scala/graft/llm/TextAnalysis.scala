@@ -1654,7 +1654,121 @@ object TextAnalysis {
        |       ELSE 'difficult' END AS band
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_entropy: per-document token (Shannon) entropy — the gibberish/
+  // boilerplate screen orthogonal to taRepetition: keyboard mash and
+  // copy-paste loops both collapse entropy, while natural text sits
+  // near the corpus band; norm_entropy (÷ ln of the doc's distinct
+  // terms) isolates distribution shape from vocabulary size.
+  //
+  // Determinism: per-term contributions −p·ln(p) quantize to
+  // DECIMAL(15,9) IMMEDIATELY (the taZipf ln() discipline: each term
+  // ≤ 1/e·ln range, far inside 10^6, and the per-doc sum is then an
+  // exact decimal fold — aggregation order cannot move a bit). The
+  // norm ratio divides two doubles built from identical IEEE trees.
+  //
+  // Scale shape: one partial-aggregable (doc_id, term) groupBy, then
+  // a doc_id window for the doc total — the corpus shuffles once on
+  // (doc,term) and once on doc_id, both uniform high-cardinality
+  // keys; NO term-keyed window, no join, output is doc-count rows.
+  def taEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tc = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+    val wd = Window.partitionBy($"doc_id")
+    val withN = tc.withColumn("n", sum($"c").over(wd))
+      .withColumn("p", $"c".cast("double") / $"n")
+      .withColumn("contrib",
+        (-$"p" * log($"p")).cast("decimal(15,9)"))
+    withN.groupBy($"doc_id")
+      .agg(max($"n").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum($"contrib").cast("double").as("ent"))
+      .select($"doc_id", $"n_tokens", $"n_terms",
+        round($"ent", 6).as("entropy"),
+        when($"n_terms" === 1, lit(0.0))
+          .otherwise(round($"ent" / log($"n_terms".cast("double")), 6))
+          .as("norm_entropy"))
+      .orderBy($"doc_id")
+  }
+
+  val taEntropySql: String =
+    """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tc AS (SELECT doc_id, term, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+      |wn AS (SELECT doc_id, c,
+      |    SUM(c) OVER (PARTITION BY doc_id) AS n
+      |  FROM tc),
+      |ct AS (SELECT doc_id, n,
+      |    CAST(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+      |      AS DECIMAL(15,9)) AS contrib
+      |  FROM wn),
+      |ag AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_terms, CAST(SUM(contrib) AS DOUBLE) AS ent
+      |  FROM ct GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, CAST(n_terms AS BIGINT) AS n_terms,
+      |  ROUND(ent, 6) AS entropy,
+      |  CASE WHEN n_terms = 1 THEN 0.0
+      |    ELSE ROUND(ent / ln(CAST(n_terms AS DOUBLE)), 6) END
+      |    AS norm_entropy
+      |FROM ag ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // ta_coverage: vocabulary coverage curve — what fraction of total
+  // token mass the top-k most frequent terms cover, at k ∈ {10, 100,
+  // 1000}. The tokenizer/vocab sizing input (how big must a vocab be
+  // before OOV mass is negligible) and a second corpus-health lens
+  // beside taZipf: template-heavy corpora push coverage@10 toward 1.
+  // Scale shape: one partial-aggregable term groupBy; the head is a
+  // TakeOrderedAndProject (top max-k rows); the three k cuts and the
+  // cumulative sums run on the bounded head crossed with the 3-row k
+  // table, and the corpus total is a 1-row broadcast crossJoin. All
+  // sums are exact longs; coverage is a single long/long division.
+  private[graft] val CoverageKs = Seq(10, 100, 1000)
+
+  def taCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tc = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+    val total = tc.agg(sum($"freq").as("total_tokens"))
+    val head = tc.orderBy($"freq".desc, $"term".asc).limit(CoverageKs.max)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"freq".desc, $"term".asc)))
+    val ks = CoverageKs.toDF("k")
+    head.crossJoin(broadcast(ks))
+      .filter($"rank" <= $"k")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_terms"), sum($"freq").as("covered_tokens"))
+      .crossJoin(total)
+      .select($"k", $"n_terms", $"covered_tokens", $"total_tokens",
+        round($"covered_tokens".cast("double") / $"total_tokens", 6)
+          .as("coverage"))
+      .orderBy($"k")
+  }
+
+  val taCoverageSql: String =
+    s"""WITH ex AS (SELECT unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tc AS (SELECT term, COUNT(*) AS freq FROM ex GROUP BY term),
+       |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM tc),
+       |hd AS (SELECT freq,
+       |    ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+       |  FROM tc ORDER BY freq DESC, term ASC LIMIT ${CoverageKs.max}),
+       |ks AS (SELECT unnest([${CoverageKs.mkString(", ")}]) AS k)
+       |SELECT k, COUNT(*) AS n_terms,
+       |  CAST(SUM(freq) AS BIGINT) AS covered_tokens,
+       |  MIN(total_tokens) AS total_tokens,
+       |  ROUND(CAST(SUM(freq) AS DOUBLE) / MIN(total_tokens), 6) AS coverage
+       |FROM hd JOIN ks ON hd.rank <= ks.k CROSS JOIN tot
+       |GROUP BY k ORDER BY k""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_entropy" -> (taEntropy _),
+    "llm_ta_coverage" -> (taCoverage _),
     "llm_ta_readability" -> (taReadability _),
     "llm_ta_tokens" -> (taTokens _),
     "llm_ta_fertility" -> (taFertility _),
@@ -1688,6 +1802,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_entropy" -> taEntropySql,
+    "llm_ta_coverage" -> taCoverageSql,
     "llm_ta_readability" -> taReadabilitySql,
     "llm_ta_tokens" -> taTokensSql,
     "llm_ta_fertility" -> taFertilitySql,

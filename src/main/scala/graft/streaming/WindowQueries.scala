@@ -439,7 +439,51 @@ object WindowQueries {
       |  ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q44_transitions: event-type Markov transition matrix — per user,
+  // order events by time and count (prev_type → next_type) bigrams,
+  // with 'START' as the virtual predecessor of each user's first
+  // event; p_next row-normalizes per prev_type. The behavioral-model
+  // staple (next-action prediction features, funnel anomaly hunting:
+  // a purchase whose prev is START is a bot signature). Scale shape:
+  // ONE corpus shuffle — the lag window partitions by user_id; the
+  // bigram rollup then reduces over the bounded (types+1)×types key
+  // space (partial-aggregable), and row-normalization windows over
+  // that bounded table only, never over event rows. Counts are exact
+  // longs; p_next is a single division of exact longs.
+  def q44Transitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val bi = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type",
+        coalesce(lag($"event_type", 1).over(w), lit("START")))
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wn = Window.partitionBy($"prev_type")
+    bi.withColumn("p_next",
+        round($"n".cast("double") / sum($"n").over(wn), 6))
+      .select($"prev_type", $"next_type", $"n", $"p_next")
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  val q44TransitionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    COALESCE(LAG(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id), 'START')
+      |      AS prev_type
+      |  FROM events),
+      |bi AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |  FROM o GROUP BY 1, 2)
+      |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6)
+      |    AS p_next
+      |FROM bi ORDER BY prev_type, next_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_transitions" -> (q44Transitions _),
     "q43_session_stats" -> (q43SessionStats _),
     "st_tumbling" -> (stTumbling _),
     "st_sliding" -> (stSliding _),
@@ -452,6 +496,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_transitions" -> q44TransitionsSql,
     "q43_session_stats" -> q43SessionStatsSql,
     "st_tumbling" -> stTumblingSql,
     "st_sliding" -> stSlidingSql,

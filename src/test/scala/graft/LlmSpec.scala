@@ -1041,6 +1041,81 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("entropy: bounded by ln(vocab), single-term docs score zero") {
+    val rows = TextAnalysis.taEntropy(spark, sf0001)
+      .select("doc_id", "n_tokens", "n_terms", "entropy", "norm_entropy")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length.toLong == n, "one row per document")
+    rows.foreach { case (id, nt, nv, ent, norm) =>
+      assert(nv >= 1 && nt >= nv, s"doc $id: counts inconsistent")
+      assert(ent >= -1e-9, s"doc $id: negative entropy $ent")
+      assert(ent <= math.log(nv.toDouble) + 1e-6,
+        s"doc $id: entropy $ent above ln($nv)")
+      assert(norm >= 0.0 && norm <= 1.0 + 1e-9, s"doc $id: norm $norm")
+      if (nv == 1) assert(ent == 0.0 && norm == 0.0,
+        s"doc $id: single-term doc must score zero")
+      // uniform-distribution check: entropy == ln(n_terms) iff every
+      // term appears n_tokens/n_terms times; norm then rounds to 1
+      if (nv > 1 && nt == nv) assert(math.abs(norm - 1.0) <= 1e-5,
+        s"doc $id: all-distinct doc must have norm entropy 1, got $norm")
+    }
+  }
+
+  test("coverage: monotone in k, bounded by the corpus total") {
+    val rows = TextAnalysis.taCoverage(spark, sf0001)
+      .select("k", "n_terms", "covered_tokens", "total_tokens", "coverage")
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(10, 100, 1000))
+    val total = rows.head._4
+    assert(rows.forall(_._4 == total), "total must be constant across k")
+    rows.foreach { case (k, nt, cov, _, c) =>
+      assert(nt <= k, s"k=$k: head has $nt terms")
+      assert(cov <= total, s"k=$k: covered exceeds total")
+      assert(c > 0.0 && c <= 1.0, s"k=$k: coverage $c")
+    }
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._3 <= b._3 && a._5 <= b._5
+      case _ => true
+    }, "coverage must be monotone in k")
+  }
+
+  test("soft weights: effective size sums to the cluster count") {
+    val rows = Dedup.ddSoftWeights(spark, sf0001)
+      .select("source", "n_docs", "eff_docs", "shrinkage")
+      .as[(String, Long, Double, Double)].collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_._2).sum == docs, "sources must partition the corpus")
+    rows.foreach { case (s, nd, eff, shr) =>
+      assert(eff > 0.0 && eff <= nd + 1e-6, s"source $s: eff $eff vs $nd")
+      assert(shr >= -1e-9 && shr < 1.0, s"source $s: shrinkage $shr")
+    }
+    // sum over all docs of 1/cluster_size = number of clusters (each
+    // family contributes exactly one doc's worth), modulo the 6-dp
+    // per-doc rounding
+    val nClusters = Dedup.ddCluster(spark, sf0001)
+      .select("cluster_id").distinct().count()
+    assert(math.abs(rows.map(_._3).sum - nClusters) < 0.01,
+      s"eff total ${rows.map(_._3).sum} vs $nClusters clusters")
+  }
+
+  test("transitions: counts reconcile, probabilities row-normalize") {
+    val rows = graft.streaming.WindowQueries.q44Transitions(spark, sf0001)
+      .select("prev_type", "next_type", "n", "p_next")
+      .as[(String, String, Long, Double)].collect()
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    assert(rows.map(_._3).sum == ev.count(),
+      "every event is exactly one transition target")
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.filter(_._1 == "START").map(_._3).sum == nUsers,
+      "each user contributes exactly one START transition")
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val pSum = rs.map(_._4).sum
+      assert(math.abs(pSum - 1.0) < 1e-4,
+        s"prev=$prev: probabilities sum to $pSum")
+    }
+  }
+
   test("neyman allocation: shares partition the budget, variance beats equal") {
     val rows = graft.llm.Sampling.sampleNeyman(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -155,6 +155,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(600))
   }
 
+  test("transitions: one user window, bigram rollup joins nothing") {
+    val plan = planOf(graft.streaming.WindowQueries.q44Transitions(spark, sf0001))
+    // the lag window partitions by user_id; normalization windows over
+    // the bounded (prev,next) table; event rows never meet a join
+    assert(!plan.contains("Join"), "transitions needs no join:\n" + plan.take(800))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.exists(_.contains("user_id#")),
+      "expected the user_id lag window:\n" + winLines.mkString("\n"))
+    assert(plan.contains("HashAggregate"), plan.take(600))
+  }
+
+  test("entropy: doc-keyed window and partial agg, no join, no term window") {
+    val plan = planOf(TextAnalysis.taEntropy(spark, sf0001))
+    assert(!plan.contains("Join"), "entropy needs no join:\n" + plan.take(800))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id#")),
+      "the only window must partition by doc_id:\n" + winLines.mkString("\n"))
+    assert(plan.contains("HashAggregate"), plan.take(600))
+  }
+
+  test("coverage: head is TakeOrderedAndProject, corpus never joins") {
+    val plan = planOf(TextAnalysis.taCoverage(spark, sf0001))
+    // the only joins allowed are over the bounded head (<=1000 rows
+    // crossed with the 3-row k table and the 1-row total)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "joins must stay on the bounded head:\n" + plan.take(800))
+  }
+
   test("knn join shuffles both sides on the cell key — never broadcasts") {
     val plan = planOf(graft.llm.Similarity.ssKnnJoin(spark, sf0001))
     // both sides are corpus-scale by contract: the join must be a
