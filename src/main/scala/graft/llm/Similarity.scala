@@ -1573,7 +1573,110 @@ object Similarity {
        |SELECT q_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_pca: top principal component by distributed power
+  // iteration — the whitening/compression primitive (PCA-rotated
+  // embeddings feed OPQ, dimension pruning rides the loading
+  // spectrum, and encoder drift shows up as a rotated top component
+  // before any recall metric moves).
+  //
+  // Two distributed phases, then driver-free bounded algebra:
+  //   1. Gram accumulation: the corpus contributes Σ xᵢxⱼ via a
+  //      double posexplode (d² = 4096 (i,j) keys at d = 64) — the
+  //      generator feeds a PARTIAL HashAggregate, so each partition
+  //      emits at most d² rows and the shuffle is d²×partitions no
+  //      matter the corpus size; the corpus itself never shuffles.
+  //      (At d ≳ 1024 you'd block the Gram matrix; same plan shape
+  //      per block.) Covariance C = S/N − m·mᵀ on the bounded table.
+  //   2. Three unrolled power steps w = C·v on the d²-row table —
+  //      each a j-keyed join against the d-row vector + a d-key
+  //      partial agg; λ = ‖w‖ is the eigenvalue estimate (‖v‖ = 1).
+  //
+  // Determinism: every sum (moments, Gram, matvec, norm) quantizes
+  // its double terms to DECIMAL(28,12) before folding — exact at any
+  // partitioning; sqrt/divisions are identical IEEE trees on both
+  // engines; v₀ = 1/8 = 2⁻³ is exact binary. Zero-norm (degenerate
+  // all-zero corpus) guards to 0.0 loadings rather than NaN.
+  def ssPca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir).select($"v")
+    val cnt = e.agg(count(lit(1)).as("n_vec"))
+    val f = e.select($"v", posexplode($"v").as(Seq("i", "xi")))
+    val pairs = f.select($"i", $"xi", posexplode($"v").as(Seq("j", "xj")))
+    val s = pairs.groupBy($"i", $"j")
+      .agg(sum(($"xi" * $"xj").cast("decimal(28,12)")).as("s"))
+    val m = f.groupBy($"i")
+      .agg(sum($"xi".cast("decimal(28,12)")).as("sm"))
+    val c = s
+      .join(m.select($"i", $"sm".as("smi")), "i")
+      .join(m.select($"i".as("j"), $"sm".as("smj")), "j")
+      .crossJoin(cnt)
+      .select($"i", $"j",
+        ($"s".cast("double") / $"n_vec"
+          - ($"smi".cast("double") / $"n_vec")
+            * ($"smj".cast("double") / $"n_vec")).as("cv"))
+    def matvec(vd: DataFrame): DataFrame =
+      c.join(vd, "j").groupBy($"i")
+        .agg(sum(($"cv" * $"vj").cast("decimal(28,12)"))
+          .cast("double").as("w"))
+    def normalize(w: DataFrame): DataFrame = {
+      val l = w.agg(
+        sqrt(sum(($"w" * $"w").cast("decimal(28,12)")).cast("double"))
+          .as("l"))
+      w.crossJoin(l).select($"i".as("j"),
+        when($"l" === 0, lit(0.0)).otherwise($"w" / $"l").as("vj"),
+        $"l")
+    }
+    val v0 = m.select($"i".as("j"), lit(0.125).as("vj"))
+    val v1 = normalize(matvec(v0))
+    val v2 = normalize(matvec(v1.select($"j", $"vj")))
+    val v3 = normalize(matvec(v2.select($"j", $"vj")))
+    v3.select($"j".cast("long").as("pos"),
+        round($"vj", 6).as("loading"),
+        round($"l", 6).as("eigenvalue"))
+      .orderBy($"pos")
+  }
+
+  val ssPcaSql: String = {
+    val unn = "unnest(list_transform(range(0, len(v)), " +
+      "k -> {'pos': k, 'x': v[k + 1]}))"
+    def w(r: Int, vPrev: String): String =
+      s"""w$r AS (SELECT c.i,
+         |    CAST(SUM(CAST(c.cv * $vPrev AS DECIMAL(28,12))) AS DOUBLE)
+         |      AS w
+         |  FROM c ${if (r == 1) "" else s"JOIN v${r - 1} ON c.j = v${r - 1}.j "}GROUP BY c.i),
+         |l$r AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12)))
+         |    AS DOUBLE)) AS l FROM w$r),
+         |v$r AS (SELECT i AS j,
+         |    CASE WHEN (SELECT l FROM l$r) = 0 THEN 0.0
+         |      ELSE w / (SELECT l FROM l$r) END AS vj
+         |  FROM w$r)""".stripMargin
+    s"""$normCte,
+       |cnt AS (SELECT COUNT(*) AS n_vec FROM n),
+       |p1 AS (SELECT v, u.pos AS i, u.x AS xi
+       |  FROM (SELECT v, $unn AS u FROM n)),
+       |p2 AS (SELECT i, xi, u2.pos AS j, u2.x AS xj
+       |  FROM (SELECT i, xi, $unn AS u2 FROM (SELECT v, i, xi FROM p1))),
+       |s AS (SELECT i, j, SUM(CAST(xi * xj AS DECIMAL(28,12))) AS s
+       |  FROM p2 GROUP BY i, j),
+       |m AS (SELECT i, SUM(CAST(xi AS DECIMAL(28,12))) AS sm
+       |  FROM p1 GROUP BY i),
+       |c AS (SELECT s.i, s.j,
+       |    CAST(s.s AS DOUBLE) / cnt.n_vec
+       |      - (CAST(mi.sm AS DOUBLE) / cnt.n_vec)
+       |        * (CAST(mj.sm AS DOUBLE) / cnt.n_vec) AS cv
+       |  FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i
+       |  CROSS JOIN cnt),
+       |${w(1, "CAST(0.125 AS DOUBLE)")},
+       |${w(2, "v1.vj")},
+       |${w(3, "v2.vj")}
+       |SELECT CAST(v3.j AS BIGINT) AS pos, ROUND(v3.vj, 6) AS loading,
+       |  ROUND((SELECT l FROM l3), 6) AS eigenvalue
+       |FROM v3 ORDER BY pos""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_pca" -> (ssPca _),
     "llm_ss_knn_join" -> (ssKnnJoin _),
     "llm_ss_topk" -> (ssTopk _),
     "llm_ss_knn_purity" -> (ssKnnPurity _),
@@ -1601,6 +1704,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ss_pca" -> ssPcaSql,
     "llm_ss_knn_join" -> ssKnnJoinSql,
     "llm_ss_topk" -> ssTopkSql,
     "llm_ss_knn_purity" -> ssKnnPuritySql,

@@ -1766,7 +1766,80 @@ object TextAnalysis {
        |FROM hd JOIN ks ON hd.rank <= ks.k CROSS JOIN tot
        |GROUP BY k ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_js_drift: per-source Jensen-Shannon divergence from the corpus
+  // unigram distribution, over 64 HASHED buckets (the DSIR hashing
+  // trick) — the composition-drift monitor: a source whose language
+  // drifts from the corpus mix (template injection, scrape rot, a
+  // crawler picking up a new site section) moves its JS before any
+  // quality gate fires. Complements pipelineDrift (which compares
+  // corpus snapshots; this ranks sources inside one snapshot).
+  //
+  // Scale shape: the corpus contributes ONE partial-aggregable
+  // (source, bucket) groupBy; everything after runs on the bounded
+  // sources×64 spine (left-join keeps zero buckets so add-1
+  // smoothing is total). Per-bucket JS terms quantize to
+  // DECIMAL(15,9) before the per-source fold (taZipf ln discipline);
+  // p, q, and the mixture are built from exact integer counts with
+  // identical IEEE trees in both engines. JS is bounded by ln 2, so
+  // the DECIMAL range is never stressed.
+  def taJsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tc = docs
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .select($"source", (h60($"term") % 64).as("bucket"))
+      .groupBy($"source", $"bucket").agg(count(lit(1)).as("c"))
+    val spine = docs.select($"source").distinct()
+      .crossJoin(spark.range(0, 64).toDF("bucket"))
+    val sb = spine.join(tc, Seq("source", "bucket"), "left")
+      .select($"source", $"bucket", coalesce($"c", lit(0L)).as("c"))
+    val tot = sb.groupBy($"source").agg(sum($"c").as("n_s"))
+    val cbk = sb.groupBy($"bucket").agg(sum($"c").as("cb"))
+    val nn = sb.agg(sum($"c").as("nn"))
+    sb.join(tot, "source").join(cbk, "bucket").crossJoin(nn)
+      .withColumn("p", ($"c" + 1).cast("double") / ($"n_s" + 64))
+      .withColumn("q", ($"cb" + 1).cast("double") / ($"nn" + 64))
+      .withColumn("mm", ($"p" + $"q") / 2)
+      .withColumn("trm",
+        (($"p" * log($"p" / $"mm") + $"q" * log($"q" / $"mm")) * 0.5)
+          .cast("decimal(15,9)"))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_tokens"),
+        sum($"trm").cast("double").as("js"))
+      .select($"source", $"n_tokens", round($"js", 6).as("js_div"))
+      .orderBy($"source")
+  }
+
+  val taJsDriftSql: String =
+    s"""WITH ex AS (SELECT source, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tk AS (SELECT source, ${h60Sql("term")} % 64 AS bucket FROM ex),
+       |tc AS (SELECT source, bucket, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+       |spine AS (SELECT source, bucket
+       |  FROM (SELECT DISTINCT source FROM documents)
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket)),
+       |sb AS (SELECT spine.source, spine.bucket, COALESCE(tc.c, 0) AS c
+       |  FROM spine LEFT JOIN tc
+       |    ON spine.source = tc.source AND spine.bucket = tc.bucket),
+       |tot AS (SELECT source, SUM(c) AS n_s FROM sb GROUP BY source),
+       |cbk AS (SELECT bucket, SUM(c) AS cb FROM sb GROUP BY bucket),
+       |nn AS (SELECT SUM(c) AS nn FROM sb),
+       |t AS (SELECT sb.source, n_s,
+       |    CAST(c + 1 AS DOUBLE) / (n_s + 64) AS p,
+       |    CAST(cb + 1 AS DOUBLE) / (nn + 64) AS q
+       |  FROM sb JOIN tot USING (source) JOIN cbk USING (bucket)
+       |  CROSS JOIN nn),
+       |u AS (SELECT source, n_s,
+       |    CAST((p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2)))
+       |      * 0.5 AS DECIMAL(15,9)) AS trm
+       |  FROM t)
+       |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(SUM(trm) AS DOUBLE), 6) AS js_div
+       |FROM u GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_js_drift" -> (taJsDrift _),
     "llm_ta_entropy" -> (taEntropy _),
     "llm_ta_coverage" -> (taCoverage _),
     "llm_ta_readability" -> (taReadability _),
@@ -1802,6 +1875,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_js_drift" -> taJsDriftSql,
     "llm_ta_entropy" -> taEntropySql,
     "llm_ta_coverage" -> taCoverageSql,
     "llm_ta_readability" -> taReadabilitySql,

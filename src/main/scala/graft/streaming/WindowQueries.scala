@@ -482,7 +482,88 @@ object WindowQueries {
       |    AS p_next
       |FROM bi ORDER BY prev_type, next_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q45_rfm: RFM segmentation — per-user Recency (µs since last
+  // event, from the corpus max so the cube is reproducible), Frequency
+  // (event count), Monetary (DECIMAL-exact value sum), each scored
+  // into quintiles against corpus-wide cutoffs, rolled up to the
+  // (r,f,m) segment cube (≤125 rows). r_score counts UP with
+  // staleness (5 = most lapsed) — the raw quintile index, not the
+  // inverted marketing convention.
+  //
+  // Determinism: quintile cutoffs are exact interpolated percentiles
+  // (the q25 percentile↔quantile_cont bridge) rounded to 6 dp BEFORE
+  // the comparison — Spark and DuckDB interpolate tied endpoints with
+  // different-but-ulp-equal formulas, and the 6-dp quantization
+  // removes that lip; the compared metrics are exact (integer µs,
+  // integer counts, 6-dp decimal sums), so no boundary can flip.
+  //
+  // Scale shape: per-user agg is partial-aggregable on user_id (one
+  // corpus shuffle); cutoffs are ONE 1-row aggregate broadcast back
+  // (crossJoin); scoring is a narrow projection; the segment rollup
+  // reduces over the bounded 125-key cube. At production SF swap
+  // percentile → approx_percentile, same plan.
+  def q45Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val mx = ev.agg(max(unix_micros($"ts")).as("corpus_max_us"))
+    val per = ev.groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum($"value".cast(DecimalType(18, 6))).cast("double").as("money"))
+      .crossJoin(mx)
+      .withColumn("rec_us", $"corpus_max_us" - $"last_us")
+    val cuts = per.agg(
+      expr("percentile(rec_us, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+      expr("percentile(money, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+    def score(m: org.apache.spark.sql.Column, cs: String) =
+      (1 to 4).map(i =>
+        (m > round(element_at(col(cs), i), 6)).cast("int"))
+        .foldLeft(lit(1))(_ + _)
+    per.crossJoin(cuts)
+      .select($"user_id", $"money",
+        score($"rec_us", "rc").as("r_score"),
+        score($"freq", "fc").as("f_score"),
+        score($"money", "mc").as("m_score"))
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum($"money".cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("total_value"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  val q45RfmSql: String = {
+    def score(m: String, cs: String) =
+      "1 + " + (1 to 4).map(i =>
+        s"CAST($m > ROUND($cs[$i], 6) AS INT)").mkString(" + ")
+    s"""WITH mx AS (SELECT MAX(epoch_us(ts)) AS corpus_max_us FROM events),
+       |per AS (SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+       |    COUNT(*) AS freq,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS money
+       |  FROM events GROUP BY user_id),
+       |pr AS (SELECT user_id, freq, money,
+       |    corpus_max_us - last_us AS rec_us
+       |  FROM per CROSS JOIN mx),
+       |cuts AS (SELECT
+       |    quantile_cont(rec_us, [0.2, 0.4, 0.6, 0.8]) AS rc,
+       |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc,
+       |    quantile_cont(money, [0.2, 0.4, 0.6, 0.8]) AS mc
+       |  FROM pr),
+       |sc AS (SELECT user_id, money,
+       |    ${score("rec_us", "rc")} AS r_score,
+       |    ${score("freq", "fc")} AS f_score,
+       |    ${score("money", "mc")} AS m_score
+       |  FROM pr CROSS JOIN cuts)
+       |SELECT r_score, f_score, m_score,
+       |  COUNT(*) AS n_users,
+       |  ROUND(CAST(SUM(CAST(money AS DECIMAL(18,6))) AS DOUBLE), 6)
+       |    AS total_value
+       |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_rfm" -> (q45Rfm _),
     "q44_transitions" -> (q44Transitions _),
     "q43_session_stats" -> (q43SessionStats _),
     "st_tumbling" -> (stTumbling _),
@@ -496,6 +577,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q45_rfm" -> q45RfmSql,
     "q44_transitions" -> q44TransitionsSql,
     "q43_session_stats" -> q43SessionStatsSql,
     "st_tumbling" -> stTumblingSql,

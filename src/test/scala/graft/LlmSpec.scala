@@ -1116,6 +1116,73 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("pca: matches a sequential power-iteration reference") {
+    val rows = Similarity.ssPca(spark, sf0001)
+      .select("pos", "loading", "eigenvalue")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val d = rows.length
+    assert(d > 0)
+    val lam = rows.head._3
+    assert(rows.forall(_._3 == lam), "eigenvalue must be constant")
+    assert(lam > 0.0, s"eigenvalue $lam must be positive")
+    val norm2 = rows.map(r => r._2 * r._2).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"loadings norm^2 $norm2")
+    // sequential reference: same covariance, same v0, same 3 rounds
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("cast(embedding as array<double>) as v")
+      .as[Seq[Double]].collect()
+    val n = vecs.length
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j))
+    var v = Array.fill(d)(0.125)
+    var l = 0.0
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      l = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / l)
+    }
+    rows.foreach { case (pos, loading, _) =>
+      assert(math.abs(loading - v(pos.toInt)) < 1e-4,
+        s"dim $pos: loading $loading vs reference ${v(pos.toInt)}")
+    }
+    assert(math.abs(lam - l) < 1e-4, s"eigenvalue $lam vs reference $l")
+  }
+
+  test("rfm: segments partition users, value reconciles, scores in range") {
+    val rows = graft.streaming.WindowQueries.q45Rfm(spark, sf0001)
+      .select("r_score", "f_score", "m_score", "n_users", "total_value")
+      .as[(Int, Int, Int, Long, Double)].collect()
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._4).sum == nUsers, "segments must partition users")
+    rows.foreach { case (r, f, m, nu, tv) =>
+      assert(Seq(r, f, m).forall(s => s >= 1 && s <= 5),
+        s"score out of range: ($r,$f,$m)")
+      assert(nu >= 1, "empty segment must not be emitted")
+    }
+    val corpusValue = ev.selectExpr(
+      "cast(sum(cast(value as decimal(18,6))) as double)")
+      .as[Double].head()
+    assert(math.abs(rows.map(_._5).sum - corpusValue) < 1e-3,
+      "segment values must reconcile with the corpus total")
+  }
+
+  test("js drift: bounded by ln 2, token totals reconcile") {
+    val rows = TextAnalysis.taJsDrift(spark, sf0001)
+      .select("source", "n_tokens", "js_div")
+      .as[(String, Long, Double)].collect()
+    val nSources = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length.toLong == nSources, "one row per source")
+    rows.foreach { case (s, nt, js) =>
+      assert(nt > 0, s"source $s: no tokens")
+      assert(js >= -1e-9 && js <= math.log(2.0) + 1e-6,
+        s"source $s: JS $js outside [0, ln 2]")
+    }
+  }
+
   test("neyman allocation: shares partition the budget, variance beats equal") {
     val rows = graft.llm.Sampling.sampleNeyman(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -184,6 +184,35 @@ class PlanSpec extends SparkSpec {
       "joins must stay on the bounded head:\n" + plan.take(800))
   }
 
+  test("pca: Gram accumulation is generator + partial agg, joins stay bounded") {
+    val plan = planOf(graft.llm.Similarity.ssPca(spark, sf0001))
+    // the corpus contributes through posexplode feeding a partial
+    // HashAggregate; every join after touches only d- or d^2-row
+    // tables and must broadcast, never shuffle-merge
+    assert(plan.contains("Generate"), plan.take(600))
+    assert(plan.contains("HashAggregate"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "bounded algebra must broadcast:\n" + plan.take(900))
+  }
+
+  test("rfm: corpus aggregates partially, cutoffs broadcast back") {
+    val plan = planOf(graft.streaming.WindowQueries.q45Rfm(spark, sf0001))
+    assert(plan.contains("HashAggregate"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "the 1-row cutoff table must broadcast:\n" + plan.take(900))
+    assert(!plan.contains("windowspecdefinition"),
+      "rfm must not window over users:\n" + plan.take(900))
+  }
+
+  test("js drift: no window, bounded joins only") {
+    val plan = planOf(TextAnalysis.taJsDrift(spark, sf0001))
+    assert(plan.contains("HashAggregate"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "spine joins are bounded and must broadcast:\n" + plan.take(900))
+    assert(!plan.contains("windowspecdefinition"),
+      "js drift needs no window:\n" + plan.take(900))
+  }
+
   test("knn join shuffles both sides on the cell key — never broadcasts") {
     val plan = planOf(graft.llm.Similarity.ssKnnJoin(spark, sf0001))
     // both sides are corpus-scale by contract: the join must be a
