@@ -1518,18 +1518,32 @@ object Similarity {
   // 9x), then a plain shuffle equi-join on the cell key — each side
   // shuffles ONCE, hash-partitioned by cell; candidates meet only
   // inside a cell; the per-query top-k is the usual q_id window.
-  // No broadcast anywhere: hint("merge") pins SortMergeJoin so the
-  // plan survives a query side 10^6x this fixture (AQE would happily
-  // broadcast the sf0.01 query side and hide the regression).
-  // Here the "query" batch is every 10th vector — a side too large to
-  // broadcast by construction at production scale.
+  // The candidate join never broadcasts: hint("merge") pins
+  // SortMergeJoin so the plan survives a query side 10^6x this
+  // fixture (AQE would happily broadcast the sf0.01 query side and
+  // hide the regression). Here the "query" batch is every 10th
+  // vector — a side too large to broadcast by construction.
+  //
+  // In-cell work is quadratic in cell occupancy, so the corpus side
+  // carries ssKnnPurity's count-first cap: cells above KnnCellCap
+  // serve NO candidates (the only broadcast in the plan — the
+  // grid-bounded surviving-cell list). A query whose whole 3x3
+  // neighborhood is over-cap returns no rows: the mis-sized-grid
+  // signal, visible as missing q_ids. Measured on the 16x replica
+  // fixture: the uncapped form DNFs (>420 s — every cell 16x denser
+  // = 256x the pairs), the capped form excludes all 16 cells and
+  // reports it; production answers by refining the grid (IVF nlist),
+  // exactly as at ssKnnPurity.
   def ssKnnJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = withNorm(spark, dir)
       .withColumn("cx", floor(element_at($"v", 1) * 4).cast("long"))
       .withColumn("cy", floor(element_at($"v", 2) * 4).cast("long"))
-    val corpus = e.select($"vec_id", $"v", $"nrm",
+    val all = e.select($"vec_id", $"v", $"nrm",
       concat_ws(":", $"cx", $"cy").as("cell"))
+    val ok = all.groupBy($"cell").agg(count(lit(1)).as("nb"))
+      .filter($"nb" <= KnnCellCap).select($"cell")
+    val corpus = all.join(broadcast(ok), Seq("cell"))
     // 9 probe cells per query: distinct strings, so no candidate pair
     // is generated twice and no distinct() is needed before the top-k
     val probes = for { dx <- -1 to 1; dy <- -1 to 1 }
@@ -1554,8 +1568,11 @@ object Similarity {
        |c AS (SELECT vec_id, v, nrm,
        |  CAST(FLOOR(v[1] * 4) AS BIGINT) AS cx,
        |  CAST(FLOOR(v[2] * 4) AS BIGINT) AS cy FROM n),
-       |corpus AS (SELECT vec_id, v, nrm,
+       |allc AS (SELECT vec_id, v, nrm,
        |  CAST(cx AS VARCHAR) || ':' || CAST(cy AS VARCHAR) AS cell FROM c),
+       |ok AS (SELECT cell FROM allc GROUP BY cell
+       |  HAVING COUNT(*) <= $KnnCellCap),
+       |corpus AS (SELECT allc.* FROM allc JOIN ok USING (cell)),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
        |    CAST(cx + dx AS VARCHAR) || ':' || CAST(cy + dy AS VARCHAR) AS cell
        |  FROM c, (SELECT unnest([-1, 0, 1]) AS dx),

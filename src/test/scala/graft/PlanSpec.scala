@@ -215,12 +215,15 @@ class PlanSpec extends SparkSpec {
 
   test("knn join shuffles both sides on the cell key — never broadcasts") {
     val plan = planOf(graft.llm.Similarity.ssKnnJoin(spark, sf0001))
-    // both sides are corpus-scale by contract: the join must be a
-    // shuffle join on the cell key; an (AQE-injected) broadcast would
-    // hide the regression until the query side is 10^6x larger
+    // both sides are corpus-scale by contract: the candidate join must
+    // be a shuffle join on the cell key; an (AQE-injected) broadcast
+    // would hide the regression until the query side is 10^6x larger.
+    // The ONE allowed broadcast is the grid-bounded surviving-cell
+    // list (the count-first occupancy cap).
     assert(plan.contains("SortMergeJoin"), plan.take(700))
-    assert(!plan.contains("BroadcastHashJoin"),
-      "knn join must not broadcast either side:\n" + plan.take(900))
+    val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(bhj == 1,
+      s"expected exactly the cap-list broadcast, found $bhj:\n" + plan.take(900))
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "knn join degenerated to a nested loop:\n" + plan.take(900))
   }
