@@ -202,16 +202,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md §2), which the
-    * vectorized reader rejects; read nanos as long and convert to a
-    * micros timestamp (truncation — sub-microsecond precision is not
-    * used by any query semantics here).
-    */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+    * the vectorized reader rejects, so it's read as long via the
+    * legacy conf and truncated to micros — and plain TIMESTAMP(MICROS)
+    * (the driver regenerates the fixture between rounds). Dispatch on
+    * the resolved type so either vintage loads; sub-microsecond
+    * precision is not used by any query semantics here. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // micros already; NTZ → LTZ is identity under the UTC session TZ
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -6,10 +6,11 @@ Defaults: /root/testdata/sf0.1 -> target/scale16, factor 16.
 
 Replication shifts ids by k*10^7 (events by k*10^8) per replica k, so
 ids stay unique while every document gains factor-1 exact copies — the
-adversarial regime for the dedup pair generators. events.ts must stay
-parquet TIMESTAMP(NANOS) (graft.sources.Tables.events reads it via
-nanosAsLong), so events go through pyarrow, not DuckDB's us-granular
-parquet writer.
+adversarial regime for the dedup pair generators. events.ts must keep
+its source parquet timestamp vintage bit-for-bit (NANOS in some
+fixture generations, MICROS in others; graft.sources.Tables.events
+dispatches on the resolved type), so events go through pyarrow's
+type-preserving passthrough, not DuckDB's us-granular parquet writer.
 """
 import sys
 
