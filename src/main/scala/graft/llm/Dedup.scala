@@ -655,7 +655,20 @@ object Dedup {
     * → sub-second at sf0.1). A pair sharing k bands is verified k
     * times (identical doubles) and collapsed by the final distinct,
     * which runs over the tiny qualifying set, not the candidates. */
-  private def embeddingLshVerified(spark: SparkSession, dir: String): DataFrame = {
+  private def embeddingLshVerified(spark: SparkSession, dir: String): DataFrame =
+    // Session-cached artifact, same convention as dd_ngramPairs /
+    // dd_bands: the verified near-dup pair set is tiny (bounded by
+    // near-dup density, not corpus size) and feeds three consumers —
+    // the registered ddEmbeddingLsh query, the recall panel's n_pairs
+    // count AND its truth-pass membership mark, and keep/cluster-style
+    // downstream use — so it builds once per (session, dir snapshot).
+    Tables.sessionCached(spark,
+        Tables.stamped(spark, dir, "dd_embLshVerified")) {
+      Tables.materialize(embeddingLshVerifiedBuild(spark, dir))
+    }
+
+  private[graft] def embeddingLshVerifiedBuild(
+      spark: SparkSession, dir: String): DataFrame = {
     val banded = embeddingBanded(spark, dir)
     // count-first cap (never collect an unbounded bucket), then one
     // aggregation carrying the packed vectors
@@ -720,18 +733,32 @@ object Dedup {
   // the all-pairs ratio says the threshold sits too close to the
   // noise floor for banding to pay. Same measured-not-claimed
   // discipline as llm_dd_lsh_recall and llm_ss_recall.
+  // Cost discipline (round-8 rewrite): the panel is five counts, and
+  // counts stream through aggregates — NOTHING here may materialize a
+  // pair table. The corpus-quadratic-adjacent candidate set is counted
+  // by one aggregate over the ids-only expansion (no vectors ride, no
+  // checkpoint); the all-pairs truth side — inherently N²/2 cosines,
+  // that's what "measured recall" buys, and it inherits
+  // ddEmbeddingNear's fail-fast >100k-row guard — is paid ONCE: a
+  // broadcast membership mark from the tiny verified set lets a single
+  // pass produce n_truth and n_hit together. Only the verified
+  // qualifying set (the near-dup pairs themselves, not candidates) is
+  // materialized — as the session-cached dd_embLshVerified artifact it
+  // already is for the registered query — and it feeds both the mark
+  // join and its own count. Round-7 shape (checkpoint truth + candidates + verified,
+  // then four crossJoined counts) cost 7–15 s isolated at sf0.1;
+  // this one re-derives identical values from the same subplans.
   def ddEmbeddingLshRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val truth = ddEmbeddingNear(spark, dir)
-      .select($"vec_a", $"vec_b").localCheckpoint()
-    val cand = embeddingCandidates(spark, dir).localCheckpoint()
     val ver = embeddingLshVerified(spark, dir).select($"vec_a", $"vec_b")
-      .localCheckpoint()
-    val hits = ver.join(truth, Seq("vec_a", "vec_b"))
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+    val truthAgg = ddEmbeddingNear(spark, dir).select($"vec_a", $"vec_b")
+      .join(broadcast(ver.withColumn("hit", lit(1))), Seq("vec_a", "vec_b"),
+        "left")
+      .agg(count(lit(1)).as("n_truth"), count($"hit").as("n_hit"))
+    truthAgg
+      .crossJoin(embeddingCandidates(spark, dir)
+        .agg(count(lit(1)).as("n_cand")))
       .crossJoin(ver.agg(count(lit(1)).as("n_pairs")))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
       .select($"n_truth", $"n_cand", $"n_pairs",
         // vacuous conventions as in ddLshRecall: nothing to find →
         // recall 1; no candidates → efficiency 1

@@ -520,9 +520,16 @@ object Pipeline {
   def budget(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // Materialized once (localCheckpoint): `q` feeds both the bucket
+    // table and the broadcast join below, and unmaterialized the
+    // tokenizing taQuality scan re-runs per reference (round-7 bench:
+    // the two derivations were most of the isolated 2.0 s). Narrow
+    // rows only — four columns, ~30 B/doc — so even a 100 TB corpus's
+    // projection fits block storage at ~1/3000 of input size.
     val q = TextAnalysis.taQuality(spark, dir)
       .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"), $"quality",
         least(floor($"quality" * 20).cast("int"), lit(19)).as("bkt"))
+      .localCheckpoint()
     val wCum = Window.orderBy($"bkt".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy($"bkt".desc)

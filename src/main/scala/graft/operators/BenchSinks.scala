@@ -53,6 +53,13 @@ object BenchSinks {
     * `ignoreNullFields=false` because Go's json.Marshal always emits
     * all four stat keys — a null stat must render as `"M":null`, not
     * vanish, or a frontend indexing `.M` breaks.
+    *
+    * Known divergence: the reference publishes with `--acl
+    * public-read` (file_generator.go:245). The Hadoop FileSystem API
+    * has no portable per-object ACL, so this path reproduces the data
+    * movement but not the ACL bit — on S3 deployments, grant public
+    * read via a bucket policy (the AWS-recommended replacement for
+    * object ACLs) instead.
     */
   def writeSeriesJsonExact(fact: DataFrame, outDir: String): Unit =
     fact

@@ -114,12 +114,24 @@ object RelationalQueries {
     import spark.implicits._
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
-    val l = Tables.lineitem(spark, dir)
-    l.join(o, $"l_orderkey" === $"o_orderkey")
+    // Pre-aggregate the fact to order grain BEFORE any join: revenue
+    // partials stay DECIMAL so the two-level sum is exactly the flat
+    // dsum (decimal addition is associative; the double cast happens
+    // once at the end), and the join input shrinks from lineitem rows
+    // to order rows. The orderkey shuffle this groupBy pays is the
+    // same partitioning the orders join needs, so at 100 TB the plan
+    // trades a full-width lineitem shuffle for a narrow
+    // (orderkey, decimal, count) one.
+    val lo = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast(DecimalType(18, 6))).as("rev_part"),
+        count(lit(1)).as("n_part"))
+    lo.join(o, $"l_orderkey" === $"o_orderkey")
       .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")
-      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"),
-           count(lit(1)).as("n_items"))
+      .agg(sum($"rev_part").cast("double").as("revenue"),
+           sum($"n_part").as("n_items"))
       .orderBy($"revenue".desc, $"c_custkey".asc)
       .limit(10)
   }

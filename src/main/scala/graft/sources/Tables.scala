@@ -17,6 +17,34 @@ object Tables {
   private val cleanupHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
+  /** RDD ids persisted DURING a session-cached build — the artifact
+    * family (checkpointed base tables, band indexes, trained
+    * centroids/codebooks) plus any per-round transients the build
+    * created (bounded: builds run once per (session, key)). Everything
+    * persisted OUTSIDE a cached build is a per-query transient whose
+    * DataFrame dies with the query invocation; [[releaseTransients]]
+    * may drop those blocks freely. Without that release, a long
+    * repeated-query run (graft.Bench: 190 queries × warm + timed
+    * passes) accumulates ~12k localCheckpoint block sets whose
+    * block-manager/GC pressure inflates late-suite timings up to 16×
+    * their isolated cost (measured round 7: llm_pipeline_budget 31.8 s
+    * in-suite vs 2.0 s isolated).
+    */
+  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Unpersist every persistent RDD of `spark`'s context that is NOT
+    * pinned by a session-cached artifact build. Safe between query
+    * invocations: localCheckpoint truncates lineage, so blocks must
+    * not be dropped while a DataFrame still expects re-execution — but
+    * per-query transients are rebuilt fresh by each invocation, and
+    * the long-lived artifact family is pinned. Non-blocking: block
+    * removal proceeds async while the next query runs.
+    */
+  def releaseTransients(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinned.contains(id)) rdd.unpersist(blocking = false)
+    }
+
   /** Session-scoped memo for a named DataFrame. The first build per
     * (session, key) wins. Eviction is APPLICATION-END only: Spark has
     * no per-session close event, so a session closed while the shared
@@ -47,7 +75,17 @@ object Tables {
     val existing = cache.get(k)
     if (existing != null) existing
     else {
+      // pin every RDD the build persists (localCheckpoint is eager, so
+      // blocks exist by the time `build` returns): the id-set diff
+      // captures the artifact itself plus its build transients, both
+      // of which must survive releaseTransients. Sessions here are
+      // effectively single-threaded (see the race note above), so the
+      // diff doesn't swallow another query's transients in practice —
+      // and over-pinning a stray id only keeps one bounded block set.
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val built = build
+      sc.getPersistentRDDs.keySet.diff(before).foreach(pinned.add(_))
       val prev = cache.putIfAbsent(k, built)
       if (prev != null) prev else built
     }
@@ -176,17 +214,22 @@ object Tables {
     * Used by fail-fast guards (e.g. the all-pairs baseline in
     * [[graft.llm.Dedup.ddEmbeddingNear]]) where launching a count job
     * just to decide whether to refuse a bigger job defeats the point. */
-  def parquetRowCount(spark: SparkSession, path: String): Long = {
-    val conf = spark.sessionState.newHadoopConf()
+  private def parquetDataFiles(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String): Array[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter { s =>
-          val n = s.getPath.getName
-          s.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-      else Array(fs.getFileStatus(p))
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    else Array(fs.getFileStatus(p))
+  }
+
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val files = parquetDataFiles(conf, path)
     files.map { st =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(st, conf)
@@ -208,12 +251,51 @@ object Tables {
     * (the driver regenerates the fixture between rounds). Dispatch on
     * the resolved type so either vintage loads; sub-microsecond
     * precision is not used by any query semantics here. */
+  /** True iff `path`'s parquet footer annotates column `col` as
+    * TIMESTAMP(NANOS). Footer-metadata read only — no Spark job. Used
+    * to verify the [[events]] long-vintage dispatch: a long `ts` is
+    * divided by 1000 ONLY when the footer proves nanos; a future
+    * fixture storing plain INT64 micros would otherwise be silently
+    * divided into garbage. */
+  private def parquetTsIsNanos(
+      s: SparkSession, path: String, col: String): Boolean = {
+    val conf = s.sessionState.newHadoopConf()
+    parquetDataFiles(conf, path).headOption.exists { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val schema = r.getFooter.getFileMetaData.getSchema
+        schema.containsField(col) &&
+        (schema.getType(Seq(col): _*).getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+      } finally r.close()
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→LTZ cast below (and every downstream date_format /
+    // window bucket) is only correct under UTC. Every in-repo entry
+    // point pins it, but an external caller's session may not — pin
+    // it here too so events semantics never depend on the host TZ.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // long ts only ever means parquet TIMESTAMP(NANOS) read via
+        // the legacy conf; prove it from the footer before truncating.
+        // A zero-row table is exempt — the truncation is vacuous and
+        // schema-only fixtures legitimately write raw INT64.
+        require(parquetTsIsNanos(s, s"$d/events.parquet", "ts")
+            || parquetRowCount(s, s"$d/events.parquet") == 0,
+          s"events.ts at $d is INT64 but not parquet TIMESTAMP(NANOS); "
+            + "refusing the nanos->micros truncation")
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => // micros already; NTZ → LTZ is identity under the UTC session TZ
         df.withColumn("ts", col("ts").cast("timestamp"))

@@ -73,7 +73,10 @@ class EquivalenceSpec extends SparkSpec {
         1.0)
     }
     val dir = java.nio.file.Files.createTempDirectory("graft_funnel_prop").toString
+    // write ts as a real micros timestamp (the current fixture
+    // vintage); Tables.events refuses non-empty unannotated INT64
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .write.parquet(s"$dir/events.parquet")
     // independent reference: per-user scan in (ts, event_id) order —
     // the window formulation must agree with the obvious sequential
@@ -112,6 +115,7 @@ class EquivalenceSpec extends SparkSpec {
       (7L, ns(1), 3L, "click", 1.0), (8L, ns(2), 3L, "view", 1.0),
       (9L, ns(3), 3L, "purchase", 1.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .write.parquet(s"$dir/events.parquet")
     val got = graft.streaming.WindowQueries.q38Funnel(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq

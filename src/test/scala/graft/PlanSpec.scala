@@ -244,6 +244,26 @@ class PlanSpec extends SparkSpec {
         + winLines.mkString("\n"))
   }
 
+  test("embedding-LSH recall panel never materializes a pair table") {
+    val plan = planOf(Dedup.ddEmbeddingLshRecall(spark, sf0001))
+    // the only checkpointed input allowed is the tiny verified
+    // qualifying set, read twice (membership-mark join + its own
+    // count). Three or more ExistingRDD scans means a pair table
+    // (candidates or all-pairs truth) was checkpointed again — the
+    // round-7 shape this rewrite removed (7-15 s isolated at sf0.1).
+    val rddScans = plan.split("\n").count(_.contains("Scan ExistingRDD"))
+    assert(rddScans <= 2,
+      s"$rddScans ExistingRDD scans — a pair table was materialized:\n"
+        + plan.take(1200))
+    // n_truth/n_hit must come from ONE all-pairs pass: the verified
+    // set broadcasts as a membership mark into the truth stream
+    val markJoin = plan.split("\n").exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter"))
+    assert(markJoin,
+      "truth pass must left-join the broadcast verified mark:\n"
+        + plan.take(1200))
+  }
+
   test("budget selection: doc rows never single-partition; joins broadcast") {
     val plan = planOf(graft.llm.Pipeline.budget(spark, sf0001))
     assert(!plan.contains("SortMergeJoin"),
@@ -379,7 +399,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("embedding LSH pairs expand in-bucket arrays, never an all-pairs join") {
-    val plan = planOf(graft.llm.Dedup.ddEmbeddingLsh(spark, sf0001))
+    // the registered query reads the session-cached dd_embLshVerified
+    // artifact (same convention as ngram pairs), so guard the plan of
+    // the BUILD itself
+    val plan = planOf(graft.llm.Dedup.embeddingLshVerifiedBuild(spark, sf0001))
     // candidate pairs must come from the groupBy(band,key) sorted-array
     // expansion (Generate over collect_list), with the bucket-cap list
     // broadcast — an all-pairs or nested-loop shape over raw vectors is

@@ -36,6 +36,10 @@ for table, col, shift in [
     ("embeddings", "vec_id", 10_000_000),
     ("events", "event_id", 100_000_000),
     ("events", "user_id", 10_000_000),
+    ("lineitem", "l_orderkey", 10_000_000),
+    ("orders", "o_orderkey", 10_000_000),
+    ("orders", "o_custkey", 10_000_000),
+    ("customer", "c_custkey", 10_000_000),
 ]:
     mx = con.sql(
         f"SELECT MAX({col}) FROM read_parquet('{src}/{table}.parquet')"
@@ -54,6 +58,28 @@ COPY (SELECT vec_id + k*10000000 AS vec_id, embedding, label
       FROM read_parquet('{src}/embeddings.parquet'), range(0, {factor}) t(k))
 TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
 
+# Star-schema replicas (q02/q03 16x stress): every join key shifts by
+# the same k*10^7, so each replica is a self-consistent TPC-H slice —
+# lineitem⋈orders⋈customer joins land within their replica only, and
+# per-group row counts scale exactly 16x.
+con.sql(f"""
+COPY (SELECT l_orderkey + k*10000000 AS l_orderkey, l_partkey, l_suppkey,
+        l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        l_returnflag, l_linestatus, l_shipdate
+      FROM read_parquet('{src}/lineitem.parquet'), range(0, {factor}) t(k))
+TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+con.sql(f"""
+COPY (SELECT o_orderkey + k*10000000 AS o_orderkey,
+        o_custkey + k*10000000 AS o_custkey,
+        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM read_parquet('{src}/orders.parquet'), range(0, {factor}) t(k))
+TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+con.sql(f"""
+COPY (SELECT c_custkey + k*10000000 AS c_custkey, c_name, c_nationkey,
+        c_acctbal, c_mktsegment
+      FROM read_parquet('{src}/customer.parquet'), range(0, {factor}) t(k))
+TO '{out}/customer.parquet' (FORMAT PARQUET)""")
+
 t = pq.read_table(f"{src}/events.parquet")
 parts = []
 for k in range(factor):
@@ -67,7 +93,8 @@ for k in range(factor):
     }))
 pq.write_table(pa.concat_tables(parts), f"{out}/events.parquet")
 
-for name in ["documents", "embeddings", "events"]:
+for name in ["documents", "embeddings", "events",
+             "lineitem", "orders", "customer"]:
     n = con.sql(
         f"SELECT COUNT(*) FROM read_parquet('{out}/{name}.parquet')"
     ).fetchone()[0]
