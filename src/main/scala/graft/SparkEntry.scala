@@ -16,6 +16,8 @@ object SparkEntry {
       llm.Similarity.registry ++
       llm.Multimodal.registry ++
       llm.Pipeline.registry ++
+      llm.Graph.registry ++
+      llm.Models.registry ++
       streaming.WindowQueries.registry
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +31,7 @@ object SparkEntry {
       llm.Similarity.oracles ++
       llm.Multimodal.oracles ++
       llm.Pipeline.oracles ++
+      llm.Graph.oracles ++
+      llm.Models.oracles ++
       streaming.WindowQueries.oracles
 }

@@ -1950,7 +1950,80 @@ object Dedup {
        |  ROUND(CAST(1.0 AS DOUBLE) - eff_docs / n_docs, 6) AS shrinkage
        |FROM ag ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_editdist: blocked edit-distance near-dup detection — the
+  // classic record-linkage shape. Exact Levenshtein is O(len²) per pair
+  // and all-pairs is corpus-quadratic, so candidates are generated by
+  // OVERLAPPING length blocks: each doc lands in (lang, ⌊n_chars/8⌋) and
+  // probes its own block plus the next one (near-dups that straddle a
+  // length boundary still meet; a length gap > 8+8 chars cannot be
+  // within the distance threshold anyway at these prefix lengths —
+  // documented blocking semantics, same contract as every LSH family
+  // op). The distance itself runs on the 64-char prefix (bounds the
+  // O(len²) DP; prefix-distance ≤ full-distance for docs that share a
+  // prefix edit script, and the threshold-σ audit is on prefixes by
+  // definition here). Count-first occupancy cap (EditBlockCap) excludes
+  // pathological blocks BEFORE any pairing, the engine-wide discipline
+  // for quadratic-per-bucket operators.
+  private val EditBlockCap  = 256L
+  private val EditThreshold = 20
+
+  def ddEditDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", ($"n_chars" / 8).cast("long").as("blk"),
+        substring($"text", 1, 64).as("pfx"))
+    // overlapping blocks: each doc is indexed under blk and blk+1, so
+    // same-block and adjacent-block pairs both surface; the distinct on
+    // (a, b) collapses the double hit for same-block pairs
+    val indexed = docs.select($"doc_id", $"lang", $"pfx",
+        explode(array($"blk", $"blk" + 1)).as("bkt"))
+    val occ = indexed.groupBy($"lang", $"bkt").agg(count(lit(1)).as("n_blk"))
+      .filter($"n_blk" <= EditBlockCap)
+    val inBlk = indexed.join(occ, Seq("lang", "bkt"))
+    val pairs = inBlk.as("a").join(inBlk.as("b"),
+        $"a.lang" === $"b.lang" && $"a.bkt" === $"b.bkt" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.lang".as("lang"), $"a.pfx".as("pfx_a"), $"b.pfx".as("pfx_b"))
+      .distinct()
+    pairs
+      .withColumn("dist", levenshtein($"pfx_a", $"pfx_b"))
+      .filter($"dist" <= EditThreshold)
+      .select($"doc_a", $"doc_b", $"lang", $"dist",
+        round(lit(1.0) - $"dist" / greatest(length($"pfx_a"),
+          length($"pfx_b")), 6).as("sim"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val ddEditDistSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, CAST(n_chars // 8 AS BIGINT) AS blk,
+       |    substr(text, 1, 64) AS pfx
+       |  FROM documents),
+       |indexed AS (
+       |  SELECT doc_id, lang, pfx, blk AS bkt FROM docs
+       |  UNION ALL
+       |  SELECT doc_id, lang, pfx, blk + 1 AS bkt FROM docs),
+       |occ AS (
+       |  SELECT lang, bkt FROM indexed GROUP BY lang, bkt
+       |  HAVING COUNT(*) <= $EditBlockCap),
+       |inblk AS (
+       |  SELECT i.* FROM indexed i JOIN occ USING (lang, bkt)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.lang AS lang, a.pfx AS pfx_a, b.pfx AS pfx_b
+       |  FROM inblk a JOIN inblk b
+       |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, lang, CAST(levenshtein(pfx_a, pfx_b) AS INT) AS dist,
+       |  ROUND(CAST(1.0 AS DOUBLE) - levenshtein(pfx_a, pfx_b)
+       |    / GREATEST(LENGTH(pfx_a), LENGTH(pfx_b)), 6) AS sim
+       |FROM pairs
+       |WHERE levenshtein(pfx_a, pfx_b) <= $EditThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_editdist" -> (ddEditDist _),
     "llm_dd_soft_weights" -> (ddSoftWeights _),
     "llm_dd_quality_prop" -> (ddQualityProp _),
     "llm_dd_exact" -> (ddExact _),
@@ -2008,5 +2081,6 @@ object Dedup {
     "llm_dd_substring" -> ddSubstringSql,
     "llm_dd_semantic" -> ddSemanticSql,
     "llm_dd_incremental" -> ddIncrementalSql,
+    "llm_dd_editdist" -> ddEditDistSql,
   )
 }

@@ -1,0 +1,199 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph analytics over the customer↔supplier interaction graph derived
+  * from the star schema (an edge per distinct (customer, supplier) pair
+  * that shares a lineitem). Link-structure signals are first-class in
+  * large-scale data curation — page importance for crawl prioritization
+  * (PageRank over the link graph is the canonical quality prior, cf. the
+  * original PageRank usage in web-corpus curation) and degree audits for
+  * spotting spam hubs — so the engine ships join-iterated graph
+  * primitives that scale the Spark way: the edge list is the only big
+  * table, every iteration is one shuffle of that edge list against a
+  * node-cardinality rank table, and nothing ever lands on the driver.
+  *
+  * Node encoding: customers and suppliers share one id space via
+  * `custkey*2` / `suppkey*2+1` (long arithmetic, no string concat in the
+  * shuffle key). The bipartite graph is made symmetric (each undirected
+  * edge contributes both directions), so every node has out-degree ≥ 1
+  * and the dangling-mass term vanishes — documented semantics, matching
+  * the undirected-co-occurrence reading of "shares a lineitem".
+  *
+  * Determinism: per-node contribution sums are DECIMAL(28,12) casts of
+  * double terms (the repo's order-insensitive aggregation pattern), so
+  * rank vectors are bit-identical across partitionings and engines;
+  * final projections round to 8.
+  */
+object Graph {
+
+  private val Damping = 0.85
+  // NOT computed as 1.0 - Damping: that double op yields
+  // 0.15000000000000002, while both engines parse the literal "0.15" to
+  // the same (different) nearest double — literal on both sides, not
+  // arithmetic on one.
+  private val Teleport = 0.15
+  private val Iters    = 3
+
+  /** Symmetric edge list (src, dst) with per-src out-degree attached —
+    * built once per invocation and materialized, because the iteration
+    * reuses it [[Iters]] times. At cluster scale this is the table you
+    * would bucket by `src` so every iteration's join is co-located.
+    */
+  private def edgesWithDeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select($"c".as("src"), $"s".as("dst"))
+      .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    Tables.materialize(edges.join(deg, "src"))
+  }
+
+  // --------------------------------------------------------------------
+  // llm_graph_pagerank: 3-iteration damped PageRank, join-iterated.
+  // r_{k+1}(v) = (1-d)/N + d·Σ_{u→v} r_k(u)/outdeg(u). The symmetric
+  // construction leaves no dangling nodes, so the groupBy over edge
+  // destinations reaches every node and no dangling-mass correction is
+  // needed. Each iteration shuffles the edge list once against the
+  // node-cardinality rank table — the canonical distributed PageRank
+  // shape; at 100 TB you bucket edges by src and the per-iteration
+  // shuffle reduces to the rank table only.
+  /** Full rank vector (node, rank) after [[Iters]] iterations — the
+    * registered query projects its top 15; tests check Σrank ≈ 1 here.
+    */
+  private[graft] def pagerankRanks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edgesWithDeg(spark, dir)
+    val nodes = e.select($"src".as("node"), $"outdeg").distinct()
+    val totals = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    var ranks = nodes.crossJoin(totals)
+      .select($"node", $"outdeg", (lit(1.0) / $"n_nodes").as("rank"))
+    for (_ <- 1 to Iters) {
+      val contrib = e.join(ranks.select($"node", $"rank"), $"src" === $"node")
+        .groupBy($"dst")
+        .agg(sum(($"rank" / $"outdeg").cast("decimal(28,12)"))
+          .cast("double").as("mass"))
+      ranks = contrib.crossJoin(totals)
+        .select($"dst".as("node"),
+          (lit(Teleport) / $"n_nodes" + lit(Damping) * $"mass").as("rank"))
+        .join(nodes, "node")
+    }
+    ranks.select($"node", $"rank")
+  }
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pagerankRanks(spark, dir)
+      .select(
+        when($"node" % 2 === 0, "customer").otherwise("supplier").as("side"),
+        ($"node" / 2).cast("long").as("entity_id"),
+        round($"rank", 8).as("rank"))
+      .orderBy($"rank".desc, $"side", $"entity_id")
+      .limit(15)
+  }
+
+  private val edgeSql: String =
+    """SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin
+
+  val pagerankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT e.dst AS node,
+         |    CAST(0.15 AS DOUBLE) / t.n_nodes
+         |      + CAST(0.85 AS DOUBLE)
+         |        * CAST(SUM(CAST(p.rank / d.outdeg AS DECIMAL(28,12))) AS DOUBLE)
+         |      AS rank
+         |  FROM edges e
+         |  JOIN $prev p ON e.src = p.node
+         |  JOIN deg d ON e.src = d.node
+         |  CROSS JOIN totals t
+         |  GROUP BY e.dst, t.n_nodes)""".stripMargin
+    s"""WITH pairs AS ($edgeSql),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |totals AS (SELECT COUNT(*) AS n_nodes FROM deg),
+       |r0 AS (
+       |  SELECT d.node, CAST(1.0 AS DOUBLE) / t.n_nodes AS rank
+       |  FROM deg d CROSS JOIN totals t),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+       |  CAST(node // 2 AS BIGINT) AS entity_id,
+       |  ROUND(rank, 8) AS rank
+       |FROM r3
+       |ORDER BY rank DESC, side, entity_id
+       |LIMIT 15""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // llm_graph_degree: degree-distribution audit of the same graph —
+  // per-side node counts, edge count, degree histogram in power-of-two
+  // buckets, and the max/mean degree. The spam-hub / crawl-frontier
+  // health check: a side whose top bucket grows faster than the corpus
+  // is concentrating links (at 100 TB this is the signal to cap or
+  // salt that hub before any per-neighbor expansion). One partial-agg
+  // groupBy on node then one on (side, bucket); output is
+  // O(sides × log(max_degree)).
+  def degree(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edgesWithDeg(spark, dir)
+    val deg = e.select($"src".as("node"), $"outdeg").distinct()
+    deg
+      .groupBy(
+        when($"node" % 2 === 0, "customer").otherwise("supplier").as("side"),
+        // floor(log2(d)) computed integer-exactly as len(bin(d))-1 —
+        // float log2 at exact powers of two rounds differently across
+        // libm implementations, so the arithmetic form is the portable one
+        (length(bin($"outdeg")) - 1).as("deg_bucket"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum($"outdeg").as("sum_degree"),
+        max($"outdeg").as("max_degree"),
+        round(sum($"outdeg".cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("avg_degree"))
+      .orderBy($"side", $"deg_bucket")
+  }
+
+  val degreeSql: String =
+    s"""WITH pairs AS ($edgeSql),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src)
+       |SELECT
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+       |  CAST(LENGTH(BIN(outdeg)) - 1 AS INT) AS deg_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(outdeg) AS BIGINT) AS sum_degree,
+       |  CAST(MAX(outdeg) AS BIGINT) AS max_degree,
+       |  ROUND(CAST(SUM(CAST(outdeg AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+       |    AS avg_degree
+       |FROM deg
+       |GROUP BY 1, 2
+       |ORDER BY side, deg_bucket""".stripMargin
+
+  // --------------------------------------------------------------------
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_graph_pagerank" -> (pagerank _),
+    "llm_graph_degree" -> (degree _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_graph_pagerank" -> pagerankSql,
+    "llm_graph_degree" -> degreeSql,
+  )
+}

@@ -1,0 +1,149 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Distributed model fitting over corpus-scale features — the "train a
+  * linear probe / quality regressor on the whole corpus" primitive of a
+  * training-data pipeline (FastText-style quality classifiers, DSIR
+  * importance models, dataset-mixing regressions are all fits of a small
+  * parameter vector against corpus-cardinality feature rows).
+  *
+  * Scale shape — the same bound as the PCA power iteration
+  * ([[Similarity]] Gram partial-aggregate): every pass is a narrow
+  * projection scan whose aggregate state is O(d²) REGARDLESS of corpus
+  * size, so the shuffle moves d²×partitions scalars and the solve itself
+  * happens on a handful of doubles. Nothing corpus-sized ever moves.
+  *
+  * Determinism: every corpus sum is a DECIMAL(28,12) cast of
+  * identically-computed double terms (order-insensitive); the closed-form
+  * 2×2 solve then runs on identical doubles in both engines.
+  */
+object Models {
+
+  private val Lambda = 1.0 // ridge regularizer on the centered Gram
+
+  // --------------------------------------------------------------------
+  // llm_ta_ridge: closed-form ridge regression of the calibrated quality
+  // score on two cheap per-document features (chars/1000, whitespace
+  // words/100) — three corpus passes: (1) feature+label means, (2)
+  // centered Gram + cross moments, (3) residual sum of squares for R².
+  // Output is the fitted model card: weights, intercept, R², n.
+  def ridge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir)
+      .select($"doc_id",
+        ($"n_chars" / 1000.0).as("x1"),
+        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+          / 100.0).as("x2"))
+      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
+        "doc_id")
+      .select($"x1", $"x2", $"quality".as("y"))
+    // one narrow materialization feeds all three passes — the scan
+    // (with its tokenizing quality join) runs once, not three times
+    val f = Tables.materialize(feats)
+
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
+
+    val m = f.agg(
+      dsum($"x1").as("sx1"), dsum($"x2").as("sx2"), dsum($"y").as("sy"),
+      count(lit(1)).as("n")).head()
+    val n = m.getAs[Long]("n").toDouble
+    val (mx1, mx2, my) =
+      (m.getAs[Double]("sx1") / n, m.getAs[Double]("sx2") / n,
+        m.getAs[Double]("sy") / n)
+
+    val g = f.agg(
+      dsum(($"x1" - mx1) * ($"x1" - mx1)).as("s11"),
+      dsum(($"x1" - mx1) * ($"x2" - mx2)).as("s12"),
+      dsum(($"x2" - mx2) * ($"x2" - mx2)).as("s22"),
+      dsum(($"x1" - mx1) * ($"y" - my)).as("sy1"),
+      dsum(($"x2" - mx2) * ($"y" - my)).as("sy2"),
+      dsum(($"y" - my) * ($"y" - my)).as("syy")).head()
+    val (s11, s12, s22) = (g.getAs[Double]("s11"), g.getAs[Double]("s12"),
+      g.getAs[Double]("s22"))
+    val (sy1, sy2, syy) = (g.getAs[Double]("sy1"), g.getAs[Double]("sy2"),
+      g.getAs[Double]("syy"))
+
+    val det = (s11 + Lambda) * (s22 + Lambda) - s12 * s12
+    val w1 = ((s22 + Lambda) * sy1 - s12 * sy2) / det
+    val w2 = ((s11 + Lambda) * sy2 - s12 * sy1) / det
+    val b = my - w1 * mx1 - w2 * mx2
+
+    val sse = f.agg(
+      dsum(($"y" - (lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"))
+        * ($"y" - (lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"))).as("sse"))
+      .head().getAs[Double]("sse")
+    val r2 = 1.0 - sse / syy
+
+    spark.createDataFrame(Seq(
+      (math.round(n).toLong,
+        BigDecimal(w1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(w2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(r2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toDF("n", "w_chars", "w_words", "intercept", "r2")
+  }
+
+  val ridgeSql: String =
+    s"""WITH q AS (${TextAnalysis.taQualitySql}),
+       |f AS (
+       |  SELECT
+       |    d.n_chars / CAST(1000.0 AS DOUBLE) AS x1,
+       |    (LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1)
+       |      / CAST(100.0 AS DOUBLE) AS x2,
+       |    q.quality AS y
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+       |m AS (
+       |  SELECT
+       |    CAST(SUM(CAST(x1 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mx1,
+       |    CAST(SUM(CAST(x2 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mx2,
+       |    CAST(SUM(CAST(y  AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS my,
+       |    COUNT(*) AS n
+       |  FROM f),
+       |g AS (
+       |  SELECT
+       |    CAST(SUM(CAST((x1 - m.mx1) * (x1 - m.mx1) AS DECIMAL(28,12))) AS DOUBLE) AS s11,
+       |    CAST(SUM(CAST((x1 - m.mx1) * (x2 - m.mx2) AS DECIMAL(28,12))) AS DOUBLE) AS s12,
+       |    CAST(SUM(CAST((x2 - m.mx2) * (x2 - m.mx2) AS DECIMAL(28,12))) AS DOUBLE) AS s22,
+       |    CAST(SUM(CAST((x1 - m.mx1) * (y - m.my) AS DECIMAL(28,12))) AS DOUBLE) AS sy1,
+       |    CAST(SUM(CAST((x2 - m.mx2) * (y - m.my) AS DECIMAL(28,12))) AS DOUBLE) AS sy2,
+       |    CAST(SUM(CAST((y - m.my) * (y - m.my) AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+       |    ANY_VALUE(m.n) AS n, ANY_VALUE(m.mx1) AS mx1,
+       |    ANY_VALUE(m.mx2) AS mx2, ANY_VALUE(m.my) AS my
+       |  FROM f CROSS JOIN m),
+       |w AS (
+       |  SELECT *,
+       |    ((s22 + 1.0) * sy1 - s12 * sy2)
+       |      / ((s11 + 1.0) * (s22 + 1.0) - s12 * s12) AS w1,
+       |    ((s11 + 1.0) * sy2 - s12 * sy1)
+       |      / ((s11 + 1.0) * (s22 + 1.0) - s12 * s12) AS w2
+       |  FROM g),
+       |wb AS (SELECT *, my - w1 * mx1 - w2 * mx2 AS b FROM w),
+       |sse AS (
+       |  SELECT
+       |    CAST(SUM(CAST((f.y - (wb.b + wb.w1 * f.x1 + wb.w2 * f.x2))
+       |      * (f.y - (wb.b + wb.w1 * f.x1 + wb.w2 * f.x2))
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS sse,
+       |    ANY_VALUE(wb.n) AS n, ANY_VALUE(wb.w1) AS w1,
+       |    ANY_VALUE(wb.w2) AS w2, ANY_VALUE(wb.b) AS b,
+       |    ANY_VALUE(wb.syy) AS syy
+       |  FROM f CROSS JOIN wb)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  ROUND(w1, 6) AS w_chars, ROUND(w2, 6) AS w_words,
+       |  ROUND(b, 6) AS intercept,
+       |  ROUND(CAST(1.0 AS DOUBLE) - sse / syy, 6) AS r2
+       |FROM sse""".stripMargin
+
+  // --------------------------------------------------------------------
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_ridge" -> (ridge _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_ta_ridge" -> ridgeSql,
+  )
+}

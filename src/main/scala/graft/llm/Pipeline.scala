@@ -817,7 +817,137 @@ object Pipeline {
        |FROM rn JOIN cb USING (stage, bucket)
        |ORDER BY pos""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_snapshot_diff: incremental-crawl reconciliation — diff
+  // two corpus snapshots by content digest and report per-source
+  // added/removed/changed/unchanged counts. This is the first stage of
+  // every incremental pipeline (only `added`+`changed` re-enter dedup/
+  // scoring; `removed` tombstones leave the index), and the per-source
+  // churn profile is the crawl-health dashboard. Snapshots are derived
+  // deterministically from the fixture so the oracle can replay them:
+  // snapshot A (previous crawl) is missing every 13th doc_id and holds a
+  // 7-char-truncated "older revision" of every doc_id ≡ 5 (mod 17);
+  // snapshot B (current crawl) drops every doc_id ≡ 7 (mod 11). Scale:
+  // one full-outer equi-join on doc_id carrying only (doc_id, source,
+  // 32-char digest) — never the text — then a partial-agg groupBy.
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val snapA = docs.filter($"doc_id" % 13 =!= 0)
+      .select($"doc_id", $"source",
+        md5(when($"doc_id" % 17 === 5,
+          $"text".substr(lit(1), greatest($"n_chars" - 7, lit(1)).cast("int")))
+          .otherwise($"text")).as("dig_a"))
+    val snapB = docs.filter($"doc_id" % 11 =!= 7)
+      .select($"doc_id", $"source".as("source_b"), md5($"text").as("dig_b"))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce($"source", $"source_b").as("source"),
+        when($"dig_a".isNull, "added")
+          .when($"dig_b".isNull, "removed")
+          .when($"dig_a" =!= $"dig_b", "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy($"source", $"status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"source", $"status")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 17 = 5
+      |      THEN substr(text, 1, CAST(GREATEST(n_chars - 7, 1) AS INT))
+      |      ELSE text END) AS dig_a
+      |  FROM documents WHERE doc_id % 13 <> 0),
+      |b AS (
+      |  SELECT doc_id, source AS source_b, md5(text) AS dig_b
+      |  FROM documents WHERE doc_id % 11 <> 7),
+      |j AS (
+      |  SELECT COALESCE(a.source, b.source_b) AS source,
+      |    CASE WHEN a.dig_a IS NULL THEN 'added'
+      |         WHEN b.dig_b IS NULL THEN 'removed'
+      |         WHEN a.dig_a <> b.dig_b THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM j GROUP BY source, status
+      |ORDER BY source, status""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_pipeline_validate: declarative data-quality validation suite —
+  // the schema/content contract a corpus must pass before entering
+  // training (Great-Expectations-style, expressed as Spark aggregates).
+  // Five rules: non-empty text, n_chars==length(text) consistency,
+  // language in the supported set, doc_id uniqueness, and chars in
+  // (0, 100k]. Each row-level rule is one partial-agg conditional count
+  // over a single shared scan (the union is of 1-row aggregates, not of
+  // scans); uniqueness is the only shuffle (groupBy doc_id). At 100 TB
+  // every rule stays a map-side counter; the report is O(rules).
+  private val KnownLangs = Seq("de", "en", "es", "fr", "zh")
+
+  def validate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val rowRules = docs.agg(
+      count(lit(1)).as("n"),
+      sum(when($"text".isNull || length($"text") === 0, 1L).otherwise(0L))
+        .as("v_empty"),
+      sum(when($"n_chars" =!= length($"text"), 1L).otherwise(0L))
+        .as("v_chars"),
+      sum(when(!$"lang".isin(KnownLangs: _*), 1L).otherwise(0L))
+        .as("v_lang"),
+      sum(when($"n_chars" <= 0 || $"n_chars" > 100000L, 1L).otherwise(0L))
+        .as("v_range"))
+    val dup = docs.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_ids"),
+        coalesce(sum(when($"c" > 1, $"c").otherwise(0L)), lit(0L))
+          .as("v_dup"))
+    val r = rowRules.crossJoin(dup) // 1-row × 1-row
+    val rules = Seq(
+      ("nonempty_text", $"v_empty", $"n"),
+      ("n_chars_consistent", $"v_chars", $"n"),
+      ("lang_known", $"v_lang", $"n"),
+      ("chars_in_range", $"v_range", $"n"),
+      ("doc_id_unique", $"v_dup", $"n_ids"))
+    rules.map { case (name, viol, checked) =>
+      r.select(lit(name).as("rule"), checked.as("n_checked"),
+        viol.as("n_violations"),
+        round(viol / checked, 6).as("viol_rate"))
+    }.reduce(_ unionAll _).orderBy($"rule")
+  }
+
+  val validateSql: String = {
+    val langList = KnownLangs.map(l => s"'$l'").mkString("(", ", ", ")")
+    s"""WITH r AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 1 ELSE 0 END) AS v_empty,
+       |    SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS v_chars,
+       |    SUM(CASE WHEN lang NOT IN $langList THEN 1 ELSE 0 END) AS v_lang,
+       |    SUM(CASE WHEN n_chars <= 0 OR n_chars > 100000 THEN 1 ELSE 0 END) AS v_range
+       |  FROM documents),
+       |d AS (
+       |  SELECT COUNT(*) AS n_ids,
+       |    COALESCE(SUM(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS v_dup
+       |  FROM (SELECT doc_id, COUNT(*) AS c FROM documents GROUP BY doc_id)),
+       |u AS (
+       |  SELECT 'nonempty_text' AS rule, r.n AS n_checked, r.v_empty AS n_violations FROM r
+       |  UNION ALL
+       |  SELECT 'n_chars_consistent', r.n, r.v_chars FROM r
+       |  UNION ALL
+       |  SELECT 'lang_known', r.n, r.v_lang FROM r
+       |  UNION ALL
+       |  SELECT 'chars_in_range', r.n, r.v_range FROM r
+       |  UNION ALL
+       |  SELECT 'doc_id_unique', d.n_ids, d.v_dup FROM d)
+       |SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+       |  CAST(n_violations AS BIGINT) AS n_violations,
+       |  ROUND(n_violations / CAST(n_checked AS DOUBLE), 6) AS viol_rate
+       |FROM u ORDER BY rule""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_snapshot_diff" -> (snapshotDiff _),
+    "llm_pipeline_validate" -> (validate _),
     "llm_pipeline_curriculum" -> (curriculum _),
     "llm_pipeline_curate" -> (curate _),
     "llm_pipeline_dup_sources" -> (dupSources _),
@@ -849,5 +979,7 @@ object Pipeline {
     "llm_pipeline_epoch_plan" -> epochPlanSql,
     "llm_pipeline_source_overlap" -> sourceOverlapSql,
     "llm_pipeline_split_audit" -> splitAuditSql,
+    "llm_pipeline_snapshot_diff" -> snapshotDiffSql,
+    "llm_pipeline_validate" -> validateSql,
   )
 }

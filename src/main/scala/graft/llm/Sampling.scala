@@ -433,7 +433,54 @@ object Sampling {
        |  dsir_weight
        |FROM ranked WHERE rank <= $DsirTopK ORDER BY rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_sample_es_topk: weighted sampling WITHOUT replacement via the
+  // Efraimidis–Spirakis key (key = ln(u)/w with u uniform, take the k
+  // largest keys — equivalent to ranking by u^(1/w)): each document's
+  // inclusion probability is proportional to its quality weight, but no
+  // document can be drawn twice, which is what a "pick the best-weighted
+  // k docs, with diversity" selection stage needs (plain weighted
+  // acceptance, llm_sample_weighted, samples WITH replacement in
+  // expectation terms and cannot hit an exact k). Deterministic: u is
+  // the content hash mapped to (0,1], so the draw is a pure function of
+  // the data. Scale: narrow scan + global top-k = TakeOrdered, no full
+  // sort. ln() is libm-correctly-rounded on every surface we've measured
+  // (SURVEY §5.1 pin, third ln surface alongside tfidf/dsir); keys are
+  // compared raw, rounded only in the projection.
+  private val EsK = 25
+
+  def sampleEsTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        (((h60($"text") % 1000000L) + 1L) / 1000000.0).as("u"))
+      .join(q, "doc_id")
+      .select($"doc_id", $"quality",
+        (log($"u") / greatest($"quality", lit(0.001))).as("key"))
+      .orderBy($"key".desc, $"doc_id")
+      .limit(EsK)
+      .select($"doc_id", round($"quality", 6).as("quality"),
+        round($"key", 6).as("es_key"))
+      .orderBy($"es_key".desc, $"doc_id")
+  }
+
+  val sampleEsTopKSql: String =
+    s"""WITH q AS (${TextAnalysis.taQualitySql}),
+       |d AS (SELECT doc_id,
+       |    ((${h60Sql("text")} % 1000000) + 1) / CAST(1000000.0 AS DOUBLE) AS u
+       |  FROM documents),
+       |k AS (
+       |  SELECT d.doc_id, q.quality,
+       |    LN(d.u) / GREATEST(q.quality, 0.001) AS key
+       |  FROM d JOIN q ON d.doc_id = q.doc_id
+       |  ORDER BY key DESC, d.doc_id LIMIT $EsK)
+       |SELECT doc_id, ROUND(quality, 6) AS quality,
+       |  ROUND(key, 6) AS es_key
+       |FROM k ORDER BY es_key DESC, doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_es_topk" -> (sampleEsTopK _),
     "llm_sample_hash" -> (sampleHash _),
     "llm_sample_stratified" -> (sampleStratified _),
     "llm_sample_weighted" -> (sampleWeighted _),
@@ -445,6 +492,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_es_topk" -> sampleEsTopKSql,
     "llm_sample_hash" -> sampleHashSql,
     "llm_sample_stratified" -> sampleStratifiedSql,
     "llm_sample_weighted" -> sampleWeightedSql,

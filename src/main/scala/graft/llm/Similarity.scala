@@ -1320,6 +1320,65 @@ object Similarity {
        |FROM a ORDER BY pos""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_centroid_shift: embedding-drift audit between two corpus
+  // snapshots (derived deterministically as the vec_id-parity halves) —
+  // per label, the cosine between the half-centroids and the centroid
+  // norm ratio. This is the "did my embedding distribution move between
+  // crawls / model versions" check that gates reusing a trained ANN
+  // index: cosine ≈ 1 and ratio ≈ 1 mean the old index geometry still
+  // holds. Scale: one posexplode scan partial-aggregated on
+  // (label, half, pos) — state is labels×2×d cells regardless of corpus
+  // size (the PCA-Gram bound); everything after runs on that tiny table.
+  def ssCentroidShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cent = withNorm(spark, dir)
+      .select($"label", ($"vec_id" % 2).as("half"), posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"label", $"half", $"pos")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast("decimal(28,12)")).cast("double").as("s"))
+      .select($"label", $"half", $"pos", $"n", ($"s" / $"n").as("c"))
+    val a = cent.filter($"half" === 0)
+      .select($"label", $"pos", $"n".as("n_a"), $"c".as("ca"))
+    val b = cent.filter($"half" === 1)
+      .select($"label", $"pos", $"n".as("n_b"), $"c".as("cb"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy($"label")
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        sum(($"ca" * $"cb").cast("decimal(28,12)")).cast("double").as("dot"),
+        sum(($"ca" * $"ca").cast("decimal(28,12)")).cast("double").as("na2"),
+        sum(($"cb" * $"cb").cast("decimal(28,12)")).cast("double").as("nb2"))
+      .select($"label", $"n_a", $"n_b",
+        round($"dot" / sqrt($"na2" * $"nb2"), 6).as("centroid_cosine"),
+        round(sqrt($"nb2") / sqrt($"na2"), 6).as("norm_ratio"))
+      .orderBy($"label")
+  }
+
+  val ssCentroidShiftSql: String =
+    s"""$normCte,
+       |ex AS (SELECT label, vec_id % 2 AS half,
+       |    unnest(list_transform(range(0, len(v)),
+       |      i -> {'pos': i, 'x': v[i + 1]})) AS u FROM n),
+       |f AS (SELECT label, half, u.pos AS pos, u.x AS x FROM ex),
+       |cent AS (SELECT label, half, pos, COUNT(*) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM f GROUP BY label, half, pos),
+       |j AS (
+       |  SELECT a.label, a.n AS n_a, b.n AS n_b,
+       |    a.c AS ca, b.c AS cb
+       |  FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+       |  WHERE a.half = 0 AND b.half = 1),
+       |ag AS (
+       |  SELECT label, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+       |    CAST(SUM(CAST(ca * cb AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+       |    CAST(SUM(CAST(ca * ca AS DECIMAL(28,12))) AS DOUBLE) AS na2,
+       |    CAST(SUM(CAST(cb * cb AS DECIMAL(28,12))) AS DOUBLE) AS nb2
+       |  FROM j GROUP BY label)
+       |SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  ROUND(dot / sqrt(na2 * nb2), 6) AS centroid_cosine,
+       |  ROUND(sqrt(nb2) / sqrt(na2), 6) AS norm_ratio
+       |FROM ag ORDER BY label""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_ss_sq8: int8 scalar quantization audit — per dimension, the
   // [min, max] range a uniform 8-bit quantizer would use and the
   // MEASURED reconstruction error (mean/max absolute) of
@@ -1693,6 +1752,7 @@ object Similarity {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_centroid_shift" -> (ssCentroidShift _),
     "llm_ss_pca" -> (ssPca _),
     "llm_ss_knn_join" -> (ssKnnJoin _),
     "llm_ss_topk" -> (ssTopk _),
@@ -1746,5 +1806,6 @@ object Similarity {
     "llm_ss_ivf_kmeans" -> ssIvfKmeansSql,
     "llm_ss_outliers" -> ssOutliersSql,
     "llm_ss_dim_stats" -> ssDimStatsSql,
+    "llm_ss_centroid_shift" -> ssCentroidShiftSql,
   )
 }
