@@ -1975,21 +1975,37 @@ object Dedup {
         substring($"text", 1, 64).as("pfx"))
     // overlapping blocks: each doc is indexed under blk and blk+1, so
     // same-block and adjacent-block pairs both surface; the distinct on
-    // (a, b) collapses the double hit for same-block pairs
-    val indexed = docs.select($"doc_id", $"lang", $"pfx",
+    // (a, b) collapses the double hit for same-block pairs. The index
+    // carries IDS ONLY — candidate generation, the distinct, and the
+    // occupancy cap all run on (doc_id, lang, bkt) rows with no string
+    // payload (the prefix attaches to the ~100× smaller verified
+    // candidate set afterward, the same strings-never-shuffle discipline
+    // as the MinHash band index). Pre-renamed join sides keep this an
+    // unambiguous (lang, bkt) equi-join — an aliased self-join here
+    // risks Spark's self-join attribute ambiguity resolving
+    // `a.lang === b.lang` to one attribute (trivially true) and
+    // degrading to a nested-loop cross join.
+    val indexed = docs.select($"doc_id", $"lang",
         explode(array($"blk", $"blk" + 1)).as("bkt"))
     val occ = indexed.groupBy($"lang", $"bkt").agg(count(lit(1)).as("n_blk"))
       .filter($"n_blk" <= EditBlockCap)
-    val inBlk = indexed.join(occ, Seq("lang", "bkt"))
-    val pairs = inBlk.as("a").join(inBlk.as("b"),
-        $"a.lang" === $"b.lang" && $"a.bkt" === $"b.bkt" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.lang".as("lang"), $"a.pfx".as("pfx_a"), $"b.pfx".as("pfx_b"))
+    val inBlk = indexed.join(occ.select($"lang", $"bkt"), Seq("lang", "bkt"))
+    val pairs = inBlk.select($"lang", $"bkt", $"doc_id".as("doc_a"))
+      .join(inBlk.select($"lang", $"bkt", $"doc_id".as("doc_b")),
+        Seq("lang", "bkt"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"lang")
       .distinct()
+    val pfx = docs.select($"doc_id", $"pfx")
     pairs
-      .withColumn("dist", levenshtein($"pfx_a", $"pfx_b"))
-      .filter($"dist" <= EditThreshold)
+      .join(pfx.select($"doc_id".as("doc_a"), $"pfx".as("pfx_a")), "doc_a")
+      .join(pfx.select($"doc_id".as("doc_b"), $"pfx".as("pfx_b")), "doc_b")
+      // banded DP: the 3-arg levenshtein early-exits past the threshold
+      // (O(len·t) instead of O(len²)), returning -1 above it — filtering
+      // to [0, t] selects exactly the pairs the exact-DP oracle keeps,
+      // and survivors' distances equal the exact distance
+      .withColumn("dist", levenshtein($"pfx_a", $"pfx_b", EditThreshold + 1))
+      .filter($"dist" >= 0 && $"dist" <= EditThreshold)
       .select($"doc_a", $"doc_b", $"lang", $"dist",
         round(lit(1.0) - $"dist" / greatest(length($"pfx_a"),
           length($"pfx_b")), 6).as("sim"))
