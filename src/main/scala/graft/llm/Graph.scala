@@ -195,13 +195,132 @@ object Graph {
        |ORDER BY side, deg_bucket""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_graph_triangles: triangle census of the supplier co-purchase
+  // graph (edge ⟺ two suppliers share an order) — the community-density
+  // / link-farm audit: an organically-grown co-occurrence graph has a
+  // characteristic clustering coefficient; templated or spammed link
+  // structure shows up as coefficient drift long before any per-page
+  // signal fires. Uses the degree-orientation algorithm (orient every
+  // edge from the (degree, id)-smaller endpoint to the larger; count
+  // wedges only at each node's oriented out-neighbors, then close them
+  // with a third edge lookup): each triangle is counted EXACTLY once,
+  // and oriented out-degree is bounded by O(√|E|) on any graph — the
+  // property that makes the wedge join's intermediate linear in
+  // |E|^1.5 instead of Σ deg² (the hub blowup a src-side wedge join
+  // would pay on a power-law graph at 100 TB).
+  //
+  // Scale shape: count-first occupancy cap on orders BEFORE the
+  // per-order supplier pairing (the house rule for quadratic-per-bucket
+  // expansion; excluded orders are surfaced in the output row); the
+  // wedge join and the closing edge join both shuffle only the oriented
+  // edge list — no vertex-expansion table is ever materialized.
+  private val TriOrderCap = 64
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val so = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val occ = so.groupBy($"ok").agg(count(lit(1)).as("n_supp"))
+    val nExcluded = broadcast(
+      occ.filter($"n_supp" > TriOrderCap)
+        .agg(count(lit(1)).as("n_excluded_orders")))
+    val keptSo = so.join(occ.filter($"n_supp" <= TriOrderCap).select($"ok"), "ok")
+    val a = keptSo.select($"ok", $"sk".as("s1"))
+    val b = keptSo.select($"ok".as("ok2"), $"sk".as("s2"))
+    val edges = Tables.materialize(
+      a.join(b, $"ok" === $"ok2" && $"s1" < $"s2")
+        .select($"s1", $"s2").distinct())
+    val deg = edges.select($"s1".as("v")).unionAll(edges.select($"s2".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    // orient each edge from the (degree, id)-smaller endpoint; keep the
+    // dst's (degree, id) on the edge so wedge pairs can be ordered in
+    // the SAME total order without re-joining degrees
+    val oriented = Tables.materialize(
+      edges
+        .join(deg.select($"v".as("s1"), $"d".as("d1")), "s1")
+        .join(deg.select($"v".as("s2"), $"d".as("d2")), "s2")
+        .select(
+          when($"d1" < $"d2" || ($"d1" === $"d2" && $"s1" < $"s2"), $"s1")
+            .otherwise($"s2").as("src"),
+          when($"d1" < $"d2" || ($"d1" === $"d2" && $"s1" < $"s2"), $"s2")
+            .otherwise($"s1").as("dst"),
+          when($"d1" < $"d2" || ($"d1" === $"d2" && $"s1" < $"s2"), $"d2")
+            .otherwise($"d1").as("ddeg")))
+    val x = oriented.select($"src", $"dst".as("b"), $"ddeg".as("bd"))
+    val y = oriented.select($"src".as("src2"), $"dst".as("c"), $"ddeg".as("cd"))
+    val wedges = x.join(y, $"src" === $"src2"
+      && ($"bd" < $"cd" || ($"bd" === $"cd" && $"b" < $"c")))
+    val closing = oriented.select($"src".as("cb"), $"dst".as("cc"))
+    val tri = wedges.join(closing, $"b" === $"cb" && $"c" === $"cc", "left_semi")
+
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nWedgesU = deg.agg(
+      sum(expr("d * (d - 1) DIV 2").cast("decimal(28,0)")).cast("long")
+        .as("n_wedges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    broadcast(nNodes).crossJoin(broadcast(nEdges))
+      .crossJoin(broadcast(nWedgesU)).crossJoin(broadcast(nTri))
+      .crossJoin(nExcluded)
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        when($"n_wedges" === 0, lit(0.0)).otherwise(
+          round(lit(3.0) * $"n_triangles" / $"n_wedges", 6))
+          .as("clustering_coeff"),
+        $"n_excluded_orders")
+  }
+
+  val trianglesSql: String =
+    s"""WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |occ AS (SELECT ok, COUNT(*) AS n_supp FROM so GROUP BY ok),
+       |excl AS (SELECT COUNT(*) AS n_excluded_orders FROM occ
+       |  WHERE n_supp > $TriOrderCap),
+       |kept AS (SELECT so.ok, so.sk FROM so
+       |  JOIN occ ON so.ok = occ.ok AND occ.n_supp <= $TriOrderCap),
+       |edges AS (SELECT DISTINCT a.sk AS s1, b.sk AS s2
+       |  FROM kept a JOIN kept b ON a.ok = b.ok AND a.sk < b.sk),
+       |deg AS (SELECT v, COUNT(*) AS d FROM (
+       |  SELECT s1 AS v FROM edges UNION ALL SELECT s2 AS v FROM edges)
+       |  GROUP BY v),
+       |oriented AS (SELECT
+       |  CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND s1 < s2)
+       |    THEN s1 ELSE s2 END AS src,
+       |  CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND s1 < s2)
+       |    THEN s2 ELSE s1 END AS dst,
+       |  CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND s1 < s2)
+       |    THEN d2.d ELSE d1.d END AS ddeg
+       |  FROM edges
+       |  JOIN deg d1 ON edges.s1 = d1.v
+       |  JOIN deg d2 ON edges.s2 = d2.v),
+       |tri AS (SELECT COUNT(*) AS n_triangles
+       |  FROM oriented x
+       |  JOIN oriented y ON x.src = y.src
+       |    AND (x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst))
+       |  WHERE EXISTS (SELECT 1 FROM oriented z
+       |    WHERE z.src = x.dst AND z.dst = y.dst)),
+       |stats AS (SELECT
+       |  (SELECT COUNT(*) FROM deg) AS n_nodes,
+       |  (SELECT COUNT(*) FROM edges) AS n_edges,
+       |  (SELECT CAST(SUM(CAST(d * (d - 1) // 2 AS DECIMAL(28,0))) AS BIGINT)
+       |     FROM deg) AS n_wedges,
+       |  (SELECT n_triangles FROM tri) AS n_triangles,
+       |  (SELECT n_excluded_orders FROM excl) AS n_excluded_orders)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges = 0 THEN 0.0
+       |    ELSE ROUND(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6) END
+       |    AS clustering_coeff,
+       |  n_excluded_orders
+       |FROM stats""".stripMargin
+
+  // --------------------------------------------------------------------
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_graph_pagerank" -> (pagerank _),
     "llm_graph_degree" -> (degree _),
+    "llm_graph_triangles" -> (triangles _),
   )
 
   val oracles: Map[String, String] = Map(
     "llm_graph_pagerank" -> pagerankSql,
     "llm_graph_degree" -> degreeSql,
+    "llm_graph_triangles" -> trianglesSql,
   )
 }

@@ -139,11 +139,137 @@ object Models {
        |FROM sse""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ta_logreg: logistic quality classifier trained by 3 full-batch
+  // gradient steps — the FastText-style "train a cheap classifier on
+  // heuristic labels, score the whole corpus with it" curation
+  // primitive (label = calibrated quality ≥ 0.5, features = the same
+  // (chars/1000, words/100) pair as [[ridge]]). Each step's gradient is
+  // ONE narrow corpus pass whose aggregate state is O(d) scalars — the
+  // same corpus-size-independent bound as the ridge/PCA passes — and
+  // the weight update itself is arithmetic on a handful of doubles.
+  //
+  // Determinism: the logistic link is the Elliott "fast sigmoid"
+  // σ̃(z) = 0.5 + 0.5·z/(1+|z|) — a rational function of (+,·,/,|·|)
+  // only, so both engines produce bit-identical activations; the libm
+  // exp() behind the exact sigmoid is a documented cross-engine
+  // divergence surface (SURVEY §5.1) that an ITERATED fit would
+  // amplify, so it is deliberately excluded from the update rule.
+  // Gradient terms (σ̃(z)−y)·x are DECIMAL(28,12)-summed
+  // (order-insensitive), so the trained weights are bit-identical
+  // across partitionings and engines. Update: w ← w − η·g/n, η=1, 3
+  // steps from w=0. Accuracy is sign agreement (σ̃ is monotone with
+  // σ̃(0)=0.5, so p̃ ≥ 0.5 ⟺ z ≥ 0 — no activation in the decision).
+  private val LrEta = 1.0
+  private val LrSteps = 3
+
+  def logreg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir)
+      .select($"doc_id",
+        ($"n_chars" / 1000.0).as("x1"),
+        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+          / 100.0).as("x2"))
+      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
+        "doc_id")
+      .select($"x1", $"x2",
+        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
+    val f = Tables.materialize(feats)
+
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    def sig(z: org.apache.spark.sql.Column) =
+      lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+
+    val n = f.count().toDouble
+    var (w1, w2, b) = (0.0, 0.0, 0.0)
+    for (_ <- 1 to LrSteps) {
+      val z = lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"
+      val g = f.agg(
+        dsum((sig(z) - $"y") * $"x1").as("g1"),
+        dsum((sig(z) - $"y") * $"x2").as("g2"),
+        dsum(sig(z) - $"y").as("gb")).head()
+      w1 -= LrEta * g.getAs[Double]("g1") / n
+      w2 -= LrEta * g.getAs[Double]("g2") / n
+      b -= LrEta * g.getAs[Double]("gb") / n
+    }
+
+    val zf = lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"
+    val m = f.agg(
+      dsum($"y").as("n_pos"),
+      sum(when((zf >= 0.0) === ($"y" === 1.0), 1L).otherwise(0L))
+        .as("n_correct")).head()
+
+    spark.createDataFrame(Seq((
+      math.round(n).toLong,
+      math.round(m.getAs[Double]("n_pos")).toLong,
+      BigDecimal(w1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(w2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(m.getAs[Long]("n_correct") / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toDF("n", "n_pos", "w_chars", "w_words", "intercept", "accuracy")
+  }
+
+  val logregSql: String = {
+    // one unrolled CTE per gradient step: gK sums the per-row gradient
+    // terms under weights wK-1; wK applies the update. The weight
+    // tables are 1-row, so every CROSS JOIN is a broadcast in spirit.
+    def sigSql(z: String) =
+      s"(0.5 + 0.5 * ($z) / (1.0 + ABS($z)))"
+    def step(prevW: String, g: String, w: String): String = {
+      val z = s"$prevW.b + $prevW.w1 * f.x1 + $prevW.w2 * f.x2"
+      s"""$g AS (
+         |  SELECT
+         |    CAST(SUM(CAST((${sigSql(z)} - f.y) * f.x1 AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+         |    CAST(SUM(CAST((${sigSql(z)} - f.y) * f.x2 AS DECIMAL(28,12))) AS DOUBLE) AS g2,
+         |    CAST(SUM(CAST((${sigSql(z)} - f.y) AS DECIMAL(28,12))) AS DOUBLE) AS gb,
+         |    COUNT(*) AS n
+         |  FROM f CROSS JOIN $prevW $prevW),
+         |$w AS (
+         |  SELECT $prevW.w1 - $g.g1 / $g.n AS w1,
+         |    $prevW.w2 - $g.g2 / $g.n AS w2,
+         |    $prevW.b - $g.gb / $g.n AS b,
+         |    $g.n AS n
+         |  FROM $g CROSS JOIN $prevW $prevW)""".stripMargin
+    }
+    s"""WITH q AS (${TextAnalysis.taQualitySql}),
+       |f AS (
+       |  SELECT
+       |    d.n_chars / CAST(1000.0 AS DOUBLE) AS x1,
+       |    (LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1)
+       |      / CAST(100.0 AS DOUBLE) AS x2,
+       |    CASE WHEN q.quality >= 0.5 THEN CAST(1.0 AS DOUBLE)
+       |      ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+       |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2,
+       |  CAST(0.0 AS DOUBLE) AS b),
+       |${step("w0", "g1s", "w1s")},
+       |${step("w1s", "g2s", "w2s")},
+       |${step("w2s", "g3s", "w3s")},
+       |m AS (
+       |  SELECT
+       |    COUNT(*) AS n,
+       |    CAST(CAST(SUM(CAST(f.y AS DECIMAL(28,12))) AS DOUBLE) AS BIGINT)
+       |      AS n_pos,
+       |    SUM(CASE WHEN ((w.b + w.w1 * f.x1 + w.w2 * f.x2) >= 0.0)
+       |          = (f.y = 1.0) THEN 1 ELSE 0 END) AS n_correct,
+       |    ANY_VALUE(w.w1) AS w1, ANY_VALUE(w.w2) AS w2, ANY_VALUE(w.b) AS b
+       |  FROM f CROSS JOIN w3s w)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       |  ROUND(w1, 6) AS w_chars, ROUND(w2, 6) AS w_words,
+       |  ROUND(b, 6) AS intercept,
+       |  ROUND(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy
+       |FROM m""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_ridge" -> (ridge _),
+    "llm_ta_logreg" -> (logreg _),
   )
 
   val oracles: Map[String, String] = Map(
     "llm_ta_ridge" -> ridgeSql,
+    "llm_ta_logreg" -> logregSql,
   )
 }

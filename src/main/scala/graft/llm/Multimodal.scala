@@ -483,7 +483,107 @@ object Multimodal {
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_mm_phash: perceptual-hash near-duplicate pairs over the media
+  // payload — the image-dedup primitive (pHash/blockhash family): a
+  // 60-bit block-mean hash, then Hamming-≤3 pairs via banded buckets.
+  // The hash is REAL blockhash structure computed over the payload
+  // bytes standing in for decoded pixels: the 240-byte payload prefix
+  // splits into 60 4-byte blocks, bit b = (block-b byte sum > mean
+  // block sum) — identical arithmetic both engines (integer sums, one
+  // double mean compare).
+  //
+  // Pair generation is the ddSimhashPairs two-level shape: banding
+  // (4 bands × 15 bits) runs on DISTINCT hash values — D << N on any
+  // corpus with duplicate media — then value pairs expand back to doc
+  // pairs via equi-joins, emitting each doc pair exactly once. By
+  // pigeonhole, hamming ≤ 3 over 4 bands forces ≥ 1 identical band,
+  // so the banded candidate set provably contains every true pair —
+  // the oracle can be the brute-force definition while the engine
+  // never evaluates O(N²) candidates.
+  //
+  // Scale shape: one narrow codegen projection computes hashes; the
+  // only joins are on the distinct-value table (buckets bounded by
+  // value diversity, not corpus size); doc-level expansion is
+  // equi-join fan-out proportional to true duplicate mass.
+  private val PhashBlocks = 60
+  private val PhashBytes = PhashBlocks * 4
+
+  /** (doc_id, phash) — session-cached like dd_simhash: the hash table
+    * feeds both join branches and the same-value pair join. */
+  private def phashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "mm_phash")) {
+      import spark.implicits._
+      Tables.materialize(
+        Tables.documents(spark, dir)
+          .select($"doc_id",
+            rpad(substring($"text", 1, PhashBytes), PhashBytes, " ")
+              .as("pfx"))
+          .withColumn("bs",
+            expr(s"transform(sequence(0, ${PhashBlocks - 1}), b -> " +
+              "ascii(substring(pfx, b*4+1, 1)) + ascii(substring(pfx, b*4+2, 1)) " +
+              "+ ascii(substring(pfx, b*4+3, 1)) + ascii(substring(pfx, b*4+4, 1)))"))
+          .withColumn("mn",
+            expr("aggregate(bs, 0, (a, x) -> a + x)").cast("double")
+              / PhashBlocks.toDouble)
+          .select($"doc_id",
+            expr(s"aggregate(transform(sequence(0, ${PhashBlocks - 1}), " +
+              "b -> IF(element_at(bs, b+1) > mn, shiftleft(1L, b), 0L)), " +
+              "0L, (a, x) -> a + x)").as("phash")))
+    }
+
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = phashes(spark, dir)
+    val vbands = ph.select($"phash").distinct()
+      .select($"phash", explode(array(
+        (0 until 4).map(j => struct(lit(j).as("band"),
+          expr(s"(phash div ${1L << (15 * j)}) % 32768").as("key"))): _*))
+        .as("bk"))
+      .select($"phash", $"bk.band", $"bk.key")
+    val vpairs = vbands.as("a").join(vbands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key"
+          && $"a.phash" < $"b.phash")
+      .select($"a.phash".as("va"), $"b.phash".as("vb"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .filter($"hamming" <= 3)
+      .distinct()
+    val cross = vpairs
+      .join(ph.as("x"), $"x.phash" === $"va")
+      .join(ph.as("y"), $"y.phash" === $"vb")
+      .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),
+        greatest($"x.doc_id", $"y.doc_id").as("doc_b"), $"hamming")
+    val same = ph.as("x").join(ph.as("y"),
+        $"x.phash" === $"y.phash" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        lit(0).as("hamming"))
+    same.union(cross).orderBy($"hamming", $"doc_a", $"doc_b")
+  }
+
+  val mmPhashSql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |    rpad(substr(text, 1, $PhashBytes), $PhashBytes, ' ') AS pfx
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    list_transform(range(0, $PhashBlocks), b ->
+       |      ascii(substr(pfx, b*4+1, 1)) + ascii(substr(pfx, b*4+2, 1))
+       |      + ascii(substr(pfx, b*4+3, 1)) + ascii(substr(pfx, b*4+4, 1)))
+       |    AS bs
+       |  FROM p),
+       |h AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, $PhashBlocks), b ->
+       |      CASE WHEN bs[b+1] > CAST(list_sum(bs) AS DOUBLE) / $PhashBlocks
+       |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT) AS phash
+       |  FROM s)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+       |ORDER BY hamming, doc_a, doc_b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_phash" -> (mmPhash _),
     "llm_mm_aspect_buckets" -> (mmAspectBuckets _),
     "llm_mm_metadata" -> (mmMetadata _),
     "llm_mm_chunk_dedup" -> (mmChunkDedup _),
@@ -496,6 +596,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_mm_phash" -> mmPhashSql,
     "llm_mm_aspect_buckets" -> mmAspectBucketsSql,
     "llm_mm_metadata" -> mmMetadataSql,
     "llm_mm_chunk_dedup" -> mmChunkDedupSql,

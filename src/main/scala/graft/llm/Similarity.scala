@@ -1751,7 +1751,70 @@ object Similarity {
        |FROM v3 ORDER BY pos""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_ss_binary_hamming: sign-binarized embedding search — pack each
+  // 64-d vector into ONE 64-bit code (bit i = v[i] > 0) and rank
+  // neighbors by Hamming distance via bit_count(xor). This is the
+  // binary-quantization scale path of the ANN family: 32× smaller than
+  // float32 vectors (8 bytes/vector), so at 100 TB the entire code
+  // table fits where 3% of the float corpus would, distance is two
+  // ALU ops (xor + popcount, codegen'd — no loops, no floats), and
+  // the usual deployment is exactly this shape: Hamming shortlist over
+  // binary codes, float rerank on the survivors (ssTopk's scoring is
+  // that rerank). Output keeps the query convention of the family
+  // (queries = vec_id < 5, broadcast; corpus never shuffles to score).
+  //
+  // Determinism: packing folds 64 disjoint powers of two with OR-as-sum
+  // (bit 63 via two's-complement sum is engine-identical because the
+  // fold is a LONG add of disjoint masks, not an overflow-checked SUM
+  // aggregate); distance is integer. No floats anywhere past the sign.
+  private def binaryCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        expr("aggregate(transform(sequence(0, 63), " +
+          "i -> IF(element_at(embedding, i+1) > 0.0F, shiftleft(1L, i), 0L)), " +
+          "0L, (a, x) -> a + x)").as("code"))
+  }
+
+  def ssBinaryHamming(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = binaryCodes(spark, dir)
+    val q = c.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"code".as("qcode"))
+    val scored = c.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        expr("bit_count(code ^ qcode)").as("hamming"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"hamming".asc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssBinaryHammingSql: String =
+    """WITH c AS (SELECT vec_id, label,
+      |    CAST(list_sum(list_transform(range(0, 64), i ->
+      |      CASE WHEN embedding[i+1] <= 0.0 THEN CAST(0 AS BIGINT)
+      |        -- DuckDB's << is overflow-checked, so bit 63 is the
+      |        -- min-long literal rather than 1<<63
+      |        WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |        ELSE (CAST(1 AS BIGINT) << i) END)) AS BIGINT) AS code
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, code AS qcode FROM c WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q_id, c.vec_id AS neighbor_id,
+      |    CAST(bit_count(xor(code, qcode)) AS INT) AS hamming
+      |  FROM c JOIN q ON c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY hamming ASC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT q_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_binary_hamming" -> (ssBinaryHamming _),
     "llm_ss_centroid_shift" -> (ssCentroidShift _),
     "llm_ss_pca" -> (ssPca _),
     "llm_ss_knn_join" -> (ssKnnJoin _),
@@ -1781,6 +1844,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ss_binary_hamming" -> ssBinaryHammingSql,
     "llm_ss_pca" -> ssPcaSql,
     "llm_ss_knn_join" -> ssKnnJoinSql,
     "llm_ss_topk" -> ssTopkSql,

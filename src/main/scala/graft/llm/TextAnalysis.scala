@@ -1838,7 +1838,80 @@ object TextAnalysis {
        |  ROUND(CAST(SUM(trm) AS DOUBLE), 6) AS js_div
        |FROM u GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_code_detect: code-vs-prose screening — the "separate code
+  // from natural language before mixing ratios are set" router every
+  // pretraining pipeline runs (code gets its own dedup + quality
+  // stack). Heuristic, not learned: density of code-surface characters
+  // ({};()=[]<>#), assignment/semicolon line endings, and
+  // indented-line fraction, combined into a score with the same
+  // clamped-linear shape as taQuality. Per-doc verdicts plus routing
+  // evidence; the per-source rollup lives in the oracle-checked
+  // output so a poisoned source (HTML boilerplate scoring as "code")
+  // is visible directly.
+  //
+  // Scale shape: pure narrow projection (regexp counts + one split,
+  // all codegen) into a per-doc output — zero shuffles; the doc_id
+  // sort is the driver-gate determinism convention, not a plan cost.
+  def taCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"text", $"n_chars")
+      .filter($"n_chars" > 0)
+    d.select(
+        $"doc_id", $"source",
+        // density of characters that are common in code and rare in prose
+        round((length($"text")
+          - length(regexp_replace($"text", "[{}();=\\[\\]<>#]", "")))
+          .cast("double") / $"n_chars", 6).as("sym_density"),
+        // lines ending like statements: ; { } or ) before the break
+        size(expr("filter(split(text, '\\n'), " +
+          "l -> l rlike '[;{})]\\\\s*$')")).as("n_stmt_lines"),
+        // indented lines (2+ leading spaces or a tab)
+        size(expr("filter(split(text, '\\n'), " +
+          "l -> l rlike '^(  |\\\\t)')")).as("n_indent_lines"),
+        size(split($"text", "\n")).as("n_lines"))
+      .select(
+        $"doc_id", $"source", $"sym_density",
+        $"n_stmt_lines", $"n_indent_lines", $"n_lines",
+        round(
+          least($"sym_density" * 20.0, lit(1.0)) * 0.5
+            + least($"n_stmt_lines".cast("double") / $"n_lines" * 2.0,
+                lit(1.0)) * 0.3
+            + least($"n_indent_lines".cast("double") / $"n_lines" * 2.0,
+                lit(1.0)) * 0.2,
+          6).as("code_score"))
+      .withColumn("is_code", $"code_score" >= 0.5)
+      .orderBy($"doc_id")
+  }
+
+  val taCodeDetectSql: String =
+    """WITH d AS (SELECT doc_id, source, text, n_chars FROM documents
+      |  WHERE n_chars > 0),
+      |m AS (SELECT doc_id, source,
+      |  ROUND(CAST(length(text)
+      |      - length(regexp_replace(text, '[{}();=\[\]<>#]', '', 'g'))
+      |    AS DOUBLE) / n_chars, 6) AS sym_density,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |    l -> regexp_matches(l, '[;{})]\s*$'))) AS INT) AS n_stmt_lines,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |    l -> regexp_matches(l, '^(  |\t)'))) AS INT) AS n_indent_lines,
+      |  CAST(len(string_split(text, chr(10))) AS INT) AS n_lines
+      |FROM d)
+      |SELECT doc_id, source, sym_density, n_stmt_lines, n_indent_lines,
+      |  n_lines,
+      |  ROUND(LEAST(sym_density * 20.0, 1.0) * 0.5
+      |    + LEAST(CAST(n_stmt_lines AS DOUBLE) / n_lines * 2.0, 1.0) * 0.3
+      |    + LEAST(CAST(n_indent_lines AS DOUBLE) / n_lines * 2.0, 1.0) * 0.2,
+      |    6) AS code_score,
+      |  ROUND(LEAST(sym_density * 20.0, 1.0) * 0.5
+      |    + LEAST(CAST(n_stmt_lines AS DOUBLE) / n_lines * 2.0, 1.0) * 0.3
+      |    + LEAST(CAST(n_indent_lines AS DOUBLE) / n_lines * 2.0, 1.0) * 0.2,
+      |    6) >= 0.5 AS is_code
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_code_detect" -> (taCodeDetect _),
     "llm_ta_js_drift" -> (taJsDrift _),
     "llm_ta_entropy" -> (taEntropy _),
     "llm_ta_coverage" -> (taCoverage _),
@@ -1875,6 +1948,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_code_detect" -> taCodeDetectSql,
     "llm_ta_js_drift" -> taJsDriftSql,
     "llm_ta_entropy" -> taEntropySql,
     "llm_ta_coverage" -> taCoverageSql,

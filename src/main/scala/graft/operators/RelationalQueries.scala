@@ -402,6 +402,92 @@ object RelationalQueries {
       |SELECT 'except_all' AS tag, suppkey, COUNT(*) AS n FROM ea GROUP BY suppkey
       |ORDER BY tag, suppkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q46: promo revenue share per ship month (TPC-H Q14 shape). The
+  // conditional-share aggregate computes both the PROMO-only and total
+  // revenue in ONE pass over the fact — no second scan, no self-join.
+  // part broadcasts (small dim), so the fact side stays shuffle-free up
+  // to the 82-month groupBy, which is partial-aggregable. At 100 TB the
+  // month key is low-cardinality and uniform — no salt needed; the
+  // plan is scan → broadcast-join → partial agg → 82-row exchange.
+  def q46PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).select($"p_partkey", $"p_type")
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when($"p_type" === "PROMO",
+            ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .cast(DecimalType(18, 6)))
+          .otherwise(lit(0).cast(DecimalType(18, 6))))
+          .cast("double").as("promo_rev"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+          .as("total_rev"),
+        count(lit(1)).as("n_items"))
+      .select($"ship_month",
+        round(lit(100.0) * $"promo_rev" / $"total_rev", 6)
+          .as("promo_share_pct"),
+        $"promo_rev", $"total_rev", $"n_items")
+      .orderBy($"ship_month")
+  }
+
+  val q46Sql: String =
+    s"""WITH m AS (
+       |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+       |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+       |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_rev,
+       |    ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS total_rev,
+       |    COUNT(*) AS n_items
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1)
+       |SELECT ship_month,
+       |  ROUND(100.0 * promo_rev / total_rev, 6) AS promo_share_pct,
+       |  promo_rev, total_rev, n_items
+       |FROM m ORDER BY ship_month""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q47: small-quantity revenue (TPC-H Q17 shape) — revenue lost to
+  // lines ordering below 20% of their part's average quantity. The
+  // naive form is a correlated per-row subquery (re-aggregating the
+  // fact once per probe row); the scale-correct rewrite pre-aggregates
+  // lineitem ONCE to per-part (sum_qty, n) — the threshold table, at
+  // part cardinality — and joins it back. Both the pre-agg and the
+  // probe shuffle on l_partkey, so at 100 TB bucketing lineitem by
+  // partkey makes the whole query co-located; the threshold table is
+  // dim-sized and AQE broadcasts it. avg = decimal sum / count (exact,
+  // order-insensitive) so the 0.2·avg cutoff is bit-identical in both
+  // engines.
+  def q47SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+    val thresholds = l.groupBy($"l_partkey".as("t_partkey"))
+      .agg((sum($"l_quantity".cast(DecimalType(18, 2))).cast("double")
+        / count(lit(1))).as("avg_qty"))
+    l.join(thresholds, $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg(
+        (dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small_lines"),
+        countDistinct($"l_partkey").as("n_parts"))
+      .select(round($"avg_yearly", 6).as("avg_yearly"),
+        $"n_small_lines", $"n_parts")
+  }
+
+  val q47Sql: String =
+    s"""WITH t AS (
+       |  SELECT l_partkey AS t_partkey,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+       |      AS avg_qty
+       |  FROM lineitem GROUP BY 1)
+       |SELECT
+       |  ROUND(${dsumSql("l_extendedprice")} / 7.0, 6) AS avg_yearly,
+       |  COUNT(*) AS n_small_lines,
+       |  COUNT(DISTINCT l_partkey) AS n_parts
+       |FROM lineitem JOIN t ON l_partkey = t_partkey
+       |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -417,6 +503,8 @@ object RelationalQueries {
     "q12_pivot_wide" -> (q12PivotWide _),
     "q13_unpivot" -> (q13Unpivot _),
     "q32_setops_all" -> (q32SetopsAll _),
+    "q46_promo_effect" -> (q46PromoEffect _),
+    "q47_small_qty_revenue" -> (q47SmallQtyRevenue _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -434,5 +522,7 @@ object RelationalQueries {
     "q12_pivot_wide" -> q12Sql,
     "q13_unpivot" -> q13Sql,
     "q32_setops_all" -> q32Sql,
+    "q46_promo_effect" -> q46Sql,
+    "q47_small_qty_revenue" -> q47Sql,
   )
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Graph, Models, Multimodal, Similarity, TextAnalysis}
+import graft.operators.RelationalQueries
+
+/** Value-level invariants for the round-8 second wave (the DuckDB
+  * oracle covers exact values at the driver gate; these cover the
+  * algebraic claims the oracle can't express: exact-once triangle
+  * counting vs a naive reference, banding completeness for the
+  * perceptual hash, bit-packing fidelity, share/total conservation).
+  */
+class WaveNineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- triangles
+
+  test("triangle census matches a naive all-triples reference") {
+    val edges = graft.sources.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+      .as("a").join(
+        graft.sources.Tables.lineitem(spark, sf0001)
+          .select($"l_orderkey".as("ok2"), $"l_suppkey".as("sk2")).distinct()
+          .as("b"),
+        $"ok" === $"ok2" && $"sk" < $"sk2")
+      .select($"sk".as("s1"), $"sk2".as("s2")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    var naive = 0L
+    for {
+      a <- nodes; b <- nodes if a < b && adj(a)(b)
+      c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+    } naive += 1
+    val row = Graph.triangles(spark, sf0001).head()
+    assert(row.getAs[Long]("n_triangles") == naive)
+    assert(row.getAs[Long]("n_edges") == edges.size)
+    assert(row.getAs[Long]("n_excluded_orders") == 0L)
+    val cc = row.getAs[Double]("clustering_coeff")
+    assert(cc >= 0.0 && cc <= 1.0, s"cc=$cc")
+  }
+
+  // --------------------------------------------------------------- phash
+
+  test("banded phash pairs equal the brute-force hamming<=3 definition") {
+    val pairs = Multimodal.mmPhash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force reference over the same hash definition, recomputed
+    // independently from the raw text in Scala
+    val hashes = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val pfx = r.getString(1).take(240).padTo(240, ' ')
+        val bs = Array.tabulate(60)(b =>
+          (0 until 4).map(i => pfx(b * 4 + i).toInt).sum)
+        val mn = bs.sum.toDouble / 60.0
+        val h = (0 until 60).foldLeft(0L)((acc, b) =>
+          if (bs(b) > mn) acc + (1L << b) else acc)
+        (r.getLong(0), h)
+      }
+    val naive = (for {
+      (ida, ha) <- hashes; (idb, hb) <- hashes if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ida, idb, d)).toSet
+    assert(pairs == naive,
+      s"banded=${pairs.size} naive=${naive.size} diff=${
+        (pairs diff naive).take(3)} / ${(naive diff pairs).take(3)}")
+  }
+
+  // ---------------------------------------------------- binary hamming
+
+  test("binary codes pack the sign pattern exactly") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val top = Similarity.ssBinaryHamming(spark, sf0001).collect()
+    assert(top.nonEmpty)
+    def code(v: Seq[Float]): Long =
+      v.zipWithIndex.foldLeft(0L)((acc, p) =>
+        if (p._1 > 0.0f) acc + (1L << p._2) else acc)
+    top.foreach { r =>
+      val (q, n, h) = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("hamming"))
+      assert(java.lang.Long.bitCount(code(vecs(q)) ^ code(vecs(n))) == h)
+    }
+  }
+
+  // ---------------------------------------------------------- logreg
+
+  test("logistic probe model card is well-formed and beats coin flip on its own labels") {
+    val row = Models.logreg(spark, sf0001).head()
+    val n = row.getAs[Long]("n")
+    val nPos = row.getAs[Long]("n_pos")
+    val acc = row.getAs[Double]("accuracy")
+    assert(n == graft.sources.Tables.documents(spark, sf0001).count())
+    assert(nPos >= 0 && nPos <= n)
+    assert(acc >= 0.0 && acc <= 1.0)
+    Seq("w_chars", "w_words", "intercept").foreach { c =>
+      assert(!row.getAs[Double](c).isNaN, s"$c is NaN")
+    }
+  }
+
+  // ------------------------------------------------------- code detect
+
+  test("code detector scores are bounded and line counts consistent") {
+    val rows = TextAnalysis.taCodeDetect(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val score = r.getAs[Double]("code_score")
+      assert(score >= 0.0 && score <= 1.0)
+      assert(r.getAs[Int]("n_stmt_lines") <= r.getAs[Int]("n_lines"))
+      assert(r.getAs[Int]("n_indent_lines") <= r.getAs[Int]("n_lines"))
+      assert(r.getAs[Boolean]("is_code") == (score >= 0.5))
+    }
+  }
+
+  // ------------------------------------------------------- q46 / q47
+
+  test("q46 promo shares are percentages and monthly revenue sums to the corpus total") {
+    val rows = RelationalQueries.q46PromoEffect(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pct = r.getAs[Double]("promo_share_pct")
+      assert(pct >= 0.0 && pct <= 100.0)
+      assert(r.getAs[Double]("promo_rev") <= r.getAs[Double]("total_rev"))
+    }
+    val monthly = BigDecimal(rows.map(_.getAs[Double]("total_rev")).sum)
+    val flat = graft.sources.Tables.lineitem(spark, sf0001)
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(18,6)")).cast("double")).head().getDouble(0)
+    assert((monthly - flat).abs < 1e-3, s"monthly=$monthly flat=$flat")
+  }
+
+  test("q47 small-quantity line count is a strict subset of the fact") {
+    val row = RelationalQueries.q47SmallQtyRevenue(spark, sf0001).head()
+    val nAll = graft.sources.Tables.lineitem(spark, sf0001).count()
+    assert(row.getAs[Long]("n_small_lines") < nAll)
+    assert(row.getAs[Long]("n_parts") <=
+      graft.sources.Tables.part(spark, sf0001).count())
+    assert(row.getAs[Double]("avg_yearly") >= 0.0)
+  }
+}
