@@ -945,7 +945,70 @@ object Pipeline {
        |FROM u ORDER BY rule""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_eff_tokens: dedup-aware effective token budget per
+  // source — the number that actually determines training scale. Raw
+  // token counts overstate a duplicated source; weighting every doc by
+  // 1/cluster_size (the [[Dedup.ddSoftWeights]] weight) gives the
+  // token mass that survives soft dedup, and the per-source
+  // token-level shrinkage ranks which sources are inflating the corpus
+  // (doc-level shrinkage — soft_weights — can look mild while
+  // token-level shrinkage is severe, because duplicated docs skew
+  // long). Tokens = the BPE-ish regex count ([[TextAnalysis.taTokens]]
+  // n_bpe_tokens), so this composes two existing artifacts.
+  //
+  // Scale shape: two narrow per-doc scans (token count; weight from
+  // the session-cached cluster table) equi-joined on doc_id, then one
+  // partial-aggregable groupBy(source). Weighted token terms are
+  // double products of exactly-represented inputs DECIMAL-summed —
+  // order-insensitive.
+  def effTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        size(regexp_extract_all($"text",
+          lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_toks"))
+    val w = Dedup.ddCluster(spark, dir)
+      .select($"doc_id",
+        round(lit(1.0) / $"cluster_size", 6).as("weight"))
+    toks.join(w, "doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        sum(($"weight" * $"n_toks").cast(DecimalType(28, 12)))
+          .cast("double").as("eff_tokens"))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"eff_tokens", 6).as("eff_tokens"),
+        round(lit(1.0) - $"eff_tokens" / $"n_tokens", 6)
+          .as("token_shrinkage"))
+      .orderBy($"source")
+  }
+
+  val effTokensSql: String =
+    s"""WITH cc AS (${Dedup.ddClusterSql}),
+       |t AS (SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+       |      AS BIGINT) AS n_toks
+       |  FROM documents),
+       |j AS (SELECT t.source, t.n_toks,
+       |    ROUND(CAST(1.0 AS DOUBLE) / cc.cluster_size, 6) AS weight
+       |  FROM t JOIN cc USING (doc_id)),
+       |ag AS (SELECT source, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+       |    CAST(SUM(CAST(weight * n_toks AS DECIMAL(28,12))) AS DOUBLE)
+       |      AS eff_tokens
+       |  FROM j GROUP BY source)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  ROUND(eff_tokens, 6) AS eff_tokens,
+       |  ROUND(CAST(1.0 AS DOUBLE) - eff_tokens / n_tokens, 6)
+       |    AS token_shrinkage
+       |FROM ag ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_eff_tokens" -> (effTokens _),
     "llm_pipeline_snapshot_diff" -> (snapshotDiff _),
     "llm_pipeline_validate" -> (validate _),
     "llm_pipeline_curriculum" -> (curriculum _),
@@ -980,6 +1043,7 @@ object Pipeline {
     "llm_pipeline_source_overlap" -> sourceOverlapSql,
     "llm_pipeline_split_audit" -> splitAuditSql,
     "llm_pipeline_snapshot_diff" -> snapshotDiffSql,
+    "llm_pipeline_eff_tokens" -> effTokensSql,
     "llm_pipeline_validate" -> validateSql,
   )
 }

@@ -1813,7 +1813,146 @@ object Similarity {
       |SELECT q_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_mmr: Maximal Marginal Relevance diversified top-k
+  // (Carbonell & Goldstein 1998) — the retrieval-diversity op for
+  // dedup-aware example selection: after ANN shortlisting, greedily
+  // pick items maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s), so the
+  // selected set trades relevance against redundancy (a top-k that
+  // returns 5 near-copies of the best hit is useless for few-shot
+  // retrieval or diverse-negative mining). λ=0.7, shortlist 8, pick 3,
+  // queries = vec_id < 3 (the family's query convention).
+  //
+  // Scale shape: the DISTRIBUTED stage is the shortlist (ssTopk's
+  // broadcast-scored scan — corpus never shuffles); the greedy runs as
+  // k−1 rounds of join+window over the (queries × shortlist)-bounded
+  // candidate table — every post-shortlist table is O(q·k²), corpus-
+  // size-independent by construction. Determinism: relevance and
+  // pairwise sims round to 6 BEFORE the greedy, so the argmax
+  // comparisons see identical doubles in both engines; ties break on
+  // neighbor_id.
+  private val MmrLambda = 0.7
+  // NOT 1.0 - MmrLambda: that double op yields 0.30000000000000004,
+  // while both engines parse the literal "0.3" to the same (different)
+  // nearest double — the Graph.Teleport rule.
+  private val MmrOneMinusLambda = 0.3
+  private val MmrShortlist = 8
+  private val MmrK = 3
+
+  def ssMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("nid"),
+        expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("rel"),
+        $"v", $"nrm")
+    val wRel = Window.partitionBy($"q_id").orderBy($"rel".desc, $"nid".asc)
+    // the shortlist is queries×8 rows; materialize so the greedy's
+    // repeated self-joins don't replay the corpus-wide scoring scan
+    val cands = Tables.materialize(
+      scored.withColumn("rk", row_number().over(wRel))
+        .filter($"rk" <= MmrShortlist))
+    val sims = Tables.materialize(
+      cands.as("a").join(cands.as("b"),
+          $"a.q_id" === $"b.q_id" && $"a.nid" =!= $"b.nid")
+        .select($"a.q_id".as("q_id"), $"a.nid".as("nid_a"),
+          $"b.nid".as("nid_b"),
+          expr("round(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 6)").as("sim")))
+    val c = cands.select($"q_id", $"nid", $"rel")
+
+    var selected = cands.filter($"rk" === 1)
+      .select($"q_id", $"nid", $"rel", lit(1).as("rank"),
+        $"rel".as("mmr_score"))
+    for (k <- 2 to MmrK) {
+      val selIds = selected.select($"q_id".as("s_qid"), $"nid".as("s_nid"))
+      val maxsim = sims
+        .join(selIds, $"q_id" === $"s_qid" && $"nid_b" === $"s_nid")
+        .groupBy($"q_id".as("m_qid"), $"nid_a").agg(max($"sim").as("msim"))
+      val remScored = c
+        .join(selIds, $"q_id" === $"s_qid" && $"nid" === $"s_nid", "left_anti")
+        .join(maxsim, $"q_id" === $"m_qid" && $"nid" === $"nid_a")
+        .select($"q_id", $"nid", $"rel",
+          (lit(MmrLambda) * $"rel" - lit(MmrOneMinusLambda) * $"msim")
+            .as("mmr"))
+      val wMmr = Window.partitionBy($"q_id").orderBy($"mmr".desc, $"nid".asc)
+      val pick = remScored.withColumn("rn", row_number().over(wMmr))
+        .filter($"rn" === 1)
+        .select($"q_id", $"nid", $"rel", lit(k).as("rank"),
+          $"mmr".as("mmr_score"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+      .select($"q_id", $"rank", $"nid".as("neighbor_id"),
+        $"rel".as("relevance"), round($"mmr_score", 6).as("mmr_score"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssMmrSql: String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val oneMinus = "CAST(0.3 AS DOUBLE)"
+    s"""$normCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 3),
+       |scored AS (
+       |  SELECT q_id, n.vec_id AS nid,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS rel,
+       |    v, nrm
+       |  FROM n JOIN q ON n.vec_id <> q.q_id),
+       |cands AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, nid ASC) AS rk FROM scored)
+       |  WHERE rk <= $MmrShortlist),
+       |sims AS (
+       |  SELECT a.q_id, a.nid AS nid_a, b.nid AS nid_b,
+       |    ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+       |  FROM cands a JOIN cands b
+       |    ON a.q_id = b.q_id AND a.nid <> b.nid),
+       |s1 AS (
+       |  SELECT q_id, nid, rel, 1 AS rank, rel AS mmr_score
+       |  FROM cands WHERE rk = 1),
+       |m2 AS (
+       |  SELECT c.q_id, c.nid, c.rel, MAX(s.sim) AS msim
+       |  FROM cands c
+       |  JOIN sims s ON s.q_id = c.q_id AND s.nid_a = c.nid
+       |  JOIN s1 ON s1.q_id = c.q_id AND s.nid_b = s1.nid
+       |  WHERE NOT EXISTS (SELECT 1 FROM s1 x
+       |    WHERE x.q_id = c.q_id AND x.nid = c.nid)
+       |  GROUP BY c.q_id, c.nid, c.rel),
+       |p2 AS (
+       |  SELECT q_id, nid, rel, 2 AS rank, mmr AS mmr_score FROM (
+       |    SELECT q_id, nid, rel, $lam * rel - $oneMinus * msim AS mmr,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY $lam * rel - $oneMinus * msim DESC, nid ASC) AS rn
+       |    FROM m2)
+       |  WHERE rn = 1),
+       |sel2 AS (SELECT q_id, nid FROM s1 UNION ALL SELECT q_id, nid FROM p2),
+       |m3 AS (
+       |  SELECT c.q_id, c.nid, c.rel, MAX(s.sim) AS msim
+       |  FROM cands c
+       |  JOIN sims s ON s.q_id = c.q_id AND s.nid_a = c.nid
+       |  JOIN sel2 ON sel2.q_id = c.q_id AND s.nid_b = sel2.nid
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+       |    WHERE x.q_id = c.q_id AND x.nid = c.nid)
+       |  GROUP BY c.q_id, c.nid, c.rel),
+       |p3 AS (
+       |  SELECT q_id, nid, rel, 3 AS rank, mmr AS mmr_score FROM (
+       |    SELECT q_id, nid, rel, $lam * rel - $oneMinus * msim AS mmr,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY $lam * rel - $oneMinus * msim DESC, nid ASC) AS rn
+       |    FROM m3)
+       |  WHERE rn = 1),
+       |allsel AS (
+       |  SELECT * FROM s1 UNION ALL SELECT * FROM p2 UNION ALL
+       |  SELECT * FROM p3)
+       |SELECT q_id, CAST(rank AS INT) AS rank, nid AS neighbor_id,
+       |  rel AS relevance, ROUND(mmr_score, 6) AS mmr_score
+       |FROM allsel ORDER BY q_id, rank""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_mmr" -> (ssMmr _),
     "llm_ss_binary_hamming" -> (ssBinaryHamming _),
     "llm_ss_centroid_shift" -> (ssCentroidShift _),
     "llm_ss_pca" -> (ssPca _),
@@ -1844,6 +1983,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ss_mmr" -> ssMmrSql,
     "llm_ss_binary_hamming" -> ssBinaryHammingSql,
     "llm_ss_pca" -> ssPcaSql,
     "llm_ss_knn_join" -> ssKnnJoinSql,

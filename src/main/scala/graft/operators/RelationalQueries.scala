@@ -488,6 +488,48 @@ object RelationalQueries {
        |FROM lineitem JOIN t ON l_partkey = t_partkey
        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q48: top supplier(s) by windowed revenue (TPC-H Q15 shape) — the
+  // argmax-by-global-scalar pattern: per-supplier revenue over a
+  // 3-month ship window, then keep every supplier whose revenue equals
+  // the maximum. The max is a 1-row aggregate broadcast into the
+  // filter (Q15's "create view + subquery" done as a scalar
+  // cross-join), so no second scan of the fact and no window over a
+  // single global partition — the two naive forms that die at scale.
+  // Revenue partials are DECIMAL end-to-end, so the equality against
+  // the max is exact — float revenue would make "equals the max"
+  // nondeterministic across partitionings.
+  def q48TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        && $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast(DecimalType(18, 6))).as("total_rev"))
+    val top = broadcast(rev.agg(max($"total_rev").as("max_rev")))
+    rev.crossJoin(top)
+      .filter($"total_rev" === $"max_rev")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        $"total_rev".cast("double").as("total_rev"))
+      .orderBy($"s_suppkey")
+  }
+
+  val q48Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+      |      AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -505,6 +547,7 @@ object RelationalQueries {
     "q32_setops_all" -> (q32SetopsAll _),
     "q46_promo_effect" -> (q46PromoEffect _),
     "q47_small_qty_revenue" -> (q47SmallQtyRevenue _),
+    "q48_top_supplier" -> (q48TopSupplier _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -524,5 +567,6 @@ object RelationalQueries {
     "q32_setops_all" -> q32Sql,
     "q46_promo_effect" -> q46Sql,
     "q47_small_qty_revenue" -> q47Sql,
+    "q48_top_supplier" -> q48Sql,
   )
 }

@@ -132,6 +132,56 @@ class WaveNineSpec extends SparkSpec {
     assert((monthly - flat).abs < 1e-3, s"monthly=$monthly flat=$flat")
   }
 
+  // ------------------------------------------------------------- mmr
+
+  test("MMR picks are distinct members of the relevance shortlist, rank 1 = argmax relevance") {
+    val rows = Similarity.ssMmr(spark, sf0001).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3))
+      assert(rs.map(_.getAs[Long]("neighbor_id")).distinct.length == 3)
+      val r1 = rs.find(_.getAs[Int]("rank") == 1).get
+      // rank 1 is the pure-relevance argmax: its relevance bounds the rest
+      assert(rs.forall(_.getAs[Double]("relevance")
+        <= r1.getAs[Double]("relevance")))
+      assert(r1.getAs[Double]("mmr_score") == r1.getAs[Double]("relevance"))
+    }
+  }
+
+  // ------------------------------------------------------- eff tokens
+
+  test("effective tokens never exceed raw tokens and shrinkage is bounded") {
+    val rows = graft.llm.Pipeline.effTokens(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("eff_tokens") <=
+        r.getAs[Long]("n_tokens").toDouble + 1e-6)
+      val s = r.getAs[Double]("token_shrinkage")
+      assert(s >= 0.0 && s < 1.0, s"shrinkage=$s")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      graft.sources.Tables.documents(spark, sf0001).count())
+  }
+
+  // ------------------------------------------------------------- q48
+
+  test("q48 returns exactly the suppliers achieving the window-revenue max") {
+    val res = RelationalQueries.q48TopSupplier(spark, sf0001).collect()
+    assert(res.nonEmpty)
+    val revs = graft.sources.Tables.lineitem(spark, sf0001)
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        && $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(18,6)")).cast("double").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val mx = revs.map(_._2).max
+    val expect = revs.filter(_._2 == mx).map(_._1).sorted.toSeq
+    assert(res.map(_.getAs[Long]("s_suppkey")).toSeq == expect)
+    res.foreach(r => assert(r.getAs[Double]("total_rev") == mx))
+  }
+
   test("q47 small-quantity line count is a strict subset of the fact") {
     val row = RelationalQueries.q47SmallQtyRevenue(spark, sf0001).head()
     val nAll = graft.sources.Tables.lineitem(spark, sf0001).count()
