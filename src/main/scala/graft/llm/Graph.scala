@@ -209,12 +209,27 @@ object Graph {
   // |E|^1.5 instead of Σ deg² (the hub blowup a src-side wedge join
   // would pay on a power-law graph at 100 TB).
   //
+  // The census runs on the co-purchase BACKBONE, not the raw pair set:
+  // the raw "shares ≥1 order" graph on a small dense entity space is
+  // near-complete (at sf0.1: ~1000 suppliers, ~500k of the 499,500
+  // possible edges — measured 55 s, and O(n³)-adjacent at ANY scale
+  // because its density is structural, not noise). The backbone keeps
+  // the top-[[TriMaxEdges]] edges by co-occurrence support (ties
+  // lexicographic) — the standard co-occurrence-backbone extraction,
+  // and the semantically honest graph: a 1-order co-occurrence is
+  // noise, and community structure lives in the strong ties. With
+  // |E| ≤ M fixed, the census cost is bounded by M^1.5 wedges
+  // REGARDLESS of corpus size — the support groupBy (partial-agg) and
+  // the TakeOrdered top-M are the only corpus-scale stages.
+  //
   // Scale shape: count-first occupancy cap on orders BEFORE the
   // per-order supplier pairing (the house rule for quadratic-per-bucket
-  // expansion; excluded orders are surfaced in the output row); the
-  // wedge join and the closing edge join both shuffle only the oriented
-  // edge list — no vertex-expansion table is ever materialized.
+  // expansion; excluded orders are surfaced in the output row); support
+  // aggregation is partial-aggregable; top-M = TakeOrderedAndProject
+  // (no global sort materialized); the wedge and closing joins shuffle
+  // only the ≤M-row oriented edge list.
   private val TriOrderCap = 64
+  private val TriMaxEdges = 2000
 
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -227,9 +242,14 @@ object Graph {
     val keptSo = so.join(occ.filter($"n_supp" <= TriOrderCap).select($"ok"), "ok")
     val a = keptSo.select($"ok", $"sk".as("s1"))
     val b = keptSo.select($"ok".as("ok2"), $"sk".as("s2"))
+    val support = a.join(b, $"ok" === $"ok2" && $"s1" < $"s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("support"))
+    val nCand = broadcast(
+      support.agg(count(lit(1)).as("n_candidate_edges")))
     val edges = Tables.materialize(
-      a.join(b, $"ok" === $"ok2" && $"s1" < $"s2")
-        .select($"s1", $"s2").distinct())
+      support.orderBy($"support".desc, $"s1".asc, $"s2".asc)
+        .limit(TriMaxEdges)
+        .select($"s1", $"s2"))
     val deg = edges.select($"s1".as("v")).unionAll(edges.select($"s2".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("d"))
     // orient each edge from the (degree, id)-smaller endpoint; keep the
@@ -261,8 +281,9 @@ object Graph {
     val nTri = tri.agg(count(lit(1)).as("n_triangles"))
     broadcast(nNodes).crossJoin(broadcast(nEdges))
       .crossJoin(broadcast(nWedgesU)).crossJoin(broadcast(nTri))
-      .crossJoin(nExcluded)
-      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+      .crossJoin(nExcluded).crossJoin(nCand)
+      .select($"n_nodes", $"n_edges", $"n_candidate_edges", $"n_wedges",
+        $"n_triangles",
         when($"n_wedges" === 0, lit(0.0)).otherwise(
           round(lit(3.0) * $"n_triangles" / $"n_wedges", 6))
           .as("clustering_coeff"),
@@ -276,8 +297,12 @@ object Graph {
        |  WHERE n_supp > $TriOrderCap),
        |kept AS (SELECT so.ok, so.sk FROM so
        |  JOIN occ ON so.ok = occ.ok AND occ.n_supp <= $TriOrderCap),
-       |edges AS (SELECT DISTINCT a.sk AS s1, b.sk AS s2
-       |  FROM kept a JOIN kept b ON a.ok = b.ok AND a.sk < b.sk),
+       |support AS (SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS support
+       |  FROM kept a JOIN kept b ON a.ok = b.ok AND a.sk < b.sk
+       |  GROUP BY a.sk, b.sk),
+       |cand AS (SELECT COUNT(*) AS n_candidate_edges FROM support),
+       |edges AS (SELECT s1, s2 FROM support
+       |  ORDER BY support DESC, s1 ASC, s2 ASC LIMIT $TriMaxEdges),
        |deg AS (SELECT v, COUNT(*) AS d FROM (
        |  SELECT s1 AS v FROM edges UNION ALL SELECT s2 AS v FROM edges)
        |  GROUP BY v),
@@ -300,11 +325,12 @@ object Graph {
        |stats AS (SELECT
        |  (SELECT COUNT(*) FROM deg) AS n_nodes,
        |  (SELECT COUNT(*) FROM edges) AS n_edges,
+       |  (SELECT n_candidate_edges FROM cand) AS n_candidate_edges,
        |  (SELECT CAST(SUM(CAST(d * (d - 1) // 2 AS DECIMAL(28,0))) AS BIGINT)
        |     FROM deg) AS n_wedges,
        |  (SELECT n_triangles FROM tri) AS n_triangles,
        |  (SELECT n_excluded_orders FROM excl) AS n_excluded_orders)
-       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |SELECT n_nodes, n_edges, n_candidate_edges, n_wedges, n_triangles,
        |  CASE WHEN n_wedges = 0 THEN 0.0
        |    ELSE ROUND(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6) END
        |    AS clustering_coeff,

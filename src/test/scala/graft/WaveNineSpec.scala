@@ -34,6 +34,12 @@ class WaveNineSpec extends SparkSpec {
       c <- nodes if b < c && adj(a)(c) && adj(b)(c)
     } naive += 1
     val row = Graph.triangles(spark, sf0001).head()
+    // at sf0.001 the candidate set is far below the backbone cap, so
+    // the backbone IS the full co-occurrence graph and the naive
+    // reference needs no support ranking
+    assert(row.getAs[Long]("n_candidate_edges") == edges.size)
+    assert(row.getAs[Long]("n_candidate_edges") <= 2000L,
+      "naive reference assumes the backbone cap does not engage at sf0.001")
     assert(row.getAs[Long]("n_triangles") == naive)
     assert(row.getAs[Long]("n_edges") == edges.size)
     assert(row.getAs[Long]("n_excluded_orders") == 0L)
