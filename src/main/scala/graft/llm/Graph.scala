@@ -231,6 +231,16 @@ object Graph {
   private val TriOrderCap = 64
   private val TriMaxEdges = 2000
 
+  /** Top-[[TriMaxEdges]] support-ranked edges — split out so PlanSpec
+    * can assert the selection plans as TakeOrderedAndProject (the
+    * materialized table the census reads hides the build plan). */
+  private[graft] def backbone(support: DataFrame): DataFrame = {
+    import support.sparkSession.implicits._
+    support.orderBy($"support".desc, $"s1".asc, $"s2".asc)
+      .limit(TriMaxEdges)
+      .select($"s1", $"s2")
+  }
+
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val so = Tables.lineitem(spark, dir)
@@ -246,10 +256,7 @@ object Graph {
       .groupBy($"s1", $"s2").agg(count(lit(1)).as("support"))
     val nCand = broadcast(
       support.agg(count(lit(1)).as("n_candidate_edges")))
-    val edges = Tables.materialize(
-      support.orderBy($"support".desc, $"s1".asc, $"s2".asc)
-        .limit(TriMaxEdges)
-        .select($"s1", $"s2"))
+    val edges = Tables.materialize(backbone(support))
     val deg = edges.select($"s1".as("v")).unionAll(edges.select($"s2".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("d"))
     // orient each edge from the (degree, id)-smaller endpoint; keep the

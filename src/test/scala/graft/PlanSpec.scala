@@ -549,6 +549,45 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(900))
   }
 
+  test("q46 joins part by broadcast and keeps the month agg partial") {
+    val plan = planOf(RelationalQueries.q46PromoEffect(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      "part must broadcast into the fact scan:\n" + plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "fact side must not shuffle for the dim join:\n" + plan.take(800))
+  }
+
+  test("triangle backbone selection is TakeOrdered, never a global sort") {
+    import spark.implicits._
+    val support = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select($"l_suppkey".as("s1"), ($"l_suppkey" + 1).as("s2"))
+      .groupBy($"s1", $"s2")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("support"))
+    val plan = planOf(graft.llm.Graph.backbone(support))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-M backbone must be TakeOrderedAndProject:\n" + plan.take(900))
+    assert(!plan.contains("Sort ["),
+      "backbone must not materialize a global sort:\n" + plan.take(900))
+  }
+
+  test("phash pair generation never goes cartesian") {
+    val plan = planOf(graft.llm.Multimodal.mmPhash(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"),
+      "banded phash join must stay an equi-join:\n" + plan.take(900))
+  }
+
+  test("mmr greedy stays on the shortlist: no cartesian, shortlist checkpointed") {
+    val plan = planOf(Similarity.ssMmr(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"),
+      "mmr joins must stay equi/broadcast:\n" + plan.take(900))
+    // the shortlist and sims tables are localCheckpointed, so the
+    // greedy rounds must read Scan ExistingRDD, not replay the
+    // corpus-wide scoring subtree per round
+    assert(plan.contains("ExistingRDD"),
+      "shortlist must be materialized once:\n" + plan.take(900))
+  }
+
   test("ewma windows and lag-join stay keyed on the series, no single partition") {
     val plan = planOf(graft.operators.BenchQueries.ewma(spark, sf0001))
     val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
