@@ -243,8 +243,12 @@ object Graph {
 
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val so = Tables.lineitem(spark, dir)
-      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    // materialized: the distinct (order, supplier) table feeds the
+    // occupancy audit AND the pair join's kept side — the fact-scan +
+    // distinct shuffle runs once, not per consumer
+    val so = Tables.materialize(
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct())
     val occ = so.groupBy($"ok").agg(count(lit(1)).as("n_supp"))
     val nExcluded = broadcast(
       occ.filter($"n_supp" > TriOrderCap)
@@ -252,8 +256,14 @@ object Graph {
     val keptSo = so.join(occ.filter($"n_supp" <= TriOrderCap).select($"ok"), "ok")
     val a = keptSo.select($"ok", $"sk".as("s1"))
     val b = keptSo.select($"ok".as("ok2"), $"sk".as("s2"))
-    val support = a.join(b, $"ok" === $"ok2" && $"s1" < $"s2")
-      .groupBy($"s1", $"s2").agg(count(lit(1)).as("support"))
+    // materialized: the support table feeds the candidate count AND the
+    // backbone top-M — left lazy, the lineitem-distinct + occupancy +
+    // pair-join subtree (the only corpus-scale work here) replays per
+    // consumer (measured 24.3 s → 6.9 s at scale16). The table is one
+    // narrow (s1, s2, support) row per co-occurring pair.
+    val support = Tables.materialize(
+      a.join(b, $"ok" === $"ok2" && $"s1" < $"s2")
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("support")))
     val nCand = broadcast(
       support.agg(count(lit(1)).as("n_candidate_edges")))
     val edges = Tables.materialize(backbone(support))
