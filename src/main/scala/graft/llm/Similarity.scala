@@ -1951,7 +1951,142 @@ object Similarity {
        |FROM allsel ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_ss_graph_ann: graph-based ANN (the NSW/HNSW base-layer shape):
+  // a k-NN neighbor graph is built once (top-4 in-bucket neighbors per
+  // vector, sign-LSH blocking with the family's count-first bucket
+  // cap), then queries run BEAM SEARCH over it — start at fixed entry
+  // points, expand neighbors, keep the beam's top-4 by exact cosine,
+  // repeat. Graph traversal is how production ANN actually serves
+  // (HNSW's greedy descent = beam width 1); the batch formulation here
+  // is the Spark-native equivalent: each round is one equi-join of the
+  // beam against the edge list plus one broadcast-scored ranking —
+  // rounds × joins, not rounds × index probes.
+  //
+  // Scale shape: the graph build is the only corpus-scale stage
+  // (in-bucket m² bounded by the occupancy cap; one shuffle on the
+  // bucket key) and is a session-cached artifact like the dedup band
+  // index; per-query state is beam-width-bounded, so search cost is
+  // O(rounds · beam · degree) per query REGARDLESS of corpus size —
+  // the property that makes graph ANN the serving-side winner.
+  private val AnnNbrK = 4
+  private val AnnBeam = 4
+  private val AnnRounds = 2
+  private val AnnBucketCap = 2048L
+
+  private def lshBucketCol = expr(
+    """concat_ws('', transform(slice(v, 1, 8),
+      |  x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN '1' ELSE '0' END))"""
+      .stripMargin)
+
+  /** Session-cached k-NN neighbor graph (src, dst), top-[[AnnNbrK]]
+    * in-bucket neighbors by cosine. */
+  private def nbrGraph(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "ss_nbr_graph")) {
+      import spark.implicits._
+      val b = withNorm(spark, dir).withColumn("bucket", lshBucketCol)
+      val occ = b.groupBy($"bucket").agg(count(lit(1)).as("n_b"))
+      val kept = b.join(
+        broadcast(occ.filter($"n_b" <= AnnBucketCap).select($"bucket")),
+        "bucket")
+      val edges = kept.as("a").join(kept.as("c"),
+          $"a.bucket" === $"c.bucket" && $"a.vec_id" =!= $"c.vec_id")
+        .select($"a.vec_id".as("src"), $"c.vec_id".as("dst"),
+          expr("round(vec_dot(a.v, c.v) / (a.nrm * c.nrm), 6)").as("w"))
+      val wnd = Window.partitionBy($"src").orderBy($"w".desc, $"dst".asc)
+      Tables.materialize(
+        edges.withColumn("rk", row_number().over(wnd))
+          .filter($"rk" <= AnnNbrK).select($"src", $"dst"))
+    }
+
+  def ssGraphAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = nbrGraph(spark, dir)
+    val e = withNorm(spark, dir).select($"vec_id", $"v", $"nrm")
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(e, $"nid" === $"vec_id")
+        .join(broadcast(q), "q_id")
+        .select($"q_id", $"nid",
+          expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
+    val entries = q.select($"q_id").crossJoin(
+      e.filter($"vec_id".isin(5L, 6L)).select($"vec_id".as("nid")))
+    var beam = score(entries)
+    for (_ <- 1 to AnnRounds) {
+      val expand = beam.select($"q_id", $"nid").join(g, $"nid" === $"src")
+        .select($"q_id", $"dst".as("nid"))
+      val cand = beam.select($"q_id", $"nid").unionAll(expand)
+        .filter($"nid" =!= $"q_id").distinct()
+      val wb = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"nid".asc)
+      beam = score(cand).withColumn("rk", row_number().over(wb))
+        .filter($"rk" <= AnnBeam)
+        .select($"q_id", $"nid", $"cosine")
+    }
+    val wf = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"nid".asc)
+    beam.withColumn("rank", row_number().over(wf))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"nid".as("neighbor_id"), $"cosine")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssGraphAnnSql: String = {
+    def scoreSql(cand: String, out: String): String =
+      s"""$out AS (
+         |  SELECT c.q_id, c.nid,
+         |    ROUND(list_dot_product(q.qv, n.v) / (q.qn * n.nrm), 6) AS cosine
+         |  FROM $cand c
+         |  JOIN n ON n.vec_id = c.nid
+         |  JOIN q ON q.q_id = c.q_id)""".stripMargin
+    def beamSql(scored: String, out: String): String =
+      s"""$out AS (
+         |  SELECT q_id, nid, cosine FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, nid ASC) AS rk FROM $scored)
+         |  WHERE rk <= $AnnBeam)""".stripMargin
+    def expandSql(beam: String, out: String): String =
+      s"""$out AS (
+         |  SELECT DISTINCT q_id, nid FROM (
+         |    SELECT q_id, nid FROM $beam
+         |    UNION ALL
+         |    SELECT b.q_id, g.dst AS nid FROM $beam b JOIN g ON b.nid = g.src)
+         |  WHERE nid <> q_id)""".stripMargin
+    s"""$normCte,
+       |bk AS (SELECT vec_id, v, nrm,
+       |  list_aggregate(list_transform(v[1:8],
+       |    x -> CASE WHEN x >= 0.0 THEN '1' ELSE '0' END), 'string_agg', '')
+       |  AS bucket FROM n),
+       |occ AS (SELECT bucket, COUNT(*) AS n_b FROM bk GROUP BY bucket),
+       |kept AS (SELECT bk.* FROM bk
+       |  JOIN occ ON bk.bucket = occ.bucket AND occ.n_b <= $AnnBucketCap),
+       |g AS (SELECT src, dst FROM (
+       |  SELECT a.vec_id AS src, c.vec_id AS dst,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ROUND(list_dot_product(a.v, c.v) / (a.nrm * c.nrm), 6)
+       |        DESC, c.vec_id ASC) AS rk
+       |  FROM kept a JOIN kept c
+       |    ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+       |  WHERE rk <= $AnnNbrK),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+       |  WHERE vec_id < 3),
+       |ent AS (SELECT q.q_id, e.vec_id AS nid FROM q
+       |  CROSS JOIN (SELECT vec_id FROM n WHERE vec_id IN (5, 6)) e),
+       |${scoreSql("ent", "s0")},
+       |${beamSql("s0", "b0")},
+       |${expandSql("b0", "c1")},
+       |${scoreSql("c1", "s1")},
+       |${beamSql("s1", "b1")},
+       |${expandSql("b1", "c2")},
+       |${scoreSql("c2", "s2")},
+       |${beamSql("s2", "b2")}
+       |SELECT q_id, CAST(rk AS INT) AS rank, nid AS neighbor_id, cosine
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, nid ASC) AS rk FROM b2)
+       |WHERE rk <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_graph_ann" -> (ssGraphAnn _),
     "llm_ss_mmr" -> (ssMmr _),
     "llm_ss_binary_hamming" -> (ssBinaryHamming _),
     "llm_ss_centroid_shift" -> (ssCentroidShift _),
@@ -1983,6 +2118,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ss_graph_ann" -> ssGraphAnnSql,
     "llm_ss_mmr" -> ssMmrSql,
     "llm_ss_binary_hamming" -> ssBinaryHammingSql,
     "llm_ss_pca" -> ssPcaSql,

@@ -530,6 +530,79 @@ object RelationalQueries {
       |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q49: supplier-nation market share per order year (TPC-H Q8 shape) —
+  // the deep snowflake join tree: fact → orders (shuffle on orderkey) →
+  // customer → nation → region on the demand side, supplier → nation on
+  // the supply side, then a conditional-share aggregate per year
+  // (NATION_0's revenue share of the AFRICA customers' market). The share
+  // numerator and denominator come out of ONE pass (the q46 pattern) —
+  // Q8's textbook form computes them with a CASE inside sum, and so
+  // does this plan. All four dimension joins broadcast; the only big
+  // shuffles are the fact pre-aggregation to order grain... which Q8
+  // cannot use (the supplier key lives on the lineitem), so the plan
+  // keeps lineitem rows until the orders join — at 100 TB bucket both
+  // on orderkey. DECIMAL-routed revenue throughout.
+  def q49MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir)
+    val demandNations = nat
+      .join(Tables.region(spark, dir), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "AFRICA")
+      .select($"n_nationkey".as("d_nationkey"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(demandNations), $"c_nationkey" === $"d_nationkey")
+      .select($"c_custkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat.select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey", "left_semi")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").as("order_year"))
+      .agg(
+        sum(when($"supp_nation" === "NATION_0",
+            ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .cast(DecimalType(18, 6)))
+          .otherwise(lit(0).cast(DecimalType(18, 6))))
+          .cast("double").as("nation_rev"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+          .as("market_rev"),
+        count(lit(1)).as("n_items"))
+      .select($"order_year",
+        round($"nation_rev" / $"market_rev", 6).as("mkt_share"),
+        $"nation_rev", $"market_rev", $"n_items")
+      .orderBy($"order_year")
+  }
+
+  val q49Sql: String =
+    s"""WITH dn AS (
+       |  SELECT n_nationkey FROM nation JOIN region
+       |    ON n_regionkey = r_regionkey WHERE r_name = 'AFRICA'),
+       |sn AS (
+       |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey)
+       |SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_0'
+       |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+       |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       |    / ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)}, 6)
+       |    AS mkt_share,
+       |  CAST(SUM(CASE WHEN supp_nation = 'NATION_0'
+       |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+       |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_rev,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS market_rev,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN sn ON l_suppkey = sn.s_suppkey
+       |WHERE EXISTS (SELECT 1 FROM customer c JOIN dn
+       |    ON c.c_nationkey = dn.n_nationkey
+       |  WHERE c.c_custkey = o_custkey)
+       |GROUP BY 1 ORDER BY order_year""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -548,6 +621,7 @@ object RelationalQueries {
     "q46_promo_effect" -> (q46PromoEffect _),
     "q47_small_qty_revenue" -> (q47SmallQtyRevenue _),
     "q48_top_supplier" -> (q48TopSupplier _),
+    "q49_market_share" -> (q49MarketShare _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -568,5 +642,6 @@ object RelationalQueries {
     "q46_promo_effect" -> q46Sql,
     "q47_small_qty_revenue" -> q47Sql,
     "q48_top_supplier" -> q48Sql,
+    "q49_market_share" -> q49Sql,
   )
 }

@@ -121,6 +121,37 @@ class WaveNineSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------- graph ann
+
+  test("beam search returns ranked, distinct, reachable neighbors deterministically") {
+    val a = Similarity.ssGraphAnn(spark, sf0001).collect()
+    val b = Similarity.ssGraphAnn(spark, sf0001).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "beam search must be deterministic across runs")
+    a.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      assert(rs.map(_.getAs[Long]("neighbor_id")).distinct.length == rs.length)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y },
+        "cosine must be non-increasing in rank")
+    }
+  }
+
+  // -------------------------------------------------------------- q49
+
+  test("q49 market shares are valid fractions of the market total") {
+    val rows = RelationalQueries.q49MarketShare(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("nation_rev") <= r.getAs[Double]("market_rev"))
+      assert(r.getAs[Long]("n_items") > 0)
+    }
+  }
+
   // ------------------------------------------------------- q46 / q47
 
   test("q46 promo shares are percentages and monthly revenue sums to the corpus total") {
