@@ -1007,7 +1007,69 @@ object Pipeline {
        |    AS token_shrinkage
        |FROM ag ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_dedup_ledger: dedup provenance ledger — every doc's
+  // removal decision with precedence exact > near (a doc that is both
+  // an exact copy and in a near-dup cluster is charged to the exact
+  // rule), rolled up per (source, status). This is the governance
+  // artifact a corpus release ships: who was removed, under which
+  // rule, concentrated in which source — the "why did my source
+  // shrink 40%" answer, and the input to takedown/audit trails.
+  // Status: kept (the canonical doc of its class/cluster),
+  // removed_exact (non-canonical in an exact-duplicate class),
+  // removed_near (canonical of its exact class, non-canonical in its
+  // LSH cluster). Canonical = class/cluster minimum doc_id — the same
+  // convention every dedup op in the engine uses, so the ledger's
+  // counts reconcile with ddExact and ddCluster by construction.
+  //
+  // Scale shape: one narrow fingerprint scan + a min-per-class
+  // partial agg (exact side), one equi-join against the session-cached
+  // cluster table (near side), one partial-agg rollup on
+  // (source, status). No new pair generation — the ledger only READS
+  // dedup artifacts.
+  def dedupLedger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        md5(lower(regexp_replace(trim($"text"), "\\s+", " "))).as("fp"))
+    val classes = d.groupBy($"fp").agg(min($"doc_id").as("canonical_doc"))
+    val cl = Dedup.ddCluster(spark, dir).select($"doc_id", $"cluster_id")
+    val status = d.join(classes, "fp")
+      .join(cl, "doc_id")
+      .select($"doc_id", $"source",
+        when($"doc_id" =!= $"canonical_doc", "removed_exact")
+          .when($"doc_id" =!= $"cluster_id", "removed_near")
+          .otherwise("kept").as("status"))
+    val totals = status.groupBy($"source")
+      .agg(count(lit(1)).as("n_source"))
+    status.groupBy($"source", $"status")
+      .agg(count(lit(1)).as("n_docs"))
+      .join(totals, "source")
+      .select($"source", $"status", $"n_docs",
+        round($"n_docs".cast("double") / $"n_source", 6).as("frac"))
+      .orderBy($"source", $"status")
+  }
+
+  val dedupLedgerSql: String =
+    s"""WITH cc AS (${Dedup.ddClusterSql}),
+       |d AS (SELECT doc_id, source,
+       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |cls AS (SELECT fp, MIN(doc_id) AS canonical_doc FROM d GROUP BY fp),
+       |st AS (SELECT d.doc_id, d.source,
+       |    CASE WHEN d.doc_id <> cls.canonical_doc THEN 'removed_exact'
+       |      WHEN d.doc_id <> cc.cluster_id THEN 'removed_near'
+       |      ELSE 'kept' END AS status
+       |  FROM d JOIN cls USING (fp) JOIN cc USING (doc_id)),
+       |tot AS (SELECT source, COUNT(*) AS n_source FROM st GROUP BY source)
+       |SELECT st.source, status, COUNT(*) AS n_docs,
+       |  ROUND(COUNT(*) / CAST(ANY_VALUE(tot.n_source) AS DOUBLE), 6) AS frac
+       |FROM st JOIN tot ON st.source = tot.source
+       |GROUP BY st.source, status
+       |ORDER BY st.source, status""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_dedup_ledger" -> (dedupLedger _),
     "llm_pipeline_eff_tokens" -> (effTokens _),
     "llm_pipeline_snapshot_diff" -> (snapshotDiff _),
     "llm_pipeline_validate" -> (validate _),
@@ -1044,6 +1106,7 @@ object Pipeline {
     "llm_pipeline_split_audit" -> splitAuditSql,
     "llm_pipeline_snapshot_diff" -> snapshotDiffSql,
     "llm_pipeline_eff_tokens" -> effTokensSql,
+    "llm_pipeline_dedup_ledger" -> dedupLedgerSql,
     "llm_pipeline_validate" -> validateSql,
   )
 }

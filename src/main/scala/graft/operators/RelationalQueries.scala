@@ -603,6 +603,36 @@ object RelationalQueries {
        |  WHERE c.c_custkey = o_custkey)
        |GROUP BY 1 ORDER BY order_year""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q50: customer order-count distribution (TPC-H Q13 shape) — the
+  // two-level aggregation with a zero-group trap: customers with NO
+  // orders must appear in the c_count=0 bucket, which an inner join
+  // silently drops. Scale-correct order: pre-aggregate orders to
+  // (custkey, n_orders) FIRST (partial-agg on the fact, the big
+  // shuffle), then LEFT join customer → coalesce(n, 0) → histogram
+  // groupBy on the count value. Joining before aggregating would
+  // shuffle order rows keyed by customer twice.
+  def q50OrderHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(perCust, $"c_custkey" === $"o_custkey", "left_outer")
+      .select(coalesce($"n_orders", lit(0L)).as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q50Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+      |cnt AS (
+      |  SELECT COALESCE(pc.n_orders, 0) AS c_count
+      |  FROM customer LEFT JOIN pc ON c_custkey = o_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM cnt GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -622,6 +652,7 @@ object RelationalQueries {
     "q47_small_qty_revenue" -> (q47SmallQtyRevenue _),
     "q48_top_supplier" -> (q48TopSupplier _),
     "q49_market_share" -> (q49MarketShare _),
+    "q50_order_histogram" -> (q50OrderHistogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -643,5 +674,6 @@ object RelationalQueries {
     "q47_small_qty_revenue" -> q47Sql,
     "q48_top_supplier" -> q48Sql,
     "q49_market_share" -> q49Sql,
+    "q50_order_histogram" -> q50Sql,
   )
 }

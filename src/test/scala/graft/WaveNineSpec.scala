@@ -152,6 +152,40 @@ class WaveNineSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------- dedup ledger
+
+  test("dedup ledger reconciles with the corpus and the exact-dedup canon") {
+    val rows = graft.llm.Pipeline.dedupLedger(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n,
+      "every doc must appear in exactly one ledger cell")
+    // exact-removal mass across the ledger equals the non-canonical
+    // copy mass ddExact reports
+    val exactRemoved = rows.filter(_.getAs[String]("status") == "removed_exact")
+      .map(_.getAs[Long]("n_docs")).sum
+    val copies = graft.llm.Dedup.ddExact(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("n_copies") - 1).sum
+    assert(exactRemoved == copies)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("frac")
+      assert(f > 0.0 && f <= 1.0)
+    }
+  }
+
+  // -------------------------------------------------------------- q50
+
+  test("q50 histogram covers every customer exactly once, including zero-order ones") {
+    val rows = RelationalQueries.q50OrderHistogram(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nCust = graft.sources.Tables.customer(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCust)
+    val weighted = rows.map(r =>
+      r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum
+    assert(weighted == graft.sources.Tables.orders(spark, sf0001).count(),
+      "count-weighted histogram mass must equal the order count")
+  }
+
   // ------------------------------------------------------- q46 / q47
 
   test("q46 promo shares are percentages and monthly revenue sums to the corpus total") {
