@@ -1910,7 +1910,85 @@ object TextAnalysis {
       |    6) >= 0.5 AS is_code
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_heavy_hitters: count-min-sketch heavy-hitter audit — the
+  // OTHER classic sketch beside HLL (q34): a 3×1024 CMS built as a
+  // plain aggregation (cell = Σ counts of terms hashing there), then
+  // the top-20 exact terms scored through it, reporting est vs exact
+  // and the overestimate. This is the streaming-side frequency sketch
+  // done declaratively: the sketch build is ONE partial-aggregable
+  // groupBy to a FIXED 3072-cell table regardless of vocabulary size —
+  // the property that lets a 100 TB stream keep term frequencies in
+  // kilobytes of state — and the audit quantifies its collision error
+  // on this corpus (est ≥ exact is the CMS theorem; the gap is the
+  // operational answer to "is width 1024 enough for this vocab").
+  // Row hashes are the engine's h60 with per-row salts, so both
+  // engines address identical cells.
+  //
+  // Scale shape: term counts partial-agg (taVocab discipline); the
+  // sketch is 3072 rows; the audit joins the broadcast top-20 against
+  // it. Nothing vocabulary-sized survives past the first groupBy.
+  private val CmsDepth = 3
+  private val CmsWidth = 1024
+
+  def taHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+    val tc = Tables.materialize(counts)
+    val cells = tc
+      .select(explode(array((0 until CmsDepth).map(i =>
+          struct(lit(i).as("row"),
+            (h60(concat(lit(s"cms$i:"), $"term")) % CmsWidth).as("cell"),
+            $"freq")): _*)).as("e"))
+      .groupBy($"e.row", $"e.cell")
+      .agg(sum($"e.freq").as("cell_count"))
+    val top = tc.orderBy($"freq".desc, $"term".asc).limit(20)
+      .select($"term", $"freq",
+        explode(array((0 until CmsDepth).map(i =>
+          struct(lit(i).as("row"),
+            (h60(concat(lit(s"cms$i:"), $"term")) % CmsWidth).as("cell"))): _*))
+          .as("k"))
+      .select($"term", $"freq", $"k.row", $"k.cell")
+    top.join(broadcast(cells), Seq("row", "cell"))
+      .groupBy($"term", $"freq")
+      .agg(min($"cell_count").as("cms_est"))
+      .select($"term", $"freq".as("exact_count"), $"cms_est",
+        ($"cms_est" - $"freq").as("overestimate"))
+      .orderBy($"exact_count".desc, $"term".asc)
+  }
+
+  val taHeavyHittersSql: String = {
+    s"""WITH tc AS (
+       |  SELECT term, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term),
+       |keys AS (
+       |  SELECT term, freq, i.r AS row,
+       |    ${h60Sql("'cms' || i.r || ':' || term")} % $CmsWidth AS cell
+       |  FROM tc CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) i),
+       |cells AS (
+       |  SELECT row, cell, SUM(freq) AS cell_count FROM keys
+       |  GROUP BY row, cell),
+       |top AS (
+       |  SELECT term, freq FROM tc ORDER BY freq DESC, term ASC LIMIT 20),
+       |tk AS (
+       |  SELECT t.term, t.freq, i.r AS row,
+       |    ${h60Sql("'cms' || i.r || ':' || t.term")} % $CmsWidth AS cell
+       |  FROM top t CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS r) i),
+       |est AS (
+       |  SELECT tk.term, tk.freq, MIN(c.cell_count) AS cms_est
+       |  FROM tk JOIN cells c ON tk.row = c.row AND tk.cell = c.cell
+       |  GROUP BY tk.term, tk.freq)
+       |SELECT term, CAST(freq AS BIGINT) AS exact_count,
+       |  CAST(cms_est AS BIGINT) AS cms_est,
+       |  CAST(cms_est - freq AS BIGINT) AS overestimate
+       |FROM est ORDER BY exact_count DESC, term ASC""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_heavy_hitters" -> (taHeavyHitters _),
     "llm_ta_code_detect" -> (taCodeDetect _),
     "llm_ta_js_drift" -> (taJsDrift _),
     "llm_ta_entropy" -> (taEntropy _),
@@ -1948,6 +2026,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_heavy_hitters" -> taHeavyHittersSql,
     "llm_ta_code_detect" -> taCodeDetectSql,
     "llm_ta_js_drift" -> taJsDriftSql,
     "llm_ta_entropy" -> taEntropySql,

@@ -152,6 +152,25 @@ class WaveNineSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------- heavy hitters
+
+  test("count-min estimates never undercount (the CMS theorem) and track the true top") {
+    val rows = TextAnalysis.taHeavyHitters(spark, sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0L,
+        s"CMS undercounted ${r.getAs[String]("term")}")
+      assert(r.getAs[Long]("cms_est") >=
+        r.getAs[Long]("exact_count"))
+    }
+    // the exact side must agree with an independent count
+    val top = rows.head
+    val freq = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split($"text", " ")).as("t"))
+      .filter($"t" === top.getAs[String]("term")).count()
+    assert(top.getAs[Long]("exact_count") == freq)
+  }
+
   // ----------------------------------------------------- dedup ledger
 
   test("dedup ledger reconciles with the corpus and the exact-dedup canon") {
