@@ -1486,6 +1486,86 @@ object Dedup {
   // table, never the corpus text. Batch-internal dedup is a groupBy
   // on the batch alone. Corpus cost is amortized across batches
   // instead of re-paid per batch — the point of incrementality.
+  // --------------------------------------------------------------------
+  // llm_dd_bloom_prefilter: Bloom-filter membership prefilter for
+  // incremental dedup — the third classic sketch in the engine (HLL =
+  // q34, CMS = llm_ta_heavy_hitters): before the incremental batch
+  // pays the exact fp equi-join against a corpus-scale fingerprint
+  // table, it probes a k=3, m=8192-bit Bloom filter of the corpus.
+  // The filter is REPRESENTED RELATIONALLY as its set-bit table —
+  // distinct bit positions, AT MOST m rows no matter how many
+  // fingerprints the corpus holds — so the prefilter join is a
+  // broadcast of kilobytes where the exact join shuffles terabytes;
+  // only bloom-positive docs need the exact check. This query is the
+  // AUDIT form: every batch doc carries both the bloom verdict and
+  // the exact truth, classifying true/false positives and true
+  // negatives (false negatives are impossible — the Bloom theorem,
+  // spec-checked — because a present fp's bits are all set by
+  // construction).
+  //
+  // Scale shape: corpus side = one fingerprint scan → ≤m-row distinct
+  // (partial-agg); batch side = narrow scan + broadcast join on the
+  // bit table; the exact join (kept here for the audit) is the thing
+  // production runs only on the positives.
+  private val BloomK = 3
+  private val BloomM = 8192
+
+  def ddBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        md5(lower(regexp_replace(trim($"text"), "\\s+", " "))).as("fp"))
+    def bits(col: org.apache.spark.sql.Column) = array(
+      (0 until BloomK).map(i =>
+        TextAnalysis.h60(concat(lit(s"bloom$i:"), col)) % BloomM): _*)
+    val corpusBits = d.filter($"source" =!= "src0")
+      .select(explode(bits($"fp")).as("bit")).distinct()
+      .withColumn("set", lit(true))
+    val batch = d.filter($"source" === "src0")
+    val probed = batch
+      .select($"doc_id", $"fp", explode(bits($"fp")).as("bit"))
+      .join(broadcast(corpusBits), Seq("bit"), "left")
+      .groupBy($"doc_id", $"fp")
+      .agg((sum(when($"set", 1).otherwise(0)) === BloomK).as("bloom_hit"))
+    val truth = d.filter($"source" =!= "src0")
+      .select($"fp").distinct().withColumn("in_corpus", lit(true))
+    probed.join(truth, Seq("fp"), "left")
+      .select($"doc_id", $"bloom_hit",
+        coalesce($"in_corpus", lit(false)).as("in_corpus"),
+        when($"bloom_hit" && coalesce($"in_corpus", lit(false)), "true_positive")
+          .when($"bloom_hit", "false_positive")
+          .otherwise("true_negative").as("outcome"))
+      .orderBy($"doc_id")
+  }
+
+  val ddBloomPrefilterSql: String = {
+    def bitSql(i: Int, e: String) =
+      s"${TextAnalysis.h60Sql(s"'bloom$i:' || $e")} % $BloomM"
+    s"""WITH d AS (SELECT doc_id, source,
+       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |cb AS (SELECT DISTINCT bit FROM (
+       |  SELECT unnest([${(0 until BloomK).map(i => bitSql(i, "fp")).mkString(", ")}]) AS bit
+       |  FROM d WHERE source <> 'src0')),
+       |b AS (SELECT doc_id, fp FROM d WHERE source = 'src0'),
+       |pb AS (SELECT doc_id, fp, unnest([${(0 until BloomK).map(i => bitSql(i, "fp")).mkString(", ")}]) AS bit
+       |  FROM b),
+       |probed AS (
+       |  SELECT pb.doc_id, pb.fp,
+       |    SUM(CASE WHEN cb.bit IS NOT NULL THEN 1 ELSE 0 END) = $BloomK
+       |      AS bloom_hit
+       |  FROM pb LEFT JOIN cb ON pb.bit = cb.bit
+       |  GROUP BY pb.doc_id, pb.fp),
+       |truth AS (SELECT DISTINCT fp FROM d WHERE source <> 'src0')
+       |SELECT probed.doc_id, bloom_hit,
+       |  truth.fp IS NOT NULL AS in_corpus,
+       |  CASE WHEN bloom_hit AND truth.fp IS NOT NULL THEN 'true_positive'
+       |       WHEN bloom_hit THEN 'false_positive'
+       |       ELSE 'true_negative' END AS outcome
+       |FROM probed LEFT JOIN truth ON probed.fp = truth.fp
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = Tables.documents(spark, dir)
@@ -2067,6 +2147,7 @@ object Dedup {
     "llm_dd_substring" -> (ddSubstring _),
     "llm_dd_semantic" -> (ddSemantic _),
     "llm_dd_incremental" -> (ddIncremental _),
+    "llm_dd_bloom_prefilter" -> (ddBloomPrefilter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2097,6 +2178,7 @@ object Dedup {
     "llm_dd_substring" -> ddSubstringSql,
     "llm_dd_semantic" -> ddSemanticSql,
     "llm_dd_incremental" -> ddIncrementalSql,
+    "llm_dd_bloom_prefilter" -> ddBloomPrefilterSql,
     "llm_dd_editdist" -> ddEditDistSql,
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Graph, Models, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Graph, Models, Multimodal, Similarity, TextAnalysis}
 import graft.operators.RelationalQueries
 
 /** Value-level invariants for the round-8 second wave (the DuckDB
@@ -149,6 +149,22 @@ class WaveNineSpec extends SparkSpec {
       assert(share >= 0.0 && share <= 1.0)
       assert(r.getAs[Double]("nation_rev") <= r.getAs[Double]("market_rev"))
       assert(r.getAs[Long]("n_items") > 0)
+    }
+  }
+
+  // ------------------------------------------------------ bloom filter
+
+  test("bloom prefilter has zero false negatives and covers the whole batch") {
+    val rows = Dedup.ddBloomPrefilter(spark, sf0001).collect()
+    val nBatch = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"source" === "src0").count()
+    assert(rows.length == nBatch)
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("in_corpus"))
+        assert(r.getAs[Boolean]("bloom_hit"),
+          s"false negative at doc ${r.getAs[Long]("doc_id")} — impossible for a Bloom filter")
+      val o = r.getAs[String]("outcome")
+      assert(Set("true_positive", "false_positive", "true_negative")(o))
     }
   }
 
