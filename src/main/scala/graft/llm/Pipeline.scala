@@ -1068,6 +1068,180 @@ object Pipeline {
        |GROUP BY st.source, status
        |ORDER BY st.source, status""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_zorder: multi-dimensional clustering layout (Z-order /
+  // Morton interleaving) — the storage-layout primitive behind
+  // Delta/Iceberg OPTIMIZE ZORDER BY. Rows carrying two independent
+  // filter dimensions (customer, order date) are assigned a z-value by
+  // bit-interleaving the two quantized keys; files cut along z-prefix
+  // boundaries then cover a NARROW RECTANGLE of (custkey × date) space,
+  // so a predicate on EITHER dimension prunes most files — a layout
+  // sorted on one dimension only skips for that one. Output = the
+  // per-file zone map a skipping audit reads: row count plus min/max of
+  // both dimensions (the "coverage rectangle"). 12-bit quantization
+  // (& 4095) covers the fixture's key ranges; a production run
+  // rank-quantizes each dimension to its percentile bucket first, which
+  // is one partial-agg quantile pass. Scale shape: the z-value is pure
+  // per-row codegen arithmetic (24 shift-and-mask terms, no UDF); the
+  // only shuffle is the bounded groupBy on the ≤256 z-prefix file ids.
+  def zorder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"o_custkey".cast("long").bitwiseAND(4095L)
+    val y = datediff($"o_orderdate",
+      lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").bitwiseAND(4095L)
+    // z = Σ_i ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1): 12 bits per dim.
+    val z = (0 until 12).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1L), 2 * i + 1)
+    }.reduce(_ + _)
+    Tables.orders(spark, dir)
+      .select(x.as("xq"), y.as("yq"), z.as("zval"))
+      .groupBy(shiftright($"zval", 16).as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"xq").as("min_cust"), max($"xq").as("max_cust"),
+        min($"yq").as("min_day"), max($"yq").as("max_day"))
+      .select($"file_id", $"n_rows", $"min_cust", $"max_cust",
+        $"min_day", $"max_day",
+        (($"max_cust" - $"min_cust" + 1) * ($"max_day" - $"min_day" + 1))
+          .as("cover_area"))
+      .orderBy($"file_id")
+  }
+
+  val zorderSql: String = {
+    val zx = (0 until 12).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i})").mkString(" + ")
+    val zy = (0 until 12).map(i =>
+      s"(((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT CAST(o_custkey AS BIGINT) & 4095 AS x,
+       |    CAST(date_diff('day', DATE '1995-01-01',
+       |      CAST(o_orderdate AS DATE)) AS BIGINT) & 4095 AS y
+       |  FROM orders),
+       |z AS (SELECT x, y, ($zx) + ($zy) AS zval FROM q)
+       |SELECT zval >> 16 AS file_id, COUNT(*) AS n_rows,
+       |  MIN(x) AS min_cust, MAX(x) AS max_cust,
+       |  MIN(y) AS min_day, MAX(y) AS max_day,
+       |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS cover_area
+       |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // llm_pipeline_compaction: small-file compaction planning — the
+  // maintenance job every long-lived 100 TB table needs (streaming
+  // ingest leaves underfull shards; readers pay per-file overhead).
+  // Policy = distributed next-fit: within each length bucket, shards
+  // in shard order accumulate into a merge group until the group
+  // crosses CompactTarget tokens (a shard may straddle the boundary —
+  // the streaming-compactor convention; first-fit-decreasing packs
+  // tighter but is inherently sequential-global, while next-fit is one
+  // prefix sum). The running total is a window over the BOUNDED
+  // (bucket, shard) table from llm_pipeline_shard_sizes — shard counts
+  // per bucket are corpus_size/PackBudget at worst, and the window
+  // partitions by bucket, so no global single-task sort appears at any
+  // corpus size. Output: one row per merge group with its shard span,
+  // doc/token totals, and fill rate against the target.
+  private val CompactTarget = 8000L
+
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"bucket").orderBy($"shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shardSizes(spark, dir)
+      .withColumn("cum_toks", sum($"fill_toks").over(w))
+      .withColumn("merge_group",
+        (($"cum_toks" - $"fill_toks") / CompactTarget).cast("long"))
+      .groupBy($"bucket", $"merge_group")
+      .agg(count(lit(1)).as("n_shards"),
+        min($"shard").as("first_shard"), max($"shard").as("last_shard"),
+        sum($"n_docs").as("n_docs"), sum($"fill_toks").as("group_toks"))
+      .select($"bucket", $"merge_group", $"n_shards", $"first_shard",
+        $"last_shard", $"n_docs", $"group_toks",
+        round($"group_toks".cast("double") / lit(CompactTarget.toDouble), 6)
+          .as("fill_rate"))
+      .orderBy($"bucket", $"merge_group")
+  }
+
+  val compactionSql: String =
+    s"""WITH s AS ($shardSizesSql),
+       |c AS (
+       |  SELECT bucket, shard, n_docs, fill_toks,
+       |    CAST(SUM(fill_toks) OVER (PARTITION BY bucket ORDER BY shard
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_toks
+       |  FROM s)
+       |SELECT bucket,
+       |  CAST((cum_toks - fill_toks) // $CompactTarget AS BIGINT)
+       |    AS merge_group,
+       |  COUNT(*) AS n_shards, MIN(shard) AS first_shard,
+       |  MAX(shard) AS last_shard,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(fill_toks) AS BIGINT) AS group_toks,
+       |  ROUND(CAST(SUM(fill_toks) AS DOUBLE) / $CompactTarget.0, 6)
+       |    AS fill_rate
+       |FROM c GROUP BY 1, 2 ORDER BY bucket, merge_group""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_pipeline_skipping: zone-map data-skipping audit — measures how
+  // much of the corpus a min/max file index prunes for a given
+  // predicate, under two physical layouts of the SAME rows: 'hash'
+  // (files cut by doc-id hash — the layout ingest produces by default)
+  // and 'range' (files cut by the filter column — what a sort-on-write
+  // buys). For the n_chars >= 400 predicate the hash layout prunes
+  // ~nothing (every file spans the full length range, max >= 400
+  // everywhere) while the range layout prunes every file strictly below
+  // the cut — the measured argument for paying the sort at write time.
+  // Scale shape: two bounded groupBys (≤16 hash files, ≤#range files);
+  // zone maps are metadata-sized at any corpus size.
+  def skipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars")
+    def audit(layout: String, fileId: org.apache.spark.sql.Column) =
+      docs.groupBy(fileId.as("file_id"))
+        .agg(count(lit(1)).as("n_rows"), max($"n_chars").as("max_chars"))
+        .agg(lit(layout).as("layout"),
+          count(lit(1)).as("n_files"),
+          sum(when($"max_chars" < 400, 1L).otherwise(0L)).as("n_pruned"),
+          sum(when($"max_chars" < 400, $"n_rows").otherwise(0L))
+            .as("rows_skipped"),
+          sum($"n_rows").as("rows_total"))
+    audit("hash", h60($"doc_id".cast("string")) % 16)
+      .unionByName(audit("range", ($"n_chars" / 64).cast("long")))
+      .select($"layout", $"n_files", $"n_pruned", $"rows_skipped",
+        round($"rows_skipped".cast("double") / $"rows_total", 6)
+          .as("skip_rate"))
+      .orderBy($"layout")
+  }
+
+  val skippingSql: String =
+    s"""WITH hashz AS (
+       |  SELECT ${h60Sql("CAST(doc_id AS VARCHAR)")} % 16 AS file_id,
+       |    COUNT(*) AS n_rows, MAX(n_chars) AS max_chars
+       |  FROM documents GROUP BY 1),
+       |rangez AS (
+       |  SELECT n_chars // 64 AS file_id,
+       |    COUNT(*) AS n_rows, MAX(n_chars) AS max_chars
+       |  FROM documents GROUP BY 1),
+       |a AS (
+       |  SELECT 'hash' AS layout, COUNT(*) AS n_files,
+       |    SUM(CASE WHEN max_chars < 400 THEN 1 ELSE 0 END) AS n_pruned,
+       |    SUM(CASE WHEN max_chars < 400 THEN n_rows ELSE 0 END)
+       |      AS rows_skipped,
+       |    SUM(n_rows) AS rows_total
+       |  FROM hashz
+       |  UNION ALL
+       |  SELECT 'range', COUNT(*),
+       |    SUM(CASE WHEN max_chars < 400 THEN 1 ELSE 0 END),
+       |    SUM(CASE WHEN max_chars < 400 THEN n_rows ELSE 0 END),
+       |    SUM(n_rows)
+       |  FROM rangez)
+       |SELECT layout, CAST(n_files AS BIGINT) AS n_files,
+       |  CAST(n_pruned AS BIGINT) AS n_pruned,
+       |  CAST(rows_skipped AS BIGINT) AS rows_skipped,
+       |  ROUND(CAST(rows_skipped AS DOUBLE) / rows_total, 6) AS skip_rate
+       |FROM a ORDER BY layout""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_dedup_ledger" -> (dedupLedger _),
     "llm_pipeline_eff_tokens" -> (effTokens _),
@@ -1087,6 +1261,9 @@ object Pipeline {
     "llm_pipeline_epoch_plan" -> (epochPlan _),
     "llm_pipeline_source_overlap" -> (sourceOverlap _),
     "llm_pipeline_split_audit" -> (splitAudit _),
+    "llm_pipeline_zorder" -> (zorder _),
+    "llm_pipeline_compaction" -> (compaction _),
+    "llm_pipeline_skipping" -> (skipping _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1108,5 +1285,8 @@ object Pipeline {
     "llm_pipeline_eff_tokens" -> effTokensSql,
     "llm_pipeline_dedup_ledger" -> dedupLedgerSql,
     "llm_pipeline_validate" -> validateSql,
+    "llm_pipeline_zorder" -> zorderSql,
+    "llm_pipeline_compaction" -> compactionSql,
+    "llm_pipeline_skipping" -> skippingSql,
   )
 }

@@ -633,6 +633,170 @@ object RelationalQueries {
       |FROM cnt GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q51: priority mix per return flag (TPC-H Q12 shape; the fixture has
+  // no l_shipmode, so the flag plays the mode's role). The orders side
+  // is pre-projected to a 2-column (orderkey, is_high) row BEFORE the
+  // join — the only reason orders is touched at all is the priority
+  // bit, so the shuffle moves one boolean instead of the full order
+  // row. Conditional counts come out of ONE pass (the q46 pattern). At
+  // 100 TB both sides bucket on orderkey for a co-located join; the
+  // group key is 3 values, partial-aggregated map-side.
+  def q51PriorityMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).select($"o_orderkey",
+      ($"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH")
+        .as("is_high"))
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+        && $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select($"l_orderkey", $"l_returnflag")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"is_high", 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!$"is_high", 1L).otherwise(0L)).as("low_line_count"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q51Sql: String =
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 0 ELSE 1 END) AS low_line_count,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q52: large-volume customers (TPC-H Q18 shape) — orders whose total
+  // quantity exceeds 150, with their customer, top-100 by price. Q18's
+  // textbook form is GROUP BY + HAVING + IN-subquery; the scale-correct
+  // plan pre-aggregates lineitem ONCE to (orderkey, total_qty) — the
+  // partial-aggregable big shuffle — filters to the rare big orders
+  // (dim-sized survivor set, AQE broadcasts it into the orders join),
+  // then joins customer. The top-100 is a TakeOrderedAndProject
+  // (per-partition heaps, no global sort); (o_totalprice DESC,
+  // o_orderkey) makes the cut deterministic under ties.
+  def q52LargeVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("total_qty"))
+      .filter($"total_qty" > 150.0)
+    Tables.orders(spark, dir)
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        $"o_orderdate", $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val q52Sql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS total_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING ${dsumSql("l_quantity")} > 150.0)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  total_qty
+       |FROM orders
+       |JOIN big ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q53: sole-supplier orders (TPC-H Q21 join skeleton) — suppliers who
+  // single-handedly served multi-line orders. Q21's textbook form is an
+  // EXISTS + NOT-EXISTS pair of lineitem self-joins (three passes over
+  // the fact); the scale-correct rewrite is ONE per-order aggregation
+  // — (n_lines, n_distinct_supps, min supp) — from which "multi-line
+  // AND single-supplier" is a filter and the supplier attribution is
+  // the min (= only) suppkey. One fact shuffle on orderkey replaces
+  // two self-join shuffles; the survivor set is rare (17 orders at
+  // sf0.01), so everything downstream is dim-sized.
+  def q53SoleSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sole = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        min($"l_suppkey").as("the_supp"))
+      .filter($"n_lines" > 1 && $"n_supps" === 1)
+    sole.groupBy($"the_supp")
+      .agg(count(lit(1)).as("n_sole_orders"), sum($"n_lines").as("n_lines_total"))
+      .join(Tables.supplier(spark, dir), $"the_supp" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+      .select($"s_name", $"n_name".as("supp_nation"),
+        $"n_sole_orders", $"n_lines_total")
+      .orderBy($"n_sole_orders".desc, $"s_name")
+  }
+
+  val q53Sql: String =
+    """WITH sole AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_lines,
+      |    MIN(l_suppkey) AS the_supp
+      |  FROM lineitem GROUP BY 1
+      |  HAVING COUNT(*) > 1 AND COUNT(DISTINCT l_suppkey) = 1),
+      |per_supp AS (
+      |  SELECT the_supp, COUNT(*) AS n_sole_orders,
+      |    SUM(n_lines) AS n_lines_total
+      |  FROM sole GROUP BY 1)
+      |SELECT s_name, n_name AS supp_nation, n_sole_orders, n_lines_total
+      |FROM per_supp
+      |JOIN supplier ON the_supp = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_sole_orders DESC, s_name""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q54: idle capital per nation (TPC-H Q22 shape) — well-funded
+  // customers with no recent orders. The global average balance is a
+  // 1-row aggregate broadcast into the filter (no correlated re-scan);
+  // the "no recent orders" test is a LEFT ANTI join against the
+  // date-filtered orders projection (the filter prunes the anti side
+  // BEFORE its shuffle — at 100 TB the recency predicate rides
+  // partition pruning on the date-partitioned fact). The threshold is
+  // an exact decimal-sum / count, so the > comparison is bit-identical
+  // in both engines.
+  def q54IdleCapital(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val avgBal = broadcast(cust.filter($"c_acctbal" > 0)
+      .agg((sum($"c_acctbal".cast(DecimalType(18, 2))).cast("double")
+        / count(lit(1))).as("avg_bal")))
+    val recent = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+      .select($"o_custkey")
+    cust.crossJoin(avgBal)
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("cust_nation"))
+      .agg(count(lit(1)).as("n_idle"), dsum($"c_acctbal").as("idle_capital"))
+      .orderBy($"cust_nation")
+  }
+
+  val q54Sql: String =
+    s"""WITH t AS (
+       |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+       |    / COUNT(*) AS avg_bal
+       |  FROM customer WHERE c_acctbal > 0)
+       |SELECT n_name AS cust_nation, COUNT(*) AS n_idle,
+       |  ${dsumSql("c_acctbal")} AS idle_capital
+       |FROM customer, t
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE c_acctbal > avg_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       |GROUP BY 1 ORDER BY cust_nation""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -653,6 +817,10 @@ object RelationalQueries {
     "q48_top_supplier" -> (q48TopSupplier _),
     "q49_market_share" -> (q49MarketShare _),
     "q50_order_histogram" -> (q50OrderHistogram _),
+    "q51_priority_mix" -> (q51PriorityMix _),
+    "q52_large_volume" -> (q52LargeVolume _),
+    "q53_sole_supplier" -> (q53SoleSupplier _),
+    "q54_idle_capital" -> (q54IdleCapital _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -675,5 +843,9 @@ object RelationalQueries {
     "q48_top_supplier" -> q48Sql,
     "q49_market_share" -> q49Sql,
     "q50_order_histogram" -> q50Sql,
+    "q51_priority_mix" -> q51Sql,
+    "q52_large_volume" -> q52Sql,
+    "q53_sole_supplier" -> q53Sql,
+    "q54_idle_capital" -> q54Sql,
   )
 }
