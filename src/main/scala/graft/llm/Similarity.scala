@@ -2085,7 +2085,112 @@ object Similarity {
        |WHERE rk <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_ss_range_search: radius (threshold) search — all corpus vectors
+  // within cosine >= 0.30 of each query, not a fixed top-k. The
+  // retrieval mode dedup and clustering pipelines actually want ("give
+  // me EVERY near-duplicate", not "the 5 nearest"), and the semantics
+  // ANN libraries call range_search. Result size is data-dependent, so
+  // the plan must not assume small-k: the threshold predicate is a
+  // codegen'd filter applied DURING the scoring scan (before any
+  // shuffle), and the output needs no window at all — unlike top-k
+  // there is no per-query ranking step, so the only wide op is the
+  // final presentation sort. Queries broadcast; the corpus never
+  // shuffles. At production scale candidates come from the LSH-banded
+  // index first (llm_dd_embedding_lsh — same threshold semantics,
+  // bucketed) and this flat scan is the per-bucket tail.
+  def ssRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val q = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("cosine", expr("round(vec_dot(qv, v) / (qn * nrm), 6)"))
+      .filter($"cosine" >= 0.30)
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"cosine", $"label")
+      .orderBy($"q_id", $"cosine".desc, $"neighbor_id")
+  }
+
+  val ssRangeSearchSql: String =
+    s"""$normCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q_id, n.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine,
+       |    n.label
+       |  FROM n JOIN q ON n.vec_id <> q.q_id)
+       |SELECT q_id, neighbor_id, cosine, label
+       |FROM scored WHERE cosine >= 0.30
+       |ORDER BY q_id, cosine DESC, neighbor_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_ss_mips: maximum-INNER-PRODUCT search via the norm-augmentation
+  // reduction (Bachrach et al. 2014; what XBOX/recommender retrieval
+  // uses). Cosine ANN finds directional neighbors, but ranking
+  // use-cases score <query, doc·weight> where the corpus norms CARRY
+  // SIGNAL (here: vectors scaled by (1+label), a popularity weight).
+  // The reduction appends one dimension aug = sqrt(M² − |x|²) to each
+  // corpus vector (M = max corpus norm), making every augmented vector
+  // the SAME length M — after which cosine order in the augmented
+  // space IS inner-product order in the original space, so any cosine
+  // index (IVF/LSH/graph, all above) serves MIPS unchanged. Output
+  // reports the raw inner product, the augmented dimension, and the
+  // augmented cosine that produced the ranking — the identity
+  // aug_cos = ip / (qn·M) is the proof the reduction preserves order.
+  // Scale shape: ssTopk's — queries broadcast, corpus un-shuffled, the
+  // max-norm M is a 1-row broadcast aggregate, per-query top-3 window.
+  def ssMips(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val corpus = e.select($"vec_id", $"label",
+        transform($"v", x => x * ($"label".cast("double") + lit(1.0)))
+          .as("cv"))
+      .withColumn("cnrm", expr("sqrt(vec_dot(cv, cv))"))
+    val maxN = broadcast(corpus.agg(max($"cnrm").as("max_nrm")))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = corpus.crossJoin(maxN)
+      .join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"label",
+        expr("round(vec_dot(qv, cv), 6)").as("inner_product"),
+        round(sqrt(greatest(lit(0.0),
+          $"max_nrm" * $"max_nrm" - $"cnrm" * $"cnrm")), 6).as("aug_dim"),
+        expr("round(vec_dot(qv, cv) / (qn * max_nrm), 6)").as("aug_cos"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"aug_cos".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssMipsSql: String =
+    s"""$normCte,
+       |c AS (
+       |  SELECT vec_id, label,
+       |    list_transform(v, x -> x * (CAST(label AS DOUBLE) + 1.0)) AS cv
+       |  FROM n),
+       |cn AS (SELECT vec_id, label, cv,
+       |  sqrt(list_dot_product(cv, cv)) AS cnrm FROM c),
+       |m AS (SELECT MAX(cnrm) AS max_nrm FROM cn),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q_id, cn.vec_id AS neighbor_id, cn.label,
+       |    ROUND(list_dot_product(qv, cv), 6) AS inner_product,
+       |    ROUND(sqrt(GREATEST(0.0, max_nrm*max_nrm - cnrm*cnrm)), 6)
+       |      AS aug_dim,
+       |    ROUND(list_dot_product(qv, cv) / (qn * max_nrm), 6) AS aug_cos
+       |  FROM cn, m JOIN q ON cn.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY aug_cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, neighbor_id, label, inner_product, aug_dim, aug_cos,
+       |  CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_range_search" -> (ssRangeSearch _),
+    "llm_ss_mips" -> (ssMips _),
     "llm_ss_graph_ann" -> (ssGraphAnn _),
     "llm_ss_mmr" -> (ssMmr _),
     "llm_ss_binary_hamming" -> (ssBinaryHamming _),
@@ -2118,6 +2223,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ss_range_search" -> ssRangeSearchSql,
+    "llm_ss_mips" -> ssMipsSql,
     "llm_ss_graph_ann" -> ssGraphAnnSql,
     "llm_ss_mmr" -> ssMmrSql,
     "llm_ss_binary_hamming" -> ssBinaryHammingSql,

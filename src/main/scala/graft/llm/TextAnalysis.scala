@@ -1987,7 +1987,53 @@ object TextAnalysis {
        |FROM est ORDER BY exact_count DESC, term ASC""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_ta_inverted_index: posting-list construction — per term, the
+  // top-5 documents by term frequency (the retrieval index BM25-style
+  // search reads; the "champion list" variant that keeps only the
+  // highest-tf postings per term). The per-term ranking is the q02
+  // two-phase salted top-k: a single term-partitioned window would
+  // funnel a stopword's entire corpus-wide posting set into ONE sort
+  // task (this fixture's hottest term spans 402 of 500 docs; a 100 TB
+  // corpus' "the" spans billions) — so phase 1 ranks within
+  // (term, salt=h60(doc)%16) buckets, fully parallel, keeping ≤5 rows
+  // per bucket, and the global window sees ≤80 rows per term. Every
+  // global top-5 row is top-5 within its bucket, so the two-phase
+  // result is identical to the single-window oracle.
+  def taInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val wLocal = Window
+      .partitionBy($"term", h60($"doc_id".cast("string")) % 16)
+      .orderBy($"tf".desc, $"doc_id".asc)
+    val local = tf.withColumn("lr", row_number().over(wLocal))
+      .filter($"lr" <= 5).drop("lr")
+    val wGlobal = Window.partitionBy($"term")
+      .orderBy($"tf".desc, $"doc_id".asc)
+    local.withColumn("rank", row_number().over(wGlobal))
+      .filter($"rank" <= 5)
+      .select($"term", $"rank", $"doc_id", $"tf")
+      .orderBy($"term", $"rank")
+  }
+
+  val taInvertedIndexSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |g AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT term, doc_id, tf, ROW_NUMBER() OVER (PARTITION BY term
+      |    ORDER BY tf DESC, doc_id ASC) AS rank
+      |  FROM g)
+      |SELECT term, CAST(rank AS INT) AS rank, doc_id, tf
+      |FROM ranked WHERE rank <= 5 ORDER BY term, rank""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_inverted_index" -> (taInvertedIndex _),
     "llm_ta_heavy_hitters" -> (taHeavyHitters _),
     "llm_ta_code_detect" -> (taCodeDetect _),
     "llm_ta_js_drift" -> (taJsDrift _),
@@ -2026,6 +2072,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_inverted_index" -> taInvertedIndexSql,
     "llm_ta_heavy_hitters" -> taHeavyHittersSql,
     "llm_ta_code_detect" -> taCodeDetectSql,
     "llm_ta_js_drift" -> taJsDriftSql,
