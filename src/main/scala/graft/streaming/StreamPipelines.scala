@@ -127,6 +127,21 @@ object StreamPipelines {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Stream-static ENRICHMENT join + running per-group aggregate — the
+    * streaming face of WindowQueries.stStaticEnrich: events join a
+    * slowly-changing customer-segment dimension (broadcast, re-read
+    * per micro-batch, stateless join) and feed a per-(segment, type)
+    * running count/sum. Aggregation state is bounded by the group-key
+    * cardinality (segments × event types), never by stream length —
+    * safe in Complete/Update mode for an unbounded run. */
+  def enrichAggregate(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double"), 6).as("sum_value"))
+
   /** Streaming exact dedup: drop events whose event_id was already
     * seen, with state bounded by the watermark (a duplicate arriving
     * later than the watermark delay is passed through rather than

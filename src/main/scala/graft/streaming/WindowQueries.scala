@@ -562,7 +562,35 @@ object WindowQueries {
        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // st_static_enrich: stream-static enrichment join + running aggregate
+  // — the batch twin of StreamPipelines.enrichAggregate. A live event
+  // stream joins a SLOWLY-CHANGING dimension (customer segments) that
+  // is re-read per micro-batch on the static side; Structured Streaming
+  // executes this as a broadcast join with NO streaming state for the
+  // join itself (only the downstream aggregate is stateful) — the one
+  // join flavor that is free at any stream rate. Batch form = the same
+  // broadcast join + groupBy, which is what the oracle verifies; the
+  // stream==batch agreement is spec-checked in StreamingSpec.
+  def stStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+    Tables.events(spark, dir)
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"), $"event_type")
+      .agg(count(lit(1)).as("n"), sumVal.as("sum_value"))
+      .orderBy($"segment", $"event_type")
+  }
+
+  val stStaticEnrichSql: String =
+    """SELECT c_mktsegment AS segment, event_type, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_static_enrich" -> (stStaticEnrich _),
     "q45_rfm" -> (q45Rfm _),
     "q44_transitions" -> (q44Transitions _),
     "q43_session_stats" -> (q43SessionStats _),
@@ -577,6 +605,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_static_enrich" -> stStaticEnrichSql,
     "q45_rfm" -> q45RfmSql,
     "q44_transitions" -> q44TransitionsSql,
     "q43_session_stats" -> q43SessionStatsSql,

@@ -197,6 +197,37 @@ class StreamingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("stream-static enrichment aggregate equals the batch form across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "AUTOMOBILE"), (2L, "MACHINERY"), (3L, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Event]
+    val q = StreamPipelines.enrichAggregate(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Complete).start()
+    val batch1 = Seq(Event(1, ts(1), 1, "click", 1.5),
+      Event(2, ts(2), 2, "view", 2.0), Event(3, ts(3), 9, "click", 7.0))
+    val batch2 = Seq(Event(4, ts(4), 3, "click", 0.5),
+      Event(5, ts(5), 1, "view", 3.0))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val got = spark.table("enrich_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    q.stop()
+    // user 9 has no dim row -> dropped by the inner join; complete-mode
+    // output equals the batch aggregate over ALL events seen so far
+    val want = StreamPipelines
+      .enrichAggregate((batch1 ++ batch2).toDF(), dim)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want, s"got $got want $want")
+    assert(got == Set(("AUTOMOBILE", "click", 2L, 2.0),
+      ("AUTOMOBILE", "view", 1L, 3.0), ("MACHINERY", "view", 1L, 2.0)))
+  }
+
   test("streaming ingest discovers new date dirs incrementally, exactly-once") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     val src = s"$tmp/src"; val out = s"$tmp/out"; val ckp = s"$tmp/ckp"
