@@ -797,6 +797,193 @@ object RelationalQueries {
        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
        |GROUP BY 1 ORDER BY cust_nation""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q55: local-supplier volume (TPC-H Q5 shape) — revenue from orders
+  // where the customer and the supplier share a nation, per nation.
+  // The join graph is the full star: fact → orders (the one big
+  // shuffle, on orderkey) plus three BROADCAST dims (customer and
+  // supplier each pre-joined to nation — both stay dim-sized). The
+  // nation-equality predicate lands in the supplier-join condition, so
+  // non-local rows die before aggregation. At 100 TB: bucket
+  // lineitem/orders on orderkey; every other edge is a broadcast.
+  def q55LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        && $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy($"revenue".desc, $"nation")
+  }
+
+  val q55Sql: String =
+    s"""SELECT n_name AS nation,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |  AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q56: trade volume between nation pairs (TPC-H Q7 shape) — revenue
+  // shipped from a supplier nation to a DIFFERENT customer nation, per
+  // (supp_nation, cust_nation, ship year). Q7's textbook form
+  // enumerates two fixed nations with an OR of both directions; this
+  // keeps the full directed matrix (the inequality predicate drops the
+  // diagonal), which is the same plan with a wider group key. Both
+  // nation attributions are broadcast pre-joins; the only big shuffle
+  // is fact → orders on orderkey, then a partial-agged groupBy on the
+  // bounded (25 × 25 × years) key.
+  def q56TradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"supp_nation" =!= $"cust_nation")
+      .filter($"supp_nation".isin("NATION_0", "NATION_1")
+        && $"cust_nation".isin("NATION_0", "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("int").as("ship_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy($"supp_nation", $"cust_nation", $"ship_year")
+  }
+
+  val q56Sql: String =
+    s"""WITH cn AS (
+       |  SELECT c_custkey, n_name AS cust_nation FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey),
+       |sn AS (
+       |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey)
+       |SELECT supp_nation, cust_nation,
+       |  CAST(year(l_shipdate) AS INT) AS ship_year,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN cn ON o_custkey = c_custkey
+       |JOIN sn ON l_suppkey = s_suppkey AND supp_nation <> cust_nation
+       |WHERE supp_nation IN ('NATION_0', 'NATION_1')
+       |  AND cust_nation IN ('NATION_0', 'NATION_1')
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q57: product-line profit per supplier nation per year (TPC-H Q9
+  // shape, adapted: the fixture has no partsupp, so profit =
+  // revenue − retail-cost-of-quantity using p_retailprice). The part
+  // filter (name contains 'widget') is pushed into the BROADCAST dim
+  // before the join, so the fact is pruned by the join itself; supplier
+  // → nation is the second broadcast. One big shuffle (fact → orders on
+  // orderkey), then a (nation × year)-bounded groupBy.
+  def q57ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val widget = Tables.part(spark, dir)
+      .filter($"p_name".contains("widget"))
+      .select($"p_partkey", $"p_retailprice")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(widget), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"supp_nation", year($"o_orderdate").cast("int").as("o_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")
+          - $"p_retailprice" * $"l_quantity" * lit(0.1), 6).as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"supp_nation", $"o_year".desc)
+  }
+
+  val q57Sql: String =
+    s"""WITH sn AS (
+       |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey)
+       |SELECT supp_nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       |  ${dsumSql(
+        "l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity * 0.1",
+        6)} AS profit,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+       |JOIN sn ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1, 2 ORDER BY supp_nation, o_year DESC""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q58: returned-item revenue per customer, top 20 (TPC-H Q10 shape) —
+  // who cost the most in returns last quarter. Scale-correct order:
+  // the returnflag filter prunes the fact FIRST (pushed to the scan),
+  // the orderdate filter prunes orders likewise, fact → orders is the
+  // one big shuffle (orderkey), THEN the groupBy collapses to customer
+  // grain before the customer/nation dims join the aggregate — joining
+  // customer before aggregating would carry dim columns through the
+  // shuffle. Top-20 = TakeOrderedAndProject with revenue-then-key
+  // determinism.
+  def q58ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .join(Tables.orders(spark, dir)
+        .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("2000-10-01 00:00:00"))
+          && $"o_orderdate" < lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("revenue"), count(lit(1)).as("n_returned"))
+    rev
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name".as("cust_nation"),
+        $"c_acctbal", $"revenue", $"n_returned")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q58Sql: String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey,
+       |    ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |    COUNT(*) AS n_returned
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_returnflag = 'R'
+       |    AND o_orderdate >= TIMESTAMP '2000-10-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT c_custkey, c_name, n_name AS cust_nation, c_acctbal,
+       |  revenue, n_returned
+       |FROM rev
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -821,6 +1008,10 @@ object RelationalQueries {
     "q52_large_volume" -> (q52LargeVolume _),
     "q53_sole_supplier" -> (q53SoleSupplier _),
     "q54_idle_capital" -> (q54IdleCapital _),
+    "q55_local_supplier" -> (q55LocalSupplier _),
+    "q56_trade_volume" -> (q56TradeVolume _),
+    "q57_product_profit" -> (q57ProductProfit _),
+    "q58_returned_items" -> (q58ReturnedItems _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -847,5 +1038,9 @@ object RelationalQueries {
     "q52_large_volume" -> q52Sql,
     "q53_sole_supplier" -> q53Sql,
     "q54_idle_capital" -> q54Sql,
+    "q55_local_supplier" -> q55Sql,
+    "q56_trade_volume" -> q56Sql,
+    "q57_product_profit" -> q57Sql,
+    "q58_returned_items" -> q58Sql,
   )
 }
