@@ -588,6 +588,98 @@ class PlanSpec extends SparkSpec {
       "shortlist must be materialized once:\n" + plan.take(900))
   }
 
+  test("q55/q56/q57 snowflakes keep every dim join broadcast, one fact shuffle join") {
+    for (q <- Seq(RelationalQueries.q55LocalSupplier _,
+        RelationalQueries.q56TradeVolume _,
+        RelationalQueries.q57ProductProfit _)) {
+      val plan = planOf(q(spark, sf0001))
+      assert(!plan.contains("CartesianProduct"), plan.take(600))
+      val broadcastJoins = plan.split("\n")
+        .count(l => l.contains("BroadcastHashJoin"))
+      assert(broadcastJoins >= 2,
+        s"expected >=2 broadcast dim joins, got $broadcastJoins:\n"
+          + plan.take(900))
+      // the fact->orders edge is the single allowed shuffle join
+      val shuffleJoins = plan.split("\n").count(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(shuffleJoins <= 1,
+        s"expected <=1 shuffle join (fact->orders), got $shuffleJoins:\n"
+          + plan.take(900))
+    }
+  }
+
+  test("q52/q58 top-k plans as TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq(RelationalQueries.q52LargeVolume _,
+        RelationalQueries.q58ReturnedItems _)) {
+      val plan = planOf(q(spark, sf0001))
+      assert(plan.contains("TakeOrderedAndProject"), plan.take(700))
+      assert(!plan.split("\n").exists(l =>
+          l.contains("Sort") && l.contains("global=true")),
+        "top-k must not globally sort:\n" + plan.take(900))
+    }
+  }
+
+  test("inverted index ranks in two phases; local window keyed on (term, salt)") {
+    val plan = planOf(TextAnalysis.taInvertedIndex(spark, sf0001))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.length >= 2,
+      "expected salted local + global windows:\n" + plan.take(900))
+    // the local (first-executed, deepest) window must carry TWO
+    // partition expressions — term plus the doc-hash salt — so no
+    // task ever sorts a hot term's full posting set
+    // the salt lands as a projected _w0 column: the local spec lists
+    // TWO partition expressions (term, _w0) ahead of the sort keys
+    assert(winLines.exists(_.matches(
+        ".*windowspecdefinition\\(term#\\d+, _w0#\\d+L?, tf#.*")),
+      "local window must partition by (term, salt):\n"
+        + winLines.mkString("\n"))
+    assert(!plan.contains("SinglePartition"), plan.take(900))
+  }
+
+  test("range search and mips broadcast queries; corpus side never shuffles") {
+    for (q <- Seq(Similarity.ssRangeSearch _, Similarity.ssMips _)) {
+      val plan = planOf(q(spark, sf0001))
+      assert(plan.contains("BroadcastNestedLoopJoin")
+          || plan.contains("BroadcastHashJoin"), plan.take(700))
+      assert(!plan.contains("CartesianProduct"), plan.take(700))
+      // no exchange may touch the corpus-scoring subtree: allowed are
+      // the final presentation sort / per-query top-k window, plus (in
+      // mips) ONE SinglePartition exchange merging the partial-agged
+      // 1-row max-norm scalar — partials mean only n_partitions rows
+      // cross it, never corpus rows
+      val exchanges = plan.split("\n").filter(l =>
+        l.contains("Exchange") && !l.contains("Broadcast"))
+      assert(exchanges.forall(l =>
+          l.contains("rangepartitioning") || l.contains("hashpartitioning")
+            || l.contains("SinglePartition")),
+        "unexpected corpus shuffle:\n" + exchanges.mkString("\n"))
+      assert(exchanges.count(_.contains("SinglePartition")) <= 1,
+        "too many single-partition exchanges:\n" + exchanges.mkString("\n"))
+    }
+  }
+
+  test("zorder stays pure codegen arithmetic: no cartesian, bounded shuffles") {
+    val df = graft.llm.Pipeline.zorder(spark, sf0001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    val shuffles = plan.split("\n").count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast"))
+    // one for the file_id groupBy, one range exchange for the output sort
+    assert(shuffles <= 2, s"zorder must shuffle at most twice, got $shuffles:\n"
+      + plan.take(900))
+    // the z-value must be native shift/mask expressions, never a UDF
+    assert(plan.contains("shiftright") && !plan.contains("ScalaUDF"),
+      "z-value must be built-in bit arithmetic:\n" + plan.take(900))
+  }
+
+  test("st_static_enrich joins the dimension by broadcast") {
+    val plan = planOf(
+      graft.streaming.WindowQueries.stStaticEnrich(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(700))
+    assert(!plan.contains("SortMergeJoin"),
+      "dim join must not shuffle the stream side:\n" + plan.take(700))
+  }
+
   test("ewma windows and lag-join stay keyed on the series, no single partition") {
     val plan = planOf(graft.operators.BenchQueries.ewma(spark, sf0001))
     val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
