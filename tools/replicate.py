@@ -80,6 +80,16 @@ COPY (SELECT c_custkey + k*10000000 AS c_custkey, c_name, c_nationkey,
       FROM read_parquet('{src}/customer.parquet'), range(0, {factor}) t(k))
 TO '{out}/customer.parquet' (FORMAT PARQUET)""")
 
+# Dimension tables pass through UNREPLICATED: lineitem's l_suppkey /
+# l_partkey and customer's c_nationkey are not shifted, so every
+# replica's facts reference the same dim rows — the realistic 100 TB
+# regime (facts grow, dims don't) and exactly what the broadcast-join
+# scaling records need.
+for dim in ["supplier", "part", "nation", "region"]:
+    con.sql(f"""
+COPY (SELECT * FROM read_parquet('{src}/{dim}.parquet'))
+TO '{out}/{dim}.parquet' (FORMAT PARQUET)""")
+
 t = pq.read_table(f"{src}/events.parquet")
 parts = []
 for k in range(factor):
