@@ -355,13 +355,112 @@ object Graph {
        |FROM stats""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_graph_cc: connected components by min-label propagation over
+  // the REGIONAL trade graph (co-purchase edges restricted to
+  // same-region customer/supplier pairs — five provably-disjoint
+  // subgraphs, so the fixture has real components to find). The
+  // propagation step l_{k+1}(v) = min over in-neighbors of l_k — with
+  // SELF-LOOP edges folded into the edge list so min(self, neighbors)
+  // is ONE groupBy and the label table is referenced exactly once per
+  // iteration (a self-union would double the lineage fan-out per step
+  // — 2^k replays by iteration k). Six fixed iterations: label
+  // propagation converges in graph-diameter steps, and this bipartite
+  // hub structure keeps the diameter constant as the corpus grows
+  // (measured: converged after 5 at sf0.01 AND sf0.1 — hub suppliers
+  // shorten every path); an unbounded-diameter production graph swaps
+  // in the O(log n) large-star/small-star alternation with the same
+  // per-iteration join+groupBy plan. Scale shape: per iteration ONE
+  // shuffle of the (session-cached, materialized) edge list against
+  // the node-cardinality label table — bucket edges by src at cluster
+  // scale and only labels move.
+  private val CcIters = 6
+
+  private def regionEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "graph_region_edges")) {
+      import spark.implicits._
+      val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_regionkey")
+      val cn = Tables.customer(spark, dir)
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_regionkey".as("c_region"))
+      val sn = Tables.supplier(spark, dir)
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_regionkey".as("s_region"))
+      val pairs = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(cn), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sn),
+          $"l_suppkey" === $"s_suppkey" && $"c_region" === $"s_region")
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+        .distinct()
+      val nodes = pairs.select($"c".as("n"))
+        .unionAll(pairs.select($"s".as("n"))).distinct()
+      Tables.materialize(
+        pairs.select($"c".as("src"), $"s".as("dst"))
+          .unionAll(pairs.select($"s".as("src"), $"c".as("dst")))
+          .unionAll(nodes.select($"n".as("src"), $"n".as("dst"))))
+    }
+
+  def cc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = regionEdges(spark, dir)
+    var labels: DataFrame = e.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    for (_ <- 1 to CcIters)
+      labels = e.join(labels, $"src" === $"node")
+        .groupBy($"dst").agg(min($"label").as("label"))
+        .select($"dst".as("node"), $"label")
+    labels
+      .groupBy($"label".as("component_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when($"node" % 2 === 0, 1L).otherwise(0L)).as("n_cust"),
+        sum(when($"node" % 2 === 1, 1L).otherwise(0L)).as("n_supp"))
+      .orderBy($"n_members".desc, $"component_id")
+  }
+
+  val ccSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT e.dst AS node, MIN(p.label) AS label
+         |  FROM edges e JOIN $prev p ON e.src = p.node
+         |  GROUP BY e.dst)""".stripMargin
+    val chain = (1 to CcIters)
+      .map(k => iter(s"l${k - 1}", s"l$k")).mkString(",\n")
+    s"""WITH cn AS (
+       |  SELECT c_custkey, n_regionkey AS c_region FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey),
+       |sn AS (
+       |  SELECT s_suppkey, n_regionkey AS s_region FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey),
+       |pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN cn ON o_custkey = c_custkey
+       |  JOIN sn ON l_suppkey = s_suppkey AND c_region = s_region),
+       |nodes AS (
+       |  SELECT c AS n FROM pairs UNION SELECT s AS n FROM pairs),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, c AS dst FROM pairs
+       |  UNION ALL SELECT n AS src, n AS dst FROM nodes),
+       |l0 AS (SELECT n AS node, n AS label FROM nodes),
+       |$chain
+       |SELECT label AS component_id, COUNT(*) AS n_members,
+       |  SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS n_cust,
+       |  SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS n_supp
+       |FROM l$CcIters GROUP BY 1
+       |ORDER BY n_members DESC, component_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_graph_cc" -> (cc _),
     "llm_graph_pagerank" -> (pagerank _),
     "llm_graph_degree" -> (degree _),
     "llm_graph_triangles" -> (triangles _),
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_graph_cc" -> ccSql,
     "llm_graph_pagerank" -> pagerankSql,
     "llm_graph_degree" -> degreeSql,
     "llm_graph_triangles" -> trianglesSql,
