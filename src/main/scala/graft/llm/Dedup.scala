@@ -363,6 +363,89 @@ object Dedup {
     }
   }
 
+  // --------------------------------------------------------------------
+  // llm_dd_lsh_tuning: band/row sweep for the LSH index — the tuning
+  // table an operator reads before re-banding a 100 TB dedup index.
+  // For each (b bands × r rows) split of the 8-slot signature it
+  // reports: active bucket count, candidate-pair WORK Σ df·(df−1)/2
+  // (counted ARITHMETICALLY from bucket sizes — no pair table is ever
+  // materialized, the round-7 lesson), hot-bucket count (df over the
+  // occupancy cap), and the theoretical s-curve P(candidate | sim=s)
+  // = 1−(1−s^r)^b at s ∈ {0.5, 0.7, 0.9}. The probability arithmetic
+  // is emitted as explicit multiplication chains (no pow()) so both
+  // engines fold identical IEEE products — the libm-pow pitfall never
+  // enters. Plan: signatures materialize ONCE (localCheckpoint; three
+  // re-bandings share it), each config is one explode + one bounded
+  // (band, key) groupBy, and each summary is a 1-row aggregate.
+  private val LshConfigs = Seq((8, 1), (4, 2), (2, 4)) // (bands, rows)
+
+  def ddLshTuning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Tables.materialize(ddMinhashSigs(spark, dir))
+    val perConfig = LshConfigs.map { case (b, r) =>
+      val bandStructs = (0 until b).map { j =>
+        val key = concat_ws(":",
+          (j * r until (j + 1) * r).map(i => col(s"sig$i")): _*)
+        struct(lit(j).as("band"), key.as("key"))
+      }
+      val buckets = sigs
+        .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+        .groupBy($"bk.band", $"bk.key").agg(count(lit(1)).as("df"))
+        .filter($"df" > 1)
+      def pCurve(s: Double): Column = {
+        val sr = Seq.fill(r)(lit(s)).reduce(_ * _)
+        val miss = lit(1.0) - sr
+        val missAll = Seq.fill(b)(miss).reduce(_ * _)
+        round(lit(1.0) - missAll, 6)
+      }
+      buckets.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(($"df" * ($"df" - 1)) / 2).cast("long").as("pair_work"),
+        sum(when($"df" > MaxBucketDf, 1L).otherwise(0L)).as("n_hot"))
+        .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+          $"n_buckets", $"pair_work", $"n_hot",
+          pCurve(0.5).as("p_s05"), pCurve(0.7).as("p_s07"),
+          pCurve(0.9).as("p_s09"))
+    }
+    perConfig.reduce(_ unionByName _)
+      .orderBy($"n_bands".desc)
+  }
+
+  val ddLshTuningSql: String = {
+    val configs = LshConfigs.map { case (b, r) =>
+      val bandSelects = (0 until b).map { j =>
+        val key = (j * r until (j + 1) * r).map(i => s"sig$i")
+          .mkString(" || ':' || ")
+        s"SELECT doc_id, $j AS band, $key AS key FROM sigs"
+      }.mkString("\n    UNION ALL ")
+      def pCurve(s: String): String = {
+        // every literal cast to DOUBLE: a bare 0.5 is DECIMAL in
+        // DuckDB and the whole chain would evaluate in decimal
+        // arithmetic (and type), not the IEEE doubles Spark folds
+        val sd = s"CAST($s AS DOUBLE)"
+        val sr = Seq.fill(r)(sd).mkString(" * ")
+        val missAll = Seq.fill(b)(s"(CAST(1.0 AS DOUBLE) - $sr)")
+          .mkString(" * ")
+        s"ROUND(CAST(1.0 AS DOUBLE) - $missAll, 6)"
+      }
+      s"""SELECT $b AS n_bands, $r AS rows_per_band,
+         |  COUNT(*) AS n_buckets,
+         |  CAST(SUM((df * (df - 1)) // 2) AS BIGINT) AS pair_work,
+         |  CAST(SUM(CASE WHEN df > $MaxBucketDf THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hot,
+         |  ${pCurve("0.5")} AS p_s05,
+         |  ${pCurve("0.7")} AS p_s07,
+         |  ${pCurve("0.9")} AS p_s09
+         |FROM (
+         |  SELECT band, key, COUNT(*) AS df FROM (
+         |    $bandSelects) GROUP BY 1, 2 HAVING COUNT(*) > 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sigs AS ($ddMinhashSigsSql)
+       |SELECT * FROM (
+       |$configs)
+       |ORDER BY n_bands DESC""".stripMargin
+  }
+
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Candidates via groupBy(band, key) + in-group combinations rather
@@ -2126,6 +2209,7 @@ object Dedup {
     "llm_dd_ngram_jaccard" -> (ddNgramJaccard _),
     "llm_dd_minhash_sigs" -> (ddMinhashSigs _),
     "llm_dd_minhash_lsh" -> (ddMinhashLsh _),
+    "llm_dd_lsh_tuning" -> (ddLshTuning _),
     "llm_dd_simhash" -> (ddSimhash _),
     "llm_dd_simhash_pairs" -> (ddSimhashPairs _),
     "llm_dd_embedding_near" -> (ddEmbeddingNear _),
@@ -2157,6 +2241,7 @@ object Dedup {
     "llm_dd_ngram_jaccard" -> ddNgramJaccardSql,
     "llm_dd_minhash_sigs" -> ddMinhashSigsSql,
     "llm_dd_minhash_lsh" -> ddMinhashLshSql,
+    "llm_dd_lsh_tuning" -> ddLshTuningSql,
     "llm_dd_simhash" -> ddSimhashSql,
     "llm_dd_simhash_pairs" -> ddSimhashPairsSql,
     "llm_dd_embedding_near" -> ddEmbeddingNearSql,
