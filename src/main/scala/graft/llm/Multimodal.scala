@@ -582,7 +582,71 @@ object Multimodal {
        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
        |ORDER BY hamming, doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_mm_magic_router: content-type sniffing for decoder routing —
+  // the gate in front of every media-decode stage: read ONLY the
+  // payload's leading magic bytes (substring on the BINARY column; the
+  // full payload is never inspected, the property that matters when
+  // the payload is megabytes), classify, and audit claimed-extension
+  // mismatches (a corpus's extension metadata routinely lies; routing
+  // on it feeds wav bytes to a gif decoder). Fixture payloads carry a
+  // REAL ascii magic prefix (GIF8 / %PDF / RIFF / OggS) prepended to
+  // the text bytes, with the CLAIMED extension drawn from an
+  // independent hash so genuine mismatches exist to catch. Scale
+  // shape: narrow codegen scan (hashes, substring, CASE) + one
+  // 4-value groupBy — payload bytes never shuffle, only the per-type
+  // totals do.
+  def mmMagicRouter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val magics = array(lit("GIF8"), lit("%PDF"), lit("RIFF"), lit("OggS"))
+    val exts = array(lit("gif"), lit("pdf"), lit("wav"), lit("ogg"))
+    val tagged = Tables.documents(spark, dir)
+      .select($"doc_id",
+        element_at(magics, (h60($"text") % 4 + 1).cast("int")).as("magic"),
+        element_at(exts,
+          (h60(concat($"text", lit("#ext"))) % 4 + 1).cast("int"))
+          .as("claimed_ext"),
+        $"text")
+      .select($"doc_id", $"claimed_ext",
+        encode(concat($"magic", $"text"), "utf-8").as("payload"))
+    val prefix = decode(substring($"payload", 1, 4), "utf-8")
+    tagged
+      .select($"doc_id", $"claimed_ext", $"payload",
+        when(prefix === "GIF8", "gif").when(prefix === "%PDF", "pdf")
+          .when(prefix === "RIFF", "wav").when(prefix === "OggS", "ogg")
+          .otherwise("unknown").as("sniffed_type"))
+      .groupBy($"sniffed_type")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when($"claimed_ext" =!= $"sniffed_type", 1L).otherwise(0L))
+          .as("n_claim_mismatch"),
+        sum(octet_length($"payload")).cast("long").as("total_bytes"))
+      .orderBy($"sniffed_type")
+  }
+
+  val mmMagicRouterSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    (['GIF8', '%PDF', 'RIFF', 'OggS'])[CAST(${h60Sql("text")} % 4 + 1 AS INT)]
+       |      AS magic,
+       |    (['gif', 'pdf', 'wav', 'ogg'])[CAST(${h60Sql("text || '#ext'")} % 4 + 1 AS INT)]
+       |      AS claimed_ext,
+       |    text
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, claimed_ext, encode(magic || text) AS payload,
+       |    CASE substr(magic || text, 1, 4)
+       |      WHEN 'GIF8' THEN 'gif' WHEN '%PDF' THEN 'pdf'
+       |      WHEN 'RIFF' THEN 'wav' WHEN 'OggS' THEN 'ogg'
+       |      ELSE 'unknown' END AS sniffed_type
+       |  FROM t)
+       |SELECT sniffed_type, COUNT(*) AS n_files,
+       |  SUM(CASE WHEN claimed_ext <> sniffed_type THEN 1 ELSE 0 END)
+       |    AS n_claim_mismatch,
+       |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
+       |FROM p GROUP BY 1 ORDER BY sniffed_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_magic_router" -> (mmMagicRouter _),
     "llm_mm_phash" -> (mmPhash _),
     "llm_mm_aspect_buckets" -> (mmAspectBuckets _),
     "llm_mm_metadata" -> (mmMetadata _),
@@ -596,6 +660,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_mm_magic_router" -> mmMagicRouterSql,
     "llm_mm_phash" -> mmPhashSql,
     "llm_mm_aspect_buckets" -> mmAspectBucketsSql,
     "llm_mm_metadata" -> mmMetadataSql,
