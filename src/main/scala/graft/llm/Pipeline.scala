@@ -1242,6 +1242,46 @@ object Pipeline {
        |  ROUND(CAST(rows_skipped AS DOUBLE) / rows_total, 6) AS skip_rate
        |FROM a ORDER BY layout""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_manifest: table-format manifest construction — the
+  // per-file statistics record an Iceberg/Delta-style metadata layer
+  // keeps so readers can plan without opening data files: row count,
+  // key and filter-column min/max (the zone map llm_pipeline_skipping
+  // consumes), and an ORDER-INSENSITIVE content checksum (sum of
+  // per-row hashes mod a prime — commutative, so any write
+  // parallelism/ordering produces the same manifest; the property that
+  // lets two snapshots be compared file-by-file without reading data).
+  // The modular reduction keeps the int64 sum exact to ~9·10^15 summed
+  // terms (< 2^53 per-file rows × the 10^6 modulus) — beyond that a
+  // production manifest switches to a 128-bit accumulator. Scale
+  // shape: one partial-aggregable groupBy on the bounded file id;
+  // manifests are metadata-sized at any corpus size.
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        (h60($"doc_id".cast("string")) % 32).as("file_id"),
+        (h60($"text") % 1000003L).as("row_hash"))
+      .groupBy($"file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"),
+        sum($"row_hash").cast("long").as("checksum"))
+      .orderBy($"file_id")
+  }
+
+  val manifestSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars,
+       |    ${h60Sql("CAST(doc_id AS VARCHAR)")} % 32 AS file_id,
+       |    ${h60Sql("text")} % 1000003 AS row_hash
+       |  FROM documents)
+       |SELECT file_id, COUNT(*) AS n_rows,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       |  CAST(SUM(row_hash) AS BIGINT) AS checksum
+       |FROM t GROUP BY 1 ORDER BY file_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_dedup_ledger" -> (dedupLedger _),
     "llm_pipeline_eff_tokens" -> (effTokens _),
@@ -1264,6 +1304,7 @@ object Pipeline {
     "llm_pipeline_zorder" -> (zorder _),
     "llm_pipeline_compaction" -> (compaction _),
     "llm_pipeline_skipping" -> (skipping _),
+    "llm_pipeline_manifest" -> (manifest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1288,5 +1329,6 @@ object Pipeline {
     "llm_pipeline_zorder" -> zorderSql,
     "llm_pipeline_compaction" -> compactionSql,
     "llm_pipeline_skipping" -> skippingSql,
+    "llm_pipeline_manifest" -> manifestSql,
   )
 }

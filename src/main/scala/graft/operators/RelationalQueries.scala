@@ -984,6 +984,65 @@ object RelationalQueries {
        |JOIN nation ON c_nationkey = n_nationkey
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q59: chi-square contingency audit — is order priority independent
+  // of customer segment? The categorical-independence screen a
+  // curation pipeline runs over (source × label)-style pairs before
+  // trusting a stratified design. ONE corpus pass: the (segment,
+  // priority) groupBy (25 cells); every expected-count and chi-square
+  // term is arithmetic over that bounded cell table (row/col marginals
+  // via two re-aggregations of the 25 rows — never a second fact
+  // scan). Expected = row_tot·col_tot/N in exact-integer-sourced
+  // double division, identical in both engines; terms round to 6.
+  def q59SegmentPriorityChisq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"),
+        $"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy($"segment")
+      .agg(sum($"observed").as("row_tot"))
+    val colTot = cells.groupBy($"priority")
+      .agg(sum($"observed").as("col_tot"))
+    val n = broadcast(cells.agg(sum($"observed").as("n_total")))
+    // marginals cast to double BEFORE the product: row_tot·col_tot in
+    // int64 overflows near 10^10-row marginals — the 100 TB regime
+    val e = ($"row_tot".cast("double") * $"col_tot".cast("double")) / $"n_total"
+    cells
+      .join(broadcast(rowTot), "segment")
+      .join(broadcast(colTot), "priority")
+      .crossJoin(n)
+      .select($"segment", $"priority", $"observed",
+        round(e, 6).as("expected"),
+        round((($"observed" - e) * ($"observed" - e)) / e, 6).as("chi2_term"))
+      .orderBy($"segment", $"priority")
+  }
+
+  val q59Sql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+      |    COUNT(*) AS observed
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |rt AS (SELECT segment, SUM(observed) AS row_tot FROM cells GROUP BY 1),
+      |ct AS (SELECT priority, SUM(observed) AS col_tot FROM cells GROUP BY 1),
+      |n AS (SELECT SUM(observed) AS n_total FROM cells)
+      |SELECT segment, priority, observed,
+      |  ROUND((CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)) / n_total, 6)
+      |    AS expected,
+      |  ROUND(((observed
+      |        - (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)) / n_total)
+      |      * (observed
+      |        - (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)) / n_total))
+      |    / ((CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)) / n_total), 6)
+      |    AS chi2_term
+      |FROM cells
+      |JOIN rt USING (segment)
+      |JOIN ct USING (priority)
+      |CROSS JOIN n
+      |ORDER BY segment, priority""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -1012,6 +1071,7 @@ object RelationalQueries {
     "q56_trade_volume" -> (q56TradeVolume _),
     "q57_product_profit" -> (q57ProductProfit _),
     "q58_returned_items" -> (q58ReturnedItems _),
+    "q59_segment_priority_chisq" -> (q59SegmentPriorityChisq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1042,5 +1102,6 @@ object RelationalQueries {
     "q56_trade_volume" -> q56Sql,
     "q57_product_profit" -> q57Sql,
     "q58_returned_items" -> q58Sql,
+    "q59_segment_priority_chisq" -> q59Sql,
   )
 }
