@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -479,7 +479,68 @@ object Sampling {
        |  ROUND(key, 6) AS es_key
        |FROM k ORDER BY es_key DESC, doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_sample_bootstrap: Poisson bootstrap — the ONLY bootstrap that
+  // runs at 100 TB. The classic bootstrap materializes B resampled
+  // copies of the corpus; the Poisson bootstrap (Chamandy et al.,
+  // Google 2012) observes that multinomial resample weights converge
+  // to iid Poisson(1), so ONE streaming pass assigns each (doc,
+  // replicate) a weight w ~ Poisson(1) and every replicate's statistic
+  // is a weighted aggregate — B× aggregation state, 1× data read, no
+  // shuffle beyond the B-row result. Weights are DETERMINISTIC: u =
+  // content-hash uniform in [0,1), w = inverse-CDF of Poisson(1) via
+  // literal cumulative thresholds (same decimal strings both engines
+  // fold to identical doubles — no exp() at query time). Output: per
+  // replicate the effective count and weighted mean of n_chars; the
+  // spread across replicates IS the sampling distribution of the
+  // corpus mean (a driver reads ±2sd off this 16-row table).
+  private val BootstrapB = 16
+  // cumulative Poisson(1) pmf: P(W<=0), P(W<=1), ... (literal strings)
+  private val PoisCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563")
+
+  def sampleBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = (h60(concat($"text", lit("#b"), $"rep".cast("string")))
+      % 1000000L).cast("double") / 1000000.0
+    val w = PoisCdf.zipWithIndex.foldRight(lit(PoisCdf.size): Column) {
+      case ((cdf: String, k: Int), els: Column) =>
+        when(u < lit(cdf.toDouble), k).otherwise(els)
+    }
+    Tables.documents(spark, dir)
+      .select($"text", $"n_chars",
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("rep"))
+      .select($"rep", $"n_chars", w.cast("long").as("w"))
+      .groupBy($"rep")
+      .agg(sum($"w").cast("long").as("n_eff"),
+        round(sum(($"w" * $"n_chars").cast("decimal(28,6)")).cast("double")
+          / sum($"w"), 6).as("mean_chars"))
+      .orderBy($"rep")
+  }
+
+  val sampleBootstrapSql: String = {
+    // doubles forced end-to-end: bare decimal literals would pull the
+    // whole comparison chain into DuckDB DECIMAL arithmetic
+    val u = s"CAST(${h60Sql("text || '#b' || rep")} % 1000000 AS DOUBLE)" +
+      " / CAST(1000000.0 AS DOUBLE)"
+    val w = PoisCdf.zipWithIndex.reverse
+      .foldLeft(s"${PoisCdf.size}") { case (els, (cdf, k)) =>
+        s"CASE WHEN u < CAST($cdf AS DOUBLE) THEN $k ELSE $els END"
+      }
+    s"""WITH r AS (
+       |  SELECT text, n_chars, unnest(range(0, $BootstrapB)) AS rep
+       |  FROM documents),
+       |uu AS (SELECT rep, n_chars, $u AS u FROM r),
+       |ww AS (SELECT rep, n_chars, CAST($w AS BIGINT) AS w FROM uu)
+       |SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+       |  ROUND(CAST(SUM(CAST(w * n_chars AS DECIMAL(28,6))) AS DOUBLE)
+       |    / SUM(w), 6) AS mean_chars
+       |FROM ww GROUP BY rep ORDER BY rep""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_bootstrap" -> (sampleBootstrap _),
     "llm_sample_es_topk" -> (sampleEsTopK _),
     "llm_sample_hash" -> (sampleHash _),
     "llm_sample_stratified" -> (sampleStratified _),
@@ -492,6 +553,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_bootstrap" -> sampleBootstrapSql,
     "llm_sample_es_topk" -> sampleEsTopKSql,
     "llm_sample_hash" -> sampleHashSql,
     "llm_sample_stratified" -> sampleStratifiedSql,

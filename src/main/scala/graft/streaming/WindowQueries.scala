@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -589,7 +589,89 @@ object WindowQueries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_lateness_audit: out-of-order-depth measurement — the analysis
+  // run BEFORE choosing a watermark delay: for each event, lateness =
+  // (running max event-time over the ARRIVAL order so far) − its own
+  // event-time; the histogram of lateness tells you what delay bounds
+  // state growth vs. how many rows a given watermark would drop. The
+  // fixture's events file is fully time-sorted (a single-writer log),
+  // so arrival simulates the 8-shard collector a real ingest has:
+  // shard k = event_id mod 8 drains with a constant k×500-slot lag —
+  // the deterministic arrival permutation under which slow-shard rows
+  // genuinely regress event time. The running max is per-user (each
+  // user's stream is a partition — fully parallel, matching per-key
+  // arrival skew, where a GLOBAL running max would be one sequential
+  // task over the whole stream at any scale). Output: power-of-4
+  // lateness-second buckets with row counts and the share a 10-minute
+  // watermark would have dropped.
+  def stLatenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"arr_seq", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        ($"event_id" + ($"event_id" % 8) * 500).as("arr_seq"))
+      .withColumn("late_us", max($"ts_us").over(w) - $"ts_us")
+    // power-of-4 bucket by an exact integer comparison chain — never
+    // floor(log(x)): libm log differs across engines at exact-power
+    // boundaries and would flip the floor (the len(bin(d))−1 lesson
+    // from llm_graph_degree, in CASE form because log4 has no
+    // bit-length shortcut)
+    val sec = expr("late_us div 1000000")
+    val bucket = (1 to 11).reverse.foldLeft(lit(11L): Column) { (els, k) =>
+      when(sec < math.pow(4.0, k).toLong, lit(k - 1L)).otherwise(els)
+    }
+    late
+      .select(
+        when($"late_us" === 0, lit(-1L)).otherwise(bucket)
+          .cast("long").as("bucket"),
+        $"late_us")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_events"),
+        max($"late_us").as("max_late_us"),
+        sum(when($"late_us" > 600L * 1000000L, 1L).otherwise(0L))
+          .as("n_beyond_10m"))
+      .orderBy($"bucket")
+  }
+
+  val stLatenessAuditSql: String =
+    """WITH a AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    event_id + (event_id % 8) * 500 AS arr_seq
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    MAX(ts_us) OVER (PARTITION BY user_id ORDER BY arr_seq, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - ts_us AS late_us
+      |  FROM a),
+      |b AS (
+      |  SELECT CASE WHEN late_us = 0 THEN -1
+      |      WHEN late_us // 1000000 < 4 THEN 0
+      |      WHEN late_us // 1000000 < 16 THEN 1
+      |      WHEN late_us // 1000000 < 64 THEN 2
+      |      WHEN late_us // 1000000 < 256 THEN 3
+      |      WHEN late_us // 1000000 < 1024 THEN 4
+      |      WHEN late_us // 1000000 < 4096 THEN 5
+      |      WHEN late_us // 1000000 < 16384 THEN 6
+      |      WHEN late_us // 1000000 < 65536 THEN 7
+      |      WHEN late_us // 1000000 < 262144 THEN 8
+      |      WHEN late_us // 1000000 < 1048576 THEN 9
+      |      WHEN late_us // 1000000 < 4194304 THEN 10
+      |      ELSE 11 END AS bucket,
+      |    late_us
+      |  FROM l)
+      |SELECT bucket, COUNT(*) AS n_events,
+      |  MAX(late_us) AS max_late_us,
+      |  SUM(CASE WHEN late_us > 600 * 1000000 THEN 1 ELSE 0 END)
+      |    AS n_beyond_10m
+      |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_lateness_audit" -> (stLatenessAudit _),
     "st_static_enrich" -> (stStaticEnrich _),
     "q45_rfm" -> (q45Rfm _),
     "q44_transitions" -> (q44Transitions _),
@@ -605,6 +687,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_lateness_audit" -> stLatenessAuditSql,
     "st_static_enrich" -> stStaticEnrichSql,
     "q45_rfm" -> q45RfmSql,
     "q44_transitions" -> q44TransitionsSql,
