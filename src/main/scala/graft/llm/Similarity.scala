@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
+import TextAnalysis.h60Sql
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (vec_id, embedding ARRAY<FLOAT>, label).
@@ -146,6 +147,86 @@ object Similarity {
       .filter($"rank" <= 3)
       .orderBy($"q_id", $"rank")
   }
+
+  // --------------------------------------------------------------------
+  // llm_ss_rerank: retrieve-then-rerank cascade — the two-stage
+  // architecture every production retrieval system runs: a CHEAP
+  // recall stage (sign-LSH bucket candidates + exact-cosine shortlist,
+  // top-8 per query) feeds an EXPENSIVE precision stage (a pairwise
+  // "cross-encoder" scorer) that re-orders only the shortlist and
+  // emits the top-3. The cross-encoder here is a deterministic fake
+  // (no models in env): score = 0.8·cosine + 0.2·hash-interaction —
+  // the real one is a per-pair model call, which is exactly why the
+  // cascade exists: the reranker touches q×8 rows, NEVER the corpus,
+  // so its per-pair cost is architecturally irrelevant at 100 TB.
+  // Output keeps both stages' ranks so the reorder is visible
+  // (rerank_rank ≠ ann_rank rows are the cascade's value-add).
+  def ssRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucketExpr = expr(
+      """concat_ws('', transform(slice(v, 1, 8),
+        |  x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN '1' ELSE '0' END))"""
+        .stripMargin)
+    val e = withNorm(spark, dir).withColumn("bucket", bucketExpr)
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"bucket".as("qbucket"))
+    val scored = e.join(broadcast(q),
+        $"bucket" === $"qbucket" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
+    val wAnn = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    val shortlist = scored.withColumn("ann_rank", row_number().over(wAnn))
+      .filter($"ann_rank" <= 8)
+    // -- deterministic FAKE cross-encoder (no models in env) --
+    val interaction = (TextAnalysis.h60(concat($"q_id".cast("string"),
+      lit("#x"), $"neighbor_id".cast("string"))) % 1000L)
+      .cast("double") / 1000.0
+    val wRank = Window.partitionBy($"q_id")
+      .orderBy($"ce_score".desc, $"neighbor_id".asc)
+    shortlist
+      .withColumn("ce_score",
+        round(lit(0.8) * $"cosine" + lit(0.2) * interaction, 6))
+      .withColumn("rerank_rank", row_number().over(wRank))
+      .filter($"rerank_rank" <= 3)
+      .select($"q_id", $"rerank_rank", $"neighbor_id", $"ce_score",
+        $"cosine", $"ann_rank")
+      .orderBy($"q_id", $"rerank_rank")
+  }
+
+  val ssRerankSql: String =
+    s"""$normCte,
+       |b AS (
+       |  SELECT vec_id, v, nrm,
+       |    list_aggregate(list_transform(v[1:8],
+       |      x -> CASE WHEN x >= 0.0 THEN '1' ELSE '0' END), 'string_agg', '')
+       |      AS bucket
+       |  FROM n),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qbucket
+       |  FROM b WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q_id, b.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+       |  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.q_id),
+       |shortlist AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS ann_rank
+       |  FROM scored QUALIFY ann_rank <= 8),
+       |ce AS (
+       |  SELECT q_id, neighbor_id, cosine, ann_rank,
+       |    ROUND(CAST(0.8 AS DOUBLE) * cosine + CAST(0.2 AS DOUBLE)
+       |      * (CAST(${h60Sql("q_id || '#x' || neighbor_id")} % 1000 AS DOUBLE)
+       |        / CAST(1000.0 AS DOUBLE)), 6) AS ce_score
+       |  FROM shortlist),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY ce_score DESC, neighbor_id ASC) AS rerank_rank
+       |  FROM ce)
+       |SELECT q_id, CAST(rerank_rank AS INT) AS rerank_rank, neighbor_id,
+       |  ce_score, cosine, CAST(ann_rank AS INT) AS ann_rank
+       |FROM ranked WHERE rerank_rank <= 3
+       |ORDER BY q_id, rerank_rank""".stripMargin
 
   // --------------------------------------------------------------------
   // llm_ss_knn_purity: embedding-quality audit — per label, the
@@ -2191,6 +2272,7 @@ object Similarity {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ss_range_search" -> (ssRangeSearch _),
     "llm_ss_mips" -> (ssMips _),
+    "llm_ss_rerank" -> (ssRerank _),
     "llm_ss_graph_ann" -> (ssGraphAnn _),
     "llm_ss_mmr" -> (ssMmr _),
     "llm_ss_binary_hamming" -> (ssBinaryHamming _),
@@ -2225,6 +2307,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "llm_ss_range_search" -> ssRangeSearchSql,
     "llm_ss_mips" -> ssMipsSql,
+    "llm_ss_rerank" -> ssRerankSql,
     "llm_ss_graph_ann" -> ssGraphAnnSql,
     "llm_ss_mmr" -> ssMmrSql,
     "llm_ss_binary_hamming" -> ssBinaryHammingSql,

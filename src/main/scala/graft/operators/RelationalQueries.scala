@@ -865,8 +865,8 @@ object RelationalQueries {
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .join(broadcast(supp),
         $"l_suppkey" === $"s_suppkey" && $"supp_nation" =!= $"cust_nation")
-      .filter($"supp_nation".isin("NATION_0", "NATION_1")
-        && $"cust_nation".isin("NATION_0", "NATION_1"))
+      .filter($"supp_nation".isin("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+        && $"cust_nation".isin("NATION_0", "NATION_1", "NATION_2", "NATION_3"))
       .groupBy($"supp_nation", $"cust_nation",
         year($"l_shipdate").cast("int").as("ship_year"))
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
@@ -889,8 +889,8 @@ object RelationalQueries {
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN cn ON o_custkey = c_custkey
        |JOIN sn ON l_suppkey = s_suppkey AND supp_nation <> cust_nation
-       |WHERE supp_nation IN ('NATION_0', 'NATION_1')
-       |  AND cust_nation IN ('NATION_0', 'NATION_1')
+       |WHERE supp_nation IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+       |  AND cust_nation IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   // --------------------------------------------------------------------
