@@ -1282,6 +1282,78 @@ object Pipeline {
        |  CAST(SUM(row_hash) AS BIGINT) AS checksum
        |FROM t GROUP BY 1 ORDER BY file_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_cdc_merge: change-data-capture MERGE, batch form —
+  // the join+union decomposition a lakehouse MERGE INTO executes under
+  // the hood: classify the change feed (delete > update > insert
+  // precedence), LEFT ANTI the deletes out of the base, LEFT join the
+  // updates in (coalesce new-over-old), union the inserts, and report
+  // per-action row counts with an order-insensitive content checksum
+  // of each action's rows (the llm_pipeline_manifest checksum — two
+  // snapshots reconcile by comparing these four rows). The change feed
+  // is derived deterministically from the base (id-modulus classes) so
+  // both engines see the identical feed. Scale shape: MERGE is ONE
+  // equi-join shuffle on the key (co-located if base and feed share
+  // bucketing); at 100 TB the write side rewrites only
+  // partition-pruned files — the read-side plan here is the whole
+  // algorithm.
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val changes = base.select($"doc_id", $"text",
+        when($"doc_id" % 11 === 3, "delete")
+          .when($"doc_id" % 7 === 0, "update")
+          .when($"doc_id" % 13 === 1, "insert").as("op"))
+      .filter($"op".isNotNull)
+    val del = changes.filter($"op" === "delete").select($"doc_id")
+    val upd = changes.filter($"op" === "update")
+      .select($"doc_id".as("u_id"), concat($"text", lit(" [rev2]")).as("new_text"))
+    val ins = changes.filter($"op" === "insert")
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat(lit("new:"), $"text").as("text"), lit("insert").as("action"))
+    val survivors = base.join(del, Seq("doc_id"), "left_anti")
+      .join(upd, $"doc_id" === $"u_id", "left_outer")
+      .select($"doc_id", coalesce($"new_text", $"text").as("text"),
+        when($"new_text".isNotNull, "update").otherwise("unchanged")
+          .as("action"))
+    val deleted = base.join(del, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"text", lit("delete").as("action"))
+    survivors.unionByName(ins).unionByName(deleted)
+      .groupBy($"action")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(h60($"text") % 1000003L).cast("long").as("checksum"))
+      .orderBy($"action")
+  }
+
+  val cdcMergeSql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |ch AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN doc_id % 11 = 3 THEN 'delete'
+       |      WHEN doc_id % 7 = 0 THEN 'update'
+       |      WHEN doc_id % 13 = 1 THEN 'insert' END AS op
+       |  FROM base
+       |  WHERE doc_id % 11 = 3 OR doc_id % 7 = 0 OR doc_id % 13 = 1),
+       |upd AS (SELECT doc_id AS u_id, text || ' [rev2]' AS new_text
+       |  FROM ch WHERE op = 'update'),
+       |del AS (SELECT doc_id FROM ch WHERE op = 'delete'),
+       |merged AS (
+       |  SELECT b.doc_id, COALESCE(u.new_text, b.text) AS text,
+       |    CASE WHEN u.new_text IS NOT NULL THEN 'update'
+       |      ELSE 'unchanged' END AS action
+       |  FROM base b
+       |  LEFT JOIN upd u ON b.doc_id = u.u_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.doc_id = b.doc_id)
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, 'new:' || text, 'insert'
+       |  FROM ch WHERE op = 'insert'
+       |  UNION ALL
+       |  SELECT b.doc_id, b.text, 'delete'
+       |  FROM base b JOIN del d ON b.doc_id = d.doc_id)
+       |SELECT action, COUNT(*) AS n_rows,
+       |  CAST(SUM(${h60Sql("text")} % 1000003) AS BIGINT) AS checksum
+       |FROM merged GROUP BY 1 ORDER BY action""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_dedup_ledger" -> (dedupLedger _),
     "llm_pipeline_eff_tokens" -> (effTokens _),
@@ -1305,6 +1377,7 @@ object Pipeline {
     "llm_pipeline_compaction" -> (compaction _),
     "llm_pipeline_skipping" -> (skipping _),
     "llm_pipeline_manifest" -> (manifest _),
+    "llm_pipeline_cdc_merge" -> (cdcMerge _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1330,5 +1403,6 @@ object Pipeline {
     "llm_pipeline_compaction" -> compactionSql,
     "llm_pipeline_skipping" -> skippingSql,
     "llm_pipeline_manifest" -> manifestSql,
+    "llm_pipeline_cdc_merge" -> cdcMergeSql,
   )
 }
