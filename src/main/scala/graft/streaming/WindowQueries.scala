@@ -670,7 +670,35 @@ object WindowQueries {
       |    AS n_beyond_10m
       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_windowed_distinct: exact distinct users per tumbling hour — the
+  // cardinality-over-time monitor (DAU/HAU family). Exact COUNT
+  // (DISTINCT) inside a windowed groupBy plans as the two-phase
+  // (window, user) pre-dedup then per-window count — both phases
+  // partial-aggregable, no per-window set materializes on one task. In
+  // the streaming runtime (and at 100 TB batch) this swaps to
+  // approx_count_distinct (HLL sketch state, mergeable across
+  // micro-batches) — the exact form here is what the oracle can
+  // verify, and the plan shape is identical.
+  def stWindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .select(unix_micros($"w.start").as("w_start_us"),
+        $"n_events", $"n_users")
+      .orderBy($"w_start_us")
+  }
+
+  val stWindowedDistinctSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_windowed_distinct" -> (stWindowedDistinct _),
     "st_lateness_audit" -> (stLatenessAudit _),
     "st_static_enrich" -> (stStaticEnrich _),
     "q45_rfm" -> (q45Rfm _),
@@ -687,6 +715,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_windowed_distinct" -> stWindowedDistinctSql,
     "st_lateness_audit" -> stLatenessAuditSql,
     "st_static_enrich" -> stStaticEnrichSql,
     "q45_rfm" -> q45RfmSql,
