@@ -446,6 +446,92 @@ object Dedup {
        |ORDER BY n_bands DESC""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_dd_source_sketch_overlap: DATASET-level overlap via per-source
+  // MinHash union sketches — "how much does dataset A share with B"
+  // answered WITHOUT a cross-dataset document join: a source's
+  // signature slot i is min over ALL its shingles of h_i (the union
+  // sketch — mergeable, so each source's sketch is one partial-agg
+  // pass and two datasets compare by slot agreement). The output pairs
+  // the 8-slot estimate with the EXACT shingle-set Jaccard so the
+  // sketch error is visible (production uses 128+ slots; the estimator
+  // and the merge algebra are slot-count-independent). Scale shape:
+  // sketches are one (source, shingle)-distinct pass + a
+  // source-cardinality groupBy; the exact side's shingle self-join is
+  // the expensive contrast — bounded here by the fixture vocabulary,
+  // df-capped at corpus scale (the ngramJaccard convention) — and is
+  // exactly what the sketch replaces at 100 TB.
+  def ddSourceSketchOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.Shingle3.register(spark)
+    val ex = Tables.materialize(Tables.documents(spark, dir)
+      .select($"source", explode(expr("shingle3(text)")).as("shingle"))
+      .distinct())
+    val hx = ex.withColumn("x31", h60($"shingle") % P31)
+    val sigCols = minhashA.zip(minhashB).zipWithIndex.map {
+      case ((a, b), i) => min((col("x31") * a + b) % P31).as(s"sig$i")
+    }
+    val sigs = hx.groupBy($"source").agg(sigCols.head, sigCols.tail: _*)
+    val sa = sigs.select($"source".as("source_a") +:
+      (0 until 8).map(i => col(s"sig$i").as(s"a$i")): _*)
+    val sb = sigs.select($"source".as("source_b") +:
+      (0 until 8).map(i => col(s"sig$i").as(s"b$i")): _*)
+    val agree = (0 until 8).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    val est = sa.join(broadcast(sb), $"source_a" < $"source_b")
+      .select($"source_a", $"source_b",
+        round(agree.cast("double") / 8.0, 6).as("est_jaccard"))
+    val sizes = ex.groupBy($"source").agg(count(lit(1)).as("n_sh"))
+    val inter = ex.join(ex.select($"source".as("s_b"), $"shingle"), "shingle")
+      .filter($"source" < $"s_b")
+      .groupBy($"source".as("source_a"), $"s_b".as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est.join(inter, Seq("source_a", "source_b"), "left_outer")
+      .join(broadcast(sizes.select($"source".as("source_a"), $"n_sh".as("na"))),
+        "source_a")
+      .join(broadcast(sizes.select($"source".as("source_b"), $"n_sh".as("nb"))),
+        "source_b")
+      .select($"source_a", $"source_b", $"est_jaccard",
+        round(coalesce($"n_inter", lit(0L)).cast("double")
+          / ($"na" + $"nb" - coalesce($"n_inter", lit(0L))), 6)
+          .as("exact_jaccard"))
+      .orderBy($"exact_jaccard".desc, $"source_a", $"source_b")
+  }
+
+  val ddSourceSketchOverlapSql: String = {
+    val sigs = minhashA.zip(minhashB).zipWithIndex.map {
+      case ((a, b), i) => s"MIN(($a * x31 + $b) % $P31) AS sig$i"
+    }.mkString(",\n  ")
+    val agree = (0 until 8).map(i =>
+      s"CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (SELECT source, list_distinct(list_transform(range(1, len(toks) - 1),
+       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM tk),
+       |ex AS (SELECT DISTINCT source, unnest(shingles) AS shingle FROM sh),
+       |hx AS (SELECT source, ${h60Sql("shingle")} % $P31 AS x31 FROM ex),
+       |sigs AS (SELECT source, $sigs FROM hx GROUP BY source),
+       |est AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    ROUND(CAST($agree AS DOUBLE) / 8.0, 6) AS est_jaccard
+       |  FROM sigs a JOIN sigs b ON a.source < b.source),
+       |sz AS (SELECT source, COUNT(*) AS n_sh FROM ex GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    COUNT(*) AS n_inter
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT e.source_a AS source_a, e.source_b AS source_b, e.est_jaccard,
+       |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+       |    / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)), 6) AS exact_jaccard
+       |FROM est e
+       |LEFT JOIN inter i ON e.source_a = i.source_a AND e.source_b = i.source_b
+       |JOIN sz za ON e.source_a = za.source
+       |JOIN sz zb ON e.source_b = zb.source
+       |ORDER BY exact_jaccard DESC, e.source_a, e.source_b""".stripMargin
+  }
+
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Candidates via groupBy(band, key) + in-group combinations rather
@@ -2210,6 +2296,7 @@ object Dedup {
     "llm_dd_minhash_sigs" -> (ddMinhashSigs _),
     "llm_dd_minhash_lsh" -> (ddMinhashLsh _),
     "llm_dd_lsh_tuning" -> (ddLshTuning _),
+    "llm_dd_source_sketch_overlap" -> (ddSourceSketchOverlap _),
     "llm_dd_simhash" -> (ddSimhash _),
     "llm_dd_simhash_pairs" -> (ddSimhashPairs _),
     "llm_dd_embedding_near" -> (ddEmbeddingNear _),
@@ -2242,6 +2329,7 @@ object Dedup {
     "llm_dd_minhash_sigs" -> ddMinhashSigsSql,
     "llm_dd_minhash_lsh" -> ddMinhashLshSql,
     "llm_dd_lsh_tuning" -> ddLshTuningSql,
+    "llm_dd_source_sketch_overlap" -> ddSourceSketchOverlapSql,
     "llm_dd_simhash" -> ddSimhashSql,
     "llm_dd_simhash_pairs" -> ddSimhashPairsSql,
     "llm_dd_embedding_near" -> ddEmbeddingNearSql,

@@ -1043,6 +1043,115 @@ object RelationalQueries {
       |CROSS JOIN n
       |ORDER BY segment, priority""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q60: supplier concentration per nation (Herfindahl–Hirschman
+  // index) — the market-concentration audit: HHI = Σ (100·share_s)²
+  // over a nation's suppliers. One corpus pass to (nation, supplier)
+  // revenue grain; every share and HHI term is arithmetic over that
+  // dim-sized table. Share terms are DECIMAL(18,8)-quantized before
+  // the per-nation sum (the JS-divergence pattern) so the fold is
+  // order-insensitive — double share² sums would hash-split engines.
+  def q60SupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"nation", $"l_suppkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast(DecimalType(18, 6))).as("rev"))
+    val natTot = rev.groupBy($"nation").agg(sum($"rev").as("nat_rev"))
+    rev.join(broadcast(natTot), "nation")
+      .select($"nation", $"l_suppkey",
+        (($"rev".cast("double") / $"nat_rev".cast("double")) * 100.0)
+          .as("share_pct"))
+      .groupBy($"nation")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(($"share_pct" * $"share_pct").cast(DecimalType(18, 8)))
+          .cast("double"), 6).as("hhi"))
+      .orderBy($"hhi".desc, $"nation")
+  }
+
+  val q60Sql: String =
+    """WITH sn AS (
+      |  SELECT s_suppkey, n_name AS nation FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey),
+      |rev AS (
+      |  SELECT nation, l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+      |      AS rev
+      |  FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |nt AS (SELECT nation, SUM(rev) AS nat_rev FROM rev GROUP BY 1),
+      |sh AS (
+      |  SELECT r.nation, l_suppkey,
+      |    (CAST(rev AS DOUBLE) / CAST(nat_rev AS DOUBLE)) * 100.0
+      |      AS share_pct
+      |  FROM rev r JOIN nt ON r.nation = nt.nation)
+      |SELECT nation, COUNT(*) AS n_suppliers,
+      |  ROUND(CAST(SUM(CAST(share_pct * share_pct AS DECIMAL(18,8)))
+      |    AS DOUBLE), 6) AS hhi
+      |FROM sh GROUP BY 1 ORDER BY hhi DESC, nation""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q61: Pareto concentration curve — what share of revenue the top
+  // customer deciles carry (the 80/20 audit). Customers aggregate to
+  // revenue grain first (the one fact shuffle), then NTILE(10) ranks
+  // the CUSTOMER-cardinality table — a global window, but over dim
+  // rows, not fact rows (at extreme customer counts the bucketed
+  // prefix-sum pattern of llm_pipeline_budget replaces it; noted, not
+  // needed at dim scale). Revenue stays DECIMAL through both the
+  // decile sums and the cumulative fold; shares are one rounded
+  // division each.
+  def q61ParetoCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
+    val wN = Window.orderBy($"rev".desc, $"o_custkey")
+    val deciled = perCust.withColumn("decile", ntile(10).over(wN))
+    val byDecile = deciled.groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"rev").as("decile_rev"))
+    val tot = broadcast(byDecile.agg(sum($"decile_rev").as("total_rev")))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile.crossJoin(tot)
+      .withColumn("cum_rev", sum($"decile_rev").over(wCum))
+      .select($"decile", $"n_customers",
+        round($"decile_rev".cast("double") / $"total_rev".cast("double"), 6)
+          .as("rev_share"),
+        round($"cum_rev".cast("double") / $"total_rev".cast("double"), 6)
+          .as("cum_share"))
+      .orderBy($"decile")
+  }
+
+  val q61Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |d AS (
+      |  SELECT o_custkey, rev,
+      |    NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      |  FROM pc),
+      |bd AS (
+      |  SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS decile_rev
+      |  FROM d GROUP BY 1),
+      |t AS (SELECT SUM(decile_rev) AS total_rev FROM bd),
+      |c AS (
+      |  SELECT decile, n_customers, decile_rev,
+      |    SUM(decile_rev) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      |  FROM bd)
+      |SELECT decile, n_customers,
+      |  ROUND(CAST(decile_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+      |    AS rev_share,
+      |  ROUND(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+      |    AS cum_share
+      |FROM c CROSS JOIN t ORDER BY decile""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -1072,6 +1181,8 @@ object RelationalQueries {
     "q57_product_profit" -> (q57ProductProfit _),
     "q58_returned_items" -> (q58ReturnedItems _),
     "q59_segment_priority_chisq" -> (q59SegmentPriorityChisq _),
+    "q60_supplier_hhi" -> (q60SupplierHhi _),
+    "q61_pareto_curve" -> (q61ParetoCurve _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1103,5 +1214,7 @@ object RelationalQueries {
     "q57_product_profit" -> q57Sql,
     "q58_returned_items" -> q58Sql,
     "q59_segment_priority_chisq" -> q59Sql,
+    "q60_supplier_hhi" -> q60Sql,
+    "q61_pareto_curve" -> q61Sql,
   )
 }
