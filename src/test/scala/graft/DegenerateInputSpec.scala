@@ -35,6 +35,30 @@ class DegenerateInputSpec extends SparkSpec {
     d
   }
 
+  test("wave-13..18 document/event ops are total on an empty corpus") {
+    import graft.llm.{Dedup, Multimodal, Pipeline, Sampling}
+    // plan-only ops: empty in -> empty out, never an exception/NaN row
+    assert(Pipeline.manifest(spark, emptyDir).collect().isEmpty)
+    assert(Pipeline.compaction(spark, emptyDir).collect().isEmpty)
+    assert(Pipeline.cdcMerge(spark, emptyDir).collect().isEmpty)
+    assert(Sampling.sampleBootstrap(spark, emptyDir).collect().isEmpty)
+    assert(Multimodal.mmMagicRouter(spark, emptyDir).collect().isEmpty)
+    assert(Dedup.ddSourceSketchOverlap(spark, emptyDir).collect().isEmpty)
+    assert(graft.streaming.WindowQueries.stLatenessAudit(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.streaming.WindowQueries.stWindowedDistinct(spark, emptyDir)
+      .collect().isEmpty)
+    // skipping aggregates to a 2-row layout report even when empty; its
+    // rates must be DEFINED (null, from 0/NULL division guarded by the
+    // engine), never NaN
+    val skip = Pipeline.skipping(spark, emptyDir).collect()
+    skip.foreach { r =>
+      assert(r.getLong(1) == 0L, "no files on an empty corpus")
+      assert(r.isNullAt(4) || !r.getDouble(4).isNaN,
+        "skip_rate must never be NaN")
+    }
+  }
+
   test("attrition reports defined zero rates on an empty corpus") {
     val rows = graft.llm.Pipeline.attrition(spark, emptyDir)
       .orderBy("stage").collect()
