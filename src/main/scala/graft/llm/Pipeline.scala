@@ -1354,6 +1354,75 @@ object Pipeline {
        |  CAST(SUM(${h60Sql("text")} % 1000003) AS BIGINT) AS checksum
        |FROM merged GROUP BY 1 ORDER BY action""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_dataset_card: the one-row dataset card a release
+  // ships — corpus size, composition diversity, and duplication rate
+  // in a single verifiable record. Diversity is GINI IMPURITY
+  // (1 − Σ p²) over the lang and source mixes, not Shannon entropy:
+  // polynomial in exact-integer-derived shares, so no new libm-ln
+  // surface enters the hash contract (SURVEY §5.1 pins the existing
+  // four). Σp² terms are DECIMAL(18,12)-quantized before the fold.
+  // Scale shape: two bounded mix groupBys + ONE fingerprint-distinct
+  // shuffle (32-char keys) + the base scan aggregate, joined as 1-row
+  // broadcasts — the card costs one pass over metadata-width columns
+  // at any corpus size.
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      sum($"n_chars").cast("long").as("total_chars"),
+      (sum($"n_chars".cast("decimal(28,6)")).cast("double")
+        / count(lit(1))).as("mean_chars"))
+    val nFp = docs
+      .select(md5(lower(regexp_replace(trim($"text"), "\\s+", " "))).as("fp"))
+      .agg(countDistinct($"fp").as("n_unique"))
+    def gini(keyCol: String) = docs.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as(s"n_$keyCol"),
+        sum($"c").as("tot"),
+        sum((($"c".cast("double") * $"c") .cast("double")).cast("decimal(28,2)"))
+          .cast("double").as("sumsq"))
+      .select(col(s"n_$keyCol"),
+        round(lit(1.0) - $"sumsq" / ($"tot".cast("double") * $"tot"), 6)
+          .as(s"${keyCol}_gini"))
+    base.crossJoin(broadcast(nFp))
+      .crossJoin(broadcast(gini("lang")))
+      .crossJoin(broadcast(gini("source")))
+      .select($"n_docs", $"total_chars", round($"mean_chars", 6).as("mean_chars"),
+        round(lit(1.0) - $"n_unique".cast("double") / $"n_docs", 6)
+          .as("dup_rate"),
+        $"n_lang", $"lang_gini", $"n_source", $"source_gini")
+  }
+
+  val datasetCardSql: String =
+    """WITH base AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+      |      AS mean_chars
+      |  FROM documents),
+      |fp AS (
+      |  SELECT COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))))
+      |    AS n_unique
+      |  FROM documents),
+      |lg AS (
+      |  SELECT COUNT(*) AS n_lang, SUM(c) AS tot,
+      |    CAST(SUM(CAST(CAST(CAST(c AS DOUBLE) * c AS DOUBLE)
+      |      AS DECIMAL(28,2))) AS DOUBLE) AS sumsq
+      |  FROM (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1)),
+      |sg AS (
+      |  SELECT COUNT(*) AS n_source, SUM(c) AS tot,
+      |    CAST(SUM(CAST(CAST(CAST(c AS DOUBLE) * c AS DOUBLE)
+      |      AS DECIMAL(28,2))) AS DOUBLE) AS sumsq
+      |  FROM (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1))
+      |SELECT n_docs, total_chars, ROUND(mean_chars, 6) AS mean_chars,
+      |  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_rate,
+      |  n_lang,
+      |  ROUND(1.0 - lg.sumsq / (CAST(lg.tot AS DOUBLE) * lg.tot), 6)
+      |    AS lang_gini,
+      |  n_source,
+      |  ROUND(1.0 - sg.sumsq / (CAST(sg.tot AS DOUBLE) * sg.tot), 6)
+      |    AS source_gini
+      |FROM base, fp, lg, sg""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_dedup_ledger" -> (dedupLedger _),
     "llm_pipeline_eff_tokens" -> (effTokens _),
@@ -1378,6 +1447,7 @@ object Pipeline {
     "llm_pipeline_skipping" -> (skipping _),
     "llm_pipeline_manifest" -> (manifest _),
     "llm_pipeline_cdc_merge" -> (cdcMerge _),
+    "llm_pipeline_dataset_card" -> (datasetCard _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1404,5 +1474,6 @@ object Pipeline {
     "llm_pipeline_skipping" -> skippingSql,
     "llm_pipeline_manifest" -> manifestSql,
     "llm_pipeline_cdc_merge" -> cdcMergeSql,
+    "llm_pipeline_dataset_card" -> datasetCardSql,
   )
 }
