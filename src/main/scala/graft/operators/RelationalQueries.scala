@@ -1152,6 +1152,116 @@ object RelationalQueries {
       |    AS cum_share
       |FROM c CROSS JOIN t ORDER BY decile""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q62: acquisition-cohort revenue matrix — customers grouped by
+  // first-order quarter, revenue tracked by quarters-since-acquisition
+  // (the cohort retention table every growth dashboard draws). Two
+  // shuffles, both partial-aggregable: orders → per-customer first
+  // quarter (a min), then the (cohort, age) rollup; the cohort
+  // attribute joins back by BROADCAST because the per-customer table
+  // collapses to dim grain before the join. Quarter arithmetic is
+  // integer (year·4 + quarter), so ages are exact.
+  def q62CohortRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_totalprice",
+        (year($"o_orderdate") * 4 + quarter($"o_orderdate") - 1).as("q_idx"))
+    val firstQ = o.groupBy($"o_custkey".as("fc_cust"))
+      .agg(min($"q_idx").as("cohort_q"))
+    o.join(broadcast(firstQ), $"o_custkey" === $"fc_cust")
+      .groupBy($"cohort_q", ($"q_idx" - $"cohort_q").as("quarters_since"))
+      .agg(countDistinct($"o_custkey").as("n_active"),
+        count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("revenue"))
+      .orderBy($"cohort_q", $"quarters_since")
+  }
+
+  val q62Sql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_totalprice,
+       |    CAST(year(o_orderdate) AS INT) * 4 + CAST(quarter(o_orderdate) AS INT) - 1
+       |      AS q_idx
+       |  FROM orders),
+       |fq AS (SELECT o_custkey AS fc_cust, MIN(q_idx) AS cohort_q
+       |  FROM o GROUP BY 1)
+       |SELECT cohort_q, q_idx - cohort_q AS quarters_since,
+       |  COUNT(DISTINCT o_custkey) AS n_active,
+       |  COUNT(*) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS revenue
+       |FROM o JOIN fq ON o_custkey = fc_cust
+       |GROUP BY 1, 2 ORDER BY cohort_q, quarters_since""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q63: market-basket association rules at part-TYPE grain — support,
+  // confidence, and lift for "orders containing type A also contain
+  // type B". Type grain keeps the co-occurrence matrix bounded (6² —
+  // item-grain mining needs a support-threshold prune FIRST, the
+  // a-priori step, then this same plan over surviving items). One fact
+  // pass to DISTINCT (order, type) — map-side dedup — then the
+  // per-order pair expansion is ≤ 6²/2 rows per order, a generator
+  // not a shuffle. Lift's P(a)·P(b) product is exact-integer-derived
+  // double division, identical in both engines.
+  def q63MarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ONE corpus shuffle total: dedup-to-set and grouping fuse into a
+    // single collect_set aggregation at order grain (a separate
+    // DISTINCT pays its own full shuffle first; a self-join pays two
+    // and replays the subtree — Spark does not dedupe common
+    // subplans, the ddMinhashLsh lesson). The order-grain table is
+    // materialized once for its three consumers (pair expansion, type
+    // marginals, order count); per-order sets are ≤ |type vocabulary|
+    // so both the aggregation buffer and the explode² expansion are
+    // bounded.
+    val byOrder = Tables.materialize(Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_type")), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_orderkey")
+      .agg(collect_set($"p_type").as("types")))
+    val nOrders = broadcast(byOrder.agg(count(lit(1)).as("n_orders")))
+    val typeN = byOrder.select(explode($"types").as("p_type"))
+      .groupBy($"p_type").agg(count(lit(1)).as("n_type"))
+    val pairs = byOrder
+      .select(explode($"types").as("type_a"), $"types")
+      .select($"type_a", explode($"types").as("type_b"))
+      .filter($"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(typeN.select($"p_type".as("type_a"), $"n_type".as("na"))),
+        "type_a")
+      .join(broadcast(typeN.select($"p_type".as("type_b"), $"n_type".as("nb"))),
+        "type_b")
+      .crossJoin(nOrders)
+      .select($"type_a", $"type_b", $"n_both",
+        round($"n_both".cast("double") / $"n_orders", 6).as("support"),
+        round($"n_both".cast("double") / $"na", 6).as("confidence"),
+        round(($"n_both".cast("double") * $"n_orders")
+          / ($"na".cast("double") * $"nb"), 6).as("lift"))
+      .orderBy($"lift".desc, $"type_a", $"type_b")
+  }
+
+  val q63Sql: String =
+    """WITH ot AS (
+      |  SELECT DISTINCT l_orderkey, p_type
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ot),
+      |tn AS (SELECT p_type, COUNT(*) AS n_type FROM ot GROUP BY 1),
+      |pr AS (
+      |  SELECT a.p_type AS type_a, b.p_type AS type_b, COUNT(*) AS n_both
+      |  FROM ot a JOIN ot b
+      |    ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both,
+      |  ROUND(CAST(n_both AS DOUBLE) / n_orders, 6) AS support,
+      |  ROUND(CAST(n_both AS DOUBLE) / ta.n_type, 6) AS confidence,
+      |  ROUND((CAST(n_both AS DOUBLE) * n_orders)
+      |    / (CAST(ta.n_type AS DOUBLE) * tb.n_type), 6) AS lift
+      |FROM pr
+      |JOIN tn ta ON type_a = ta.p_type
+      |JOIN tn tb ON type_b = tb.p_type
+      |CROSS JOIN n
+      |ORDER BY lift DESC, type_a, type_b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -1183,6 +1293,8 @@ object RelationalQueries {
     "q59_segment_priority_chisq" -> (q59SegmentPriorityChisq _),
     "q60_supplier_hhi" -> (q60SupplierHhi _),
     "q61_pareto_curve" -> (q61ParetoCurve _),
+    "q62_cohort_revenue" -> (q62CohortRevenue _),
+    "q63_market_basket" -> (q63MarketBasket _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1216,5 +1328,7 @@ object RelationalQueries {
     "q59_segment_priority_chisq" -> q59Sql,
     "q60_supplier_hhi" -> q60Sql,
     "q61_pareto_curve" -> q61Sql,
+    "q62_cohort_revenue" -> q62Sql,
+    "q63_market_basket" -> q63Sql,
   )
 }
