@@ -374,6 +374,8 @@ object Graph {
   // the node-cardinality label table — bucket edges by src at cluster
   // scale and only labels move.
   private val CcIters = 6
+  /** Exposed for PlanSpec's linear-lineage guard. */
+  private[graft] def ccItersForSpec: Int = CcIters
 
   private def regionEdges(spark: SparkSession, dir: String): DataFrame =
     Tables.sessionCached(spark, Tables.stamped(spark, dir, "graph_region_edges")) {

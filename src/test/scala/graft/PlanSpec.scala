@@ -680,6 +680,36 @@ class PlanSpec extends SparkSpec {
       "dim join must not shuffle the stream side:\n" + plan.take(700))
   }
 
+  test("market basket reads the materialized order-set table, never a corpus self-join") {
+    val plan = planOf(RelationalQueries.q63MarketBasket(spark, sf0001))
+    assert(plan.contains("ExistingRDD"),
+      "order-set table must be materialized once:\n" + plan.take(700))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "pair expansion must be the in-group explode, not a join:\n"
+        + plan.take(900))
+  }
+
+  test("graph cc keeps linear lineage: one edge read per iteration, no cartesian") {
+    val plan = planOf(graft.llm.Graph.cc(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    val edgeReads = plan.split("\n").count(_.contains("ExistingRDD"))
+    // 6 propagation iterations + the initial label derivation read the
+    // materialized edge table; a self-union regression would double
+    // reads per iteration (2^k growth)
+    assert(edgeReads <= graft.llm.Graph.ccItersForSpec + 1,
+      s"expected <=${graft.llm.Graph.ccItersForSpec + 1} edge reads, " +
+        s"got $edgeReads:\n" + plan.take(900))
+  }
+
+  test("source sketch overlap broadcasts sketches; only the exact side shuffles") {
+    val plan = planOf(graft.llm.Dedup.ddSourceSketchOverlap(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin")
+        || plan.contains("BroadcastHashJoin"),
+      "sketch pairing must broadcast the source-cardinality sigs:\n"
+        + plan.take(900))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
   test("ewma windows and lag-join stay keyed on the series, no single partition") {
     val plan = planOf(graft.operators.BenchQueries.ewma(spark, sf0001))
     val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
