@@ -539,7 +539,58 @@ object Sampling {
        |FROM ww GROUP BY rep ORDER BY rep""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_sample_kfold: deterministic k-fold cross-validation assignment
+  // + fold-balance audit. Fold = content-hash mod k (re-runnable on
+  // any engine, stable under repartition — the property sklearn-style
+  // random splits lose at corpus scale), but keyed on the DUPLICATE
+  // CLUSTER like llm_pipeline_split, so near-duplicates share a fold
+  // and no fold leaks into another's validation turn. The audit output
+  // is the per-fold row/source balance a CV run checks before trusting
+  // fold variance: n_docs, n_sources, share of the corpus, and the
+  // max single-source share inside the fold (a fold owned by one
+  // source invalidates the variance estimate). Scale shape: cluster
+  // ids ride the session-cached dedup artifact; the audit is one
+  // bounded (fold, source) groupBy.
+  def sampleKfold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val folds = Dedup.ddCluster(spark, dir)
+      .select($"doc_id", (h60($"cluster_id".cast("string")) % 5).as("fold"))
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val perFoldSrc = docs.join(folds, "doc_id")
+      .groupBy($"fold", $"source").agg(count(lit(1)).as("c"))
+    val tot = broadcast(perFoldSrc.agg(sum($"c").as("n_total")))
+    perFoldSrc
+      .groupBy($"fold")
+      .agg(sum($"c").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max($"c").as("max_src"))
+      .crossJoin(tot)
+      .select($"fold", $"n_docs", $"n_sources",
+        round($"n_docs".cast("double") / $"n_total", 6).as("corpus_share"),
+        round($"max_src".cast("double") / $"n_docs", 6).as("max_source_share"))
+      .orderBy($"fold")
+  }
+
+  val sampleKfoldSql: String =
+    s"""WITH cl AS (${Dedup.ddClusterSql}),
+       |f AS (
+       |  SELECT doc_id, ${h60Sql("CAST(cluster_id AS VARCHAR)")} % 5 AS fold
+       |  FROM cl),
+       |pf AS (
+       |  SELECT fold, source, COUNT(*) AS c
+       |  FROM documents JOIN f USING (doc_id)
+       |  GROUP BY 1, 2),
+       |t AS (SELECT SUM(c) AS n_total FROM pf)
+       |SELECT fold, CAST(SUM(c) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_sources,
+       |  ROUND(CAST(SUM(c) AS DOUBLE) / n_total, 6) AS corpus_share,
+       |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS max_source_share
+       |FROM pf CROSS JOIN t
+       |GROUP BY fold, n_total ORDER BY fold""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_kfold" -> (sampleKfold _),
     "llm_sample_bootstrap" -> (sampleBootstrap _),
     "llm_sample_es_topk" -> (sampleEsTopK _),
     "llm_sample_hash" -> (sampleHash _),
@@ -553,6 +604,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_kfold" -> sampleKfoldSql,
     "llm_sample_bootstrap" -> sampleBootstrapSql,
     "llm_sample_es_topk" -> sampleEsTopKSql,
     "llm_sample_hash" -> sampleHashSql,
