@@ -1297,7 +1297,12 @@ object Pipeline {
   // bucketing); at 100 TB the write side rewrites only
   // partition-pruned files — the read-side plan here is the whole
   // algorithm.
-  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+  /** Rows of the CDC-merged state, tagged with the MERGE action that
+    * produced each ('delete' rows are the removed base rows, kept for
+    * reporting — consumers of the post-merge TABLE filter them out).
+    * Shared by [[cdcMerge]] (the action summary) and [[manifestDiff]]
+    * (the metadata-level snapshot compare). */
+  private def cdcMerged(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, dir).select($"doc_id", $"text")
     val changes = base.select($"doc_id", $"text",
@@ -1319,40 +1324,110 @@ object Pipeline {
     val deleted = base.join(del, Seq("doc_id"), "left_semi")
       .select($"doc_id", $"text", lit("delete").as("action"))
     survivors.unionByName(ins).unionByName(deleted)
+  }
+
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cdcMerged(spark, dir)
       .groupBy($"action")
       .agg(count(lit(1)).as("n_rows"),
         sum(h60($"text") % 1000003L).cast("long").as("checksum"))
       .orderBy($"action")
   }
 
+  /** The merged-state CTE chain shared by cdcMergeSql / manifestDiffSql. */
+  private val cdcMergedCte: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |ch AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 11 = 3 THEN 'delete'
+      |      WHEN doc_id % 7 = 0 THEN 'update'
+      |      WHEN doc_id % 13 = 1 THEN 'insert' END AS op
+      |  FROM base
+      |  WHERE doc_id % 11 = 3 OR doc_id % 7 = 0 OR doc_id % 13 = 1),
+      |upd AS (SELECT doc_id AS u_id, text || ' [rev2]' AS new_text
+      |  FROM ch WHERE op = 'update'),
+      |del AS (SELECT doc_id FROM ch WHERE op = 'delete'),
+      |merged AS (
+      |  SELECT b.doc_id, COALESCE(u.new_text, b.text) AS text,
+      |    CASE WHEN u.new_text IS NOT NULL THEN 'update'
+      |      ELSE 'unchanged' END AS action
+      |  FROM base b
+      |  LEFT JOIN upd u ON b.doc_id = u.u_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.doc_id = b.doc_id)
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'new:' || text, 'insert'
+      |  FROM ch WHERE op = 'insert'
+      |  UNION ALL
+      |  SELECT b.doc_id, b.text, 'delete'
+      |  FROM base b JOIN del d ON b.doc_id = d.doc_id)""".stripMargin
+
   val cdcMergeSql: String =
-    s"""WITH base AS (SELECT doc_id, text FROM documents),
-       |ch AS (
-       |  SELECT doc_id, text,
-       |    CASE WHEN doc_id % 11 = 3 THEN 'delete'
-       |      WHEN doc_id % 7 = 0 THEN 'update'
-       |      WHEN doc_id % 13 = 1 THEN 'insert' END AS op
-       |  FROM base
-       |  WHERE doc_id % 11 = 3 OR doc_id % 7 = 0 OR doc_id % 13 = 1),
-       |upd AS (SELECT doc_id AS u_id, text || ' [rev2]' AS new_text
-       |  FROM ch WHERE op = 'update'),
-       |del AS (SELECT doc_id FROM ch WHERE op = 'delete'),
-       |merged AS (
-       |  SELECT b.doc_id, COALESCE(u.new_text, b.text) AS text,
-       |    CASE WHEN u.new_text IS NOT NULL THEN 'update'
-       |      ELSE 'unchanged' END AS action
-       |  FROM base b
-       |  LEFT JOIN upd u ON b.doc_id = u.u_id
-       |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.doc_id = b.doc_id)
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, 'new:' || text, 'insert'
-       |  FROM ch WHERE op = 'insert'
-       |  UNION ALL
-       |  SELECT b.doc_id, b.text, 'delete'
-       |  FROM base b JOIN del d ON b.doc_id = d.doc_id)
+    s"""$cdcMergedCte
        |SELECT action, COUNT(*) AS n_rows,
        |  CAST(SUM(${h60Sql("text")} % 1000003) AS BIGINT) AS checksum
        |FROM merged GROUP BY 1 ORDER BY action""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_pipeline_manifest_diff: metadata-level snapshot reconciliation
+  // — compare the BASE table's per-file manifest against the
+  // CDC-merged state's, file by file, without reading either table's
+  // data a second time past the manifest build: this is how an
+  // incremental consumer discovers WHICH files changed (and how much)
+  // before deciding what to reprocess. Files key on the same
+  // h60(doc_id) % 32 layout as llm_pipeline_manifest; the
+  // order-insensitive checksum makes "changed" a pure equality test.
+  // FULL OUTER join of the two 32-row manifests — added files (CDC
+  // inserts land in new id space), removed, changed, unchanged all
+  // fall out of null/equality patterns. Scale shape: two
+  // partial-aggregable file groupBys + a metadata-sized outer join.
+  def manifestDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def manifestOf(rows: DataFrame) = rows
+      .select((h60($"doc_id".cast("string")) % 32).as("file_id"),
+        (h60($"text") % 1000003L).as("row_hash"))
+      .groupBy($"file_id")
+      .agg(count(lit(1)).as("n_rows"), sum($"row_hash").cast("long").as("cs"))
+    val before = manifestOf(
+      Tables.documents(spark, dir).select($"doc_id", $"text"))
+      .select($"file_id", $"n_rows".as("rows_before"), $"cs".as("cs_before"))
+    val after = manifestOf(
+      cdcMerged(spark, dir).filter($"action" =!= "delete")
+        .select($"doc_id", $"text"))
+      .select($"file_id".as("a_file"), $"n_rows".as("rows_after"),
+        $"cs".as("cs_after"))
+    before.join(after, $"file_id" === $"a_file", "full_outer")
+      .select(coalesce($"file_id", $"a_file").as("file_id"),
+        coalesce($"rows_before", lit(0L)).as("rows_before"),
+        coalesce($"rows_after", lit(0L)).as("rows_after"),
+        when($"cs_before".isNull, "added")
+          .when($"cs_after".isNull, "removed")
+          .when($"cs_before" === $"cs_after", "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy($"file_id")
+  }
+
+  val manifestDiffSql: String =
+    s"""$cdcMergedCte,
+       |mb AS (
+       |  SELECT ${h60Sql("CAST(doc_id AS VARCHAR)")} % 32 AS file_id,
+       |    COUNT(*) AS rows_before,
+       |    CAST(SUM(${h60Sql("text")} % 1000003) AS BIGINT) AS cs_before
+       |  FROM base GROUP BY 1),
+       |ma AS (
+       |  SELECT ${h60Sql("CAST(doc_id AS VARCHAR)")} % 32 AS a_file,
+       |    COUNT(*) AS rows_after,
+       |    CAST(SUM(${h60Sql("text")} % 1000003) AS BIGINT) AS cs_after
+       |  FROM merged WHERE action <> 'delete' GROUP BY 1)
+       |SELECT COALESCE(file_id, a_file) AS file_id,
+       |  COALESCE(rows_before, 0) AS rows_before,
+       |  COALESCE(rows_after, 0) AS rows_after,
+       |  CASE WHEN cs_before IS NULL THEN 'added'
+       |    WHEN cs_after IS NULL THEN 'removed'
+       |    WHEN cs_before = cs_after THEN 'unchanged'
+       |    ELSE 'changed' END AS status
+       |FROM mb FULL OUTER JOIN ma ON file_id = a_file
+       |ORDER BY file_id""".stripMargin
 
   // --------------------------------------------------------------------
   // llm_pipeline_dataset_card: the one-row dataset card a release
@@ -1448,6 +1523,7 @@ object Pipeline {
     "llm_pipeline_manifest" -> (manifest _),
     "llm_pipeline_cdc_merge" -> (cdcMerge _),
     "llm_pipeline_dataset_card" -> (datasetCard _),
+    "llm_pipeline_manifest_diff" -> (manifestDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1475,5 +1551,6 @@ object Pipeline {
     "llm_pipeline_manifest" -> manifestSql,
     "llm_pipeline_cdc_merge" -> cdcMergeSql,
     "llm_pipeline_dataset_card" -> datasetCardSql,
+    "llm_pipeline_manifest_diff" -> manifestDiffSql,
   )
 }

@@ -1262,6 +1262,64 @@ object RelationalQueries {
       |CROSS JOIN n
       |ORDER BY lift DESC, type_a, type_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q64: supplier return-rate ranking by Wilson lower bound — the
+  // small-sample-safe way to rank rare-event rates (a supplier with
+  // 1/2 returns must not outrank one with 40/100): rank on the 95%
+  // Wilson score interval's lower bound, not the raw proportion.
+  // Formula uses +, ×, ÷, sqrt only — all correctly-rounded IEEE ops,
+  // so unlike ln() this adds NO cross-engine fragility (z = 1.96 as a
+  // shared literal). One partial-aggregable fact groupBy to supplier
+  // grain; the ranking is a TakeOrderedAndProject top-15.
+  def q64SupplierReliability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val z2 = 1.96 * 1.96
+    val per = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("n_returns"))
+    val n = $"n_lines".cast("double")
+    val p = $"n_returns".cast("double") / n
+    val center = p + lit(z2) / (lit(2.0) * n)
+    val margin = lit(1.96) * sqrt(
+      (p * (lit(1.0) - p) + lit(z2) / (lit(4.0) * n)) / n)
+    val denom = lit(1.0) + lit(z2) / n
+    per
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"n_lines", $"n_returns",
+        round(p, 6).as("raw_rate"),
+        round((center - margin) / denom, 6).as("wilson_lb"))
+      .orderBy($"wilson_lb".desc, $"s_suppkey")
+      .limit(15)
+  }
+
+  val q64Sql: String =
+    """WITH per AS (
+      |  SELECT l_suppkey, COUNT(*) AS n_lines,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returns
+      |  FROM lineitem GROUP BY 1),
+      |w AS (
+      |  SELECT l_suppkey, n_lines, n_returns,
+      |    CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p,
+      |    CAST(n_lines AS DOUBLE) AS n
+      |  FROM per)
+      |SELECT s_suppkey, s_name, n_lines, n_returns,
+      |  ROUND(p, 6) AS raw_rate,
+      |  -- z and z² forced to DOUBLE: bare 1.96*1.96 is exact DECIMAL
+      |  -- 3.8416 in DuckDB, which converts to a DIFFERENT double than
+      |  -- the IEEE product 1.96*1.96 both engines must share
+      |  ROUND(((p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+      |        / (CAST(2.0 AS DOUBLE) * n))
+      |      - CAST(1.96 AS DOUBLE)
+      |        * sqrt((p * (CAST(1.0 AS DOUBLE) - p)
+      |          + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+      |            / (CAST(4.0 AS DOUBLE) * n)) / n))
+      |    / (CAST(1.0 AS DOUBLE)
+      |      + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n), 6)
+      |    AS wilson_lb
+      |FROM w JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY wilson_lb DESC, s_suppkey LIMIT 15""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -1295,6 +1353,7 @@ object RelationalQueries {
     "q61_pareto_curve" -> (q61ParetoCurve _),
     "q62_cohort_revenue" -> (q62CohortRevenue _),
     "q63_market_basket" -> (q63MarketBasket _),
+    "q64_supplier_reliability" -> (q64SupplierReliability _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1330,5 +1389,6 @@ object RelationalQueries {
     "q61_pareto_curve" -> q61Sql,
     "q62_cohort_revenue" -> q62Sql,
     "q63_market_basket" -> q63Sql,
+    "q64_supplier_reliability" -> q64Sql,
   )
 }
