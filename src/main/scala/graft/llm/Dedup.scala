@@ -532,6 +532,38 @@ object Dedup {
        |ORDER BY exact_jaccard DESC, e.source_a, e.source_b""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_dd_hash_collision_audit: the audit that JUSTIFIES hash-keyed
+  // dedup — if h60 collided on non-identical content, every
+  // hash-grouped operator in this family would silently merge
+  // distinct documents. Count distinct normalized texts vs distinct
+  // 60-bit hashes (birthday bound: ~n²/2^61 expected collisions — 0
+  // until corpora reach ~10^9 docs, at which point the audit's
+  // nonzero row is the signal to widen to 128-bit). One pass, two
+  // count-distincts sharing the scan; collisions = the difference.
+  def ddHashCollisionAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(lower(regexp_replace(trim($"text"), "\\s+", " ")).as("norm"))
+      .select($"norm", h60($"norm").as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"norm").as("n_distinct_text"),
+        countDistinct($"h").as("n_distinct_hash"))
+      .select($"n_docs", $"n_distinct_text", $"n_distinct_hash",
+        ($"n_distinct_text" - $"n_distinct_hash").as("n_collisions"))
+  }
+
+  val ddHashCollisionAuditSql: String =
+    s"""WITH t AS (
+       |  SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |h AS (SELECT norm, ${h60Sql("norm")} AS h FROM t)
+       |SELECT COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT norm) AS n_distinct_text,
+       |  COUNT(DISTINCT h) AS n_distinct_hash,
+       |  COUNT(DISTINCT norm) - COUNT(DISTINCT h) AS n_collisions
+       |FROM h""".stripMargin
+
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Candidates via groupBy(band, key) + in-group combinations rather
@@ -2297,6 +2329,7 @@ object Dedup {
     "llm_dd_minhash_lsh" -> (ddMinhashLsh _),
     "llm_dd_lsh_tuning" -> (ddLshTuning _),
     "llm_dd_source_sketch_overlap" -> (ddSourceSketchOverlap _),
+    "llm_dd_hash_collision_audit" -> (ddHashCollisionAudit _),
     "llm_dd_simhash" -> (ddSimhash _),
     "llm_dd_simhash_pairs" -> (ddSimhashPairs _),
     "llm_dd_embedding_near" -> (ddEmbeddingNear _),
@@ -2330,6 +2363,7 @@ object Dedup {
     "llm_dd_minhash_lsh" -> ddMinhashLshSql,
     "llm_dd_lsh_tuning" -> ddLshTuningSql,
     "llm_dd_source_sketch_overlap" -> ddSourceSketchOverlapSql,
+    "llm_dd_hash_collision_audit" -> ddHashCollisionAuditSql,
     "llm_dd_simhash" -> ddSimhashSql,
     "llm_dd_simhash_pairs" -> ddSimhashPairsSql,
     "llm_dd_embedding_near" -> ddEmbeddingNearSql,

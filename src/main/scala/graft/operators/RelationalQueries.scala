@@ -1320,6 +1320,58 @@ object RelationalQueries {
       |FROM w JOIN supplier ON l_suppkey = s_suppkey
       |ORDER BY wilson_lb DESC, s_suppkey LIMIT 15""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q65: grouped OLS — discount elasticity of quantity per part type:
+  // slope = cov(discount, qty) / var(discount) and intercept, fit
+  // independently for every group in ONE pass. The moments
+  // (Σx, Σy, Σxy, Σx², n) are each an exact DECIMAL sum (the inputs
+  // are 2-dp discounts and integral quantities, so every product is
+  // exact in DECIMAL(28,8) and the aggregation is order-insensitive);
+  // the slope/intercept divisions are the only floating ops, applied
+  // once per group. This is the per-segment regression pattern that
+  // at 100 TB replaces "collect and sklearn": moments partial-agg
+  // map-side, model solves are group-count-sized arithmetic.
+  def q65DiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_type")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_discount".cast(DecimalType(28, 8))).as("sx"),
+        sum($"l_quantity".cast(DecimalType(28, 8))).as("sy"),
+        sum(($"l_discount" * $"l_quantity").cast(DecimalType(28, 8))).as("sxy"),
+        sum(($"l_discount" * $"l_discount").cast(DecimalType(28, 8))).as("sxx"))
+    val n = $"n".cast("double")
+    val sx = $"sx".cast("double")
+    val sy = $"sy".cast("double")
+    val cov = $"sxy".cast("double") - sx * sy / n
+    val varx = $"sxx".cast("double") - sx * sx / n
+    m.select($"p_type", $"n",
+        round(cov / varx, 6).as("slope"),
+        round(sy / n - (cov / varx) * (sx / n), 6).as("intercept"))
+      .orderBy($"p_type")
+  }
+
+  val q65Sql: String =
+    """WITH m AS (
+      |  SELECT p_type, COUNT(*) AS n,
+      |    SUM(CAST(l_discount AS DECIMAL(28,8))) AS sx,
+      |    SUM(CAST(l_quantity AS DECIMAL(28,8))) AS sy,
+      |    SUM(CAST(l_discount * l_quantity AS DECIMAL(28,8))) AS sxy,
+      |    SUM(CAST(l_discount * l_discount AS DECIMAL(28,8))) AS sxx
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1)
+      |SELECT p_type, n,
+      |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |    AS slope,
+      |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS intercept
+      |FROM m ORDER BY p_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -1354,6 +1406,7 @@ object RelationalQueries {
     "q62_cohort_revenue" -> (q62CohortRevenue _),
     "q63_market_basket" -> (q63MarketBasket _),
     "q64_supplier_reliability" -> (q64SupplierReliability _),
+    "q65_discount_elasticity" -> (q65DiscountElasticity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1390,5 +1443,6 @@ object RelationalQueries {
     "q62_cohort_revenue" -> q62Sql,
     "q63_market_basket" -> q63Sql,
     "q64_supplier_reliability" -> q64Sql,
+    "q65_discount_elasticity" -> q65Sql,
   )
 }
