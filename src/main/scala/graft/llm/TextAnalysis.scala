@@ -2032,7 +2032,81 @@ object TextAnalysis {
       |SELECT term, CAST(rank AS INT) AS rank, doc_id, tf
       |FROM ranked WHERE rank <= 5 ORDER BY term, rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_rater_agreement: Cohen's kappa between two independent
+  // quality "annotators" — the Gopher hard-rule gate and the
+  // calibrated-score gate (quality ≥ 0.5) — the agreement statistic a
+  // curation team computes before trusting either gate as ground
+  // truth (raw agreement overstates consensus when both gates keep
+  // most documents; kappa subtracts chance agreement from the
+  // marginals). One join of the two per-doc verdicts on doc_id, then
+  // a 1-row confusion aggregate; all probabilities are exact-integer
+  // ratios. The 1−pe=0 degenerate case (both gates constant) is
+  // defined as kappa = 1 when they also agree, 0 otherwise — guarded
+  // identically in both engines, never NaN.
+  def taRaterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = taGopherRules(spark, dir).select($"doc_id", $"keep".as("keep_a"))
+    val b = taQuality(spark, dir)
+      .select($"doc_id", ($"quality" >= 0.5).as("keep_b"))
+    val conf = a.join(b, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep_a" && $"keep_b", 1L).otherwise(0L)).as("n_both_keep"),
+        sum(when(!$"keep_a" && !$"keep_b", 1L).otherwise(0L)).as("n_both_drop"),
+        sum(when($"keep_a" && !$"keep_b", 1L).otherwise(0L)).as("n_only_gopher"),
+        sum(when(!$"keep_a" && $"keep_b", 1L).otherwise(0L)).as("n_only_quality"))
+    val n = $"n_docs".cast("double")
+    val po = ($"n_both_keep" + $"n_both_drop").cast("double") / n
+    val pa = ($"n_both_keep" + $"n_only_gopher").cast("double") / n
+    val pb = ($"n_both_keep" + $"n_only_quality").cast("double") / n
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    conf.select($"n_docs", $"n_both_keep", $"n_both_drop",
+      $"n_only_gopher", $"n_only_quality",
+      round(po, 6).as("p_observed"), round(pe, 6).as("p_expected"),
+      when(lit(1.0) - pe === 0.0, when(po === 1.0, 1.0).otherwise(0.0))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  val taRaterAgreementSql: String =
+    s"""WITH ga AS (SELECT doc_id, keep AS keep_a FROM ($taGopherRulesSql)),
+       |qa AS (SELECT doc_id, quality >= 0.5 AS keep_b FROM ($taQualitySql)),
+       |c AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    SUM(CASE WHEN keep_a AND keep_b THEN 1 ELSE 0 END) AS n_both_keep,
+       |    SUM(CASE WHEN NOT keep_a AND NOT keep_b THEN 1 ELSE 0 END)
+       |      AS n_both_drop,
+       |    SUM(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END)
+       |      AS n_only_gopher,
+       |    SUM(CASE WHEN NOT keep_a AND keep_b THEN 1 ELSE 0 END)
+       |      AS n_only_quality
+       |  FROM ga JOIN qa USING (doc_id)),
+       |p AS (
+       |  SELECT *,
+       |    CAST(n_both_keep + n_both_drop AS DOUBLE) / n_docs AS po,
+       |    CAST(n_both_keep + n_only_gopher AS DOUBLE) / n_docs AS pa,
+       |    CAST(n_both_keep + n_only_quality AS DOUBLE) / n_docs AS pb
+       |  FROM c)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_both_keep AS BIGINT) AS n_both_keep,
+       |  CAST(n_both_drop AS BIGINT) AS n_both_drop,
+       |  CAST(n_only_gopher AS BIGINT) AS n_only_gopher,
+       |  CAST(n_only_quality AS BIGINT) AS n_only_quality,
+       |  ROUND(po, 6) AS p_observed,
+       |  ROUND(pa * pb + (CAST(1.0 AS DOUBLE) - pa)
+       |    * (CAST(1.0 AS DOUBLE) - pb), 6) AS p_expected,
+       |  CASE WHEN CAST(1.0 AS DOUBLE)
+       |      - (pa * pb + (CAST(1.0 AS DOUBLE) - pa)
+       |        * (CAST(1.0 AS DOUBLE) - pb)) = 0.0
+       |    THEN CASE WHEN po = 1.0 THEN 1.0 ELSE 0.0 END
+       |    ELSE ROUND((po - (pa * pb + (CAST(1.0 AS DOUBLE) - pa)
+       |        * (CAST(1.0 AS DOUBLE) - pb)))
+       |      / (CAST(1.0 AS DOUBLE)
+       |        - (pa * pb + (CAST(1.0 AS DOUBLE) - pa)
+       |          * (CAST(1.0 AS DOUBLE) - pb))), 6) END AS kappa
+       |FROM p""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_rater_agreement" -> (taRaterAgreement _),
     "llm_ta_inverted_index" -> (taInvertedIndex _),
     "llm_ta_heavy_hitters" -> (taHeavyHitters _),
     "llm_ta_code_detect" -> (taCodeDetect _),
@@ -2072,6 +2146,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_rater_agreement" -> taRaterAgreementSql,
     "llm_ta_inverted_index" -> taInvertedIndexSql,
     "llm_ta_heavy_hitters" -> taHeavyHittersSql,
     "llm_ta_code_detect" -> taCodeDetectSql,
