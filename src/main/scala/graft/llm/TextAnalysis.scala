@@ -2105,7 +2105,62 @@ object TextAnalysis {
        |          * (CAST(1.0 AS DOUBLE) - pb))), 6) END AS kappa
        |FROM p""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_burstiness: term burstiness (Church–Gale) — the
+  // variance-to-mean ratio of a term's per-document counts over the
+  // WHOLE corpus (absent docs count as 0 via the n_docs-aware moment
+  // identity, no dense join needed): VMR ≈ 1 is Poisson-like function
+  // words, VMR ≫ 1 is topical/bursty content words. The signal that
+  // separates "frequent because everywhere" from "frequent because
+  // concentrated" — which stopword-style df ranking can't. Moments
+  // are exact integer sums (Σc, Σc² per term) over the (doc, term)
+  // table; mean/variance derive arithmetically with the zero-docs
+  // correction (Σ over all N docs = Σ over present docs since absent
+  // contribute 0). One partial-aggregable (doc,term) groupBy + a
+  // vocab-bounded term groupBy.
+  def taBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("c"))
+    val m = tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"),
+        sum($"c").cast("long").as("sc"),
+        sum($"c" * $"c").cast("long").as("scc"))
+    val n = $"n_docs".cast("double")
+    val mean = $"sc".cast("double") / n
+    val variance = $"scc".cast("double") / n - mean * mean
+    m.crossJoin(nDocs)
+      .select($"term", $"df", $"sc".as("total_count"),
+        round(mean, 6).as("mean_per_doc"),
+        round(variance / mean, 6).as("vmr"))
+      .orderBy($"vmr".desc, $"term")
+  }
+
+  val taBurstinessSql: String =
+    """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |tf AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |g AS (SELECT doc_id, term, COUNT(*) AS c FROM tf GROUP BY 1, 2),
+      |m AS (
+      |  SELECT term, COUNT(*) AS df,
+      |    CAST(SUM(c) AS BIGINT) AS sc,
+      |    CAST(SUM(c * c) AS BIGINT) AS scc
+      |  FROM g GROUP BY 1)
+      |SELECT term, df, sc AS total_count,
+      |  ROUND(CAST(sc AS DOUBLE) / n_docs, 6) AS mean_per_doc,
+      |  ROUND((CAST(scc AS DOUBLE) / n_docs
+      |      - (CAST(sc AS DOUBLE) / n_docs) * (CAST(sc AS DOUBLE) / n_docs))
+      |    / (CAST(sc AS DOUBLE) / n_docs), 6) AS vmr
+      |FROM m CROSS JOIN n
+      |ORDER BY vmr DESC, term""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_burstiness" -> (taBurstiness _),
     "llm_ta_rater_agreement" -> (taRaterAgreement _),
     "llm_ta_inverted_index" -> (taInvertedIndex _),
     "llm_ta_heavy_hitters" -> (taHeavyHitters _),
@@ -2146,6 +2201,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_burstiness" -> taBurstinessSql,
     "llm_ta_rater_agreement" -> taRaterAgreementSql,
     "llm_ta_inverted_index" -> taInvertedIndexSql,
     "llm_ta_heavy_hitters" -> taHeavyHittersSql,

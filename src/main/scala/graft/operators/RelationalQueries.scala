@@ -1372,6 +1372,64 @@ object RelationalQueries {
       |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS intercept
       |FROM m ORDER BY p_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q66: customer value-quartile migration — each customer's revenue
+  // quartile in the early period (≤1997) vs the late period (≥1998),
+  // cross-tabulated into the 5×5 upgrade/churn matrix (quartile 0 =
+  // inactive that period). The longitudinal-segmentation shape: two
+  // period aggregates at customer grain, each quartiled by NTILE over
+  // DIM-cardinality rows, FULL OUTER joined on customer (absence in a
+  // period is a real state, not a dropped row), then a bounded matrix
+  // groupBy. At 100 TB both period aggregates shuffle the fact once
+  // on custkey — with date partition pruning each reads only its
+  // period's partitions.
+  def q66QuartileMigration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def periodQuartile(from: String, to: String, qcol: String) = {
+      val rev = Tables.orders(spark, dir)
+        .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf(from))
+          && $"o_orderdate" < lit(java.sql.Timestamp.valueOf(to)))
+        .groupBy($"o_custkey")
+        .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
+      rev.withColumn(qcol,
+        ntile(4).over(Window.orderBy($"rev".desc, $"o_custkey")))
+    }
+    val early = periodQuartile("1995-01-01 00:00:00", "1998-01-01 00:00:00", "q_early")
+      .select($"o_custkey".as("c_early"), $"q_early")
+    val late = periodQuartile("1998-01-01 00:00:00", "2002-01-01 00:00:00", "q_late")
+      .select($"o_custkey".as("c_late"), $"q_late")
+    early.join(late, $"c_early" === $"c_late", "full_outer")
+      .select(coalesce($"q_early", lit(0)).as("q_early"),
+        coalesce($"q_late", lit(0)).as("q_late"))
+      .groupBy($"q_early", $"q_late")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"q_early", $"q_late")
+  }
+
+  val q66Sql: String =
+    """WITH e AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1),
+      |eq AS (SELECT o_custkey AS c_early,
+      |  NTILE(4) OVER (ORDER BY rev DESC, o_custkey) AS q_early FROM e),
+      |l AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '2002-01-01 00:00:00'
+      |  GROUP BY 1),
+      |lq AS (SELECT o_custkey AS c_late,
+      |  NTILE(4) OVER (ORDER BY rev DESC, o_custkey) AS q_late FROM l)
+      |SELECT COALESCE(q_early, 0) AS q_early,
+      |  COALESCE(q_late, 0) AS q_late,
+      |  COUNT(*) AS n_customers
+      |FROM eq FULL OUTER JOIN lq ON c_early = c_late
+      |GROUP BY 1, 2 ORDER BY q_early, q_late""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -1407,6 +1465,7 @@ object RelationalQueries {
     "q63_market_basket" -> (q63MarketBasket _),
     "q64_supplier_reliability" -> (q64SupplierReliability _),
     "q65_discount_elasticity" -> (q65DiscountElasticity _),
+    "q66_quartile_migration" -> (q66QuartileMigration _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1444,5 +1503,6 @@ object RelationalQueries {
     "q63_market_basket" -> q63Sql,
     "q64_supplier_reliability" -> q64Sql,
     "q65_discount_elasticity" -> q65Sql,
+    "q66_quartile_migration" -> q66Sql,
   )
 }
