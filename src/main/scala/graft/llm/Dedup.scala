@@ -564,6 +564,53 @@ object Dedup {
        |  COUNT(DISTINCT norm) - COUNT(DISTINCT h) AS n_collisions
        |FROM h""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_threshold_sweep: est-Jaccard cutoff sweep over the LSH
+  // candidate pairs — the other half of index tuning (llm_dd_lsh_tuning
+  // picks the band shape; this picks the KEEP threshold): for each
+  // cutoff, how many candidate pairs survive and how many documents
+  // get swept into some duplicate pair — the dedup aggressiveness
+  // curve an operator reads against a manual audit sample before
+  // committing a threshold corpus-wide. Pairs come from the
+  // session-cached band index via ddMinhashLsh (computed once per
+  // session); each threshold row is a 1-row aggregate over that
+  // bounded pair table, with the affected-doc count via a
+  // distinct-union (pairs are rare relative to the corpus by LSH
+  // construction, so this is dim-sized work at any scale).
+  private val SweepThresholds = Seq(0.5, 0.75, 1.0)
+
+  def ddThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.materialize(ddMinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b", $"est_jaccard"))
+    SweepThresholds.map { t =>
+      val kept = pairs.filter($"est_jaccard" >= t)
+      val affected = kept.select($"doc_a".as("d"))
+        .unionAll(kept.select($"doc_b".as("d"))).distinct()
+        .agg(count(lit(1)).as("n_docs_affected"))
+      kept.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(affected)
+        .select(lit(t).as("threshold"), $"n_pairs", $"n_docs_affected")
+    }.reduce(_ unionByName _).orderBy($"threshold")
+  }
+
+  // lazy: textually precedes ddMinhashLshSql's definition (eager init
+  // would interpolate null)
+  lazy val ddThresholdSweepSql: String = {
+    val rows = SweepThresholds.map { t =>
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+         |  (SELECT COUNT(*) FROM cand WHERE est_jaccard >= $t) AS n_pairs,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT doc_a AS d FROM cand WHERE est_jaccard >= $t
+         |     UNION SELECT doc_b FROM cand WHERE est_jaccard >= $t))
+         |    AS n_docs_affected""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cand AS ($ddMinhashLshSql)
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY threshold""".stripMargin
+  }
+
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Candidates via groupBy(band, key) + in-group combinations rather
@@ -2330,6 +2377,7 @@ object Dedup {
     "llm_dd_lsh_tuning" -> (ddLshTuning _),
     "llm_dd_source_sketch_overlap" -> (ddSourceSketchOverlap _),
     "llm_dd_hash_collision_audit" -> (ddHashCollisionAudit _),
+    "llm_dd_threshold_sweep" -> (ddThresholdSweep _),
     "llm_dd_simhash" -> (ddSimhash _),
     "llm_dd_simhash_pairs" -> (ddSimhashPairs _),
     "llm_dd_embedding_near" -> (ddEmbeddingNear _),
@@ -2364,6 +2412,7 @@ object Dedup {
     "llm_dd_lsh_tuning" -> ddLshTuningSql,
     "llm_dd_source_sketch_overlap" -> ddSourceSketchOverlapSql,
     "llm_dd_hash_collision_audit" -> ddHashCollisionAuditSql,
+    "llm_dd_threshold_sweep" -> ddThresholdSweepSql,
     "llm_dd_simhash" -> ddSimhashSql,
     "llm_dd_simhash_pairs" -> ddSimhashPairsSql,
     "llm_dd_embedding_near" -> ddEmbeddingNearSql,
