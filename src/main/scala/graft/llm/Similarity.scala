@@ -229,6 +229,49 @@ object Similarity {
        |ORDER BY q_id, rerank_rank""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_filtered_ann: metadata-FILTERED nearest neighbors — top-3
+  // neighbors constrained to the query's OWN label (the "filtered
+  // search" problem: retrieval with a tenant/language/category
+  // predicate). The filter lands in the JOIN CONDITION, so non-matching
+  // corpus rows die before any dot product is computed — pre-filtering,
+  // which at high filter selectivity beats post-filtering an
+  // unconstrained top-k that may contain zero matches (the
+  // filtered-ANN trade every production system tunes). Same broadcast
+  // harness as ssTopk; at scale the label rides the IVF/LSH index as
+  // a partition key so filtered probes touch only matching buckets.
+  def ssFilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"v".as("qv"), $"nrm".as("qn"))
+    val scored = e.join(broadcast(q),
+        $"label" === $"q_label" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_label", $"vec_id".as("neighbor_id"),
+        expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"q_id", $"rank")
+  }
+
+  val ssFilteredAnnSql: String =
+    s"""$normCte,
+       |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+       |  FROM n WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q_id, q_label, n.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+       |  FROM n JOIN q ON n.label = q.q_label AND n.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, q_label, neighbor_id, cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_ss_knn_purity: embedding-quality audit — per label, the
   // micro-averaged purity of every vector's 5 nearest IN-CELL
   // neighbors (share of neighbor slots holding the same label). A
@@ -2273,6 +2316,7 @@ object Similarity {
     "llm_ss_range_search" -> (ssRangeSearch _),
     "llm_ss_mips" -> (ssMips _),
     "llm_ss_rerank" -> (ssRerank _),
+    "llm_ss_filtered_ann" -> (ssFilteredAnn _),
     "llm_ss_graph_ann" -> (ssGraphAnn _),
     "llm_ss_mmr" -> (ssMmr _),
     "llm_ss_binary_hamming" -> (ssBinaryHamming _),
@@ -2308,6 +2352,7 @@ object Similarity {
     "llm_ss_range_search" -> ssRangeSearchSql,
     "llm_ss_mips" -> ssMipsSql,
     "llm_ss_rerank" -> ssRerankSql,
+    "llm_ss_filtered_ann" -> ssFilteredAnnSql,
     "llm_ss_graph_ann" -> ssGraphAnnSql,
     "llm_ss_mmr" -> ssMmrSql,
     "llm_ss_binary_hamming" -> ssBinaryHammingSql,

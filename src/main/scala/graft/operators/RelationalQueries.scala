@@ -1430,6 +1430,72 @@ object RelationalQueries {
       |FROM eq FULL OUTER JOIN lq ON c_early = c_late
       |GROUP BY 1, 2 ORDER BY q_early, q_late""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q67: repeat-purchase intervals per segment — the inter-event-time
+  // distribution (n, mean, exact median, exact p90 of days between a
+  // customer's consecutive orders). The quantiles are EXACT without
+  // any per-segment sort: gap values live on a BOUNDED integer domain
+  // (days, ≤ calendar span), so the plan aggregates to a (segment,
+  // gap_days) histogram first — partial-aggregable, ≤ segments ×
+  // span rows — and reads quantiles off the histogram's cumulative
+  // counts. A per-segment ORDER BY over raw gaps would put n/5 rows
+  // in one sort task at any corpus size; the histogram form is how
+  // exact order statistics survive 100 TB when the domain is bounded
+  // (the llm_pipeline_budget bucketed-prefix cousin). Lag itself
+  // partitions per customer — parallel by construction.
+  def q67RepeatIntervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wLag = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val gaps = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .withColumn("prev_date", lag($"o_orderdate", 1).over(wLag))
+      .filter($"prev_date".isNotNull)
+      .select($"c_mktsegment".as("segment"),
+        datediff($"o_orderdate", $"prev_date").as("gap_days"))
+    val hist = gaps.groupBy($"segment", $"gap_days")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"segment").orderBy($"gap_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy($"segment").agg(sum($"c").as("n_gaps"))
+    hist
+      .withColumn("cum", sum($"c").over(wCum))
+      .join(broadcast(tot), "segment")
+      .groupBy($"segment")
+      .agg(first($"n_gaps").as("n_gaps"),
+        round(sum(($"gap_days" * $"c").cast(DecimalType(28, 6)))
+          .cast("double") / first($"n_gaps"), 6).as("mean_gap"),
+        min(when($"cum" * 2 >= $"n_gaps", $"gap_days")).as("median_gap"),
+        min(when($"cum" * 10 >= $"n_gaps" * 9, $"gap_days")).as("p90_gap"))
+      .orderBy($"segment")
+  }
+
+  val q67Sql: String =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS segment,
+      |    date_diff('day',
+      |      LAG(o_orderdate) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey),
+      |      o_orderdate) AS gap_days
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  QUALIFY LAG(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) IS NOT NULL),
+      |h AS (SELECT segment, gap_days, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      |t AS (SELECT segment, SUM(c) AS n_gaps FROM h GROUP BY 1),
+      |cu AS (
+      |  SELECT h.segment, gap_days, c, n_gaps,
+      |    SUM(c) OVER (PARTITION BY h.segment ORDER BY gap_days
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM h JOIN t ON h.segment = t.segment)
+      |SELECT segment, CAST(MIN(n_gaps) AS BIGINT) AS n_gaps,
+      |  ROUND(CAST(SUM(CAST(gap_days * c AS DECIMAL(28,6))) AS DOUBLE)
+      |    / MIN(n_gaps), 6) AS mean_gap,
+      |  MIN(CASE WHEN cum * 2 >= n_gaps THEN gap_days END) AS median_gap,
+      |  MIN(CASE WHEN cum * 10 >= n_gaps * 9 THEN gap_days END) AS p90_gap
+      |FROM cu GROUP BY segment ORDER BY segment""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
@@ -1466,6 +1532,7 @@ object RelationalQueries {
     "q64_supplier_reliability" -> (q64SupplierReliability _),
     "q65_discount_elasticity" -> (q65DiscountElasticity _),
     "q66_quartile_migration" -> (q66QuartileMigration _),
+    "q67_repeat_intervals" -> (q67RepeatIntervals _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1504,5 +1571,6 @@ object RelationalQueries {
     "q64_supplier_reliability" -> q64Sql,
     "q65_discount_elasticity" -> q65Sql,
     "q66_quartile_migration" -> q66Sql,
+    "q67_repeat_intervals" -> q67Sql,
   )
 }
