@@ -710,6 +710,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
 
+  test("q67 quantiles read the bounded histogram; no corpus-order sort appears") {
+    val plan = planOf(RelationalQueries.q67RepeatIntervals(spark, sf0001))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    // lag partitions by customer, the cumulative by segment — both
+    // parallel; neither may collapse to a single global partition
+    assert(winLines.nonEmpty && !plan.contains("SinglePartition"),
+      "q67 must never sort gaps in one task:\n" + plan.take(900))
+    assert(winLines.forall(l =>
+        l.contains("o_custkey#") || l.contains("segment#")),
+      "windows must key on customer or segment:\n" + winLines.mkString("\n"))
+  }
+
   test("ewma windows and lag-join stay keyed on the series, no single partition") {
     val plan = planOf(graft.operators.BenchQueries.ewma(spark, sf0001))
     val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
