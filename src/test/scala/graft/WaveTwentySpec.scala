@@ -81,6 +81,45 @@ class WaveTwentySpec extends SparkSpec {
       "matrix must cover every ever-active customer exactly once")
   }
 
+  test("filtered ann returns only same-label neighbors, ranked 1..3") {
+    graft.functions.VecDot.register(spark)
+    val rows = llm.Similarity.ssFilteredAnn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val labels = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (r <- rows) {
+      assert(labels(r.getLong(2)) == r.getInt(1),
+        "neighbor must carry the query's label")
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 3)
+    }
+  }
+
+  test("repeat intervals: gap count identity and quantile ordering hold") {
+    val rows = operators.RelationalQueries
+      .q67RepeatIntervals(spark, sf0001).collect()
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val nOrders = orders.count()
+    val nCust = orders.select($"o_custkey").distinct().count()
+    // every customer with k orders contributes exactly k-1 gaps
+    assert(rows.map(_.getLong(1)).sum == nOrders - nCust)
+    for (r <- rows) {
+      assert(r.getInt(3) <= r.getInt(4), "median must not exceed p90")
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("threshold sweep is monotone: higher cutoffs keep fewer pairs and docs") {
+    val rows = llm.Dedup.ddThresholdSweep(spark, sf0001).collect()
+      .sortBy(_.getDouble(0))
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi.getLong(1) <= lo.getLong(1), "pairs must not grow with cutoff")
+        assert(hi.getLong(2) <= lo.getLong(2), "affected docs must not grow")
+      case _ =>
+    }
+  }
+
   test("burstiness moments are self-consistent and vmr non-negative") {
     val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
     val rows = llm.TextAnalysis.taBurstiness(spark, sf0001).collect()
