@@ -1498,7 +1498,50 @@ object Pipeline {
       |    AS source_gini
       |FROM base, fp, lg, sg""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_embedding_coverage: referential integrity between the
+  // document corpus and its embedding table (the ML-side cousin of
+  // q40's star-schema FK audit): documents lacking a vector silently
+  // drop out of EVERY semantic operator (SemDeDup, ANN retrieval,
+  // embedding near-dup), and orphaned vectors signal a stale index —
+  // both must be zero before a semantic-dedup release. Two LEFT ANTI
+  // joins on the id + one aggregate row; at 100 TB both sides bucket
+  // on the shared id so the audit is a co-located join.
+  def embeddingCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id")
+    val vecs = Tables.embeddings(spark, dir).select($"vec_id")
+    val missing = docs.join(vecs, $"doc_id" === $"vec_id", "left_anti")
+      .agg(count(lit(1)).as("n_docs_without_vec"))
+    val orphans = vecs.join(docs, $"vec_id" === $"doc_id", "left_anti")
+      .agg(count(lit(1)).as("n_vecs_orphaned"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(vecs.agg(count(lit(1)).as("n_vecs"))))
+      .crossJoin(broadcast(missing))
+      .crossJoin(broadcast(orphans))
+      .select($"n_docs", $"n_vecs", $"n_docs_without_vec", $"n_vecs_orphaned",
+        round(($"n_docs" - $"n_docs_without_vec").cast("double") / $"n_docs", 6)
+          .as("coverage_rate"))
+  }
+
+  val embeddingCoverageSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM documents) AS n_docs,
+      |  (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+      |  (SELECT COUNT(*) FROM documents d
+      |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id))
+      |    AS n_docs_without_vec,
+      |  (SELECT COUNT(*) FROM embeddings e
+      |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+      |    AS n_vecs_orphaned,
+      |  ROUND(CAST((SELECT COUNT(*) FROM documents)
+      |      - (SELECT COUNT(*) FROM documents d
+      |         WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+      |           WHERE e.vec_id = d.doc_id)) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM documents), 6) AS coverage_rate""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_embedding_coverage" -> (embeddingCoverage _),
     "llm_pipeline_dedup_ledger" -> (dedupLedger _),
     "llm_pipeline_eff_tokens" -> (effTokens _),
     "llm_pipeline_snapshot_diff" -> (snapshotDiff _),
@@ -1552,5 +1595,6 @@ object Pipeline {
     "llm_pipeline_cdc_merge" -> cdcMergeSql,
     "llm_pipeline_dataset_card" -> datasetCardSql,
     "llm_pipeline_manifest_diff" -> manifestDiffSql,
+    "llm_pipeline_embedding_coverage" -> embeddingCoverageSql,
   )
 }
