@@ -400,7 +400,9 @@ object Dedup {
       }
       buckets.agg(
         count(lit(1)).as("n_buckets"),
-        sum(($"df" * ($"df" - 1)) / 2).cast("long").as("pair_work"),
+        // integer div end-to-end (matches the oracle's //): the DOUBLE
+        // route is only exact while the sum stays below 2^53
+        sum(expr("(df * (df - 1)) div 2")).as("pair_work"),
         sum(when($"df" > MaxBucketDf, 1L).otherwise(0L)).as("n_hot"))
         .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
           $"n_buckets", $"pair_work", $"n_hot",

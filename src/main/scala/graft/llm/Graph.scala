@@ -74,26 +74,27 @@ object Graph {
   private[graft] def pagerankRanks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = edgesWithDeg(spark, dir)
-    // materialized: the node table is referenced by r0, by every
-    // iteration's outdeg re-attach, AND by the totals scalar — left
-    // lazy, the distinct-over-edges shuffle would replay ~7× inside the
-    // unrolled 3-iteration plan (measured 19 s → 1.7 s at sf0.1)
-    val nodes = Tables.materialize(
-      e.select($"src".as("node"), $"outdeg").distinct())
+    // materialized: the node table is referenced by r0 AND by the
+    // totals scalar — left lazy, the distinct-over-edges shuffle would
+    // replay inside the unrolled 3-iteration plan (measured 19 s →
+    // 1.7 s at sf0.1). outdeg rides on the EDGE table (the only place
+    // a contribution reads it), so no iteration re-joins the node
+    // table — the r8 shape paid one node-cardinality join per
+    // iteration re-attaching an outdeg column nothing consumed.
+    val nodes = Tables.materialize(e.select($"src".as("node")).distinct())
     val totals = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     var ranks = nodes.crossJoin(totals)
-      .select($"node", $"outdeg", (lit(1.0) / $"n_nodes").as("rank"))
+      .select($"node", (lit(1.0) / $"n_nodes").as("rank"))
     for (_ <- 1 to Iters) {
-      val contrib = e.join(ranks.select($"node", $"rank"), $"src" === $"node")
+      val contrib = e.join(ranks, $"src" === $"node")
         .groupBy($"dst")
         .agg(sum(($"rank" / $"outdeg").cast("decimal(28,12)"))
           .cast("double").as("mass"))
       ranks = contrib.crossJoin(totals)
         .select($"dst".as("node"),
           (lit(Teleport) / $"n_nodes" + lit(Damping) * $"mass").as("rank"))
-        .join(nodes, "node")
     }
-    ranks.select($"node", $"rank")
+    ranks
   }
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
@@ -403,16 +404,29 @@ object Graph {
           .unionAll(nodes.select($"n".as("src"), $"n".as("dst"))))
     }
 
-  def cc(spark: SparkSession, dir: String): DataFrame = {
+  /** Label table after `iters` propagation steps — exposed so the
+    * convergence spec can assert labels(CcIters) == labels(CcIters+1):
+    * the fixed count is only sound while the fixture's diameter stays
+    * under it, and a silently-non-converged result would still
+    * hash-match across engines (both run the same iteration count), so
+    * only an explicit fixed-point check catches a diameter regression.
+    */
+  private[graft] def ccLabels(spark: SparkSession, dir: String,
+                              iters: Int): DataFrame = {
     import spark.implicits._
     val e = regionEdges(spark, dir)
     var labels: DataFrame = e.select($"src".as("node")).distinct()
       .select($"node", $"node".as("label"))
-    for (_ <- 1 to CcIters)
+    for (_ <- 1 to iters)
       labels = e.join(labels, $"src" === $"node")
         .groupBy($"dst").agg(min($"label").as("label"))
         .select($"dst".as("node"), $"label")
     labels
+  }
+
+  def cc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ccLabels(spark, dir, CcIters)
       .groupBy($"label".as("component_id"))
       .agg(count(lit(1)).as("n_members"),
         sum(when($"node" % 2 === 0, 1L).otherwise(0L)).as("n_cust"),
@@ -448,8 +462,10 @@ object Graph {
        |l0 AS (SELECT n AS node, n AS label FROM nodes),
        |$chain
        |SELECT label AS component_id, COUNT(*) AS n_members,
-       |  SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS n_cust,
-       |  SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS n_supp
+       |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cust,
+       |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_supp
        |FROM l$CcIters GROUP BY 1
        |ORDER BY n_members DESC, component_id""".stripMargin
   }

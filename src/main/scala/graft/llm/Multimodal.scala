@@ -640,8 +640,8 @@ object Multimodal {
        |      ELSE 'unknown' END AS sniffed_type
        |  FROM t)
        |SELECT sniffed_type, COUNT(*) AS n_files,
-       |  SUM(CASE WHEN claimed_ext <> sniffed_type THEN 1 ELSE 0 END)
-       |    AS n_claim_mismatch,
+       |  CAST(SUM(CASE WHEN claimed_ext <> sniffed_type THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_claim_mismatch,
        |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
        |FROM p GROUP BY 1 ORDER BY sniffed_type""".stripMargin
 

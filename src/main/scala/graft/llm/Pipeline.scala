@@ -1314,7 +1314,10 @@ object Pipeline {
     val upd = changes.filter($"op" === "update")
       .select($"doc_id".as("u_id"), concat($"text", lit(" [rev2]")).as("new_text"))
     val ins = changes.filter($"op" === "insert")
-      .select(($"doc_id" + 1000000L).as("doc_id"),
+      // insert ids live in the negative keyspace — provably disjoint
+      // from real doc_ids (non-negative) at ANY corpus size, where a
+      // fixed +1e6 offset would collide once the corpus reaches 1e6
+      .select((-$"doc_id" - 1L).as("doc_id"),
         concat(lit("new:"), $"text").as("text"), lit("insert").as("action"))
     val survivors = base.join(del, Seq("doc_id"), "left_anti")
       .join(upd, $"doc_id" === $"u_id", "left_outer")
@@ -1356,7 +1359,7 @@ object Pipeline {
       |  LEFT JOIN upd u ON b.doc_id = u.u_id
       |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.doc_id = b.doc_id)
       |  UNION ALL
-      |  SELECT doc_id + 1000000, 'new:' || text, 'insert'
+      |  SELECT -doc_id - 1, 'new:' || text, 'insert'
       |  FROM ch WHERE op = 'insert'
       |  UNION ALL
       |  SELECT b.doc_id, b.text, 'delete'

@@ -715,20 +715,27 @@ object FunctionQueries {
   // before trusting a join (an orphan child row silently vanishes from
   // an inner join). Scale shape: the child side collapses to
   // (key, row_count) via a partial-aggregable groupBy FIRST, so the
-  // anti-join shuffles one row per DISTINCT key, not one per child row
-  // — at 100 TB the lineitem→orders edge moves |keys| rows, not |rows|.
-  // Orphan row counts come back by summing the collapsed counts.
+  // parent join shuffles one row per DISTINCT key, not one per child
+  // row — at 100 TB the lineitem→orders edge moves |keys| rows, not
+  // |rows| — and child_rows/orphan_rows both come back by summing the
+  // collapsed counts, so each child table is scanned exactly once.
   def q40FkIntegrity(spark: SparkSession, dir: String): DataFrame = {
     def edge(name: String, child: DataFrame, key: String,
              parent: DataFrame, pkey: String): DataFrame = {
+      // ONE pass over the child: collapse to (key, cnt), left-join the
+      // parent key (a primary key, so the join can't fan out), and read
+      // child_rows back as SUM(cnt) — the r8 shape re-scanned the child
+      // for its row count, i.e. five extra fact scans at 100 TB.
       val perKey = child.groupBy(col(key).as("k"))
         .agg(count(lit(1)).as("cnt"))
-      val orphans = perKey
-        .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("orphan_keys"),
-          coalesce(sum(col("cnt")), lit(0L)).as("orphan_rows"))
-      child.agg(count(lit(1)).as("child_rows"))
-        .crossJoin(orphans)
+      perKey
+        .join(parent.select(col(pkey).as("k"), lit(1).as("hit")),
+          Seq("k"), "left_outer")
+        .agg(
+          coalesce(sum(col("cnt")), lit(0L)).as("child_rows"),
+          count(when(col("hit").isNull, 1)).as("orphan_keys"),
+          coalesce(sum(when(col("hit").isNull, col("cnt"))), lit(0L))
+            .as("orphan_rows"))
         .select(lit(name).as("edge"), col("child_rows"),
           col("orphan_keys"), col("orphan_rows"))
     }

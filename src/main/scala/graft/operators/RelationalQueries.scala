@@ -662,10 +662,10 @@ object RelationalQueries {
 
   val q51Sql: String =
     """SELECT l_returnflag,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |    THEN 1 ELSE 0 END) AS high_line_count,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |    THEN 0 ELSE 1 END) AS low_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
       |  COUNT(*) AS n_lines
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -745,7 +745,7 @@ object RelationalQueries {
       |  HAVING COUNT(*) > 1 AND COUNT(DISTINCT l_suppkey) = 1),
       |per_supp AS (
       |  SELECT the_supp, COUNT(*) AS n_sole_orders,
-      |    SUM(n_lines) AS n_lines_total
+      |    CAST(SUM(n_lines) AS BIGINT) AS n_lines_total
       |  FROM sole GROUP BY 1)
       |SELECT s_name, n_name AS supp_nation, n_sole_orders, n_lines_total
       |FROM per_supp
@@ -1296,7 +1296,8 @@ object RelationalQueries {
   val q64Sql: String =
     """WITH per AS (
       |  SELECT l_suppkey, COUNT(*) AS n_lines,
-      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returns
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_returns
       |  FROM lineitem GROUP BY 1),
       |w AS (
       |  SELECT l_suppkey, n_lines, n_returns,

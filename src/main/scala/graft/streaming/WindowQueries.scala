@@ -649,7 +649,7 @@ object WindowQueries {
       |      - ts_us AS late_us
       |  FROM a),
       |b AS (
-      |  SELECT CASE WHEN late_us = 0 THEN -1
+      |  SELECT CAST(CASE WHEN late_us = 0 THEN -1
       |      WHEN late_us // 1000000 < 4 THEN 0
       |      WHEN late_us // 1000000 < 16 THEN 1
       |      WHEN late_us // 1000000 < 64 THEN 2
@@ -661,13 +661,13 @@ object WindowQueries {
       |      WHEN late_us // 1000000 < 262144 THEN 8
       |      WHEN late_us // 1000000 < 1048576 THEN 9
       |      WHEN late_us // 1000000 < 4194304 THEN 10
-      |      ELSE 11 END AS bucket,
+      |      ELSE 11 END AS BIGINT) AS bucket,
       |    late_us
       |  FROM l)
       |SELECT bucket, COUNT(*) AS n_events,
       |  MAX(late_us) AS max_late_us,
-      |  SUM(CASE WHEN late_us > 600 * 1000000 THEN 1 ELSE 0 END)
-      |    AS n_beyond_10m
+      |  CAST(SUM(CASE WHEN late_us > 600 * 1000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_beyond_10m
       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // --------------------------------------------------------------------

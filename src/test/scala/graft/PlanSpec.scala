@@ -346,21 +346,26 @@ class PlanSpec extends SparkSpec {
     assert(width <= 8, s"scan reads $width columns: ${scan.get.take(300)}")
   }
 
-  test("fk audit collapses child keys before the anti-join (no row-level anti)") {
+  test("fk audit collapses child keys and scans each child once per edge") {
     val plan = planOf(graft.operators.FunctionQueries
       .q40FkIntegrity(spark, sf0001))
-    assert(plan.split("\n").exists(_.contains("LeftAnti")),
-      "no anti join in fk audit:\n" + plan.take(600))
     assert(!plan.contains("CartesianProduct"),
-      // the 1-row × 1-row combiner must plan as BNLJ over broadcasts,
-      // never a real cartesian of data-sized inputs
       "cartesian product in fk audit:\n" + plan.take(800))
-    // each anti-join probes with (key, count) aggregate output, so a
-    // HashAggregate must sit between scan and join — spot-check via
-    // the partial-count expression the collapse introduces
+    // each edge probes the parent with (key, count) aggregate output,
+    // so a HashAggregate must sit between scan and join — spot-check
+    // via the partial-count expression the collapse introduces
     assert(plan.contains("partial_count")
         || plan.split("\n").count(_.contains("HashAggregate")) >= 10,
       "child side not pre-aggregated:\n" + plan.take(800))
+    // child_rows is derived from the collapsed per-key counts, NOT a
+    // second pass over the child: lineitem is a child in exactly three
+    // edges, so exactly three lineitem scans may appear (the r8 shape
+    // had six — five extra fact scans across the audit at 100 TB)
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans == 3,
+      s"expected 3 lineitem scans (one per edge), got $liScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
   }
 
   test("skew audit is pure two-phase aggregation (no window, no join)") {

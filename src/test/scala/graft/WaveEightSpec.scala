@@ -22,6 +22,21 @@ class WaveEightSpec extends SparkSpec {
     assert(ranks.forall(_.getAs[Double]("rank") > 0))
   }
 
+  test("cc label propagation reaches its fixed point within the fixed iteration count") {
+    // the registered query runs a FIXED CcIters steps; a fixture with a
+    // larger diameter would silently ship non-converged labels that
+    // still hash-match across engines (both run the same count), so
+    // assert labels(k) == labels(k+1) explicitly — on the spec SF and
+    // on the SF the driver's verify gate runs
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val k = Graph.ccItersForSpec
+      val at = Graph.ccLabels(spark, dir, k)
+      val next = Graph.ccLabels(spark, dir, k + 1)
+      assert(at.exceptAll(next).isEmpty && next.exceptAll(at).isEmpty,
+        s"cc labels not converged after $k iterations at $dir")
+    }
+  }
+
   test("degree audit accounts for every node and every edge-endpoint") {
     val edges = graft.sources.Tables.orders(spark, sf0001)
       .select($"o_orderkey", $"o_custkey")

@@ -32,6 +32,36 @@ def canon(v):
     return v
 
 
+def type_class(t):
+    """Collapse an arrow type to the class the driver's hasher
+    distinguishes. Calibrated against CORRECTNESS_r08: queries with
+    int32-vs-int64 cross-engine columns pass the driver's hash, while
+    int64-vs-decimal128 (DuckDB HUGEINT) columns fail it — so integer
+    widths collapse to one class, everything else stays distinct."""
+    s = str(t)
+    if s.startswith(("int", "uint")):
+        return "int"
+    if s.startswith("decimal"):
+        return s  # exact precision/scale
+    if s.startswith("timestamp"):
+        return "timestamp"  # tz annotation may differ benignly
+    if s.startswith("large_string"):
+        return "string"
+    if s.startswith(("list", "large_list")):
+        return f"list<{type_class(t.value_type)}>"
+    return s
+
+
+def type_mismatches(got, exp):
+    gt = {f.name: f.type for f in got.schema}
+    et = {f.name: f.type for f in exp.schema}
+    return [
+        (c, str(gt[c]), str(et[c]))
+        for c in sorted(set(gt) & set(et))
+        if type_class(gt[c]) != type_class(et[c])
+    ]
+
+
 def rows_of(table):
     cols = sorted(table.column_names)
     data = [table.column(c).to_pylist() for c in cols]
@@ -72,6 +102,27 @@ def main(sf_dir, out_dir):
             exp = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # Type-strict gate (round-8 root cause): DuckDB types an uncast
+        # integer SUM as HUGEINT; the driver's hash is type-sensitive
+        # and fails even on value-exact results, while value-level
+        # canonicalization below is blind to it. The local gate must be
+        # strictly harsher than the driver's, so any HUGEINT oracle
+        # column, and any cross-engine type-CLASS mismatch, is a FAIL.
+        try:
+            duck_types = [str(t) for t in con.sql(oracle[name]).types]
+        except Exception:
+            duck_types = []
+        if any(t == "HUGEINT" for t in duck_types):
+            print(f"FAIL  {name}: oracle emits HUGEINT column "
+                  f"(wrap the SUM in CAST(... AS BIGINT)); types={duck_types}")
+            n_fail += 1
+            continue
+        tm = type_mismatches(got, exp)
+        if tm:
+            print(f"FAIL  {name}: type-class mismatch (driver hash would "
+                  f"fail): {[(c, f'spark={g}', f'duck={e}') for c, g, e in tm]}")
             n_fail += 1
             continue
         gc, gr = rows_of(got)

@@ -13,4 +13,7 @@ OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.la
 rm -rf "$OUT"
 java $OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.Verify "$SF" "$OUT" 2>&1 | grep -v "^[0-9/: ]*WARN" || true
+# Gate-guards-itself: prove the type-strict checks still fire (red
+# fixtures must FAIL) before trusting the real compare below.
+python3 tools/compare_selftest.py "$SF"
 python3 tools/compare.py "$SF" "$OUT"
