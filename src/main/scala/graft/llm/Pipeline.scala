@@ -1543,7 +1543,60 @@ object Pipeline {
       |           WHERE e.vec_id = d.doc_id)) AS DOUBLE)
       |    / (SELECT COUNT(*) FROM documents), 6) AS coverage_rate""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_retention: data-lifecycle expiry plan over the event
+  // stream — per event type, how many rows (and how much payload) a
+  // retention policy would delete, BEFORE the delete job runs. Policy:
+  // revenue-bearing types (purchase, signup) retain forever; the rest
+  // expire 14 days behind the stream's high-water mark. The cutoff is
+  // derived from max(ts) rather than wall-clock so the plan is
+  // reproducible on any engine at any run time (same reason the bench
+  // pipeline derives dates from data, never now()). Scale shape: the
+  // high-water mark is a 1-row broadcast; the sweep is ONE
+  // partial-aggregable groupBy over the stream — at 100 TB the
+  // expired-bytes estimate costs a scan, not a shuffle, and the
+  // per-partition delete itself would be partition-pruned by ts.
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val hwm = broadcast(ev.agg(max($"ts").as("max_ts")))
+    val keepForever = $"event_type".isin("purchase", "signup")
+    val expired = !keepForever &&
+      $"ts" < $"max_ts" - expr("INTERVAL 14 DAYS")
+    ev.crossJoin(hwm)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(expired, 1L).otherwise(0L)).as("n_expire"),
+        sum(when(expired, length($"props").cast("long")).otherwise(0L))
+          .as("expire_bytes"))
+      .select($"event_type", $"n_rows", $"n_expire",
+        ($"n_rows" - $"n_expire").as("n_keep"),
+        round($"n_expire".cast("double") / $"n_rows", 6).as("expire_frac"),
+        $"expire_bytes")
+      .orderBy($"event_type")
+  }
+
+  val retentionSql: String =
+    """WITH h AS (SELECT MAX(ts) AS max_ts FROM events),
+      |f AS (
+      |  SELECT event_type,
+      |    (event_type NOT IN ('purchase', 'signup')
+      |      AND ts < max_ts - INTERVAL 14 DAY) AS expired,
+      |    length(props) AS nb
+      |  FROM events CROSS JOIN h)
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_expire,
+      |  COUNT(*) - CAST(SUM(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_keep,
+      |  ROUND(CAST(SUM(CASE WHEN expired THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS expire_frac,
+      |  CAST(SUM(CASE WHEN expired THEN nb ELSE 0 END) AS BIGINT)
+      |    AS expire_bytes
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_retention" -> (retention _),
     "llm_pipeline_embedding_coverage" -> (embeddingCoverage _),
     "llm_pipeline_dedup_ledger" -> (dedupLedger _),
     "llm_pipeline_eff_tokens" -> (effTokens _),
@@ -1573,6 +1626,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_pipeline_retention" -> retentionSql,
     "llm_pipeline_curriculum" -> curriculumSql,
     "llm_pipeline_curate" -> curateSql,
     "llm_pipeline_dup_sources" -> dupSourcesSql,

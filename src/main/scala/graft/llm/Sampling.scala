@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 import TextAnalysis.{h60, h60Sql}
@@ -589,7 +590,67 @@ object Sampling {
        |FROM pf CROSS JOIN t
        |GROUP BY fold, n_total ORDER BY fold""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_sample_ess: clipped importance weights toward a uniform source
+  // mixture + the effective sample size they leave. Reweighting toward
+  // a target mixture (w = target_share / actual_share, clipped to
+  // [0.25, 4] so no source dominates the gradient) is the standard
+  // alternative to physically resampling; ESS = (Σw)²/Σw² is the
+  // number that says how much data the weights effectively keep — the
+  // go/no-go metric before training on weights instead of samples.
+  // Scale shape: one partial-aggregable source groupBy (20 rows), all
+  // weight algebra on the broadcast-sized rate table; per-source Σw
+  // collapses to n_docs·w closed-form, so the corpus is scanned once
+  // and never reweighted row-by-row. Weight sums route through
+  // DECIMAL so the 1-row ESS reduction is bit-stable.
+  def sampleEss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val tot = broadcast(ps.agg(sum($"n_docs").as("n_total"),
+      count(lit(1)).as("n_sources")))
+    val w = least(greatest(
+      $"n_total".cast("double") / ($"n_sources" * $"n_docs").cast("double"),
+      lit(0.25)), lit(4.0))
+    val perSrc = ps.crossJoin(tot)
+      .select($"source", $"n_docs", $"n_total", w.as("w"))
+    val ess = broadcast(perSrc.agg(
+      sum(($"n_docs" * $"w").cast(DecimalType(28, 12))).cast("double")
+        .as("sum_w"),
+      sum(($"n_docs" * $"w" * $"w").cast(DecimalType(28, 12))).cast("double")
+        .as("sum_w2")))
+    perSrc.crossJoin(ess)
+      .select($"source", $"n_docs", round($"w", 6).as("weight"),
+        round(($"n_docs" * $"w") / $"sum_w", 6).as("weighted_share"),
+        round(($"sum_w" * $"sum_w") / $"sum_w2", 2).as("ess"),
+        round(($"sum_w" * $"sum_w") / ($"sum_w2" * $"n_total"), 6)
+          .as("ess_ratio"))
+      .orderBy($"source")
+  }
+
+  val sampleEssSql: String =
+    """WITH ps AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |t AS (SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM ps),
+      |pw AS (
+      |  SELECT source, n_docs, n_total,
+      |    LEAST(GREATEST(CAST(n_total AS DOUBLE)
+      |      / CAST(n_sources * n_docs AS DOUBLE), 0.25), 4.0) AS w
+      |  FROM ps CROSS JOIN t),
+      |e AS (
+      |  SELECT CAST(SUM(CAST(n_docs * w AS DECIMAL(28,12))) AS DOUBLE)
+      |      AS sum_w,
+      |    CAST(SUM(CAST(n_docs * w * w AS DECIMAL(28,12))) AS DOUBLE)
+      |      AS sum_w2
+      |  FROM pw)
+      |SELECT source, n_docs, ROUND(w, 6) AS weight,
+      |  ROUND((n_docs * w) / sum_w, 6) AS weighted_share,
+      |  ROUND((sum_w * sum_w) / sum_w2, 2) AS ess,
+      |  ROUND((sum_w * sum_w) / (sum_w2 * n_total), 6) AS ess_ratio
+      |FROM pw CROSS JOIN e ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_ess" -> (sampleEss _),
     "llm_sample_kfold" -> (sampleKfold _),
     "llm_sample_bootstrap" -> (sampleBootstrap _),
     "llm_sample_es_topk" -> (sampleEsTopK _),
@@ -604,6 +665,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_ess" -> sampleEssSql,
     "llm_sample_kfold" -> sampleKfoldSql,
     "llm_sample_bootstrap" -> sampleBootstrapSql,
     "llm_sample_es_topk" -> sampleEsTopKSql,

@@ -75,6 +75,59 @@ object Similarity {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_margin: top-k truncation-stability audit — for each query,
+  // the cosine gap between the k-th kept neighbor and the first
+  // dropped one (k = 5, matching llm_ss_topk). A wide margin means the
+  // top-k set is stable under quantization/ANN approximation; a
+  // near-zero margin flags queries where SQ8/PQ error or an LSH miss
+  // flips set membership — exactly the queries the recall panel
+  // (llm_ss_recall) loses first. Same deployment shape as ssTopk:
+  // queries broadcast, the corpus never shuffles to score, and the
+  // per-query window is bounded; the margin extraction is a
+  // conditional aggregation over ranks ≤ k+1, so nothing beyond the
+  // scored candidates materializes.
+  def ssMargin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(spark, dir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
+    val w = Window.partitionBy($"q_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 6)
+      .groupBy($"q_id")
+      .agg(max(when($"rank" === 1, $"cosine")).as("top1"),
+        max(when($"rank" === 5, $"cosine")).as("kth"),
+        max(when($"rank" === 6, $"cosine")).as("dropped"))
+      .select($"q_id", $"top1", $"kth", $"dropped",
+        round($"kth" - $"dropped", 6).as("margin"))
+      .orderBy($"q_id")
+  }
+
+  val ssMarginSql: String =
+    s"""$normCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q_id, n.vec_id AS neighbor_id,
+       |    ROUND(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+       |  FROM n JOIN q ON n.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id,
+       |  MAX(CASE WHEN rank = 1 THEN cosine END) AS top1,
+       |  MAX(CASE WHEN rank = 5 THEN cosine END) AS kth,
+       |  MAX(CASE WHEN rank = 6 THEN cosine END) AS dropped,
+       |  ROUND(MAX(CASE WHEN rank = 5 THEN cosine END)
+       |    - MAX(CASE WHEN rank = 6 THEN cosine END), 6) AS margin
+       |FROM ranked WHERE rank <= 6
+       |GROUP BY q_id ORDER BY q_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_ss_hard_negatives: hard-negative mining for contrastive
   // training (the DPR/Contriever data op): for each query vector, the
   // top-3 OTHER-labeled neighbors by cosine — the semantically-closest
@@ -2324,6 +2377,7 @@ object Similarity {
     "llm_ss_pca" -> (ssPca _),
     "llm_ss_knn_join" -> (ssKnnJoin _),
     "llm_ss_topk" -> (ssTopk _),
+    "llm_ss_margin" -> (ssMargin _),
     "llm_ss_knn_purity" -> (ssKnnPurity _),
     "llm_ss_hard_negatives" -> (ssHardNegatives _),
     "llm_ss_lsh_bucket" -> (ssLshBucket _),
@@ -2359,6 +2413,7 @@ object Similarity {
     "llm_ss_pca" -> ssPcaSql,
     "llm_ss_knn_join" -> ssKnnJoinSql,
     "llm_ss_topk" -> ssTopkSql,
+    "llm_ss_margin" -> ssMarginSql,
     "llm_ss_knn_purity" -> ssKnnPuritySql,
     "llm_ss_hard_negatives" -> ssHardNegativesSql,
     "llm_ss_lsh_bucket" -> ssLshBucketSql,

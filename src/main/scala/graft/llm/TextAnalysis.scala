@@ -2159,7 +2159,61 @@ object TextAnalysis {
       |FROM m CROSS JOIN n
       |ORDER BY vmr DESC, term""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_char_classes: per-document character-class profile — alpha /
+  // uppercase / digit / whitespace / other counts and ratios, the
+  // cheap pre-tokenizer screen that catches OCR noise (digit/other
+  // spikes), SHOUTING (upper ratio), and table-dump pages (whitespace
+  // ratio) before any model-based scorer runs. Counts come from the
+  // length-minus-stripped trick — per-row narrow codegen, zero
+  // shuffles except the final orderBy, scan-speed at 100 TB. The
+  // whitespace class is the EXPLICIT set [ \t\n\r]: Java's \s and
+  // RE2/DuckDB's \s disagree on vertical tab, so the class literal is
+  // the only form both engines parse identically.
+  def taCharClasses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def nOf(pat: String) =
+      length($"text") - length(regexp_replace($"text", pat, ""))
+    Tables.documents(spark, dir)
+      .select($"doc_id", length($"text").as("n_total"),
+        nOf("[A-Za-z]").as("n_alpha"), nOf("[A-Z]").as("n_upper"),
+        nOf("[0-9]").as("n_digit"), nOf("[ \\t\\n\\r]").as("n_space"))
+      .select($"doc_id", $"n_total", $"n_alpha", $"n_upper", $"n_digit",
+        $"n_space",
+        ($"n_total" - $"n_alpha" - $"n_digit" - $"n_space").as("n_other"),
+        round($"n_alpha".cast("double") / greatest($"n_total", lit(1)), 6)
+          .as("alpha_ratio"),
+        round($"n_upper".cast("double") / greatest($"n_alpha", lit(1)), 6)
+          .as("upper_ratio"),
+        round($"n_digit".cast("double") / greatest($"n_total", lit(1)), 6)
+          .as("digit_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val taCharClassesSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, length(text) AS n_total,
+      |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      |      AS n_alpha,
+      |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+      |      AS n_upper,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |      AS n_digit,
+      |    length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+      |      AS n_space
+      |  FROM documents)
+      |SELECT doc_id, n_total, n_alpha, n_upper, n_digit, n_space,
+      |  n_total - n_alpha - n_digit - n_space AS n_other,
+      |  ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_total, 1), 6)
+      |    AS alpha_ratio,
+      |  ROUND(CAST(n_upper AS DOUBLE) / GREATEST(n_alpha, 1), 6)
+      |    AS upper_ratio,
+      |  ROUND(CAST(n_digit AS DOUBLE) / GREATEST(n_total, 1), 6)
+      |    AS digit_ratio
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_char_classes" -> (taCharClasses _),
     "llm_ta_burstiness" -> (taBurstiness _),
     "llm_ta_rater_agreement" -> (taRaterAgreement _),
     "llm_ta_inverted_index" -> (taInvertedIndex _),
@@ -2201,6 +2255,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_char_classes" -> taCharClassesSql,
     "llm_ta_burstiness" -> taBurstinessSql,
     "llm_ta_rater_agreement" -> taRaterAgreementSql,
     "llm_ta_inverted_index" -> taInvertedIndexSql,

@@ -1497,7 +1497,169 @@ object RelationalQueries {
       |  MIN(CASE WHEN cum * 10 >= n_gaps * 9 THEN gap_days END) AS p90_gap
       |FROM cu GROUP BY segment ORDER BY segment""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q68: min-cost supplier per part (TPC-H Q2 shape, adapted: this
+  // schema has no partsupp, so supply cost is DERIVED from lineitem as
+  // each supplier's decimal-exact average unit price for the part).
+  // Scale shape: ONE partial-aggregable groupBy collapses the fact to
+  // (part, supplier) — the big shuffle — then the per-part argmin is a
+  // row_number window over that collapsed table (suppliers-per-part is
+  // bounded, so no partition skews), and the region restriction
+  // broadcasts. The textbook correlated-min subquery would re-scan the
+  // fact; this never reads it twice.
+  def q68MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nat = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter($"r_name" === "EUROPE"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val cost = Tables.lineitem(spark, dir)
+      .join(broadcast(supp.select($"s_suppkey".as("k"))), $"l_suppkey" === $"k")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg((dsum($"l_extendedprice", 6) / dsum($"l_quantity", 6))
+        .as("unit_cost"))
+    val w = Window.partitionBy($"l_partkey")
+      .orderBy($"unit_cost", $"l_suppkey")
+    cost
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_type")), $"l_partkey" === $"p_partkey")
+      .select($"s_acctbal", $"s_name", $"n_name".as("supp_nation"),
+        $"p_partkey", $"p_type", round($"unit_cost", 6).as("unit_cost"))
+      .orderBy($"s_acctbal".desc, $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  val q68Sql: String =
+    s"""WITH supp AS (
+       |  SELECT s_suppkey, s_name, s_acctbal, n_name
+       |  FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'),
+       |cost AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ${dsumSql("l_extendedprice", 6)} / ${dsumSql("l_quantity", 6)}
+       |      AS unit_cost
+       |  FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT l_partkey, l_suppkey, unit_cost
+       |  FROM cost
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_partkey
+       |    ORDER BY unit_cost, l_suppkey) = 1)
+       |SELECT s_acctbal, s_name, n_name AS supp_nation,
+       |  p_partkey, p_type, ROUND(unit_cost, 6) AS unit_cost
+       |FROM best
+       |JOIN supp ON l_suppkey = s_suppkey
+       |JOIN part ON l_partkey = p_partkey
+       |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q69: blocking suppliers (TPC-H Q21 shape, adapted: no commit/
+  // receipt dates, so "the blocker" is the UNIQUE latest shipper in a
+  // multi-supplier order). Two partial-aggregable collapses — fact →
+  // (order, supplier, last_ship), then → per-order (n_supp, max, and
+  // how many suppliers sit at the max) — and one join back on the
+  // order key. Nothing row-level survives the first groupBy, and no
+  // window runs over the (potentially hot) order key.
+  def q69BlockingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perSupp = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"l_shipdate").as("s_last"))
+    val perOrder = perSupp
+      .groupBy($"l_orderkey".as("ok"))
+      .agg(count(lit(1)).as("n_supp"), max($"s_last").as("o_last"))
+    val atMax = perSupp
+      .join(perOrder, $"l_orderkey" === $"ok" && $"s_last" === $"o_last")
+      .groupBy($"l_orderkey", $"n_supp")
+      .agg(count(lit(1)).as("n_at_max"), min($"l_suppkey").as("blocker"))
+    atMax
+      .filter($"n_supp" >= 2 && $"n_at_max" === 1)
+      .groupBy($"blocker")
+      .agg(count(lit(1)).as("n_blocked_orders"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_name")), $"blocker" === $"s_suppkey")
+      .select($"s_name", $"n_blocked_orders")
+      .orderBy($"n_blocked_orders".desc, $"s_name")
+      .limit(20)
+  }
+
+  val q69Sql: String =
+    """WITH per_supp AS (
+      |  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_last
+      |  FROM lineitem GROUP BY 1, 2),
+      |per_order AS (
+      |  SELECT l_orderkey AS ok, COUNT(*) AS n_supp,
+      |    MAX(s_last) AS o_last
+      |  FROM per_supp GROUP BY 1),
+      |at_max AS (
+      |  SELECT p.l_orderkey, o.n_supp, COUNT(*) AS n_at_max,
+      |    MIN(p.l_suppkey) AS blocker
+      |  FROM per_supp p
+      |  JOIN per_order o ON p.l_orderkey = o.ok AND p.s_last = o.o_last
+      |  GROUP BY 1, 2)
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_blocked_orders
+      |FROM at_max JOIN supplier ON blocker = s_suppkey
+      |WHERE n_supp >= 2 AND n_at_max = 1
+      |GROUP BY s_name
+      |ORDER BY n_blocked_orders DESC, s_name LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q70: dormant high-balance customers (TPC-H Q22 shape, adapted: no
+  // phone country codes, so the report groups by nation; and every
+  // synthetic customer has SOME order, so dormancy means no order in
+  // the calendar's final stretch — ≥ 2000-01-01 — rather than none
+  // ever). The global positive-balance average is ONE decimal-exact
+  // scalar broadcast into the filter; dormancy is a left-anti join
+  // against the recent-orders key collapsed to DISTINCT custkeys
+  // (partial-aggregable, AND date-pruned first — the anti probe moves
+  // |recently active customers| rows, not |orders|).
+  def q70DormantCapital(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val avgPos = broadcast(cust.filter($"c_acctbal" > 0.0)
+      .agg((dsum($"c_acctbal", 6) / count(lit(1))).as("avg_bal")))
+    val active = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+      .select($"o_custkey").distinct()
+    cust
+      .crossJoin(avgPos)
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(active, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(dsum($"c_acctbal", 6), 2).as("total_bal"))
+      .orderBy($"nation")
+  }
+
+  val q70Sql: String =
+    s"""WITH avg_pos AS (
+       |  SELECT ${dsumSql("c_acctbal", 6)} / COUNT(*) AS avg_bal
+       |  FROM customer WHERE c_acctbal > 0),
+       |active AS (SELECT DISTINCT o_custkey FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       |SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       |  ROUND(${dsumSql("c_acctbal", 6)}, 2) AS total_bal
+       |FROM customer CROSS JOIN avg_pos
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE c_acctbal > avg_bal
+       |  AND NOT EXISTS (SELECT 1 FROM active WHERE o_custkey = c_custkey)
+       |GROUP BY n_name ORDER BY nation""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_min_cost_supplier" -> (q68MinCostSupplier _),
+    "q69_blocking_suppliers" -> (q69BlockingSuppliers _),
+    "q70_dormant_capital" -> (q70DormantCapital _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_topk_per_group" -> (q02TopKPerGroup _),
     "q03_customer_revenue" -> (q03CustomerRevenue _),
@@ -1537,6 +1699,9 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q68_min_cost_supplier" -> q68Sql,
+    "q69_blocking_suppliers" -> q69Sql,
+    "q70_dormant_capital" -> q70Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_topk_per_group" -> q02Sql,
     "q03_customer_revenue" -> q03Sql,

@@ -697,7 +697,90 @@ object WindowQueries {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_arrival_rate: per-hour arrival counts with hour-over-hour delta
+  // and a burst flag (count > 2× the stream's mean hourly rate) — the
+  // ingest-rate monitor that pages before a crawler loop or replay
+  // storm floods the pipeline. The lag window is UNPARTITIONED by
+  // design and that is safe at any corpus size: it runs over the
+  // per-hour aggregate, whose cardinality is bounded by the calendar
+  // (720 rows/month), not by the data — the same bounded-domain
+  // argument as q67's day histogram. In the streaming runtime the
+  // same query is the tumbling agg + a 1-window stateful lag.
+  def stArrivalRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros($"w.start").as("w_start_us"), $"n_events")
+    val mean = broadcast(hourly.agg(
+      (sum($"n_events").cast("double") / count(lit(1))).as("mean_rate")))
+    val w = Window.orderBy($"w_start_us")
+    hourly.crossJoin(mean)
+      .withColumn("prev_n", lag($"n_events", 1).over(w))
+      .select($"w_start_us", $"n_events",
+        ($"n_events" - coalesce($"prev_n", $"n_events")).as("delta"),
+        round($"mean_rate", 6).as("mean_rate"),
+        when($"n_events" > $"mean_rate" * 2, 1L).otherwise(0L).as("is_burst"))
+      .orderBy($"w_start_us")
+  }
+
+  val stArrivalRateSql: String =
+    """WITH h AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_rate
+      |  FROM h)
+      |SELECT w_start_us, n_events,
+      |  n_events - COALESCE(LAG(n_events, 1) OVER (ORDER BY w_start_us),
+      |    n_events) AS delta,
+      |  ROUND(mean_rate, 6) AS mean_rate,
+      |  CAST(CASE WHEN n_events > mean_rate * 2 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS is_burst
+      |FROM h CROSS JOIN m ORDER BY w_start_us""".stripMargin
+
+  // --------------------------------------------------------------------
+  // st_top_users: top-3 users per 6-hour window by event count — the
+  // windowed heavy-hitter report (abuse/bot triage reads this). The
+  // rank window partitions on the TIME window and orders by the
+  // already-collapsed per-(window, user) counts, so each partition
+  // holds at most |distinct users seen that window| rows — at 100 TB
+  // the (window, user) pre-aggregation is the big partial-aggregable
+  // shuffle and the rank stays bounded; a uniquely hot window would
+  // take q23's salted two-phase top-k instead. Streaming twin:
+  // tumbling agg + per-window in-memory top-k state.
+  def stTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, dir)
+      .groupBy(window($"ts", "6 hours").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros($"w.start").as("w_start_us"), $"user_id",
+        $"n_events")
+    val w = Window.partitionBy($"w_start_us")
+      .orderBy($"n_events".desc, $"user_id".asc)
+    perUser.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"w_start_us", $"rank")
+  }
+
+  val stTopUsersSql: String =
+    """WITH pu AS (
+      |  SELECT epoch_us(ts) // 21600000000 * 21600000000 AS w_start_us,
+      |    user_id, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY w_start_us
+      |    ORDER BY n_events DESC, user_id ASC) AS rank
+      |  FROM pu)
+      |SELECT w_start_us, user_id, n_events, CAST(rank AS INT) AS rank
+      |FROM r WHERE rank <= 3 ORDER BY w_start_us, rank""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_arrival_rate" -> (stArrivalRate _),
+    "st_top_users" -> (stTopUsers _),
     "st_windowed_distinct" -> (stWindowedDistinct _),
     "st_lateness_audit" -> (stLatenessAudit _),
     "st_static_enrich" -> (stStaticEnrich _),
@@ -715,6 +798,8 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_arrival_rate" -> stArrivalRateSql,
+    "st_top_users" -> stTopUsersSql,
     "st_windowed_distinct" -> stWindowedDistinctSql,
     "st_lateness_audit" -> stLatenessAuditSql,
     "st_static_enrich" -> stStaticEnrichSql,

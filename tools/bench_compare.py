@@ -61,6 +61,14 @@ def main():
             print(f"{tag:9s} {name}: {a:.3f}s -> {b:.3f}s ({r:.2f}x)")
         if not moved:
             print(f"no per-query median moved beyond {ratio}x")
+        # always name the top-10 regressions, threshold or not, so a
+        # round's verdict can attribute drift mechanically even when
+        # every mover sits under the noise bar
+        both = [(b / a, n, a, b) for n in set(old_q) & set(new_q)
+                for a, b in [(old_q[n], new_q[n])] if a > 0 and max(a, b) >= 0.1]
+        print("-- top-10 regressions (any size):")
+        for r, name, a, b in sorted(both, reverse=True)[:10]:
+            print(f"   {name}: {a:.3f}s -> {b:.3f}s ({r:.2f}x)")
     else:
         print("per-query data missing on one side; totals only")
     if old_total is not None and new_total is not None:
