@@ -489,6 +489,9 @@ object Graph {
   // by one and shift the threshold.
   private val KcoreK = 12
   private val KcoreIters = 5
+  /** Exposed for the convergence spec (mirrors [[ccItersForSpec]]) so
+    * the test always verifies the PRODUCTION iteration count. */
+  private[graft] def kcoreItersForSpec: Int = KcoreIters
   /** Exposed for the convergence spec (same contract as [[ccLabels]]):
     * the alive-node set after `iters` peels. */
   private[graft] def kcoreAlive(spark: SparkSession, dir: String,

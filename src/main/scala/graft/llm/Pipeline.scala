@@ -1567,8 +1567,8 @@ object Pipeline {
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(expired, 1L).otherwise(0L)).as("n_expire"),
-        sum(when(expired, length($"props").cast("long")).otherwise(0L))
-          .as("expire_bytes"))
+        sum(when(expired, expr("octet_length(props)").cast("long"))
+          .otherwise(0L)).as("expire_bytes"))
       .select($"event_type", $"n_rows", $"n_expire",
         ($"n_rows" - $"n_expire").as("n_keep"),
         round($"n_expire".cast("double") / $"n_rows", 6).as("expire_frac"),
@@ -1582,7 +1582,7 @@ object Pipeline {
       |  SELECT event_type,
       |    (event_type NOT IN ('purchase', 'signup')
       |      AND ts < max_ts - INTERVAL 14 DAY) AS expired,
-      |    length(props) AS nb
+      |    strlen(props) AS nb
       |  FROM events CROSS JOIN h)
       |SELECT event_type, COUNT(*) AS n_rows,
       |  CAST(SUM(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)

@@ -1571,9 +1571,14 @@ object RelationalQueries {
   // window runs over the (potentially hot) order key.
   def q69BlockingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val perSupp = Tables.lineitem(spark, dir)
+    // perSupp feeds TWO consumers (perOrder and the atMax join) and
+    // ReuseExchange does NOT dedupe the identical aggregate subtree
+    // here (verified: the lazy form scans lineitem twice) — so the
+    // collapsed (order, supplier) table is materialized once. This is
+    // the dominant cost at 100 TB; PlanSpec pins the single fact scan.
+    val perSupp = Tables.materialize(Tables.lineitem(spark, dir)
       .groupBy($"l_orderkey", $"l_suppkey")
-      .agg(max($"l_shipdate").as("s_last"))
+      .agg(max($"l_shipdate").as("s_last")))
     val perOrder = perSupp
       .groupBy($"l_orderkey".as("ok"))
       .agg(count(lit(1)).as("n_supp"), max($"s_last").as("o_last"))

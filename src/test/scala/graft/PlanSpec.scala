@@ -361,11 +361,30 @@ class PlanSpec extends SparkSpec {
     // second pass over the child: lineitem is a child in exactly three
     // edges, so exactly three lineitem scans may appear (the r8 shape
     // had six — five extra fact scans across the audit at 100 TB)
+    // upper bound, not equality: session caching (InMemoryRelation) or
+    // AQE reuse can legitimately REDUCE the scan count; the property
+    // being protected is only "no extra child scans"
     val liScans = plan.split("\n")
       .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
-    assert(liScans == 3,
-      s"expected 3 lineitem scans (one per edge), got $liScans:\n" +
+    assert(liScans <= 3,
+      s"expected <=3 lineitem scans (one per edge), got $liScans:\n" +
         plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
+  test("q69 blocking-suppliers scans the fact once (two-consumer subtree collapses)") {
+    // perSupp feeds both perOrder and the atMax join; either
+    // ReuseExchange dedupes the identical aggregate subtree or the
+    // builder materializes it — both show as a single lineitem scan.
+    // A second scan silently doubles the dominant cost at 100 TB.
+    val plan = planOf(graft.operators.RelationalQueries
+      .q69BlockingSuppliers(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1,
+      s"expected one lineitem scan, got $liScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("Window"),
+      "q69 must not window over the order key:\n" + plan.take(800))
   }
 
   test("skew audit is pure two-phase aggregation (no window, no join)") {

@@ -16,7 +16,7 @@ class WaveNineSpec extends SparkSpec {
     // cascade outruns KcoreIters would ship a non-core result that
     // still hash-matches across engines
     for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
-      val k = 5
+      val k = Graph.kcoreItersForSpec
       val at = Graph.kcoreAlive(spark, dir, k)
       val next = Graph.kcoreAlive(spark, dir, k + 1)
       assert(at.exceptAll(next).isEmpty && next.exceptAll(at).isEmpty,
@@ -59,17 +59,34 @@ class WaveNineSpec extends SparkSpec {
   }
 
   test("q69 blockers were the unique latest shipper of a multi-supplier order") {
-    val perSupp = graft.sources.Tables.lineitem(spark, sf0001)
-      .groupBy($"l_orderkey", $"l_suppkey").agg(max($"l_shipdate").as("s_last"))
-    val qualifying = perSupp
-      .groupBy($"l_orderkey")
-      .agg(countDistinct($"l_suppkey").as("n_supp"), max($"s_last").as("o_last"))
-      .filter($"n_supp" >= 2)
-    val total = RelationalQueries.q69BlockingSuppliers(spark, sf0001)
-      .agg(sum($"n_blocked_orders")).collect()(0).getLong(0)
-    // every counted order is a qualifying multi-supplier order, so the
-    // top-20 total can never exceed the qualifying-order count
-    assert(total <= qualifying.count(), s"blocked total $total overcounts")
+    // full independent re-derivation at row level (the query never
+    // materializes per-order rows, this reference does): for each
+    // order with >=2 suppliers, find the suppliers shipping on the max
+    // date; keep orders where that supplier is unique; count per
+    // supplier; take the SAME top-20 ordering. Exact equality.
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), String.valueOf(r.get(2))))
+    val bySupp = li.groupBy(_._1).valuesIterator.flatMap { rows =>
+      val lastPerSupp = rows.groupBy(_._2).map { case (s, rs) =>
+        s -> rs.map(_._3).max }
+      if (lastPerSupp.size < 2) None
+      else {
+        val oMax = lastPerSupp.values.max
+        val atMax = lastPerSupp.filter(_._2 == oMax).keys.toSeq
+        if (atMax.size == 1) Some(atMax.head) else None
+      }
+    }.toSeq.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val names = graft.sources.Tables.supplier(spark, sf0001)
+      .select($"s_suppkey", $"s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = bySupp.toSeq
+      .map { case (s, n) => (names(s), n) }
+      .sortBy { case (name, n) => (-n, name) }.take(20)
+    val got = RelationalQueries.q69BlockingSuppliers(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected,
+      s"q69 mismatch:\n got=$got\n exp=$expected")
   }
 
   test("q70 dormant customers have no order on/after the recency cutoff") {

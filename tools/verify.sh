@@ -13,6 +13,18 @@ OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.la
 rm -rf "$OUT"
 java $OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.Verify "$SF" "$OUT" 2>&1 | grep -v "^[0-9/: ]*WARN" || true
+# SURVEY §2.8's declared registry count must match the live registry —
+# the r9 drift lesson: an op that exists but isn't declared is invisible
+# coverage. Skipped under SPARK_GRAFT_ONLY (partial runs).
+if [ -z "${SPARK_GRAFT_ONLY:-}" ]; then
+  LIVE=$(find "$OUT" -mindepth 1 -maxdepth 1 -type d | wc -l)
+  DECL=$(grep -o 'registry now \*\*[0-9]*\*\*' SURVEY.md | tail -1 | grep -o '[0-9]\+')
+  if [ "$LIVE" != "$DECL" ]; then
+    echo "FAIL: SURVEY \$2.8 declares registry $DECL but SparkEntry.queries has $LIVE entries" >&2
+    exit 1
+  fi
+  echo "registry count: SURVEY=$DECL live=$LIVE ok"
+fi
 # Gate-guards-itself: prove the type-strict checks still fire (red
 # fixtures must FAIL) before trusting the real compare below.
 python3 tools/compare_selftest.py "$SF"
