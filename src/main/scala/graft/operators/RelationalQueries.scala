@@ -1571,22 +1571,30 @@ object RelationalQueries {
   // window runs over the (potentially hot) order key.
   def q69BlockingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // perSupp feeds TWO consumers (perOrder and the atMax join) and
-    // ReuseExchange does NOT dedupe the identical aggregate subtree
-    // here (verified: the lazy form scans lineitem twice) — so the
-    // collapsed (order, supplier) table is materialized once. This is
-    // the dominant cost at 100 TB; PlanSpec pins the single fact scan.
-    val perSupp = Tables.materialize(Tables.lineitem(spark, dir)
+    // Single-pass shape: the r9 form re-joined perSupp against its own
+    // per-order max, which meant EITHER two fact scans (ReuseExchange
+    // does not dedupe the identical aggregate subtree — verified) or a
+    // fact-sized materialization (measured 1.5× slower at 16× warm).
+    // Instead, one `repartition(l_orderkey)` clusters the fact once;
+    // all three cascaded groupBys — (order, supplier) last-ship, then
+    // (order, date) supplier tallies, then per-order max_by — are
+    // prefixed by the order key, so HashPartitioning(l_orderkey)
+    // satisfies every ClusteredDistribution and NO further exchange
+    // runs (PlanSpec pins one scan + one fact shuffle, no Join).
+    // max_by is tie-free: s_last is a group key at the (order, date)
+    // grain, so the max date row is unique within each order.
+    val perOrder = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .repartition($"l_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
-      .agg(max($"l_shipdate").as("s_last")))
-    val perOrder = perSupp
-      .groupBy($"l_orderkey".as("ok"))
-      .agg(count(lit(1)).as("n_supp"), max($"s_last").as("o_last"))
-    val atMax = perSupp
-      .join(perOrder, $"l_orderkey" === $"ok" && $"s_last" === $"o_last")
-      .groupBy($"l_orderkey", $"n_supp")
-      .agg(count(lit(1)).as("n_at_max"), min($"l_suppkey").as("blocker"))
-    atMax
+      .agg(max($"l_shipdate").as("s_last"))
+      .groupBy($"l_orderkey", $"s_last")
+      .agg(count(lit(1)).as("n_at_date"), min($"l_suppkey").as("min_supp"))
+      .groupBy($"l_orderkey")
+      .agg(sum($"n_at_date").as("n_supp"),
+        max_by($"n_at_date", $"s_last").as("n_at_max"),
+        max_by($"min_supp", $"s_last").as("blocker"))
+    perOrder
       .filter($"n_supp" >= 2 && $"n_at_max" === 1)
       .groupBy($"blocker")
       .agg(count(lit(1)).as("n_blocked_orders"))

@@ -371,18 +371,27 @@ class PlanSpec extends SparkSpec {
         plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
   }
 
-  test("q69 blocking-suppliers scans the fact once (two-consumer subtree collapses)") {
-    // perSupp feeds both perOrder and the atMax join; either
-    // ReuseExchange dedupes the identical aggregate subtree or the
-    // builder materializes it — both show as a single lineitem scan.
-    // A second scan silently doubles the dominant cost at 100 TB.
+  test("q69 blocking-suppliers scans and shuffles the fact exactly once") {
+    // single-pass shape: repartition(l_orderkey) clusters the fact
+    // once and every cascaded groupBy key is prefixed by l_orderkey,
+    // so no further fact-sized exchange may appear (the r9 two-
+    // consumer form either scanned lineitem twice or paid a fact-
+    // sized materialization). Remaining exchanges: the tiny blocker
+    // groupBy + the broadcast of supplier.
     val plan = planOf(graft.operators.RelationalQueries
       .q69BlockingSuppliers(spark, sf0001))
     val liScans = plan.split("\n")
       .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
-    assert(liScans <= 1,
+    assert(liScans == 1,
       s"expected one lineitem scan, got $liScans:\n" +
         plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    val factEx = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_orderkey"))
+    assert(factEx <= 1,
+      s"expected one fact shuffle, got $factEx:\n" +
+        plan.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"),
+      "supplier join must broadcast:\n" + plan.take(800))
     assert(!plan.contains("Window"),
       "q69 must not window over the order key:\n" + plan.take(800))
   }
