@@ -562,7 +562,74 @@ object Graph {
        |ORDER BY iter""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_graph_assortativity: degree assortativity of the global trade
+  // graph — the Pearson correlation of EXCESS degrees (deg−1, Newman
+  // 2002) across the directed symmetric edge list. Negative r =
+  // disassortative (hubs link to leaves — the hub-and-spoke shape
+  // whose wedge counts explode first in any pairwise expansion);
+  // positive r = a dense rich club that survives k-core peeling. In an
+  // LLM pipeline this is the one-number forecast for how the
+  // similarity graph will behave under llm_graph_kcore/_triangles.
+  // Scale shape: the session-cached edge artifact already carries the
+  // src degree; the dst degree joins from the node-grain (dim-sized)
+  // degree table by broadcast. All five moments are EXACT integer
+  // sums (longs bound them: deg ≤ 10⁴, pairs ≤ 10⁸ per edge, ×10⁶
+  // edges ≪ 2⁶³); only the final 1-row Pearson solve runs in double,
+  // with the identical parenthesization on both engines.
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edgesWithDeg(spark, dir)
+    val deg = e.select($"src".as("node"), $"outdeg".as("ddeg")).distinct()
+    val xy = e
+      .join(broadcast(deg), $"dst" === $"node")
+      .select(($"outdeg" - 1).as("x"), ($"ddeg" - 1).as("y"))
+    val m = xy.agg(
+      count(lit(1)).as("m"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"),
+      sum($"x" * $"x").as("sxx"),
+      sum($"y" * $"y").as("syy"))
+    val md = m.select($"m".cast("double").as("md"),
+      $"sx".cast("double").as("sx"), $"sy".cast("double").as("sy"),
+      $"sxy".cast("double").as("sxy"), $"sxx".cast("double").as("sxx"),
+      $"syy".cast("double").as("syy"), $"m")
+    md.select(
+      $"m".as("n_edges"),
+      round(($"md" * $"sxy" - $"sx" * $"sy")
+        / (sqrt($"md" * $"sxx" - $"sx" * $"sx")
+          * sqrt($"md" * $"syy" - $"sy" * $"sy")), 6).as("assortativity"),
+      round($"sx" / $"md", 6).as("avg_excess_deg"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH pairs AS ($edgeSql),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+       |xy AS (
+       |  SELECT ds.d - 1 AS x, dd.d - 1 AS y
+       |  FROM edges e
+       |  JOIN deg ds ON e.src = ds.node
+       |  JOIN deg dd ON e.dst = dd.node),
+       |mo AS (
+       |  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+       |  FROM xy)
+       |SELECT CAST(m AS BIGINT) AS n_edges,
+       |  ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (SQRT(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * SQRT(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       |    AS assortativity,
+       |  ROUND(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE), 6) AS avg_excess_deg
+       |FROM mo""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_graph_assortativity" -> (assortativity _),
     "llm_graph_kcore" -> (kcore _),
     "llm_graph_cc" -> (cc _),
     "llm_graph_pagerank" -> (pagerank _),
@@ -571,6 +638,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_graph_assortativity" -> assortativitySql,
     "llm_graph_kcore" -> kcoreSql,
     "llm_graph_cc" -> ccSql,
     "llm_graph_pagerank" -> pagerankSql,

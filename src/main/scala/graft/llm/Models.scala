@@ -162,7 +162,16 @@ object Models {
   private val LrEta = 1.0
   private val LrSteps = 3
 
-  def logreg(spark: SparkSession, dir: String): DataFrame = {
+  private def dsum12(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(28,12)")).cast("double")
+  private def sig(z: org.apache.spark.sql.Column) =
+    lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+
+  /** The trained (features, w1, w2, b) tuple — shared by [[logreg]]
+    * (model card) and [[calibration]] (reliability curve) so both
+    * score with the SAME fit. */
+  private def logregFit(spark: SparkSession,
+                        dir: String): (DataFrame, Double, Double, Double) = {
     import spark.implicits._
     val feats = Tables.documents(spark, dir)
       .select($"doc_id",
@@ -174,24 +183,26 @@ object Models {
       .select($"x1", $"x2",
         when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
     val f = Tables.materialize(feats)
-
-    def dsum(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(28,12)")).cast("double")
-    def sig(z: org.apache.spark.sql.Column) =
-      lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
-
     val n = f.count().toDouble
     var (w1, w2, b) = (0.0, 0.0, 0.0)
     for (_ <- 1 to LrSteps) {
       val z = lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"
       val g = f.agg(
-        dsum((sig(z) - $"y") * $"x1").as("g1"),
-        dsum((sig(z) - $"y") * $"x2").as("g2"),
-        dsum(sig(z) - $"y").as("gb")).head()
+        dsum12((sig(z) - $"y") * $"x1").as("g1"),
+        dsum12((sig(z) - $"y") * $"x2").as("g2"),
+        dsum12(sig(z) - $"y").as("gb")).head()
       w1 -= LrEta * g.getAs[Double]("g1") / n
       w2 -= LrEta * g.getAs[Double]("g2") / n
       b -= LrEta * g.getAs[Double]("gb") / n
     }
+    (f, w1, w2, b)
+  }
+
+  def logreg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dsum(c: org.apache.spark.sql.Column) = dsum12(c)
+    val (f, w1, w2, b) = logregFit(spark, dir)
+    val n = f.count().toDouble
 
     val zf = lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"
     val m = f.agg(
@@ -210,12 +221,17 @@ object Models {
       .toDF("n", "n_pos", "w_chars", "w_words", "intercept", "accuracy")
   }
 
-  val logregSql: String = {
+  private def sigSql(z: String) =
+    s"(0.5 + 0.5 * ($z) / (1.0 + ABS($z)))"
+
+  /** The shared training-CTE prefix (features f + unrolled gradient
+    * steps ending at the trained 1-row weight table `w3s`) — the SQL
+    * twin of [[logregFit]], spliced into both the logreg and the
+    * calibration oracles so both score with the SAME fit. */
+  private def logregChainSql: String = {
     // one unrolled CTE per gradient step: gK sums the per-row gradient
     // terms under weights wK-1; wK applies the update. The weight
     // tables are 1-row, so every CROSS JOIN is a broadcast in spirit.
-    def sigSql(z: String) =
-      s"(0.5 + 0.5 * ($z) / (1.0 + ABS($z)))"
     def step(prevW: String, g: String, w: String): String = {
       val z = s"$prevW.b + $prevW.w1 * f.x1 + $prevW.w2 * f.x2"
       s"""$g AS (
@@ -232,7 +248,7 @@ object Models {
          |    $g.n AS n
          |  FROM $g CROSS JOIN $prevW $prevW)""".stripMargin
     }
-    s"""WITH q AS (${TextAnalysis.taQualitySql}),
+    s"""q AS (${TextAnalysis.taQualitySql}),
        |f AS (
        |  SELECT
        |    d.n_chars / CAST(1000.0 AS DOUBLE) AS x1,
@@ -245,7 +261,11 @@ object Models {
        |  CAST(0.0 AS DOUBLE) AS b),
        |${step("w0", "g1s", "w1s")},
        |${step("w1s", "g2s", "w2s")},
-       |${step("w2s", "g3s", "w3s")},
+       |${step("w2s", "g3s", "w3s")}""".stripMargin
+  }
+
+  val logregSql: String =
+    s"""WITH $logregChainSql,
        |m AS (
        |  SELECT
        |    COUNT(*) AS n,
@@ -260,16 +280,60 @@ object Models {
        |  ROUND(b, 6) AS intercept,
        |  ROUND(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy
        |FROM m""".stripMargin
-  }
 
   // --------------------------------------------------------------------
+  // llm_models_calibration: reliability curve for the trained quality
+  // probe — bin predicted probability into 10 equal-width bins,
+  // compare mean prediction vs observed positive rate per bin (the
+  // plot behind every "is this classifier's score a probability?"
+  // decision; a curation gate that thresholds an uncalibrated score
+  // silently shifts the corpus mix). Reuses the EXACT [[logregFit]]
+  // weights; the Elliott link keeps p a rational function, so the
+  // bin index floor(p·10) lands identically on both engines
+  // (bit-identical p, and p < 1 by construction so no edge bin).
+  // Scale: one scoring scan + a 10-row groupBy; partial-aggregable.
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (f, w1, w2, b) = logregFit(spark, dir)
+    val p = sig(lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2")
+    f.select(p.as("p"), $"y")
+      .select(least(floor($"p" * 10).cast("int"), lit(9)).as("bin"),
+        $"p", $"y")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        round(dsum12($"p") / count(lit(1)), 6).as("mean_pred"),
+        round(dsum12($"y") / count(lit(1)), 6).as("pos_rate"),
+        round(abs(dsum12($"p") / count(lit(1))
+          - dsum12($"y") / count(lit(1))), 6).as("gap"))
+      .orderBy($"bin")
+  }
+
+  val calibrationSql: String = {
+    val p = sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")
+    def d12(e: String) =
+      s"CAST(SUM(CAST(($e) AS DECIMAL(28,12))) AS DOUBLE)"
+    s"""WITH $logregChainSql,
+       |s AS (
+       |  SELECT LEAST(CAST(FLOOR($p * 10) AS INT), 9) AS bin,
+       |    $p AS p, f.y AS y
+       |  FROM f CROSS JOIN w3s w)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ROUND(${d12("p")} / COUNT(*), 6) AS mean_pred,
+       |  ROUND(${d12("y")} / COUNT(*), 6) AS pos_rate,
+       |  ROUND(ABS(${d12("p")} / COUNT(*) - ${d12("y")} / COUNT(*)), 6)
+       |    AS gap
+       |FROM s GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_ta_ridge" -> (ridge _),
     "llm_ta_logreg" -> (logreg _),
+    "llm_models_calibration" -> (calibration _),
   )
 
   val oracles: Map[String, String] = Map(
     "llm_ta_ridge" -> ridgeSql,
     "llm_ta_logreg" -> logregSql,
+    "llm_models_calibration" -> calibrationSql,
   )
 }

@@ -1595,7 +1595,103 @@ object Pipeline {
       |    AS expire_bytes
       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_quota_fill: epoch-capped mixture allocation — the
+  // "fill a token budget to a target source mixture without repeating
+  // any source more than `MaxEpochs` times" solver every pretraining
+  // data plan runs. Round 0 allocates the budget by target share and
+  // clamps each source at its epoch cap; ONE deterministic
+  // redistribution round then flows the resulting deficit to sources
+  // with headroom, pro rata by target share (a fixed two-round spec —
+  // not iterated water-filling — so the result is closed-form and
+  // engine-independent). Target shares are data-derived (source-name
+  // hash → weight 1..7) so skewed targets exist at every SF. Scale
+  // shape: ONE corpus scan collapses to the source-grain (20-row)
+  // supply table; everything after is arithmetic on that dim table
+  // with 1-row broadcast totals — decimal-routed sums, so the solve
+  // is bit-identical regardless of partitioning.
+  private val QfBudgetFrac = 0.9
+  private val QfMaxEpochs = 1.2
+  def quotaFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dsum(c: org.apache.spark.sql.Column, s: Int = 6) =
+      sum(c.cast(s"decimal(28,$s)")).cast("double")
+    val avail = Tables.documents(spark, dir)
+      .select($"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("tok"))
+      .groupBy($"source").agg(sum($"tok").as("avail_tokens"))
+    val w = avail.select($"source", $"avail_tokens",
+      (h60($"source") % 7 + 1).cast("double").as("wt"))
+    val tot = broadcast(w.agg(dsum($"wt").as("sw"),
+      sum($"avail_tokens").cast("double").as("ta")))
+    val base = w.crossJoin(tot)
+      .select($"source", $"avail_tokens",
+        ($"wt" / $"sw").as("t_share"),
+        (lit(QfBudgetFrac) * $"ta").as("budget"),
+        (lit(QfMaxEpochs) * $"avail_tokens").as("cap"))
+      .withColumn("alloc0", $"t_share" * $"budget")
+      .withColumn("fin0", least($"alloc0", $"cap"))
+    val g = broadcast(base.agg(dsum($"fin0").as("sfin0"),
+      dsum(when($"fin0" < $"cap", $"t_share").otherwise(lit(0.0)), 12)
+        .as("hs")))
+    base.crossJoin(g)
+      .withColumn("fin1",
+        when($"fin0" < $"cap" && $"hs" > 0.0,
+          least($"fin0" + ($"budget" - $"sfin0") * $"t_share" / $"hs",
+            $"cap"))
+          .otherwise($"fin0"))
+      .select($"source", $"avail_tokens",
+        round($"t_share", 6).as("t_share"),
+        round($"alloc0", 2).as("alloc0"),
+        when($"alloc0" > $"cap", 1).otherwise(0).as("was_capped"),
+        round($"fin1", 2).as("final_alloc"),
+        round($"fin1" / $"avail_tokens", 6).as("epochs"))
+      .orderBy($"source")
+  }
+
+  val quotaFillSql: String =
+    s"""WITH a AS (
+       |  SELECT source,
+       |    CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+       |      AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT source, avail_tokens,
+       |    CAST(${h60Sql("source")} % 7 + 1 AS DOUBLE) AS wt
+       |  FROM a),
+       |t AS (
+       |  SELECT CAST(SUM(CAST(wt AS DECIMAL(28,6))) AS DOUBLE) AS sw,
+       |    CAST(SUM(avail_tokens) AS DOUBLE) AS ta
+       |  FROM w),
+       |b AS (
+       |  SELECT source, avail_tokens, wt / sw AS t_share,
+       |    $QfBudgetFrac * ta AS budget,
+       |    $QfMaxEpochs * avail_tokens AS cap
+       |  FROM w CROSS JOIN t),
+       |b2 AS (
+       |  SELECT *, t_share * budget AS alloc0,
+       |    LEAST(t_share * budget, cap) AS fin0
+       |  FROM b),
+       |g AS (
+       |  SELECT CAST(SUM(CAST(fin0 AS DECIMAL(28,6))) AS DOUBLE) AS sfin0,
+       |    CAST(SUM(CASE WHEN fin0 < cap
+       |      THEN CAST(t_share AS DECIMAL(28,12))
+       |      ELSE CAST(0.0 AS DECIMAL(28,12)) END) AS DOUBLE) AS hs
+       |  FROM b2)
+       |SELECT source, avail_tokens,
+       |  ROUND(t_share, 6) AS t_share,
+       |  ROUND(alloc0, 2) AS alloc0,
+       |  CAST(CASE WHEN alloc0 > cap THEN 1 ELSE 0 END AS INT) AS was_capped,
+       |  ROUND(CASE WHEN fin0 < cap AND hs > 0.0
+       |    THEN LEAST(fin0 + (budget - sfin0) * t_share / hs, cap)
+       |    ELSE fin0 END, 2) AS final_alloc,
+       |  ROUND(CASE WHEN fin0 < cap AND hs > 0.0
+       |    THEN LEAST(fin0 + (budget - sfin0) * t_share / hs, cap)
+       |    ELSE fin0 END / avail_tokens, 6) AS epochs
+       |FROM b2 CROSS JOIN g ORDER BY source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_quota_fill" -> (quotaFill _),
     "llm_pipeline_retention" -> (retention _),
     "llm_pipeline_embedding_coverage" -> (embeddingCoverage _),
     "llm_pipeline_dedup_ledger" -> (dedupLedger _),
@@ -1626,6 +1722,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_pipeline_quota_fill" -> quotaFillSql,
     "llm_pipeline_retention" -> retentionSql,
     "llm_pipeline_curriculum" -> curriculumSql,
     "llm_pipeline_curate" -> curateSql,

@@ -640,6 +640,110 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_ivf_nprobe_sweep: the recall-vs-cost CURVE of the IVF probe
+  // knob — for probe radius r ∈ {0, 1, 2} (nprobe = 1, 9, 25 grid
+  // cells), measure mean recall@3 against the brute-force truth AND
+  // the mean number of candidates actually scored. llm_ss_recall
+  // reports single points; this op is the tuning sweep that says what
+  // one more ring of cells BUYS and what it COSTS — the two numbers an
+  // index config review needs on one row. Scale shape: per radius the
+  // corpus side is the same never-shuffled equi-join on cell; only the
+  // broadcast query side explodes (1/9/25×). The scored candidate set
+  // is materialized per radius because two consumers read it (top-k
+  // hits and the candidate count) — left lazy, the probe join replays.
+  def ssIvfNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cellExpr = concat_ws(":",
+      floor(element_at($"v", 1) * 4).cast("long"),
+      floor(element_at($"v", 2) * 4).cast("long"))
+    val e = withNorm(spark, dir).withColumn("cell", cellExpr)
+    val exact = ssTopk(spark, dir)
+      .filter($"rank" <= 3 && $"q_id" < 5)
+      .select($"q_id", $"neighbor_id")
+      .localCheckpoint()
+    def sweepAt(r: Int): DataFrame = {
+      val probeCells = array((for (dx <- -r to r; dy <- -r to r) yield
+        concat_ws(":", ($"cx" + dx).cast("string"),
+          ($"cy" + dy).cast("string"))): _*)
+      val q = withNorm(spark, dir).filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+          floor(element_at($"v", 1) * 4).cast("long").as("cx"),
+          floor(element_at($"v", 2) * 4).cast("long").as("cy"))
+        .select($"q_id", $"qv", $"qn", explode(probeCells).as("qcell"))
+      val scored = e.join(broadcast(q),
+          $"cell" === $"qcell" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("neighbor_id"),
+          expr("round(vec_dot(qv, v) / (qn * nrm), 6)").as("cosine"))
+        .localCheckpoint()
+      val w = Window.partitionBy($"q_id")
+        .orderBy($"cosine".desc, $"neighbor_id".asc)
+      val hits = scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .join(exact, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      val cand = scored.agg(count(lit(1)).as("n_cand"),
+        countDistinct($"q_id").as("nq"))
+      hits.crossJoin(cand).select(
+        lit((2 * r + 1) * (2 * r + 1)).as("nprobe"),
+        round($"n_hit".cast("double") / (lit(5.0) * 3.0), 6)
+          .as("mean_recall_at_3"),
+        round($"n_cand".cast("double") / 5.0, 2).as("avg_candidates"))
+    }
+    sweepAt(0).unionByName(sweepAt(1)).unionByName(sweepAt(2))
+      .orderBy($"nprobe")
+  }
+
+  lazy val ssIvfNprobeSweepSql: String = {
+    def vals(r: Int) =
+      (-r to r).map(d => s"($d)").mkString(", ")
+    def block(r: Int): String = {
+      val np = (2 * r + 1) * (2 * r + 1)
+      s"""SELECT $np AS nprobe,
+         |  ROUND((SELECT COUNT(*) FROM (
+         |      SELECT q_id, neighbor_id FROM (
+         |        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY q_id
+         |          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |        FROM (
+         |          SELECT p.q_id, cells.vec_id AS neighbor_id,
+         |            ROUND(list_dot_product(p.qv, cells.v)
+         |              / (p.qn * cells.nrm), 6) AS cosine
+         |          FROM cells JOIN (
+         |            SELECT q_id, qv, qn, (cx + dx) || ':' || (cy + dy) AS qcell
+         |            FROM q0
+         |            CROSS JOIN (VALUES ${vals(r)}) AS dxs(dx)
+         |            CROSS JOIN (VALUES ${vals(r)}) AS dys(dy)) p
+         |          ON cells.cell = p.qcell AND cells.vec_id <> p.q_id) s)
+         |      WHERE rank <= 3) t
+         |    JOIN exact3 USING (q_id, neighbor_id))
+         |    / (5.0 * 3.0), 6) AS mean_recall_at_3,
+         |  ROUND((SELECT COUNT(*) FROM cells JOIN (
+         |      SELECT q_id, (cx + dx) || ':' || (cy + dy) AS qcell
+         |      FROM q0
+         |      CROSS JOIN (VALUES ${vals(r)}) AS dxs(dx)
+         |      CROSS JOIN (VALUES ${vals(r)}) AS dys(dy)) p
+         |    ON cells.cell = p.qcell AND cells.vec_id <> p.q_id)
+         |    / 5.0, 2) AS avg_candidates""".stripMargin
+    }
+    s"""$normCte,
+       |cells AS (SELECT vec_id, v, nrm,
+       |  CAST(FLOOR(v[1] * 4) AS BIGINT) || ':' || CAST(FLOOR(v[2] * 4) AS BIGINT) AS cell
+       |FROM n),
+       |q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
+       |    CAST(FLOOR(v[1] * 4) AS BIGINT) AS cx,
+       |    CAST(FLOOR(v[2] * 4) AS BIGINT) AS cy
+       |  FROM n WHERE vec_id < 5),
+       |exact3 AS (
+       |  SELECT q_id, neighbor_id FROM ($ssTopkSql)
+       |  WHERE rank <= 3 AND q_id < 5)
+       |${block(0)}
+       |UNION ALL
+       |${block(1)}
+       |UNION ALL
+       |${block(2)}
+       |ORDER BY nprobe""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // llm_ss_recall: recall@3 of the two approximate scale paths against
   // the brute-force ground truth, per query — the measurement that
   // makes the baseline↔scale-path trade a number instead of a claim.
@@ -2389,6 +2493,7 @@ object Similarity {
     "llm_ss_sq8" -> (ssSq8 _),
     "llm_ss_sq8_search" -> (ssSq8Search _),
     "llm_ss_recall" -> (ssRecall _),
+    "llm_ss_ivf_nprobe_sweep" -> (ssIvfNprobeSweep _),
     "llm_ss_kmeans" -> (ssKmeans _),
     "llm_ss_kmeans_iter" -> (ssKmeansIter _),
     "llm_ss_pq_encode" -> (ssPqEncode _),
@@ -2425,6 +2530,7 @@ object Similarity {
     "llm_ss_sq8" -> ssSq8Sql,
     "llm_ss_sq8_search" -> ssSq8SearchSql,
     "llm_ss_recall" -> ssRecallSql,
+    "llm_ss_ivf_nprobe_sweep" -> ssIvfNprobeSweepSql,
     "llm_ss_kmeans" -> ssKmeansSql,
     "llm_ss_kmeans_iter" -> ssKmeansIterSql,
     "llm_ss_pq_encode" -> ssPqEncodeSql,

@@ -1669,6 +1669,193 @@ object RelationalQueries {
        |  AND NOT EXISTS (SELECT 1 FROM active WHERE o_custkey = c_custkey)
        |GROUP BY n_name ORDER BY nation""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q71: ship-latency profile per order priority — n, mean, EXACT
+  // median and p95 of datediff(shipdate, orderdate). Same bounded-
+  // integer-domain order-statistics trick as q67, but over the one
+  // fact-fact join in the schema: lineitem⋈orders on the order key
+  // (both sides fact-sized — neither broadcasts at 100 TB; the equi
+  // join shuffles each once, partial-aggregable histogram after).
+  // The (priority, lag_days) histogram is calendar-bounded (5
+  // priorities × a few thousand distinct day lags), so the exact
+  // median costs a 25k-row cumulative window, never a per-group sort
+  // of the fact.
+  def q71ShipLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lags = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_shipdate")
+      .join(Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority".as("priority"),
+        datediff($"l_shipdate", $"o_orderdate").as("lag_days"))
+    val hist = lags.groupBy($"priority", $"lag_days")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"priority").orderBy($"lag_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy($"priority").agg(sum($"c").as("n_lines"))
+    hist
+      .withColumn("cum", sum($"c").over(wCum))
+      .join(broadcast(tot), "priority")
+      .groupBy($"priority")
+      .agg(first($"n_lines").as("n_lines"),
+        round(sum(($"lag_days" * $"c").cast(DecimalType(28, 6)))
+          .cast("double") / first($"n_lines"), 6).as("mean_lag"),
+        min(when($"cum" * 2 >= $"n_lines", $"lag_days")).as("median_lag"),
+        min(when($"cum" * 20 >= $"n_lines" * 19, $"lag_days")).as("p95_lag"))
+      .orderBy($"priority")
+  }
+
+  val q71Sql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS priority,
+      |    date_diff('day', o_orderdate, l_shipdate) AS lag_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |h AS (SELECT priority, lag_days, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      |t AS (SELECT priority, SUM(c) AS n_lines FROM h GROUP BY 1),
+      |cu AS (
+      |  SELECT h.priority, lag_days, c, n_lines,
+      |    SUM(c) OVER (PARTITION BY h.priority ORDER BY lag_days
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM h JOIN t ON h.priority = t.priority)
+      |SELECT priority, CAST(MIN(n_lines) AS BIGINT) AS n_lines,
+      |  ROUND(CAST(SUM(CAST(lag_days * c AS DECIMAL(28,6))) AS DOUBLE)
+      |    / MIN(n_lines), 6) AS mean_lag,
+      |  MIN(CASE WHEN cum * 2 >= n_lines THEN lag_days END) AS median_lag,
+      |  MIN(CASE WHEN cum * 20 >= n_lines * 19 THEN lag_days END) AS p95_lag
+      |FROM cu GROUP BY priority ORDER BY priority""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q72: decile lift / cumulative-gains table — does early-period
+  // spend predict late-period spend? Rank early-active customers into
+  // value deciles by pre-1998 revenue, then measure each decile's
+  // share of post-1998 revenue and the cumulative capture curve (the
+  // model-lift report marketers run on churn scores, computed here on
+  // the identity "model" early_rev). Scale shape: two date-pruned
+  // partial-aggregable collapses of orders at customer grain, NTILE
+  // over the DIM-sized customer table (total-ordered tie-break on
+  // custkey), then a 10-row decile rollup + cumulative window.
+  def q72DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val o = Tables.orders(spark, dir)
+    val early = o.filter($"o_orderdate" < cut)
+      .groupBy($"o_custkey").agg(dsum($"o_totalprice").as("early_rev"))
+    val late = o.filter($"o_orderdate" >= cut)
+      .groupBy($"o_custkey".as("lk"))
+      .agg(dsum($"o_totalprice").as("late_rev"))
+    val wD = Window.orderBy($"early_rev".desc, $"o_custkey")
+    val deciled = early
+      .join(late, $"o_custkey" === $"lk", "left")
+      .select($"o_custkey", $"early_rev",
+        coalesce($"late_rev", lit(0.0)).as("late_rev"))
+      .withColumn("decile", ntile(10).over(wD))
+    val totals = broadcast(deciled.agg(
+      sum($"early_rev".cast(DecimalType(28, 6))).cast("double").as("te"),
+      sum($"late_rev".cast(DecimalType(28, 6))).cast("double").as("tl")))
+    val perDecile = deciled.groupBy($"decile")
+      .agg(count(lit(1)).as("n_custs"),
+        sum($"early_rev".cast(DecimalType(28, 6))).cast("double").as("de"),
+        sum($"late_rev".cast(DecimalType(28, 6))).cast("double").as("dl"))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile.crossJoin(totals)
+      .withColumn("cum_dl", sum($"dl".cast(DecimalType(28, 6)))
+        .over(wCum).cast("double"))
+      .select($"decile", $"n_custs",
+        round($"de" / $"te", 6).as("early_share"),
+        round($"dl" / $"tl", 6).as("late_share"),
+        round($"cum_dl" / $"tl", 6).as("cum_late_share"))
+      .orderBy($"decile")
+  }
+
+  val q72Sql: String =
+    s"""WITH e AS (
+       |  SELECT o_custkey, ${dsumSql("o_totalprice")} AS early_rev
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY 1),
+       |l AS (
+       |  SELECT o_custkey AS lk, ${dsumSql("o_totalprice")} AS late_rev
+       |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY 1),
+       |d AS (
+       |  SELECT o_custkey, early_rev, COALESCE(late_rev, 0.0) AS late_rev,
+       |    NTILE(10) OVER (ORDER BY early_rev DESC, o_custkey) AS decile
+       |  FROM e LEFT JOIN l ON o_custkey = lk),
+       |t AS (
+       |  SELECT CAST(SUM(CAST(early_rev AS DECIMAL(28,6))) AS DOUBLE) AS te,
+       |    CAST(SUM(CAST(late_rev AS DECIMAL(28,6))) AS DOUBLE) AS tl
+       |  FROM d),
+       |p AS (
+       |  SELECT decile, COUNT(*) AS n_custs,
+       |    CAST(SUM(CAST(early_rev AS DECIMAL(28,6))) AS DOUBLE) AS de,
+       |    CAST(SUM(CAST(late_rev AS DECIMAL(28,6))) AS DOUBLE) AS dl
+       |  FROM d GROUP BY 1)
+       |SELECT CAST(decile AS INT) AS decile, CAST(n_custs AS BIGINT) AS n_custs,
+       |  ROUND(de / te, 6) AS early_share,
+       |  ROUND(dl / tl, 6) AS late_share,
+       |  ROUND(CAST(SUM(CAST(dl AS DECIMAL(28,6))) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    / tl, 6) AS cum_late_share
+       |FROM p CROSS JOIN t ORDER BY decile""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q73: per-nation trade balance — revenue earned as suppliers
+  // (exports) vs order value spent as customers (imports), balance and
+  // export ratio. Two INDEPENDENT fact collapses reconciled at the
+  // 25-row nation grain: the supplier side collapses lineitem revenue
+  // through a broadcast supplier→nation map; the customer side uses
+  // o_totalprice at order grain (orders is the right fact for spend —
+  // re-deriving it from lineitem would double the scan for the same
+  // number). FULL OUTER at nation grain so a one-sided nation is a
+  // value, not a dropped row.
+  def q73TradeBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    val exports = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey".as("ek"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("export_rev"))
+    val imports = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("ik"))
+      .agg(dsum($"o_totalprice").as("import_val"))
+    exports.join(imports, $"ek" === $"ik", "full_outer")
+      .join(broadcast(nat), coalesce($"ek", $"ik") === $"n_nationkey")
+      .select($"n_name".as("nation"),
+        round(coalesce($"export_rev", lit(0.0)), 2).as("export_rev"),
+        round(coalesce($"import_val", lit(0.0)), 2).as("import_val"),
+        round(coalesce($"export_rev", lit(0.0))
+          - coalesce($"import_val", lit(0.0)), 2).as("balance"),
+        round(coalesce($"export_rev", lit(0.0))
+          / (coalesce($"export_rev", lit(0.0))
+            + coalesce($"import_val", lit(0.0))), 6).as("export_ratio"))
+      .orderBy($"nation")
+  }
+
+  val q73Sql: String =
+    s"""WITH ex AS (
+       |  SELECT s_nationkey AS ek,
+       |    ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS export_rev
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1),
+       |im AS (
+       |  SELECT c_nationkey AS ik, ${dsumSql("o_totalprice")} AS import_val
+       |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+       |SELECT n_name AS nation,
+       |  ROUND(COALESCE(export_rev, 0.0), 2) AS export_rev,
+       |  ROUND(COALESCE(import_val, 0.0), 2) AS import_val,
+       |  ROUND(COALESCE(export_rev, 0.0) - COALESCE(import_val, 0.0), 2)
+       |    AS balance,
+       |  ROUND(COALESCE(export_rev, 0.0)
+       |    / (COALESCE(export_rev, 0.0) + COALESCE(import_val, 0.0)), 6)
+       |    AS export_ratio
+       |FROM ex FULL OUTER JOIN im ON ek = ik
+       |JOIN nation ON COALESCE(ek, ik) = n_nationkey
+       |ORDER BY nation""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_min_cost_supplier" -> (q68MinCostSupplier _),
     "q69_blocking_suppliers" -> (q69BlockingSuppliers _),
@@ -1709,9 +1896,15 @@ object RelationalQueries {
     "q65_discount_elasticity" -> (q65DiscountElasticity _),
     "q66_quartile_migration" -> (q66QuartileMigration _),
     "q67_repeat_intervals" -> (q67RepeatIntervals _),
+    "q71_ship_latency" -> (q71ShipLatency _),
+    "q72_decile_lift" -> (q72DecileLift _),
+    "q73_trade_balance" -> (q73TradeBalance _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_ship_latency" -> q71Sql,
+    "q72_decile_lift" -> q72Sql,
+    "q73_trade_balance" -> q73Sql,
     "q68_min_cost_supplier" -> q68Sql,
     "q69_blocking_suppliers" -> q69Sql,
     "q70_dormant_capital" -> q70Sql,

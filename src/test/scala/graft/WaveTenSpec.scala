@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Graph, Models, Pipeline, Similarity}
+import graft.operators.RelationalQueries
+
+/** Value-level invariants for the round-10 operator wave — the
+  * algebraic claims the DuckDB oracle can't express (conservation
+  * across independently-computed totals, monotone recall curves,
+  * allocation feasibility, exact order statistics vs a naive
+  * reference).
+  */
+class WaveTenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q71 exact median/p95 match a naive per-priority sort") {
+    val rows = RelationalQueries.q71ShipLatency(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val lags = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.orders(spark, sf0001),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff($"l_shipdate", $"o_orderdate").as("lag"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sorted }
+    rows.foreach { r =>
+      val xs = lags(r.getString(0))
+      val n = xs.length
+      // histogram-cumulative definition: smallest value with
+      // cum*2 >= n (resp. cum*20 >= 19n)
+      def orderStat(mult: Long, target: Long): Int = {
+        var cum = 0L
+        xs.distinct.sorted.find { v =>
+          cum += xs.count(_ == v); cum * mult >= target
+        }.get
+      }
+      assert(r.getAs[Long]("n_lines") == n.toLong)
+      assert(r.getAs[Int]("median_lag") == orderStat(2, n),
+        s"median mismatch for ${r.getString(0)}")
+      assert(r.getAs[Int]("p95_lag") == orderStat(20, 19L * n),
+        s"p95 mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("q72 shares are a partition and the gains curve ends at 1") {
+    val rows = RelationalQueries.q72DecileLift(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.length == 10)
+    val se = rows.map(_.getAs[Double]("early_share")).sum
+    val sl = rows.map(_.getAs[Double]("late_share")).sum
+    assert(math.abs(se - 1.0) < 1e-4, s"early shares sum to $se")
+    assert(math.abs(sl - 1.0) < 1e-4, s"late shares sum to $sl")
+    assert(math.abs(rows.last.getAs[Double]("cum_late_share") - 1.0) < 1e-4)
+    // cumulative curve is non-decreasing
+    val cums = rows.map(_.getAs[Double]("cum_late_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 })
+    // deciles over the early-active customers partition them
+    val nEarly = graft.sources.Tables.orders(spark, sf0001)
+      .filter($"o_orderdate" <
+        lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_custs")).sum == nEarly)
+  }
+
+  test("q73 balances reconcile with the independently-computed totals") {
+    val rows = RelationalQueries.q73TradeBalance(spark, sf0001).collect()
+    val totalExports = rows.map(_.getAs[Double]("export_rev")).sum
+    val totalImports = rows.map(_.getAs[Double]("import_val")).sum
+    // conservation: every lineitem has a supplier nation and every
+    // order a customer nation, so per-nation sums must rebuild the
+    // corpus totals computed WITHOUT any join
+    val rev = graft.sources.Tables.lineitem(spark, sf0001)
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(18,6)")).cast("double")).collect()(0).getDouble(0)
+    val spend = graft.sources.Tables.orders(spark, sf0001)
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(totalExports - rev) < 1.0,
+      s"exports $totalExports != lineitem revenue $rev")
+    assert(math.abs(totalImports - spend) < 1.0,
+      s"imports $totalImports != order spend $spend")
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("export_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(math.abs(r.getAs[Double]("balance")
+        - (r.getAs[Double]("export_rev") - r.getAs[Double]("import_val")))
+        < 0.02)
+    }
+  }
+
+  test("assortativity is a valid correlation and the graph is non-trivial") {
+    val r = Graph.assortativity(spark, sf0001).collect()(0)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0, s"r=$a out of range")
+    assert(r.getAs[Long]("n_edges") > 0)
+    assert(r.getAs[Double]("avg_excess_deg") >= 0.0)
+  }
+
+  test("quota fill is feasible: caps respected, budget never exceeded") {
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val rows = Pipeline.quotaFill(spark, dir).collect()
+      assert(rows.nonEmpty)
+      val totalAvail = rows.map(_.getAs[Long]("avail_tokens")).sum.toDouble
+      val budget = 0.9 * totalAvail
+      rows.foreach { r =>
+        assert(r.getAs[Double]("epochs") <= 1.2 + 1e-6,
+          s"${r.getString(0)} exceeds the epoch cap")
+        assert(r.getAs[Double]("final_alloc") >= 0.0)
+      }
+      val filled = rows.map(_.getAs[Double]("final_alloc")).sum
+      assert(filled <= budget + 0.5, s"overfilled: $filled > $budget")
+      // the redistribution round only ever ADDS to uncapped sources
+      rows.filter(_.getAs[Int]("was_capped") == 0).foreach { r =>
+        assert(r.getAs[Double]("final_alloc")
+          >= r.getAs[Double]("alloc0") - 0.01)
+      }
+      // target shares are a distribution
+      val ts = rows.map(_.getAs[Double]("t_share")).sum
+      assert(math.abs(ts - 1.0) < 1e-4)
+    }
+  }
+
+  test("calibration bins cover the corpus and gaps are consistent") {
+    val rows = Models.calibration(spark, sf0001).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs)
+    rows.foreach { r =>
+      val mp = r.getAs[Double]("mean_pred")
+      val pr = r.getAs[Double]("pos_rate")
+      assert(mp >= 0.0 && mp <= 1.0)
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap") - math.abs(mp - pr)) < 2e-6)
+      val bin = r.getAs[Int]("bin")
+      // the bin's mean prediction must sit inside the bin
+      assert(mp >= bin / 10.0 - 1e-6 && mp <= (bin + 1) / 10.0 + 1e-6)
+    }
+  }
+
+  test("nprobe sweep: recall and candidate cost are monotone in nprobe") {
+    val rows = Similarity.ssIvfNprobeSweep(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 9, 25))
+    val recalls = rows.map(_.getAs[Double]("mean_recall_at_3"))
+    val cands = rows.map(_.getAs[Double]("avg_candidates"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"recall not monotone: ${recalls.mkString(",")}")
+    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"candidates not monotone: ${cands.mkString(",")}")
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+  }
+}
