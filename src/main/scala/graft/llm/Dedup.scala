@@ -2368,7 +2368,64 @@ object Dedup {
        |WHERE levenshtein(pfx_a, pfx_b) <= $EditThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_dup_length_bias: the selection-bias diagnostic behind every
+  // dedup decision — are near-duplicate documents systematically
+  // longer or shorter than unique ones? If dedup removes mostly short
+  // boilerplate, the surviving corpus skews long (and token budgets,
+  // pack shapes, and length-stratified sampling all shift). Docs in
+  // ≥1 near-dup pair (the session-cached shingle-Jaccard pair table at
+  // τ ≥ 0.3) vs the rest: counts, mean chars/words, corpus share.
+  // Scale shape: the pair table is the already-banded/capped artifact
+  // (dim-bounded by LSH construction); its distinct doc set broadcasts
+  // into one corpus scan — no new corpus-scale shuffle.
+  def ddDupLengthBias(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramPairsFor(spark, dir).filter($"jaccard" >= 0.3)
+    val dupDocs = pairs.select($"doc_a".as("d"))
+      .unionAll(pairs.select($"doc_b".as("d"))).distinct()
+    val tot = broadcast(Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_total")))
+    Tables.documents(spark, dir)
+      .join(broadcast(dupDocs), $"doc_id" === $"d", "left")
+      .select(
+        when($"d".isNotNull, "near_dup").otherwise("unique").as("status"),
+        $"n_chars",
+        size(split(trim($"text"), "\\s+")).as("n_words"))
+      .crossJoin(tot)
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"n_chars".cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_chars"),
+        round(sum($"n_words".cast("decimal(28,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_words"),
+        round(count(lit(1)).cast("double") / first($"n_total"), 6)
+          .as("share"))
+      .orderBy($"status")
+  }
+
+  val ddDupLengthBiasSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($ngramPairsSql)
+       |  WHERE jaccard >= 0.3),
+       |dd AS (SELECT DISTINCT d FROM (
+       |  SELECT doc_a AS d FROM p UNION ALL SELECT doc_b AS d FROM p)),
+       |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+       |t AS (
+       |  SELECT CASE WHEN dd.d IS NOT NULL THEN 'near_dup'
+       |      ELSE 'unique' END AS status,
+       |    n_chars,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+       |  FROM documents LEFT JOIN dd ON doc_id = dd.d)
+       |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_chars,
+       |  ROUND(CAST(SUM(CAST(n_words AS DECIMAL(28,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_words,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(n_total), 6) AS share
+       |FROM t CROSS JOIN tot GROUP BY status ORDER BY status""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_dup_length_bias" -> (ddDupLengthBias _),
     "llm_dd_editdist" -> (ddEditDist _),
     "llm_dd_soft_weights" -> (ddSoftWeights _),
     "llm_dd_quality_prop" -> (ddQualityProp _),
@@ -2405,6 +2462,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dd_dup_length_bias" -> ddDupLengthBiasSql,
     "llm_dd_soft_weights" -> ddSoftWeightsSql,
     "llm_dd_quality_prop" -> ddQualityPropSql,
     "llm_dd_exact" -> ddExactSql,

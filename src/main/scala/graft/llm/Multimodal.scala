@@ -645,7 +645,81 @@ object Multimodal {
        |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes
        |FROM p GROUP BY 1 ORDER BY sniffed_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_mm_frame_dedup: duplicate-frame audit over the sampled video
+  // frames (same deterministic frame/digest construction as
+  // llm_mm_frames — the digest stands in for a real frame phash).
+  // Within-video duplicate fraction says how static each clip is (a
+  // slideshow-like video wastes decode + embedding budget on repeated
+  // frames); cross-video shared digests say how much of the frame
+  // inventory appears in more than one clip (intro/outro cards, test
+  // patterns — the frame-level analogue of boilerplate paragraphs).
+  // Scale shape: the frame table is generated per-row (explode of a
+  // bounded sequence — frames never shuffle as payloads, only their
+  // 8-byte digests do) and is materialized because the per-video and
+  // per-digest groupBys both consume it; both aggregates are
+  // partial-aggregable.
+  def mmFrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.materialize(Tables.documents(spark, dir)
+      .select($"doc_id",
+        least(expr("n_chars div 10") + 1, lit(50L)).cast("long")
+          .as("n_frames"))
+      .select($"doc_id",
+        explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_idx"))
+      .filter($"frame_idx" % 5 === 0)
+      .select($"doc_id",
+        (h60(concat($"doc_id".cast("string"), lit(":"),
+          $"frame_idx".cast("string"))) % 1000).as("digest")))
+    val perVideo = frames.groupBy($"doc_id")
+      .agg(count(lit(1)).as("nf"),
+        countDistinct($"digest").as("nd"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum($"nf").as("n_frames"),
+        round(sum((lit(1.0) - $"nd".cast("double") / $"nf")
+          .cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+          .as("mean_within_dup_frac"))
+    val perDigest = frames.groupBy($"digest")
+      .agg(countDistinct($"doc_id").as("ndocs"))
+      .agg(count(lit(1)).as("n_distinct_digests"),
+        sum(when($"ndocs" > 1, 1L).otherwise(0L)).as("n_shared_digests"))
+    perVideo.crossJoin(perDigest)
+      .select($"n_videos", $"n_frames", $"mean_within_dup_frac",
+        $"n_distinct_digests", $"n_shared_digests",
+        round($"n_shared_digests".cast("double") / $"n_distinct_digests",
+          6).as("cross_video_share"))
+  }
+
+  val mmFrameDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, LEAST(n_chars // 10 + 1, 50) AS n_frames
+       |  FROM documents),
+       |f0 AS (SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx FROM t),
+       |f AS (SELECT doc_id,
+       |    ${h60Sql("doc_id || ':' || frame_idx")} % 1000 AS digest
+       |  FROM f0 WHERE frame_idx % 5 = 0),
+       |pv AS (SELECT doc_id, COUNT(*) AS nf,
+       |    COUNT(DISTINCT digest) AS nd FROM f GROUP BY 1),
+       |v AS (SELECT COUNT(*) AS n_videos, CAST(SUM(nf) AS BIGINT) AS n_frames,
+       |    ROUND(CAST(SUM(CAST(1.0 - CAST(nd AS DOUBLE) / nf
+       |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+       |      AS mean_within_dup_frac
+       |  FROM pv),
+       |pd AS (SELECT digest, COUNT(DISTINCT doc_id) AS ndocs
+       |  FROM f GROUP BY 1),
+       |d AS (SELECT COUNT(*) AS n_distinct_digests,
+       |    CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared_digests
+       |  FROM pd)
+       |SELECT CAST(n_videos AS BIGINT) AS n_videos, n_frames,
+       |  mean_within_dup_frac,
+       |  CAST(n_distinct_digests AS BIGINT) AS n_distinct_digests,
+       |  n_shared_digests,
+       |  ROUND(CAST(n_shared_digests AS DOUBLE) / n_distinct_digests, 6)
+       |    AS cross_video_share
+       |FROM v CROSS JOIN d""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_frame_dedup" -> (mmFrameDedup _),
     "llm_mm_magic_router" -> (mmMagicRouter _),
     "llm_mm_phash" -> (mmPhash _),
     "llm_mm_aspect_buckets" -> (mmAspectBuckets _),
@@ -660,6 +734,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_mm_frame_dedup" -> mmFrameDedupSql,
     "llm_mm_magic_router" -> mmMagicRouterSql,
     "llm_mm_phash" -> mmPhashSql,
     "llm_mm_aspect_buckets" -> mmAspectBucketsSql,

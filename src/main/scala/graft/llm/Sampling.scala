@@ -649,7 +649,85 @@ object Sampling {
       |  ROUND((sum_w * sum_w) / (sum_w2 * n_total), 6) AS ess_ratio
       |FROM pw CROSS JOIN e ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_sample_pps: systematic probability-proportional-to-size
+  // sampling — the survey-statistics workhorse that draws EXACTLY k
+  // documents with inclusion probability ∝ size in one pass, no
+  // rejection, no per-row randomness. Docs are laid on a line in a
+  // deterministic hash order, each occupying an interval of width =
+  // its char count; k midpoint anchors ((i−0.5)·total/k) select
+  // whichever doc's interval they land in (midpoint anchors, not
+  // i·step, so the float boundary at cum == total can never add or
+  // drop a hit — Σ n_hits == k exactly). A doc wider than the step
+  // can absorb several anchors (n_hits > 1), which is precisely the
+  // size-proportional semantics. Scale shape: the global cumulative
+  // sum is NOT a single-partition window — the hash order is bucketed
+  // (64 buckets), per-bucket totals offset a bounded 64-row window,
+  // and the per-doc cumsum runs per bucket (the salted-decomposition
+  // pattern pack/shuffle/curriculum use).
+  private val PpsK = 25
+  private val PpsBuckets = 64
+  def samplePps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("weight"),
+        (h60($"doc_id".cast("string")) % PpsBuckets).as("bucket"),
+        h60(concat($"doc_id".cast("string"), lit("#pps"))).as("ord"))
+    val bsum = d.groupBy($"bucket").agg(sum($"weight").as("bw"))
+    val wOff = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bsum
+      .withColumn("off", coalesce(sum($"bw").over(wOff), lit(0L)))
+      .select($"bucket".as("ob"), $"off")
+    val tot = broadcast(bsum.agg(sum($"bw").as("tw")))
+    val wIn = Window.partitionBy($"bucket").orderBy($"ord", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offs), $"bucket" === $"ob")
+      .withColumn("cum", $"off" + sum($"weight").over(wIn))
+      .crossJoin(tot)
+      .withColumn("step", $"tw".cast("double") / PpsK)
+      .withColumn("n_hits",
+        (floor($"cum" / $"step" + 0.5)
+          - floor(($"cum" - $"weight") / $"step" + 0.5)).cast("long"))
+      .filter($"n_hits" > 0)
+      .select($"doc_id", $"source", $"weight", $"n_hits",
+        (floor(($"cum" - $"weight") / $"step" + 0.5) + 1).cast("long")
+          .as("first_anchor"))
+      .orderBy($"doc_id")
+  }
+
+  val samplePpsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+       |    ${h60Sql("CAST(doc_id AS VARCHAR)")} % $PpsBuckets AS bucket,
+       |    ${h60Sql("CAST(doc_id AS VARCHAR) || '#pps'")} AS ord
+       |  FROM documents),
+       |bs AS (SELECT bucket, SUM(weight) AS bw FROM d GROUP BY 1),
+       |offs AS (
+       |  SELECT bucket AS ob,
+       |    COALESCE(SUM(bw) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM bs),
+       |t AS (SELECT SUM(bw) AS tw FROM bs),
+       |c AS (
+       |  SELECT d.doc_id, d.source, d.weight,
+       |    off + SUM(weight) OVER (PARTITION BY bucket
+       |      ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    CAST(tw AS DOUBLE) / $PpsK AS step
+       |  FROM d JOIN offs ON d.bucket = offs.ob CROSS JOIN t)
+       |SELECT doc_id, source, weight,
+       |  CAST(FLOOR(cum / step + 0.5)
+       |    - FLOOR((cum - weight) / step + 0.5) AS BIGINT) AS n_hits,
+       |  CAST(FLOOR((cum - weight) / step + 0.5) + 1 AS BIGINT)
+       |    AS first_anchor
+       |FROM c
+       |WHERE FLOOR(cum / step + 0.5)
+       |  - FLOOR((cum - weight) / step + 0.5) > 0
+       |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_pps" -> (samplePps _),
     "llm_sample_ess" -> (sampleEss _),
     "llm_sample_kfold" -> (sampleKfold _),
     "llm_sample_bootstrap" -> (sampleBootstrap _),
@@ -665,6 +743,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_pps" -> samplePpsSql,
     "llm_sample_ess" -> sampleEssSql,
     "llm_sample_kfold" -> sampleKfoldSql,
     "llm_sample_bootstrap" -> sampleBootstrapSql,

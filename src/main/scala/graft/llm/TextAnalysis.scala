@@ -2212,7 +2212,77 @@ object TextAnalysis {
       |    AS digit_ratio
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_vocab_growth: the Heaps-law curve — cumulative vocabulary
+  // size vs cumulative token count over 10 deterministic corpus
+  // prefixes (prefix membership = doc-id hash decile, so the "growth
+  // order" is shuffle-invariant and engine-independent). The curve
+  // answers "is the corpus still contributing new types, or are we
+  // re-reading the same vocabulary?" — the saturation signal behind
+  // dedup aggressiveness and epoch-count decisions. No logs (the
+  // Heaps exponent fit would drag libm ln into the hash contract);
+  // the raw (tokens_cum, vocab_cum) pairs plus types-per-1k-tokens
+  // carry the same decision. Scale shape: one tokenizing scan → a
+  // vocab-bounded min-bucket groupBy (map-side combine absorbs hot
+  // terms — min is partial-aggregable, no stopword skew) + a
+  // 10-row cumulative window.
+  def taVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select((h60($"doc_id".cast("string")) % 10).as("bucket"),
+        explode(split(trim($"text"), "\\s+")).as("term"))
+    // ONE corpus-scale shuffle: collapse to (term, bucket) counts
+    // first (partial-aggregable), then both downstream aggregates read
+    // the vocab×10-bounded table — which is materialized because two
+    // consumers would otherwise replay the tokenizing scan.
+    val tc = Tables.materialize(
+      toks.groupBy($"term", $"bucket").agg(count(lit(1)).as("c")))
+    val toksPerBucket = tc.groupBy($"bucket")
+      .agg(sum($"c").as("n_tokens"))
+    val newTypes = tc.groupBy($"term")
+      .agg(min($"bucket").as("first_bucket"))
+      .groupBy($"first_bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toksPerBucket
+      .join(newTypes, $"bucket" === $"first_bucket", "left")
+      .select($"bucket", $"n_tokens",
+        coalesce($"n_new_types", lit(0L)).as("n_new_types"))
+      .withColumn("tokens_cum", sum($"n_tokens").over(w))
+      .withColumn("vocab_cum", sum($"n_new_types").over(w))
+      .select($"bucket", $"tokens_cum", $"vocab_cum",
+        round($"vocab_cum".cast("double") * 1000.0 / $"tokens_cum", 6)
+          .as("types_per_1k_tokens"))
+      .orderBy($"bucket")
+  }
+
+  val taVocabGrowthSql: String =
+    s"""WITH toks AS (
+       |  SELECT ${h60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tb AS (SELECT bucket, COUNT(*) AS n_tokens FROM toks GROUP BY 1),
+       |nt AS (
+       |  SELECT first_bucket, COUNT(*) AS n_new_types FROM (
+       |    SELECT term, MIN(bucket) AS first_bucket FROM toks GROUP BY 1)
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT tb.bucket, tb.n_tokens,
+       |    COALESCE(nt.n_new_types, 0) AS n_new_types
+       |  FROM tb LEFT JOIN nt ON tb.bucket = nt.first_bucket)
+       |SELECT bucket,
+       |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS tokens_cum,
+       |  CAST(SUM(n_new_types) OVER w AS BIGINT) AS vocab_cum,
+       |  ROUND(CAST(SUM(n_new_types) OVER w AS DOUBLE) * 1000.0
+       |    / SUM(n_tokens) OVER w, 6) AS types_per_1k_tokens
+       |FROM c
+       |WINDOW w AS (ORDER BY bucket
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_vocab_growth" -> (taVocabGrowth _),
     "llm_ta_char_classes" -> (taCharClasses _),
     "llm_ta_burstiness" -> (taBurstiness _),
     "llm_ta_rater_agreement" -> (taRaterAgreement _),
@@ -2255,6 +2325,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_vocab_growth" -> taVocabGrowthSql,
     "llm_ta_char_classes" -> taCharClassesSql,
     "llm_ta_burstiness" -> taBurstinessSql,
     "llm_ta_rater_agreement" -> taRaterAgreementSql,

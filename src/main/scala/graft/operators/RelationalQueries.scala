@@ -1856,6 +1856,51 @@ object RelationalQueries {
        |JOIN nation ON COALESCE(ek, ik) = n_nationkey
        |ORDER BY nation""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q74: Laspeyres price index by ship year — Σ p_t·q₀ / Σ p₀·q₀ over
+  // the parts traded in both the base year (1995) and year t, with
+  // base-year quantities as fixed weights (the CPI construction; here
+  // it answers "did this supplier network's prices drift, holding the
+  // basket constant?"). Scale shape: ONE fact collapse to (year, part)
+  // decimal moments — the (year, part) grain is dim-bounded (years ×
+  // parts), so everything after is arithmetic on a small table. That
+  // collapse feeds TWO consumers (the base-year slice and the
+  // all-years side), so it is materialized — the Spark-never-dedupes-
+  // subplans lesson (q63, q69).
+  def q74PriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pp = Tables.materialize(Tables.lineitem(spark, dir)
+      .groupBy(year($"l_shipdate").as("yr"), $"l_partkey")
+      .agg(dsum($"l_extendedprice", 6).as("sp"),
+        dsum($"l_quantity", 6).as("sq"))
+      .select($"yr", $"l_partkey", ($"sp" / $"sq").as("p"), $"sq"))
+    val base = pp.filter($"yr" === 1995)
+      .select($"l_partkey".as("bk"), $"p".as("p0"), $"sq".as("q0"))
+    pp.join(base, $"l_partkey" === $"bk")
+      .groupBy($"yr")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(($"p" * $"q0").cast(DecimalType(28, 6))).cast("double")
+          / sum(($"p0" * $"q0").cast(DecimalType(28, 6))).cast("double"),
+          6).as("price_index"))
+      .orderBy($"yr")
+  }
+
+  val q74Sql: String =
+    """WITH pp AS (
+      |  SELECT year(l_shipdate) AS yr, l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS p,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq
+      |  FROM lineitem GROUP BY 1, 2),
+      |base AS (
+      |  SELECT l_partkey AS bk, p AS p0, sq AS q0 FROM pp WHERE yr = 1995)
+      |SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  ROUND(CAST(SUM(CAST(p * q0 AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(p0 * q0 AS DECIMAL(28,6))) AS DOUBLE), 6)
+      |    AS price_index
+      |FROM pp JOIN base ON l_partkey = bk
+      |GROUP BY yr ORDER BY yr""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_min_cost_supplier" -> (q68MinCostSupplier _),
     "q69_blocking_suppliers" -> (q69BlockingSuppliers _),
@@ -1897,12 +1942,14 @@ object RelationalQueries {
     "q66_quartile_migration" -> (q66QuartileMigration _),
     "q67_repeat_intervals" -> (q67RepeatIntervals _),
     "q71_ship_latency" -> (q71ShipLatency _),
+    "q74_price_index" -> (q74PriceIndex _),
     "q72_decile_lift" -> (q72DecileLift _),
     "q73_trade_balance" -> (q73TradeBalance _),
   )
 
   val oracles: Map[String, String] = Map(
     "q71_ship_latency" -> q71Sql,
+    "q74_price_index" -> q74Sql,
     "q72_decile_lift" -> q72Sql,
     "q73_trade_balance" -> q73Sql,
     "q68_min_cost_supplier" -> q68Sql,

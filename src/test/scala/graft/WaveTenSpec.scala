@@ -136,6 +136,71 @@ class WaveTenSpec extends SparkSpec {
     }
   }
 
+  test("pps draws exactly k anchor hits and must select every giant doc") {
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val rows = llm.Sampling.samplePps(spark, dir).collect()
+      assert(rows.map(_.getAs[Long]("n_hits")).sum == 25L,
+        s"anchor hits != k at $dir")
+      assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+      // any doc whose interval is wider than the step MUST absorb an
+      // anchor (midpoint anchors are step apart)
+      val tw = graft.sources.Tables.documents(spark, dir)
+        .agg(sum($"n_chars".cast("long"))).collect()(0).getLong(0)
+      val step = tw.toDouble / 25
+      val selected = rows.map(_.getAs[Long]("doc_id")).toSet
+      graft.sources.Tables.documents(spark, dir)
+        .filter($"n_chars".cast("double") > step)
+        .select($"doc_id").collect().map(_.getLong(0))
+        .foreach(id => assert(selected.contains(id),
+          s"giant doc $id missed at $dir"))
+    }
+  }
+
+  test("q74 base year indexes to exactly 1 and uses the base basket") {
+    val rows = RelationalQueries.q74PriceIndex(spark, sf0001).collect()
+    val base = rows.find(_.getAs[Int]("yr") == 1995).get
+    assert(base.getAs[Double]("price_index") == 1.0,
+      s"base-year index ${base.getAs[Double]("price_index")} != 1.0")
+    val basketSize = base.getAs[Long]("n_parts")
+    // no year can match more parts than the base basket holds
+    rows.foreach(r => assert(r.getAs[Long]("n_parts") <= basketSize))
+    rows.foreach(r => assert(r.getAs[Double]("price_index") > 0.0))
+  }
+
+  test("vocab growth is monotone and ends at the corpus totals") {
+    val rows = llm.TextAnalysis.taVocabGrowth(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    val toks = rows.map(_.getAs[Long]("tokens_cum"))
+    val vocab = rows.map(_.getAs[Long]("vocab_cum"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => b >= a })
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => b >= a })
+    val totals = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(trim($"text"), "\\s+")).as("t"))
+      .agg(count(lit(1)).as("n"), countDistinct($"t").as("v"))
+      .collect()(0)
+    assert(toks.last == totals.getAs[Long]("n"))
+    assert(vocab.last == totals.getAs[Long]("v"))
+  }
+
+  test("frame dedup fractions are consistent with the frame inventory") {
+    val r = llm.Multimodal.mmFrameDedup(spark, sf0001).collect()(0)
+    val f = r.getAs[Double]("mean_within_dup_frac")
+    assert(f >= 0.0 && f <= 1.0)
+    assert(r.getAs[Long]("n_shared_digests")
+      <= r.getAs[Long]("n_distinct_digests"))
+    assert(r.getAs[Long]("n_distinct_digests") <= r.getAs[Long]("n_frames"))
+    val share = r.getAs[Double]("cross_video_share")
+    assert(share >= 0.0 && share <= 1.0)
+  }
+
+  test("dup length bias partitions the corpus") {
+    val rows = llm.Dedup.ddDupLengthBias(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).forall(Set("near_dup", "unique")))
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+  }
+
   test("nprobe sweep: recall and candidate cost are monotone in nprobe") {
     val rows = Similarity.ssIvfNprobeSweep(spark, sf0001)
       .collect().sortBy(_.getAs[Int]("nprobe"))
