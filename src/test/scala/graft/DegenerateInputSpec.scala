@@ -59,6 +59,23 @@ class DegenerateInputSpec extends SparkSpec {
     }
   }
 
+  test("round-10 document ops are total on an empty corpus") {
+    import graft.llm.{Dedup, Multimodal, Pipeline, Sampling, TextAnalysis}
+    assert(Sampling.samplePps(spark, emptyDir).collect().isEmpty)
+    assert(TextAnalysis.taVocabGrowth(spark, emptyDir).collect().isEmpty)
+    assert(Dedup.ddDupLengthBias(spark, emptyDir).collect().isEmpty)
+    assert(Pipeline.quotaFill(spark, emptyDir).collect().isEmpty)
+    // frame dedup aggregates to one summary row even on zero videos;
+    // its fractions must be defined (null from guarded division), not NaN
+    Multimodal.mmFrameDedup(spark, emptyDir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_videos") == 0L)
+      (Seq("mean_within_dup_frac", "cross_video_share")).foreach { c =>
+        val i = r.fieldIndex(c)
+        assert(r.isNullAt(i) || !r.getDouble(i).isNaN, s"$c must not be NaN")
+      }
+    }
+  }
+
   test("attrition reports defined zero rates on an empty corpus") {
     val rows = graft.llm.Pipeline.attrition(spark, emptyDir)
       .orderBy("stage").collect()

@@ -396,6 +396,41 @@ class PlanSpec extends SparkSpec {
       "q69 must not window over the order key:\n" + plan.take(800))
   }
 
+  test("q74 price index scans the fact once (materialized moment table)") {
+    val plan = planOf(graft.operators.RelationalQueries
+      .q74PriceIndex(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1,
+      s"base slice and all-years side must share one collapse, got " +
+        s"$liScans lineitem scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
+  test("pps cumsum is bucketed: the per-doc window rides the bucket key") {
+    val plan = planOf(graft.llm.Sampling.samplePps(spark, sf0001))
+    // the only corpus-scale window must be partitioned by bucket; the
+    // single-partition window is allowed ONLY over the 64-row bucket
+    // totals (bounded domain). A corpus-scale unpartitioned cumsum
+    // would serialize the whole scan through one task at 100 TB.
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.exists(_.contains("bucket")),
+      "per-doc cumsum must partition by bucket:\n" + winLines.mkString("\n"))
+    val unpartitioned = winLines.filterNot(_.contains("bucket#"))
+    // (zero or one bounded offset window; never two)
+    assert(unpartitioned.length <= 1,
+      "more than one unpartitioned window:\n" + winLines.mkString("\n"))
+  }
+
+  test("vocab growth pays one corpus shuffle (term-bucket collapse)") {
+    val plan = planOf(graft.llm.TextAnalysis.taVocabGrowth(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans <= 1,
+      s"tokenizing scan must not replay, got $docScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("skew audit is pure two-phase aggregation (no window, no join)") {
     val plan = planOf(graft.operators.FunctionQueries
       .q41SkewAudit(spark, sf0001))
