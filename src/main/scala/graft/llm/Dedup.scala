@@ -2424,7 +2424,54 @@ object Dedup {
        |  ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(n_total), 6) AS share
        |FROM t CROSS JOIN tot GROUP BY status ORDER BY status""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_cluster_purity: do near-dup clusters cross source
+  // boundaries? Multi-member clusters grouped by how many distinct
+  // sources they span — n_sources == 1 means duplication is
+  // within-source (re-posts, pagination); n_sources > 1 means
+  // mirror-site/syndication duplication, which changes which source's
+  // counts dedup deflates (and whether per-source mixture targets
+  // survive dedup unchanged). Reuses the session-cached cluster
+  // artifact; the per-cluster source count is a partial-aggregable
+  // groupBy at cluster grain (bounded by the dedup pair caps), with a
+  // 1-row total broadcast for the shares.
+  def ddClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = ddCluster(spark, dir)
+      .filter($"cluster_size" >= 2)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"source"),
+        "doc_id")
+      .groupBy($"cluster_id")
+      .agg(countDistinct($"source").as("n_sources"),
+        count(lit(1)).as("sz"))
+    val tot = broadcast(per.agg(count(lit(1)).as("n_multi")))
+    per.crossJoin(tot)
+      .groupBy($"n_sources")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"sz").as("n_docs"),
+        round(count(lit(1)).cast("double") / first($"n_multi"), 6)
+          .as("frac_clusters"))
+      .orderBy($"n_sources")
+  }
+
+  val ddClusterPuritySql: String =
+    s"""WITH c AS ($ddClusterSql),
+       |per AS (
+       |  SELECT cluster_id, COUNT(DISTINCT d.source) AS n_sources,
+       |    COUNT(*) AS sz
+       |  FROM c JOIN documents d USING (doc_id)
+       |  WHERE cluster_size >= 2
+       |  GROUP BY cluster_id),
+       |tot AS (SELECT COUNT(*) AS n_multi FROM per)
+       |SELECT n_sources, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(n_multi), 6)
+       |    AS frac_clusters
+       |FROM per CROSS JOIN tot GROUP BY n_sources
+       |ORDER BY n_sources""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_cluster_purity" -> (ddClusterPurity _),
     "llm_dd_dup_length_bias" -> (ddDupLengthBias _),
     "llm_dd_editdist" -> (ddEditDist _),
     "llm_dd_soft_weights" -> (ddSoftWeights _),
@@ -2462,6 +2509,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dd_cluster_purity" -> ddClusterPuritySql,
     "llm_dd_dup_length_bias" -> ddDupLengthBiasSql,
     "llm_dd_soft_weights" -> ddSoftWeightsSql,
     "llm_dd_quality_prop" -> ddQualityPropSql,

@@ -2281,7 +2281,68 @@ object TextAnalysis {
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_source_keywords: which terms OVER-INDEX in each source —
+  // top-3 per source by keyness lift = (term share within source) /
+  // (term share in corpus), min-count 5. The domain-mix diagnostic
+  // ("what is src7 actually about?") behind mixture decisions, and
+  // the log-free alternative to per-source TF-IDF: lift is purely
+  // rational (÷ only), so unlike the documented idf-ln fragility it
+  // enters the hash contract with no libm surface at all. Scale
+  // shape: ONE corpus shuffle to (source, term) counts (partial-agg
+  // absorbs hot terms map-side); corpus term totals are the
+  // vocab-bounded groupBy of that table, broadcast back; the top-3
+  // window partitions by source over a vocab-bounded partition.
+  def taSourceKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val st = Tables.materialize(Tables.documents(spark, dir)
+      .select($"source", explode(split(trim($"text"), "\\s+")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("tf")))
+    val srcLen = st.groupBy($"source").agg(sum($"tf").as("src_len"))
+    val termTot = st.groupBy($"term").agg(sum($"tf").as("ctf"))
+    val corpusLen = broadcast(st.agg(sum($"tf").as("corpus_len")))
+    val scored = st
+      .join(broadcast(srcLen), "source")
+      .join(broadcast(termTot), "term")
+      .crossJoin(corpusLen)
+      .filter($"tf" >= 5)
+      .select($"source", $"term", $"tf",
+        round(($"tf".cast("double") / $"src_len")
+          / ($"ctf".cast("double") / $"corpus_len"), 6).as("lift"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"lift".desc, $"term".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"source", $"rank", $"term", $"tf", $"lift")
+      .orderBy($"source", $"rank")
+  }
+
+  val taSourceKeywordsSql: String =
+    """WITH st AS (
+      |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+'))
+      |    AS term
+      |  FROM documents),
+      |stc AS (SELECT source, term, COUNT(*) AS tf FROM st GROUP BY 1, 2),
+      |sl AS (SELECT source, SUM(tf) AS src_len FROM stc GROUP BY 1),
+      |tt AS (SELECT term, SUM(tf) AS ctf FROM stc GROUP BY 1),
+      |cl AS (SELECT SUM(tf) AS corpus_len FROM stc),
+      |scored AS (
+      |  SELECT stc.source, stc.term, stc.tf,
+      |    ROUND((CAST(tf AS DOUBLE) / src_len)
+      |      / (CAST(ctf AS DOUBLE) / corpus_len), 6) AS lift
+      |  FROM stc JOIN sl ON stc.source = sl.source
+      |  JOIN tt ON stc.term = tt.term CROSS JOIN cl
+      |  WHERE tf >= 5),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY lift DESC, term ASC) AS rank
+      |  FROM scored)
+      |SELECT source, CAST(rank AS INT) AS rank, term, tf, lift
+      |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_source_keywords" -> (taSourceKeywords _),
     "llm_ta_vocab_growth" -> (taVocabGrowth _),
     "llm_ta_char_classes" -> (taCharClasses _),
     "llm_ta_burstiness" -> (taBurstiness _),
@@ -2325,6 +2386,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_source_keywords" -> taSourceKeywordsSql,
     "llm_ta_vocab_growth" -> taVocabGrowthSql,
     "llm_ta_char_classes" -> taCharClassesSql,
     "llm_ta_burstiness" -> taBurstinessSql,

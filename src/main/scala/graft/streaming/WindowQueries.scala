@@ -778,7 +778,52 @@ object WindowQueries {
       |SELECT w_start_us, user_id, n_events, CAST(rank AS INT) AS rank
       |FROM r WHERE rank <= 3 ORDER BY w_start_us, rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_hourly_profile: the seasonal load profile — events per
+  // (day-of-week × hour-of-day) cell with each cell's share and its
+  // ratio to the uniform-rate expectation. The capacity-planning /
+  // anomaly-baseline twin of st_arrival_rate: arrival_rate pages on a
+  // burst NOW, the profile says what "normal for Tuesday 14:00" even
+  // is (and the ratio column is the seasonality factor a streaming
+  // alert threshold should divide by). Scale shape: ONE
+  // partial-aggregable groupBy to the fixed 168-cell grid; the total
+  // is a 1-row broadcast. Day-of-week is derived as an integer from
+  // the epoch day (1970-01-01 was a Thursday) — dayofweek()'s
+  // locale/engine conventions never enter the contract.
+  def stHourlyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .select(
+        // epoch day mod 7: 0 = Thursday; shift so 0 = Monday
+        (((floor(unix_micros($"ts") / lit(86400000000L)) + 3) % 7)
+          .cast("int")).as("dow"),
+        (floor(unix_micros($"ts") / lit(3600000000L)) % 24).cast("int")
+          .as("hour"))
+      .groupBy($"dow", $"hour").agg(count(lit(1)).as("n_events"))
+    val tot = broadcast(cells.agg(sum($"n_events").as("n_total")))
+    cells.crossJoin(tot)
+      .select($"dow", $"hour", $"n_events",
+        round($"n_events".cast("double") / $"n_total", 6).as("share"),
+        round($"n_events".cast("double") * 168.0 / $"n_total", 6)
+          .as("vs_uniform"))
+      .orderBy($"dow", $"hour")
+  }
+
+  val stHourlyProfileSql: String =
+    """WITH c AS (
+      |  SELECT CAST((FLOOR(epoch_us(ts) / 86400000000) + 3) % 7 AS INT)
+      |      AS dow,
+      |    CAST(FLOOR(epoch_us(ts) / 3600000000) % 24 AS INT) AS hour,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT SUM(n_events) AS n_total FROM c)
+      |SELECT dow, hour, n_events,
+      |  ROUND(CAST(n_events AS DOUBLE) / n_total, 6) AS share,
+      |  ROUND(CAST(n_events AS DOUBLE) * 168.0 / n_total, 6) AS vs_uniform
+      |FROM c CROSS JOIN t ORDER BY dow, hour""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_hourly_profile" -> (stHourlyProfile _),
     "st_arrival_rate" -> (stArrivalRate _),
     "st_top_users" -> (stTopUsers _),
     "st_windowed_distinct" -> (stWindowedDistinct _),
@@ -798,6 +843,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_hourly_profile" -> stHourlyProfileSql,
     "st_arrival_rate" -> stArrivalRateSql,
     "st_top_users" -> stTopUsersSql,
     "st_windowed_distinct" -> stWindowedDistinctSql,

@@ -201,6 +201,46 @@ class WaveTenSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
   }
 
+  test("source keywords rank by strictly valid lift within each source") {
+    val rows = llm.TextAnalysis.taSourceKeywords(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length), s"ranks not contiguous for $src")
+      val lifts = sorted.map(_.getAs[Double]("lift"))
+      assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b },
+        s"lift not non-increasing for $src")
+      assert(lifts.forall(_ > 0.0))
+      assert(sorted.forall(_.getAs[Long]("tf") >= 5L))
+    }
+  }
+
+  test("cluster purity counts only multi-member clusters") {
+    val rows = llm.Dedup.ddClusterPurity(spark, "/root/testdata/sf0.01")
+      .collect()
+    // every counted cluster has >= 2 docs, so docs >= 2 * clusters
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2 * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("n_sources") >= 1)
+    }
+    if (rows.nonEmpty)
+      assert(math.abs(rows.map(_.getAs[Double]("frac_clusters")).sum - 1.0)
+        < 1e-4)
+  }
+
+  test("hourly profile covers every event exactly once") {
+    val rows = graft.streaming.WindowQueries
+      .stHourlyProfile(spark, sf0001).collect()
+    val n = graft.sources.Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == n)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("dow"); val h = r.getAs[Int]("hour")
+      assert(d >= 0 && d <= 6 && h >= 0 && h <= 23)
+    }
+  }
+
   test("nprobe sweep: recall and candidate cost are monotone in nprobe") {
     val rows = Similarity.ssIvfNprobeSweep(spark, sf0001)
       .collect().sortBy(_.getAs[Int]("nprobe"))
