@@ -2470,7 +2470,58 @@ object Dedup {
        |FROM per CROSS JOIN tot GROUP BY n_sources
        |ORDER BY n_sources""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_minhash_precision: calibration of the 8-hash est_jaccard
+  // estimator — candidate pairs binned by estimated similarity
+  // (quarter-width bins), each bin reporting its mean estimate, mean
+  // TRUE shingle-Jaccard, and mean absolute error. lsh_recall measures
+  // what the bands MISS; this measures whether the estimate can be
+  // TRUSTED as a ranking/threshold value (an 8-hash signature
+  // quantizes to eighths — the audit that justifies, or vetoes,
+  // thresholding on it). A candidate with no true shingle overlap
+  // (band collision) scores true-Jaccard 0. Scale shape: both inputs
+  // are session-cached dim-bounded pair artifacts; the join and the
+  // 4-row bin groupBy never touch the corpus.
+  def ddMinhashPrecision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val est = ddMinhashLsh(spark, dir)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+    val truth = ngramPairsFor(spark, dir)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    est.join(truth, Seq("doc_a", "doc_b"), "left")
+      .select(
+        least(floor($"est_jaccard" * 4).cast("int"), lit(3)).as("est_bin"),
+        $"est_jaccard",
+        coalesce($"jaccard", lit(0.0)).as("tj"))
+      .groupBy($"est_bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"est_jaccard".cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("mean_est"),
+        round(sum($"tj".cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("mean_true"),
+        round(sum(abs($"est_jaccard" - $"tj").cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)), 6).as("mean_abs_err"))
+      .orderBy($"est_bin")
+  }
+
+  lazy val ddMinhashPrecisionSql: String =
+    s"""WITH est AS ($ddMinhashLshSql),
+       |truth AS (SELECT doc_a, doc_b, jaccard FROM ($ngramPairsSql)),
+       |j AS (
+       |  SELECT LEAST(CAST(FLOOR(est_jaccard * 4) AS INT), 3) AS est_bin,
+       |    est_jaccard, COALESCE(jaccard, 0.0) AS tj
+       |  FROM est LEFT JOIN truth USING (doc_a, doc_b))
+       |SELECT est_bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ROUND(CAST(SUM(CAST(est_jaccard AS DECIMAL(28,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_est,
+       |  ROUND(CAST(SUM(CAST(tj AS DECIMAL(28,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_true,
+       |  ROUND(CAST(SUM(CAST(ABS(est_jaccard - tj) AS DECIMAL(28,12)))
+       |    AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+       |FROM j GROUP BY est_bin ORDER BY est_bin""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_minhash_precision" -> (ddMinhashPrecision _),
     "llm_dd_cluster_purity" -> (ddClusterPurity _),
     "llm_dd_dup_length_bias" -> (ddDupLengthBias _),
     "llm_dd_editdist" -> (ddEditDist _),
@@ -2509,6 +2560,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dd_minhash_precision" -> ddMinhashPrecisionSql,
     "llm_dd_cluster_purity" -> ddClusterPuritySql,
     "llm_dd_dup_length_bias" -> ddDupLengthBiasSql,
     "llm_dd_soft_weights" -> ddSoftWeightsSql,

@@ -1901,6 +1901,50 @@ object RelationalQueries {
       |FROM pp JOIN base ON l_partkey = bk
       |GROUP BY yr ORDER BY yr""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q76: supplier churn by ship year — of the suppliers active
+  // (shipping ≥ 1 line) in year t, how many ship nothing in t+1? The
+  // supplier-side retention curve (q39 is the user-side one). The
+  // final calendar year has no successor and is excluded rather than
+  // reported as fake 100% churn. Scale shape: ONE fact collapse to
+  // the dim-bounded (year, supplier) distinct table, MATERIALIZED
+  // (three consumers: year-t side, year-t+1 probe, max-year scalar);
+  // the churn probe is a left join at that collapsed grain — the
+  // fact is never rescanned.
+  def q76SupplierChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ys = Tables.materialize(Tables.lineitem(spark, dir)
+      .select(year($"l_shipdate").as("yr"), $"l_suppkey").distinct())
+    val maxYr = broadcast(ys.agg(max($"yr").as("max_yr")))
+    val next = ys.select(($"yr" - 1).as("prev_yr"),
+      $"l_suppkey".as("nk"))
+    ys.join(next, $"yr" === $"prev_yr" && $"l_suppkey" === $"nk", "left")
+      .crossJoin(maxYr)
+      .filter($"yr" < $"max_yr")
+      .groupBy($"yr")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when($"nk".isNull, 1L).otherwise(0L)).as("n_churned"))
+      .select($"yr", $"n_active", $"n_churned",
+        round($"n_churned".cast("double") / $"n_active", 6)
+          .as("churn_rate"))
+      .orderBy($"yr")
+  }
+
+  val q76Sql: String =
+    """WITH ys AS (
+      |  SELECT DISTINCT year(l_shipdate) AS yr, l_suppkey FROM lineitem),
+      |m AS (SELECT MAX(yr) AS max_yr FROM ys),
+      |j AS (
+      |  SELECT a.yr, a.l_suppkey,
+      |    CASE WHEN b.l_suppkey IS NULL THEN 1 ELSE 0 END AS churned
+      |  FROM ys a LEFT JOIN ys b
+      |    ON a.yr + 1 = b.yr AND a.l_suppkey = b.l_suppkey
+      |  CROSS JOIN m WHERE a.yr < max_yr)
+      |SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(SUM(churned) AS BIGINT) AS n_churned,
+      |  ROUND(CAST(SUM(churned) AS DOUBLE) / COUNT(*), 6) AS churn_rate
+      |FROM j GROUP BY yr ORDER BY yr""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_min_cost_supplier" -> (q68MinCostSupplier _),
     "q69_blocking_suppliers" -> (q69BlockingSuppliers _),
@@ -1943,6 +1987,7 @@ object RelationalQueries {
     "q67_repeat_intervals" -> (q67RepeatIntervals _),
     "q71_ship_latency" -> (q71ShipLatency _),
     "q74_price_index" -> (q74PriceIndex _),
+    "q76_supplier_churn" -> (q76SupplierChurn _),
     "q72_decile_lift" -> (q72DecileLift _),
     "q73_trade_balance" -> (q73TradeBalance _),
   )
@@ -1950,6 +1995,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q71_ship_latency" -> q71Sql,
     "q74_price_index" -> q74Sql,
+    "q76_supplier_churn" -> q76Sql,
     "q72_decile_lift" -> q72Sql,
     "q73_trade_balance" -> q73Sql,
     "q68_min_cost_supplier" -> q68Sql,

@@ -241,6 +241,41 @@ class WaveTenSpec extends SparkSpec {
     }
   }
 
+  test("minhash precision bins reconcile with the raw pair tables") {
+    val rows = llm.Dedup.ddMinhashPrecision(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val me = r.getAs[Double]("mean_est")
+      val bin = r.getAs[Int]("est_bin")
+      // each bin's mean estimate sits inside the bin (bin 3 is capped
+      // at the top, so its upper edge is 1.0)
+      val hi = if (bin == 3) 1.0 else (bin + 1) / 4.0
+      assert(me >= bin / 4.0 - 1e-6 && me <= hi + 1e-6,
+        s"bin $bin mean_est $me out of range")
+      assert(r.getAs[Double]("mean_abs_err") >= 0.0)
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
+  test("q76 churn: year-t actives are the distinct shippers of year t") {
+    val rows = RelationalQueries.q76SupplierChurn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byYear = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(year($"l_shipdate").as("yr"), $"l_suppkey").distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).map { case (y, xs) => y -> xs.map(_._2).toSet }
+    rows.foreach { r =>
+      val yr = r.getAs[Int]("yr")
+      assert(r.getAs[Long]("n_active") == byYear(yr).size.toLong)
+      val churned = byYear(yr) -- byYear.getOrElse(yr + 1, Set.empty)
+      assert(r.getAs[Long]("n_churned") == churned.size.toLong,
+        s"churn mismatch in $yr")
+    }
+    // the final year is excluded
+    assert(!rows.exists(_.getAs[Int]("yr") == byYear.keys.max))
+  }
+
   test("nprobe sweep: recall and candidate cost are monotone in nprobe") {
     val rows = Similarity.ssIvfNprobeSweep(spark, sf0001)
       .collect().sortBy(_.getAs[Int]("nprobe"))
