@@ -175,6 +175,55 @@ object Dedup {
     * the session-cached class collapse ([[rawClassesFor]]) and packed
     * rep-shingle table ([[repShinglesFor]]); the property-test path
     * over arbitrary corpora builds its own. */
+  /** The REP-LEVEL half of [[ngramJaccardPairs]]: candidate pairs
+    * (rep_a, rep_b, na, nb, n_inter) over class representatives, plus
+    * per-rep kept-shingle counts — everything BEFORE the member-table
+    * expansion, i.e. everything whose cardinality is bounded by the
+    * deduplicated corpus rather than the raw one. Extracted so
+    * class-grain consumers (llm_dd_dup_length_bias) never touch the
+    * doc-level expansion (measured 290M rows at 16× replica density —
+    * ~30 s per scan — vs the dim-sized tables here).
+    *
+    * Candidate pairs via groupBy(shingle) + in-group combinations, NOT
+    * a self-join: Spark does not dedupe common subplans, so joining
+    * the exploded table with itself runs the whole shingle pipeline
+    * twice AND shuffles both copies. |shingles| rides along in the
+    * struct so no join back to a sizes table is needed. The df cap
+    * acts BEFORE collect_list (a size filter after the fact would
+    * already have materialized the hot bucket in the aggregation
+    * buffer); over-cap shingles are a TINY set (the stopword-gram
+    * head of the Zipf curve) removed with a broadcast ANTI join —
+    * codegen, no extra shuffle; `ex` shuffles exactly once. Pairs via
+    * explode × explode + filter, all codegen'd (the nested
+    * transform/slice combination lambda is interpreted and
+    * single-threaded per bucket — measured 2-3× slower, worse on
+    * duplicate-heavy data). */
+  private[graft] def repPairsAndKept(
+      spark: SparkSession, sh: DataFrame,
+      cap: Long): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val ex = sh.select($"rep", $"w", $"n_sh",
+      explode($"shingles").as("shingle"))
+    val hot = ex.select($"shingle", $"w")
+      .groupBy($"shingle").agg(sum($"w").as("df"))
+      .filter($"df" > cap)
+      .select($"shingle")
+    val kept = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val repPairs = kept
+      .groupBy($"shingle")
+      .agg(collect_list(struct($"rep", $"n_sh")).as("docs"))
+      .filter(size($"docs") > 1)
+      .select(explode($"docs").as("a"), $"docs")
+      .select($"a", explode($"docs").as("b"))
+      .filter($"a.rep" < $"b.rep")
+      .groupBy($"a.rep".as("rep_a"), $"b.rep".as("rep_b"),
+        $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val keptCnt = kept.groupBy($"rep".as("rk"))
+      .agg(count(lit(1)).as("n_kept"))
+    (repPairs, keptCnt)
+  }
+
   private[graft] def ngramJaccardPairs(
       spark: SparkSession, docsIn: DataFrame, cap: Long,
       classesIn: Option[(DataFrame, DataFrame)] = None,
@@ -208,39 +257,7 @@ object Dedup {
         .select($"rep", $"w", size($"shingles").as("n_sh"), $"shingles")
         .localCheckpoint()
     }
-    // Candidate pairs via groupBy(shingle) + in-group combinations, NOT
-    // a self-join: Spark does not dedupe common subplans, so joining
-    // the exploded table with itself runs the whole shingle pipeline
-    // twice AND shuffles both copies. |shingles| rides along in the
-    // struct so no join back to a sizes table is needed.
-    val ex = sh.select($"rep", $"w", $"n_sh",
-      explode($"shingles").as("shingle"))
-    // The df cap must act BEFORE collect_list — a filter on size(docs)
-    // after the fact would already have materialized the hot bucket in
-    // the aggregation buffer. Over-cap shingles are by construction a
-    // TINY set (the stopword-gram head of the Zipf curve), so they are
-    // removed with a broadcast ANTI join — codegen, no extra shuffle
-    // of the exploded table; `ex` still shuffles exactly once, for the
-    // bucket groupBy.
-    val hot = ex.select($"shingle", $"w")
-      .groupBy($"shingle").agg(sum($"w").as("df"))
-      .filter($"df" > cap)
-      .select($"shingle")
-    val kept = ex.join(broadcast(hot), Seq("shingle"), "left_anti")
-    // pairs via explode × explode + filter, all codegen'd: a nested
-    // transform/slice lambda builds the combination array interpreted
-    // and single-threaded per bucket — measured 2-3× slower here and
-    // far worse on duplicate-heavy data with bigger buckets.
-    val repPairs = kept
-      .groupBy($"shingle")
-      .agg(collect_list(struct($"rep", $"n_sh")).as("docs"))
-      .filter(size($"docs") > 1)
-      .select(explode($"docs").as("a"), $"docs")
-      .select($"a", explode($"docs").as("b"))
-      .filter($"a.rep" < $"b.rep")
-      .groupBy($"a.rep".as("rep_a"), $"b.rep".as("rep_b"),
-        $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
-      .agg(count(lit(1)).as("n_inter"))
+    val (repPairs, keptCnt) = repPairsAndKept(spark, sh, cap)
     val cross = repPairs
       .join(members.select($"rep".as("ra"), $"doc_id".as("da")),
         $"rep_a" === $"ra")
@@ -253,7 +270,6 @@ object Dedup {
     // shingles for them — and emits nothing when the class has no kept
     // shingle (all hot, or fewer than 3 tokens). The inner join with
     // the kept-count table reproduces both facts.
-    val keptCnt = kept.groupBy($"rep".as("rk")).agg(count(lit(1)).as("n_kept"))
     val intra = members.select($"rep".as("r1"), $"doc_id".as("d1"))
       .join(members.select($"rep".as("r2"), $"doc_id".as("d2")),
         $"r1" === $"r2" && $"d1" < $"d2")
@@ -2381,9 +2397,32 @@ object Dedup {
   // into one corpus scan — no new corpus-scale shuffle.
   def ddDupLengthBias(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = ngramPairsFor(spark, dir).filter($"jaccard" >= 0.3)
-    val dupDocs = pairs.select($"doc_a".as("d"))
-      .unionAll(pairs.select($"doc_b".as("d"))).distinct()
+    // Class-grain derivation of "doc appears in a τ ≥ 0.3 pair" — NOT
+    // a scan of the doc-level pair table (which is the member-table
+    // EXPANSION: 290M rows at 16× replica density, ~30 s per pass).
+    // By the expansion algebra: a doc is in a cross pair iff its rep
+    // is in a rep-pair at τ (every member combination is emitted), and
+    // in an intra pair iff its class has ≥ 2 members and ≥ 1 kept
+    // shingle with the class self-jaccard at τ. round(·,6) matches
+    // the doc-level table's rounding so the threshold bites
+    // identically.
+    val (classInfo, members) = rawClassesFor(spark, dir)
+    val sh = repShinglesFor(spark, dir)
+    val (repPairs, keptCnt) = repPairsAndKept(spark, sh, MaxBucketDf)
+    val tau = 0.3
+    val crossReps = repPairs
+      .filter(round($"n_inter".cast("double")
+        / ($"na" + $"nb" - $"n_inter"), 6) >= tau)
+      .select(explode(array($"rep_a", $"rep_b")).as("rep"))
+    val intraReps = classInfo.filter($"w" >= 2)
+      .join(sh.select($"rep", $"n_sh"), "rep")
+      .join(keptCnt, $"rep" === $"rk")
+      .filter(round($"n_kept".cast("double")
+        / ($"n_sh" * 2 - $"n_kept"), 6) >= tau)
+      .select($"rep")
+    val dupDocs = members
+      .join(broadcast(crossReps.unionAll(intraReps).distinct()), "rep")
+      .select($"doc_id".as("d")).distinct()
     val tot = broadcast(Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n_total")))
     Tables.documents(spark, dir)
