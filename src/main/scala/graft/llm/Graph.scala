@@ -530,11 +530,17 @@ object Graph {
   }
 
   val kcoreSql: String = {
+    // AS MATERIALIZED on every level: each aK is referenced three
+    // times (both sides of the next peel + its stats row); DuckDB may
+    // inline CTEs per reference, which re-evaluates the whole chain
+    // 3^K times — at sf0.1 that exhausted temp-spill disk. The hint
+    // pins one evaluation per level (the Spark side checkpoints the
+    // same way via Tables.materialize).
     def peel(prev: String, k: Int): String =
-      s"""e$k AS (
+      s"""e$k AS MATERIALIZED (
          |  SELECT src, dst FROM edges
          |  JOIN $prev p1 ON src = p1.node JOIN $prev p2 ON dst = p2.node),
-         |a$k AS (
+         |a$k AS MATERIALIZED (
          |  SELECT src AS node FROM e$k
          |  GROUP BY src HAVING COUNT(*) >= $KcoreK)""".stripMargin
     val chain = (1 to KcoreIters)
@@ -548,15 +554,15 @@ object Graph {
        |sn AS (
        |  SELECT s_suppkey, n_regionkey AS s_region FROM supplier
        |  JOIN nation ON s_nationkey = n_nationkey),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |  JOIN cn ON o_custkey = c_custkey
        |  JOIN sn ON l_suppkey = s_suppkey AND c_region = s_region),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT c AS src, s AS dst FROM pairs
        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
-       |a0 AS (SELECT DISTINCT src AS node FROM edges),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
        |$chain
        |$stats
        |ORDER BY iter""".stripMargin
@@ -628,7 +634,105 @@ object Graph {
        |  ROUND(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE), 6) AS avg_excess_deg
        |FROM mo""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_graph_link_pred: common-neighbor link prediction on the
+  // co-purchase backbone — for every NON-adjacent supplier pair with
+  // ≥1 shared backbone neighbor, score by (common-neighbor count,
+  // Jaccard over the neighborhood union) and keep the top 20. The
+  // "which near-duplicate sources are about to converge" forecast in
+  // a pipeline context: a pair with many shared strong ties but no
+  // direct edge is the edge the next corpus snapshot most likely
+  // adds (Liben-Nowell & Kleinberg 2003's CN/Jaccard baselines).
+  // Runs on the [[triangles]]-style top-[[TriMaxEdges]] support
+  // backbone, additionally cut at half the candidate pairs so the
+  // extraction always thresholds (a cut keeping every candidate
+  // leaves a complete graph with no edge to predict; the extra bound
+  // binds only below 2·TriMaxEdges candidates — never at production
+  // scale). With |E| ≤ M fixed, the wedge join is bounded by
+  // Σ_z deg(z)² ≤ (2M)² regardless of corpus size; the only
+  // corpus-scale stages are the distinct + support groupBys (both
+  // partial-aggregable) and the TakeOrdered top-M. Determinism:
+  // CN/degrees are exact integers; Jaccard = cn/(du+dv−cn) is a
+  // single correctly-rounded division; ordering is total via the
+  // (cn, u, v) key (jaccard is a function of the tie-broken triple).
+  private val LpTopK = 20
+
+  def linkPred(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val so = Tables.materialize(
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct())
+    val occ = so.groupBy($"ok").agg(count(lit(1)).as("n_supp"))
+    val keptSo = so.join(
+      occ.filter($"n_supp" <= TriOrderCap).select($"ok"), "ok")
+    val support = Tables.materialize(
+      keptSo.select($"ok", $"sk".as("s1"))
+        .join(keptSo.select($"ok".as("ok2"), $"sk".as("s2")),
+          $"ok" === $"ok2" && $"s1" < $"s2")
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("support")))
+    // the prediction backbone must actually threshold: a cut that
+    // keeps >= all candidate pairs leaves a graph with no non-edge to
+    // predict (at tiny SFs the co-purchase graph is complete), so the
+    // cut is min(TriMaxEdges, half the candidates) — identical to the
+    // triangles backbone whenever candidates >= 2·TriMaxEdges (every
+    // production scale; the count is one scalar off the materialized
+    // support table)
+    val lpCut = math.min(TriMaxEdges.toLong,
+      (support.count() + 1L) / 2L).toInt
+    val edges = Tables.materialize(
+      support.orderBy($"support".desc, $"s1".asc, $"s2".asc)
+        .limit(lpCut).select($"s1", $"s2"))
+    val adj = Tables.materialize(
+      edges.select($"s1".as("u"), $"s2".as("v"))
+        .unionAll(edges.select($"s2".as("u"), $"s1".as("v"))))
+    val deg = adj.groupBy($"u").agg(count(lit(1)).as("d"))
+    val cn = adj.select($"u".as("a"), $"v".as("z"))
+      .join(adj.select($"u".as("b"), $"v".as("z2")),
+        $"z" === $"z2" && $"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cn"))
+    cn.join(edges, $"a" === $"s1" && $"b" === $"s2", "left_anti")
+      .join(deg.select($"u".as("a"), $"d".as("du")), "a")
+      .join(deg.select($"u".as("b"), $"d".as("dv")), "b")
+      .select($"a".as("u"), $"b".as("v"), $"cn", $"du", $"dv",
+        round($"cn".cast("double") / ($"du" + $"dv" - $"cn").cast("double"),
+          6).as("jaccard"))
+      .orderBy($"cn".desc, $"u".asc, $"v".asc)
+      .limit(LpTopK)
+  }
+
+  val linkPredSql: String =
+    s"""WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |occ AS (SELECT ok, COUNT(*) AS n_supp FROM so GROUP BY ok),
+       |kept AS (SELECT so.ok, so.sk FROM so
+       |  JOIN occ ON so.ok = occ.ok AND occ.n_supp <= $TriOrderCap),
+       |support AS MATERIALIZED (
+       |  SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS support
+       |  FROM kept a JOIN kept b ON a.ok = b.ok AND a.sk < b.sk
+       |  GROUP BY a.sk, b.sk),
+       |nc AS (SELECT COUNT(*) AS n_cand FROM support),
+       |edges AS MATERIALIZED (
+       |  SELECT s1, s2 FROM support CROSS JOIN nc
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY support DESC, s1 ASC, s2 ASC)
+       |    <= LEAST($TriMaxEdges, (n_cand + 1) // 2)),
+       |adj AS (SELECT s1 AS u, s2 AS v FROM edges
+       |  UNION ALL SELECT s2 AS u, s1 AS v FROM edges),
+       |deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+       |cn AS (SELECT a.u AS u, b.u AS v, COUNT(*) AS cn
+       |  FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+       |  GROUP BY a.u, b.u),
+       |nonadj AS (SELECT cn.* FROM cn
+       |  LEFT JOIN edges e ON cn.u = e.s1 AND cn.v = e.s2
+       |  WHERE e.s1 IS NULL)
+       |SELECT n.u, n.v, CAST(n.cn AS BIGINT) AS cn,
+       |  CAST(du.d AS BIGINT) AS du, CAST(dv.d AS BIGINT) AS dv,
+       |  ROUND(CAST(n.cn AS DOUBLE)
+       |    / CAST(du.d + dv.d - n.cn AS DOUBLE), 6) AS jaccard
+       |FROM nonadj n
+       |JOIN deg du ON n.u = du.u JOIN deg dv ON n.v = dv.u
+       |ORDER BY cn DESC, n.u ASC, n.v ASC LIMIT $LpTopK""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_graph_link_pred" -> (linkPred _),
     "llm_graph_assortativity" -> (assortativity _),
     "llm_graph_kcore" -> (kcore _),
     "llm_graph_cc" -> (cc _),
@@ -638,6 +742,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_graph_link_pred" -> linkPredSql,
     "llm_graph_assortativity" -> assortativitySql,
     "llm_graph_kcore" -> kcoreSql,
     "llm_graph_cc" -> ccSql,

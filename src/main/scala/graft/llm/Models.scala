@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -325,7 +326,109 @@ object Models {
        |FROM s GROUP BY bin ORDER BY bin""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_models_auc: exact tie-aware ROC-AUC of the trained quality
+  // probe — the threshold-free twin of [[calibration]] (calibration
+  // asks "is the score a probability?", AUC asks "does it RANK
+  // positives above negatives at all?" — the first gate a curation
+  // classifier must pass before any threshold is chosen). Computed
+  // from the score-grain histogram, never from per-row ranks:
+  //   AUC = Σ_s pos_s · (negBelow(s) + neg_s/2) / (P·N)
+  // over distinct scores ascending — the Mann-Whitney U with the
+  // standard half-credit tie correction, exact because every term is
+  // an integer count (the ×2 form keeps the numerator integral).
+  // Scale shape: one scoring scan partial-aggregates to score grain;
+  // the single unpartitioned cumulative window runs over THAT table,
+  // whose cardinality is bounded by the feature domain (distinct
+  // (n_chars, word-count) pairs — the score is a rational function of
+  // them), not by the corpus — the q67/st_arrival_rate bounded-domain
+  // window argument. The Elliott link keeps p bit-identical across
+  // engines (see [[logregFit]]), so grouping by the raw double is
+  // exact.
+  /** The scored (p, y) corpus — split out so WaveTenSpec can check the
+    * histogram AUC against the naive all-pairs Mann-Whitney form. */
+  private[graft] def aucScored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (f, w1, w2, b) = logregFit(spark, dir)
+    f.select(sig(lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2").as("p"), $"y")
+  }
+
+  /** The score-grain cumulative term table — split out so PlanSpec can
+    * assert the window runs over the post-aggregate histogram (the
+    * registered query's own plan collapses to a LocalTableScan because
+    * the final row is driver-assembled). */
+  private[graft] def aucTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byScore = aucScored(spark, dir)
+      .groupBy($"p")
+      .agg(sum($"y".cast("long")).as("pos"),
+        sum(when($"y" === 0.0, 1L).otherwise(0L)).as("neg"))
+    val w = Window.orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cumNeg", sum($"neg").over(w))
+      // num2 = Σ pos_s · (2·negBelow + neg_s); negBelow = cumNeg − neg_s
+      .select($"pos", $"neg",
+        ($"pos" * (($"cumNeg" - $"neg") * 2L + $"neg"))
+          .cast(DecimalType(38, 0)).as("t"))
+  }
+
+  def auc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = aucTerms(spark, dir)
+    val agg = terms.agg(
+      sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+      count(lit(1)).as("n_scores"), sum($"t").as("num2")).head()
+    val (np, nn) = (agg.getAs[Long]("n_pos"), agg.getAs[Long]("n_neg"))
+    // AUC is undefined without both classes (empty corpus, or a corpus
+    // the heuristic labels single-class): empty result, never NaN
+    if (np == 0L || nn == 0L)
+      return spark.createDataFrame(Seq.empty[(Long, Long, Long, Long, Double, Double)])
+        .toDF("n", "n_pos", "n_neg", "n_scores", "auc", "gini")
+    val aucV = agg.getAs[java.math.BigDecimal]("num2").doubleValue() /
+      (2.0 * np.toDouble * nn.toDouble)
+    spark.createDataFrame(Seq((
+      np + nn, np, nn, agg.getAs[Long]("n_scores"),
+      BigDecimal(aucV).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(2.0 * aucV - 1.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toDF("n", "n_pos", "n_neg", "n_scores", "auc", "gini")
+  }
+
+  val aucSql: String = {
+    val p = sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")
+    s"""WITH $logregChainSql,
+       |sc AS (SELECT $p AS p, f.y AS y FROM f CROSS JOIN w3s w),
+       |h AS (
+       |  SELECT p, CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos,
+       |    SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS neg
+       |  FROM sc GROUP BY p),
+       |c AS (
+       |  SELECT pos, neg,
+       |    SUM(neg) OVER (ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumNeg
+       |  FROM h),
+       |a AS (
+       |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |    COUNT(*) AS n_scores,
+       |    SUM(CAST(pos * ((cumNeg - neg) * 2 + neg) AS DECIMAL(38,0)))
+       |      AS num2
+       |  FROM c)
+       |SELECT CAST(n_pos + n_neg AS BIGINT) AS n, n_pos, n_neg,
+       |  CAST(n_scores AS BIGINT) AS n_scores,
+       |  ROUND(CAST(num2 AS DOUBLE)
+       |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+       |    AS auc,
+       |  ROUND(2.0 * (CAST(num2 AS DOUBLE)
+       |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0,
+       |    6) AS gini
+       |FROM a""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_models_auc" -> (auc _),
     "llm_ta_ridge" -> (ridge _),
     "llm_ta_logreg" -> (logreg _),
     "llm_models_calibration" -> (calibration _),
@@ -335,5 +438,6 @@ object Models {
     "llm_ta_ridge" -> ridgeSql,
     "llm_ta_logreg" -> logregSql,
     "llm_models_calibration" -> calibrationSql,
+    "llm_models_auc" -> aucSql,
   )
 }

@@ -1945,7 +1945,63 @@ object RelationalQueries {
       |  ROUND(CAST(SUM(churned) AS DOUBLE) / COUNT(*), 6) AS churn_rate
       |FROM j GROUP BY yr ORDER BY yr""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q77: per-brand return rate with a Wilson lower confidence bound
+  // (z = 1.96) — the ranking statistic that doesn't reward small
+  // samples: a brand with 3/4 returns must NOT outrank one with
+  // 700/2400, which a raw rate ranking does. Ranking by the Wilson LB
+  // is the standard fix (the same construction behind "sort by rating"
+  // done right). Scale shape: the fact collapses to l_partkey grain
+  // FIRST (partial-aggregable, one shuffle on the natural key), then
+  // joins `part` at the collapsed co-keyed grain and re-aggregates to
+  // the 25-brand domain — the wide fact never joins row-per-line.
+  // Determinism: n and r are exact integers per brand; the bound is a
+  // fixed-order chain of correctly-rounded IEEE ops (÷, ·, sqrt) on
+  // them, written identically in both engines (SURVEY §5.1).
+  def q77WilsonReturns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("r"))
+    val brand = perPart
+      .join(Tables.part(spark, dir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(sum($"n").as("n_items"), sum($"r").as("n_returns"))
+    val z2 = 1.96 * 1.96
+    val nD = $"n_items".cast("double")
+    val p = $"n_returns".cast("double") / nD
+    val lb = (p + lit(z2) / (nD * 2.0)
+      - lit(1.96) * sqrt((p * (lit(1.0) - p) + lit(z2) / (nD * 4.0)) / nD)) /
+      (lit(1.0) + lit(z2) / nD)
+    brand.select($"p_brand", $"n_items", $"n_returns",
+      round(p, 6).as("return_rate"), round(lb, 6).as("wilson_lb"))
+      .orderBy($"wilson_lb".desc, $"p_brand".asc)
+  }
+
+  val q77Sql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey, COUNT(*) AS n,
+      |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT p_brand, CAST(SUM(n) AS BIGINT) AS n_items,
+      |    CAST(SUM(r) AS BIGINT) AS n_returns
+      |  FROM pp JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      |w AS (
+      |  SELECT p_brand, n_items, n_returns,
+      |    CAST(n_returns AS DOUBLE) / CAST(n_items AS DOUBLE) AS p,
+      |    CAST(n_items AS DOUBLE) AS nd
+      |  FROM b)
+      |SELECT p_brand, n_items, n_returns, ROUND(p, 6) AS return_rate,
+      |  ROUND((p + (1.96 * 1.96) / (nd * 2.0)
+      |    - 1.96 * SQRT((p * (1.0 - p) + (1.96 * 1.96) / (nd * 4.0)) / nd))
+      |    / (1.0 + (1.96 * 1.96) / nd), 6) AS wilson_lb
+      |FROM w ORDER BY wilson_lb DESC, p_brand ASC""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_wilson_returns" -> (q77WilsonReturns _),
     "q68_min_cost_supplier" -> (q68MinCostSupplier _),
     "q69_blocking_suppliers" -> (q69BlockingSuppliers _),
     "q70_dormant_capital" -> (q70DormantCapital _),
@@ -1993,6 +2049,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q77_wilson_returns" -> q77Sql,
     "q71_ship_latency" -> q71Sql,
     "q74_price_index" -> q74Sql,
     "q76_supplier_churn" -> q76Sql,

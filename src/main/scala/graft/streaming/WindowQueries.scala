@@ -822,7 +822,88 @@ object WindowQueries {
       |  ROUND(CAST(n_events AS DOUBLE) * 168.0 / n_total, 6) AS vs_uniform
       |FROM c CROSS JOIN t ORDER BY dow, hour""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_dow_anomaly: deseasonalized hourly anomaly flags — each
+  // absolute hour's event count is z-scored against ITS OWN
+  // (day-of-week × hour-of-day) cell's mean/σ, and hours with
+  // z > 1.5 are reported. The missing piece between st_arrival_rate
+  // (pages on a burst vs the GLOBAL mean — so Tuesday-peak traffic
+  // pages every week) and st_hourly_profile (knows what "normal for
+  // Tuesday 14:00" is but flags nothing): this op pages only when an
+  // hour is abnormal FOR ITS SEASON. Scale shape: one
+  // partial-aggregable groupBy to the calendar-bounded absolute-hour
+  // grain, a second groupBy to the fixed 168-cell grid, and a
+  // broadcast join back — nothing corpus-sized shuffles twice.
+  // Determinism: cell mean/σ derive from exact integer sums
+  // (n·Σc² − (Σc)² form, integers exact in double far past this
+  // scale); σ is one correctly-rounded sqrt; the z compare runs on
+  // bit-identical doubles in both engines. dow from epoch-day + 3 —
+  // locale conventions never enter (the stHourlyProfile contract).
+  def stDowAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // materialized: the hour-grain table feeds the cell stats AND the
+    // join-back (Spark never dedupes common subplans; the events scan
+    // + hour groupBy would otherwise run twice)
+    val hourly = Tables.materialize(Tables.events(spark, dir)
+      .select(floor(unix_micros($"ts") / lit(3600000000L)).as("hr_idx"))
+      .groupBy($"hr_idx").agg(count(lit(1)).as("n_events"))
+      .select($"hr_idx",
+        (((floor($"hr_idx" / 24L) + 3) % 7).cast("int")).as("dow"),
+        ($"hr_idx" % 24).cast("int").as("hod"), $"n_events"))
+    val cells = hourly.groupBy($"dow", $"hod")
+      .agg(count(lit(1)).as("n_hours"),
+        sum($"n_events").as("sc"),
+        sum($"n_events" * $"n_events").as("scc"))
+      .select($"dow", $"hod", $"n_hours",
+        ($"sc".cast("double") / $"n_hours".cast("double")).as("cell_mean"),
+        sqrt(($"n_hours".cast("double") * $"scc".cast("double")
+          - $"sc".cast("double") * $"sc".cast("double"))
+          / ($"n_hours".cast("double") * $"n_hours".cast("double")))
+          .as("cell_sd"))
+    hourly.join(broadcast(cells), Seq("dow", "hod"))
+      .filter($"cell_sd" > 0.0 &&
+        ($"n_events".cast("double") - $"cell_mean") / $"cell_sd" > 1.5)
+      .select(($"hr_idx" * 3600000000L).as("w_start_us"), $"dow", $"hod",
+        $"n_events", round($"cell_mean", 6).as("cell_mean"),
+        round(($"n_events".cast("double") - $"cell_mean") / $"cell_sd", 6)
+          .as("zscore"))
+      .orderBy($"w_start_us")
+  }
+
+  val stDowAnomalySql: String =
+    """WITH h AS (
+      |  SELECT FLOOR(epoch_us(ts) / 3600000000) AS hr_idx,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |hh AS (
+      |  SELECT hr_idx,
+      |    CAST((FLOOR(hr_idx / 24) + 3) % 7 AS INT) AS dow,
+      |    CAST(hr_idx % 24 AS INT) AS hod, n_events
+      |  FROM h),
+      |cells AS (
+      |  SELECT dow, hod, COUNT(*) AS n_hours, SUM(n_events) AS sc,
+      |    SUM(n_events * n_events) AS scc
+      |  FROM hh GROUP BY 1, 2),
+      |cs AS (
+      |  SELECT dow, hod,
+      |    CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE) AS cell_mean,
+      |    SQRT((CAST(n_hours AS DOUBLE) * CAST(scc AS DOUBLE)
+      |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+      |      / (CAST(n_hours AS DOUBLE) * CAST(n_hours AS DOUBLE)))
+      |      AS cell_sd
+      |  FROM cells)
+      |SELECT CAST(hh.hr_idx * 3600000000 AS BIGINT) AS w_start_us,
+      |  hh.dow, hh.hod, hh.n_events,
+      |  ROUND(cs.cell_mean, 6) AS cell_mean,
+      |  ROUND((CAST(hh.n_events AS DOUBLE) - cs.cell_mean) / cs.cell_sd, 6)
+      |    AS zscore
+      |FROM hh JOIN cs ON hh.dow = cs.dow AND hh.hod = cs.hod
+      |WHERE cs.cell_sd > 0.0
+      |  AND (CAST(hh.n_events AS DOUBLE) - cs.cell_mean) / cs.cell_sd > 1.5
+      |ORDER BY w_start_us""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_dow_anomaly" -> (stDowAnomaly _),
     "st_hourly_profile" -> (stHourlyProfile _),
     "st_arrival_rate" -> (stArrivalRate _),
     "st_top_users" -> (stTopUsers _),
@@ -843,6 +924,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_dow_anomaly" -> stDowAnomalySql,
     "st_hourly_profile" -> stHourlyProfileSql,
     "st_arrival_rate" -> stArrivalRateSql,
     "st_top_users" -> stTopUsersSql,

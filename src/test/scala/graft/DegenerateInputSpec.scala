@@ -76,6 +76,16 @@ class DegenerateInputSpec extends SparkSpec {
     }
   }
 
+  test("wave-30 ops are total on empty/single-class corpora") {
+    // dow anomaly: no events -> no hours -> no flags (and no 0/0 z)
+    assert(graft.streaming.WindowQueries.stDowAnomaly(spark, emptyDir)
+      .collect().isEmpty)
+    // AUC on an empty corpus has no positive/negative pair to rank:
+    // the defined result is EMPTY (never a NaN row — the n_pos/n_neg
+    // guard), same contract as a single-class labeled corpus
+    assert(graft.llm.Models.auc(spark, emptyDir).collect().isEmpty)
+  }
+
   test("attrition reports defined zero rates on an empty corpus") {
     val rows = graft.llm.Pipeline.attrition(spark, emptyDir)
       .orderBy("stage").collect()

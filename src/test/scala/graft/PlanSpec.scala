@@ -800,4 +800,53 @@ class PlanSpec extends SparkSpec {
       "ewma must not funnel a series op into one partition:\n"
         + plan.take(900))
   }
+
+  test("q77 wilson collapses the fact to part grain before the part join") {
+    val plan = planOf(RelationalQueries.q77WilsonReturns(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1,
+      s"expected one fact scan, got $liScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    // the join input on the fact side must be the partkey-grain
+    // aggregate, never the raw lineitem rows: the first HashAggregate
+    // below the join keys on l_partkey
+    assert(plan.contains("HashAggregate"),
+      "missing partkey-grain collapse:\n" + plan.take(800))
+  }
+
+  test("link prediction scans the fact once and keeps joins backbone-sized") {
+    val plan = planOf(graft.llm.Graph.linkPred(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1,
+      s"the (order,supplier) distinct must be materialized, got " +
+        s"$liScans lineitem scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
+  test("auc's only window is the score-grain cumulative (post-aggregate)") {
+    // the registered query's final plan is a LocalTableScan (1-row
+    // driver assembly); the scale-critical shape lives in the term
+    // table it aggregates
+    val plan = planOf(graft.llm.Models.aucTerms(spark, sf0001))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.length <= 1,
+      "more than one window in the AUC plan:\n" + winLines.mkString("\n"))
+    // the window input must be the score-grain HashAggregate, never
+    // the per-document rows (bounded-domain argument, SURVEY §2.8)
+    assert(plan.contains("HashAggregate"),
+      "missing score-grain collapse:\n" + plan.take(800))
+  }
+
+  test("dow anomaly scans events once (materialized hour table)") {
+    val plan = planOf(graft.streaming.WindowQueries.stDowAnomaly(spark, sf0001))
+    val evScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("events"))
+    assert(evScans <= 1,
+      s"hour table must be materialized, got $evScans events scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin") || !plan.contains("SortMergeJoin"),
+      "cell join must broadcast:\n" + plan.take(800))
+  }
 }

@@ -288,4 +288,116 @@ class WaveTenSpec extends SparkSpec {
       s"candidates not monotone: ${cands.mkString(",")}")
     assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
   }
+
+  test("q77 wilson bound: matches naive recount, lb < rate, ordered by lb") {
+    val rows = RelationalQueries.q77WilsonReturns(spark, sf0001).collect()
+    assert(rows.length > 1)
+    val naive = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.part(spark, sf0001),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"l_returnflag").collect()
+      .groupBy(_.getString(0)).map { case (b, xs) =>
+        b -> (xs.length.toLong, xs.count(_.getString(1) == "R").toLong)
+      }
+    rows.foreach { r =>
+      val (n, ret) = naive(r.getString(0))
+      assert(r.getAs[Long]("n_items") == n)
+      assert(r.getAs[Long]("n_returns") == ret)
+      // the shrinkage property: the bound sits strictly below the raw
+      // rate (z > 0, n finite) and inside [0, 1]
+      val lb = r.getAs[Double]("wilson_lb")
+      assert(lb < r.getAs[Double]("return_rate"))
+      assert(lb >= 0.0 && lb <= 1.0)
+    }
+    val lbs = rows.map(_.getAs[Double]("wilson_lb"))
+    assert(lbs.zip(lbs.tail).forall { case (a, b) => a >= b },
+      "not ordered by wilson_lb desc")
+  }
+
+  test("auc histogram form equals the naive all-pairs Mann-Whitney") {
+    val scored = Models.aucScored(spark, sf0001)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val pos = scored.filter(_._2 == 1.0).map(_._1)
+    val neg = scored.filter(_._2 == 0.0).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    // naive U: every (pos, neg) pair contributes 1 if pos scores
+    // higher, 0.5 on a tie
+    val u = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val naiveAuc = u / (pos.length.toDouble * neg.length.toDouble)
+    val row = Models.auc(spark, sf0001).head()
+    assert(row.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(math.abs(row.getAs[Double]("auc") - naiveAuc) < 1e-6,
+      s"histogram auc ${row.getAs[Double]("auc")} vs naive $naiveAuc")
+    assert(math.abs(row.getAs[Double]("gini")
+      - (2.0 * naiveAuc - 1.0)) < 2e-6)
+  }
+
+  test("link prediction matches a naive backbone recomputation") {
+    // sf0.01: at sf0.001 the 45-pair backbone keeps EVERY co-purchase
+    // pair as an edge, so no non-adjacent candidate exists and the
+    // result is legitimately empty (covered by DegenerateInputSpec's
+    // totality conventions); the semantic check needs the 2000-edge
+    // cut to bite
+    val sf = "/root/testdata/sf0.01"
+    val rows = Graph.linkPred(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent backbone: distinct (order, supplier), occupancy cap
+    // 64, support pairs, top-2000 by (support desc, s1, s2)
+    val so = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = so.groupBy(_._1).filter(_._2.length <= 64)
+    val support = byOrder.values.flatMap { xs =>
+      val ks = xs.map(_._2).sorted
+      for (i <- ks.indices; j <- (i + 1) until ks.length)
+        yield (ks(i), ks(j))
+    }.groupBy(identity).map { case (e, g) => (e, g.size) }
+    val cut = math.min(2000, (support.size + 1) / 2)
+    val edges = support.toSeq
+      .sortBy { case ((a, b), s) => (-s, a, b) }.take(cut).map(_._1).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val expected = (for {
+      u <- adj.keys; v <- adj.keys
+      if u < v && !edges((u, v))
+      cn = (adj(u) & adj(v)).size if cn > 0
+    } yield (u, v, cn, adj(u).size, adj(v).size)).toSeq
+      .sortBy { case (u, v, cn, _, _) => (-cn, u, v) }.take(20)
+    val got = rows.map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+      r.getAs[Long]("cn").toInt, r.getAs[Long]("du").toInt,
+      r.getAs[Long]("dv").toInt))
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexp $expected")
+    rows.foreach { r =>
+      val (cn, du, dv) = (r.getAs[Long]("cn"), r.getAs[Long]("du"),
+        r.getAs[Long]("dv"))
+      assert(cn <= math.min(du, dv))
+      assert(math.abs(r.getAs[Double]("jaccard")
+        - cn.toDouble / (du + dv - cn)) < 1e-6)
+    }
+  }
+
+  test("dow anomaly flags exactly the naive z>1.5 hours") {
+    val rows = streaming.WindowQueries.stDowAnomaly(spark, sf0001).collect()
+    val hours = graft.sources.Tables.events(spark, sf0001)
+      .select((unix_micros($"ts") / lit(3600000000L)).cast("long")
+        .as("hr")).collect().map(_.getLong(0))
+      .groupBy(identity).map { case (h, xs) => h -> xs.size }
+    val cells = hours.toSeq
+      .groupBy { case (h, _) => (((h / 24) + 3) % 7, h % 24) }
+    val expected = cells.flatMap { case (_, members) =>
+      val cs = members.map(_._2.toDouble)
+      val n = cs.size.toDouble
+      val mean = cs.sum / n
+      val sd = math.sqrt(cs.map(c => (c - mean) * (c - mean)).sum / n)
+      if (sd > 0.0)
+        members.filter { case (_, c) => (c - mean) / sd > 1.5 }.map(_._1)
+      else Seq.empty
+    }.toSet
+    assert(rows.map(_.getAs[Long]("w_start_us") / 3600000000L).toSet
+      == expected, s"flag sets differ (got ${rows.length}, " +
+      s"expected ${expected.size})")
+    rows.foreach(r => assert(r.getAs[Double]("zscore") > 1.5))
+  }
 }
