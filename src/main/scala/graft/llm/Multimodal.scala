@@ -583,6 +583,80 @@ object Multimodal {
        |ORDER BY hamming, doc_a, doc_b""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_mm_size_percentiles: exact payload-size percentiles (p50/p90/
+  // p99/max bytes) per media type — the storage-planning and
+  // decode-budget profile (batch sizing for a decode stage keys off
+  // the p99 payload, not the mean; a fat tail in one type means that
+  // type needs its own partition sizing). Percentiles are EXACT via
+  // the histogram-cumulative construction (q71's convention: smallest
+  // size with cum·100 ≥ p·n) — never an approximate percentile
+  // sketch, and never a corpus-wide sort: the cumulative window runs
+  // over the (type, size) histogram, whose cardinality is bounded by
+  // the size domain, not the corpus. All outputs are integers — no
+  // float surface at all. Payload bytes themselves never shuffle
+  // (only (type, size) pairs do).
+  def mmSizePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val magics = array(lit("GIF8"), lit("%PDF"), lit("RIFF"), lit("OggS"))
+    val sized = Tables.documents(spark, dir)
+      .select(
+        element_at(magics, (h60($"text") % 4 + 1).cast("int")).as("magic"),
+        $"text")
+      .select(
+        when($"magic" === "GIF8", "gif").when($"magic" === "%PDF", "pdf")
+          .when($"magic" === "RIFF", "wav").otherwise("ogg")
+          .as("media_type"),
+        octet_length(encode(concat($"magic", $"text"), "utf-8"))
+          .cast("long").as("n_bytes"))
+    // materialized: the histogram feeds the per-type totals AND the
+    // cumulative join-back
+    val hist = Tables.materialize(
+      sized.groupBy($"media_type", $"n_bytes").agg(count(lit(1)).as("c")))
+    val tot = hist.groupBy($"media_type").agg(sum($"c").as("n"))
+    val w = Window.partitionBy($"media_type").orderBy($"n_bytes")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pct(p: Int) =
+      min(when($"cum" * 100 >= $"n" * p, $"n_bytes")).as(s"p${p}_bytes")
+    hist.withColumn("cum", sum($"c").over(w))
+      .join(broadcast(tot), "media_type")
+      .groupBy($"media_type")
+      .agg(max($"n").as("n_payloads"), pct(50), pct(90), pct(99),
+        max($"n_bytes").as("max_bytes"))
+      .orderBy($"media_type")
+  }
+
+  val mmSizePercentilesSql: String =
+    s"""WITH t AS (
+       |  SELECT
+       |    (['GIF8', '%PDF', 'RIFF', 'OggS'])[CAST(${h60Sql("text")} % 4 + 1 AS INT)]
+       |      AS magic,
+       |    text
+       |  FROM documents),
+       |p AS (
+       |  SELECT CASE magic WHEN 'GIF8' THEN 'gif' WHEN '%PDF' THEN 'pdf'
+       |      WHEN 'RIFF' THEN 'wav' ELSE 'ogg' END AS media_type,
+       |    CAST(octet_length(encode(magic || text)) AS BIGINT) AS n_bytes
+       |  FROM t),
+       |hist AS (
+       |  SELECT media_type, n_bytes, COUNT(*) AS c FROM p GROUP BY 1, 2),
+       |tot AS (SELECT media_type, SUM(c) AS n FROM hist GROUP BY 1),
+       |cc AS (
+       |  SELECT h.media_type, h.n_bytes, t.n,
+       |    SUM(h.c) OVER (PARTITION BY h.media_type ORDER BY h.n_bytes
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist h JOIN tot t ON h.media_type = t.media_type)
+       |SELECT media_type, CAST(MAX(n) AS BIGINT) AS n_payloads,
+       |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN n_bytes END) AS BIGINT)
+       |    AS p50_bytes,
+       |  CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN n_bytes END) AS BIGINT)
+       |    AS p90_bytes,
+       |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN n_bytes END) AS BIGINT)
+       |    AS p99_bytes,
+       |  CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+       |FROM cc GROUP BY media_type ORDER BY media_type""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_mm_magic_router: content-type sniffing for decoder routing —
   // the gate in front of every media-decode stage: read ONLY the
   // payload's leading magic bytes (substring on the BINARY column; the
@@ -723,6 +797,7 @@ object Multimodal {
     "llm_mm_magic_router" -> (mmMagicRouter _),
     "llm_mm_phash" -> (mmPhash _),
     "llm_mm_aspect_buckets" -> (mmAspectBuckets _),
+    "llm_mm_size_percentiles" -> (mmSizePercentiles _),
     "llm_mm_metadata" -> (mmMetadata _),
     "llm_mm_chunk_dedup" -> (mmChunkDedup _),
     "llm_mm_dedup" -> (mmDedup _),
@@ -738,6 +813,7 @@ object Multimodal {
     "llm_mm_magic_router" -> mmMagicRouterSql,
     "llm_mm_phash" -> mmPhashSql,
     "llm_mm_aspect_buckets" -> mmAspectBucketsSql,
+    "llm_mm_size_percentiles" -> mmSizePercentilesSql,
     "llm_mm_metadata" -> mmMetadataSql,
     "llm_mm_chunk_dedup" -> mmChunkDedupSql,
     "llm_mm_dedup" -> mmDedupSql,

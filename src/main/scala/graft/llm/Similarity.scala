@@ -999,6 +999,104 @@ object Similarity {
        |SELECT vec_id, cid, ROUND(d2, 6) AS d2 FROM af ORDER BY vec_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_kmeans_ari: adjusted Rand index between the SEED-Voronoi
+  // partition (assign to the raw seed vectors) and the 3-round-trained
+  // partition — "did training actually reorganize the clustering, or
+  // did Lloyd just polish centroid coordinates?" The index-rebuild
+  // decision metric: an ARI near 1 means a retrained IVF quantizer
+  // routes vectors to the same lists and the old index is still
+  // valid; a low ARI means every inverted list churns and the rebuild
+  // must be scheduled. Exact by construction: ARI is pure integer
+  // pair-counting over the k×k contingency table —
+  //   ARI = (Σij C(nij,2) − ΣiC(ai,2)·ΣjC(bj,2)/C(n,2))
+  //       / (½[ΣiC(ai,2)+ΣjC(bj,2)] − ΣiC(ai,2)·ΣjC(bj,2)/C(n,2))
+  // with every C(·,2) an exact integer (div 2 of an even product) and
+  // only the final solve in double (identical op order both engines).
+  // Because Lloyd updates keep seed cluster ids, the diagonal is also
+  // meaningful: stay_frac = Σ n_ii / n, the fraction of vectors whose
+  // list assignment survives training.
+  //
+  // Scale shape: ONE corpus scan computes BOTH argmins per row (the
+  // two k-row centroid tables ride in as broadcast packed arrays —
+  // the corpus never shuffles, never joins itself); the contingency
+  // groupBy collapses to k² rows (partial-aggregable), MATERIALIZED
+  // for its three marginal consumers.
+  /** Per-vector (cid_seed, cid_tr) dual assignment — split out so
+    * WaveTenSpec can recompute the ARI naively from the raw pairs. */
+  private[graft] def ariAssignments(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val seeds = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val seedPacked = seeds
+      .agg(collect_list(struct($"cid", $"cv")).as("c_seed"))
+    val trainPacked = kmTrainedCents(spark, dir)
+      .agg(collect_list(struct($"cid", $"cv")).as("c_tr"))
+    def argmin(arr: String) = expr(
+      s"""array_min(transform($arr, c -> named_struct(
+         |  'd2', vec_dot(v, v) - 2.0d * vec_dot(v, c.cv)
+         |    + vec_dot(c.cv, c.cv),
+         |  'cid', c.cid))).cid""".stripMargin)
+    e.crossJoin(broadcast(seedPacked)).crossJoin(broadcast(trainPacked))
+      .select(argmin("c_seed").as("cid_seed"), argmin("c_tr").as("cid_tr"))
+  }
+
+  def ssKmeansAri(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cont = Tables.materialize(
+      ariAssignments(spark, dir)
+        .groupBy($"cid_seed", $"cid_tr").agg(count(lit(1)).as("nij")))
+    val m = cont.agg(
+      sum($"nij").as("n"),
+      sum(expr("nij * (nij - 1) div 2")).as("sum_comb"),
+      sum(when($"cid_seed" === $"cid_tr", $"nij").otherwise(0L))
+        .as("n_same")).head()
+    val aSum = cont.groupBy($"cid_seed").agg(sum($"nij").as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("s")).head().getAs[Long]("s")
+    val bSum = cont.groupBy($"cid_tr").agg(sum($"nij").as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("s")).head().getAs[Long]("s")
+    val (n, sumComb, nSame) = (m.getAs[Long]("n"), m.getAs[Long]("sum_comb"),
+      m.getAs[Long]("n_same"))
+    val totCombD = (n * (n - 1) / 2).toDouble
+    val expected = aSum.toDouble * bSum.toDouble / totCombD
+    val ari = (sumComb.toDouble - expected) /
+      ((aSum.toDouble + bSum.toDouble) / 2.0 - expected)
+    spark.createDataFrame(Seq((n, nSame, sumComb, aSum, bSum,
+      BigDecimal(nSame.toDouble / n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(ari).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toDF("n", "n_same", "sum_comb", "a_sum", "b_sum", "stay_frac", "ari")
+  }
+
+  val ssKmeansAriSql: String =
+    s"""$kmTrainedCte,
+       |ct AS MATERIALIZED (
+       |  SELECT a1.cid AS cid_seed, af.cid AS cid_tr, COUNT(*) AS nij
+       |  FROM a1 JOIN af ON a1.vec_id = af.vec_id GROUP BY 1, 2),
+       |m AS (
+       |  SELECT CAST(SUM(nij) AS BIGINT) AS n,
+       |    CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS sum_comb,
+       |    CAST(SUM(CASE WHEN cid_seed = cid_tr THEN nij ELSE 0 END)
+       |      AS BIGINT) AS n_same
+       |  FROM ct),
+       |ma AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS a_sum
+       |  FROM (SELECT SUM(nij) AS c FROM ct GROUP BY cid_seed)),
+       |mb AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS b_sum
+       |  FROM (SELECT SUM(nij) AS c FROM ct GROUP BY cid_tr))
+       |SELECT n, n_same, sum_comb, a_sum, b_sum,
+       |  ROUND(CAST(n_same AS DOUBLE) / CAST(n AS DOUBLE), 6) AS stay_frac,
+       |  ROUND((CAST(sum_comb AS DOUBLE)
+       |      - CAST(a_sum AS DOUBLE) * CAST(b_sum AS DOUBLE)
+       |        / CAST(n * (n - 1) // 2 AS DOUBLE))
+       |    / ((CAST(a_sum AS DOUBLE) + CAST(b_sum AS DOUBLE)) / 2.0
+       |      - CAST(a_sum AS DOUBLE) * CAST(b_sum AS DOUBLE)
+       |        / CAST(n * (n - 1) // 2 AS DOUBLE)), 6) AS ari
+       |FROM m CROSS JOIN ma CROSS JOIN mb""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_ss_ivf_kmeans: IVF with a TRAINED coarse quantizer — the grid
   // cells of ssIvf* stand in for a quantizer when no training is
   // allowed; the production index (FAISS IVFFlat) trains it with
@@ -2496,6 +2594,7 @@ object Similarity {
     "llm_ss_ivf_nprobe_sweep" -> (ssIvfNprobeSweep _),
     "llm_ss_kmeans" -> (ssKmeans _),
     "llm_ss_kmeans_iter" -> (ssKmeansIter _),
+    "llm_ss_kmeans_ari" -> (ssKmeansAri _),
     "llm_ss_pq_encode" -> (ssPqEncode _),
     "llm_ss_pq_search" -> (ssPqSearch _),
     "llm_ss_pq_train" -> (ssPqTrain _),
@@ -2533,6 +2632,7 @@ object Similarity {
     "llm_ss_ivf_nprobe_sweep" -> ssIvfNprobeSweepSql,
     "llm_ss_kmeans" -> ssKmeansSql,
     "llm_ss_kmeans_iter" -> ssKmeansIterSql,
+    "llm_ss_kmeans_ari" -> ssKmeansAriSql,
     "llm_ss_pq_encode" -> ssPqEncodeSql,
     "llm_ss_pq_search" -> ssPqSearchSql,
     "llm_ss_pq_train" -> ssPqTrainSql,

@@ -2000,7 +2000,60 @@ object RelationalQueries {
       |    / (1.0 + (1.96 * 1.96) / nd), 6) AS wilson_lb
       |FROM w ORDER BY wilson_lb DESC, p_brand ASC""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q78: multiplicative monthly seasonal index — for each calendar
+  // month, the mean over years of (that month's revenue / its year's
+  // monthly mean), i.e. the classical ratio-to-moving-average
+  // seasonality decomposition at yearly granularity. The demand-
+  // planning twin of st_hourly_profile (that one profiles event load
+  // by hour-of-week; this one profiles REVENUE by month-of-year, with
+  // each year normalized by its own level so secular growth doesn't
+  // masquerade as seasonality). Scale shape: ONE fact collapse to the
+  // dim-bounded (year, month) decimal revenue grid (≤ 12·years rows,
+  // partial-aggregable), MATERIALIZED for its two consumers (year
+  // means + the ratio join); everything after is arithmetic on the
+  // grid. Determinism: cell revenues are DECIMAL sums; each ratio is
+  // one correctly-rounded division; the cross-year mean of ratios
+  // routes through DECIMAL(28,12) (order-insensitive).
+  def q78SeasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.materialize(Tables.lineitem(spark, dir)
+      .groupBy(year($"l_shipdate").as("yr"), month($"l_shipdate").as("mo"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("rev")))
+    val ym = cells.groupBy($"yr")
+      .agg((sum($"rev".cast(DecimalType(28, 12))).cast("double")
+        / count(lit(1))).as("ymean"))
+    cells.join(broadcast(ym), "yr")
+      .select($"mo", ($"rev" / $"ymean").as("ratio"))
+      .groupBy($"mo")
+      .agg(count(lit(1)).as("n_years"),
+        round(sum($"ratio".cast(DecimalType(28, 12))).cast("double")
+          / count(lit(1)), 6).as("seasonal_index"))
+      .orderBy($"mo")
+  }
+
+  val q78Sql: String =
+    """WITH cells AS (
+      |  SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |ym AS (
+      |  SELECT yr,
+      |    CAST(SUM(CAST(rev AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+      |      AS ymean
+      |  FROM cells GROUP BY 1),
+      |r AS (
+      |  SELECT mo, cells.rev / ym.ymean AS ratio
+      |  FROM cells JOIN ym ON cells.yr = ym.yr)
+      |SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_years,
+      |  ROUND(CAST(SUM(CAST(ratio AS DECIMAL(28,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS seasonal_index
+      |FROM r GROUP BY mo ORDER BY mo""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_seasonal_index" -> (q78SeasonalIndex _),
     "q77_wilson_returns" -> (q77WilsonReturns _),
     "q68_min_cost_supplier" -> (q68MinCostSupplier _),
     "q69_blocking_suppliers" -> (q69BlockingSuppliers _),
@@ -2049,6 +2102,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q78_seasonal_index" -> q78Sql,
     "q77_wilson_returns" -> q77Sql,
     "q71_ship_latency" -> q71Sql,
     "q74_price_index" -> q74Sql,

@@ -902,7 +902,81 @@ object WindowQueries {
       |  AND (CAST(hh.n_events AS DOUBLE) - cs.cell_mean) / cs.cell_sd > 1.5
       |ORDER BY w_start_us""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_cusum_drift: CUSUM track of the stream's daily mean `value` —
+  // the cumulative sum of (daily mean − global mean) per day, flagged
+  // where |CUSUM| exceeds 2σ of the daily means. The slow-drift
+  // detector st_dow_anomaly can't be: a z-score pages on one loud
+  // hour, while a metric that creeps 1% per day never leaves any
+  // single day's normal band — only the accumulated deviation shows
+  // it (Page 1954's CUSUM, the classic complement to Shewhart-style
+  // per-point limits). Scale shape: one partial-aggregable groupBy to
+  // the calendar-bounded day grain (MATERIALIZED: the global-moment
+  // aggregate and the track are two consumers), a 1-row broadcast of
+  // the moments, and a bounded-domain cumulative window over days.
+  // Determinism: daily means and the CUSUM route through
+  // DECIMAL(28,12) (order-insensitive); σ from the n·Σm²−(Σm)² form;
+  // the flag compares bit-identical doubles.
+  def stCusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.materialize(Tables.events(spark, dir)
+      .select(floor(unix_micros($"ts") / lit(86400000000L)).as("d"),
+        $"value")
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n_events"),
+        (sum($"value".cast(DecimalType(28, 12))).cast("double")
+          / count(lit(1))).as("m")))
+    val g = broadcast(daily.agg(
+      count(lit(1)).as("nd"),
+      sum($"m".cast(DecimalType(28, 12))).cast("double").as("sm"),
+      sum(($"m" * $"m").cast(DecimalType(28, 12))).cast("double").as("smm")))
+    val w = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(g)
+      .withColumn("gm", $"sm" / $"nd")
+      .withColumn("sd", sqrt(($"nd".cast("double") * $"smm"
+        - $"sm" * $"sm") / ($"nd".cast("double") * $"nd".cast("double"))))
+      .withColumn("cusum",
+        sum(($"m" - $"gm").cast(DecimalType(28, 12))).over(w)
+          .cast("double"))
+      .select(($"d" * 86400000000L).as("w_start_us"), $"n_events",
+        round($"m", 6).as("daily_mean"), round($"cusum", 6).as("cusum"),
+        when(abs($"cusum") > lit(2.0) * $"sd", 1L).otherwise(0L)
+          .as("is_drift"))
+      .orderBy($"w_start_us")
+  }
+
+  val stCusumDriftSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT FLOOR(epoch_us(ts) / 86400000000) AS d,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+      |      AS m
+      |  FROM events GROUP BY 1),
+      |g AS (
+      |  SELECT COUNT(*) AS nd,
+      |    CAST(SUM(CAST(m AS DECIMAL(28,12))) AS DOUBLE) AS sm,
+      |    CAST(SUM(CAST(m * m AS DECIMAL(28,12))) AS DOUBLE) AS smm
+      |  FROM daily),
+      |tr AS (
+      |  SELECT d, n_events, m,
+      |    sm / nd AS gm,
+      |    SQRT((CAST(nd AS DOUBLE) * smm - sm * sm)
+      |      / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE))) AS sd,
+      |    CAST(SUM(CAST(m - sm / nd AS DECIMAL(28,12))) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      AS cusum
+      |  FROM daily CROSS JOIN g)
+      |SELECT CAST(d * 86400000000 AS BIGINT) AS w_start_us, n_events,
+      |  ROUND(m, 6) AS daily_mean, ROUND(cusum, 6) AS cusum,
+      |  CAST(CASE WHEN ABS(cusum) > 2.0 * sd THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_drift
+      |FROM tr ORDER BY w_start_us""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_cusum_drift" -> (stCusumDrift _),
     "st_dow_anomaly" -> (stDowAnomaly _),
     "st_hourly_profile" -> (stHourlyProfile _),
     "st_arrival_rate" -> (stArrivalRate _),
@@ -924,6 +998,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_cusum_drift" -> stCusumDriftSql,
     "st_dow_anomaly" -> stDowAnomalySql,
     "st_hourly_profile" -> stHourlyProfileSql,
     "st_arrival_rate" -> stArrivalRateSql,

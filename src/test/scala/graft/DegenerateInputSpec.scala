@@ -84,6 +84,11 @@ class DegenerateInputSpec extends SparkSpec {
     // the defined result is EMPTY (never a NaN row — the n_pos/n_neg
     // guard), same contract as a single-class labeled corpus
     assert(graft.llm.Models.auc(spark, emptyDir).collect().isEmpty)
+    // wave-31: no days -> no cusum track; no payloads -> no size rows
+    assert(graft.streaming.WindowQueries.stCusumDrift(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.llm.Multimodal.mmSizePercentiles(spark, emptyDir)
+      .collect().isEmpty)
   }
 
   test("attrition reports defined zero rates on an empty corpus") {

@@ -839,6 +839,50 @@ class PlanSpec extends SparkSpec {
       "missing score-grain collapse:\n" + plan.take(800))
   }
 
+  test("q78 seasonal index scans the fact once (materialized cell grid)") {
+    val plan = planOf(RelationalQueries.q78SeasonalIndex(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1,
+      s"year means and ratio join must share one collapse, got " +
+        s"$liScans lineitem scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
+  test("kmeans ARI dual assignment broadcasts both centroid tables") {
+    val plan = planOf(graft.llm.Similarity.ariAssignments(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus must never shuffle to be assigned:\n" + plan.take(900))
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"),
+      "centroid tables must broadcast:\n" + plan.take(900))
+  }
+
+  test("size percentiles: one documents scan, windows keyed on media_type") {
+    val plan = planOf(graft.llm.Multimodal.mmSizePercentiles(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans <= 1,
+      s"histogram must be materialized, got $docScans documents scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty && winLines.forall(_.contains("media_type#")),
+      "cumulative window must partition by media_type:\n" +
+        winLines.mkString("\n"))
+  }
+
+  test("cusum drift scans events once; its only window is the day track") {
+    val plan = planOf(graft.streaming.WindowQueries.stCusumDrift(spark, sf0001))
+    val evScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("events"))
+    assert(evScans <= 1,
+      s"day table must be materialized, got $evScans events scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.length <= 1,
+      "more than one window in the cusum plan:\n" + winLines.mkString("\n"))
+  }
+
   test("dow anomaly scans events once (materialized hour table)") {
     val plan = planOf(graft.streaming.WindowQueries.stDowAnomaly(spark, sf0001))
     val evScans = plan.split("\n")

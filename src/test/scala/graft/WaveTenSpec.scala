@@ -378,6 +378,124 @@ class WaveTenSpec extends SparkSpec {
     }
   }
 
+  test("q78 seasonal index matches a naive per-cell recomputation") {
+    val rows = RelationalQueries.q78SeasonalIndex(spark, sf0001)
+      .collect().map(r => r.getAs[Int]("mo") ->
+        (r.getAs[Long]("n_years"), r.getAs[Double]("seasonal_index"))).toMap
+    val cells = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(year($"l_shipdate").as("yr"), month($"l_shipdate").as("mo"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val ymean = cells.groupBy(_._1._1).map { case (y, cs) =>
+      y -> cs.values.sum / cs.size
+    }
+    val byMo = cells.toSeq.map { case ((y, mo), rev) => mo -> rev / ymean(y) }
+      .groupBy(_._1)
+    byMo.foreach { case (mo, ratios) =>
+      val (ny, idx) = rows(mo)
+      assert(ny == ratios.size.toLong)
+      assert(math.abs(idx - ratios.map(_._2).sum / ratios.size) < 1e-6,
+        s"index mismatch for month $mo")
+    }
+    // within each year the ratios average to exactly 1 by construction,
+    // so the n_years-weighted index mean is 1
+    val w = rows.values.map { case (ny, idx) => ny * idx }.sum /
+      rows.values.map(_._1).sum
+    assert(math.abs(w - 1.0) < 1e-4, s"weighted index mean $w")
+  }
+
+  test("kmeans ARI matches the naive pair-counting form") {
+    val pairs = Similarity.ariAssignments(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = pairs.length
+    def comb2(x: Long) = x * (x - 1) / 2
+    val nij = pairs.groupBy(identity).map { case (_, g) => g.length.toLong }
+    val ai = pairs.groupBy(_._1).map { case (_, g) => g.length.toLong }
+    val bj = pairs.groupBy(_._2).map { case (_, g) => g.length.toLong }
+    val (sumComb, aSum, bSum) =
+      (nij.map(comb2).sum, ai.map(comb2).sum, bj.map(comb2).sum)
+    val exp = aSum.toDouble * bSum.toDouble / comb2(n.toLong).toDouble
+    val ari = (sumComb.toDouble - exp) /
+      ((aSum.toDouble + bSum.toDouble) / 2.0 - exp)
+    val row = Similarity.ssKmeansAri(spark, sf0001).head()
+    assert(row.getAs[Long]("n") == n.toLong)
+    assert(row.getAs[Long]("sum_comb") == sumComb)
+    assert(row.getAs[Long]("a_sum") == aSum)
+    assert(row.getAs[Long]("b_sum") == bSum)
+    assert(math.abs(row.getAs[Double]("ari") - ari) < 1e-6)
+    assert(row.getAs[Double]("ari") <= 1.0 + 1e-9)
+    val stay = pairs.count { case (a, b) => a == b }
+    assert(row.getAs[Long]("n_same") == stay.toLong)
+  }
+
+  test("size percentiles: exact order statistics of the derived sizes") {
+    import graft.llm.TextAnalysis.h60
+    val rows = graft.llm.Multimodal.mmSizePercentiles(spark, sf0001)
+      .collect()
+    val magics = array(lit("GIF8"), lit("%PDF"), lit("RIFF"), lit("OggS"))
+    val sizes = graft.sources.Tables.documents(spark, sf0001)
+      .select(element_at(magics, (h60($"text") % 4 + 1).cast("int"))
+        .as("magic"), $"text")
+      .select($"magic",
+        octet_length(encode(concat($"magic", $"text"), "utf-8"))
+          .cast("long").as("nb"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy { case (m, _) => m match {
+        case "GIF8" => "gif"; case "%PDF" => "pdf"
+        case "RIFF" => "wav"; case _ => "ogg" } }
+      .map { case (t, xs) => t -> xs.map(_._2).sorted }
+    assert(rows.map(_.getString(0)).toSet == sizes.keySet)
+    rows.foreach { r =>
+      val xs = sizes(r.getString(0))
+      val n = xs.length
+      def pct(p: Int): Long = {
+        var cum = 0L
+        xs.distinct.find { v =>
+          cum += xs.count(_ == v); cum * 100 >= p.toLong * n
+        }.get
+      }
+      assert(r.getAs[Long]("n_payloads") == n.toLong)
+      assert(r.getAs[Long]("p50_bytes") == pct(50))
+      assert(r.getAs[Long]("p90_bytes") == pct(90))
+      assert(r.getAs[Long]("p99_bytes") == pct(99))
+      assert(r.getAs[Long]("max_bytes") == xs.max)
+      assert(r.getAs[Long]("p50_bytes") <= r.getAs[Long]("p90_bytes"))
+      assert(r.getAs[Long]("p90_bytes") <= r.getAs[Long]("p99_bytes"))
+      assert(r.getAs[Long]("p99_bytes") <= r.getAs[Long]("max_bytes"))
+    }
+  }
+
+  test("cusum drift track telescopes and flags |cusum| > 2 sigma") {
+    val rows = streaming.WindowQueries.stCusumDrift(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("w_start_us"))
+    assert(rows.nonEmpty)
+    val days = graft.sources.Tables.events(spark, sf0001)
+      .select((unix_micros($"ts") / lit(86400000000L)).cast("long")
+        .as("d"), $"value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, xs) => (d, xs.length, xs.map(_._2).sum / xs.length) }
+    assert(rows.length == days.length)
+    val gm = days.map(_._3).sum / days.length
+    val sd = math.sqrt(
+      days.map(x => (x._3 - gm) * (x._3 - gm)).sum / days.length)
+    var cum = 0.0
+    rows.zip(days).foreach { case (r, (d, cnt, m)) =>
+      assert(r.getAs[Long]("w_start_us") == d * 86400000000L)
+      assert(r.getAs[Long]("n_events") == cnt.toLong)
+      assert(math.abs(r.getAs[Double]("daily_mean") - m) < 1e-6)
+      cum += m - gm
+      assert(math.abs(r.getAs[Double]("cusum") - cum) < 1e-4,
+        s"cusum diverges at day $d")
+      assert(r.getAs[Long]("is_drift") ==
+        (if (math.abs(r.getAs[Double]("cusum")) > 2.0 * sd) 1L else 0L))
+    }
+    // the track telescopes: the final cusum is the total deviation = 0
+    assert(math.abs(rows.last.getAs[Double]("cusum")) < 1e-4,
+      "CUSUM over the full window must telescope to ~0")
+  }
+
   test("dow anomaly flags exactly the naive z>1.5 hours") {
     val rows = streaming.WindowQueries.stDowAnomaly(spark, sf0001).collect()
     val hours = graft.sources.Tables.events(spark, sf0001)
