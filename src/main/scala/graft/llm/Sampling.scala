@@ -650,6 +650,78 @@ object Sampling {
       |FROM pw CROSS JOIN e ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_sample_clip_sweep: the weight-clipping tuning curve behind
+  // [[sampleEss]] — ESS fixes the clip bound at [0.25, 4] and reports
+  // one point; this sweeps c ∈ {1.5, 4, 1000} (tight / production /
+  // effectively-unclipped), reporting per bound how many sources get
+  // clipped and what ESS the surviving weights leave. The bias-
+  // variance dial made visible: a tight clip keeps ESS high but stops
+  // correcting the mixture (sources pinned at the bound stay
+  // over/under-sampled); the sweep is the evidence for choosing the
+  // production bound rather than inheriting it. Scale shape:
+  // identical to ESS — ONE partial-aggregable source groupBy; the
+  // sweep explodes the broadcast-sized 20-row rate table × 3 bounds,
+  // never the corpus; per-source Σw stays closed-form n_docs·w.
+  def sampleClipSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // materialized: the rate table feeds the totals aggregate AND the
+    // sweep cross join — one corpus scan, not two
+    val ps = Tables.materialize(Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs")))
+    val tot = broadcast(ps.agg(sum($"n_docs").as("n_total"),
+      count(lit(1)).as("n_sources")))
+    val raw = $"n_total".cast("double") /
+      ($"n_sources" * $"n_docs").cast("double")
+    val swept = ps.crossJoin(tot)
+      .select($"source", $"n_docs", $"n_total", raw.as("raw"))
+      .crossJoin(
+        broadcast(Seq(1.5, 4.0, 1000.0).toDF("clip")))
+      .select($"clip", $"n_docs", $"n_total", $"raw",
+        least(greatest($"raw", lit(1.0) / $"clip"), $"clip").as("w"))
+    swept.groupBy($"clip")
+      .agg(
+        sum(when($"raw" < lit(1.0) / $"clip" || $"raw" > $"clip", 1L)
+          .otherwise(0L)).as("n_clipped"),
+        sum(($"n_docs" * $"w").cast(DecimalType(28, 12))).cast("double")
+          .as("sw"),
+        sum(($"n_docs" * $"w" * $"w").cast(DecimalType(28, 12)))
+          .cast("double").as("sw2"),
+        max($"n_total").as("nt"))
+      .select($"clip", $"n_clipped", round($"sw", 6).as("sum_w"),
+        round(($"sw" * $"sw") / $"sw2", 2).as("ess"),
+        round(($"sw" * $"sw") / ($"sw2" * $"nt"), 6).as("ess_ratio"))
+      .orderBy($"clip")
+  }
+
+  val sampleClipSweepSql: String =
+    """WITH ps AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |t AS (SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM ps),
+      |pw AS (
+      |  SELECT source, n_docs, n_total,
+      |    CAST(n_total AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE)
+      |      AS raw
+      |  FROM ps CROSS JOIN t),
+      |sw AS (
+      |  SELECT c.clip, pw.n_docs, pw.n_total, pw.raw,
+      |    LEAST(GREATEST(pw.raw, 1.0 / c.clip), c.clip) AS w
+      |  FROM pw CROSS JOIN (VALUES (CAST(1.5 AS DOUBLE)),
+      |    (CAST(4.0 AS DOUBLE)), (CAST(1000.0 AS DOUBLE))) AS c(clip)),
+      |a AS (
+      |  SELECT clip,
+      |    CAST(SUM(CASE WHEN raw < 1.0 / clip OR raw > clip
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |    CAST(SUM(CAST(n_docs * w AS DECIMAL(28,12))) AS DOUBLE) AS sw,
+      |    CAST(SUM(CAST(n_docs * w * w AS DECIMAL(28,12))) AS DOUBLE)
+      |      AS sw2,
+      |    MAX(n_total) AS nt
+      |  FROM sw GROUP BY clip)
+      |SELECT clip, n_clipped, ROUND(sw, 6) AS sum_w,
+      |  ROUND((sw * sw) / sw2, 2) AS ess,
+      |  ROUND((sw * sw) / (sw2 * nt), 6) AS ess_ratio
+      |FROM a ORDER BY clip""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_sample_pps: systematic probability-proportional-to-size
   // sampling — the survey-statistics workhorse that draws EXACTLY k
   // documents with inclusion probability ∝ size in one pass, no
@@ -729,6 +801,7 @@ object Sampling {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sample_pps" -> (samplePps _),
     "llm_sample_ess" -> (sampleEss _),
+    "llm_sample_clip_sweep" -> (sampleClipSweep _),
     "llm_sample_kfold" -> (sampleKfold _),
     "llm_sample_bootstrap" -> (sampleBootstrap _),
     "llm_sample_es_topk" -> (sampleEsTopK _),
@@ -745,6 +818,7 @@ object Sampling {
   val oracles: Map[String, String] = Map(
     "llm_sample_pps" -> samplePpsSql,
     "llm_sample_ess" -> sampleEssSql,
+    "llm_sample_clip_sweep" -> sampleClipSweepSql,
     "llm_sample_kfold" -> sampleKfoldSql,
     "llm_sample_bootstrap" -> sampleBootstrapSql,
     "llm_sample_es_topk" -> sampleEsTopKSql,

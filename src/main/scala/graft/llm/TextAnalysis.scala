@@ -2341,7 +2341,64 @@ object TextAnalysis {
       |SELECT source, CAST(rank AS INT) AS rank, term, tf, lift
       |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_simpson: corpus concentration/diversity indices per
+  // metadata facet (source, lang) — Simpson's 1 − Σnᵢ(nᵢ−1)/N(N−1)
+  // (the probability two random docs differ on the facet) and the
+  // effective category count N²/Σnᵢ² (inverse Simpson: "this corpus
+  // behaves like K equally-sized sources"). The one-row-per-facet
+  // summary a mixture dashboard leads with, and the log-free
+  // alternative to Shannon entropy (deliberately: libm ln() is a
+  // cross-engine divergence surface, SURVEY §5.1 — Simpson is purely
+  // rational on exact integer counts). Scale shape: ONE corpus scan
+  // explodes each doc to its 2 facet values, partial-aggregates to
+  // (facet, value) counts (vocab-bounded), then 2-row facet
+  // aggregates; quadratic count terms route DECIMAL(38,0) so nᵢ²
+  // stays exact past 2⁶³ (nᵢ ~ 10¹² at 100 TB squares to 10²⁴).
+  def taSimpson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val cats = Tables.documents(spark, dir)
+      .select(explode(array(
+        struct(lit("source").as("facet"), $"source".as("v")),
+        struct(lit("lang").as("facet"), $"lang".as("v")))).as("x"))
+      .select($"x.facet".as("facet"), $"x.v".as("v"))
+      .groupBy($"facet", $"v").agg(count(lit(1)).as("c"))
+    cats.groupBy($"facet")
+      .agg(count(lit(1)).as("n_categories"),
+        sum($"c").as("n_docs"),
+        sum(($"c".cast(DecimalType(38, 0)) * ($"c" - 1)).cast(DecimalType(38, 0)))
+          .cast("double").as("s2"),
+        sum(($"c".cast(DecimalType(38, 0)) * $"c").cast(DecimalType(38, 0)))
+          .cast("double").as("sq"))
+      .select($"facet", $"n_categories", $"n_docs",
+        round(lit(1.0) - $"s2"
+          / ($"n_docs".cast(DecimalType(38, 0))
+            * ($"n_docs" - 1)).cast("double"), 6).as("simpson"),
+        round(($"n_docs".cast(DecimalType(38, 0)) * $"n_docs").cast("double")
+          / $"sq", 6).as("effective_categories"))
+      .orderBy($"facet")
+  }
+
+  val taSimpsonSql: String =
+    """WITH cats AS (
+      |  SELECT facet, v, COUNT(*) AS c FROM (
+      |    SELECT 'source' AS facet, source AS v FROM documents
+      |    UNION ALL SELECT 'lang' AS facet, lang AS v FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT facet, COUNT(*) AS n_categories,
+      |  CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  ROUND(1.0 - CAST(SUM(CAST(CAST(c AS DECIMAL(38,0)) * (c - 1)
+      |      AS DECIMAL(38,0))) AS DOUBLE)
+      |    / CAST(CAST(SUM(c) AS DECIMAL(38,0)) * (SUM(c) - 1) AS DOUBLE),
+      |    6) AS simpson,
+      |  ROUND(CAST(CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c) AS DOUBLE)
+      |    / CAST(SUM(CAST(CAST(c AS DECIMAL(38,0)) * c AS DECIMAL(38,0)))
+      |      AS DOUBLE), 6) AS effective_categories
+      |FROM cats GROUP BY facet ORDER BY facet""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_simpson" -> (taSimpson _),
     "llm_ta_source_keywords" -> (taSourceKeywords _),
     "llm_ta_vocab_growth" -> (taVocabGrowth _),
     "llm_ta_char_classes" -> (taCharClasses _),
@@ -2386,6 +2443,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_simpson" -> taSimpsonSql,
     "llm_ta_source_keywords" -> taSourceKeywordsSql,
     "llm_ta_vocab_growth" -> taVocabGrowthSql,
     "llm_ta_char_classes" -> taCharClassesSql,

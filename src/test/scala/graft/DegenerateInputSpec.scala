@@ -89,6 +89,13 @@ class DegenerateInputSpec extends SparkSpec {
       .collect().isEmpty)
     assert(graft.llm.Multimodal.mmSizePercentiles(spark, emptyDir)
       .collect().isEmpty)
+    // wave-32: no docs -> no deciles / no rate table / no facet rows
+    assert(graft.llm.Dedup.ddNoveltyCurve(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.llm.Sampling.sampleClipSweep(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.llm.TextAnalysis.taSimpson(spark, emptyDir)
+      .collect().isEmpty)
   }
 
   test("attrition reports defined zero rates on an empty corpus") {

@@ -883,6 +883,36 @@ class PlanSpec extends SparkSpec {
       "more than one window in the cusum plan:\n" + winLines.mkString("\n"))
   }
 
+  test("novelty curve: materialized shingle table, min+join co-keyed on s") {
+    val plan = planOf(Dedup.ddNoveltyCurve(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    // one tokenizing scan (materialized exploded table) + the cheap
+    // count-star scan for the decile denominator
+    assert(docScans <= 2,
+      s"expected <=2 documents scans, got $docScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
+  test("clip sweep never explodes the corpus (rate-table-only sweep)") {
+    val plan = planOf(graft.llm.Sampling.sampleClipSweep(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans <= 1,
+      s"the sweep must ride the source-grain rate table, got $docScans " +
+        s"documents scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
+  test("simpson runs on one exploding scan (both facets, one pass)") {
+    val plan = planOf(TextAnalysis.taSimpson(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans <= 1,
+      s"both facets must share one scan, got $docScans documents scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("dow anomaly scans events once (materialized hour table)") {
     val plan = planOf(graft.streaming.WindowQueries.stDowAnomaly(spark, sf0001))
     val evScans = plan.split("\n")

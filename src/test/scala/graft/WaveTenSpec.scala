@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Graph, Models, Pipeline, Similarity}
+import graft.llm.{Dedup, Graph, Models, Pipeline, Sampling, Similarity}
 import graft.operators.RelationalQueries
 
 /** Value-level invariants for the round-10 operator wave — the
@@ -494,6 +494,69 @@ class WaveTenSpec extends SparkSpec {
     // the track telescopes: the final cusum is the total deviation = 0
     assert(math.abs(rows.last.getAs[Double]("cusum")) < 1e-4,
       "CUSUM over the full window must telescope to ~0")
+  }
+
+  test("novelty curve: first occurrences partition the shingle set") {
+    val rows = Dedup.ddNoveltyCurve(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.nonEmpty)
+    graft.functions.Shingle3.register(spark)
+    val ex = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", explode(expr("shingle3(text)")).as("s"))
+    // every distinct shingle first-occurs in exactly one document, so
+    // the novel counts across deciles partition the distinct-shingle
+    // set; the per-doc shingle totals partition the exploded table
+    val nDistinct = ex.select($"s").distinct().count()
+    val nExploded = ex.count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == nDistinct)
+    assert(rows.map(_.getAs[Long]("n_shingles")).sum == nExploded)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+      val rate = r.getAs[Double]("novelty_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // saturation: the tail decile must be less novel than the head
+    assert(rows.last.getAs[Double]("novelty_rate")
+      < rows.head.getAs[Double]("novelty_rate"))
+  }
+
+  test("clip sweep: tighter clips raise ESS; the c=4 point equals llm_sample_ess") {
+    val rows = Sampling.sampleClipSweep(spark, sf0001)
+      .collect().sortBy(_.getAs[Double]("clip"))
+    assert(rows.map(_.getAs[Double]("clip")).toSeq == Seq(1.5, 4.0, 1000.0))
+    val ess = rows.map(_.getAs[Double]("ess"))
+    assert(ess.zip(ess.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"ESS must not increase with a looser clip: ${ess.mkString(",")}")
+    val clipped = rows.map(_.getAs[Long]("n_clipped"))
+    assert(clipped.zip(clipped.tail).forall { case (a, b) => b <= a },
+      "a looser bound cannot clip more sources")
+    val essOp = Sampling.sampleEss(spark, sf0001)
+      .head().getAs[Double]("ess")
+    assert(rows(1).getAs[Double]("ess") == essOp,
+      "the c=4 sweep point must reproduce llm_sample_ess exactly")
+  }
+
+  test("simpson indices match a naive recount on both facets") {
+    val rows = graft.llm.TextAnalysis.taSimpson(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"source", $"lang").collect()
+    for ((facet, vals) <- Seq(
+        "source" -> docs.map(_.getString(0)),
+        "lang" -> docs.map(_.getString(1)))) {
+      val counts = vals.groupBy(identity).map(_._2.length.toLong)
+      val n = vals.length.toLong
+      val simpson = 1.0 -
+        counts.map(c => c * (c - 1)).sum.toDouble / (n * (n - 1)).toDouble
+      val eff = (n * n).toDouble / counts.map(c => c * c).sum.toDouble
+      val r = rows(facet)
+      assert(r.getAs[Long]("n_categories") == counts.size.toLong)
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(math.abs(r.getAs[Double]("simpson") - simpson) < 1e-6)
+      assert(math.abs(r.getAs[Double]("effective_categories") - eff) < 1e-6)
+      assert(r.getAs[Double]("effective_categories")
+        <= r.getAs[Long]("n_categories").toDouble + 1e-9)
+    }
   }
 
   test("dow anomaly flags exactly the naive z>1.5 hours") {
