@@ -2571,22 +2571,27 @@ object Dedup {
   // documents, was 95% in the first decile" (measured shape at
   // sf0.01), which prices both further crawling and the dedup pass.
   // Scale shape: the exploded (shingle, doc_id) table is MATERIALIZED
-  // (two consumers: first-occurrence min and the join-back); both the
-  // min-groupBy and the attribution join shuffle ON THE SHINGLE KEY
-  // (co-partitioned, partial-aggregable min) — the one irreducible
-  // corpus shuffle; everything after is doc-grain then 10-row.
-  // Exactness: all counts integer; one division per decile; the
-  // decile index is integer math off the broadcast total.
+  // (two consumers: first-occurrence min and per-doc totals). The
+  // ONLY shingle-keyed shuffle is the partial-aggregable min groupBy;
+  // novel counts per doc then come from regrouping the shingle-grain
+  // min table BY ITS min-doc (never joining back at shingle grain —
+  // the first draft's join-back was a second full corpus shuffle and
+  // benched 9.8× at 16×; this form is one), and per-doc totals
+  // partial-aggregate doc-locally off the scan. Everything downstream
+  // is doc-grain then 10-row. Exactness: all counts integer; one
+  // division per decile; the decile index is integer math off the
+  // broadcast total.
   def ddNoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.Shingle3.register(spark)
     val ex = Tables.materialize(Tables.documents(spark, dir)
       .select($"doc_id", explode(expr("shingle3(text)")).as("s")))
     val fo = ex.groupBy($"s").agg(min($"doc_id").as("md"))
-    val perDoc = ex.join(fo, "s")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_sh"),
-        sum(when($"md" === $"doc_id", 1L).otherwise(0L)).as("nov"))
+    val novel = fo.groupBy($"md").agg(count(lit(1)).as("nov"))
+      .select($"md".as("doc_id"), $"nov")
+    val perDoc = ex.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      .join(novel, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_sh", coalesce($"nov", lit(0L)).as("nov"))
     val tot = broadcast(Tables.documents(spark, dir)
       .agg(count(lit(1)).as("n")))
     perDoc.crossJoin(tot)
