@@ -1323,6 +1323,75 @@ object Dedup {
        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_dd_policy_mix_shift: does the dedup KEEP POLICY change the
+  // surviving source mix? Per source: total docs, survivors under
+  // keep-first (min doc_id per cluster — the streaming-friendly
+  // default) vs keep-best (argmax quality, [[ddKeepBest]]'s rule),
+  // and the shift between them. The selection-bias audit for the
+  // policy choice itself: keep-best systematically migrates survivors
+  // toward high-quality sources, which silently changes any
+  // per-source mixture target downstream — this table is the
+  // magnitude of that migration. Scale shape: rides the
+  // session-cached cluster artifact; BOTH winners come out of ONE
+  // cluster-grain groupBy (min/max structs carrying the source — the
+  // winner's source rides the aggregate, no join-back per policy);
+  // winner table MATERIALIZED for its two per-source counts; totals
+  // are one partial-aggregable source groupBy. All-integer output.
+  def ddPolicyMixShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality")
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val winners = Tables.materialize(
+      ddCluster(spark, dir)
+        .join(q, "doc_id").join(src, "doc_id")
+        .groupBy($"cluster_id")
+        .agg(
+          min(struct($"doc_id", $"source")).as("f"),
+          max(struct($"quality", (-$"doc_id").as("neg_id"), $"source"))
+            .as("b")))
+    val kf = winners.groupBy($"f.source".as("source"))
+      .agg(count(lit(1)).as("keep_first"))
+    val kb = winners.groupBy($"b.source".as("source"))
+      .agg(count(lit(1)).as("keep_best"))
+    val nd = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    nd.join(kf, Seq("source"), "left").join(kb, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"keep_first", lit(0L)).as("keep_first"),
+        coalesce($"keep_best", lit(0L)).as("keep_best"),
+        (coalesce($"keep_best", lit(0L))
+          - coalesce($"keep_first", lit(0L))).as("shift"))
+      .orderBy($"source")
+  }
+
+  val ddPolicyMixShiftSql: String =
+    s"""WITH c AS ($ddClusterSql),
+       |q AS (${TextAnalysis.taQualitySql}),
+       |j AS (
+       |  SELECT c.cluster_id, c.doc_id, q.quality, d.source
+       |  FROM c JOIN q USING (doc_id) JOIN documents d USING (doc_id)),
+       |r AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY doc_id)
+       |      AS rn1,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality DESC, doc_id) AS rn2
+       |  FROM j),
+       |kf AS (SELECT source, COUNT(*) AS keep_first FROM r
+       |  WHERE rn1 = 1 GROUP BY 1),
+       |kb AS (SELECT source, COUNT(*) AS keep_best FROM r
+       |  WHERE rn2 = 1 GROUP BY 1),
+       |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT nd.source, nd.n_docs,
+       |  CAST(COALESCE(kf.keep_first, 0) AS BIGINT) AS keep_first,
+       |  CAST(COALESCE(kb.keep_best, 0) AS BIGINT) AS keep_best,
+       |  CAST(COALESCE(kb.keep_best, 0) - COALESCE(kf.keep_first, 0)
+       |    AS BIGINT) AS shift
+       |FROM nd LEFT JOIN kf ON nd.source = kf.source
+       |LEFT JOIN kb ON nd.source = kb.source
+       |ORDER BY nd.source""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_dd_decontaminate: benchmark-contamination screening — flag
   // training documents sharing >= 3 distinct word-3-gram shingles with
   // any document of a held-out evaluation set (here the deterministic
@@ -2623,6 +2692,7 @@ object Dedup {
        |FROM pd CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_policy_mix_shift" -> (ddPolicyMixShift _),
     "llm_dd_novelty_curve" -> (ddNoveltyCurve _),
     "llm_dd_minhash_precision" -> (ddMinhashPrecision _),
     "llm_dd_cluster_purity" -> (ddClusterPurity _),
@@ -2663,6 +2733,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dd_policy_mix_shift" -> ddPolicyMixShiftSql,
     "llm_dd_novelty_curve" -> ddNoveltyCurveSql,
     "llm_dd_minhash_precision" -> ddMinhashPrecisionSql,
     "llm_dd_cluster_purity" -> ddClusterPuritySql,

@@ -731,7 +731,93 @@ object Graph {
        |JOIN deg du ON n.u = du.u JOIN deg dv ON n.v = dv.u
        |ORDER BY cn DESC, n.u ASC, n.v ASC LIMIT $LpTopK""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_graph_reciprocity: weighted reciprocity of the nation-level
+  // directed trade graph (supplier nation → customer nation, edge
+  // weight = discounted revenue): Σ min(w_ij, w_ji) / Σ w_ij over
+  // i ≠ j (Squartini & Garlaschelli's W↔/W) plus the domestic share
+  // Σ w_ii / Σ_all. The flow-imbalance one-number: reciprocity 1
+  // means every corridor is balanced two-way trade, 0 means pure
+  // one-way extraction — the macro shape that decides whether a
+  // "trade partner" feature is symmetric. Scale shape: the fact
+  // collapses to the 25×25 nation grid in ONE pass (the
+  // lineitem↔orders equi-join is the irreducible cost, same as
+  // kcore's pair build; both dims broadcast), MATERIALIZED for its
+  // three consumers (forward/transpose sides + totals); all grid
+  // algebra is on ≤625 rows. Determinism: weights are DECIMAL sums;
+  // min/compare on bit-identical doubles; final ratios route
+  // DECIMAL(28,6) sums.
+  def reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val sn = broadcast(Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_nationkey".as("sn")))
+    val cn = broadcast(Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey".as("cn")))
+    val w = Tables.materialize(Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(sn, $"l_suppkey" === $"s_suppkey")
+      .join(cn, $"o_custkey" === $"c_custkey")
+      .select($"sn", $"cn",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .groupBy($"sn", $"cn")
+      .agg(sum($"rev".cast(DecimalType(18, 6))).cast("double").as("w")))
+    val off = w.filter($"sn" =!= $"cn")
+    val rec = off.join(
+      broadcast(off.select($"sn".as("tn"), $"cn".as("tc"), $"w".as("wt"))),
+      $"sn" === $"tc" && $"cn" === $"tn", "left")
+      // least() IGNORES nulls in both Spark and DuckDB (non-standard!):
+      // least(w, null) = w would credit FULL weight to an
+      // unreciprocated edge — coalesce the missing reverse to 0 BEFORE
+      // the min, so one-way corridors contribute nothing (caught by
+      // WaveTenSpec's naive recomputation)
+      .select($"w", least($"w", coalesce($"wt", lit(0.0))).as("wmin"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum($"w".cast(DecimalType(28, 6))).cast("double").as("tw"),
+        sum($"wmin".cast(DecimalType(28, 6))).cast("double").as("tmin"))
+    val dom = w.agg(
+      sum(when($"sn" === $"cn", $"w").otherwise(0.0)
+        .cast(DecimalType(28, 6))).cast("double").as("wdom"),
+      sum($"w".cast(DecimalType(28, 6))).cast("double").as("wall"),
+      countDistinct($"sn").as("n_nations"))
+    rec.crossJoin(broadcast(dom))
+      .select($"n_nations", $"n_edges",
+        round($"tmin" / $"tw", 6).as("reciprocity"),
+        round($"wdom" / $"wall", 6).as("domestic_share"))
+  }
+
+  val reciprocitySql: String =
+    """WITH w AS MATERIALIZED (
+      |  SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier s ON l_suppkey = s.s_suppkey
+      |  JOIN customer c ON o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |off AS (SELECT * FROM w WHERE sn <> cn),
+      |rec AS (
+      |  SELECT COUNT(*) AS n_edges,
+      |    CAST(SUM(CAST(a.w AS DECIMAL(28,6))) AS DOUBLE) AS tw,
+      |    CAST(SUM(CAST(LEAST(a.w, COALESCE(b.w, 0.0)) AS DECIMAL(28,6)))
+      |      AS DOUBLE) AS tmin
+      |  FROM off a LEFT JOIN off b ON a.sn = b.cn AND a.cn = b.sn),
+      |dom AS (
+      |  SELECT
+      |    CAST(SUM(CAST(CASE WHEN sn = cn THEN w ELSE 0.0 END
+      |      AS DECIMAL(28,6))) AS DOUBLE) AS wdom,
+      |    CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS wall,
+      |    COUNT(DISTINCT sn) AS n_nations
+      |  FROM w)
+      |SELECT CAST(n_nations AS BIGINT) AS n_nations,
+      |  CAST(n_edges AS BIGINT) AS n_edges,
+      |  ROUND(tmin / tw, 6) AS reciprocity,
+      |  ROUND(wdom / wall, 6) AS domestic_share
+      |FROM rec CROSS JOIN dom""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_graph_reciprocity" -> (reciprocity _),
     "llm_graph_link_pred" -> (linkPred _),
     "llm_graph_assortativity" -> (assortativity _),
     "llm_graph_kcore" -> (kcore _),
@@ -742,6 +828,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_graph_reciprocity" -> reciprocitySql,
     "llm_graph_link_pred" -> linkPredSql,
     "llm_graph_assortativity" -> assortativitySql,
     "llm_graph_kcore" -> kcoreSql,

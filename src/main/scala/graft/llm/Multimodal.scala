@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.DecimalType
+
 import graft.sources.Tables
 import TextAnalysis.{h60, h60Sql}
 
@@ -583,6 +585,75 @@ object Multimodal {
        |ORDER BY hamming, doc_a, doc_b""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_mm_source_mix: media-type × source contingency with each
+  // cell's independence expectation and χ² contribution — "do my
+  // sources ship the same modality mix?" A source whose cells carry
+  // outsized contributions is modality-skewed (a video mirror, a
+  // PDF dump), which decides whether modality quotas must be enforced
+  // per source or can be global. Same construction as q59's
+  // segment×priority χ², applied to the sniffed media type. Scale
+  // shape: ONE narrow scan to the (source × type) contingency
+  // (partial-aggregable, dim-bounded ≤ sources×4), MATERIALIZED for
+  // its three total consumers; all χ² algebra on the bounded grid,
+  // contributions DECIMAL-routed where summed downstream. Expected
+  // counts are exact integer-products over one division.
+  def mmSourceMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val magics = array(lit("GIF8"), lit("%PDF"), lit("RIFF"), lit("OggS"))
+    val cont = Tables.materialize(Tables.documents(spark, dir)
+      .select($"source",
+        element_at(magics, (h60($"text") % 4 + 1).cast("int")).as("magic"))
+      .select($"source",
+        when($"magic" === "GIF8", "gif").when($"magic" === "%PDF", "pdf")
+          .when($"magic" === "RIFF", "wav").otherwise("ogg")
+          .as("media_type"))
+      .groupBy($"source", $"media_type").agg(count(lit(1)).as("n")))
+    val rowT = cont.groupBy($"source").agg(sum($"n").as("rt"))
+    val colT = cont.groupBy($"media_type").agg(sum($"n").as("ct"))
+    val tot = broadcast(cont.agg(sum($"n").as("nt")))
+    cont.join(broadcast(rowT), "source")
+      .join(broadcast(colT), "media_type")
+      .crossJoin(tot)
+      .select($"source", $"media_type", $"n",
+        round(($"rt".cast(DecimalType(38, 0)) * $"ct").cast("double")
+          / $"nt", 6).as("expected"),
+        round(
+          ($"n" - ($"rt".cast(DecimalType(38, 0)) * $"ct").cast("double")
+            / $"nt")
+            * ($"n" - ($"rt".cast(DecimalType(38, 0)) * $"ct")
+              .cast("double") / $"nt")
+            / (($"rt".cast(DecimalType(38, 0)) * $"ct").cast("double")
+              / $"nt"), 6).as("contrib"))
+      .orderBy($"source", $"media_type")
+  }
+
+  val mmSourceMixSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    (['GIF8', '%PDF', 'RIFF', 'OggS'])[CAST(${h60Sql("text")} % 4 + 1 AS INT)]
+       |      AS magic
+       |  FROM documents),
+       |p AS (
+       |  SELECT source, CASE magic WHEN 'GIF8' THEN 'gif'
+       |    WHEN '%PDF' THEN 'pdf' WHEN 'RIFF' THEN 'wav' ELSE 'ogg' END
+       |    AS media_type
+       |  FROM t),
+       |cont AS MATERIALIZED (
+       |  SELECT source, media_type, COUNT(*) AS n FROM p GROUP BY 1, 2),
+       |rt AS (SELECT source, SUM(n) AS rt FROM cont GROUP BY 1),
+       |ct AS (SELECT media_type, SUM(n) AS ct FROM cont GROUP BY 1),
+       |tt AS (SELECT SUM(n) AS nt FROM cont)
+       |SELECT cont.source, cont.media_type, cont.n,
+       |  ROUND(CAST(rt.rt * ct.ct AS DOUBLE) / nt, 6) AS expected,
+       |  ROUND((cont.n - CAST(rt.rt * ct.ct AS DOUBLE) / nt)
+       |    * (cont.n - CAST(rt.rt * ct.ct AS DOUBLE) / nt)
+       |    / (CAST(rt.rt * ct.ct AS DOUBLE) / nt), 6) AS contrib
+       |FROM cont JOIN rt ON cont.source = rt.source
+       |JOIN ct ON cont.media_type = ct.media_type
+       |CROSS JOIN tt
+       |ORDER BY cont.source, cont.media_type""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_mm_size_percentiles: exact payload-size percentiles (p50/p90/
   // p99/max bytes) per media type — the storage-planning and
   // decode-budget profile (batch sizing for a decode stage keys off
@@ -797,6 +868,7 @@ object Multimodal {
     "llm_mm_magic_router" -> (mmMagicRouter _),
     "llm_mm_phash" -> (mmPhash _),
     "llm_mm_aspect_buckets" -> (mmAspectBuckets _),
+    "llm_mm_source_mix" -> (mmSourceMix _),
     "llm_mm_size_percentiles" -> (mmSizePercentiles _),
     "llm_mm_metadata" -> (mmMetadata _),
     "llm_mm_chunk_dedup" -> (mmChunkDedup _),
@@ -813,6 +885,7 @@ object Multimodal {
     "llm_mm_magic_router" -> mmMagicRouterSql,
     "llm_mm_phash" -> mmPhashSql,
     "llm_mm_aspect_buckets" -> mmAspectBucketsSql,
+    "llm_mm_source_mix" -> mmSourceMixSql,
     "llm_mm_size_percentiles" -> mmSizePercentilesSql,
     "llm_mm_metadata" -> mmMetadataSql,
     "llm_mm_chunk_dedup" -> mmChunkDedupSql,

@@ -96,6 +96,11 @@ class DegenerateInputSpec extends SparkSpec {
       .collect().isEmpty)
     assert(graft.llm.TextAnalysis.taSimpson(spark, emptyDir)
       .collect().isEmpty)
+    // wave-33 document-side ops
+    assert(graft.llm.Dedup.ddPolicyMixShift(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.llm.Multimodal.mmSourceMix(spark, emptyDir)
+      .collect().isEmpty)
   }
 
   test("attrition reports defined zero rates on an empty corpus") {

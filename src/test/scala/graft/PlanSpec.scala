@@ -913,6 +913,34 @@ class PlanSpec extends SparkSpec {
         plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
   }
 
+  test("reciprocity: one fact pass, dims broadcast, grid algebra tiny") {
+    val plan = planOf(graft.llm.Graph.reciprocity(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1,
+      s"the nation grid must be materialized, got $liScans lineitem " +
+        s"scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "supplier/customer joins must broadcast:\n" + plan.take(900))
+  }
+
+  test("policy mix shift selects winners by aggregate, never a window") {
+    val plan = planOf(Dedup.ddPolicyMixShift(spark, sf0001))
+    assert(!plan.contains("windowspecdefinition"),
+      "winner selection must be the partial-aggregable min/max struct " +
+        "form, not a per-cluster window:\n" + plan.take(900))
+  }
+
+  test("source mix contingency shares one documents scan") {
+    val plan = planOf(graft.llm.Multimodal.mmSourceMix(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans <= 1,
+      s"contingency must be materialized, got $docScans documents scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("dow anomaly scans events once (materialized hour table)") {
     val plan = planOf(graft.streaming.WindowQueries.stDowAnomaly(spark, sf0001))
     val evScans = plan.split("\n")

@@ -559,6 +559,84 @@ class WaveTenSpec extends SparkSpec {
     }
   }
 
+  test("reciprocity matches a naive nation-grid recomputation") {
+    val row = Graph.reciprocity(spark, sf0001).head()
+    val grid = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.orders(spark, sf0001),
+        $"l_orderkey" === $"o_orderkey")
+      .join(graft.sources.Tables.supplier(spark, sf0001),
+        $"l_suppkey" === $"s_suppkey")
+      .join(graft.sources.Tables.customer(spark, sf0001),
+        $"o_custkey" === $"c_custkey")
+      .select($"s_nationkey", $"c_nationkey",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .collect()
+      .groupBy(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .map { case (k, xs) => k -> xs.map(_.getDouble(2)).sum }
+    val off = grid.filter { case ((a, b), _) => a != b }
+    val tw = off.values.sum
+    val tmin = off.map { case ((a, b), w) =>
+      math.min(w, off.getOrElse((b, a), 0.0))
+    }.sum
+    val dom = grid.collect { case ((a, b), w) if a == b => w }.sum
+    assert(row.getAs[Long]("n_edges") == off.size.toLong)
+    assert(math.abs(row.getAs[Double]("reciprocity") - tmin / tw) < 1e-6)
+    assert(math.abs(row.getAs[Double]("domestic_share")
+      - dom / grid.values.sum) < 1e-6)
+    assert(row.getAs[Double]("reciprocity") >= 0.0
+      && row.getAs[Double]("reciprocity") <= 1.0)
+  }
+
+  test("policy mix shift conserves survivors and matches keep-best") {
+    val rows = Dedup.ddPolicyMixShift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val kfTot = rows.map(_.getAs[Long]("keep_first")).sum
+    val kbTot = rows.map(_.getAs[Long]("keep_best")).sum
+    // exactly one survivor per cluster under either policy
+    assert(kfTot == kbTot, s"policies keep different totals $kfTot/$kbTot")
+    assert(rows.map(_.getAs[Long]("shift")).sum == 0L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keep_first") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("keep_best") <= r.getAs[Long]("n_docs"))
+    }
+    // the keep-best per-source counts must agree with ddKeepBest's
+    // actual winner list
+    val winners = Dedup.ddKeepBest(spark, sf0001)
+      .select($"keep_doc_id".as("doc_id")).join(
+        graft.sources.Tables.documents(spark, sf0001)
+          .select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keep_best")
+        == winners.getOrElse(r.getString(0), 0L),
+        s"keep_best mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("source mix: contingency margins and chi-square cells reconcile") {
+    val rows = graft.llm.Multimodal.mmSourceMix(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == graft.sources.Tables.documents(spark, sf0001).count())
+    val nTypes = rows.map(_.getString(1)).distinct.length
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      val rt = cells.map(_.getAs[Long]("n")).sum
+      val expSum = cells.map(_.getAs[Double]("expected")).sum
+      // expected counts preserve the row margin when the source has a
+      // cell for every observed type; with absent cells the partial
+      // sum is strictly below the margin
+      if (cells.length == nTypes)
+        assert(math.abs(expSum - rt.toDouble) < 1e-2 * rt,
+          s"expected margin $expSum vs $rt")
+      else assert(expSum < rt.toDouble + 1e-6)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("expected") > 0.0)
+      assert(r.getAs[Double]("contrib") >= 0.0)
+    }
+  }
+
   test("dow anomaly flags exactly the naive z>1.5 hours") {
     val rows = streaming.WindowQueries.stDowAnomaly(spark, sf0001).collect()
     val hours = graft.sources.Tables.events(spark, sf0001)
