@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 import TextAnalysis.h60Sql
@@ -997,6 +998,74 @@ object Similarity {
   val ssKmeansIterSql: String =
     s"""$kmTrainedCte
        |SELECT vec_id, cid, ROUND(d2, 6) AS d2 FROM af ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_ss_dim_audit: per-dimension moment audit of the embedding
+  // matrix — mean, variance, |mean| and min/max per coordinate, plus
+  // each dimension's share of total variance. The dimension-collapse
+  // / dead-axis QA every embedding pipeline runs before trusting
+  // cosine: a near-zero-variance dimension carries no signal but
+  // still pays index bytes (PQ/SQ8 waste a sub-codebook on it), and a
+  // large |mean| means the space isn't centered — anisotropy that
+  // silently degrades IVF cell balance. Scale shape: posexplode to
+  // (dim, value) then ONE partial-aggregable groupBy to the 64-row
+  // dim grid — the aggregate state is O(dims), the same
+  // corpus-size-independent bound as the PCA/ridge passes; variance
+  // from the n·Σx²−(Σx)² form on DECIMAL(28,12) sums.
+  def ssDimAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    def d12(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(28, 12))).cast("double")
+    val ex = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding".cast("array<double>"))
+        .as(Seq("dim", "x")))
+    val stats = Tables.materialize(ex.groupBy($"dim")
+      .agg(count(lit(1)).as("n"), d12($"x").as("sx"),
+        d12($"x" * $"x").as("sxx"),
+        min($"x").as("mn"), max($"x").as("mx"))
+      .select($"dim", $"n",
+        ($"sx" / $"n").as("mean"),
+        (($"n".cast("double") * $"sxx" - $"sx" * $"sx")
+          / ($"n".cast("double") * $"n".cast("double"))).as("variance"),
+        $"mn", $"mx"))
+    val tot = broadcast(stats.agg(
+      sum($"variance".cast(DecimalType(28, 12))).cast("double").as("tv")))
+    stats.crossJoin(tot)
+      .select($"dim", $"n", round($"mean", 6).as("mean"),
+        round($"variance", 6).as("variance"),
+        round(abs($"mean"), 6).as("abs_mean"),
+        round($"mn", 6).as("min_x"), round($"mx", 6).as("max_x"),
+        round($"variance" / $"tv", 6).as("var_share"))
+      .orderBy($"dim")
+  }
+
+  val ssDimAuditSql: String =
+    """WITH ex AS (
+      |  SELECT unnest(list_transform(range(0, len(embedding::DOUBLE[])),
+      |    i -> {'dim': i, 'x': (embedding::DOUBLE[])[i+1]}),
+      |    recursive := true)
+      |  FROM embeddings),
+      |st AS MATERIALIZED (
+      |  SELECT dim, COUNT(*) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+      |      AS mean,
+      |    (CAST(COUNT(*) AS DOUBLE)
+      |        * CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)
+      |      - CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+      |        * CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE))
+      |      / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+      |      AS variance,
+      |    MIN(x) AS mn, MAX(x) AS mx
+      |  FROM ex GROUP BY dim),
+      |tv AS (SELECT CAST(SUM(CAST(variance AS DECIMAL(28,12))) AS DOUBLE)
+      |  AS tv FROM st)
+      |SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+      |  ROUND(mean, 6) AS mean, ROUND(variance, 6) AS variance,
+      |  ROUND(ABS(mean), 6) AS abs_mean,
+      |  ROUND(mn, 6) AS min_x, ROUND(mx, 6) AS max_x,
+      |  ROUND(variance / tv, 6) AS var_share
+      |FROM st CROSS JOIN tv ORDER BY dim""".stripMargin
 
   // --------------------------------------------------------------------
   // llm_ss_kmeans_ari: adjusted Rand index between the SEED-Voronoi
@@ -2595,6 +2664,7 @@ object Similarity {
     "llm_ss_kmeans" -> (ssKmeans _),
     "llm_ss_kmeans_iter" -> (ssKmeansIter _),
     "llm_ss_kmeans_ari" -> (ssKmeansAri _),
+    "llm_ss_dim_audit" -> (ssDimAudit _),
     "llm_ss_pq_encode" -> (ssPqEncode _),
     "llm_ss_pq_search" -> (ssPqSearch _),
     "llm_ss_pq_train" -> (ssPqTrain _),
@@ -2633,6 +2703,7 @@ object Similarity {
     "llm_ss_kmeans" -> ssKmeansSql,
     "llm_ss_kmeans_iter" -> ssKmeansIterSql,
     "llm_ss_kmeans_ari" -> ssKmeansAriSql,
+    "llm_ss_dim_audit" -> ssDimAuditSql,
     "llm_ss_pq_encode" -> ssPqEncodeSql,
     "llm_ss_pq_search" -> ssPqSearchSql,
     "llm_ss_pq_train" -> ssPqTrainSql,

@@ -2052,7 +2052,62 @@ object RelationalQueries {
       |    / COUNT(*), 6) AS seasonal_index
       |FROM r GROUP BY mo ORDER BY mo""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q79: fiscal-quarter revenue growth — QoQ (lag 1) and YoY (lag 4)
+  // growth rates over the (year, quarter) revenue series. The
+  // board-deck twin of q78: the seasonal index is the STRUCTURE of
+  // the year, this is the TREND through it (YoY is the standard
+  // seasonality-free growth read precisely because it lags the full
+  // cycle q78 measures). Scale shape: ONE fact collapse to the
+  // dim-bounded (year, quarter) DECIMAL grid; the lag windows run
+  // UNPARTITIONED over ≤ 4·years rows — the q67/st_arrival_rate
+  // bounded-domain window argument. First-quarter growths are NULL
+  // (no prior period), not fake zeros. Determinism: cell revenues
+  // are DECIMAL sums; each growth is one subtraction + one division
+  // on bit-identical doubles.
+  def q79QuarterGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.lineitem(spark, dir)
+      .groupBy(year($"l_shipdate").as("yr"),
+        ((month($"l_shipdate") + 2) / 3).cast("int").as("qtr"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("rev"), count(lit(1)).as("n_lines"))
+    val w = Window.orderBy($"yr", $"qtr")
+    cells
+      .withColumn("prev_q", lag($"rev", 1).over(w))
+      .withColumn("prev_y", lag($"rev", 4).over(w))
+      // whole-dollar revenue: ROUND(x, 2) straddled a cent boundary at
+      // sf0.1 (Spark's exact-decimal HALF_UP vs DuckDB's scaled
+      // std::round disagree in the last ulp of a .985 cent); integer
+      // dollars have no such boundary at any realistic magnitude
+      .select($"yr", $"qtr", $"n_lines",
+        round($"rev", 0).cast("long").as("revenue"),
+        round(($"rev" - $"prev_q") / $"prev_q", 6).as("qoq_growth"),
+        round(($"rev" - $"prev_y") / $"prev_y", 6).as("yoy_growth"))
+      .orderBy($"yr", $"qtr")
+  }
+
+  val q79Sql: String =
+    """WITH cells AS (
+      |  SELECT year(l_shipdate) AS yr,
+      |    CAST((month(l_shipdate) + 2) // 3 AS INT) AS qtr,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS rev,
+      |    COUNT(*) AS n_lines
+      |  FROM lineitem GROUP BY 1, 2),
+      |lagd AS (
+      |  SELECT *,
+      |    LAG(rev, 1) OVER (ORDER BY yr, qtr) AS prev_q,
+      |    LAG(rev, 4) OVER (ORDER BY yr, qtr) AS prev_y
+      |  FROM cells)
+      |SELECT yr, qtr, n_lines, CAST(ROUND(rev, 0) AS BIGINT) AS revenue,
+      |  ROUND((rev - prev_q) / prev_q, 6) AS qoq_growth,
+      |  ROUND((rev - prev_y) / prev_y, 6) AS yoy_growth
+      |FROM lagd ORDER BY yr, qtr""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_quarter_growth" -> (q79QuarterGrowth _),
     "q78_seasonal_index" -> (q78SeasonalIndex _),
     "q77_wilson_returns" -> (q77WilsonReturns _),
     "q68_min_cost_supplier" -> (q68MinCostSupplier _),
@@ -2102,6 +2157,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q79_quarter_growth" -> q79Sql,
     "q78_seasonal_index" -> q78Sql,
     "q77_wilson_returns" -> q77Sql,
     "q71_ship_latency" -> q71Sql,

@@ -941,6 +941,28 @@ class PlanSpec extends SparkSpec {
         plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
   }
 
+  test("q79 quarter growth: one fact collapse, lag over the bounded grid") {
+    val plan = planOf(RelationalQueries.q79QuarterGrowth(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1, s"got $liScans lineitem scans")
+    // the single unpartitioned lag window must sit ABOVE the
+    // (year, quarter) aggregate, never over raw lineitem rows
+    assert(plan.contains("HashAggregate"),
+      "missing quarter-grain collapse:\n" + plan.take(800))
+  }
+
+  test("dim audit is one partial-aggregable pass with O(dims) state") {
+    val plan = planOf(graft.llm.Similarity.ssDimAudit(spark, sf0001))
+    val embScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("embeddings"))
+    assert(embScans <= 1,
+      s"stats must be materialized, got $embScans embeddings scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("windowspecdefinition"),
+      "no window belongs in the dim audit:\n" + plan.take(800))
+  }
+
   test("dow anomaly scans events once (materialized hour table)") {
     val plan = planOf(graft.streaming.WindowQueries.stDowAnomaly(spark, sf0001))
     val evScans = plan.split("\n")

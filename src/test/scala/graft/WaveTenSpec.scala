@@ -637,6 +637,58 @@ class WaveTenSpec extends SparkSpec {
     }
   }
 
+  test("q79 quarter growth matches a naive lag recomputation") {
+    val rows = RelationalQueries.q79QuarterGrowth(spark, sf0001)
+      .collect().sortBy(r => (r.getAs[Int]("yr"), r.getAs[Int]("qtr")))
+    assert(rows.nonEmpty)
+    val cells = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(year($"l_shipdate").as("yr"),
+        (((month($"l_shipdate") + 2) / 3).cast("int")).as("qtr"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, xs) => (k, xs.map(_._2).sum) }
+    assert(rows.length == cells.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (k, rev) = cells(i)
+      assert((r.getAs[Int]("yr"), r.getAs[Int]("qtr")) == k)
+      assert(math.abs(r.getAs[Long]("revenue") - rev) <= 1.0,
+        s"revenue mismatch at $k")
+      if (i == 0) assert(r.isNullAt(r.fieldIndex("qoq_growth")))
+      else {
+        val exp = (rev - cells(i - 1)._2) / cells(i - 1)._2
+        assert(math.abs(r.getAs[Double]("qoq_growth") - exp) < 1e-5)
+      }
+      if (i < 4) assert(r.isNullAt(r.fieldIndex("yoy_growth")))
+      else {
+        val exp = (rev - cells(i - 4)._2) / cells(i - 4)._2
+        assert(math.abs(r.getAs[Double]("yoy_growth") - exp) < 1e-5)
+      }
+    }
+  }
+
+  test("dim audit: var shares partition and moments match a naive pass") {
+    val rows = Similarity.ssDimAudit(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("dim"))
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .selectExpr("cast(embedding as array<double>) as v")
+      .collect().map(_.getSeq[Double](0))
+    assert(rows.length == vecs.head.length)
+    assert(math.abs(rows.map(_.getAs[Double]("var_share")).sum - 1.0)
+      < 1e-4, "var shares must partition total variance")
+    rows.foreach { r =>
+      val d = r.getAs[Int]("dim")
+      val xs = vecs.map(_(d))
+      val mean = xs.sum / xs.length
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-6)
+      assert(math.abs(r.getAs[Double]("variance") - v) < 1e-6)
+      assert(r.getAs[Double]("variance") >= 0.0)
+      assert(r.getAs[Double]("min_x") <= r.getAs[Double]("max_x"))
+    }
+  }
+
   test("dow anomaly flags exactly the naive z>1.5 hours") {
     val rows = streaming.WindowQueries.stDowAnomaly(spark, sf0001).collect()
     val hours = graft.sources.Tables.events(spark, sf0001)
