@@ -2691,7 +2691,55 @@ object Dedup {
        |  ROUND(CAST(SUM(nov) AS DOUBLE) / SUM(n_sh), 6) AS novelty_rate
        |FROM pd CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_df_spectrum: the duplication spectrum — distinct trigram
+  // shingles bucketed by document frequency (df capped at 10+), with
+  // each bucket's share of the distinct-shingle vocabulary AND of
+  // total shingle occurrences. The spectrum head (df=1) is unique
+  // content; the tail is boilerplate — its occurrence share is the
+  // fraction of the corpus's token mass that near-dup/boilerplate
+  // removal can reclaim WITHOUT any pair computation, which makes
+  // this the cheap first look before committing to a full LSH pass
+  // ([[ddNoveltyCurve]] answers "when did novelty decay", this
+  // answers "how much of the mass is repeated at all"). Scale shape:
+  // the one shingle-keyed partial-agg groupBy, then the df table
+  // (vocab-bounded, MATERIALIZED for bucket + total consumers)
+  // collapses to ≤10 buckets. All-integer until two divisions.
+  def ddDfSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.Shingle3.register(spark)
+    val df = Tables.materialize(Tables.documents(spark, dir)
+      .select(explode(expr("shingle3(text)")).as("s"))
+      .groupBy($"s").agg(count(lit(1)).as("df")))
+    val tot = broadcast(df.agg(count(lit(1)).as("n_sh"),
+      sum($"df").as("n_occ")))
+    df.select(least($"df", lit(10L)).as("df_bucket"), $"df")
+      .groupBy($"df_bucket")
+      .agg(count(lit(1)).as("n_shingles"), sum($"df").as("n_occurrences"))
+      .crossJoin(tot)
+      .select($"df_bucket", $"n_shingles", $"n_occurrences",
+        round($"n_shingles".cast("double") / $"n_sh", 6)
+          .as("shingle_share"),
+        round($"n_occurrences".cast("double") / $"n_occ", 6)
+          .as("occurrence_share"))
+      .orderBy($"df_bucket")
+  }
+
+  val ddDfSpectrumSql: String =
+    s"""$shingleCte,
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |df AS MATERIALIZED (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+       |t AS (SELECT COUNT(*) AS n_sh, SUM(df) AS n_occ FROM df)
+       |SELECT LEAST(df, 10) AS df_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(df) AS BIGINT) AS n_occurrences,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_sh, 6) AS shingle_share,
+       |  ROUND(CAST(SUM(df) AS DOUBLE) / n_occ, 6) AS occurrence_share
+       |FROM df CROSS JOIN t GROUP BY 1, n_sh, n_occ
+       |ORDER BY df_bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_df_spectrum" -> (ddDfSpectrum _),
     "llm_dd_policy_mix_shift" -> (ddPolicyMixShift _),
     "llm_dd_novelty_curve" -> (ddNoveltyCurve _),
     "llm_dd_minhash_precision" -> (ddMinhashPrecision _),
@@ -2733,6 +2781,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dd_df_spectrum" -> ddDfSpectrumSql,
     "llm_dd_policy_mix_shift" -> ddPolicyMixShiftSql,
     "llm_dd_novelty_curve" -> ddNoveltyCurveSql,
     "llm_dd_minhash_precision" -> ddMinhashPrecisionSql,

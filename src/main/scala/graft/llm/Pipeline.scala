@@ -1690,7 +1690,64 @@ object Pipeline {
        |    ELSE fin0 END / avail_tokens, 6) AS epochs
        |FROM b2 CROSS JOIN g ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_shard_affinity: do near-duplicate clusters stay
+  // together across training shards? Multi-member dup clusters are
+  // bucketed by how many distinct (bucket, shard) cells their members
+  // land in (1 = fully colocated, 2, 3+ = scattered). Why it matters:
+  // a shard-level sample (or a shard dropped for curriculum reasons)
+  // sees duplicates at a rate that depends on this spread — scattered
+  // clusters make every shard look cleaner than the corpus is, while
+  // colocated clusters concentrate the redundancy in a few shards and
+  // bias shard-level quality stats. Scale shape: rides the
+  // session-cached cluster artifact and the pack assignment; the join
+  // keys on doc_id (both sides doc-grain), the per-cluster distinct
+  // is cluster-grain, and the final histogram is ≤3 rows; MATERIALIZED
+  // per-cluster table feeds the histogram + totals.
+  def shardAffinity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asg = pack(spark, dir).select($"doc_id", $"bucket", $"shard")
+    val cl = Dedup.ddCluster(spark, dir)
+      .filter($"cluster_size" > 1).select($"doc_id", $"cluster_id")
+    val per = Tables.materialize(cl.join(asg, "doc_id")
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"bucket", $"shard").as("n_cells")))
+    val tot = broadcast(per.agg(count(lit(1)).as("n_cl"),
+      sum($"n_docs").as("n_dc")))
+    per.select(least($"n_cells", lit(3L)).as("spread_bucket"),
+        $"n_docs")
+      .groupBy($"spread_bucket")
+      .agg(count(lit(1)).as("n_clusters"), sum($"n_docs").as("n_docs"))
+      .crossJoin(tot)
+      .select($"spread_bucket", $"n_clusters", $"n_docs",
+        round($"n_clusters".cast("double") / $"n_cl", 6)
+          .as("cluster_share"),
+        round($"n_docs".cast("double") / $"n_dc", 6).as("doc_share"))
+      .orderBy($"spread_bucket")
+  }
+
+  val shardAffinitySql: String =
+    s"""WITH p AS ($packSql),
+       |c AS (${Dedup.ddClusterSql}),
+       |j AS (
+       |  SELECT c.cluster_id, p.bucket, p.shard
+       |  FROM c JOIN p USING (doc_id) WHERE c.cluster_size > 1),
+       |per AS MATERIALIZED (
+       |  SELECT cluster_id, COUNT(*) AS n_docs,
+       |    COUNT(DISTINCT (bucket, shard)) AS n_cells
+       |  FROM j GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n_cl, SUM(n_docs) AS n_dc FROM per)
+       |SELECT LEAST(n_cells, 3) AS spread_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_cl, 6) AS cluster_share,
+       |  ROUND(CAST(SUM(n_docs) AS DOUBLE) / n_dc, 6) AS doc_share
+       |FROM per CROSS JOIN t GROUP BY 1, n_cl, n_dc
+       |ORDER BY spread_bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_shard_affinity" -> (shardAffinity _),
     "llm_pipeline_quota_fill" -> (quotaFill _),
     "llm_pipeline_retention" -> (retention _),
     "llm_pipeline_embedding_coverage" -> (embeddingCoverage _),
@@ -1722,6 +1779,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_pipeline_shard_affinity" -> shardAffinitySql,
     "llm_pipeline_quota_fill" -> quotaFillSql,
     "llm_pipeline_retention" -> retentionSql,
     "llm_pipeline_curriculum" -> curriculumSql,

@@ -101,6 +101,11 @@ class DegenerateInputSpec extends SparkSpec {
       .collect().isEmpty)
     assert(graft.llm.Multimodal.mmSourceMix(spark, emptyDir)
       .collect().isEmpty)
+    // wave-35
+    assert(graft.llm.Dedup.ddDfSpectrum(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.llm.Pipeline.shardAffinity(spark, emptyDir)
+      .collect().isEmpty)
   }
 
   test("attrition reports defined zero rates on an empty corpus") {

@@ -963,6 +963,17 @@ class PlanSpec extends SparkSpec {
       "no window belongs in the dim audit:\n" + plan.take(800))
   }
 
+  test("df spectrum: one tokenizing scan, histogram off the materialized df table") {
+    val plan = planOf(Dedup.ddDfSpectrum(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans <= 1,
+      s"expected one documents scan, got $docScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("windowspecdefinition"),
+      "no window belongs in the spectrum:\n" + plan.take(800))
+  }
+
   test("dow anomaly scans events once (materialized hour table)") {
     val plan = planOf(graft.streaming.WindowQueries.stDowAnomaly(spark, sf0001))
     val evScans = plan.split("\n")

@@ -689,6 +689,44 @@ class WaveTenSpec extends SparkSpec {
     }
   }
 
+  test("df spectrum shares partition and reconcile with the novelty totals") {
+    val rows = Dedup.ddDfSpectrum(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("df_bucket"))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("shingle_share")).sum - 1.0)
+      < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("occurrence_share")).sum - 1.0)
+      < 1e-4)
+    // df=1 shingles occur exactly once: counts equal in that bucket
+    val d1 = rows.head
+    assert(d1.getAs[Long]("df_bucket") == 1L)
+    assert(d1.getAs[Long]("n_shingles") == d1.getAs[Long]("n_occurrences"))
+    // the spectrum's totals are the SAME distinct-shingle and exploded
+    // counts the novelty curve partitions
+    val nov = Dedup.ddNoveltyCurve(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_shingles")).sum
+      == nov.map(_.getAs[Long]("n_novel")).sum)
+    assert(rows.map(_.getAs[Long]("n_occurrences")).sum
+      == nov.map(_.getAs[Long]("n_shingles")).sum)
+  }
+
+  test("shard affinity buckets partition the multi-member clusters") {
+    val rows = Pipeline.shardAffinity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("cluster_share")).sum - 1.0)
+      < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("doc_share")).sum - 1.0)
+      < 1e-4)
+    val nCl = Dedup.ddCluster(spark, sf0001)
+      .filter($"cluster_size" > 1)
+      .select($"cluster_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_clusters")).sum == nCl)
+    rows.foreach { r =>
+      // spread cannot exceed cluster membership
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("dow anomaly flags exactly the naive z>1.5 hours") {
     val rows = streaming.WindowQueries.stDowAnomaly(spark, sf0001).collect()
     val hours = graft.sources.Tables.events(spark, sf0001)
