@@ -1300,6 +1300,67 @@ object Similarity {
     pqWide(pqCodesWith(e, pqCodebook(e)))
   }
 
+  // --------------------------------------------------------------------
+  // llm_ss_pq_distortion: per-subspace quantization-error audit of the
+  // PQ codec — mean/max L2² distortion to the assigned centroid and
+  // each subspace's share of total distortion. The "which sub-codebook
+  // is underfit" table: ADC search error is bounded by exactly this
+  // distortion, so a subspace carrying an outsized share is where the
+  // next codebook bit belongs (and read together with
+  // [[ssDimAudit]]'s variance shares it distinguishes "hard subspace"
+  // from "just more variance there"). The sq8_audit is the scalar
+  // codec's twin; this is the vector codec's. Scale shape: the encode
+  // scan (subvector explode + broadcast 8×4 codebook argmin, corpus
+  // never shuffles) partial-aggregates to the 8-row subspace grid,
+  // MATERIALIZED for the total-distortion consumer; DECIMAL-routed
+  // sums.
+  def ssPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    val e = withNorm(spark, dir).select($"vec_id", $"v")
+    val cbs = pqCodebook(e).groupBy(col("s"))
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cbs"))
+    val d2 = pqSubvectors(e)
+      .join(broadcast(cbs), "s")
+      .select(col("s"), expr(
+        """array_min(transform(cbs, c -> named_struct(
+          |  'd2', vec_dot(sub, sub) - 2.0d * vec_dot(sub, c.cv) + vec_dot(c.cv, c.cv),
+          |  'cid', c.cid))).d2""".stripMargin).as("d2"))
+    val stats = Tables.materialize(d2.groupBy($"s")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum($"d2".cast(DecimalType(28, 12))).cast("double").as("sd"),
+        max($"d2").as("max_d2")))
+    val tot = broadcast(stats.agg(
+      sum($"sd".cast(DecimalType(28, 12))).cast("double").as("td")))
+    stats.crossJoin(tot)
+      .select($"s".cast("long").as("subspace"), $"n_vectors",
+        round($"sd" / $"n_vectors", 6).as("mean_d2"),
+        round($"max_d2", 6).as("max_d2"),
+        round($"sd" / $"td", 6).as("distortion_share"))
+      .orderBy($"subspace")
+  }
+
+  // lazy: pqCbCte is defined below in source order; a strict val here
+  // would read null at object init
+  lazy val ssPqDistortionSql: String =
+    s"""$pqCbCte,
+       |dd AS (SELECT s, d2 FROM (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+       |  FROM d) WHERE rn = 1),
+       |st AS MATERIALIZED (
+       |  SELECT s, COUNT(*) AS n_vectors,
+       |    CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) AS sd,
+       |    MAX(d2) AS max_d2
+       |  FROM dd GROUP BY s),
+       |t AS (SELECT CAST(SUM(CAST(sd AS DECIMAL(28,12))) AS DOUBLE) AS td
+       |  FROM st)
+       |SELECT CAST(s AS BIGINT) AS subspace, CAST(n_vectors AS BIGINT)
+       |    AS n_vectors,
+       |  ROUND(sd / n_vectors, 6) AS mean_d2,
+       |  ROUND(max_d2, 6) AS max_d2,
+       |  ROUND(sd / td, 6) AS distortion_share
+       |FROM st CROSS JOIN t ORDER BY subspace""".stripMargin
+
   private val pqCbCte: String = {
     val sGen = s"(SELECT unnest(range(0, $PqSub)) AS s) sp"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2665,6 +2726,7 @@ object Similarity {
     "llm_ss_kmeans_iter" -> (ssKmeansIter _),
     "llm_ss_kmeans_ari" -> (ssKmeansAri _),
     "llm_ss_dim_audit" -> (ssDimAudit _),
+    "llm_ss_pq_distortion" -> (ssPqDistortion _),
     "llm_ss_pq_encode" -> (ssPqEncode _),
     "llm_ss_pq_search" -> (ssPqSearch _),
     "llm_ss_pq_train" -> (ssPqTrain _),
@@ -2704,6 +2766,7 @@ object Similarity {
     "llm_ss_kmeans_iter" -> ssKmeansIterSql,
     "llm_ss_kmeans_ari" -> ssKmeansAriSql,
     "llm_ss_dim_audit" -> ssDimAuditSql,
+    "llm_ss_pq_distortion" -> ssPqDistortionSql,
     "llm_ss_pq_encode" -> ssPqEncodeSql,
     "llm_ss_pq_search" -> ssPqSearchSql,
     "llm_ss_pq_train" -> ssPqTrainSql,

@@ -2106,7 +2106,59 @@ object RelationalQueries {
       |  ROUND((rev - prev_y) / prev_y, 6) AS yoy_growth
       |FROM lagd ORDER BY yr, qtr""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q80: order-fulfillment spread — per order year, how many orders
+  // ship all lines within one calendar month vs 2 vs 3+ (distinct
+  // ship months per order). The fragmentation histogram behind
+  // split-shipment cost: a 3+-month order pays storage and shipping
+  // per fragment, and a year-over-year drift in the 1-month share is
+  // the fulfillment-health trend q71's latency percentiles can't show
+  // (latency measures WHEN lines ship, this measures how SCATTERED
+  // one order's lines are). Scale shape: the fact collapses to
+  // l_orderkey grain FIRST (countDistinct month over the natural
+  // key's partial-agg shuffle), then joins `orders` at the collapsed
+  // co-keyed grain and re-aggregates to the (year × 3) histogram.
+  // All-integer until the share division.
+  def q80FulfillmentSpread(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(countDistinct(year($"l_shipdate") * 12 + month($"l_shipdate"))
+        .as("n_months"))
+    val yearly = Tables.materialize(perOrder
+      .join(Tables.orders(spark, dir)
+        .select($"o_orderkey", year($"o_orderdate").as("yr")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"yr", least($"n_months", lit(3L)).as("spread_bucket"))
+      .groupBy($"yr", $"spread_bucket").agg(count(lit(1)).as("n_orders")))
+    val tot = yearly.groupBy($"yr").agg(sum($"n_orders").as("n_yr"))
+    yearly.join(broadcast(tot), "yr")
+      .select($"yr", $"spread_bucket", $"n_orders",
+        round($"n_orders".cast("double") / $"n_yr", 6).as("share"))
+      .orderBy($"yr", $"spread_bucket")
+  }
+
+  val q80Sql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey,
+      |    COUNT(DISTINCT year(l_shipdate) * 12 + month(l_shipdate))
+      |      AS n_months
+      |  FROM lineitem GROUP BY 1),
+      |y AS MATERIALIZED (
+      |  SELECT year(o_orderdate) AS yr,
+      |    LEAST(n_months, 3) AS spread_bucket,
+      |    COUNT(*) AS n_orders
+      |  FROM po JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT yr, SUM(n_orders) AS n_yr FROM y GROUP BY 1)
+      |SELECT y.yr, CAST(y.spread_bucket AS BIGINT) AS spread_bucket,
+      |  CAST(y.n_orders AS BIGINT) AS n_orders,
+      |  ROUND(CAST(y.n_orders AS DOUBLE) / t.n_yr, 6) AS share
+      |FROM y JOIN t ON y.yr = t.yr
+      |ORDER BY y.yr, y.spread_bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_fulfillment_spread" -> (q80FulfillmentSpread _),
     "q79_quarter_growth" -> (q79QuarterGrowth _),
     "q78_seasonal_index" -> (q78SeasonalIndex _),
     "q77_wilson_returns" -> (q77WilsonReturns _),
@@ -2157,6 +2209,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q80_fulfillment_spread" -> q80Sql,
     "q79_quarter_growth" -> q79Sql,
     "q78_seasonal_index" -> q78Sql,
     "q77_wilson_returns" -> q77Sql,

@@ -974,6 +974,22 @@ class PlanSpec extends SparkSpec {
       "no window belongs in the spectrum:\n" + plan.take(800))
   }
 
+  test("pq distortion: broadcast codebook argmin, no corpus shuffle before the 8-row agg") {
+    val plan = planOf(graft.llm.Similarity.ssPqDistortion(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin"),
+      "the codebook must broadcast:\n" + plan.take(900))
+    assert(!plan.contains("windowspecdefinition"),
+      "no window belongs in the distortion audit:\n" + plan.take(800))
+  }
+
+  test("q80 collapses the fact to order grain before the orders join") {
+    val plan = planOf(RelationalQueries.q80FulfillmentSpread(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1, s"got $liScans lineitem scans:\n" +
+      plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("dow anomaly scans events once (materialized hour table)") {
     val plan = planOf(graft.streaming.WindowQueries.stDowAnomaly(spark, sf0001))
     val evScans = plan.split("\n")

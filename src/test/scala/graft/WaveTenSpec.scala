@@ -727,6 +727,53 @@ class WaveTenSpec extends SparkSpec {
     }
   }
 
+  test("pq distortion shares partition; distortion bounds subvector norms") {
+    val rows = Similarity.ssPqDistortion(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("subspace"))
+    assert(rows.length == 8)
+    assert(math.abs(rows.map(_.getAs[Double]("distortion_share")).sum - 1.0)
+      < 1e-4)
+    val n = rows.head.getAs[Long]("n_vectors")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == n)
+      assert(r.getAs[Double]("mean_d2") >= 0.0)
+      assert(r.getAs[Double]("max_d2") >= r.getAs[Double]("mean_d2") - 1e-9)
+    }
+    // seeds (vec_id < 4) encode themselves: their distortion is 0, so
+    // mean_d2 over a corpus containing them is strictly below max_d2
+    assert(rows.exists(r =>
+      r.getAs[Double]("max_d2") > r.getAs[Double]("mean_d2")))
+  }
+
+  test("q80 fulfillment spread matches a naive per-order recount") {
+    val rows = RelationalQueries.q80FulfillmentSpread(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val perOrder = graft.sources.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey",
+        (year($"l_shipdate") * 12 + month($"l_shipdate")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map { case (k, xs) =>
+        k -> math.min(xs.map(_._2).distinct.length, 3) }
+    val orderYr = graft.sources.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", year($"o_orderdate")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = perOrder.toSeq
+      .map { case (ok, b) => (orderYr(ok), b) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    rows.foreach { r =>
+      val k = (r.getAs[Int]("yr"), r.getAs[Long]("spread_bucket").toInt)
+      assert(r.getAs[Long]("n_orders") == expected((k._1, k._2)),
+        s"count mismatch at $k")
+    }
+    assert(rows.map(_.getAs[Long]("n_orders")).sum
+      == expected.values.sum)
+    // per-year shares partition
+    rows.groupBy(_.getAs[Int]("yr")).foreach { case (_, g) =>
+      assert(math.abs(g.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    }
+  }
+
   test("dow anomaly flags exactly the naive z>1.5 hours") {
     val rows = streaming.WindowQueries.stDowAnomaly(spark, sf0001).collect()
     val hours = graft.sources.Tables.events(spark, sf0001)
