@@ -722,6 +722,51 @@ object Sampling {
       |FROM a ORDER BY clip""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_sample_dedup_weights: soft dedup as reweighting — every doc
+  // gets weight 1/cluster_size (docs outside any near-dup cluster
+  // count as singletons), and per source the table reports raw docs,
+  // effective docs Σ 1/k, and the dedup shrink 1 − eff/raw. The
+  // standard alternative to physically dropping duplicates (train on
+  // everything, downweight copies so each content family contributes
+  // unit mass); the per-source shrink is ALSO the honest "how
+  // duplicated is this source" number that raw counts hide —
+  // complementary to [[graft.llm.Dedup.ddPolicyMixShift]], which
+  // audits hard-keep policies. Scale shape: cluster artifact LEFT
+  // joins the doc table at doc grain; weights are per-row rationals
+  // DECIMAL(28,12)-quantized before the per-source sum (one
+  // partial-aggregable groupBy). Both engines quantize the identical
+  // double 1/k, so the sums are bit-stable.
+  def sampleDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cl = Dedup.ddCluster(spark, dir).select($"doc_id", $"cluster_size")
+    Tables.documents(spark, dir).select($"doc_id", $"source")
+      .join(cl, Seq("doc_id"), "left")
+      .select($"source",
+        (lit(1.0) / coalesce($"cluster_size", lit(1L)).cast("double"))
+          .as("w"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"w".cast(DecimalType(28, 12))).cast("double").as("eff"))
+      .select($"source", $"n_docs", round($"eff", 6).as("effective_docs"),
+        round(lit(1.0) - $"eff" / $"n_docs".cast("double"), 6)
+          .as("dedup_shrink"))
+      .orderBy($"source")
+  }
+
+  val sampleDedupWeightsSql: String =
+    s"""WITH c AS (${Dedup.ddClusterSql}),
+       |j AS (
+       |  SELECT d.source,
+       |    1.0 / CAST(COALESCE(c.cluster_size, 1) AS DOUBLE) AS w
+       |  FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  ROUND(CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE), 6)
+       |    AS effective_docs,
+       |  ROUND(1.0 - CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS dedup_shrink
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_sample_pps: systematic probability-proportional-to-size
   // sampling — the survey-statistics workhorse that draws EXACTLY k
   // documents with inclusion probability ∝ size in one pass, no
@@ -802,6 +847,7 @@ object Sampling {
     "llm_sample_pps" -> (samplePps _),
     "llm_sample_ess" -> (sampleEss _),
     "llm_sample_clip_sweep" -> (sampleClipSweep _),
+    "llm_sample_dedup_weights" -> (sampleDedupWeights _),
     "llm_sample_kfold" -> (sampleKfold _),
     "llm_sample_bootstrap" -> (sampleBootstrap _),
     "llm_sample_es_topk" -> (sampleEsTopK _),
@@ -819,6 +865,7 @@ object Sampling {
     "llm_sample_pps" -> samplePpsSql,
     "llm_sample_ess" -> sampleEssSql,
     "llm_sample_clip_sweep" -> sampleClipSweepSql,
+    "llm_sample_dedup_weights" -> sampleDedupWeightsSql,
     "llm_sample_kfold" -> sampleKfoldSql,
     "llm_sample_bootstrap" -> sampleBootstrapSql,
     "llm_sample_es_topk" -> sampleEsTopKSql,

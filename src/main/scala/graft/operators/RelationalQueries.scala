@@ -2157,7 +2157,60 @@ object RelationalQueries {
       |FROM y JOIN t ON y.yr = t.yr
       |ORDER BY y.yr, y.spread_bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q81: discount-depth mix by ship year — per year: share of
+  // discounted lines, quantity-weighted mean depth, foregone revenue
+  // (Σ extprice·disc, whole dollars), and the share of gross revenue
+  // given away. The pricing-policy trend: q65 asks whether discounts
+  // MOVE volume (elasticity); this asks what they COST and whether
+  // the give-away rate is drifting. Scale shape: ONE fact collapse to
+  // per-year DECIMAL moments (the discount domain is the 11-value
+  // grid, so every aggregate is partial-aggregable with O(1) state);
+  // no joins at all. Whole-dollar money columns (the q79 ROUND(·,2)
+  // cent-boundary lesson); shares/depths are single divisions.
+  def q81DiscountMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy(year($"l_shipdate").as("yr"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"l_discount" > 0.0, 1L).otherwise(0L)).as("n_discounted"),
+        dsum($"l_discount" * $"l_quantity", 6).as("sdq"),
+        dsum($"l_quantity", 6).as("sq"),
+        dsum($"l_extendedprice" * $"l_discount", 6).as("foregone"),
+        dsum($"l_extendedprice", 6).as("gross"))
+      .select($"yr", $"n_lines", $"n_discounted",
+        round($"n_discounted".cast("double") / $"n_lines", 6)
+          .as("discounted_share"),
+        round($"sdq" / $"sq", 6).as("mean_depth_qty_weighted"),
+        round($"foregone", 0).cast("long").as("foregone_revenue"),
+        round($"foregone" / $"gross", 6).as("foregone_share"))
+      .orderBy($"yr")
+  }
+
+  val q81Sql: String =
+    """WITH y AS (
+      |  SELECT year(l_shipdate) AS yr, COUNT(*) AS n_lines,
+      |    SUM(CASE WHEN l_discount > 0.0 THEN 1 ELSE 0 END)
+      |      AS n_discounted,
+      |    CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS sdq,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+      |    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS foregone,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |      AS gross
+      |  FROM lineitem GROUP BY 1)
+      |SELECT yr, CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(n_discounted AS BIGINT) AS n_discounted,
+      |  ROUND(CAST(n_discounted AS DOUBLE) / n_lines, 6)
+      |    AS discounted_share,
+      |  ROUND(sdq / sq, 6) AS mean_depth_qty_weighted,
+      |  CAST(ROUND(foregone, 0) AS BIGINT) AS foregone_revenue,
+      |  ROUND(foregone / gross, 6) AS foregone_share
+      |FROM y ORDER BY yr""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_discount_mix" -> (q81DiscountMix _),
     "q80_fulfillment_spread" -> (q80FulfillmentSpread _),
     "q79_quarter_growth" -> (q79QuarterGrowth _),
     "q78_seasonal_index" -> (q78SeasonalIndex _),
@@ -2209,6 +2262,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q81_discount_mix" -> q81Sql,
     "q80_fulfillment_spread" -> q80Sql,
     "q79_quarter_growth" -> q79Sql,
     "q78_seasonal_index" -> q78Sql,

@@ -975,7 +975,55 @@ object WindowQueries {
       |    AS is_drift
       |FROM tr ORDER BY w_start_us""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_value_percentiles: exact p50/p90/p99/max of the event `value`
+  // per event_type — the latency/size SLO table every stream dashboard
+  // leads with, computed EXACTLY via the q71 histogram-cumulative
+  // construction rather than an approx-percentile sketch. The
+  // histogram groups on the RAW double value (grouping doubles is
+  // exact and identical cross-engine; no ROUND enters the contract —
+  // the q79 cent-boundary lesson): the cumulative window runs over
+  // the (type, value) histogram, whose cardinality is bounded by the
+  // value domain (cent-priced values — ~6.6k distinct at sf0.01),
+  // not the stream. Scale shape: one partial-aggregable groupBy +
+  // per-type broadcast totals; windows partition by event_type.
+  def stValuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.materialize(Tables.events(spark, dir)
+      .groupBy($"event_type", $"value").agg(count(lit(1)).as("c")))
+    val tot = hist.groupBy($"event_type").agg(sum($"c").as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pct(p: Int) =
+      min(when($"cum" * 100 >= $"n" * p, $"value")).as(s"p${p}_value")
+    hist.withColumn("cum", sum($"c").over(w))
+      .join(broadcast(tot), "event_type")
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_events"), pct(50), pct(90), pct(99),
+        max($"value").as("max_value"))
+      .orderBy($"event_type")
+  }
+
+  val stValuePercentilesSql: String =
+    """WITH hist AS MATERIALIZED (
+      |  SELECT event_type, value, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, SUM(c) AS n FROM hist GROUP BY 1),
+      |cc AS (
+      |  SELECT h.event_type, h.value, t.n,
+      |    SUM(h.c) OVER (PARTITION BY h.event_type ORDER BY h.value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist h JOIN t ON h.event_type = t.event_type)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+      |  MIN(CASE WHEN cum * 100 >= n * 50 THEN value END) AS p50_value,
+      |  MIN(CASE WHEN cum * 100 >= n * 90 THEN value END) AS p90_value,
+      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN value END) AS p99_value,
+      |  MAX(value) AS max_value
+      |FROM cc GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_value_percentiles" -> (stValuePercentiles _),
     "st_cusum_drift" -> (stCusumDrift _),
     "st_dow_anomaly" -> (stDowAnomaly _),
     "st_hourly_profile" -> (stHourlyProfile _),
@@ -998,6 +1046,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_value_percentiles" -> stValuePercentilesSql,
     "st_cusum_drift" -> stCusumDriftSql,
     "st_dow_anomaly" -> stDowAnomalySql,
     "st_hourly_profile" -> stHourlyProfileSql,

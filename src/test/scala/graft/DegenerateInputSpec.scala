@@ -106,6 +106,11 @@ class DegenerateInputSpec extends SparkSpec {
       .collect().isEmpty)
     assert(graft.llm.Pipeline.shardAffinity(spark, emptyDir)
       .collect().isEmpty)
+    // wave-37
+    assert(graft.streaming.WindowQueries.stValuePercentiles(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.llm.Sampling.sampleDedupWeights(spark, emptyDir)
+      .collect().isEmpty)
   }
 
   test("attrition reports defined zero rates on an empty corpus") {

@@ -990,6 +990,27 @@ class PlanSpec extends SparkSpec {
       plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
   }
 
+  test("value percentiles: one events scan, windows keyed on event_type") {
+    val plan = planOf(
+      graft.streaming.WindowQueries.stValuePercentiles(spark, sf0001))
+    val evScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("events"))
+    assert(evScans <= 1, s"got $evScans events scans:\n" +
+      plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty && winLines.forall(_.contains("event_type#")),
+      "cumulative window must partition by event_type:\n" +
+        winLines.mkString("\n"))
+  }
+
+  test("q81 is a single no-join fact aggregate") {
+    val plan = planOf(RelationalQueries.q81DiscountMix(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1, s"got $liScans lineitem scans")
+    assert(!plan.contains("Join"), "q81 must not join:\n" + plan.take(600))
+  }
+
   test("dow anomaly scans events once (materialized hour table)") {
     val plan = planOf(graft.streaming.WindowQueries.stDowAnomaly(spark, sf0001))
     val evScans = plan.split("\n")

@@ -774,6 +774,76 @@ class WaveTenSpec extends SparkSpec {
     }
   }
 
+  test("value percentiles: exact order statistics per event type") {
+    val rows = streaming.WindowQueries.stValuePercentiles(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val vals = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_type", $"value").collect()
+      .groupBy(_.getString(0))
+      .map { case (t, xs) => t -> xs.map(_.getDouble(1)).sorted }
+    assert(rows.map(_.getString(0)).toSet == vals.keySet)
+    rows.foreach { r =>
+      val xs = vals(r.getString(0))
+      val n = xs.length
+      def pct(p: Int): Double = {
+        var cum = 0L
+        xs.distinct.find { v =>
+          cum += xs.count(_ == v); cum * 100 >= p.toLong * n
+        }.get
+      }
+      assert(r.getAs[Long]("n_events") == n.toLong)
+      assert(r.getAs[Double]("p50_value") == pct(50))
+      assert(r.getAs[Double]("p90_value") == pct(90))
+      assert(r.getAs[Double]("p99_value") == pct(99))
+      assert(r.getAs[Double]("max_value") == xs.max)
+    }
+  }
+
+  test("q81 discount mix reconciles against naive year sums") {
+    val rows = RelationalQueries.q81DiscountMix(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val naive = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(year($"l_shipdate"), $"l_discount", $"l_quantity",
+        $"l_extendedprice").collect()
+      .groupBy(_.getInt(0))
+    rows.foreach { r =>
+      val xs = naive(r.getAs[Int]("yr"))
+      assert(r.getAs[Long]("n_lines") == xs.length.toLong)
+      assert(r.getAs[Long]("n_discounted")
+        == xs.count(_.getDouble(1) > 0.0).toLong)
+      val foregone = xs.map(x => x.getDouble(3) * x.getDouble(1)).sum
+      assert(math.abs(r.getAs[Long]("foregone_revenue") - foregone) <= 1.0)
+      val gross = xs.map(_.getDouble(3)).sum
+      assert(math.abs(r.getAs[Double]("foregone_share") - foregone / gross)
+        < 1e-5)
+      assert(r.getAs[Double]("mean_depth_qty_weighted") >= 0.0
+        && r.getAs[Double]("mean_depth_qty_weighted") <= 0.1 + 1e-9)
+    }
+  }
+
+  test("dedup weights: unit mass per content family, shrink in [0,1)") {
+    val rows = Sampling.sampleDedupWeights(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // Σ effective docs = clusters + unclustered singletons: every
+    // content family contributes exactly unit mass
+    val cl = Dedup.ddCluster(spark, sf0001)
+      .select($"doc_id", $"cluster_id").collect()
+    val nFamilies = cl.map(_.getAs[Long]("cluster_id")).distinct.length +
+      (nDocs - cl.length)
+    val eff = rows.map(_.getAs[Double]("effective_docs")).sum
+    assert(math.abs(eff - nFamilies.toDouble) < 1e-3,
+      s"effective mass $eff vs $nFamilies families")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("dedup_shrink") >= -1e-9)
+      assert(r.getAs[Double]("dedup_shrink") < 1.0)
+      assert(r.getAs[Double]("effective_docs")
+        <= r.getAs[Long]("n_docs").toDouble + 1e-9)
+    }
+  }
+
   test("dow anomaly flags exactly the naive z>1.5 hours") {
     val rows = streaming.WindowQueries.stDowAnomaly(spark, sf0001).collect()
     val hours = graft.sources.Tables.events(spark, sf0001)
