@@ -427,11 +427,317 @@ object Models {
        |FROM a""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_models_pr: exact trapezoidal PR-AUC + best-F1 operating point of
+  // the trained quality probe — the threshold-CHOOSING twin of [[auc]]
+  // (ROC-AUC says "the ranking works"; the PR summary says "here is the
+  // precision you actually buy at each recall, and the threshold that
+  // maximizes F1" — the number a curation gate is configured with, and
+  // the honest metric when positives are rare enough that ROC flattery
+  // kicks in). Computed entirely at score grain, never per row:
+  // blocks descend by score; R_i = cumPos_i/P, Prec_i = cumPos_i/cumAll_i,
+  //   PR-AUC = Σ_i (pos_i/P) · (Prec_i + Prec_{i−1})/2   (Prec_0 = 1)
+  // — the tie-aware trapezoid over tie blocks. F1_i = 2·cumPos_i /
+  // (P + cumAll_i) needs no precision/recall division at all (integer
+  // counts in, one double out). Scale shape: one scoring scan
+  // partial-aggregates to the feature-domain-bounded score histogram;
+  // the cumulative windows run over THAT table (the [[auc]] bounded-
+  // domain argument). Determinism: every per-block double is a rational
+  // function of integer counts (bit-identical across engines); the
+  // trapezoid terms are DECIMAL(28,12)-cast before the order-sensitive
+  // sum; the best-F1 threshold is min(p) over the exact-equality argmax
+  // set (identical doubles ⇒ identical set), never an arg_max whose
+  // tie-break is engine-defined.
+  /** The score-grain (p, pos, neg) histogram — the ONE corpus-scale
+    * collapse all three threshold metrics (pr, ks — and conceptually
+    * auc) read; callers materialize it so totals, windows, and argmax
+    * filters all ride a single scoring scan. */
+  private[graft] def scoreHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    aucScored(spark, dir)
+      .groupBy($"p")
+      .agg(sum($"y".cast("long")).as("pos"),
+        sum(when($"y" === 0.0, 1L).otherwise(0L)).as("neg"))
+  }
+
+  private def histTotals(hist: DataFrame): (Long, Long) = {
+    val tot = hist.agg(sum(col("pos")).as("np"), sum(col("neg")).as("nn"))
+      .head()
+    (Option(tot.get(0)).fold(0L)(_ => tot.getAs[Long]("np")),
+      Option(tot.get(1)).fold(0L)(_ => tot.getAs[Long]("nn")))
+  }
+
+  /** Score-grain PR table (cum counts, precision, F1, trapezoid term)
+    * over a (p, pos, neg) histogram — split out so WaveTenSpec can
+    * re-derive AP/best-F1 naively and PlanSpec can audit the window
+    * input. */
+  private[graft] def prBlocksFrom(hist: DataFrame, np: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("p").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wo = Window.orderBy(col("p").desc)
+    hist
+      .withColumn("cumPos", sum(col("pos")).over(w))
+      .withColumn("cumAll", sum(col("pos") + col("neg")).over(w))
+      .withColumn("prec",
+        col("cumPos").cast("double") / col("cumAll").cast("double"))
+      .withColumn("precPrev", lag(col("prec"), 1, 1.0).over(wo))
+      .withColumn("f1",
+        lit(2.0) * col("cumPos").cast("double")
+          / (lit(np.toDouble) + col("cumAll").cast("double")))
+      .withColumn("term",
+        (col("pos").cast("double") / np.toDouble)
+          * (col("prec") + col("precPrev")) / 2.0)
+  }
+
+  private[graft] def prBlocks(spark: SparkSession, dir: String,
+                              np: Long): DataFrame =
+    prBlocksFrom(scoreHist(spark, dir), np)
+
+  def prSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ONE scoring scan: the histogram is materialized and every
+    // downstream consumer (totals, windows, argmax filter) reads it
+    val hist = Tables.materialize(scoreHist(spark, dir))
+    val (np, nn) = histTotals(hist)
+    // PR metrics are undefined without both classes — empty, never NaN
+    if (np == 0L || nn == 0L)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Long, Long, Long, Double, Double, Double)])
+        .toDF("n", "n_pos", "n_neg", "n_scores", "pr_auc", "best_f1",
+          "best_f1_threshold")
+    // blocks feed two consumers, but re-deriving them is a re-window
+    // over the checkpointed histogram — bounded-domain, no corpus cost
+    val blocks = prBlocksFrom(hist, np)
+    val a = blocks.agg(
+      sum($"term".cast("decimal(28,12)")).cast("double").as("ap"),
+      max($"f1").as("bf"), count(lit(1)).as("ns")).head()
+    val thr = blocks.filter($"f1" === a.getAs[Double]("bf"))
+      .agg(min($"p")).head().getDouble(0)
+    spark.createDataFrame(Seq((
+      np + nn, np, nn, a.getAs[Long]("ns"),
+      BigDecimal(a.getAs[Double]("ap"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(a.getAs[Double]("bf"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(thr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toDF("n", "n_pos", "n_neg", "n_scores", "pr_auc", "best_f1",
+        "best_f1_threshold")
+  }
+
+  val prSummarySql: String = {
+    val p = sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")
+    s"""WITH $logregChainSql,
+       |sc AS (SELECT $p AS p, f.y AS y FROM f CROSS JOIN w3s w),
+       |h AS (
+       |  SELECT p, CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos,
+       |    SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS neg
+       |  FROM sc GROUP BY p),
+       |tt AS (SELECT CAST(SUM(pos) AS BIGINT) AS np,
+       |  CAST(SUM(neg) AS BIGINT) AS nn FROM h),
+       |c AS (
+       |  SELECT p, pos, neg,
+       |    SUM(pos) OVER (ORDER BY p DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumPos,
+       |    SUM(pos + neg) OVER (ORDER BY p DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumAll
+       |  FROM h),
+       |d AS (
+       |  SELECT p, pos, cumPos, cumAll,
+       |    CAST(cumPos AS DOUBLE) / CAST(cumAll AS DOUBLE) AS prec,
+       |    LAG(CAST(cumPos AS DOUBLE) / CAST(cumAll AS DOUBLE), 1,
+       |      CAST(1.0 AS DOUBLE)) OVER (ORDER BY p DESC) AS precPrev
+       |  FROM c),
+       |e AS (
+       |  SELECT d.p,
+       |    2.0 * CAST(d.cumPos AS DOUBLE)
+       |      / (CAST(tt.np AS DOUBLE) + CAST(d.cumAll AS DOUBLE)) AS f1,
+       |    (CAST(d.pos AS DOUBLE) / CAST(tt.np AS DOUBLE))
+       |      * (d.prec + d.precPrev) / 2.0 AS term
+       |  FROM d CROSS JOIN tt),
+       |a AS (
+       |  SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS ap,
+       |    MAX(f1) AS bf, COUNT(*) AS ns
+       |  FROM e)
+       |SELECT CAST(tt.np + tt.nn AS BIGINT) AS n, tt.np AS n_pos,
+       |  tt.nn AS n_neg, CAST(a.ns AS BIGINT) AS n_scores,
+       |  ROUND(a.ap, 6) AS pr_auc, ROUND(a.bf, 6) AS best_f1,
+       |  ROUND((SELECT MIN(e.p) FROM e CROSS JOIN a a2 WHERE e.f1 = a2.bf),
+       |    6) AS best_f1_threshold
+       |FROM tt CROSS JOIN a""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // llm_models_brier: Brier score with the Murphy decomposition over the
+  // [[calibration]] bins — the scalar that the reliability CURVE
+  // summarizes (BS measures probability accuracy; reliability says how
+  // much of it is mis-calibration, resolution how much discriminating
+  // power the score has, uncertainty the label-entropy floor neither can
+  // beat). `decomp_gap` = BS − (REL − RES + UNC) is reported rather than
+  // hidden: with continuous forecasts binned, the identity holds only up
+  // to the within-bin forecast variance, and publishing the gap makes
+  // the bin-granularity error visible instead of silently folded in.
+  // Scale shape: one scoring scan → (a) O(1) corpus moments, (b) a
+  // 10-row bin collapse; both partial-aggregable. Determinism: corpus
+  // and bin sums are DECIMAL(28,12) casts; per-bin means are doubles of
+  // exact sums; the 10 decomposition terms are DECIMAL-cast again before
+  // the final (order-sensitive) sum.
+  def brier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (f, w1, w2, b) = logregFit(spark, dir)
+    val p = sig(lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2")
+    val scored = Tables.materialize(f.select(p.as("p"), $"y"))
+    val m = scored.agg(count(lit(1)).as("n"),
+      sum(when($"y" === 1.0, 1L).otherwise(0L)).as("npos"),
+      dsum12(($"p" - $"y") * ($"p" - $"y")).as("sse")).head()
+    val n = m.getAs[Long]("n")
+    if (n == 0L)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Long, Double, Double, Double, Double, Double)])
+        .toDF("n", "n_pos", "brier", "reliability", "resolution",
+          "uncertainty", "decomp_gap")
+    val obar = m.getAs[Long]("npos").toDouble / n.toDouble
+    val bs = m.getAs[Double]("sse") / n.toDouble
+    val bins = scored
+      .groupBy(least(floor($"p" * 10), lit(9)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("nk"), dsum12($"p").as("sp"),
+        sum(when($"y" === 1.0, 1L).otherwise(0L)).as("pk"))
+      .select($"nk".cast("double").as("nk"),
+        ($"sp" / $"nk".cast("double")).as("pbar"),
+        ($"pk".cast("double") / $"nk".cast("double")).as("okbar"))
+    val t = bins.agg(
+      (sum(($"nk" * ($"pbar" - $"okbar") * ($"pbar" - $"okbar"))
+        .cast("decimal(28,12)")).cast("double") / n.toDouble).as("rel"),
+      (sum(($"nk" * ($"okbar" - obar) * ($"okbar" - obar))
+        .cast("decimal(28,12)")).cast("double") / n.toDouble).as("res"))
+      .head()
+    val (rel, res) = (t.getAs[Double]("rel"), t.getAs[Double]("res"))
+    val unc = obar * (1.0 - obar)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.createDataFrame(Seq((
+      n, m.getAs[Long]("npos"), r6(bs), r6(rel), r6(res), r6(unc),
+      r6(bs - (rel - res + unc)))))
+      .toDF("n", "n_pos", "brier", "reliability", "resolution",
+        "uncertainty", "decomp_gap")
+  }
+
+  val brierSql: String = {
+    val p = sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")
+    def d12(e: String) =
+      s"CAST(SUM(CAST(($e) AS DECIMAL(28,12))) AS DOUBLE)"
+    s"""WITH $logregChainSql,
+       |sc AS (SELECT $p AS p, f.y AS y FROM f CROSS JOIN w3s w),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS npos,
+       |    ${d12("(p - y) * (p - y)")} AS sse
+       |  FROM sc),
+       |g AS (
+       |  SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+       |    CAST(COUNT(*) AS DOUBLE) AS nk,
+       |    ${d12("p")} AS sp,
+       |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pk
+       |  FROM sc GROUP BY 1),
+       |k AS (
+       |  SELECT nk, sp / nk AS pbar, CAST(pk AS DOUBLE) / nk AS okbar,
+       |    CAST(m.npos AS DOUBLE) / m.n AS obar, m.n AS n, m.npos AS npos,
+       |    m.sse AS sse
+       |  FROM g CROSS JOIN m),
+       |t AS (
+       |  SELECT
+       |    ${d12("nk * (pbar - okbar) * (pbar - okbar)")}
+       |      / ANY_VALUE(n) AS rel,
+       |    ${d12("nk * (okbar - obar) * (okbar - obar)")}
+       |      / ANY_VALUE(n) AS res,
+       |    ANY_VALUE(sse) / ANY_VALUE(n) AS bs,
+       |    ANY_VALUE(obar) * (1.0 - ANY_VALUE(obar)) AS unc,
+       |    ANY_VALUE(n) AS n, ANY_VALUE(npos) AS npos
+       |  FROM k)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(npos AS BIGINT) AS n_pos,
+       |  ROUND(bs, 6) AS brier, ROUND(rel, 6) AS reliability,
+       |  ROUND(res, 6) AS resolution, ROUND(unc, 6) AS uncertainty,
+       |  ROUND(bs - (rel - res + unc), 6) AS decomp_gap
+       |FROM t""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // llm_models_ks: Kolmogorov–Smirnov separation of the positive and
+  // negative score distributions — max_s |CDF_pos(s) − CDF_neg(s)| with
+  // the score where the max is attained. The distribution-level view
+  // the scalar AUC compresses away: KS is the best achievable
+  // (TPR − FPR), so its argmax IS the Youden-optimal gate threshold,
+  // and a small KS with a decent AUC flags a score that ranks but
+  // never separates. Same score-grain histogram + bounded-domain
+  // cumulative window as [[auc]]; the max is over identical rational
+  // doubles (order-insensitive), and the reported threshold is min(p)
+  // over the exact-equality argmax set — never an engine-defined
+  // arg_max tie-break.
+  def ks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ONE scoring scan (same discipline as [[prSummary]]): totals and
+    // the cumulative both read the materialized histogram
+    val hist = Tables.materialize(scoreHist(spark, dir))
+    val (np, nn) = histTotals(hist)
+    if (np == 0L || nn == 0L)
+      return spark.createDataFrame(Seq.empty[(Long, Long, Long, Double, Double)])
+        .toDF("n_pos", "n_neg", "n_scores", "ks", "ks_threshold")
+    val w = Window.orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diffs = hist
+      .withColumn("cumPos", sum($"pos").over(w))
+      .withColumn("cumNeg", sum($"neg").over(w))
+      .select($"p",
+        abs($"cumPos".cast("double") / np.toDouble
+          - $"cumNeg".cast("double") / nn.toDouble).as("diff"))
+    val a = diffs.agg(max($"diff").as("ks"), count(lit(1)).as("ns")).head()
+    val ksV = a.getAs[Double]("ks")
+    val thr = diffs.filter($"diff" === ksV).agg(min($"p")).head().getDouble(0)
+    spark.createDataFrame(Seq((np, nn, a.getAs[Long]("ns"),
+      BigDecimal(ksV).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(thr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toDF("n_pos", "n_neg", "n_scores", "ks", "ks_threshold")
+  }
+
+  val ksSql: String = {
+    val p = sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")
+    s"""WITH $logregChainSql,
+       |sc AS (SELECT $p AS p, f.y AS y FROM f CROSS JOIN w3s w),
+       |h AS (
+       |  SELECT p, CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos,
+       |    SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS neg
+       |  FROM sc GROUP BY p),
+       |tt AS (SELECT CAST(SUM(pos) AS BIGINT) AS np,
+       |  CAST(SUM(neg) AS BIGINT) AS nn FROM h),
+       |c AS (
+       |  SELECT p,
+       |    SUM(pos) OVER (ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumPos,
+       |    SUM(neg) OVER (ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumNeg
+       |  FROM h),
+       |d AS (
+       |  SELECT c.p,
+       |    ABS(CAST(c.cumPos AS DOUBLE) / CAST(tt.np AS DOUBLE)
+       |      - CAST(c.cumNeg AS DOUBLE) / CAST(tt.nn AS DOUBLE)) AS diff
+       |  FROM c CROSS JOIN tt),
+       |a AS (SELECT MAX(diff) AS ks, COUNT(*) AS ns FROM d)
+       |SELECT tt.np AS n_pos, tt.nn AS n_neg,
+       |  CAST(a.ns AS BIGINT) AS n_scores, ROUND(a.ks, 6) AS ks,
+       |  ROUND((SELECT MIN(d.p) FROM d CROSS JOIN a a2 WHERE d.diff = a2.ks),
+       |    6) AS ks_threshold
+       |FROM tt CROSS JOIN a""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_models_auc" -> (auc _),
     "llm_ta_ridge" -> (ridge _),
     "llm_ta_logreg" -> (logreg _),
     "llm_models_calibration" -> (calibration _),
+    "llm_models_pr" -> (prSummary _),
+    "llm_models_brier" -> (brier _),
+    "llm_models_ks" -> (ks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -439,5 +745,8 @@ object Models {
     "llm_ta_logreg" -> logregSql,
     "llm_models_calibration" -> calibrationSql,
     "llm_models_auc" -> aucSql,
+    "llm_models_pr" -> prSummarySql,
+    "llm_models_brier" -> brierSql,
+    "llm_models_ks" -> ksSql,
   )
 }

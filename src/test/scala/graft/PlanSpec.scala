@@ -839,6 +839,27 @@ class PlanSpec extends SparkSpec {
       "missing score-grain collapse:\n" + plan.take(800))
   }
 
+  test("pr/ks windows run over the score-grain histogram, never rows") {
+    // same bounded-domain contract as the AUC window: the cumulative
+    // (and PR's lag) must consume the post-aggregate score histogram
+    for (df <- Seq(
+      graft.llm.Models.prBlocks(spark, sf0001, 1L),
+      { import spark.implicits._
+        graft.llm.Models.aucScored(spark, sf0001)
+          .groupBy($"p")
+          .agg(org.apache.spark.sql.functions.sum($"y").as("pos")) })) {
+      val plan = planOf(df)
+      assert(plan.contains("HashAggregate"),
+        "missing score-grain collapse:\n" + plan.take(800))
+    }
+    val prPlan = planOf(graft.llm.Models.prBlocks(spark, sf0001, 1L))
+    val winOps = prPlan.split("\n").filter(_.contains("Window"))
+    // one Window operator may carry several functions; what matters is
+    // no window is ordered by anything but the score
+    assert(winOps.forall(l => l.contains("p#") || !l.contains("windowspec")),
+      "window not on score grain:\n" + winOps.mkString("\n"))
+  }
+
   test("q78 seasonal index scans the fact once (materialized cell grid)") {
     val plan = planOf(RelationalQueries.q78SeasonalIndex(spark, sf0001))
     val liScans = plan.split("\n")

@@ -866,4 +866,97 @@ class WaveTenSpec extends SparkSpec {
       s"expected ${expected.size})")
     rows.foreach(r => assert(r.getAs[Double]("zscore") > 1.5))
   }
+
+  /** Shared naive (p, y) collection for the wave-38 model-metric tests —
+    * the scored corpus pulled to the driver once at fixture scale. */
+  private lazy val scoredFixture: Array[(Double, Double)] =
+    graft.llm.Models.aucScored(spark, sf0001).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+
+  private def q12(x: Double): BigDecimal =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("pr summary matches a naive tie-block trapezoid recomputation") {
+    val row = graft.llm.Models.prSummary(spark, sf0001).collect().head
+    val np = scoredFixture.count(_._2 == 1.0).toDouble
+    val blocks = scoredFixture.groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (p, xs) =>
+        (p, xs.count(_._2 == 1.0).toLong, xs.count(_._2 == 0.0).toLong) }
+    var (cumPos, cumAll) = (0L, 0L)
+    var precPrev = 1.0
+    var ap = BigDecimal(0)
+    var bestF1 = 0.0
+    var bestThr = Double.MaxValue
+    blocks.foreach { case (p, pos, neg) =>
+      cumPos += pos; cumAll += pos + neg
+      val prec = cumPos.toDouble / cumAll.toDouble
+      val f1 = 2.0 * cumPos.toDouble / (np + cumAll.toDouble)
+      ap += q12((pos.toDouble / np) * (prec + precPrev) / 2.0)
+      if (f1 > bestF1) { bestF1 = f1; bestThr = p }
+      else if (f1 == bestF1 && p < bestThr) bestThr = p
+      precPrev = prec
+    }
+    assert(row.getAs[Long]("n_scores") == blocks.length)
+    assert(row.getAs[Double]("pr_auc") == r6(ap.toDouble),
+      s"AP ${row.getAs[Double]("pr_auc")} != naive ${r6(ap.toDouble)}")
+    assert(row.getAs[Double]("best_f1") == r6(bestF1))
+    assert(row.getAs[Double]("best_f1_threshold") == r6(bestThr))
+  }
+
+  test("brier matches naive sums and the decomposition identity closes") {
+    val row = graft.llm.Models.brier(spark, sf0001).collect().head
+    val n = scoredFixture.length.toDouble
+    val bs = scoredFixture.map { case (p, y) => q12((p - y) * (p - y)) }
+      .sum.toDouble / n
+    assert(row.getAs[Double]("brier") == r6(bs))
+    val obar = scoredFixture.count(_._2 == 1.0).toDouble / n
+    val bins = scoredFixture.groupBy { case (p, _) =>
+      math.min(math.floor(p * 10).toInt, 9) }
+    val rel = bins.values.map { xs =>
+      val nk = xs.length.toDouble
+      val pbar = xs.map(x => q12(x._1)).sum.toDouble / nk
+      val ok = xs.count(_._2 == 1.0).toDouble / nk
+      q12(nk * (pbar - ok) * (pbar - ok))
+    }.sum.toDouble / n
+    val res = bins.values.map { xs =>
+      val nk = xs.length.toDouble
+      val ok = xs.count(_._2 == 1.0).toDouble / nk
+      q12(nk * (ok - obar) * (ok - obar))
+    }.sum.toDouble / n
+    assert(row.getAs[Double]("reliability") == r6(rel))
+    assert(row.getAs[Double]("resolution") == r6(res))
+    assert(row.getAs[Double]("uncertainty") == r6(obar * (1.0 - obar)))
+    // the published gap closes the Murphy identity up to the four
+    // independent 1e-6 roundings
+    val lhs = row.getAs[Double]("brier")
+    val rhs = row.getAs[Double]("reliability") -
+      row.getAs[Double]("resolution") + row.getAs[Double]("uncertainty") +
+      row.getAs[Double]("decomp_gap")
+    assert(math.abs(lhs - rhs) < 5e-6, s"identity gap ${lhs - rhs}")
+    assert(row.getAs[Double]("reliability") >= 0.0)
+    assert(row.getAs[Double]("resolution") >= 0.0)
+    assert(row.getAs[Double]("uncertainty") <= 0.25 + 1e-12)
+  }
+
+  test("ks matches the naive max-CDF-gap and its Youden threshold") {
+    val row = graft.llm.Models.ks(spark, sf0001).collect().head
+    val np = scoredFixture.count(_._2 == 1.0).toDouble
+    val nn = scoredFixture.count(_._2 == 0.0).toDouble
+    val blocks = scoredFixture.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, xs) =>
+        (p, xs.count(_._2 == 1.0).toLong, xs.count(_._2 == 0.0).toLong) }
+    var (cumPos, cumNeg) = (0L, 0L)
+    val diffs = blocks.map { case (p, pos, neg) =>
+      cumPos += pos; cumNeg += neg
+      (p, math.abs(cumPos.toDouble / np - cumNeg.toDouble / nn))
+    }
+    val ksNaive = diffs.map(_._2).max
+    val thrNaive = diffs.filter(_._2 == ksNaive).map(_._1).min
+    assert(row.getAs[Double]("ks") == r6(ksNaive))
+    assert(row.getAs[Double]("ks_threshold") == r6(thrNaive))
+    assert(row.getAs[Long]("n_scores") == blocks.length)
+    assert(ksNaive > 0.0 && ksNaive <= 1.0)
+  }
 }
