@@ -816,6 +816,95 @@ object Graph {
       |  ROUND(wdom / wall, 6) AS domestic_share
       |FROM rec CROSS JOIN dom""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_graph_hits: HITS hubs & authorities on the DIRECTED bipartite
+  // customer→supplier graph (the natural reading: customers "endorse"
+  // the suppliers they buy from) — the mutual-recursion importance
+  // signal PageRank can't express: a good hub is one that points at
+  // good authorities, a good authority is one pointed at by good hubs.
+  // In a curation pipeline this is the crawl-seed/content-host split —
+  // hub quality ranks link aggregators, authority quality ranks the
+  // hosts worth fetching. Three fixed iterations of
+  //   a_k(s) = Σ_{c→s} h_{k−1}(c),  h_k(c) = Σ_{c→s} a_k(s)
+  // with NO per-iteration normalization: every update is linear, so
+  // deferring the single L1 normalization to the end yields the exact
+  // same direction while keeping every intermediate an INTEGER
+  // (h_0 = 1) — the whole fixed point runs in exact DECIMAL(38,0)
+  // arithmetic and the only floats are the two final score divisions
+  // (doubles of exact integers; at a scale where weights exceed 2^53
+  // the decimal→double cast rounds identically in both engines).
+  // Scale shape: the directed pair list (filtered from the
+  // session-cached symmetric artifact) is the only big table; each
+  // half-iteration is one shuffle of it against a node-cardinality
+  // score table — bucket pairs by c (resp. s) at cluster scale.
+  /** Final (a3, h3) weight tables — split out for the WaveTenSpec
+    * naive power-iteration recomputation. */
+  private[graft] def hitsWeights(spark: SparkSession,
+                                 dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val pairs = edgesWithDeg(spark, dir)
+      .filter($"src" % 2 === 0)
+      .select($"src".as("c"), $"dst".as("s"))
+    def dsum0(c: org.apache.spark.sql.Column) =
+      sum(c).cast("decimal(38,0)")
+    // h0 = 1 ⇒ a1(s) = in-degree; each subsequent half-step is one
+    // pair-table join + groupBy. a3 feeds h3 AND the output/total —
+    // materialized (node-cardinality) so the chain isn't replayed.
+    val a1 = pairs.groupBy($"s").agg(count(lit(1)).cast("decimal(38,0)").as("w"))
+    val h1 = pairs.join(a1, "s").groupBy($"c").agg(dsum0($"w").as("w"))
+    val a2 = pairs.join(h1, "c").groupBy($"s").agg(dsum0($"w").as("w"))
+    val h2 = pairs.join(a2, "s").groupBy($"c").agg(dsum0($"w").as("w"))
+    val a3 = Tables.materialize(
+      pairs.join(h2, "c").groupBy($"s").agg(dsum0($"w").as("w")))
+    val h3 = Tables.materialize(
+      pairs.join(a3, "s").groupBy($"c").agg(dsum0($"w").as("w")))
+    (a3, h3)
+  }
+
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (a3, h3) = hitsWeights(spark, dir)
+    def top(df: DataFrame, node: String, side: String): DataFrame = {
+      val tot = df.agg(sum(col("w")).as("t"))
+      df.crossJoin(tot)
+        .select(lit(side).as("side"),
+          (col(node) / 2).cast("long").as("entity_id"),
+          round((col("w").cast("double") / col("t").cast("double")), 8)
+            .as("score"))
+        .orderBy(col("score").desc, col("entity_id"))
+        .limit(15)
+    }
+    top(a3, "s", "authority").unionAll(top(h3, "c", "hub"))
+      .orderBy($"side", $"score".desc, $"entity_id")
+  }
+
+  val hitsSql: String =
+    s"""WITH pairs AS ($edgeSql),
+       |a1 AS (SELECT s, CAST(COUNT(*) AS DECIMAL(38,0)) AS w
+       |  FROM pairs GROUP BY s),
+       |h1 AS (SELECT c, CAST(SUM(a1.w) AS DECIMAL(38,0)) AS w
+       |  FROM pairs JOIN a1 USING (s) GROUP BY c),
+       |a2 AS (SELECT s, CAST(SUM(h1.w) AS DECIMAL(38,0)) AS w
+       |  FROM pairs JOIN h1 USING (c) GROUP BY s),
+       |h2 AS (SELECT c, CAST(SUM(a2.w) AS DECIMAL(38,0)) AS w
+       |  FROM pairs JOIN a2 USING (s) GROUP BY c),
+       |a3 AS (SELECT s, CAST(SUM(h2.w) AS DECIMAL(38,0)) AS w
+       |  FROM pairs JOIN h2 USING (c) GROUP BY s),
+       |h3 AS (SELECT c, CAST(SUM(a3.w) AS DECIMAL(38,0)) AS w
+       |  FROM pairs JOIN a3 USING (s) GROUP BY c),
+       |au AS (
+       |  SELECT 'authority' AS side, CAST(s // 2 AS BIGINT) AS entity_id,
+       |    ROUND(CAST(w AS DOUBLE)
+       |      / CAST((SELECT SUM(w) FROM a3) AS DOUBLE), 8) AS score
+       |  FROM a3 ORDER BY score DESC, entity_id LIMIT 15),
+       |hu AS (
+       |  SELECT 'hub' AS side, CAST(c // 2 AS BIGINT) AS entity_id,
+       |    ROUND(CAST(w AS DOUBLE)
+       |      / CAST((SELECT SUM(w) FROM h3) AS DOUBLE), 8) AS score
+       |  FROM h3 ORDER BY score DESC, entity_id LIMIT 15)
+       |SELECT * FROM (SELECT * FROM au UNION ALL SELECT * FROM hu)
+       |ORDER BY side, score DESC, entity_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_graph_reciprocity" -> (reciprocity _),
     "llm_graph_link_pred" -> (linkPred _),
@@ -825,6 +914,7 @@ object Graph {
     "llm_graph_pagerank" -> (pagerank _),
     "llm_graph_degree" -> (degree _),
     "llm_graph_triangles" -> (triangles _),
+    "llm_graph_hits" -> (hits _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -836,5 +926,6 @@ object Graph {
     "llm_graph_pagerank" -> pagerankSql,
     "llm_graph_degree" -> degreeSql,
     "llm_graph_triangles" -> trianglesSql,
+    "llm_graph_hits" -> hitsSql,
   )
 }

@@ -2697,7 +2697,106 @@ object Similarity {
        |  CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_ndcg: rank-quality (nDCG@3) of four approximate search paths
+  // against the exact cosine ranking — the ORDER-aware companion to
+  // llm_ss_recall (recall@3 counts set membership; nDCG penalizes a
+  // method that finds the right neighbors in the wrong order, the
+  // difference that decides whether a rerank cascade stage is needed).
+  // Graded relevance from the exact list: rel(neighbor) = 6 − exact_rank
+  // for exact rank ≤ 5, else 0; DCG = Σ_i rel_i / ln(i+1) over the
+  // method's own positions i = 1..3; IDCG is the same expression at the
+  // ideal gains (5,4,3) — written in IDENTICAL form in both engines
+  // (never pre-folded on one side, the r10 1.96² lesson). The ln2
+  // factor between natural-log and log2 discounts cancels in the
+  // ratio, so `ndcg` is the standard base-2 value. Scale shape: every
+  // method's candidate set is already bounded (≤3 rows per query), so
+  // this is joins/aggregates over O(queries) rows — the corpus never
+  // moves; ln on identical doubles is the tfidf/BM25-established
+  // cross-engine surface.
+  def ssNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // exact list feeds every method's join — checkpointed once (the
+    // ssRecall discipline; the brute-force pass must not re-run)
+    val exact = ssTopk(spark, dir)
+      .select($"q_id", $"neighbor_id", (lit(6) - $"rank").cast("long").as("rel"))
+      .localCheckpoint()
+    def m(name: String, df: DataFrame) = df.filter($"q_id" < 5)
+      .select(lit(name).as("method"), $"q_id", $"neighbor_id",
+        $"rank".cast("int").as("pos"))
+    val approx = m("lsh_probe", ssLshProbe(spark, dir))
+      .union(m("ivf_probe", ssIvfProbe(spark, dir)))
+      .union(m("pq_adc_trained", ssPqSearchTrained(spark, dir)))
+      .union(m("sq8_asym", ssSq8Search(spark, dir)))
+    val idcg = lit(5.0) / log(lit(2.0)) + lit(4.0) / log(lit(3.0)) +
+      lit(3.0) / log(lit(4.0))
+    val terms = approx.join(exact, Seq("q_id", "neighbor_id"), "left")
+      .select($"method", $"q_id",
+        coalesce($"rel", lit(0L)).as("rel"),
+        (coalesce($"rel", lit(0L)).cast("double")
+          / log(($"pos" + 1).cast("double"))).as("term"))
+    val g = terms.groupBy($"method", $"q_id")
+      .agg(sum($"term".cast("decimal(28,12)")).cast("double").as("dcg"),
+        sum(when($"rel" > 0L, 1L).otherwise(0L)).as("n_rel"))
+    val grid = exact.select($"q_id").distinct()
+      .crossJoin(Seq("lsh_probe", "ivf_probe", "pq_adc_trained", "sq8_asym")
+        .toDF("method"))
+    grid.join(g, Seq("method", "q_id"), "left")
+      .select($"method", $"q_id",
+        coalesce($"n_rel", lit(0L)).as("n_rel"),
+        round(coalesce($"dcg", lit(0.0)), 6).as("dcg"),
+        round(coalesce($"dcg", lit(0.0)) / idcg, 6).as("ndcg"))
+      .orderBy($"method", $"q_id")
+  }
+
+  lazy val ssNdcgSql: String =
+    s"""WITH exact5 AS (
+       |  SELECT q_id, neighbor_id, CAST(6 - rank AS BIGINT) AS rel
+       |  FROM ($ssTopkSql)),
+       |approx AS (
+       |  SELECT 'lsh_probe' AS method, q_id, neighbor_id,
+       |    CAST(rank AS INT) AS pos
+       |  FROM ($ssLshProbeSql) WHERE q_id < 5
+       |  UNION ALL
+       |  SELECT 'ivf_probe' AS method, q_id, neighbor_id,
+       |    CAST(rank AS INT) AS pos
+       |  FROM ($ssIvfProbeSql) WHERE q_id < 5
+       |  UNION ALL
+       |  SELECT 'pq_adc_trained' AS method, q_id, neighbor_id,
+       |    CAST(rank AS INT) AS pos
+       |  FROM ($ssPqSearchTrainedSql) WHERE q_id < 5
+       |  UNION ALL
+       |  SELECT 'sq8_asym' AS method, q_id, neighbor_id,
+       |    CAST(rank AS INT) AS pos
+       |  FROM ($ssSq8SearchSql) WHERE q_id < 5),
+       |t AS (
+       |  SELECT a.method, a.q_id,
+       |    COALESCE(e.rel, 0) AS rel,
+       |    CAST(COALESCE(e.rel, 0) AS DOUBLE)
+       |      / LN(CAST(a.pos + 1 AS DOUBLE)) AS term
+       |  FROM approx a LEFT JOIN exact5 e
+       |    ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id),
+       |g AS (
+       |  SELECT method, q_id,
+       |    CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS dcg,
+       |    SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel
+       |  FROM t GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT m.method, q.q_id
+       |  FROM (SELECT DISTINCT q_id FROM exact5) q
+       |  CROSS JOIN (VALUES ('lsh_probe'), ('ivf_probe'),
+       |    ('pq_adc_trained'), ('sq8_asym')) AS m(method))
+       |SELECT grid.method, grid.q_id,
+       |  CAST(COALESCE(g.n_rel, 0) AS BIGINT) AS n_rel,
+       |  ROUND(COALESCE(g.dcg, CAST(0.0 AS DOUBLE)), 6) AS dcg,
+       |  ROUND(COALESCE(g.dcg, CAST(0.0 AS DOUBLE))
+       |    / (5.0 / LN(2.0) + 4.0 / LN(3.0) + 3.0 / LN(4.0)), 6) AS ndcg
+       |FROM grid LEFT JOIN g
+       |  ON grid.method = g.method AND grid.q_id = g.q_id
+       |ORDER BY 1, 2""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_ndcg" -> (ssNdcg _),
     "llm_ss_range_search" -> (ssRangeSearch _),
     "llm_ss_mips" -> (ssMips _),
     "llm_ss_rerank" -> (ssRerank _),
@@ -2739,6 +2838,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ss_ndcg" -> ssNdcgSql,
     "llm_ss_range_search" -> ssRangeSearchSql,
     "llm_ss_mips" -> ssMipsSql,
     "llm_ss_rerank" -> ssRerankSql,

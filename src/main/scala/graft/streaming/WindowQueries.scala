@@ -1022,7 +1022,83 @@ object WindowQueries {
       |  MAX(value) AS max_value
       |FROM cc GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_burst_episodes: burst detection over the event stream — per
+  // event type, hours whose count exceeds mean + 2σ (population stats
+  // over the type's PRESENT hours) are flagged, then adjacent flagged
+  // hours merge into episodes via gaps-and-islands (hr − row_number is
+  // constant within a consecutive run). The stream-monitoring primitive
+  // behind rate-limit forensics and ingest-spike triage: the episode
+  // grain (start, length, peak) is what a human acts on, not the raw
+  // flagged hours. Scale shape: one event scan collapses to the
+  // (type × hour) grid — calendar-bounded, the st_dow_anomaly
+  // argument — and every window after that runs on flagged hours only
+  // (≤ horizon hours per type). Determinism: counts are integers,
+  // mean/σ are rational + IEEE-exact sqrt of integer-derived doubles.
+  def stBurstEpisodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // materialized: the hour-grain grid feeds the stats AND the
+    // join-back (Spark never dedupes common subplans)
+    val hourly = Tables.materialize(Tables.events(spark, dir)
+      .select($"event_type",
+        floor(unix_micros($"ts") / lit(3600000000L)).as("hr"))
+      .groupBy($"event_type", $"hr").agg(count(lit(1)).as("n_events")))
+    val stats = hourly.groupBy($"event_type")
+      .agg(count(lit(1)).as("nh"), sum($"n_events").as("sc"),
+        sum($"n_events" * $"n_events").as("scc"))
+      .select($"event_type",
+        ($"sc".cast("double") / $"nh".cast("double")).as("mean"),
+        sqrt(($"nh".cast("double") * $"scc".cast("double")
+          - $"sc".cast("double") * $"sc".cast("double"))
+          / ($"nh".cast("double") * $"nh".cast("double"))).as("sd"))
+    val flagged = hourly.join(broadcast(stats), "event_type")
+      .filter($"sd" > 0.0 &&
+        ($"n_events".cast("double") - $"mean") / $"sd" > 2.0)
+      .select($"event_type", $"hr", $"n_events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"hr")
+    flagged
+      .withColumn("isl", $"hr" - row_number().over(w))
+      .groupBy($"event_type", $"isl")
+      .agg(min($"hr").as("start_hr"), count(lit(1)).as("len_hours"),
+        max($"n_events").as("peak_events"), sum($"n_events").as("sum_events"))
+      .select($"event_type", ($"start_hr" * 3600000000L).as("start_us"),
+        $"len_hours", $"peak_events",
+        $"sum_events".cast("long").as("sum_events"))
+      .orderBy($"event_type", $"start_us")
+  }
+
+  val stBurstEpisodesSql: String =
+    """WITH h AS (
+      |  SELECT event_type, FLOOR(epoch_us(ts) / 3600000000) AS hr,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type,
+      |    CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean,
+      |    SQRT((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(n_events * n_events) AS DOUBLE)
+      |      - CAST(SUM(n_events) AS DOUBLE) * CAST(SUM(n_events) AS DOUBLE))
+      |      / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))) AS sd
+      |  FROM h GROUP BY 1),
+      |f AS (
+      |  SELECT h.event_type, h.hr, h.n_events
+      |  FROM h JOIN s USING (event_type)
+      |  WHERE s.sd > 0.0
+      |    AND (CAST(h.n_events AS DOUBLE) - s.mean) / s.sd > 2.0),
+      |i AS (
+      |  SELECT event_type, hr, n_events,
+      |    hr - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS isl
+      |  FROM f)
+      |SELECT event_type,
+      |  CAST(MIN(hr) * 3600000000 AS BIGINT) AS start_us,
+      |  CAST(COUNT(*) AS BIGINT) AS len_hours,
+      |  CAST(MAX(n_events) AS BIGINT) AS peak_events,
+      |  CAST(SUM(n_events) AS BIGINT) AS sum_events
+      |FROM i GROUP BY event_type, isl
+      |ORDER BY event_type, start_us""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_burst_episodes" -> (stBurstEpisodes _),
     "st_value_percentiles" -> (stValuePercentiles _),
     "st_cusum_drift" -> (stCusumDrift _),
     "st_dow_anomaly" -> (stDowAnomaly _),
@@ -1046,6 +1122,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_burst_episodes" -> stBurstEpisodesSql,
     "st_value_percentiles" -> stValuePercentilesSql,
     "st_cusum_drift" -> stCusumDriftSql,
     "st_dow_anomaly" -> stDowAnomalySql,

@@ -87,6 +87,8 @@ class DegenerateInputSpec extends SparkSpec {
     assert(graft.llm.Models.prSummary(spark, emptyDir).collect().isEmpty)
     assert(graft.llm.Models.brier(spark, emptyDir).collect().isEmpty)
     assert(graft.llm.Models.ks(spark, emptyDir).collect().isEmpty)
+    assert(graft.streaming.WindowQueries.stBurstEpisodes(spark, emptyDir)
+      .collect().isEmpty)
     // wave-31: no days -> no cusum track; no payloads -> no size rows
     assert(graft.streaming.WindowQueries.stCusumDrift(spark, emptyDir)
       .collect().isEmpty)

@@ -959,4 +959,110 @@ class WaveTenSpec extends SparkSpec {
     assert(row.getAs[Long]("n_scores") == blocks.length)
     assert(ksNaive > 0.0 && ksNaive <= 1.0)
   }
+
+  test("hits weights match a naive integer power iteration") {
+    val pairs = graft.sources.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.sources.Tables.lineitem(spark, sf0001)
+        .select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // h0 = 1; three exact integer half-step pairs (a_k then h_k)
+    var h = pairs.map(_._1).distinct.map(_ -> BigInt(1)).toMap
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      a = pairs.groupBy(_._2).map { case (s, es) =>
+        s -> es.map(e => h(e._1)).sum }
+      h = pairs.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => a(e._2)).sum }
+    }
+    val (a3, h3) = graft.llm.Graph.hitsWeights(spark, sf0001)
+    val aGot = a3.collect()
+      .map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+    val hGot = h3.collect()
+      .map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+    assert(aGot == a, "authority weights diverge from naive iteration")
+    assert(hGot == h, "hub weights diverge from naive iteration")
+    // registered projection: 15 per side, L1 scores in (0, 1]
+    val rows = graft.llm.Graph.hits(spark, sf0001).collect()
+    assert(rows.count(_.getString(0) == "authority")
+      == math.min(15, aGot.size))
+    assert(rows.count(_.getString(0) == "hub") == math.min(15, hGot.size))
+    rows.foreach(r => assert(r.getAs[Double]("score") > 0.0 &&
+      r.getAs[Double]("score") <= 1.0))
+  }
+
+  test("ndcg matches a naive per-method recomputation and is bounded") {
+    val exact = graft.llm.Similarity.ssTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        6L - r.getAs[Int]("rank")))
+    val rel = exact.map { case (q, n, g) => (q, n) -> g }.toMap
+    val methods = Map(
+      "lsh_probe" -> graft.llm.Similarity.ssLshProbe(spark, sf0001),
+      "ivf_probe" -> graft.llm.Similarity.ssIvfProbe(spark, sf0001),
+      "pq_adc_trained" -> graft.llm.Similarity.ssPqSearchTrained(spark, sf0001),
+      "sq8_asym" -> graft.llm.Similarity.ssSq8Search(spark, sf0001))
+    val idcg = 5.0 / math.log(2.0) + 4.0 / math.log(3.0) +
+      3.0 / math.log(4.0)
+    val got = graft.llm.Similarity.ssNdcg(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("q_id")) ->
+        (r.getAs[Long]("n_rel"), r.getAs[Double]("dcg"),
+          r.getAs[Double]("ndcg"))).toMap
+    assert(got.size == 4 * exact.map(_._1).distinct.length)
+    methods.foreach { case (name, df) =>
+      val ret = df.collect().map(r => (r.getAs[Long]("q_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+        .filter(_._1 < 5)
+      ret.groupBy(_._1).foreach { case (q, xs) =>
+        val dcg = xs.map { case (_, n, pos) =>
+          q12(rel.getOrElse((q, n), 0L).toDouble * 1.0
+            / math.log((pos + 1).toDouble)) }.sum.toDouble
+        val (gotRel, gotDcg, gotNdcg) = got((name, q))
+        assert(gotRel == xs.count(x => rel.contains((q, x._2))))
+        assert(gotDcg == r6(dcg), s"$name q$q dcg $gotDcg != ${r6(dcg)}")
+        assert(gotNdcg == r6(dcg / idcg))
+        assert(gotNdcg >= 0.0 && gotNdcg <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("burst episodes partition the naive flagged-hour set into runs") {
+    val hours = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_type",
+        floor(unix_micros($"ts") / lit(3600000000L)).as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val flagged = hours.groupBy(_._1._1).flatMap { case (t, cells) =>
+      val cs = cells.values.map(_.toDouble)
+      val n = cs.size.toDouble
+      val mean = cs.sum / n
+      val sd = math.sqrt(cs.map(c => (c - mean) * (c - mean)).sum / n)
+      if (sd > 0.0)
+        cells.filter { case (_, c) => (c - mean) / sd > 2.0 }
+          .map { case ((_, hr), c) => (t, hr, c) }
+      else Seq.empty
+    }.toSeq
+    val rows = graft.streaming.WindowQueries
+      .stBurstEpisodes(spark, sf0001).collect()
+    // episodes cover exactly the flagged hours, as maximal runs
+    assert(rows.map(_.getAs[Long]("len_hours")).sum == flagged.size)
+    val byType = flagged.groupBy(_._1)
+    rows.groupBy(_.getString(0)).foreach { case (t, eps) =>
+      val f = byType(t).map(_._2).toSet
+      val counts = byType(t).map(x => x._2 -> x._3).toMap
+      eps.foreach { e =>
+        val start = e.getAs[Long]("start_us") / 3600000000L
+        val len = e.getAs[Long]("len_hours")
+        // every hour in the episode is flagged; the hours on both
+        // sides are not (maximality)
+        (start until start + len).foreach(hr => assert(f.contains(hr)))
+        assert(!f.contains(start - 1) && !f.contains(start + len))
+        assert(e.getAs[Long]("peak_events")
+          == (start until start + len).map(counts).max)
+        assert(e.getAs[Long]("sum_events")
+          == (start until start + len).map(counts).sum)
+      }
+    }
+  }
 }
