@@ -863,7 +863,76 @@ object Multimodal {
        |    AS cross_video_share
        |FROM v CROSS JOIN d""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_mm_scene_segments: shot/scene segmentation of the sampled frame
+  // stream — consecutive sampled frames whose 60-bit perceptual-feature
+  // hamming distance exceeds 34 bits start a new scene; the per-video
+  // scene count collapses to a corpus histogram. The video-curation
+  // primitive behind "sample one keyframe per scene" and "drop static
+  // videos": scene grain, not frame grain, is what a vision pipeline
+  // budgets on. Same deterministic fake-decode contract as mmFrames
+  // (the hash plays the frame feature; the Spark-side plumbing —
+  // per-video ordered windows over a bounded ≤10-frame sequence, then
+  // a partial-aggregable histogram — is the real shape). Scale: the
+  // explode is bounded per document; the lag window partitions by
+  // doc_id (no global sort); output is O(max scenes) rows.
+  def mmSceneSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.documents(spark, dir)
+      .select($"doc_id",
+        least(expr("n_chars div 10") + 1, lit(50L)).cast("long").as("n_frames"))
+      .select($"doc_id",
+        explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_idx"))
+      .filter($"frame_idx" % 5 === 0)
+      .select($"doc_id", $"frame_idx",
+        TextAnalysis.h60(concat($"doc_id".cast("string"), lit(":"),
+          $"frame_idx".cast("string"))).as("fh"))
+    val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+    val scenes = frames
+      .withColumn("prev", lag($"fh", 1).over(w))
+      .select($"doc_id",
+        when($"prev".isNull, 0L)
+          .when(bit_count($"fh".bitwiseXOR($"prev")) > 34, 1L)
+          .otherwise(0L).as("cut"))
+      .groupBy($"doc_id")
+      .agg((sum($"cut") + 1L).as("n_scenes"), count(lit(1)).as("n_sampled"))
+    scenes.groupBy($"n_scenes")
+      .agg(count(lit(1)).as("n_videos"),
+        round(sum($"n_sampled".cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("avg_sampled_frames"))
+      .orderBy($"n_scenes")
+  }
+
+  val mmSceneSegmentsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, LEAST(n_chars // 10 + 1, 50) AS n_frames
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, unnest(range(0, n_frames)) AS frame_idx FROM t),
+       |h AS (
+       |  SELECT doc_id, frame_idx,
+       |    ${TextAnalysis.h60Sql("doc_id || ':' || frame_idx")} AS fh
+       |  FROM f WHERE frame_idx % 5 = 0),
+       |c AS (
+       |  SELECT doc_id,
+       |    CASE WHEN LAG(fh) OVER
+       |        (PARTITION BY doc_id ORDER BY frame_idx) IS NULL THEN 0
+       |      WHEN bit_count(xor(fh, LAG(fh) OVER
+       |        (PARTITION BY doc_id ORDER BY frame_idx))) > 34 THEN 1
+       |      ELSE 0 END AS cut
+       |  FROM h),
+       |s AS (
+       |  SELECT doc_id, SUM(cut) + 1 AS n_scenes, COUNT(*) AS n_sampled
+       |  FROM c GROUP BY doc_id)
+       |SELECT CAST(n_scenes AS BIGINT) AS n_scenes,
+       |  CAST(COUNT(*) AS BIGINT) AS n_videos,
+       |  ROUND(CAST(SUM(CAST(n_sampled AS DECIMAL(28,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS avg_sampled_frames
+       |FROM s GROUP BY n_scenes ORDER BY n_scenes""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_scene_segments" -> (mmSceneSegments _),
     "llm_mm_frame_dedup" -> (mmFrameDedup _),
     "llm_mm_magic_router" -> (mmMagicRouter _),
     "llm_mm_phash" -> (mmPhash _),
@@ -881,6 +950,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_mm_scene_segments" -> mmSceneSegmentsSql,
     "llm_mm_frame_dedup" -> mmFrameDedupSql,
     "llm_mm_magic_router" -> mmMagicRouterSql,
     "llm_mm_phash" -> mmPhashSql,

@@ -2397,7 +2397,90 @@ object TextAnalysis {
       |      AS DOUBLE), 6) AS effective_categories
       |FROM cats GROUP BY facet ORDER BY facet""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_source_similarity: stylistic fingerprint distance between
+  // sources — cosine similarity of per-source count vectors over the
+  // corpus top-50 terms (frequent terms ≈ function words, the classic
+  // authorship/style signal). The mirror-detection audit keyness can't
+  // do: source_keywords asks "what makes source X DIFFERENT", this asks
+  // "which source PAIRS are stylistically near-identical" — scraped
+  // mirrors and template farms show up as cosine ≈ 1 pairs long before
+  // any content-level dedup pass. Scale shape: one exploding scan
+  // semi-joins the broadcast 50-term vocab and collapses to the
+  // (source × term) grid (≤ 50·sources rows); pairs, norms, and the
+  // grid are arithmetic on THAT bounded table. Determinism: dot
+  // products and squared norms are exact integer sums; cosine is a
+  // double quotient of IEEE-exact sqrt on integer-derived doubles.
+  def taSourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("term"))
+    // top-50 corpus terms, deterministic (freq desc, term asc) cut
+    val vocab = terms.groupBy($"term").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"term".asc).limit(50).select($"term")
+    val st = Tables.materialize(terms.join(broadcast(vocab), "term")
+      .groupBy($"source", $"term").agg(count(lit(1)).as("c")))
+    val norms = st.groupBy($"source")
+      .agg(sum($"c" * $"c").as("n2"))
+      .select($"source", sqrt($"n2".cast("double")).as("nrm"))
+    val dots = st.as("a").join(st.as("b"),
+        $"a.term" === $"b.term" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(sum($"a.c" * $"b.c").as("dot"), count(lit(1)).as("n_shared"))
+    // full pair grid so zero-overlap pairs surface as cosine 0
+    val srcs = st.select($"source").distinct()
+    val grid = srcs.as("x").join(srcs.as("y"),
+        $"x.source" < $"y.source")
+      .select($"x.source".as("source_a"), $"y.source".as("source_b"))
+    grid.join(dots, Seq("source_a", "source_b"), "left")
+      .join(broadcast(norms).withColumnRenamed("source", "source_a")
+        .withColumnRenamed("nrm", "nrm_a"), "source_a")
+      .join(broadcast(norms).withColumnRenamed("source", "source_b")
+        .withColumnRenamed("nrm", "nrm_b"), "source_b")
+      .select($"source_a", $"source_b",
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        round(coalesce($"dot", lit(0L)).cast("double")
+          / ($"nrm_a" * $"nrm_b"), 6).as("cosine"))
+      .orderBy($"cosine".desc, $"source_a", $"source_b")
+  }
+
+  val taSourceSimilaritySql: String =
+    """WITH ex AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT term FROM (
+      |    SELECT term, COUNT(*) AS freq FROM ex GROUP BY term
+      |    ORDER BY freq DESC, term ASC LIMIT 50)),
+      |st AS (
+      |  SELECT ex.source, ex.term, COUNT(*) AS c
+      |  FROM ex JOIN vocab USING (term)
+      |  GROUP BY 1, 2),
+      |norms AS (
+      |  SELECT source, SQRT(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+      |  FROM st GROUP BY source),
+      |dots AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    SUM(a.c * b.c) AS dot, COUNT(*) AS n_shared
+      |  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |srcs AS (SELECT DISTINCT source FROM st),
+      |grid AS (
+      |  SELECT x.source AS source_a, y.source AS source_b
+      |  FROM srcs x JOIN srcs y ON x.source < y.source)
+      |SELECT grid.source_a, grid.source_b,
+      |  CAST(COALESCE(d.n_shared, 0) AS BIGINT) AS n_shared,
+      |  ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE) / (na.nrm * nb.nrm), 6)
+      |    AS cosine
+      |FROM grid
+      |LEFT JOIN dots d
+      |  ON grid.source_a = d.source_a AND grid.source_b = d.source_b
+      |JOIN norms na ON grid.source_a = na.source
+      |JOIN norms nb ON grid.source_b = nb.source
+      |ORDER BY cosine DESC, 1, 2""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_source_similarity" -> (taSourceSimilarity _),
     "llm_ta_simpson" -> (taSimpson _),
     "llm_ta_source_keywords" -> (taSourceKeywords _),
     "llm_ta_vocab_growth" -> (taVocabGrowth _),
@@ -2443,6 +2526,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_source_similarity" -> taSourceSimilaritySql,
     "llm_ta_simpson" -> taSimpsonSql,
     "llm_ta_source_keywords" -> taSourceKeywordsSql,
     "llm_ta_vocab_growth" -> taVocabGrowthSql,

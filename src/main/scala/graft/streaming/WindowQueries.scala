@@ -1097,7 +1097,68 @@ object WindowQueries {
       |FROM i GROUP BY event_type, isl
       |ORDER BY event_type, start_us""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_concurrency: hourly concurrent-session load — how many sessions
+  // (and distinct users) are OPEN in each hour, computed by unrolling
+  // every session interval [start, end) onto the hours it overlaps.
+  // The capacity-planning twin of st_hourly_profile: arrivals say how
+  // much work enters; concurrency says how much state the system holds
+  // (the number that sizes a stateful streaming operator's memory).
+  // Session semantics are exactly st_session's (session_window, 30-min
+  // gap, end = last event + gap). Scale shape: session_window already
+  // collapses events to session grain in one user_id shuffle; the hour
+  // unroll is bounded per session (sessions are gap-capped) and the
+  // hour rollup is calendar-bounded. countDistinct(user) per hour is
+  // the one non-partial aggregate — its key domain is hours, bounded.
+  def stConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_micros($"w.start").as("s_us"), unix_micros($"w.end").as("e_us"))
+    sessions
+      .select($"user_id",
+        explode(sequence(floor($"s_us" / 3600000000L),
+          floor(($"e_us" - 1L) / 3600000000L))).as("hr"))
+      .groupBy($"hr")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct($"user_id").as("n_users"))
+      .select(($"hr" * 3600000000L).as("hr_start_us"),
+        $"n_sessions", $"n_users")
+      .orderBy($"hr_start_us")
+  }
+
+  val stConcurrencySql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |s AS (
+      |  SELECT *, SUM(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM o),
+      |iv AS (
+      |  SELECT user_id,
+      |    epoch_us(MIN(ts)) AS s_us,
+      |    epoch_us(MAX(ts)) + 1800000000 AS e_us
+      |  FROM s GROUP BY user_id, session_id),
+      |hrs AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(s_us // 3600000000,
+      |      (e_us - 1) // 3600000000)) AS hr
+      |  FROM iv)
+      |SELECT CAST(hr * 3600000000 AS BIGINT) AS hr_start_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM hrs GROUP BY hr ORDER BY hr_start_us""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_concurrency" -> (stConcurrency _),
     "st_burst_episodes" -> (stBurstEpisodes _),
     "st_value_percentiles" -> (stValuePercentiles _),
     "st_cusum_drift" -> (stCusumDrift _),
@@ -1122,6 +1183,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_concurrency" -> stConcurrencySql,
     "st_burst_episodes" -> stBurstEpisodesSql,
     "st_value_percentiles" -> stValuePercentilesSql,
     "st_cusum_drift" -> stCusumDriftSql,

@@ -89,6 +89,12 @@ class DegenerateInputSpec extends SparkSpec {
     assert(graft.llm.Models.ks(spark, emptyDir).collect().isEmpty)
     assert(graft.streaming.WindowQueries.stBurstEpisodes(spark, emptyDir)
       .collect().isEmpty)
+    assert(graft.streaming.WindowQueries.stConcurrency(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.llm.Multimodal.mmSceneSegments(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.llm.TextAnalysis.taSourceSimilarity(spark, emptyDir)
+      .collect().isEmpty)
     // wave-31: no days -> no cusum track; no payloads -> no size rows
     assert(graft.streaming.WindowQueries.stCusumDrift(spark, emptyDir)
       .collect().isEmpty)

@@ -1065,4 +1065,95 @@ class WaveTenSpec extends SparkSpec {
       }
     }
   }
+
+  test("source similarity matches a naive top-50-vocab cosine") {
+    val terms = graft.sources.Tables.documents(spark, sf0001)
+      .select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (r.getString(0), t)))
+    val vocab = terms.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(50).map(_._1).toSet
+    val st = terms.filter(t => vocab.contains(t._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bySrc = st.groupBy(_._1._1)
+      .map { case (s, m) => s -> m.map { case (((_, t)), c) => t -> c } }
+    val norms = bySrc.view.mapValues(m =>
+      math.sqrt(m.values.map(c => c * c).sum.toDouble)).toMap
+    val rows = graft.llm.TextAnalysis.taSourceSimilarity(spark, sf0001)
+      .collect()
+    val srcs = bySrc.keys.toSeq.sorted
+    assert(rows.length == srcs.size * (srcs.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val shared = bySrc(a).keySet.intersect(bySrc(b).keySet)
+      val dot = shared.toSeq.map(t => bySrc(a)(t) * bySrc(b)(t)).sum
+      assert(r.getAs[Long]("n_shared") == shared.size)
+      assert(r.getAs[Double]("cosine")
+        == r6(dot.toDouble / (norms(a) * norms(b))))
+      assert(r.getAs[Double]("cosine") >= 0.0 &&
+        r.getAs[Double]("cosine") <= 1.0 + 1e-9)
+    }
+  }
+
+  test("scene segments histogram matches a naive md5-hash recount") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = docs.map { case (id, nc) =>
+      val nf = math.min(nc / 10 + 1, 50L)
+      val fhs = (0L until nf).filter(_ % 5 == 0)
+        .map(i => h60(s"$id:$i"))
+      val cuts = fhs.sliding(2).count {
+        case Seq(a, b) => java.lang.Long.bitCount(a ^ b) > 34
+        case _ => false
+      }
+      (cuts + 1L, fhs.length.toLong)
+    }
+    val expected = naive.groupBy(_._1).map { case (k, xs) =>
+      k -> (xs.length.toLong,
+        xs.map(x => q12(x._2.toDouble)).sum.toDouble / xs.length) }
+    val rows = graft.llm.Multimodal.mmSceneSegments(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_videos")).sum == docs.length)
+    rows.foreach { r =>
+      val (nv, avg) = expected(r.getAs[Long]("n_scenes"))
+      assert(r.getAs[Long]("n_videos") == nv)
+      assert(r.getAs[Double]("avg_sampled_frames") == r6(avg))
+    }
+    assert(rows.length == expected.size)
+  }
+
+  test("hourly concurrency matches a naive session-interval unroll") {
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .select($"user_id", unix_micros($"ts").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val gap = 1800000000L
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val ts = xs.map(_._2).sorted
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (s, e) = (ts.head, ts.head)
+      ts.tail.foreach { t =>
+        if (t - e > gap) { buf += ((s, e + gap)); s = t; e = t }
+        else e = t
+      }
+      buf += ((s, e + gap))
+      buf.map { case (a, b) => (u, a, b) }
+    }
+    val perHour = sessions.flatMap { case (u, s, e) =>
+      (s / 3600000000L to (e - 1) / 3600000000L).map(hr => (hr, u)) }
+    val expected = perHour.groupBy(_._1).map { case (hr, xs) =>
+      hr -> (xs.length.toLong, xs.map(_._2).distinct.length.toLong) }
+    val rows = graft.streaming.WindowQueries.stConcurrency(spark, sf0001)
+      .collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (ns, nu) = expected(r.getAs[Long]("hr_start_us") / 3600000000L)
+      assert(r.getAs[Long]("n_sessions") == ns)
+      assert(r.getAs[Long]("n_users") == nu)
+    }
+  }
 }
