@@ -905,6 +905,75 @@ object Graph {
        |SELECT * FROM (SELECT * FROM au UNION ALL SELECT * FROM hu)
        |ORDER BY side, score DESC, entity_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_graph_rich_club: rich-club coefficient ladder — for each degree
+  // cutoff k (powers of two), the density φ(k) = E_k / (N_k·(N_k−1))
+  // among the N_k nodes of degree > k (E_k = ordered edges with BOTH
+  // endpoints above the cutoff). The "do the hubs talk to each other"
+  // audit that degree and assortativity only hint at: a rising φ(k)
+  // ladder means heavy sources/consumers form a core that any
+  // hub-capping or salting strategy must treat as one unit, a falling
+  // ladder means hubs are independent and cap per-hub. Scale shape:
+  // one edge pass attaches the dst degree (src degree already rides the
+  // session-cached artifact) and collapses to the min-degree histogram;
+  // nodes collapse to the degree histogram; the ladder is conditional
+  // sums of those two BOUNDED tables against 12 literal cutoffs.
+  // All-integer until the final φ division.
+  def richClub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edgesWithDeg(spark, dir)
+    val deg = e.select($"src".as("node"), $"outdeg").distinct()
+    // per-edge min(deg_src, deg_dst) → bounded histogram
+    val mhist = e.join(deg.select($"node".as("dst"),
+        $"outdeg".as("ddeg")), "dst")
+      .select(least($"outdeg", $"ddeg").as("m"))
+      .groupBy($"m").agg(count(lit(1)).as("n_edges"))
+    val dhist = deg.groupBy($"outdeg").agg(count(lit(1)).as("n_nodes"))
+    val ks = Seq.tabulate(12)(i => 1L << i).toDF("k")
+    val ek = ks.crossJoin(mhist).filter($"m" > $"k")
+      .groupBy($"k").agg(sum($"n_edges").as("e_k"))
+    val nk = ks.crossJoin(dhist).filter($"outdeg" > $"k")
+      .groupBy($"k").agg(sum($"n_nodes").as("n_k"))
+    nk.join(ek, Seq("k"), "left")
+      .filter($"n_k" >= 2)
+      .select($"k", $"n_k", coalesce($"e_k", lit(0L)).as("e_k"),
+        round(coalesce($"e_k", lit(0L)).cast("double")
+          / ($"n_k".cast("double") * ($"n_k" - 1L).cast("double")), 6)
+          .as("phi"))
+      .orderBy($"k")
+  }
+
+  val richClubSql: String =
+    s"""WITH pairs AS ($edgeSql),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |mh AS (
+       |  SELECT LEAST(ds.outdeg, dd.outdeg) AS m, COUNT(*) AS n_edges
+       |  FROM edges e
+       |  JOIN deg ds ON e.src = ds.node
+       |  JOIN deg dd ON e.dst = dd.node
+       |  GROUP BY 1),
+       |dh AS (SELECT outdeg, COUNT(*) AS n_nodes FROM deg GROUP BY 1),
+       |ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024,
+       |  2048]) AS k),
+       |nk AS (
+       |  SELECT ks.k, SUM(dh.n_nodes) AS n_k
+       |  FROM ks JOIN dh ON dh.outdeg > ks.k GROUP BY ks.k),
+       |ek AS (
+       |  SELECT ks.k, SUM(mh.n_edges) AS e_k
+       |  FROM ks JOIN mh ON mh.m > ks.k GROUP BY ks.k)
+       |SELECT CAST(nk.k AS BIGINT) AS k, CAST(nk.n_k AS BIGINT) AS n_k,
+       |  CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS e_k,
+       |  ROUND(CAST(COALESCE(ek.e_k, 0) AS DOUBLE)
+       |    / (CAST(nk.n_k AS DOUBLE) * CAST(nk.n_k - 1 AS DOUBLE)), 6)
+       |    AS phi
+       |FROM nk LEFT JOIN ek ON nk.k = ek.k
+       |WHERE nk.n_k >= 2
+       |ORDER BY k""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_graph_reciprocity" -> (reciprocity _),
     "llm_graph_link_pred" -> (linkPred _),
@@ -915,6 +984,7 @@ object Graph {
     "llm_graph_degree" -> (degree _),
     "llm_graph_triangles" -> (triangles _),
     "llm_graph_hits" -> (hits _),
+    "llm_graph_rich_club" -> (richClub _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -927,5 +997,6 @@ object Graph {
     "llm_graph_degree" -> degreeSql,
     "llm_graph_triangles" -> trianglesSql,
     "llm_graph_hits" -> hitsSql,
+    "llm_graph_rich_club" -> richClubSql,
   )
 }

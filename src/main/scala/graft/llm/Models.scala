@@ -525,9 +525,12 @@ object Models {
         "best_f1_threshold")
   }
 
-  val prSummarySql: String = {
+  /** Shared score-histogram + PR-block CTE chain (through the `a`
+    * aggregate) — spliced into both the prSummary and confusion
+    * oracles so the best-F1 threshold is derived identically. */
+  private def prChainSql: String = {
     val p = sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")
-    s"""WITH $logregChainSql,
+    s"""$logregChainSql,
        |sc AS (SELECT $p AS p, f.y AS y FROM f CROSS JOIN w3s w),
        |h AS (
        |  SELECT p, CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos,
@@ -558,7 +561,11 @@ object Models {
        |a AS (
        |  SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS ap,
        |    MAX(f1) AS bf, COUNT(*) AS ns
-       |  FROM e)
+       |  FROM e)""".stripMargin
+  }
+
+  val prSummarySql: String = {
+    s"""WITH $prChainSql
        |SELECT CAST(tt.np + tt.nn AS BIGINT) AS n, tt.np AS n_pos,
        |  tt.nn AS n_neg, CAST(a.ns AS BIGINT) AS n_scores,
        |  ROUND(a.ap, 6) AS pr_auc, ROUND(a.bf, 6) AS best_f1,
@@ -730,6 +737,86 @@ object Models {
        |FROM tt CROSS JOIN a""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_models_confusion: the confusion matrix AND derived operating
+  // metrics at the best-F1 gate (threshold from [[prSummary]], derived
+  // identically) — the numbers a deployed curation gate is actually
+  // monitored on: TP/FP/TN/FN, precision, recall, accuracy, and MCC
+  // (the single balanced scalar that stays honest under class skew).
+  // Closing the model-metrics loop: auc/pr/ks say the score CAN
+  // separate; this says what the CHOSEN gate does. Counting happens at
+  // the score-histogram grain (one conditional sum over the bounded
+  // table, never per row). MCC's denominator is left in identical
+  // √(product-of-doubles) form in both engines; a zero factor (a gate
+  // that predicts one class only) reports mcc = 0 by documented
+  // convention, never NaN.
+  def confusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.materialize(scoreHist(spark, dir))
+    val (np, nn) = histTotals(hist)
+    if (np == 0L || nn == 0L)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Long, Double, Long, Long, Long, Long, Double,
+          Double, Double, Double)])
+        .toDF("n", "n_pos", "threshold", "tp", "fp", "tn", "fn",
+          "precision", "recall", "accuracy", "mcc")
+    val blocks = prBlocksFrom(hist, np)
+    val bf = blocks.agg(max($"f1")).head().getDouble(0)
+    val thr = blocks.filter($"f1" === bf).agg(min($"p")).head().getDouble(0)
+    val m = hist.agg(
+      sum(when($"p" >= thr, $"pos").otherwise(0L)).as("tp"),
+      sum(when($"p" >= thr, $"neg").otherwise(0L)).as("fp")).head()
+    val (tp, fp) = (m.getAs[Long]("tp"), m.getAs[Long]("fp"))
+    val (fn, tn) = (np - tp, nn - fp)
+    val n = np + nn
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val denom = math.sqrt((tp + fp).toDouble * (tp + fn).toDouble
+      * (tn + fp).toDouble * (tn + fn).toDouble)
+    val mcc = if (denom == 0.0) 0.0
+      else (tp.toDouble * tn.toDouble - fp.toDouble * fn.toDouble) / denom
+    spark.createDataFrame(Seq((
+      n, np, r6(thr), tp, fp, tn, fn,
+      r6(if (tp + fp == 0L) 0.0 else tp.toDouble / (tp + fp).toDouble),
+      r6(tp.toDouble / np.toDouble),
+      r6((tp + tn).toDouble / n.toDouble), r6(mcc))))
+      .toDF("n", "n_pos", "threshold", "tp", "fp", "tn", "fn",
+        "precision", "recall", "accuracy", "mcc")
+  }
+
+  val confusionSql: String =
+    s"""WITH $prChainSql,
+       |th AS (SELECT MIN(e.p) AS thr FROM e CROSS JOIN a WHERE e.f1 = a.bf),
+       |cm AS (
+       |  SELECT
+       |    SUM(CASE WHEN h.p >= th.thr THEN h.pos ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN h.p >= th.thr THEN h.neg ELSE 0 END) AS fp,
+       |    ANY_VALUE(th.thr) AS thr
+       |  FROM h CROSS JOIN th),
+       |x AS (
+       |  SELECT tt.np + tt.nn AS n, tt.np AS np, cm.thr,
+       |    cm.tp AS tp, cm.fp AS fp,
+       |    tt.nn - cm.fp AS tn, tt.np - cm.tp AS fn
+       |  FROM cm CROSS JOIN tt)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+       |  ROUND(thr, 6) AS threshold,
+       |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+       |  ROUND(CASE WHEN tp + fp = 0 THEN 0.0
+       |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)
+       |    AS precision,
+       |  ROUND(CAST(tp AS DOUBLE) / CAST(np AS DOUBLE), 6) AS recall,
+       |  ROUND(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+       |  ROUND(CASE WHEN SQRT(CAST(tp + fp AS DOUBLE)
+       |      * CAST(tp + fn AS DOUBLE) * CAST(tn + fp AS DOUBLE)
+       |      * CAST(tn + fn AS DOUBLE)) = 0.0 THEN 0.0
+       |    ELSE (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+       |      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+       |      / SQRT(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+       |        * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) END, 6)
+       |    AS mcc
+       |FROM x""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_models_auc" -> (auc _),
     "llm_ta_ridge" -> (ridge _),
@@ -738,6 +825,7 @@ object Models {
     "llm_models_pr" -> (prSummary _),
     "llm_models_brier" -> (brier _),
     "llm_models_ks" -> (ks _),
+    "llm_models_confusion" -> (confusion _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -748,5 +836,6 @@ object Models {
     "llm_models_pr" -> prSummarySql,
     "llm_models_brier" -> brierSql,
     "llm_models_ks" -> ksSql,
+    "llm_models_confusion" -> confusionSql,
   )
 }

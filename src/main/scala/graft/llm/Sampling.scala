@@ -843,7 +843,99 @@ object Sampling {
        |  - FLOOR((cum - weight) / step + 0.5) > 0
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_sample_deff: stratification design effect — the variance of the
+  // quality score decomposed into within-source and between-source
+  // components (Var_total = Var_within + Var_between, the ANOVA
+  // identity), and DEFF = Var_within/Var_total: the factor by which
+  // proportionate stratified sampling shrinks the variance of an
+  // estimated corpus mean versus simple random sampling. THE "is
+  // stratifying by source worth it" number that Neyman allocation
+  // (llm_sample_neyman) presupposes — DEFF ≈ 1 says strata are
+  // homogeneous and SRS is fine; a low DEFF says source explains real
+  // variance and every quality estimate should stratify. Scale shape:
+  // ONE corpus scan collapses to per-source (n, Σy, Σy²) — three
+  // partial-aggregable DECIMAL sums — and all variance algebra runs on
+  // that source-bounded table. Determinism: moment forms are written
+  // identically in both engines (Syy/n − ȳ², never the centered pass),
+  // with per-source double terms DECIMAL-cast before the cross-source
+  // sum.
+  def sampleDeff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    val q = TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality")
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+      .join(q, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("ns"), dsum($"quality").as("sy"),
+        dsum($"quality" * $"quality").as("syy"))
+    val g = src.agg(sum($"ns").as("n"),
+      dsum($"sy").as("gy"), dsum($"syy").as("gyy")).head()
+    val n = g.getAs[Long]("n")
+    if (n == 0L)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Long, Double, Double, Double, Double, Double)])
+        .toDF("n", "n_sources", "var_total", "var_within", "var_between",
+          "deff", "pct_explained")
+    val ybar = g.getAs[Double]("gy") / n.toDouble
+    val varTotal = g.getAs[Double]("gyy") / n.toDouble - ybar * ybar
+    val t = src.agg(
+      (sum(($"syy" - $"sy" * $"sy" / $"ns".cast("double"))
+        .cast("decimal(28,12)")).cast("double") / n.toDouble).as("vw"),
+      (sum(($"ns".cast("double")
+        * ($"sy" / $"ns".cast("double") - ybar)
+        * ($"sy" / $"ns".cast("double") - ybar))
+        .cast("decimal(28,12)")).cast("double") / n.toDouble).as("vb"),
+      count(lit(1)).as("n_sources")).head()
+    val (vw, vb) = (t.getAs[Double]("vw"), t.getAs[Double]("vb"))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.createDataFrame(Seq((
+      n, t.getAs[Long]("n_sources"), r6(varTotal), r6(vw), r6(vb),
+      r6(if (varTotal == 0.0) 1.0 else vw / varTotal),
+      r6(if (varTotal == 0.0) 0.0 else vb / varTotal))))
+      .toDF("n", "n_sources", "var_total", "var_within", "var_between",
+        "deff", "pct_explained")
+  }
+
+  val sampleDeffSql: String = {
+    def d12(e: String) =
+      s"CAST(SUM(CAST(($e) AS DECIMAL(28,12))) AS DOUBLE)"
+    s"""WITH q AS (${TextAnalysis.taQualitySql}),
+       |src AS (
+       |  SELECT d.source, COUNT(*) AS ns,
+       |    ${d12("q.quality")} AS sy,
+       |    ${d12("q.quality * q.quality")} AS syy
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+       |  GROUP BY d.source),
+       |g AS (
+       |  SELECT CAST(SUM(ns) AS BIGINT) AS n,
+       |    ${d12("sy")} AS gy, ${d12("syy")} AS gyy,
+       |    COUNT(*) AS n_sources
+       |  FROM src),
+       |m AS (
+       |  SELECT g.n, g.n_sources,
+       |    g.gy / g.n AS ybar,
+       |    g.gyy / g.n - (g.gy / g.n) * (g.gy / g.n) AS var_total,
+       |    ${d12("src.syy - src.sy * src.sy / CAST(src.ns AS DOUBLE)")}
+       |      / ANY_VALUE(g.n) AS vw,
+       |    ${d12("CAST(src.ns AS DOUBLE) * (src.sy / CAST(src.ns AS DOUBLE) - g.gy / g.n) * (src.sy / CAST(src.ns AS DOUBLE) - g.gy / g.n)")}
+       |      / ANY_VALUE(g.n) AS vb
+       |  FROM src CROSS JOIN g
+       |  GROUP BY g.n, g.n_sources, g.gy, g.gyy)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(n_sources AS BIGINT) AS n_sources,
+       |  ROUND(var_total, 6) AS var_total,
+       |  ROUND(vw, 6) AS var_within, ROUND(vb, 6) AS var_between,
+       |  ROUND(CASE WHEN var_total = 0.0 THEN 1.0
+       |    ELSE vw / var_total END, 6) AS deff,
+       |  ROUND(CASE WHEN var_total = 0.0 THEN 0.0
+       |    ELSE vb / var_total END, 6) AS pct_explained
+       |FROM m""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_deff" -> (sampleDeff _),
     "llm_sample_pps" -> (samplePps _),
     "llm_sample_ess" -> (sampleEss _),
     "llm_sample_clip_sweep" -> (sampleClipSweep _),
@@ -862,6 +954,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_deff" -> sampleDeffSql,
     "llm_sample_pps" -> samplePpsSql,
     "llm_sample_ess" -> sampleEssSql,
     "llm_sample_clip_sweep" -> sampleClipSweepSql,

@@ -95,6 +95,8 @@ class DegenerateInputSpec extends SparkSpec {
       .collect().isEmpty)
     assert(graft.llm.TextAnalysis.taSourceSimilarity(spark, emptyDir)
       .collect().isEmpty)
+    assert(graft.llm.Models.confusion(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Sampling.sampleDeff(spark, emptyDir).collect().isEmpty)
     // wave-31: no days -> no cusum track; no payloads -> no size rows
     assert(graft.streaming.WindowQueries.stCusumDrift(spark, emptyDir)
       .collect().isEmpty)

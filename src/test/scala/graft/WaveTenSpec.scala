@@ -1156,4 +1156,94 @@ class WaveTenSpec extends SparkSpec {
       assert(r.getAs[Long]("n_users") == nu)
     }
   }
+
+  test("rich club ladder matches a naive degree-cutoff recount") {
+    val pairs = graft.sources.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.sources.Tables.lineitem(spark, sf0001)
+        .select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val rows = graft.llm.Graph.richClub(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var prevN = Long.MaxValue
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val nK = deg.count(_._2 > k).toLong
+      val eK = edges.count { case (a, b) => deg(a) > k && deg(b) > k }.toLong
+      assert(r.getAs[Long]("n_k") == nK, s"k=$k n_k")
+      assert(r.getAs[Long]("e_k") == eK, s"k=$k e_k")
+      assert(r.getAs[Double]("phi")
+        == r6(eK.toDouble / (nK.toDouble * (nK - 1).toDouble)))
+      assert(nK <= prevN, "N_k must be non-increasing in k"); prevN = nK
+    }
+    // every ladder rung with at least 2 qualifying nodes is present
+    assert(rows.length ==
+      (0 until 12).map(1L << _).count(k => deg.count(_._2 > k) >= 2))
+  }
+
+  test("confusion matrix at the best-F1 gate closes its identities") {
+    val row = graft.llm.Models.confusion(spark, sf0001).collect().head
+    val (tp, fp) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"))
+    val (tn, fn) = (row.getAs[Long]("tn"), row.getAs[Long]("fn"))
+    val np = row.getAs[Long]("n_pos")
+    assert(tp + fn == np)
+    assert(tp + fp + tn + fn == row.getAs[Long]("n"))
+    // the gate really is the best-F1 operating point from prSummary
+    val pr = graft.llm.Models.prSummary(spark, sf0001).collect().head
+    assert(row.getAs[Double]("threshold")
+      == pr.getAs[Double]("best_f1_threshold"))
+    val f1FromCounts = 2.0 * tp.toDouble / (np.toDouble + (tp + fp).toDouble)
+    assert(r6(f1FromCounts) == pr.getAs[Double]("best_f1"),
+      s"gate F1 ${r6(f1FromCounts)} != declared ${pr.getAs[Double]("best_f1")}")
+    // naive recount at the EXACT (unrounded) best-F1 gate, re-derived
+    // from the scored corpus the same way the PR test does
+    val np2 = scoredFixture.count(_._2 == 1.0).toDouble
+    val blocks = scoredFixture.groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (p, xs) => (p, xs.length.toLong) }
+    var cumAll = 0L
+    var cumPos = 0L
+    var bestF1 = 0.0
+    var bestThr = Double.MaxValue
+    scoredFixture.groupBy(_._1).toSeq.sortBy(-_._1).foreach { case (p, xs) =>
+      cumPos += xs.count(_._2 == 1.0); cumAll += xs.length
+      val f1 = 2.0 * cumPos.toDouble / (np2 + cumAll.toDouble)
+      if (f1 > bestF1) { bestF1 = f1; bestThr = p }
+      else if (f1 == bestF1 && p < bestThr) bestThr = p
+    }
+    assert(tp == scoredFixture.count { case (p, y) =>
+      y == 1.0 && p >= bestThr })
+    assert(fp == scoredFixture.count { case (p, y) =>
+      y == 0.0 && p >= bestThr })
+    assert(row.getAs[Double]("mcc") >= -1.0 &&
+      row.getAs[Double]("mcc") <= 1.0)
+    assert(blocks.map(_._2).sum == scoredFixture.length)
+  }
+
+  test("deff decomposition closes the ANOVA identity") {
+    val row = graft.llm.Sampling.sampleDeff(spark, sf0001).collect().head
+    val (vt, vw, vb) = (row.getAs[Double]("var_total"),
+      row.getAs[Double]("var_within"), row.getAs[Double]("var_between"))
+    assert(math.abs(vt - (vw + vb)) < 5e-6,
+      s"ANOVA identity broken: $vt != $vw + $vb")
+    assert(vw >= 0.0 && vb >= 0.0)
+    assert(math.abs(row.getAs[Double]("deff")
+      + row.getAs[Double]("pct_explained") - 1.0) < 5e-6)
+    // naive recomputation from the collected (source, quality) rows
+    val sq = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source")
+      .join(graft.llm.TextAnalysis.taQuality(spark, sf0001)
+        .select($"doc_id", $"quality"), "doc_id")
+      .select($"source", $"quality").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val n = sq.length.toDouble
+    val ybar = sq.map(x => q12(x._2)).sum.toDouble / n
+    val vtN = sq.map(x => q12(x._2 * x._2)).sum.toDouble / n - ybar * ybar
+    assert(vt == r6(vtN), s"var_total $vt != naive ${r6(vtN)}")
+    assert(row.getAs[Long]("n") == sq.length)
+    assert(row.getAs[Long]("n_sources") == sq.map(_._1).distinct.length)
+  }
 }
