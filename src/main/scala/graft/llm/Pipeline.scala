@@ -1746,7 +1746,71 @@ object Pipeline {
        |FROM per CROSS JOIN t GROUP BY 1, n_cl, n_dc
        |ORDER BY spread_bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_pipeline_ivm_cost: incremental-view-maintenance cost audit of a
+  // daily event rollup — per ingest day, the rows an INCREMENTAL
+  // refresh touches (that day's delta) versus a FULL recompute
+  // (everything so far), plus the running distinct-user state the
+  // incremental operator must hold. The "should this daily table be a
+  // materialized view or a recompute" decision at 100 TB: inc_share
+  // near 0 means recomputing burns the cluster on unchanged history;
+  // state growth says how much memory the incremental path trades for
+  // it. Scale shape: one event scan collapses to day grain; distinct
+  // users collapse to (user, first_day) in ONE user-keyed shuffle and
+  // then to a day histogram; the cumulative windows run on the
+  // calendar-bounded day table. All counts integer.
+  def ivmCost(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(floor(unix_micros($"ts") / lit(86400000000L)).as("d"),
+        $"user_id")
+    val daily = ev.groupBy($"d").agg(count(lit(1)).as("n_delta"))
+    val firstSeen = ev.groupBy($"user_id").agg(min($"d").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("n_new_users"))
+    val w = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstSeen, Seq("d"), "left")
+      .select($"d", $"n_delta",
+        coalesce($"n_new_users", lit(0L)).as("n_new_users"))
+      .withColumn("n_full_cum", sum($"n_delta").over(w))
+      .withColumn("n_state_users", sum($"n_new_users").over(w))
+      .select(($"d" * 86400000000L).as("day_start_us"), $"n_delta",
+        $"n_full_cum", $"n_state_users",
+        round($"n_delta".cast("double") / $"n_full_cum".cast("double"), 6)
+          .as("inc_share"))
+      .orderBy($"day_start_us")
+  }
+
+  val ivmCostSql: String =
+    """WITH ev AS (
+      |  SELECT FLOOR(epoch_us(ts) / 86400000000) AS d, user_id FROM events),
+      |daily AS (SELECT d, COUNT(*) AS n_delta FROM ev GROUP BY d),
+      |fs AS (
+      |  SELECT d, COUNT(*) AS n_new_users FROM (
+      |    SELECT user_id, MIN(d) AS d FROM ev GROUP BY user_id)
+      |  GROUP BY d),
+      |j AS (
+      |  SELECT daily.d, daily.n_delta,
+      |    COALESCE(fs.n_new_users, 0) AS n_new_users
+      |  FROM daily LEFT JOIN fs ON daily.d = fs.d),
+      |c AS (
+      |  SELECT d, n_delta,
+      |    SUM(n_delta) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_full_cum,
+      |    SUM(n_new_users) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_state_users
+      |  FROM j)
+      |SELECT CAST(d * 86400000000 AS BIGINT) AS day_start_us,
+      |  CAST(n_delta AS BIGINT) AS n_delta,
+      |  CAST(n_full_cum AS BIGINT) AS n_full_cum,
+      |  CAST(n_state_users AS BIGINT) AS n_state_users,
+      |  ROUND(CAST(n_delta AS DOUBLE) / CAST(n_full_cum AS DOUBLE), 6)
+      |    AS inc_share
+      |FROM c ORDER BY day_start_us""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_ivm_cost" -> (ivmCost _),
     "llm_pipeline_shard_affinity" -> (shardAffinity _),
     "llm_pipeline_quota_fill" -> (quotaFill _),
     "llm_pipeline_retention" -> (retention _),
@@ -1779,6 +1843,7 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_pipeline_ivm_cost" -> ivmCostSql,
     "llm_pipeline_shard_affinity" -> shardAffinitySql,
     "llm_pipeline_quota_fill" -> quotaFillSql,
     "llm_pipeline_retention" -> retentionSql,

@@ -934,7 +934,124 @@ object Sampling {
        |FROM m""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_sample_alloc_variance: estimator variance of the corpus quality
+  // mean under four sampling designs at the same budget n₀ = ⌊N/10⌋ —
+  // SRS, and stratified-by-source with proportional / Neyman / equal
+  // allocation. The design-choice companion to [[sampleDeff]] (DEFF
+  // says WHETHER to stratify; this prices HOW to allocate):
+  //   Var(ȳ̂) = Σ_s W_s²·σ_s²/n_s   (infinite-stratum form, no FPC —
+  // documented idealization so allocations stay closed-form; equal
+  // allocation may nominally exceed a small stratum, which the FPC-free
+  // form prices smoothly instead of clamping non-deterministically).
+  // Scale shape: the same ONE corpus scan → per-source (n, Σy, Σy²)
+  // collapse as deff; every design is arithmetic on that bounded
+  // table. Determinism: σ_s = IEEE sqrt of moment-form rationals;
+  // per-source variance terms DECIMAL-cast before the cross-source sum;
+  // n₀ and allocations kept as exact doubles of integer-derived values.
+  def sampleAllocVariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    val q = TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality")
+    val src = Tables.materialize(
+      Tables.documents(spark, dir).select($"doc_id", $"source")
+        .join(q, "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("ns"), dsum($"quality").as("sy"),
+          dsum($"quality" * $"quality").as("syy")))
+    val g = src.agg(sum($"ns").as("n"), dsum($"sy").as("gy"),
+      dsum($"syy").as("gyy"), count(lit(1)).as("k")).head()
+    val n = g.getAs[Long]("n")
+    if (n < 10L)
+      return spark.createDataFrame(Seq.empty[(String, Long, Double, Double)])
+        .toDF("scheme", "n_budget", "var_mean", "rel_efficiency")
+    val k = g.getAs[Long]("k")
+    val n0 = n / 10L
+    val ybar = g.getAs[Double]("gy") / n.toDouble
+    val varTotal = g.getAs[Double]("gyy") / n.toDouble - ybar * ybar
+    // per-source variance and sd (moment form, same text both engines)
+    val terms = src.select($"ns",
+      ($"syy" / $"ns".cast("double")
+        - ($"sy" / $"ns".cast("double")) * ($"sy" / $"ns".cast("double")))
+        .as("vs"))
+      .select($"ns", $"vs", sqrt($"vs").as("sds"))
+    val t = terms.agg(
+      // proportional: Σ W_s²σ_s²/(n0·W_s) = Σ W_s·σ_s²/n0
+      dsum($"ns".cast("double") / n.toDouble * $"vs").as("propTerm"),
+      // Neyman: (Σ W_s·σ_s)²/n0
+      dsum($"ns".cast("double") / n.toDouble * $"sds").as("neyTerm"),
+      // equal: Σ W_s²·σ_s²/(n0/K)
+      dsum(($"ns".cast("double") / n.toDouble)
+        * ($"ns".cast("double") / n.toDouble) * $"vs").as("eqTerm")).head()
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vSrs = varTotal / n0.toDouble
+    val vProp = t.getAs[Double]("propTerm") / n0.toDouble
+    val ney = t.getAs[Double]("neyTerm")
+    val vNey = ney * ney / n0.toDouble
+    val vEq = t.getAs[Double]("eqTerm") * k.toDouble / n0.toDouble
+    spark.createDataFrame(Seq(
+      ("equal", n0, r9(vEq), r6(vSrs / vEq)),
+      ("neyman", n0, r9(vNey), r6(vSrs / vNey)),
+      ("proportional", n0, r9(vProp), r6(vSrs / vProp)),
+      ("srs", n0, r9(vSrs), r6(1.0))))
+      .toDF("scheme", "n_budget", "var_mean", "rel_efficiency")
+  }
+
+  val sampleAllocVarianceSql: String = {
+    def d12(e: String) =
+      s"CAST(SUM(CAST(($e) AS DECIMAL(28,12))) AS DOUBLE)"
+    s"""WITH q AS (${TextAnalysis.taQualitySql}),
+       |src AS (
+       |  SELECT d.source, COUNT(*) AS ns,
+       |    ${d12("q.quality")} AS sy,
+       |    ${d12("q.quality * q.quality")} AS syy
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+       |  GROUP BY d.source),
+       |g AS (
+       |  SELECT CAST(SUM(ns) AS BIGINT) AS n,
+       |    ${d12("sy")} AS gy, ${d12("syy")} AS gyy, COUNT(*) AS k
+       |  FROM src),
+       |terms AS (
+       |  SELECT src.ns, g.n, g.k, g.gy, g.gyy,
+       |    src.syy / CAST(src.ns AS DOUBLE)
+       |      - (src.sy / CAST(src.ns AS DOUBLE))
+       |        * (src.sy / CAST(src.ns AS DOUBLE)) AS vs
+       |  FROM src CROSS JOIN g),
+       |t AS (
+       |  SELECT ANY_VALUE(n) AS n, ANY_VALUE(k) AS k,
+       |    ANY_VALUE(gyy / n - (gy / n) * (gy / n)) AS var_total,
+       |    ${d12("CAST(ns AS DOUBLE) / CAST(n AS DOUBLE) * vs")} AS propTerm,
+       |    ${d12("CAST(ns AS DOUBLE) / CAST(n AS DOUBLE) * SQRT(vs)")} AS neyTerm,
+       |    ${d12("(CAST(ns AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(ns AS DOUBLE) / CAST(n AS DOUBLE)) * vs")} AS eqTerm
+       |  FROM terms),
+       |v AS (
+       |  SELECT n // 10 AS n0,
+       |    var_total / CAST(n // 10 AS DOUBLE) AS vsrs,
+       |    propTerm / CAST(n // 10 AS DOUBLE) AS vprop,
+       |    neyTerm * neyTerm / CAST(n // 10 AS DOUBLE) AS vney,
+       |    eqTerm * CAST(k AS DOUBLE) / CAST(n // 10 AS DOUBLE) AS veq
+       |  FROM t)
+       |SELECT scheme, CAST(n0 AS BIGINT) AS n_budget,
+       |  ROUND(var_mean, 9) AS var_mean,
+       |  ROUND(rel_efficiency, 6) AS rel_efficiency
+       |FROM (
+       |  SELECT 'equal' AS scheme, n0, veq AS var_mean,
+       |    vsrs / veq AS rel_efficiency FROM v
+       |  UNION ALL
+       |  SELECT 'neyman', n0, vney, vsrs / vney FROM v
+       |  UNION ALL
+       |  SELECT 'proportional', n0, vprop, vsrs / vprop FROM v
+       |  UNION ALL
+       |  SELECT 'srs', n0, vsrs, CAST(1.0 AS DOUBLE) FROM v)
+       |ORDER BY scheme""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_alloc_variance" -> (sampleAllocVariance _),
     "llm_sample_deff" -> (sampleDeff _),
     "llm_sample_pps" -> (samplePps _),
     "llm_sample_ess" -> (sampleEss _),
@@ -954,6 +1071,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_alloc_variance" -> sampleAllocVarianceSql,
     "llm_sample_deff" -> sampleDeffSql,
     "llm_sample_pps" -> samplePpsSql,
     "llm_sample_ess" -> sampleEssSql,

@@ -1157,7 +1157,88 @@ object WindowQueries {
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM hrs GROUP BY hr ORDER BY hr_start_us""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_session_type_lift: within-session co-occurrence lift of event
+  // type pairs — lift(a,b) = N·n_ab / (n_a·n_b) at SESSION grain
+  // (session_window semantics, 30-min gap): which behaviors travel
+  // together inside one visit, beyond what their individual session
+  // penetration predicts. The product-analytics association rule one
+  // level above q44's raw transition counts (transitions see order,
+  // lift sees the basket). Kept as the RATIO rather than its log (PMI)
+  // — the rational form is bit-identical across engines where libm
+  // log2 is not (the collocations precedent). Scale shape: one
+  // session_window shuffle collapses to distinct (session, type) —
+  // ≤ types-per-session rows each — and the pair self-join explodes at
+  // most C(5,2) rows per session; totals are type-grain broadcasts.
+  def stSessionTypeLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // session boundaries must be PER USER (keying session_window by
+    // event_type too would give each type its own session grid);
+    // the type set rides the session row and explodes after
+    val st = Tables.materialize(Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(collect_set($"event_type").as("types"))
+      .select($"user_id", unix_micros($"w.start").as("s_us"),
+        explode($"types").as("event_type")))
+    val nSessions = st.select($"user_id", $"s_us").distinct().count()
+    val perType = st.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sess"))
+    val pairs = st.as("a").join(st.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.s_us" === $"b.s_us"
+          && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select($"event_type".as("type_a"),
+        $"n_sess".as("n_a"))), "type_a")
+      .join(broadcast(perType.select($"event_type".as("type_b"),
+        $"n_sess".as("n_b"))), "type_b")
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both",
+        round(lit(nSessions).cast("double") * $"n_both".cast("double")
+          / ($"n_a".cast("double") * $"n_b".cast("double")), 6).as("lift"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val stSessionTypeLiftSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |s AS (
+      |  SELECT *, SUM(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM o),
+      |st AS (
+      |  SELECT DISTINCT user_id, session_id, event_type FROM s),
+      |tot AS (
+      |  SELECT COUNT(*) AS n_sessions FROM
+      |    (SELECT DISTINCT user_id, session_id FROM st)),
+      |pt AS (SELECT event_type, COUNT(*) AS n_sess FROM st GROUP BY 1),
+      |pr AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_both
+      |  FROM st a JOIN st b
+      |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT pr.type_a, pr.type_b,
+      |  CAST(pa.n_sess AS BIGINT) AS n_a, CAST(pb.n_sess AS BIGINT) AS n_b,
+      |  CAST(pr.n_both AS BIGINT) AS n_both,
+      |  ROUND(CAST(tot.n_sessions AS DOUBLE) * CAST(pr.n_both AS DOUBLE)
+      |    / (CAST(pa.n_sess AS DOUBLE) * CAST(pb.n_sess AS DOUBLE)), 6)
+      |    AS lift
+      |FROM pr
+      |JOIN pt pa ON pr.type_a = pa.event_type
+      |JOIN pt pb ON pr.type_b = pb.event_type
+      |CROSS JOIN tot
+      |ORDER BY type_a, type_b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_session_type_lift" -> (stSessionTypeLift _),
     "st_concurrency" -> (stConcurrency _),
     "st_burst_episodes" -> (stBurstEpisodes _),
     "st_value_percentiles" -> (stValuePercentiles _),
@@ -1183,6 +1264,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_session_type_lift" -> stSessionTypeLiftSql,
     "st_concurrency" -> stConcurrencySql,
     "st_burst_episodes" -> stBurstEpisodesSql,
     "st_value_percentiles" -> stValuePercentilesSql,

@@ -97,6 +97,11 @@ class DegenerateInputSpec extends SparkSpec {
       .collect().isEmpty)
     assert(graft.llm.Models.confusion(spark, emptyDir).collect().isEmpty)
     assert(graft.llm.Sampling.sampleDeff(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Sampling.sampleAllocVariance(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.llm.Pipeline.ivmCost(spark, emptyDir).collect().isEmpty)
+    assert(graft.streaming.WindowQueries.stSessionTypeLift(spark, emptyDir)
+      .collect().isEmpty)
     // wave-31: no days -> no cusum track; no payloads -> no size rows
     assert(graft.streaming.WindowQueries.stCusumDrift(spark, emptyDir)
       .collect().isEmpty)

@@ -1246,4 +1246,100 @@ class WaveTenSpec extends SparkSpec {
     assert(row.getAs[Long]("n") == sq.length)
     assert(row.getAs[Long]("n_sources") == sq.map(_._1).distinct.length)
   }
+
+  test("allocation variances obey Neyman optimality and match naive") {
+    val rows = graft.llm.Sampling.sampleAllocVariance(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_budget"), r.getAs[Double]("var_mean"),
+          r.getAs[Double]("rel_efficiency"))).toMap
+    assert(rows.keySet == Set("equal", "neyman", "proportional", "srs"))
+    val (n0, vNey, _) = rows("neyman")
+    val (_, vProp, _) = rows("proportional")
+    val (_, vSrs, effSrs) = rows("srs")
+    // Neyman is the variance-optimal allocation (Cauchy–Schwarz)
+    assert(vNey <= vProp + 1e-12)
+    // stratification never hurts vs SRS under proportional allocation
+    assert(vProp <= vSrs + 1e-12)
+    assert(effSrs == 1.0)
+    // naive recomputation of the proportional variance
+    val sq = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source")
+      .join(graft.llm.TextAnalysis.taQuality(spark, sf0001)
+        .select($"doc_id", $"quality"), "doc_id")
+      .select($"source", $"quality").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val n = sq.length.toLong
+    assert(n0 == n / 10L)
+    val byS = sq.groupBy(_._1)
+    val propNaive = byS.values.map { xs =>
+      val ns = xs.length.toDouble
+      val sy = xs.map(x => q12(x._2)).sum.toDouble
+      val syy = xs.map(x => q12(x._2 * x._2)).sum.toDouble
+      q12(ns / n.toDouble * (syy / ns - (sy / ns) * (sy / ns)))
+    }.sum.toDouble / (n / 10L).toDouble
+    assert(vProp == BigDecimal(propNaive)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ivm cost cumulatives close against corpus totals") {
+    val cost = graft.llm.Pipeline.ivmCost(spark, sf0001).collect()
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .select(floor(unix_micros($"ts") / lit(86400000000L)).as("d"),
+        $"user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cost.map(_.getAs[Long]("n_delta")).sum == evs.length)
+    assert(cost.last.getAs[Long]("n_full_cum") == evs.length)
+    assert(cost.last.getAs[Long]("n_state_users")
+      == evs.map(_._2).distinct.length)
+    // per-day recount + running identities
+    val byDay = evs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val firstSeen = evs.groupBy(_._2).view.mapValues(_.map(_._1).min)
+      .toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    var (cum, users) = (0L, 0L)
+    cost.foreach { r =>
+      val d = r.getAs[Long]("day_start_us") / 86400000000L
+      assert(r.getAs[Long]("n_delta") == byDay(d))
+      cum += byDay(d); users += firstSeen.getOrElse(d, 0L)
+      assert(r.getAs[Long]("n_full_cum") == cum)
+      assert(r.getAs[Long]("n_state_users") == users)
+      val share = r.getAs[Double]("inc_share")
+      assert(share > 0.0 && share <= 1.0)
+    }
+  }
+
+  test("session type lift matches a naive per-user session basket") {
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val gap = 1800000000L
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val sorted = xs.sortBy(_._2)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.Set[String]]
+      var lastTs = Long.MinValue
+      sorted.foreach { case (_, t, ty) =>
+        if (buf.isEmpty || t - lastTs > gap)
+          buf += scala.collection.mutable.Set(ty)
+        else buf.last += ty
+        lastTs = t
+      }
+      buf.map(_.toSet)
+    }
+    val nSess = sessions.length.toDouble
+    val perType = sessions.flatMap(_.toSeq).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val perPair = sessions.flatMap(s =>
+      s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = graft.streaming.WindowQueries
+      .stSessionTypeLift(spark, sf0001).collect()
+    assert(rows.length == perPair.size)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n_both") == perPair(key))
+      assert(r.getAs[Long]("n_a") == perType(key._1))
+      assert(r.getAs[Long]("n_b") == perType(key._2))
+      assert(r.getAs[Double]("lift") == r6(nSess * perPair(key).toDouble
+        / (perType(key._1).toDouble * perType(key._2).toDouble)))
+    }
+  }
 }
