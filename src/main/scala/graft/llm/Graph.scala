@@ -974,6 +974,83 @@ object Graph {
        |WHERE nk.n_k >= 2
        |ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_graph_modularity: Newman modularity of the NATION partition of
+  // the interaction graph — per community c, the internal-edge share
+  // e_cc/m and expected share (a_c/m)², whose difference sums to Q.
+  // The "is this grouping real structure" check for any
+  // partition-by-metadata strategy (sharding by geography, capping by
+  // tenant): Q near 0 says the metadata partition doesn't align with
+  // the interaction structure and co-locating by it buys nothing; a
+  // large positive Q says partition-local processing will keep most
+  // edges internal. Scale shape: the node→nation map joins onto the
+  // edge list twice (at 100 TB, broadcast the dimension); everything
+  // then collapses to the nation-bounded community table. All-integer
+  // counts; the two shares divide exact integers.
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nat = Tables.customer(spark, dir)
+      .select(($"c_custkey" * 2).as("node"), $"c_nationkey".as("nation"))
+      .unionAll(Tables.supplier(spark, dir)
+        .select(($"s_suppkey" * 2 + 1).as("node"), $"s_nationkey".as("nation")))
+    val e = edgesWithDeg(spark, dir)
+      .join(broadcast(nat).withColumnRenamed("node", "src")
+        .withColumnRenamed("nation", "src_nation"), "src")
+      .join(broadcast(nat).withColumnRenamed("node", "dst")
+        .withColumnRenamed("nation", "dst_nation"), "dst")
+    val eMat = Tables.materialize(e.select($"src_nation", $"dst_nation"))
+    val m = eMat.count() // directed edge count (symmetric graph)
+    val internal = eMat.filter($"src_nation" === $"dst_nation")
+      .groupBy($"src_nation".as("nation"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val degSum = eMat.groupBy($"src_nation".as("nation"))
+      .agg(count(lit(1)).as("degree_sum"))
+    degSum.join(internal, Seq("nation"), "left")
+      .select($"nation",
+        coalesce($"internal_edges", lit(0L)).as("internal_edges"),
+        $"degree_sum",
+        round(coalesce($"internal_edges", lit(0L)).cast("double")
+          / m.toDouble
+          - ($"degree_sum".cast("double") / m.toDouble)
+            * ($"degree_sum".cast("double") / m.toDouble), 6)
+          .as("contribution"))
+      .orderBy($"nation")
+  }
+
+  val modularitySql: String =
+    s"""WITH pairs AS ($edgeSql),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs),
+       |nat AS (
+       |  SELECT c_custkey * 2 AS node, c_nationkey AS nation FROM customer
+       |  UNION ALL
+       |  SELECT s_suppkey * 2 + 1 AS node, s_nationkey AS nation
+       |  FROM supplier),
+       |en AS (
+       |  SELECT ns.nation AS src_nation, nd.nation AS dst_nation
+       |  FROM edges e
+       |  JOIN nat ns ON e.src = ns.node
+       |  JOIN nat nd ON e.dst = nd.node),
+       |m AS (SELECT COUNT(*) AS m FROM en),
+       |i AS (
+       |  SELECT src_nation AS nation, COUNT(*) AS internal_edges
+       |  FROM en WHERE src_nation = dst_nation GROUP BY 1),
+       |ds AS (
+       |  SELECT src_nation AS nation, COUNT(*) AS degree_sum
+       |  FROM en GROUP BY 1)
+       |SELECT ds.nation,
+       |  CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+       |  CAST(ds.degree_sum AS BIGINT) AS degree_sum,
+       |  ROUND(CAST(COALESCE(i.internal_edges, 0) AS DOUBLE)
+       |      / CAST(m.m AS DOUBLE)
+       |    - (CAST(ds.degree_sum AS DOUBLE) / CAST(m.m AS DOUBLE))
+       |      * (CAST(ds.degree_sum AS DOUBLE) / CAST(m.m AS DOUBLE)), 6)
+       |    AS contribution
+       |FROM ds LEFT JOIN i ON ds.nation = i.nation CROSS JOIN m
+       |ORDER BY 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_graph_reciprocity" -> (reciprocity _),
     "llm_graph_link_pred" -> (linkPred _),
@@ -985,6 +1062,7 @@ object Graph {
     "llm_graph_triangles" -> (triangles _),
     "llm_graph_hits" -> (hits _),
     "llm_graph_rich_club" -> (richClub _),
+    "llm_graph_modularity" -> (modularity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -998,5 +1076,6 @@ object Graph {
     "llm_graph_triangles" -> trianglesSql,
     "llm_graph_hits" -> hitsSql,
     "llm_graph_rich_club" -> richClubSql,
+    "llm_graph_modularity" -> modularitySql,
   )
 }

@@ -171,6 +171,25 @@ object Models {
   /** The trained (features, w1, w2, b) tuple — shared by [[logreg]]
     * (model card) and [[calibration]] (reliability curve) so both
     * score with the SAME fit. */
+  /** Run the 3-step full-batch fit over an arbitrary (x1, x2, y)
+    * training table — the arithmetic of [[logregFit]], extracted so
+    * [[learningCurve]] can fit on hash-selected subsets. */
+  private def fitOn(f: DataFrame): (Double, Double, Double) = {
+    val n = f.count().toDouble
+    var (w1, w2, b) = (0.0, 0.0, 0.0)
+    for (_ <- 1 to LrSteps) {
+      val z = lit(b) + lit(w1) * col("x1") + lit(w2) * col("x2")
+      val g = f.agg(
+        dsum12((sig(z) - col("y")) * col("x1")).as("g1"),
+        dsum12((sig(z) - col("y")) * col("x2")).as("g2"),
+        dsum12(sig(z) - col("y")).as("gb")).head()
+      w1 -= LrEta * g.getAs[Double]("g1") / n
+      w2 -= LrEta * g.getAs[Double]("g2") / n
+      b -= LrEta * g.getAs[Double]("gb") / n
+    }
+    (w1, w2, b)
+  }
+
   private def logregFit(spark: SparkSession,
                         dir: String): (DataFrame, Double, Double, Double) = {
     import spark.implicits._
@@ -184,18 +203,7 @@ object Models {
       .select($"x1", $"x2",
         when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
     val f = Tables.materialize(feats)
-    val n = f.count().toDouble
-    var (w1, w2, b) = (0.0, 0.0, 0.0)
-    for (_ <- 1 to LrSteps) {
-      val z = lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"
-      val g = f.agg(
-        dsum12((sig(z) - $"y") * $"x1").as("g1"),
-        dsum12((sig(z) - $"y") * $"x2").as("g2"),
-        dsum12(sig(z) - $"y").as("gb")).head()
-      w1 -= LrEta * g.getAs[Double]("g1") / n
-      w2 -= LrEta * g.getAs[Double]("g2") / n
-      b -= LrEta * g.getAs[Double]("gb") / n
-    }
+    val (w1, w2, b) = fitOn(f)
     (f, w1, w2, b)
   }
 
@@ -817,6 +825,116 @@ object Models {
        |    AS mcc
        |FROM x""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_models_learning_curve: the data-scaling audit — fit the SAME
+  // 3-step probe on hash-selected 25/50/75/100% training slices and
+  // evaluate each fit's sign-accuracy on the FULL corpus. The "is more
+  // data still buying accuracy" question every curation budget hangs
+  // on: a flat curve says the probe saturated and labeling/compute
+  // should go elsewhere; a rising curve says the next data doubling
+  // still pays. Slices nest (bucket < 25 ⊂ < 50 ⊂ …) via the same h60
+  // hash-bucket device as the split/decontaminate ops, so the curve is
+  // a real monotone-information comparison, not resampling noise.
+  // Scale shape: 4 fits × (count + 3 gradient passes) + 4 evaluation
+  // passes, every one a narrow scan with O(1) aggregate state over the
+  // one materialized feature table. Determinism: identical to logreg
+  // (Elliott link, DECIMAL gradient sums, sign decision rule).
+  def learningCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir)
+      .select($"doc_id",
+        ($"n_chars" / 1000.0).as("x1"),
+        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+          / 100.0).as("x2"))
+      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
+        "doc_id")
+      .select((TextAnalysis.h60($"doc_id".cast("string")) % 100).as("bucket"),
+        $"x1", $"x2",
+        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
+    val f = Tables.materialize(feats)
+    val nFull = f.count()
+    if (nFull == 0L)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Long, Double, Double, Double, Double)])
+        .toDF("pct_train", "n_train", "accuracy", "w_chars", "w_words",
+          "intercept")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Seq(25L, 50L, 75L, 100L).flatMap { frac =>
+      val tr = f.filter($"bucket" < frac)
+      val nTr = tr.count()
+      if (nTr == 0L) None
+      else {
+        val (w1, w2, b) = fitOn(tr)
+        val zf = lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"
+        val acc = f.agg(
+          sum(when((zf >= 0.0) === ($"y" === 1.0), 1L).otherwise(0L))
+            .as("ok")).head().getAs[Long]("ok").toDouble / nFull.toDouble
+        Some((frac, nTr, r6(acc), r6(w1), r6(w2), r6(b)))
+      }
+    }
+    spark.createDataFrame(rows)
+      .toDF("pct_train", "n_train", "accuracy", "w_chars", "w_words",
+        "intercept")
+  }
+
+  val learningCurveSql: String = {
+    // per-fraction unrolled chain with suffixed CTE names, trained on
+    // the hash-bucket slice and evaluated on the full feature table
+    def step(frac: Long, prevW: String, g: String, w: String): String = {
+      val z = s"$prevW.b + $prevW.w1 * f.x1 + $prevW.w2 * f.x2"
+      s"""$g AS (
+         |  SELECT
+         |    CAST(SUM(CAST((${sigSql(z)} - f.y) * f.x1 AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+         |    CAST(SUM(CAST((${sigSql(z)} - f.y) * f.x2 AS DECIMAL(28,12))) AS DOUBLE) AS g2,
+         |    CAST(SUM(CAST((${sigSql(z)} - f.y) AS DECIMAL(28,12))) AS DOUBLE) AS gb,
+         |    COUNT(*) AS n
+         |  FROM (SELECT * FROM fb WHERE bucket < $frac) f
+         |  CROSS JOIN $prevW $prevW),
+         |$w AS (
+         |  SELECT $prevW.w1 - $g.g1 / $g.n AS w1,
+         |    $prevW.w2 - $g.g2 / $g.n AS w2,
+         |    $prevW.b - $g.gb / $g.n AS b,
+         |    $g.n AS n
+         |  FROM $g CROSS JOIN $prevW $prevW)""".stripMargin
+    }
+    def chain(frac: Long): String =
+      s"""w0_$frac AS (SELECT CAST(0.0 AS DOUBLE) AS w1,
+         |  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS b),
+         |${step(frac, s"w0_$frac", s"g1s_$frac", s"w1s_$frac")},
+         |${step(frac, s"w1s_$frac", s"g2s_$frac", s"w2s_$frac")},
+         |${step(frac, s"w2s_$frac", s"g3s_$frac", s"w3s_$frac")},
+         |m_$frac AS (
+         |  SELECT CAST($frac AS BIGINT) AS pct_train,
+         |    CAST(ANY_VALUE(w.n) AS BIGINT) AS n_train,
+         |    ROUND(CAST(SUM(CASE WHEN ((w.b + w.w1 * f.x1 + w.w2 * f.x2)
+         |        >= 0.0) = (f.y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / COUNT(*), 6) AS accuracy,
+         |    ROUND(ANY_VALUE(w.w1), 6) AS w_chars,
+         |    ROUND(ANY_VALUE(w.w2), 6) AS w_words,
+         |    ROUND(ANY_VALUE(w.b), 6) AS intercept
+         |  FROM fb f CROSS JOIN w3s_$frac w)""".stripMargin
+    s"""WITH q AS (${TextAnalysis.taQualitySql}),
+       |fb AS (
+       |  SELECT ${TextAnalysis.h60Sql("CAST(d.doc_id AS VARCHAR)")} % 100
+       |      AS bucket,
+       |    d.n_chars / CAST(1000.0 AS DOUBLE) AS x1,
+       |    (LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1)
+       |      / CAST(100.0 AS DOUBLE) AS x2,
+       |    CASE WHEN q.quality >= 0.5 THEN CAST(1.0 AS DOUBLE)
+       |      ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+       |${chain(25L)},
+       |${chain(50L)},
+       |${chain(75L)},
+       |${chain(100L)}
+       |SELECT * FROM m_25
+       |UNION ALL SELECT * FROM m_50
+       |UNION ALL SELECT * FROM m_75
+       |UNION ALL SELECT * FROM m_100
+       |ORDER BY pct_train""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_models_auc" -> (auc _),
     "llm_ta_ridge" -> (ridge _),
@@ -826,6 +944,7 @@ object Models {
     "llm_models_brier" -> (brier _),
     "llm_models_ks" -> (ks _),
     "llm_models_confusion" -> (confusion _),
+    "llm_models_learning_curve" -> (learningCurve _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -837,5 +956,6 @@ object Models {
     "llm_models_brier" -> brierSql,
     "llm_models_ks" -> ksSql,
     "llm_models_confusion" -> confusionSql,
+    "llm_models_learning_curve" -> learningCurveSql,
   )
 }

@@ -2209,7 +2209,99 @@ object RelationalQueries {
       |  ROUND(foregone / gross, 6) AS foregone_share
       |FROM y ORDER BY yr""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q82_return_repurchase: does a return depress the next purchase? —
+  // for consecutive order pairs per customer (date order, orderkey
+  // tie-break), compare the 30-day repurchase rate and median gap after
+  // a returned order (any lineitem flagged 'R') vs a clean one. The
+  // behavioral-conditional shape (event → next-event latency split by
+  // the event's own outcome) that funnel/retention queries can't
+  // express without the per-entity ordered window. Scale shape: the
+  // return flag collapses lineitem to order grain (one partial-agg
+  // shuffle on l_orderkey); the lead window partitions by customer
+  // (bounded per customer); the final rollup is a 2-row conditional
+  // aggregate. Median gap via the histogram-cumulative definition over
+  // the bounded gap domain (the q71 device) — no per-row sort.
+  def q82ReturnRepurchase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val flagged = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(max(when($"l_returnflag" === "R", 1L).otherwise(0L))
+        .as("returned"))
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .join(flagged, $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"returned")
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val pairs = Tables.materialize(ord
+      .withColumn("next_date", lead($"o_orderdate", 1).over(w))
+      .filter($"next_date".isNotNull)
+      .select($"returned",
+        datediff($"next_date", $"o_orderdate").as("gap")))
+    val gapHist = pairs.groupBy($"returned", $"gap")
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy($"returned").orderBy($"gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = gapHist.groupBy($"returned")
+      .agg(sum($"c").as("n_pairs"))
+    val med = gapHist
+      .withColumn("cum", sum($"c").over(wc))
+      .join(tot, "returned")
+      .filter($"cum" * 2 >= $"n_pairs")
+      .groupBy($"returned").agg(min($"gap").as("median_gap_days"))
+    val rates = pairs.groupBy($"returned")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"gap" <= 30, 1L).otherwise(0L)).as("n_within_30d"))
+    rates.join(med, "returned")
+      .select($"returned", $"n_pairs", $"n_within_30d",
+        round($"n_within_30d".cast("double") / $"n_pairs".cast("double"), 6)
+          .as("rate_30d"),
+        $"median_gap_days".cast("long").as("median_gap_days"))
+      .orderBy($"returned")
+  }
+
+  val q82Sql: String =
+    """WITH flagged AS (
+      |  SELECT l_orderkey,
+      |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned
+      |  FROM lineitem GROUP BY l_orderkey),
+      |ord AS (
+      |  SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, f.returned
+      |  FROM orders o JOIN flagged f ON o.o_orderkey = f.l_orderkey),
+      |pairs AS (
+      |  SELECT returned,
+      |    DATEDIFF('day', o_orderdate, LEAD(o_orderdate, 1) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |      AS gap
+      |  FROM ord
+      |  QUALIFY gap IS NOT NULL),
+      |gh AS (SELECT returned, gap, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+      |tot AS (SELECT returned, SUM(c) AS n_pairs FROM gh GROUP BY 1),
+      |med AS (
+      |  SELECT gh.returned, MIN(gh.gap) AS median_gap_days
+      |  FROM (SELECT *, SUM(c) OVER (PARTITION BY returned ORDER BY gap
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |    FROM gh) gh
+      |  JOIN tot ON gh.returned = tot.returned
+      |  WHERE gh.cum * 2 >= tot.n_pairs
+      |  GROUP BY gh.returned),
+      |r AS (
+      |  SELECT returned, COUNT(*) AS n_pairs,
+      |    SUM(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) AS n_within_30d
+      |  FROM pairs GROUP BY 1)
+      |SELECT CAST(r.returned AS BIGINT) AS returned,
+      |  CAST(r.n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(r.n_within_30d AS BIGINT) AS n_within_30d,
+      |  ROUND(CAST(r.n_within_30d AS DOUBLE) / CAST(r.n_pairs AS DOUBLE), 6)
+      |    AS rate_30d,
+      |  CAST(med.median_gap_days AS BIGINT) AS median_gap_days
+      |FROM r JOIN med ON r.returned = med.returned
+      |ORDER BY returned""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_return_repurchase" -> (q82ReturnRepurchase _),
     "q81_discount_mix" -> (q81DiscountMix _),
     "q80_fulfillment_spread" -> (q80FulfillmentSpread _),
     "q79_quarter_growth" -> (q79QuarterGrowth _),
@@ -2262,6 +2354,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q82_return_repurchase" -> q82Sql,
     "q81_discount_mix" -> q81Sql,
     "q80_fulfillment_spread" -> q80Sql,
     "q79_quarter_growth" -> q79Sql,

@@ -100,6 +100,7 @@ class DegenerateInputSpec extends SparkSpec {
     assert(graft.llm.Sampling.sampleAllocVariance(spark, emptyDir)
       .collect().isEmpty)
     assert(graft.llm.Pipeline.ivmCost(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Models.learningCurve(spark, emptyDir).collect().isEmpty)
     assert(graft.streaming.WindowQueries.stSessionTypeLift(spark, emptyDir)
       .collect().isEmpty)
     // wave-31: no days -> no cusum track; no payloads -> no size rows

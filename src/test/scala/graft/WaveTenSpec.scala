@@ -1342,4 +1342,92 @@ class WaveTenSpec extends SparkSpec {
         / (perType(key._1).toDouble * perType(key._2).toDouble)))
     }
   }
+
+  test("learning curve nests and its 100% point equals the logreg fit") {
+    val rows = graft.llm.Models.learningCurve(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("pct_train") -> r).toMap
+    assert(rows.keySet == Set(25L, 50L, 75L, 100L))
+    // training slices nest, so n_train is strictly ordered
+    val ns = Seq(25L, 50L, 75L, 100L).map(rows(_).getAs[Long]("n_train"))
+    assert(ns == ns.sorted && ns.distinct == ns)
+    // the 100% slice IS the full corpus: weights and accuracy must
+    // reproduce llm_ta_logreg exactly
+    val lr = graft.llm.Models.logreg(spark, sf0001).collect().head
+    val full = rows(100L)
+    assert(full.getAs[Long]("n_train") == lr.getAs[Long]("n"))
+    assert(full.getAs[Double]("w_chars") == lr.getAs[Double]("w_chars"))
+    assert(full.getAs[Double]("w_words") == lr.getAs[Double]("w_words"))
+    assert(full.getAs[Double]("intercept") == lr.getAs[Double]("intercept"))
+    assert(full.getAs[Double]("accuracy") == lr.getAs[Double]("accuracy"))
+    rows.values.foreach { r =>
+      val a = r.getAs[Double]("accuracy")
+      assert(a >= 0.0 && a <= 1.0)
+    }
+  }
+
+  test("modularity contributions close against a naive edge recount") {
+    val pairs = graft.sources.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.sources.Tables.lineitem(spark, sf0001)
+        .select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nat = (graft.sources.Tables.customer(spark, sf0001)
+        .select(($"c_custkey" * 2).as("n"), $"c_nationkey").collect() ++
+      graft.sources.Tables.supplier(spark, sf0001)
+        .select(($"s_suppkey" * 2 + 1).as("n"), $"s_nationkey").collect())
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val m = edges.length.toDouble
+    val rows = graft.llm.Graph.modularity(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("degree_sum")).sum == edges.length)
+    var q = 0.0
+    rows.foreach { r =>
+      val n = r.getAs[Number]("nation").longValue
+      val internal = edges.count { case (a, b) =>
+        nat(a) == n && nat(b) == n }
+      val degSum = edges.count { case (a, _) => nat(a) == n }
+      assert(r.getAs[Long]("internal_edges") == internal)
+      assert(r.getAs[Long]("degree_sum") == degSum)
+      assert(r.getAs[Double]("contribution")
+        == r6(internal.toDouble / m
+          - (degSum.toDouble / m) * (degSum.toDouble / m)))
+      q += r.getAs[Double]("contribution")
+    }
+    assert(q > -1.0 && q < 1.0, s"modularity Q=$q out of range")
+  }
+
+  test("return-repurchase rates match a naive consecutive-order pass") {
+    val flags = graft.sources.Tables.lineitem(spark, sf0001)
+      .groupBy($"l_orderkey")
+      .agg(max(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ords = graft.sources.Tables.orders(spark, sf0001)
+      .select($"o_custkey", $"o_orderkey",
+        datediff($"o_orderdate", lit("1970-01-01")).as("ep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(o => flags.contains(o._2))
+    val pairs = ords.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(o => (o._3, o._2))
+      sorted.zip(sorted.tail).map { case (a, b) =>
+        (flags(a._2), (b._3 - a._3).toLong) }
+    }
+    val rows = graft.operators.RelationalQueries
+      .q82ReturnRepurchase(spark, sf0001).collect()
+    assert(rows.length == pairs.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val f = r.getAs[Long]("returned")
+      val g = pairs.filter(_._1 == f).map(_._2)
+      assert(r.getAs[Long]("n_pairs") == g.length)
+      assert(r.getAs[Long]("n_within_30d") == g.count(_ <= 30L))
+      val sortedG = g.sorted
+      // histogram-cumulative median: smallest gap with 2·cum ≥ n
+      val med = sortedG((g.length - 1) / 2)
+      assert(r.getAs[Long]("median_gap_days") == med,
+        s"flag $f median ${r.getAs[Long]("median_gap_days")} != $med")
+      assert(r.getAs[Double]("rate_30d")
+        == r6(g.count(_ <= 30L).toDouble / g.length.toDouble))
+    }
+  }
 }
