@@ -2738,7 +2738,102 @@ object Dedup {
        |FROM df CROSS JOIN t GROUP BY 1, n_sh, n_occ
        |ORDER BY df_bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_detector_agreement: pair-set agreement between the two
+  // independent near-dup detectors (MinHash-LSH candidates vs SimHash
+  // two-level banding) — intersection, per-detector exclusives,
+  // Jaccard, and both containments. The detector-ops audit that recall
+  // panels can't give (they compare each detector to GROUND TRUTH;
+  // this compares detectors to EACH OTHER): high containment of
+  // SimHash inside MinHash says the cheaper hash can run first as a
+  // prefilter; low Jaccard says the detectors see different duplicate
+  // phenomenologies and a production pipeline needs both. Scale shape:
+  // both pair tables are banded/bucketed artifacts (D²-capped), so the
+  // agreement join runs at candidate-pair grain — never corpus grain.
+  // Production path works at hash-CLASS grain (the dup_length_bias
+  // lesson): the simhash pair COUNT is a closed form over class sizes
+  // (Σ C(size,2) same-class + Σ sizeᵃ·sizeᵇ over the pigeonhole-exact
+  // ≤3-hamming distinct-value pairs), and membership of a minhash pair
+  // in the simhash set is a 2-join hamming test against the per-doc
+  // hash table. The doc-grain simhash pair expansion — which grows
+  // quadratically with replication (measured 24.6 s at scale16 in the
+  // first draft, vs the banded detectors' ~1 s) — never materializes;
+  // it survives only as the oracle's definition.
+  def ddDetectorAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.sessionCached(spark,
+        Tables.stamped(spark, dir, "dd_simhash")) {
+      Tables.materialize(ddSimhash(spark, dir))
+    }
+    val mh = Tables.materialize(
+      ddMinhashLsh(spark, dir).select($"doc_a", $"doc_b"))
+    val nM = mh.count()
+    val nBoth = mh
+      .join(sh.select($"doc_id".as("doc_a"), $"simhash".as("ha")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"simhash".as("hb")), "doc_b")
+      .filter(expr("bit_count(int(ha) ^ int(hb)) <= 3"))
+      .count()
+    val classes = Tables.materialize(
+      sh.groupBy($"simhash").agg(count(lit(1)).as("sz")))
+    val sameP2 = classes
+      .agg(sum(($"sz" * ($"sz" - 1L)).cast("decimal(38,0)")).as("p2"))
+      .head().getDecimal(0)
+    val sameCnt =
+      if (sameP2 == null) 0L else sameP2.longValueExact() / 2
+    val vbands = classes
+      .select($"simhash", $"sz", explode(array(
+        (0 until 4).map(j => struct(lit(j).as("band"),
+          expr(s"(simhash div ${1L << (8 * j)}) % 256").as("key"))): _*))
+        .as("bk"))
+      .select($"simhash", $"sz", $"bk.band", $"bk.key")
+    val crossDec = vbands.as("a").join(vbands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key"
+          && $"a.simhash" < $"b.simhash")
+      .filter(expr("bit_count(int(a.simhash) ^ int(b.simhash)) <= 3"))
+      .select($"a.simhash".as("va"), $"b.simhash".as("vb"),
+        ($"a.sz" * $"b.sz").as("m"))
+      .distinct() // a value pair can collide in several bands
+      .agg(sum($"m".cast("decimal(38,0)")).as("s")).head().getDecimal(0)
+    val nS = sameCnt +
+      (if (crossDec == null) 0L else crossDec.longValueExact())
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val union = nM + nS - nBoth
+    spark.createDataFrame(Seq((
+      nM, nS, nBoth,
+      r6(if (union == 0L) 0.0 else nBoth.toDouble / union.toDouble),
+      r6(if (nM == 0L) 0.0 else nBoth.toDouble / nM.toDouble),
+      r6(if (nS == 0L) 0.0 else nBoth.toDouble / nS.toDouble))))
+      .toDF("n_minhash", "n_simhash", "n_both", "jaccard",
+        "containment_minhash", "containment_simhash")
+  }
+
+  lazy val ddDetectorAgreementSql: String =
+    s"""WITH m AS (SELECT doc_a, doc_b FROM ($ddMinhashLshSql)),
+       |sp AS (SELECT doc_a, doc_b FROM ($ddSimhashPairsSql)),
+       |b AS (
+       |  SELECT COUNT(*) AS n_both
+       |  FROM m JOIN sp ON m.doc_a = sp.doc_a AND m.doc_b = sp.doc_b),
+       |t AS (
+       |  SELECT (SELECT COUNT(*) FROM m) AS n_m,
+       |    (SELECT COUNT(*) FROM sp) AS n_s,
+       |    (SELECT n_both FROM b) AS n_both)
+       |SELECT CAST(n_m AS BIGINT) AS n_minhash,
+       |  CAST(n_s AS BIGINT) AS n_simhash,
+       |  CAST(n_both AS BIGINT) AS n_both,
+       |  ROUND(CASE WHEN n_m + n_s - n_both = 0 THEN 0.0
+       |    ELSE CAST(n_both AS DOUBLE) / CAST(n_m + n_s - n_both AS DOUBLE)
+       |    END, 6) AS jaccard,
+       |  ROUND(CASE WHEN n_m = 0 THEN 0.0
+       |    ELSE CAST(n_both AS DOUBLE) / CAST(n_m AS DOUBLE) END, 6)
+       |    AS containment_minhash,
+       |  ROUND(CASE WHEN n_s = 0 THEN 0.0
+       |    ELSE CAST(n_both AS DOUBLE) / CAST(n_s AS DOUBLE) END, 6)
+       |    AS containment_simhash
+       |FROM t""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_detector_agreement" -> (ddDetectorAgreement _),
     "llm_dd_df_spectrum" -> (ddDfSpectrum _),
     "llm_dd_policy_mix_shift" -> (ddPolicyMixShift _),
     "llm_dd_novelty_curve" -> (ddNoveltyCurve _),
@@ -2781,6 +2876,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dd_detector_agreement" -> ddDetectorAgreementSql,
     "llm_dd_df_spectrum" -> ddDfSpectrumSql,
     "llm_dd_policy_mix_shift" -> ddPolicyMixShiftSql,
     "llm_dd_novelty_curve" -> ddNoveltyCurveSql,

@@ -2479,7 +2479,59 @@ object TextAnalysis {
       |JOIN norms nb ON grid.source_b = nb.source
       |ORDER BY cosine DESC, 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_source_lexical_health: per-source lexical hygiene panel —
+  // vocabulary size, hapax count (terms seen once WITHIN the source),
+  // type-token ratio, and hapax share. The OCR-noise / spam-generator
+  // tripwire: garbled extraction inflates hapax share (every mangled
+  // word is unique) while template spam crushes TTR (few types, many
+  // tokens); both pathologies hide in corpus-level vocab stats because
+  // healthy sources average them away. Scale shape: one exploding scan
+  // → (source × term) counts (the taVocab-safe term-keyed shuffle),
+  // then a source-grain rollup — partial-aggregable throughout; output
+  // is source-bounded. All-integer counts; the two ratios are single
+  // divisions.
+  def taSourceLexicalHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = Tables.documents(spark, dir)
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+    val docs = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    st.groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("hapax"))
+      .join(docs, "source")
+      .select($"source", $"n_docs", $"n_tokens", $"vocab", $"hapax",
+        round($"vocab".cast("double") / $"n_tokens".cast("double"), 6)
+          .as("ttr"),
+        round($"hapax".cast("double") / $"vocab".cast("double"), 6)
+          .as("hapax_share"))
+      .orderBy($"source")
+  }
+
+  val taSourceLexicalHealthSql: String =
+    """WITH ex AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |st AS (SELECT source, term, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+      |d AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |t AS (
+      |  SELECT source, SUM(c) AS n_tokens, COUNT(*) AS vocab,
+      |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+      |  FROM st GROUP BY 1)
+      |SELECT t.source, CAST(d.n_docs AS BIGINT) AS n_docs,
+      |  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(t.vocab AS BIGINT) AS vocab, CAST(t.hapax AS BIGINT) AS hapax,
+      |  ROUND(CAST(t.vocab AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6)
+      |    AS ttr,
+      |  ROUND(CAST(t.hapax AS DOUBLE) / CAST(t.vocab AS DOUBLE), 6)
+      |    AS hapax_share
+      |FROM t JOIN d ON t.source = d.source
+      |ORDER BY 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_source_lexical_health" -> (taSourceLexicalHealth _),
     "llm_ta_source_similarity" -> (taSourceSimilarity _),
     "llm_ta_simpson" -> (taSimpson _),
     "llm_ta_source_keywords" -> (taSourceKeywords _),
@@ -2526,6 +2578,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_source_lexical_health" -> taSourceLexicalHealthSql,
     "llm_ta_source_similarity" -> taSourceSimilaritySql,
     "llm_ta_simpson" -> taSimpsonSql,
     "llm_ta_source_keywords" -> taSourceKeywordsSql,

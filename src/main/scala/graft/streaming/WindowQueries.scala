@@ -1237,7 +1237,84 @@ object WindowQueries {
       |CROSS JOIN tot
       |ORDER BY type_a, type_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_dispersion: Poisson dispersion test of each event type's arrival
+  // process — the index of dispersion D = Var/Mean of per-minute counts
+  // over the FULL shared horizon (absent minutes count as zero: they
+  // contribute nothing to Σc² but everything to honesty — computing
+  // over present minutes only would bias D down exactly when traffic is
+  // bursty). D ≈ 1 is Poisson; D ≫ 1 is clumped arrivals (batched
+  // producers, retry storms); D ≪ 1 is smoothed/rate-limited. The
+  // process-level verdict behind st_burst_episodes' individual spikes.
+  // Scale shape: one event scan → (type × present-minute) histogram
+  // (calendar-bounded); Σc and Σc² per type are partial-aggregable,
+  // and the zero-minute correction is closed-form from the global
+  // horizon. All-integer sums; the two divisions share one form.
+  def stDispersion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mins = Tables.materialize(Tables.events(spark, dir)
+      .select($"event_type",
+        floor(unix_micros($"ts") / lit(60000000L)).as("minute"))
+      .groupBy($"event_type", $"minute").agg(count(lit(1)).as("c")))
+    val horizon = mins.agg(min($"minute").as("lo"), max($"minute").as("hi"))
+    mins.groupBy($"event_type")
+      .agg(sum($"c").as("n_events"), count(lit(1)).as("n_active_minutes"),
+        sum($"c" * $"c").as("scc"))
+      .crossJoin(broadcast(horizon))
+      // verdict thresholds compare the RAW double (the oracle does the
+      // same) — gating on the rounded value would flip at boundaries
+      .select($"event_type", $"n_events", $"n_active_minutes",
+        ($"hi" - $"lo" + 1L).as("n_minutes"),
+        (($"scc".cast("double") / ($"hi" - $"lo" + 1L).cast("double")
+          - ($"n_events".cast("double")
+              / ($"hi" - $"lo" + 1L).cast("double"))
+            * ($"n_events".cast("double")
+              / ($"hi" - $"lo" + 1L).cast("double")))
+          / ($"n_events".cast("double")
+            / ($"hi" - $"lo" + 1L).cast("double"))).as("disp_raw"))
+      .select($"event_type", $"n_events", $"n_active_minutes", $"n_minutes",
+        round($"disp_raw", 6).as("dispersion"),
+        when($"disp_raw" > 1.5, "overdispersed")
+          .when($"disp_raw" < 0.67, "underdispersed")
+          .otherwise("poisson-like").as("verdict"))
+      .orderBy($"event_type")
+  }
+
+  val stDispersionSql: String =
+    """WITH m AS (
+      |  SELECT event_type, FLOOR(epoch_us(ts) / 60000000) AS minute,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |h AS (SELECT MIN(minute) AS lo, MAX(minute) AS hi FROM m),
+      |t AS (
+      |  SELECT event_type, SUM(c) AS n_events,
+      |    COUNT(*) AS n_active_minutes, SUM(c * c) AS scc
+      |  FROM m GROUP BY 1)
+      |SELECT t.event_type, CAST(t.n_events AS BIGINT) AS n_events,
+      |  CAST(t.n_active_minutes AS BIGINT) AS n_active_minutes,
+      |  CAST(h.hi - h.lo + 1 AS BIGINT) AS n_minutes,
+      |  ROUND(
+      |    (CAST(t.scc AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE)
+      |      - (CAST(t.n_events AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE))
+      |        * (CAST(t.n_events AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE)))
+      |    / (CAST(t.n_events AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE)),
+      |    6) AS dispersion,
+      |  CASE WHEN (CAST(t.scc AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE)
+      |      - (CAST(t.n_events AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE))
+      |        * (CAST(t.n_events AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE)))
+      |    / (CAST(t.n_events AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE))
+      |      > 1.5 THEN 'overdispersed'
+      |    WHEN (CAST(t.scc AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE)
+      |      - (CAST(t.n_events AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE))
+      |        * (CAST(t.n_events AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE)))
+      |    / (CAST(t.n_events AS DOUBLE) / CAST(h.hi - h.lo + 1 AS DOUBLE))
+      |      < 0.67 THEN 'underdispersed'
+      |    ELSE 'poisson-like' END AS verdict
+      |FROM t CROSS JOIN h
+      |ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_dispersion" -> (stDispersion _),
     "st_session_type_lift" -> (stSessionTypeLift _),
     "st_concurrency" -> (stConcurrency _),
     "st_burst_episodes" -> (stBurstEpisodes _),
@@ -1264,6 +1341,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_dispersion" -> stDispersionSql,
     "st_session_type_lift" -> stSessionTypeLiftSql,
     "st_concurrency" -> stConcurrencySql,
     "st_burst_episodes" -> stBurstEpisodesSql,

@@ -101,6 +101,16 @@ class DegenerateInputSpec extends SparkSpec {
       .collect().isEmpty)
     assert(graft.llm.Pipeline.ivmCost(spark, emptyDir).collect().isEmpty)
     assert(graft.llm.Models.learningCurve(spark, emptyDir).collect().isEmpty)
+    assert(graft.streaming.WindowQueries.stDispersion(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.llm.TextAnalysis.taSourceLexicalHealth(spark, emptyDir)
+      .collect().isEmpty)
+    // agreement on an empty corpus: both detectors empty -> all-zero row
+    val ag = graft.llm.Dedup.ddDetectorAgreement(spark, emptyDir)
+      .collect().head
+    assert(ag.getAs[Long]("n_minhash") == 0L &&
+      ag.getAs[Long]("n_simhash") == 0L)
+    assert(ag.getAs[Double]("jaccard") == 0.0)
     assert(graft.streaming.WindowQueries.stSessionTypeLift(spark, emptyDir)
       .collect().isEmpty)
     // wave-31: no days -> no cusum track; no payloads -> no size rows

@@ -1430,4 +1430,73 @@ class WaveTenSpec extends SparkSpec {
         == r6(g.count(_ <= 30L).toDouble / g.length.toDouble))
     }
   }
+
+  test("detector agreement counts match the two collected pair sets") {
+    val mh = graft.llm.Dedup.ddMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val sp = graft.llm.Dedup.ddSimhashPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val row = graft.llm.Dedup.ddDetectorAgreement(spark, sf0001)
+      .collect().head
+    val both = mh.intersect(sp).size.toLong
+    assert(row.getAs[Long]("n_minhash") == mh.size)
+    assert(row.getAs[Long]("n_simhash") == sp.size)
+    assert(row.getAs[Long]("n_both") == both)
+    val union = mh.size + sp.size - both
+    if (union > 0)
+      assert(row.getAs[Double]("jaccard")
+        == r6(both.toDouble / union.toDouble))
+    assert(row.getAs[Long]("n_both")
+      <= math.min(row.getAs[Long]("n_minhash"), row.getAs[Long]("n_simhash")))
+  }
+
+  test("dispersion index matches a naive zero-corrected minute recount") {
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_type",
+        floor(unix_micros($"ts") / lit(60000000L)).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val lo = evs.map(_._2).min
+    val hi = evs.map(_._2).max
+    val horizon = (hi - lo + 1).toDouble
+    val rows = graft.streaming.WindowQueries.stDispersion(spark, sf0001)
+      .collect()
+    assert(rows.length == evs.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cs = evs.filter(_._1 == t).groupBy(_._2)
+        .map(_._2.length.toLong).toSeq
+      assert(r.getAs[Long]("n_events") == cs.sum)
+      assert(r.getAs[Long]("n_active_minutes") == cs.length)
+      assert(r.getAs[Long]("n_minutes") == (hi - lo + 1))
+      val mean = cs.sum.toDouble / horizon
+      val varZ = (cs.map(c => c.toDouble * c.toDouble).sum / horizon
+        - mean * mean)
+      assert(r.getAs[Double]("dispersion") == r6(varZ / mean))
+      val verdict = if (varZ / mean > 1.5) "overdispersed"
+        else if (varZ / mean < 0.67) "underdispersed" else "poisson-like"
+      assert(r.getString(5) == verdict)
+    }
+  }
+
+  test("source lexical health matches a naive per-source vocabulary") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = graft.llm.TextAnalysis.taSourceLexicalHealth(spark, sf0001)
+      .collect()
+    assert(rows.length == docs.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val toks = docs.filter(_._1 == s).flatMap(_._2.split(" "))
+      val counts = toks.groupBy(identity).view.mapValues(_.length).toMap
+      assert(r.getAs[Long]("n_docs") == docs.count(_._1 == s))
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("vocab") == counts.size)
+      assert(r.getAs[Long]("hapax") == counts.count(_._2 == 1))
+      assert(r.getAs[Double]("ttr")
+        == r6(counts.size.toDouble / toks.length.toDouble))
+      assert(r.getAs[Double]("hapax_share")
+        == r6(counts.count(_._2 == 1).toDouble / counts.size.toDouble))
+    }
+  }
 }
