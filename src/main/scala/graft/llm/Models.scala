@@ -935,6 +935,70 @@ object Models {
        |ORDER BY pct_train""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_models_threshold_sweep: the full operating table of the quality
+  // gate at nine fixed thresholds 0.1 … 0.9 — TP/FP counts, precision,
+  // recall, F1 per row. The product-facing complement of
+  // [[confusion]]'s single argmax point: a gate threshold is usually
+  // negotiated against downstream capacity ("we can afford 40% of the
+  // corpus"), and that negotiation needs the whole curve, not the F1
+  // optimum. Computed as one conditional-sum pass of the 9-row literal
+  // ladder against the bounded score histogram — the corpus is scanned
+  // once for the histogram, then never again. Ratios guarded so a
+  // threshold that predicts nothing reports 0, never NaN.
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.materialize(scoreHist(spark, dir))
+    val (np, nn) = histTotals(hist)
+    if (np == 0L || nn == 0L)
+      return spark.createDataFrame(
+        Seq.empty[(Double, Long, Long, Double, Double, Double)])
+        .toDF("threshold", "tp", "fp", "precision", "recall", "f1")
+    val ladder = (1 to 9).map(_ / 10.0).toDF("threshold")
+    ladder.crossJoin(hist)
+      .groupBy($"threshold")
+      .agg(sum(when($"p" >= $"threshold", $"pos").otherwise(0L)).as("tp"),
+        sum(when($"p" >= $"threshold", $"neg").otherwise(0L)).as("fp"))
+      .select($"threshold", $"tp", $"fp",
+        round(when($"tp" + $"fp" === 0L, 0.0)
+          .otherwise($"tp".cast("double") / ($"tp" + $"fp").cast("double")),
+          6).as("precision"),
+        round($"tp".cast("double") / lit(np.toDouble), 6).as("recall"),
+        round(lit(2.0) * $"tp".cast("double")
+          / (lit(np.toDouble) + ($"tp" + $"fp").cast("double")), 6)
+          .as("f1"))
+      .orderBy($"threshold")
+  }
+
+  val thresholdSweepSql: String = {
+    val p = sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")
+    s"""WITH $logregChainSql,
+       |sc AS (SELECT $p AS p, f.y AS y FROM f CROSS JOIN w3s w),
+       |h AS (
+       |  SELECT p, CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos,
+       |    SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS neg
+       |  FROM sc GROUP BY p),
+       |tt AS (SELECT CAST(SUM(pos) AS BIGINT) AS np FROM h),
+       |ladder AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+       |  0.8, 0.9]) AS DOUBLE) AS threshold),
+       |s AS (
+       |  SELECT l.threshold,
+       |    SUM(CASE WHEN h.p >= l.threshold THEN h.pos ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN h.p >= l.threshold THEN h.neg ELSE 0 END) AS fp
+       |  FROM ladder l CROSS JOIN h GROUP BY l.threshold)
+       |SELECT s.threshold, CAST(s.tp AS BIGINT) AS tp,
+       |  CAST(s.fp AS BIGINT) AS fp,
+       |  ROUND(CASE WHEN s.tp + s.fp = 0 THEN 0.0
+       |    ELSE CAST(s.tp AS DOUBLE) / CAST(s.tp + s.fp AS DOUBLE) END, 6)
+       |    AS precision,
+       |  ROUND(CAST(s.tp AS DOUBLE) / CAST(tt.np AS DOUBLE), 6) AS recall,
+       |  ROUND(2.0 * CAST(s.tp AS DOUBLE)
+       |    / (CAST(tt.np AS DOUBLE) + CAST(s.tp + s.fp AS DOUBLE)), 6)
+       |    AS f1
+       |FROM s CROSS JOIN tt
+       |ORDER BY threshold""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_models_auc" -> (auc _),
     "llm_ta_ridge" -> (ridge _),
@@ -945,6 +1009,7 @@ object Models {
     "llm_models_ks" -> (ks _),
     "llm_models_confusion" -> (confusion _),
     "llm_models_learning_curve" -> (learningCurve _),
+    "llm_models_threshold_sweep" -> (thresholdSweep _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -957,5 +1022,6 @@ object Models {
     "llm_models_ks" -> ksSql,
     "llm_models_confusion" -> confusionSql,
     "llm_models_learning_curve" -> learningCurveSql,
+    "llm_models_threshold_sweep" -> thresholdSweepSql,
   )
 }

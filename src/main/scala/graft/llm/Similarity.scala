@@ -2795,7 +2795,53 @@ object Similarity {
        |  ON grid.method = g.method AND grid.q_id = g.q_id
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_cosine_histogram: the pairwise-cosine distribution over a
+  // FIXED 100-vector panel (vec_id < 100 — 4,950 pairs, constant at
+  // any corpus scale), binned at 0.05 width. The threshold-picking
+  // exhibit every similarity op presupposes: range_search's radius,
+  // the near-dup cutoff, and MMR's λ all live somewhere on this curve,
+  // and a corpus whose histogram has no gap between the "related" and
+  // "background" masses cannot be thresholded at all (the SemDeDup
+  // criterion). A fixed panel rather than a corpus sweep is the
+  // deliberate scale choice: the distribution estimate needs O(k²)
+  // pairs of a representative sample, not O(N²) of everything — and
+  // the panel is the same at sf0.001 and 100 TB, so curves are
+  // comparable across scales. Bin index floor((cos+1)·20) on the
+  // rounded cosine (bit-identical rational both engines).
+  def ssCosineHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val panel = withNorm(spark, dir).filter($"vec_id" < 100)
+      .select($"vec_id", $"v", $"nrm")
+    val pairs = panel.as("a").join(broadcast(panel.as("b")),
+        $"a.vec_id" < $"b.vec_id")
+      .select(expr("round(vec_dot(a.v, b.v) / (a.nrm * b.nrm), 6)")
+        .as("cosine"))
+    pairs
+      .select(least(floor(($"cosine" + 1.0) * 20.0), lit(39L)).cast("int")
+        .as("bin"), $"cosine")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"cosine".cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("mean_cosine"))
+      .orderBy($"bin")
+  }
+
+  val ssCosineHistogramSql: String =
+    s"""$normCte,
+       |panel AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 100),
+       |pr AS (
+       |  SELECT ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+       |    AS cosine
+       |  FROM panel a JOIN panel b ON a.vec_id < b.vec_id)
+       |SELECT LEAST(CAST(FLOOR((cosine + 1.0) * 20.0) AS INT), 39) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ROUND(CAST(SUM(CAST(cosine AS DECIMAL(28,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_cosine
+       |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_cosine_histogram" -> (ssCosineHistogram _),
     "llm_ss_ndcg" -> (ssNdcg _),
     "llm_ss_range_search" -> (ssRangeSearch _),
     "llm_ss_mips" -> (ssMips _),
@@ -2838,6 +2884,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ss_cosine_histogram" -> ssCosineHistogramSql,
     "llm_ss_ndcg" -> ssNdcgSql,
     "llm_ss_range_search" -> ssRangeSearchSql,
     "llm_ss_mips" -> ssMipsSql,

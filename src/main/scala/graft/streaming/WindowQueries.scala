@@ -1313,7 +1313,84 @@ object WindowQueries {
       |FROM t CROSS JOIN h
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_whale_mass: value concentration per event type — the exact p99
+  // value threshold and the share of total value carried by events
+  // STRICTLY above it. The revenue-ops "whale audit": a type whose top
+  // 1% of events carries most of its value needs different alerting
+  // (and different skew handling: those keys are the ones to salt)
+  // than one with uniform value. Exact, not approx-percentile: the p99
+  // is the histogram-cumulative order statistic over the (type ×
+  // distinct-value) table (the st_value_percentiles device — the value
+  // domain, not the event count, bounds the window). Value sums are
+  // DECIMAL(18,6)-routed; shares are double quotients of exact sums.
+  def stWhaleMass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.materialize(Tables.events(spark, dir)
+      .groupBy($"event_type", $"value")
+      .agg(count(lit(1)).as("c"),
+        sum($"value".cast("decimal(18,6)")).as("sv")))
+    val tot = hist.groupBy($"event_type")
+      .agg(sum($"c").as("n_events"), sum($"sv").as("total_value"))
+    val w = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p99 = hist
+      .withColumn("cum", sum($"c").over(w))
+      .join(tot.select($"event_type", $"n_events"), "event_type")
+      .filter($"cum" * 100L >= $"n_events" * 99L)
+      .groupBy($"event_type").agg(min($"value").as("v99"))
+    val whale = hist.join(broadcast(p99), "event_type")
+      .filter($"value" > $"v99")
+      .groupBy($"event_type")
+      .agg(sum($"c").as("n_whales"), sum($"sv").as("whale_value"))
+    tot.join(broadcast(p99), "event_type")
+      .join(whale, Seq("event_type"), "left")
+      .select($"event_type", $"n_events",
+        round($"v99".cast("double"), 6).as("p99_value"),
+        coalesce($"n_whales", lit(0L)).as("n_whales"),
+        round(coalesce($"whale_value".cast("double"), lit(0.0))
+          / $"total_value".cast("double"), 6)
+          .as("whale_value_share"))
+      .orderBy($"event_type")
+  }
+
+  val stWhaleMassSql: String =
+    """WITH h AS (
+      |  SELECT event_type, value, COUNT(*) AS c,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, SUM(c) AS n_events, SUM(sv) AS total_value
+      |  FROM h GROUP BY 1),
+      |cum AS (
+      |  SELECT h.event_type, h.value,
+      |    SUM(h.c) OVER (PARTITION BY h.event_type ORDER BY h.value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    tot.n_events
+      |  FROM h JOIN tot USING (event_type)),
+      |p99 AS (
+      |  SELECT event_type, MIN(value) AS v99
+      |  FROM cum WHERE cum * 100 >= n_events * 99
+      |  GROUP BY event_type),
+      |wh AS (
+      |  SELECT h.event_type, SUM(h.c) AS n_whales,
+      |    SUM(h.sv) AS whale_value
+      |  FROM h JOIN p99 USING (event_type)
+      |  WHERE h.value > p99.v99
+      |  GROUP BY h.event_type)
+      |SELECT tot.event_type, CAST(tot.n_events AS BIGINT) AS n_events,
+      |  ROUND(CAST(p99.v99 AS DOUBLE), 6) AS p99_value,
+      |  CAST(COALESCE(wh.n_whales, 0) AS BIGINT) AS n_whales,
+      |  ROUND(CAST(COALESCE(wh.whale_value, 0) AS DOUBLE)
+      |    / CAST(tot.total_value AS DOUBLE), 6) AS whale_value_share
+      |FROM tot
+      |JOIN p99 USING (event_type)
+      |LEFT JOIN wh ON tot.event_type = wh.event_type
+      |ORDER BY tot.event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_whale_mass" -> (stWhaleMass _),
     "st_dispersion" -> (stDispersion _),
     "st_session_type_lift" -> (stSessionTypeLift _),
     "st_concurrency" -> (stConcurrency _),
@@ -1341,6 +1418,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_whale_mass" -> stWhaleMassSql,
     "st_dispersion" -> stDispersionSql,
     "st_session_type_lift" -> stSessionTypeLiftSql,
     "st_concurrency" -> stConcurrencySql,

@@ -105,6 +105,10 @@ class DegenerateInputSpec extends SparkSpec {
       .collect().isEmpty)
     assert(graft.llm.TextAnalysis.taSourceLexicalHealth(spark, emptyDir)
       .collect().isEmpty)
+    assert(graft.llm.Models.thresholdSweep(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.streaming.WindowQueries.stWhaleMass(spark, emptyDir)
+      .collect().isEmpty)
     // agreement on an empty corpus: both detectors empty -> all-zero row
     val ag = graft.llm.Dedup.ddDetectorAgreement(spark, emptyDir)
       .collect().head

@@ -1499,4 +1499,71 @@ class WaveTenSpec extends SparkSpec {
         == r6(counts.count(_._2 == 1).toDouble / counts.size.toDouble))
     }
   }
+
+  test("threshold sweep is monotone and agrees with the scored corpus") {
+    val rows = graft.llm.Models.thresholdSweep(spark, sf0001).collect()
+    assert(rows.length == 9)
+    // predicted-positive counts shrink as the gate tightens; recall is
+    // non-increasing in threshold
+    val preds = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp"))
+    assert(preds.zip(preds.tail).forall { case (a, b) => a >= b })
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+    val np = scoredFixture.count(_._2 == 1.0).toDouble
+    rows.foreach { r =>
+      val t = r.getAs[Double]("threshold")
+      val tp = scoredFixture.count { case (p, y) => y == 1.0 && p >= t }
+      val fp = scoredFixture.count { case (p, y) => y == 0.0 && p >= t }
+      assert(r.getAs[Long]("tp") == tp, s"t=$t tp")
+      assert(r.getAs[Long]("fp") == fp, s"t=$t fp")
+      assert(r.getAs[Double]("f1")
+        == r6(2.0 * tp.toDouble / (np + (tp + fp).toDouble)))
+    }
+  }
+
+  test("whale mass matches a naive per-type value recount") {
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val rows = graft.streaming.WindowQueries.stWhaleMass(spark, sf0001)
+      .collect()
+    assert(rows.length == evs.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val vs = evs.filter(_._1 == t).map(_._2)
+      assert(r.getAs[Long]("n_events") == vs.length)
+      // p99: smallest value with 100·cum ≥ 99·n over sorted values
+      val sorted = vs.sorted
+      val idx = sorted.indices.find(i => (i + 1) * 100 >= vs.length * 99).get
+      val v99 = sorted(idx)
+      assert(r.getAs[Double]("p99_value") == r6(v99))
+      val whales = vs.filter(_ > v99)
+      assert(r.getAs[Long]("n_whales") == whales.length)
+      def d6(xs: Seq[Double]) =
+        xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+      assert(r.getAs[Double]("whale_value_share")
+        == r6(d6(whales) / d6(vs)))
+      assert(r.getAs[Double]("whale_value_share") >= 0.0 &&
+        r.getAs[Double]("whale_value_share") <= 1.0)
+    }
+  }
+
+  test("cosine histogram covers all panel pairs with consistent bins") {
+    val rows = graft.llm.Similarity.ssCosineHistogram(spark, sf0001)
+      .collect()
+    val nVec = math.min(100L,
+      graft.sources.Tables.embeddings(spark, sf0001).count())
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nVec * (nVec - 1) / 2)
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      assert(bin >= 0 && bin <= 39)
+      val m = r.getAs[Double]("mean_cosine")
+      // the bin's mean lies inside the bin's half-open interval
+      // (upper edge inclusive only for the clamped top bin)
+      val lo = bin / 20.0 - 1.0
+      assert(m >= lo - 1e-9 && m <= lo + 0.05 + 1e-9,
+        s"bin $bin mean $m outside [$lo, ${lo + 0.05}]")
+    }
+  }
 }
