@@ -236,8 +236,14 @@ object Models {
   /** The shared training-CTE prefix (features f + unrolled gradient
     * steps ending at the trained 1-row weight table `w3s`) — the SQL
     * twin of [[logregFit]], spliced into both the logreg and the
-    * calibration oracles so both score with the SAME fit. */
-  private def logregChainSql: String = {
+    * calibration oracles so both score with the SAME fit.
+    *
+    * Parametric over the feature CTE so variants can carry extra
+    * per-row columns through `f` (the gradient steps only touch
+    * f.x1/f.x2/f.y, so riders are inert for the fit): [[mcnemarSql]]
+    * threads the Gopher keep flag this way. `preCtes` inserts extra
+    * CTEs (trailing comma included by the caller) between `q` and `f`. */
+  private def logregChainOverSql(preCtes: String, fBody: String): String = {
     // one unrolled CTE per gradient step: gK sums the per-row gradient
     // terms under weights wK-1; wK applies the update. The weight
     // tables are 1-row, so every CROSS JOIN is a broadcast in spirit.
@@ -257,21 +263,29 @@ object Models {
          |    $g.n AS n
          |  FROM $g CROSS JOIN $prevW $prevW)""".stripMargin
     }
-    s"""q AS (${TextAnalysis.taQualitySql}),
+    s"""q AS (${TextAnalysis.taQualitySql}),$preCtes
        |f AS (
-       |  SELECT
-       |    d.n_chars / CAST(1000.0 AS DOUBLE) AS x1,
-       |    (LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1)
-       |      / CAST(100.0 AS DOUBLE) AS x2,
-       |    CASE WHEN q.quality >= 0.5 THEN CAST(1.0 AS DOUBLE)
-       |      ELSE CAST(0.0 AS DOUBLE) END AS y
-       |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+       |$fBody),
        |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2,
        |  CAST(0.0 AS DOUBLE) AS b),
        |${step("w0", "g1s", "w1s")},
        |${step("w1s", "g2s", "w2s")},
        |${step("w2s", "g3s", "w3s")}""".stripMargin
   }
+
+  /** The default feature CTE body: the two cheap features + the
+    * quality label, exactly as [[logregFit]] builds them. */
+  private val logregFBodySql: String =
+    """  SELECT
+      |    d.n_chars / CAST(1000.0 AS DOUBLE) AS x1,
+      |    (LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1)
+      |      / CAST(100.0 AS DOUBLE) AS x2,
+      |    CASE WHEN q.quality >= 0.5 THEN CAST(1.0 AS DOUBLE)
+      |      ELSE CAST(0.0 AS DOUBLE) END AS y
+      |  FROM documents d JOIN q ON d.doc_id = q.doc_id""".stripMargin
+
+  private def logregChainSql: String =
+    logregChainOverSql("", logregFBodySql)
 
   val logregSql: String =
     s"""WITH $logregChainSql,
@@ -999,7 +1013,125 @@ object Models {
        |ORDER BY threshold""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_models_mcnemar: paired-detector comparison — McNemar's test on
+  // the correctness of the trained logreg probe (z >= 0) vs the Gopher
+  // hard-rule gate, both judged against the quality label on the SAME
+  // documents. The question a gate migration actually asks ("is the
+  // probe BETTER than the rules, on paired data?") — marginal
+  // accuracies alone can't answer it because the detectors share every
+  // document; only the discordant pairs (probe-right/rules-wrong vs
+  // rules-right/probe-wrong) carry signal, and that is exactly what
+  // the statistic (|b-c|-1)²/(b+c), continuity-corrected and floored
+  // at 0, consumes. Distinct from llm_ta_rater_agreement, which
+  // measures AGREEMENT between gates ignoring the label.
+  // Scale shape: one materialized corpus scan feeds the 3-step fit
+  // (O(d) aggregate state per pass) and the single 2×2 conditional
+  // aggregate — nothing corpus-sized shuffles. Determinism: the fit is
+  // the shared [[fitOn]] arithmetic; the decision gates (z >= 0,
+  // keep_g) and the chi² both run on raw doubles of integer counts,
+  // identical forms in both engines; `significant` gates the RAW chi²
+  // against the literal 3.8416 (never a folded 1.96*1.96).
+  def mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir)
+      .select($"doc_id",
+        ($"n_chars" / 1000.0).as("x1"),
+        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+          / 100.0).as("x2"))
+      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
+        "doc_id")
+      .join(TextAnalysis.taGopherRules(spark, dir)
+        .select($"doc_id", $"keep".as("keep_g")), "doc_id")
+      .select($"x1", $"x2",
+        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"), $"keep_g")
+    val f = Tables.materialize(feats)
+    if (f.isEmpty)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Long, Long, Long, Long, Double, Double, Double, Long)])
+        .toDF("n", "n_both", "n_probe_only", "n_gopher_only", "n_neither",
+          "acc_probe", "acc_gopher", "chi2", "significant")
+    val (w1, w2, b) = fitOn(f.select($"x1", $"x2", $"y"))
+
+    val z = lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"
+    val m = f.select(
+        ((z >= 0.0) === ($"y" === 1.0)).as("a_ok"),
+        ($"keep_g" === ($"y" === 1.0)).as("g_ok"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"a_ok" && $"g_ok", 1L).otherwise(0L)).as("n_both"),
+        sum(when($"a_ok" && !$"g_ok", 1L).otherwise(0L)).as("n_probe_only"),
+        sum(when(!$"a_ok" && $"g_ok", 1L).otherwise(0L)).as("n_gopher_only"),
+        sum(when(!$"a_ok" && !$"g_ok", 1L).otherwise(0L)).as("n_neither"))
+      .head()
+    val n = m.getAs[Long]("n")
+    val (nb, npo, ngo, nn) = (m.getAs[Long]("n_both"),
+      m.getAs[Long]("n_probe_only"), m.getAs[Long]("n_gopher_only"),
+      m.getAs[Long]("n_neither"))
+    val disc = npo + ngo
+    val chi2 =
+      if (disc == 0L) 0.0
+      else {
+        val d = math.max(math.abs((npo - ngo).toDouble) - 1.0, 0.0)
+        d * d / disc.toDouble
+      }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.createDataFrame(Seq((n, nb, npo, ngo, nn,
+        r6((nb + npo).toDouble / n), r6((nb + ngo).toDouble / n),
+        r6(chi2), if (chi2 > 3.8416) 1L else 0L)))
+      .toDF("n", "n_both", "n_probe_only", "n_gopher_only", "n_neither",
+        "acc_probe", "acc_gopher", "chi2", "significant")
+  }
+
+  val mcnemarSql: String = {
+    val pre =
+      s"""
+         |gr AS (SELECT doc_id, keep FROM (${TextAnalysis.taGopherRulesSql})),""".stripMargin
+    val fBody =
+      """  SELECT
+        |    d.n_chars / CAST(1000.0 AS DOUBLE) AS x1,
+        |    (LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1)
+        |      / CAST(100.0 AS DOUBLE) AS x2,
+        |    CASE WHEN q.quality >= 0.5 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS y,
+        |    gr.keep AS keep_g
+        |  FROM documents d JOIN q ON d.doc_id = q.doc_id
+        |  JOIN gr ON d.doc_id = gr.doc_id""".stripMargin
+    s"""WITH ${logregChainOverSql(pre, fBody)},
+       |sc AS (
+       |  SELECT
+       |    ((w.b + w.w1 * f.x1 + w.w2 * f.x2) >= 0.0) = (f.y = 1.0) AS a_ok,
+       |    (f.keep_g = (f.y = 1.0)) AS g_ok
+       |  FROM f CROSS JOIN w3s w),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    SUM(CASE WHEN a_ok AND g_ok THEN 1 ELSE 0 END) AS n_both,
+       |    SUM(CASE WHEN a_ok AND NOT g_ok THEN 1 ELSE 0 END) AS n_probe_only,
+       |    SUM(CASE WHEN NOT a_ok AND g_ok THEN 1 ELSE 0 END) AS n_gopher_only,
+       |    SUM(CASE WHEN NOT a_ok AND NOT g_ok THEN 1 ELSE 0 END) AS n_neither
+       |  FROM sc),
+       |x AS (
+       |  SELECT *, CASE WHEN n_probe_only + n_gopher_only = 0 THEN 0.0
+       |    ELSE GREATEST(ABS(CAST(n_probe_only - n_gopher_only AS DOUBLE))
+       |           - 1.0, 0.0)
+       |       * GREATEST(ABS(CAST(n_probe_only - n_gopher_only AS DOUBLE))
+       |           - 1.0, 0.0)
+       |       / CAST(n_probe_only + n_gopher_only AS DOUBLE) END AS chi2_raw
+       |  FROM m)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(n_probe_only AS BIGINT) AS n_probe_only,
+       |  CAST(n_gopher_only AS BIGINT) AS n_gopher_only,
+       |  CAST(n_neither AS BIGINT) AS n_neither,
+       |  ROUND(CAST(n_both + n_probe_only AS DOUBLE) / n, 6) AS acc_probe,
+       |  ROUND(CAST(n_both + n_gopher_only AS DOUBLE) / n, 6) AS acc_gopher,
+       |  ROUND(chi2_raw, 6) AS chi2,
+       |  CAST(CASE WHEN chi2_raw > 3.8416 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS significant
+       |FROM x""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_models_mcnemar" -> (mcnemar _),
     "llm_models_auc" -> (auc _),
     "llm_ta_ridge" -> (ridge _),
     "llm_ta_logreg" -> (logreg _),
@@ -1013,6 +1145,7 @@ object Models {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_models_mcnemar" -> mcnemarSql,
     "llm_ta_ridge" -> ridgeSql,
     "llm_ta_logreg" -> logregSql,
     "llm_models_calibration" -> calibrationSql,

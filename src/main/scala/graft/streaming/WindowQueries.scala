@@ -742,6 +742,105 @@ object WindowQueries {
       |FROM h CROSS JOIN m ORDER BY w_start_us""".stripMargin
 
   // --------------------------------------------------------------------
+  // st_acf: lag-{1,6,12,24} autocorrelation of the per-type hourly
+  // arrival series — the periodicity detector behind every seasonal
+  // baseline here: a strong lag-24 ACF says st_hourly_profile's
+  // 168-cell grid is the right normalizer, a strong lag-1 says bursts
+  // are sticky and st_arrival_rate's burst flag will fire in runs.
+  // The series is the DENSE hourly grid (missing hours are real zeros
+  // — on the present-hours-only series lag-1 would mean "previous
+  // hour with traffic", a different and wrong statistic). Scale
+  // shape: one partial-aggregable groupBy to the calendar-bounded
+  // (type × hour) grain; the spine is a generated sequence off a
+  // 1-row bounds aggregate; the lag windows and the final per-type
+  // rollup run over ≤ |types| × 720 rows/month regardless of event
+  // volume — the bounded-domain argument of st_arrival_rate.
+  // Determinism: counts are integers; the mean is one double
+  // division of exact sums; deviation products go through
+  // DECIMAL(28,12) (order-insensitive) with identical forms in both
+  // engines; a constant series (den = 0) reports 0, never NaN.
+  def stAcf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000L
+    val hourly = Tables.materialize(Tables.events(spark, dir)
+      .groupBy($"event_type", window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", unix_micros($"w.start").as("h_us"), $"n"))
+    val spine = hourly.agg(min($"h_us").as("mn"), max($"h_us").as("mx"))
+      .select(explode(sequence($"mn", $"mx", lit(hourUs))).as("h_us"))
+    val grid = spine
+      .crossJoin(broadcast(hourly.select($"event_type").distinct()))
+      .join(hourly, Seq("event_type", "h_us"), "left")
+      .select($"event_type", $"h_us", coalesce($"n", lit(0L)).as("n"))
+    val mu = grid.groupBy($"event_type")
+      .agg((sum($"n").cast("double") / count(lit(1))).as("mu"),
+        count(lit(1)).as("nh"))
+    val w = Window.partitionBy($"event_type").orderBy($"h_us")
+    def dsum(c: Column) = sum(c.cast(DecimalType(28, 12))).cast("double")
+    val dev = grid.join(broadcast(mu), "event_type")
+      .select($"event_type", $"h_us", $"nh",
+        ($"n".cast("double") - $"mu").as("d"))
+      .withColumn("d1", lag($"d", 1).over(w))
+      .withColumn("d6", lag($"d", 6).over(w))
+      .withColumn("d12", lag($"d", 12).over(w))
+      .withColumn("d24", lag($"d", 24).over(w))
+    dev.groupBy($"event_type")
+      .agg(max($"nh").as("nh"), dsum($"d" * $"d").as("den"),
+        dsum($"d" * $"d1").as("n1"), dsum($"d" * $"d6").as("n6"),
+        dsum($"d" * $"d12").as("n12"), dsum($"d" * $"d24").as("n24"))
+      .select($"event_type", $"nh", $"den",
+        expr("stack(4, 1, n1, 6, n6, 12, n12, 24, n24) AS (lag, num)"))
+      .select($"event_type", $"lag".cast("long").as("lag"),
+        ($"nh" - $"lag").cast("long").as("n_pairs"),
+        round(when($"den" === 0.0, 0.0).otherwise($"num" / $"den"), 6)
+          .as("acf"))
+      .orderBy($"event_type", $"lag")
+  }
+
+  val stAcfSql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS h_us,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(h_us) AS mn, MAX(h_us) AS mx FROM h),
+      |spine AS (SELECT unnest(generate_series(mn, mx, 3600000000)) AS h_us
+      |  FROM b),
+      |types AS (SELECT DISTINCT event_type FROM h),
+      |grid AS (
+      |  SELECT t.event_type, s.h_us, COALESCE(h.n, 0) AS n
+      |  FROM spine s CROSS JOIN types t
+      |  LEFT JOIN h ON h.event_type = t.event_type AND h.h_us = s.h_us),
+      |m AS (
+      |  SELECT event_type, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+      |    COUNT(*) AS nh
+      |  FROM grid GROUP BY 1),
+      |dv0 AS (
+      |  SELECT g.event_type, g.h_us, m.nh,
+      |    CAST(g.n AS DOUBLE) - m.mu AS d
+      |  FROM grid g JOIN m ON g.event_type = m.event_type),
+      |dv AS (
+      |  SELECT *, LAG(d, 1) OVER w AS d1, LAG(d, 6) OVER w AS d6,
+      |    LAG(d, 12) OVER w AS d12, LAG(d, 24) OVER w AS d24
+      |  FROM dv0
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY h_us)),
+      |a AS (
+      |  SELECT event_type, MAX(nh) AS nh,
+      |    CAST(SUM(CAST(d * d AS DECIMAL(28,12))) AS DOUBLE) AS den,
+      |    CAST(SUM(CAST(d * d1 AS DECIMAL(28,12))) AS DOUBLE) AS n1,
+      |    CAST(SUM(CAST(d * d6 AS DECIMAL(28,12))) AS DOUBLE) AS n6,
+      |    CAST(SUM(CAST(d * d12 AS DECIMAL(28,12))) AS DOUBLE) AS n12,
+      |    CAST(SUM(CAST(d * d24 AS DECIMAL(28,12))) AS DOUBLE) AS n24
+      |  FROM dv GROUP BY 1)
+      |SELECT a.event_type, CAST(l.lag AS BIGINT) AS lag,
+      |  CAST(a.nh - l.lag AS BIGINT) AS n_pairs,
+      |  ROUND(CASE WHEN a.den = 0.0 THEN 0.0
+      |    ELSE (CASE l.lag WHEN 1 THEN a.n1 WHEN 6 THEN a.n6
+      |          WHEN 12 THEN a.n12 ELSE a.n24 END) / a.den END, 6) AS acf
+      |FROM a CROSS JOIN (SELECT unnest([1, 6, 12, 24]) AS lag) l
+      |ORDER BY event_type, lag""".stripMargin
+
+  // --------------------------------------------------------------------
   // st_top_users: top-3 users per 6-hour window by event count — the
   // windowed heavy-hitter report (abuse/bot triage reads this). The
   // rank window partitions on the TIME window and orders by the
@@ -1400,6 +1499,7 @@ object WindowQueries {
     "st_dow_anomaly" -> (stDowAnomaly _),
     "st_hourly_profile" -> (stHourlyProfile _),
     "st_arrival_rate" -> (stArrivalRate _),
+    "st_acf" -> (stAcf _),
     "st_top_users" -> (stTopUsers _),
     "st_windowed_distinct" -> (stWindowedDistinct _),
     "st_lateness_audit" -> (stLatenessAudit _),
@@ -1428,6 +1528,7 @@ object WindowQueries {
     "st_dow_anomaly" -> stDowAnomalySql,
     "st_hourly_profile" -> stHourlyProfileSql,
     "st_arrival_rate" -> stArrivalRateSql,
+    "st_acf" -> stAcfSql,
     "st_top_users" -> stTopUsersSql,
     "st_windowed_distinct" -> stWindowedDistinctSql,
     "st_lateness_audit" -> stLatenessAuditSql,

@@ -84,6 +84,9 @@ class DegenerateInputSpec extends SparkSpec {
     // the defined result is EMPTY (never a NaN row — the n_pos/n_neg
     // guard), same contract as a single-class labeled corpus
     assert(graft.llm.Models.auc(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Models.mcnemar(spark, emptyDir).collect().isEmpty)
+    assert(graft.streaming.WindowQueries.stAcf(spark, emptyDir)
+      .collect().isEmpty)
     assert(graft.llm.Models.prSummary(spark, emptyDir).collect().isEmpty)
     assert(graft.llm.Models.brier(spark, emptyDir).collect().isEmpty)
     assert(graft.llm.Models.ks(spark, emptyDir).collect().isEmpty)

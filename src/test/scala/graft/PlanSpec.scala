@@ -396,6 +396,33 @@ class PlanSpec extends SparkSpec {
       "q69 must not window over the order key:\n" + plan.take(800))
   }
 
+  test("q83 price dispersion: one lineitem scan, partial-agg cascade") {
+    // One scan; both groupBys keep map-side partial aggregation (the
+    // first exchange ships pre-collapsed (part,supp) partials, the
+    // second only the supplier-grain table — measured faster than the
+    // q69 single-shuffle repartition form, which loses the partial
+    // agg). Protected property: no extra scan, no third exchange, no
+    // window/sort-merge over the fact.
+    val plan = planOf(graft.operators.RelationalQueries
+      .q83PriceDispersion(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans == 1,
+      s"expected one lineitem scan, got $liScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    val factEx = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_partkey"))
+    assert(factEx <= 2,
+      s"expected the two cascade exchanges only, got $factEx:\n" +
+        plan.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+    assert(plan.split("\n").count(l =>
+      l.contains("HashAggregate") && l.contains("partial_")) >= 2,
+      "both groupBys must keep map-side partial aggregation:\n" +
+        plan.split("\n").filter(_.contains("HashAggregate")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "no join/window may appear in the aggregate cascade")
+  }
+
   test("q74 price index scans the fact once (materialized moment table)") {
     val plan = planOf(graft.operators.RelationalQueries
       .q74PriceIndex(spark, sf0001))

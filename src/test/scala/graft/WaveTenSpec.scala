@@ -1566,4 +1566,99 @@ class WaveTenSpec extends SparkSpec {
         s"bin $bin mean $m outside [$lo, ${lo + 0.05}]")
     }
   }
+
+  test("st_acf matches a naive dense-grid autocorrelation") {
+    val rows = graft.streaming.WindowQueries.stAcf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val hourUs = 3600000000L
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0),
+        (r.getTimestamp(1).getTime / 3600000L) * hourUs))
+    val mn = evs.map(_._2).min
+    val mx = evs.map(_._2).max
+    val hours = (mn to mx by hourUs).toArray
+    val counts = evs.groupBy(identity).map { case (k, xs) => k -> xs.length }
+    val types = evs.map(_._1).distinct.sorted
+    assert(rows.length == types.length * 4)
+    def q12sum(xs: Seq[Double]) = xs.map(q12).sum.toDouble
+    types.foreach { t =>
+      val series = hours.map(h => counts.getOrElse((t, h), 0).toDouble)
+      val n = series.length
+      val mu = series.sum / n
+      val d = series.map(_ - mu)
+      val den = q12sum(d.map(x => x * x).toSeq)
+      Seq(1, 6, 12, 24).foreach { lag =>
+        val r = rows.find(r =>
+          r.getString(0) == t && r.getAs[Long]("lag") == lag.toLong).get
+        assert(r.getAs[Long]("n_pairs") == (n - lag).toLong)
+        val num = q12sum((lag until n).map(i => d(i) * d(i - lag)))
+        val expect = if (den == 0.0) 0.0 else r6(num / den)
+        assert(r.getAs[Double]("acf") == expect,
+          s"acf mismatch for ($t, lag=$lag)")
+        assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-6)
+      }
+    }
+  }
+
+  test("q83 price dispersion matches a naive per-part recount") {
+    val rows = RelationalQueries.q83PriceDispersion(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_quantity")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val spMap = li.groupBy(x => (x._1, x._2)).map { case (k, xs) =>
+      k -> (xs.map(x => q12(x._3 / x._4)).sum.toDouble / xs.length)
+    }
+    val parts = spMap.groupBy(_._1._1).collect {
+      case (p, m) if m.size >= 3 =>
+        val sps = m.values.toSeq
+        val nS = sps.size
+        val s1 = sps.map(q12).sum.toDouble
+        val s2 = sps.map(x => q12(x * x)).sum.toDouble
+        val mean = s1 / nS
+        val sd =
+          math.sqrt(math.max((s2 - s1 * s1 / nS) / (nS - 1), 0.0))
+        (p, nS, mean, sd / mean)
+    }.toSeq
+    assert(rows.length == math.min(20, parts.size))
+    val top = parts.sortBy { case (p, _, _, cv) => (-cv, p) }.take(20)
+    rows.zip(top).foreach { case (r, (p, nS, mean, cv)) =>
+      assert(r.getAs[Long]("l_partkey") == p, "top-20 order diverges")
+      assert(r.getAs[Long]("n_suppliers") == nS.toLong)
+      assert(r.getAs[Double]("mean_unit_price") == r6(mean))
+      assert(r.getAs[Double]("price_cv") == r6(cv))
+    }
+  }
+
+  test("mcnemar counts close and its probe accuracy equals the logreg fit") {
+    val r = graft.llm.Models.mcnemar(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n")
+    val nb = r.getAs[Long]("n_both")
+    val npo = r.getAs[Long]("n_probe_only")
+    val ngo = r.getAs[Long]("n_gopher_only")
+    val nn = r.getAs[Long]("n_neither")
+    assert(nb + npo + ngo + nn == n, "2x2 cells must partition the corpus")
+    assert(r.getAs[Double]("acc_probe") == r6((nb + npo).toDouble / n))
+    assert(r.getAs[Double]("acc_gopher") == r6((nb + ngo).toDouble / n))
+    val disc = npo + ngo
+    val chi2raw =
+      if (disc == 0L) 0.0
+      else {
+        val d = math.max(math.abs((npo - ngo).toDouble) - 1.0, 0.0)
+        (d * d) / disc.toDouble
+      }
+    assert(r.getAs[Double]("chi2") == r6(chi2raw))
+    assert(r.getAs[Long]("significant")
+      == (if (chi2raw > 3.8416) 1L else 0L))
+    // Same corpus, same fit, same decision rule => the probe marginal
+    // accuracy must equal the logreg model card's accuracy exactly
+    // (also proves the Gopher join drops no documents).
+    val lr = graft.llm.Models.logreg(spark, sf0001).collect().head
+    assert(lr.getAs[Long]("n") == n,
+      "gopher join must not change corpus coverage")
+    assert(lr.getAs[Double]("accuracy") == r.getAs[Double]("acc_probe"),
+      "probe decisions must be identical under the shared fit")
+  }
 }
