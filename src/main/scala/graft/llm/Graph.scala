@@ -1051,7 +1051,78 @@ object Graph {
        |FROM ds LEFT JOIN i ON ds.nation = i.nation CROSS JOIN m
        |ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_graph_powerlaw_alpha: maximum-likelihood power-law exponent of
+  // the degree distribution per side, via the continuous-approximation
+  // discrete MLE α = 1 + n / Σᵢ ln(dᵢ/(d_min − ½)) (Clauset–Shalizi–
+  // Newman 2009, eq. 3.7 — the standard estimator; the ½ shift is the
+  // continuity correction that makes the continuous form usable on
+  // integer degrees). The capacity-planning number behind every
+  // hub-handling decision here: α ≲ 2 means degree mass concentrates
+  // in the top hubs (cap/salt them before ANY per-neighbor expansion);
+  // α ≳ 3 means hubs are noise and uniform partitioning holds. degree()
+  // shows the histogram; this collapses it to the one comparable
+  // statistic.
+  // Scale shape: one pass over the session-cached edge list → per-node
+  // degree (the groupBy already materialized for every graph op), then
+  // a (side × distinct-degree) histogram — bounded by the degree
+  // support, not the node count; the MLE is a sum over that bounded
+  // table. Determinism: the ln terms are computed on identical doubles
+  // in both engines and routed through DECIMAL(28,12) per histogram
+  // row (order-insensitive); d_min ≥ 1 makes ln(d/(d_min−½)) > 0, so
+  // the denominator is never 0 and α is always finite.
+  def powerlawAlpha(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edgesWithDeg(spark, dir)
+    val deg = e.select($"src".as("node"), $"outdeg").distinct()
+    val hist = deg
+      .groupBy(
+        when($"node" % 2 === 0, "customer").otherwise("supplier").as("side"),
+        $"outdeg".as("d"))
+      .agg(count(lit(1)).as("c"))
+    val mins = hist.groupBy($"side").agg(min($"d").as("dmin"))
+    hist.join(broadcast(mins), "side")
+      .select($"side", $"c", $"d", $"dmin",
+        ($"c" * log($"d".cast("double") / ($"dmin".cast("double") - 0.5)))
+          .cast("decimal(28,12)").as("t"))
+      .groupBy($"side")
+      .agg(sum($"c").as("n_nodes"), max($"dmin").as("d_min"),
+        max($"d").as("d_max"),
+        round(sum(($"c" * $"d").cast("decimal(28,12)")).cast("double")
+          / sum($"c"), 6).as("avg_degree"),
+        round(lit(1.0) + sum($"c").cast("double")
+          / sum($"t").cast("double"), 6).as("alpha"))
+      .orderBy($"side")
+  }
+
+  val powerlawAlphaSql: String =
+    s"""WITH pairs AS ($edgeSql),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+       |hist AS (
+       |  SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+       |    ELSE 'supplier' END AS side, d, COUNT(*) AS c
+       |  FROM deg GROUP BY 1, 2),
+       |m AS (SELECT side, MIN(d) AS dmin FROM hist GROUP BY 1),
+       |t AS (
+       |  SELECT h.side, h.c, h.d, m.dmin,
+       |    CAST(h.c * LN(CAST(h.d AS DOUBLE)
+       |      / (CAST(m.dmin AS DOUBLE) - 0.5)) AS DECIMAL(28,12)) AS t
+       |  FROM hist h JOIN m ON h.side = m.side)
+       |SELECT side, CAST(SUM(c) AS BIGINT) AS n_nodes,
+       |  CAST(MAX(dmin) AS BIGINT) AS d_min,
+       |  CAST(MAX(d) AS BIGINT) AS d_max,
+       |  ROUND(CAST(SUM(CAST(c * d AS DECIMAL(28,12))) AS DOUBLE)
+       |    / SUM(c), 6) AS avg_degree,
+       |  ROUND(1.0 + CAST(SUM(c) AS DOUBLE) / CAST(SUM(t) AS DOUBLE), 6)
+       |    AS alpha
+       |FROM t GROUP BY side ORDER BY side""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_graph_powerlaw_alpha" -> (powerlawAlpha _),
     "llm_graph_reciprocity" -> (reciprocity _),
     "llm_graph_link_pred" -> (linkPred _),
     "llm_graph_assortativity" -> (assortativity _),
@@ -1066,6 +1137,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_graph_powerlaw_alpha" -> powerlawAlphaSql,
     "llm_graph_reciprocity" -> reciprocitySql,
     "llm_graph_link_pred" -> linkPredSql,
     "llm_graph_assortativity" -> assortativitySql,

@@ -1130,7 +1130,202 @@ object Models {
        |FROM x""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_models_psi: Population Stability Index of the quality-probe
+  // score distribution per source vs the corpus baseline — the
+  // model-ops drift monitor (the standard deployment-gate statistic:
+  // PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 shifted). A
+  // source whose SCORE distribution drifts from the corpus is one the
+  // gate treats systematically differently — the per-tenant fairness /
+  // mix-shift audit that js_drift (term space) and calibration (score
+  // vs label) don't give. PSI = Σ_bins (p_src − p_corpus)·ln(p_src/
+  // p_corpus) over the same 10 equal-width score bins as calibration,
+  // with both shares floored at the literal 1e-4 (the standard
+  // zero-bin smoothing, identical in both engines).
+  // Scale shape: the one materialized feature scan feeds the shared
+  // 3-step fit (O(d) state), then ONE scoring pass collapses to the
+  // (source × 10-bin) histogram; the dense grid, corpus marginals and
+  // PSI are arithmetic on that source-bounded table. Determinism:
+  // p < 1 by the Elliott link so floor(p·10) needs no edge bin; shares
+  // are integer-over-integer doubles; each (Δp·ln-ratio) term is
+  // DECIMAL(28,12)-routed; the verdict gates RAW psi vs 0.1/0.25
+  // literals. PSI ≥ 0 by construction (sign(Δp) = sign(ln-ratio),
+  // preserved under the common floor) — spec-checked.
+  /** The scored (source, bin) rows under the shared fit — split out so
+    * WaveTenSpec can recompute the PSI naively from the same binning. */
+  private[graft] def psiScored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir)
+      .select($"doc_id", $"source",
+        ($"n_chars" / 1000.0).as("x1"),
+        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+          / 100.0).as("x2"))
+      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
+        "doc_id")
+      .select($"source", $"x1", $"x2",
+        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
+    val f = Tables.materialize(feats)
+    if (f.isEmpty)
+      return spark.createDataFrame(Seq.empty[(String, Int)])
+        .toDF("source", "bin")
+    val (w1, w2, b) = fitOn(f.select($"x1", $"x2", $"y"))
+    val p = sig(lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2")
+    f.select($"source", floor(p * 10).cast("int").as("bin"))
+  }
+
+  def psi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = psiScored(spark, dir)
+    if (scored.isEmpty)
+      return spark.createDataFrame(Seq.empty[(String, Long, Double, String)])
+        .toDF("source", "n_docs", "psi", "verdict")
+    val srcBin = scored.groupBy($"source", $"bin").agg(count(lit(1)).as("c"))
+    val corpus = srcBin.groupBy($"bin").agg(sum($"c").as("cc"))
+    val srcTot = srcBin.groupBy($"source").agg(sum($"c").as("ns"))
+    val tot = srcBin.agg(sum($"c").as("n"))
+    val bins = spark.range(0, 10).select($"id".cast("int").as("bin"))
+    val grid = srcTot.crossJoin(broadcast(bins))
+      .join(broadcast(srcBin), Seq("source", "bin"), "left")
+      .join(broadcast(corpus), Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"source", $"ns",
+        greatest(coalesce($"c", lit(0L)).cast("double") / $"ns", lit(1e-4))
+          .as("ps"),
+        greatest(coalesce($"cc", lit(0L)).cast("double") / $"n", lit(1e-4))
+          .as("pc"))
+    grid
+      .select($"source", $"ns",
+        (($"ps" - $"pc") * log($"ps" / $"pc"))
+          .cast(DecimalType(28, 12)).as("t"))
+      .groupBy($"source")
+      .agg(max($"ns").as("n_docs"), sum($"t").cast("double").as("psi_raw"))
+      .select($"source", $"n_docs", round($"psi_raw", 6).as("psi"),
+        when($"psi_raw" < 0.1, lit("stable"))
+          .when($"psi_raw" < 0.25, lit("moderate"))
+          .otherwise(lit("shifted")).as("verdict"))
+      .orderBy($"source")
+  }
+
+  val psiSql: String = {
+    val fBody =
+      """  SELECT d.source AS source,
+        |    d.n_chars / CAST(1000.0 AS DOUBLE) AS x1,
+        |    (LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1)
+        |      / CAST(100.0 AS DOUBLE) AS x2,
+        |    CASE WHEN q.quality >= 0.5 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM documents d JOIN q ON d.doc_id = q.doc_id""".stripMargin
+    s"""WITH ${logregChainOverSql("", fBody)},
+       |sc AS (
+       |  SELECT f.source,
+       |    CAST(FLOOR(${sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")} * 10)
+       |      AS INT) AS bin
+       |  FROM f CROSS JOIN w3s w),
+       |sb AS (SELECT source, bin, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+       |ct AS (SELECT bin, SUM(c) AS cc FROM sb GROUP BY 1),
+       |st AS (SELECT source, SUM(c) AS ns FROM sb GROUP BY 1),
+       |tot AS (SELECT SUM(c) AS n FROM sb),
+       |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+       |grid AS (
+       |  SELECT s.source, s.ns,
+       |    GREATEST(CAST(COALESCE(sb.c, 0) AS DOUBLE) / s.ns,
+       |      CAST(0.0001 AS DOUBLE)) AS ps,
+       |    GREATEST(CAST(COALESCE(ct.cc, 0) AS DOUBLE) / t.n,
+       |      CAST(0.0001 AS DOUBLE)) AS pc
+       |  FROM st s CROSS JOIN bins b
+       |  LEFT JOIN sb ON sb.source = s.source AND sb.bin = b.bin
+       |  LEFT JOIN ct ON ct.bin = b.bin
+       |  CROSS JOIN tot t),
+       |a AS (
+       |  SELECT source, MAX(ns) AS n_docs,
+       |    CAST(SUM(CAST((ps - pc) * LN(ps / pc) AS DECIMAL(28,12)))
+       |      AS DOUBLE) AS psi_raw
+       |  FROM grid GROUP BY 1)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  ROUND(psi_raw, 6) AS psi,
+       |  CASE WHEN psi_raw < 0.1 THEN 'stable'
+       |    WHEN psi_raw < 0.25 THEN 'moderate'
+       |    ELSE 'shifted' END AS verdict
+       |FROM a ORDER BY source""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // llm_models_hosmer: Hosmer–Lemeshow goodness-of-fit test of the
+  // quality probe — per equal-width score bin, observed vs expected
+  // positives and the HL chi² term (O−E)²/(E·(1−E/n)); the TOTAL gates
+  // a calibrated/miscalibrated verdict at the literal χ²₀.₉₅ df=8
+  // (15.507). The hypothesis-test companion to llm_models_calibration:
+  // the reliability curve SHOWS the deviation, HL says whether it is
+  // statistically real at this corpus size — the number a gate
+  // recalibration is triggered on.
+  // Scale shape: one scoring pass over the materialized feature table
+  // collapses to the ≤10-row bin table (partial-aggregable); the chi²
+  // and verdict are arithmetic on that bounded table. Determinism:
+  // bin = floor(p·10) on bit-identical p (Elliott link, p ∈ (0,1));
+  // Σp routes through DECIMAL(28,12); E ∈ (0,n) strictly (0 < p < 1),
+  // so the denominator is never 0; the verdict gates the RAW total vs
+  // the literal 15.507.
+  def hosmer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = aucScored(spark, dir)
+    if (scored.isEmpty)
+      return spark.createDataFrame(
+        Seq.empty[(Int, Long, Long, Double, Double, Double, String)])
+        .toDF("bin", "n", "obs_pos", "exp_pos", "hl_term", "hl_total",
+          "verdict")
+    val bins = scored
+      .groupBy(floor($"p" * 10).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum($"y".cast("long")).as("obs_pos"),
+        sum($"p".cast(DecimalType(28, 12))).cast("double").as("exp_pos"))
+    val terms = bins.select($"bin", $"n", $"obs_pos", $"exp_pos",
+      (($"obs_pos".cast("double") - $"exp_pos")
+        * ($"obs_pos".cast("double") - $"exp_pos")
+        / ($"exp_pos" * (lit(1.0) - $"exp_pos" / $"n"))).as("term"))
+    val tot = terms
+      .agg(sum($"term".cast(DecimalType(28, 12))).cast("double").as("hl"))
+    terms.crossJoin(broadcast(tot))
+      .select($"bin", $"n", $"obs_pos",
+        round($"exp_pos", 6).as("exp_pos"),
+        round($"term", 6).as("hl_term"),
+        round($"hl", 6).as("hl_total"),
+        when($"hl" > 15.507, lit("miscalibrated"))
+          .otherwise(lit("calibrated")).as("verdict"))
+      .orderBy($"bin")
+  }
+
+  val hosmerSql: String =
+    s"""WITH $logregChainSql,
+       |sc AS (
+       |  SELECT ${sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")} AS p, f.y
+       |  FROM f CROSS JOIN w3s w),
+       |bins AS (
+       |  SELECT CAST(FLOOR(p * 10) AS INT) AS bin, COUNT(*) AS n,
+       |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS obs_pos,
+       |    CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS exp_pos
+       |  FROM sc GROUP BY 1),
+       |terms AS (
+       |  SELECT bin, n, obs_pos, exp_pos,
+       |    (CAST(obs_pos AS DOUBLE) - exp_pos)
+       |      * (CAST(obs_pos AS DOUBLE) - exp_pos)
+       |      / (exp_pos * (1.0 - exp_pos / n)) AS term
+       |  FROM bins),
+       |x AS (
+       |  SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS hl
+       |  FROM terms)
+       |SELECT t.bin, CAST(t.n AS BIGINT) AS n,
+       |  CAST(t.obs_pos AS BIGINT) AS obs_pos,
+       |  ROUND(t.exp_pos, 6) AS exp_pos,
+       |  ROUND(t.term, 6) AS hl_term,
+       |  ROUND(x.hl, 6) AS hl_total,
+       |  CASE WHEN x.hl > 15.507 THEN 'miscalibrated'
+       |    ELSE 'calibrated' END AS verdict
+       |FROM terms t CROSS JOIN x
+       |ORDER BY t.bin""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_models_hosmer" -> (hosmer _),
+    "llm_models_psi" -> (psi _),
     "llm_models_mcnemar" -> (mcnemar _),
     "llm_models_auc" -> (auc _),
     "llm_ta_ridge" -> (ridge _),
@@ -1145,6 +1340,8 @@ object Models {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_models_hosmer" -> hosmerSql,
+    "llm_models_psi" -> psiSql,
     "llm_models_mcnemar" -> mcnemarSql,
     "llm_ta_ridge" -> ridgeSql,
     "llm_ta_logreg" -> logregSql,

@@ -1050,7 +1050,97 @@ object Sampling {
        |ORDER BY scheme""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_sample_ht: Horvitz–Thompson estimation from the systematic PPS
+  // sample — the estimator that makes llm_sample_pps USEFUL: with
+  // inclusion intensity π̃ᵢ = k·wᵢ/W (size-proportional), the HT total
+  // Σ hitsᵢ·yᵢ/π̃ᵢ is unbiased for the corpus quality total, and the
+  // with-replacement variance estimator v̂ = Σ hitsᵢ·(yᵢ/pᵢ − Ŷ)²/
+  // (k(k−1)) prices its precision. The op reports the estimate, the
+  // exact corpus total (the audit comparison — at 100 TB you'd trust
+  // the estimate INSTEAD of the full pass; here the full pass grades
+  // it), the relative error, and the SE. The design claim "25 PPS
+  // draws estimate a corpus-sized total to a few percent" becomes a
+  // measured number.
+  // Scale shape: the sample is the k-row table llm_sample_pps already
+  // ships (bucketed cumsum, no global window); quality joins to it by
+  // broadcast of the SAMPLE side; the exact total is ONE partial-agg
+  // corpus pass. Determinism: weights/hits are integers; every ratio
+  // is a double of identical operands; the cross-sample sums are k-row
+  // DECIMAL folds; k(k−1) > 0 always (k = 25 literal).
+  def sampleHt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality")
+    val totals = Tables.documents(spark, dir)
+      .agg(sum($"n_chars".cast("long")).as("tw"),
+        count(lit(1)).as("n_docs")).filter($"n_docs" > 0)
+    val trueTot = q
+      .agg(sum($"quality".cast(DecimalType(28, 12))).cast("double")
+        .as("y_true"))
+    // k-row table, three consumers (est, se, final) — materialized so
+    // the PPS bucketed-cumsum pass runs once
+    val s = Tables.materialize(
+      samplePps(spark, dir).select($"doc_id", $"weight", $"n_hits")
+        .join(q, "doc_id")
+        .crossJoin(broadcast(totals))
+        // yp = y_i / p_i with p_i = w_i / W
+        .select($"doc_id", $"n_hits",
+          ($"quality" * $"tw".cast("double") / $"weight".cast("double"))
+            .as("yp")))
+    val est = s.agg(
+      sum($"n_hits").as("n_draws"),
+      count(lit(1)).as("n_sampled_docs"),
+      (sum(($"n_hits" * $"yp").cast(DecimalType(28, 12))).cast("double")
+        / PpsK).as("y_ht"))
+      .filter($"n_sampled_docs" > 0)
+    val se = s.crossJoin(broadcast(est))
+      .select((($"yp" - $"y_ht") * ($"yp" - $"y_ht") * $"n_hits")
+        .cast(DecimalType(28, 12)).as("t"))
+      .agg(sqrt(sum($"t").cast("double")
+        / (lit(PpsK) * lit(PpsK - 1))).as("se"))
+    est.crossJoin(broadcast(se)).crossJoin(broadcast(trueTot))
+      .select($"n_draws", $"n_sampled_docs",
+        round($"y_ht", 6).as("ht_total"),
+        round($"y_true", 6).as("true_total"),
+        round(when($"y_true" === 0.0, 0.0)
+          .otherwise(abs($"y_ht" - $"y_true") / $"y_true"), 6).as("rel_err"),
+        round($"se", 6).as("se"))
+  }
+
+  val sampleHtSql: String =
+    s"""WITH q AS (${TextAnalysis.taQualitySql}),
+       |tw AS (SELECT CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS tw,
+       |  COUNT(*) AS n_docs FROM documents HAVING COUNT(*) > 0),
+       |yt AS (SELECT CAST(SUM(CAST(quality AS DECIMAL(28,12))) AS DOUBLE)
+       |  AS y_true FROM q),
+       |pps AS ($samplePpsSql),
+       |s AS (
+       |  SELECT p.doc_id, p.n_hits,
+       |    q.quality * CAST(t.tw AS DOUBLE) / CAST(p.weight AS DOUBLE)
+       |      AS yp
+       |  FROM pps p JOIN q ON p.doc_id = q.doc_id CROSS JOIN tw t),
+       |est AS (
+       |  SELECT CAST(SUM(n_hits) AS BIGINT) AS n_draws,
+       |    COUNT(*) AS n_sampled_docs,
+       |    CAST(SUM(CAST(n_hits * yp AS DECIMAL(28,12))) AS DOUBLE)
+       |      / $PpsK AS y_ht
+       |  FROM s HAVING COUNT(*) > 0),
+       |sev AS (
+       |  SELECT SQRT(CAST(SUM(CAST((s.yp - e.y_ht) * (s.yp - e.y_ht)
+       |      * s.n_hits AS DECIMAL(28,12))) AS DOUBLE)
+       |    / ($PpsK * ${PpsK - 1})) AS se
+       |  FROM s CROSS JOIN est e)
+       |SELECT e.n_draws, CAST(e.n_sampled_docs AS BIGINT)
+       |    AS n_sampled_docs,
+       |  ROUND(e.y_ht, 6) AS ht_total,
+       |  ROUND(y.y_true, 6) AS true_total,
+       |  ROUND(CASE WHEN y.y_true = 0.0 THEN 0.0
+       |    ELSE ABS(e.y_ht - y.y_true) / y.y_true END, 6) AS rel_err,
+       |  ROUND(v.se, 6) AS se
+       |FROM est e CROSS JOIN sev v CROSS JOIN yt y""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_ht" -> (sampleHt _),
     "llm_sample_alloc_variance" -> (sampleAllocVariance _),
     "llm_sample_deff" -> (sampleDeff _),
     "llm_sample_pps" -> (samplePps _),
@@ -1071,6 +1161,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_ht" -> sampleHtSql,
     "llm_sample_alloc_variance" -> sampleAllocVarianceSql,
     "llm_sample_deff" -> sampleDeffSql,
     "llm_sample_pps" -> samplePpsSql,

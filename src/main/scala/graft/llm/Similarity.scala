@@ -936,7 +936,8 @@ object Similarity {
     * and both [[ssKmeansIter]] and the trained-IVF search serve from
     * the same k-row table (index-build cost shows in cold-mode bench,
     * like the PQ codebooks). */
-  private def kmTrainedCents(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def kmTrainedCents(spark: SparkSession,
+                                    dir: String): DataFrame =
     Tables.sessionCached(spark, Tables.stamped(spark, dir, "km_cents")) {
       import spark.implicits._
       graft.functions.VecDot.register(spark)
@@ -2840,7 +2841,99 @@ object Similarity {
        |    / COUNT(*), 6) AS mean_cosine
        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_silhouette: centroid-based (simplified) silhouette of the
+  // trained k-means partition — per vector a = dist to own centroid,
+  // b = dist to the nearest OTHER centroid, s = (b−a)/max(a,b); per
+  // cluster the mean silhouette and mean own-distance, with the
+  // assignment-weighted global mean repeated per row. The clustering-
+  // quality number kmeans_ari can only give when labels exist: ARI
+  // grades against ground truth, silhouette grades the geometry
+  // itself — the "is k right / did Lloyd converge somewhere sane"
+  // audit run before any cluster-based dedup or topic balancing
+  // trusts the partition. Uses the simplified (centroid) form, not
+  // pairwise-distance silhouette: O(N·k) vs O(N²) — the only form
+  // that survives corpus scale.
+  // Scale shape: ONE pass over the embeddings against the broadcast
+  // k-row trained-centroid table (session-cached — the same artifact
+  // kmeans_iter/trained-IVF serve from); per-row work is a k-element
+  // sorted array; the rollup is a k-row partial-aggregable groupBy.
+  // Determinism: d2 composes vec_dot folds identically both engines;
+  // (d2, cid) ties break on cid; sqrt on GREATEST(d2, 0) guards the
+  // float-cancellation negative; per-row silhouettes DECIMAL(28,12)-
+  // route into the cluster sums; a == b == 0 reports s = 0.
+  def ssSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    if (e.isEmpty)
+      return spark.createDataFrame(
+        Seq.empty[(Int, Long, Double, Double, Double)])
+        .toDF("cid", "n", "mean_a", "mean_sil", "global_sil")
+    val cents = kmTrainedCents(spark, dir)
+    val packed = cents.agg(collect_list(struct($"cid", $"cv")).as("cents"))
+    val rows = e.crossJoin(broadcast(packed))
+      .select($"vec_id", expr(
+        """array_sort(transform(cents, c -> named_struct(
+          |  'd2', vec_dot(v, v) - 2.0d * vec_dot(v, c.cv)
+          |          + vec_dot(c.cv, c.cv),
+          |  'cid', c.cid)))""".stripMargin).as("ds"))
+      .select($"vec_id",
+        $"ds"(0).getField("cid").as("cid"),
+        sqrt(greatest($"ds"(0).getField("d2"), lit(0.0))).as("a"),
+        sqrt(greatest($"ds"(1).getField("d2"), lit(0.0))).as("b"))
+      .select($"vec_id", $"cid", $"a",
+        when(greatest($"a", $"b") === 0.0, 0.0)
+          .otherwise(($"b" - $"a") / greatest($"a", $"b")).as("s"))
+    // k-row table, two consumers (global mean + final projection) —
+    // materialized so the corpus-scan rollup runs once
+    val per = Tables.materialize(rows.groupBy($"cid")
+      .agg(count(lit(1)).as("n"),
+        (sum($"a".cast(DecimalType(28, 12))).cast("double")
+          / count(lit(1))).as("ma"),
+        sum($"s".cast(DecimalType(28, 12))).cast("double").as("ssum")))
+    val glob = per.agg(
+      (sum($"ssum".cast(DecimalType(28, 12))).cast("double")
+        / sum($"n")).as("gs"))
+    per.crossJoin(broadcast(glob))
+      .select($"cid", $"n", round($"ma", 6).as("mean_a"),
+        round($"ssum" / $"n", 6).as("mean_sil"),
+        round($"gs", 6).as("global_sil"))
+      .orderBy($"cid")
+  }
+
+  val ssSilhouetteSql: String =
+    s"""$kmTrainedCte,
+       |ab AS (
+       |  SELECT a.vec_id, a.cid, SQRT(GREATEST(a.d2, 0.0)) AS a,
+       |    SQRT(GREATEST(MIN(s.d2), 0.0)) AS b
+       |  FROM af a JOIN sf s
+       |    ON s.vec_id = a.vec_id AND s.cid <> a.cid
+       |  GROUP BY a.vec_id, a.cid, a.d2),
+       |rows_ AS (
+       |  SELECT vec_id, cid, a,
+       |    CASE WHEN GREATEST(a, b) = 0.0 THEN 0.0
+       |      ELSE (b - a) / GREATEST(a, b) END AS s
+       |  FROM ab),
+       |per AS (
+       |  SELECT cid, COUNT(*) AS n,
+       |    CAST(SUM(CAST(a AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS ma,
+       |    CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS ssum
+       |  FROM rows_ GROUP BY cid),
+       |gl AS (
+       |  SELECT CAST(SUM(CAST(ssum AS DECIMAL(28,12))) AS DOUBLE)
+       |    / SUM(n) AS gs
+       |  FROM per)
+       |SELECT per.cid, CAST(per.n AS BIGINT) AS n,
+       |  ROUND(per.ma, 6) AS mean_a,
+       |  ROUND(per.ssum / per.n, 6) AS mean_sil,
+       |  ROUND(gl.gs, 6) AS global_sil
+       |FROM per CROSS JOIN gl
+       |ORDER BY per.cid""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_silhouette" -> (ssSilhouette _),
     "llm_ss_cosine_histogram" -> (ssCosineHistogram _),
     "llm_ss_ndcg" -> (ssNdcg _),
     "llm_ss_range_search" -> (ssRangeSearch _),
@@ -2884,6 +2977,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ss_silhouette" -> ssSilhouetteSql,
     "llm_ss_cosine_histogram" -> ssCosineHistogramSql,
     "llm_ss_ndcg" -> ssNdcgSql,
     "llm_ss_range_search" -> ssRangeSearchSql,

@@ -2530,7 +2530,112 @@ object TextAnalysis {
       |FROM t JOIN d ON t.source = d.source
       |ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_bigram_entropy: corpus-level conditional entropy H(W₂|W₁) of
+  // the bigram LM, against the bigram-marginal entropy H(W₂), with
+  // mutual information I = H(W₂)−H(W₂|W₁) and redundancy 1−H(W₂|W₁)/
+  // H(W₂) — the sequence-predictability audit: templated/stitched
+  // corpora are REDUNDANT (the next token is predictable from the
+  // previous one) long before any per-doc screen fires; taEntropy is
+  // per-doc and unigram, this is corpus-level and order-aware (the
+  // corpus twin of what ta_lm_bigram scores per document).
+  // Scale shape: ONE exploding corpus scan → the bigram-type table
+  // (partial-aggregable, term-keyed — same grain ta_lm_bigram already
+  // ships), materialized once for its three consumers (prefix rollup,
+  // marginal rollup, total); everything downstream is arithmetic on
+  // type-grain tables bounded by observed bigram types, and the final
+  // aggregates carry O(1) state. Determinism: all probabilities are
+  // integer-over-integer doubles; each −p·ln term quantizes to
+  // DECIMAL(15,9) immediately (the taEntropy/taZipf ln discipline);
+  // the scalar algebra runs on identical doubles both engines.
+  /** The un-checkpointed bigram-type builder (one exploding corpus
+    * scan → partial-agg (w1,w2) counts) — split out so PlanSpec can
+    * assert the one-scan property on the build. */
+  private[graft] def taBigramTypeTable(spark: SparkSession,
+                                       dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(t) - 2),
+          |  i -> named_struct('w1', element_at(t, i + 1),
+          |                    'w2', element_at(t, i + 2)))""".stripMargin))
+        .as("b"))
+      .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+  }
+
+  def taBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c2 = taBigramTypeTable(spark, dir).localCheckpoint()
+    if (c2.isEmpty)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Long, Long, Double, Double, Double, Double)])
+        .toDF("n_bigrams", "n_bigram_types", "n_prefix_types",
+          "h_marginal", "h_conditional", "mutual_info", "redundancy")
+    val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+    val tot = c2.agg(sum($"c2").as("n"))
+    val hc = c2.join(c1, "w1").crossJoin(broadcast(tot))
+      .select((-($"c2".cast("double") / $"n")
+        * log($"c2".cast("double") / $"c1"))
+        .cast("decimal(15,9)").as("t"))
+      .agg(sum($"t").cast("double").as("h")).head().getDouble(0)
+    val hm = c2.groupBy($"w2").agg(sum($"c2").as("cw2"))
+      .crossJoin(broadcast(tot))
+      .select((-($"cw2".cast("double") / $"n")
+        * log($"cw2".cast("double") / $"n"))
+        .cast("decimal(15,9)").as("t"))
+      .agg(sum($"t").cast("double").as("h")).head().getDouble(0)
+    val counts = c2.agg(sum($"c2").as("n"), count(lit(1)).as("types"),
+      countDistinct($"w1").as("prefixes")).head()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.createDataFrame(Seq((
+      counts.getAs[Long]("n"), counts.getAs[Long]("types"),
+      counts.getAs[Long]("prefixes"),
+      r6(hm), r6(hc), r6(hm - hc),
+      r6(if (hm == 0.0) 0.0 else 1.0 - hc / hm))))
+      .toDF("n_bigrams", "n_bigram_types", "n_prefix_types",
+        "h_marginal", "h_conditional", "mutual_info", "redundancy")
+  }
+
+  val taBigramEntropySql: String =
+    """WITH bg AS (
+      |  SELECT unnest(list_transform(range(0, len(t) - 1),
+      |    i -> {'w1': t[i + 1], 'w2': t[i + 2]})) AS b
+      |  FROM (SELECT string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2),
+      |f AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM f GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |tot AS (SELECT CAST(SUM(c2) AS BIGINT) AS n FROM c2),
+      |hc AS (
+      |  SELECT CAST(SUM(CAST(-(CAST(c2.c2 AS DOUBLE) / t.n)
+      |    * LN(CAST(c2.c2 AS DOUBLE) / c1.c1) AS DECIMAL(15,9)))
+      |    AS DOUBLE) AS h
+      |  FROM c2 JOIN c1 USING (w1) CROSS JOIN tot t),
+      |cm AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS cw2 FROM c2 GROUP BY w2),
+      |hm AS (
+      |  SELECT CAST(SUM(CAST(-(CAST(cw2 AS DOUBLE) / t.n)
+      |    * LN(CAST(cw2 AS DOUBLE) / t.n) AS DECIMAL(15,9)))
+      |    AS DOUBLE) AS h
+      |  FROM cm CROSS JOIN tot t),
+      |k AS (
+      |  SELECT CAST(SUM(c2) AS BIGINT) AS n, COUNT(*) AS types,
+      |    COUNT(DISTINCT w1) AS prefixes
+      |  FROM c2)
+      |SELECT k.n AS n_bigrams, CAST(k.types AS BIGINT) AS n_bigram_types,
+      |  CAST(k.prefixes AS BIGINT) AS n_prefix_types,
+      |  ROUND(hm.h, 6) AS h_marginal,
+      |  ROUND(hc.h, 6) AS h_conditional,
+      |  ROUND(hm.h - hc.h, 6) AS mutual_info,
+      |  ROUND(CASE WHEN hm.h = 0.0 THEN 0.0
+      |    ELSE 1.0 - hc.h / hm.h END, 6) AS redundancy
+      |FROM k CROSS JOIN hc CROSS JOIN hm""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_bigram_entropy" -> (taBigramEntropy _),
     "llm_ta_source_lexical_health" -> (taSourceLexicalHealth _),
     "llm_ta_source_similarity" -> (taSourceSimilarity _),
     "llm_ta_simpson" -> (taSimpson _),
@@ -2578,6 +2683,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_bigram_entropy" -> taBigramEntropySql,
     "llm_ta_source_lexical_health" -> taSourceLexicalHealthSql,
     "llm_ta_source_similarity" -> taSourceSimilaritySql,
     "llm_ta_simpson" -> taSimpsonSql,

@@ -2377,7 +2377,313 @@ object RelationalQueries {
       |ORDER BY sd / mean_price DESC, l_partkey
       |LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q84_benford_audit: Benford's-law first-digit test on extendedprice
+  // — the classic fabricated-numbers / synthetic-data tripwire an
+  // ingest pipeline runs on any money-like column before trusting it.
+  // Per digit 1..9: observed count, observed vs expected share, the
+  // chi² contribution, plus the total chi² and a conformance verdict
+  // (χ²₀.₉₉ at df=8 = 20.09; TPC-H prices are uniform-ish, so on this
+  // fixture the verdict is EXPECTED to be "nonconforming" — the audit
+  // reports the law's failure, it does not assume it holds).
+  // Scale shape: ONE fact scan collapses to a ≤9-row digit histogram
+  // (partial-aggregable, O(1) state); the dense digit spine, expected
+  // shares, chi² and verdict are arithmetic on that bounded table.
+  // Determinism: the first digit is extracted integer-exactly
+  // (cents = round(price·100) is exact for 2-decimal money, then the
+  // leading char of the BIGINT's decimal string — no float log10,
+  // whose rounding at exact powers of ten differs across libm); the
+  // expected shares are 12-decimal LITERALS in both engines (never a
+  // folded log10(1+1/d)); the verdict gates the RAW chi² vs the
+  // literal 20.09.
+  /** The ≤9-row digit histogram — the audit's single fact scan, split
+    * out so PlanSpec can assert the one-scan property on the build
+    * (the registered query materializes it: spine/total/chi²/verdict
+    * are four consumers, and without the checkpoint each one re-scans
+    * the fact — 4 lineitem scans measured on the first draft). */
+  private[graft] def q84DigitHist(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(substring(round($"l_extendedprice" * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+  }
+
+  def q84BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.materialize(q84DigitHist(spark, dir))
+    val expShare = Map(
+      1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+      4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+      7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+    val expCol = expShare.foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+      when($"digit" === d, lit(p)).otherwise(acc)
+    }
+    val spine = spark.range(1, 10).select($"id".cast("int").as("digit"))
+    val dense = spine.join(obs, Seq("digit"), "left")
+      .select($"digit", coalesce($"n_obs", lit(0L)).as("n_obs"),
+        expCol.as("exp_share"))
+    // n = 0 (empty fact) => the defined result is EMPTY, never a row
+    // of 0/0 NaNs — the DegenerateInputSpec contract
+    val tot = dense.agg(sum($"n_obs").as("n")).select($"n")
+      .filter($"n" > 0)
+    val terms = dense.crossJoin(broadcast(tot))
+      .select($"digit", $"n_obs", $"n", $"exp_share",
+        (($"n_obs".cast("double") - $"n" * $"exp_share")
+          * ($"n_obs".cast("double") - $"n" * $"exp_share")
+          / ($"n" * $"exp_share")).as("term"))
+    val chi2 = terms
+      .agg(sum($"term".cast(DecimalType(28, 12))).cast("double").as("chi2"))
+    terms.crossJoin(broadcast(chi2))
+      .select($"digit", $"n_obs",
+        round($"n_obs".cast("double") / $"n", 6).as("obs_share"),
+        round($"exp_share", 6).as("exp_share"),
+        round($"term", 6).as("chi2_term"),
+        round($"chi2", 6).as("chi2_total"),
+        when($"chi2" > 20.09, lit("nonconforming"))
+          .otherwise(lit("conforming")).as("verdict"))
+      .orderBy($"digit")
+  }
+
+  val q84Sql: String =
+    """WITH obs AS (
+      |  SELECT CAST(SUBSTR(CAST(CAST(ROUND(l_extendedprice * 100, 0)
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    COUNT(*) AS n_obs
+      |  FROM lineitem GROUP BY 1),
+      |spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+      |dense AS (
+      |  SELECT s.digit, COALESCE(o.n_obs, 0) AS n_obs,
+      |    CASE s.digit
+      |      WHEN 1 THEN CAST(0.301029995664 AS DOUBLE)
+      |      WHEN 2 THEN CAST(0.176091259056 AS DOUBLE)
+      |      WHEN 3 THEN CAST(0.124938736608 AS DOUBLE)
+      |      WHEN 4 THEN CAST(0.096910013008 AS DOUBLE)
+      |      WHEN 5 THEN CAST(0.079181246048 AS DOUBLE)
+      |      WHEN 6 THEN CAST(0.066946789631 AS DOUBLE)
+      |      WHEN 7 THEN CAST(0.057991946978 AS DOUBLE)
+      |      WHEN 8 THEN CAST(0.051152522447 AS DOUBLE)
+      |      ELSE CAST(0.045757490561 AS DOUBLE) END AS exp_share
+      |  FROM spine s LEFT JOIN obs o ON o.digit = s.digit),
+      |tot AS (SELECT SUM(n_obs) AS n FROM dense HAVING SUM(n_obs) > 0),
+      |terms AS (
+      |  SELECT d.digit, d.n_obs, t.n, d.exp_share,
+      |    (CAST(d.n_obs AS DOUBLE) - t.n * d.exp_share)
+      |      * (CAST(d.n_obs AS DOUBLE) - t.n * d.exp_share)
+      |      / (t.n * d.exp_share) AS term
+      |  FROM dense d CROSS JOIN tot t),
+      |x AS (
+      |  SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS chi2
+      |  FROM terms)
+      |SELECT CAST(t.digit AS INT) AS digit, CAST(t.n_obs AS BIGINT) AS n_obs,
+      |  ROUND(CAST(t.n_obs AS DOUBLE) / t.n, 6) AS obs_share,
+      |  ROUND(CAST(t.exp_share AS DOUBLE), 6) AS exp_share,
+      |  ROUND(t.term, 6) AS chi2_term,
+      |  ROUND(x.chi2, 6) AS chi2_total,
+      |  CASE WHEN x.chi2 > 20.09 THEN 'nonconforming'
+      |    ELSE 'conforming' END AS verdict
+      |FROM terms t CROSS JOIN x
+      |ORDER BY t.digit""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q85_gini: exact Gini coefficient of supplier revenue per nation —
+  // the Lorenz-curve inequality index, the scale-free companion to
+  // q60's HHI (HHI is share-of-squares — dominated by the top firms;
+  // Gini prices the WHOLE distribution, so a nation where the middle
+  // tier collapsed scores high Gini at modest HHI). Rank-sum form on
+  // ascending revenue: G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx).
+  // Scale shape: ONE fact shuffle collapses lineitem to supplier
+  // grain; the nation dim broadcasts onto that entity-sized table;
+  // the rank window partitions by nation over SUPPLIER rows (entity-
+  // bounded — at any corpus scale suppliers ≪ fact; the same dim-not-
+  // fact window argument as q61). Determinism: revenue is the
+  // DECIMAL(28,12) order-insensitive sum; the rank orders by (raw
+  // revenue, suppkey) — a total order on identical doubles; i·xᵢ
+  // re-enters DECIMAL before the nation rollup; zero-revenue nations
+  // report gini = 0, never NaN.
+  def q85Gini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    val dim = Tables.supplier(spark, dir)
+      .select($"s_suppkey", $"s_nationkey")
+      .join(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name".as("nation")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"nation")
+    val ranked = rev.join(broadcast(dim), $"l_suppkey" === $"s_suppkey")
+      .withColumn("i", row_number().over(
+        Window.partitionBy($"nation").orderBy($"rev", $"l_suppkey")))
+    ranked.groupBy($"nation")
+      .agg(count(lit(1)).as("n_suppliers"),
+        dsum($"rev").as("tot"),
+        dsum($"i" * $"rev").as("wsum"))
+      .select($"nation", $"n_suppliers",
+        round($"tot", 2).as("total_revenue"),
+        round(when($"tot" <= 0.0, 0.0)
+          .otherwise((lit(2.0) * $"wsum" - ($"n_suppliers" + 1) * $"tot")
+            / ($"n_suppliers" * $"tot")), 6).as("gini"),
+        when($"tot" <= 0.0, 0.0)
+          .otherwise((lit(2.0) * $"wsum" - ($"n_suppliers" + 1) * $"tot")
+            / ($"n_suppliers" * $"tot")).as("g_raw"))
+      .orderBy($"g_raw".desc, $"nation")
+      .select($"nation", $"n_suppliers", $"total_revenue", $"gini")
+  }
+
+  val q85Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |dim AS (
+      |  SELECT s_suppkey, n_name AS nation
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+      |ranked AS (
+      |  SELECT d.nation, r.rev,
+      |    ROW_NUMBER() OVER (PARTITION BY d.nation
+      |      ORDER BY r.rev, r.l_suppkey) AS i
+      |  FROM rev r JOIN dim d ON r.l_suppkey = d.s_suppkey),
+      |a AS (
+      |  SELECT nation, COUNT(*) AS n,
+      |    CAST(SUM(CAST(rev AS DECIMAL(28,12))) AS DOUBLE) AS tot,
+      |    CAST(SUM(CAST(i * rev AS DECIMAL(28,12))) AS DOUBLE) AS wsum
+      |  FROM ranked GROUP BY 1)
+      |SELECT nation, CAST(n AS BIGINT) AS n_suppliers,
+      |  ROUND(tot, 2) AS total_revenue,
+      |  ROUND(CASE WHEN tot <= 0.0 THEN 0.0
+      |    ELSE (2.0 * wsum - (n + 1) * tot) / (n * tot) END, 6) AS gini
+      |FROM a
+      |ORDER BY CASE WHEN tot <= 0.0 THEN 0.0
+      |  ELSE (2.0 * wsum - (n + 1) * tot) / (n * tot) END DESC, nation""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q86_anova: one-way ANOVA of ship latency across order priorities —
+  // between/within variance decomposition and the F statistic, with a
+  // verdict vs the literal F₀.₉₅(4, ∞) = 2.3719. The hypothesis-test
+  // companion to q71's per-priority percentiles: the percentile table
+  // SHOWS the spread, the F-test says whether priority explains real
+  // latency variance at this order volume (the SLA-tiering audit — if
+  // F is insignificant, the priority field is cosmetic and a scheduler
+  // keyed on it is cargo cult). Same family as llm_sample_deff's
+  // variance decomposition, on the relational fact with the F gate
+  // deff deliberately omits.
+  // Scale shape: ONE co-keyed fact join (lineitem ⋈ orders on
+  // orderkey — the q71 join; bucketed co-location at cluster scale)
+  // collapses to per-priority (n, Σy, Σy²) — partial-aggregable
+  // DECIMAL sums, O(1) state; every SS/F term is arithmetic on that
+  // ≤5-row table. Determinism: latency is an integer datediff; moment
+  // forms written identically both engines (Σy² − (Σy)²/n, never the
+  // centered pass); the verdict gates the RAW F vs the literal.
+  /** The per-priority (n, Σy, Σy²) moment table — the ANOVA's single
+    * fact pass, split out so PlanSpec can assert the one-scan property
+    * on the build (the registered query materializes it: tot/x/f/final
+    * are cascading consumers that would otherwise each replay the fact
+    * join). */
+  private[graft] def q86MomentTable(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    import spark.implicits._
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_shipdate")
+      .join(Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority".as("priority"),
+        datediff($"l_shipdate", $"o_orderdate").cast("double").as("y"))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n"), dsum($"y").as("s1"),
+        dsum($"y" * $"y").as("s2"))
+  }
+
+  def q86Anova(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = Tables.materialize(q86MomentTable(spark, dir))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    val tot = g.agg(sum($"n").as("nt"), count(lit(1)).as("k"),
+      dsum($"s1").as("t1"), dsum($"s2").as("t2")).filter($"k" >= 2)
+    val x = g.crossJoin(broadcast(tot))
+      .select($"priority", $"n", $"s1", $"s2", $"nt", $"k", $"t1", $"t2",
+        // per-group between-SS term n_g·(ȳ_g − ȳ)², moment form
+        (($"s1" / $"n" - $"t1" / $"nt") * ($"s1" / $"n" - $"t1" / $"nt")
+          * $"n").as("ssb_term"),
+        ($"s2" - $"s1" * $"s1" / $"n").as("ssw_term"))
+    val f = x.agg(
+      sum($"ssb_term".cast(DecimalType(28, 12))).cast("double").as("ssb"),
+      sum($"ssw_term".cast(DecimalType(28, 12))).cast("double").as("ssw"),
+      max($"nt").as("nt2"), max($"k").as("k2"))
+      .select($"ssb", $"ssw",
+        when($"ssw" <= 0.0 || $"k2" <= 1 || $"nt2" <= $"k2", 0.0)
+          .otherwise(($"ssb" / ($"k2" - 1))
+            / ($"ssw" / ($"nt2" - $"k2"))).as("f_raw"))
+    x.crossJoin(broadcast(f))
+      .select($"priority", $"n",
+        round($"s1" / $"n", 6).as("mean_lag"),
+        round(when($"n" <= 1, 0.0)
+          .otherwise(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)), 6)
+          .as("var_lag"),
+        round($"ssb", 6).as("ss_between"),
+        round($"ssw", 6).as("ss_within"),
+        round($"f_raw", 6).as("f_stat"),
+        when($"f_raw" > 2.3719, lit("significant"))
+          .otherwise(lit("insignificant")).as("verdict"))
+      .orderBy($"priority")
+  }
+
+  val q86Sql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS priority, COUNT(*) AS n,
+      |    CAST(SUM(CAST(CAST(DATE_DIFF('day', o_orderdate, l_shipdate)
+      |      AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(CAST(DATE_DIFF('day', o_orderdate, l_shipdate)
+      |      AS DOUBLE) * CAST(DATE_DIFF('day', o_orderdate, l_shipdate)
+      |      AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS s2
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(n) AS nt, COUNT(*) AS k,
+      |    CAST(SUM(CAST(s1 AS DECIMAL(28,12))) AS DOUBLE) AS t1,
+      |    CAST(SUM(CAST(s2 AS DECIMAL(28,12))) AS DOUBLE) AS t2
+      |  FROM g HAVING COUNT(*) >= 2),
+      |x AS (
+      |  SELECT g.priority, g.n, g.s1, g.s2, t.nt, t.k, t.t1,
+      |    (g.s1 / g.n - t.t1 / t.nt) * (g.s1 / g.n - t.t1 / t.nt) * g.n
+      |      AS ssb_term,
+      |    g.s2 - g.s1 * g.s1 / g.n AS ssw_term
+      |  FROM g CROSS JOIN tot t),
+      |fz AS (
+      |  SELECT
+      |    CAST(SUM(CAST(ssb_term AS DECIMAL(28,12))) AS DOUBLE) AS ssb,
+      |    CAST(SUM(CAST(ssw_term AS DECIMAL(28,12))) AS DOUBLE) AS ssw,
+      |    MAX(nt) AS nt2, MAX(k) AS k2
+      |  FROM x),
+      |fr AS (
+      |  SELECT ssb, ssw,
+      |    CASE WHEN ssw <= 0.0 OR k2 <= 1 OR nt2 <= k2 THEN 0.0
+      |      ELSE (ssb / (k2 - 1)) / (ssw / (nt2 - k2)) END AS f_raw
+      |  FROM fz)
+      |SELECT x.priority, CAST(x.n AS BIGINT) AS n,
+      |  ROUND(x.s1 / x.n, 6) AS mean_lag,
+      |  ROUND(CASE WHEN x.n <= 1 THEN 0.0
+      |    ELSE (x.s2 - x.s1 * x.s1 / x.n) / (x.n - 1) END, 6) AS var_lag,
+      |  ROUND(f.ssb, 6) AS ss_between,
+      |  ROUND(f.ssw, 6) AS ss_within,
+      |  ROUND(f.f_raw, 6) AS f_stat,
+      |  CASE WHEN f.f_raw > 2.3719 THEN 'significant'
+      |    ELSE 'insignificant' END AS verdict
+      |FROM x CROSS JOIN fr f
+      |ORDER BY x.priority""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_anova" -> (q86Anova _),
+    "q85_gini" -> (q85Gini _),
+    "q84_benford_audit" -> (q84BenfordAudit _),
     "q83_price_dispersion" -> (q83PriceDispersion _),
     "q82_return_repurchase" -> (q82ReturnRepurchase _),
     "q81_discount_mix" -> (q81DiscountMix _),
@@ -2432,6 +2738,9 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q86_anova" -> q86Sql,
+    "q85_gini" -> q85Sql,
+    "q84_benford_audit" -> q84Sql,
     "q83_price_dispersion" -> q83Sql,
     "q82_return_repurchase" -> q82Sql,
     "q81_discount_mix" -> q81Sql,

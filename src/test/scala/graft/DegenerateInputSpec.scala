@@ -32,6 +32,49 @@ class DegenerateInputSpec extends SparkSpec {
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType))))
     events.write.parquet(s"$d/events.parquet")
+    val lineitem = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+        StructField("l_suppkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+        StructField("l_returnflag", StringType),
+        StructField("l_linestatus", StringType),
+        StructField("l_shipdate", TimestampType))))
+    lineitem.write.parquet(s"$d/lineitem.parquet")
+    val orders = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderpriority", StringType))))
+    orders.write.parquet(s"$d/orders.parquet")
+    val supplier = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("s_suppkey", LongType), StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType))))
+    supplier.write.parquet(s"$d/supplier.parquet")
+    val nation = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+    nation.write.parquet(s"$d/nation.parquet")
+    val embeddings = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    embeddings.write.parquet(s"$d/embeddings.parquet")
     d
   }
 
@@ -85,6 +128,20 @@ class DegenerateInputSpec extends SparkSpec {
     // guard), same contract as a single-class labeled corpus
     assert(graft.llm.Models.auc(spark, emptyDir).collect().isEmpty)
     assert(graft.llm.Models.mcnemar(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Models.psi(spark, emptyDir).collect().isEmpty)
+    assert(graft.operators.RelationalQueries
+      .q84BenfordAudit(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Graph.powerlawAlpha(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Models.hosmer(spark, emptyDir).collect().isEmpty)
+    assert(graft.operators.RelationalQueries
+      .q85Gini(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.TextAnalysis.taBigramEntropy(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.operators.RelationalQueries
+      .q86Anova(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Sampling.sampleHt(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Similarity.ssSilhouette(spark, emptyDir)
+      .collect().isEmpty)
     assert(graft.streaming.WindowQueries.stAcf(spark, emptyDir)
       .collect().isEmpty)
     assert(graft.llm.Models.prSummary(spark, emptyDir).collect().isEmpty)

@@ -423,6 +423,155 @@ class PlanSpec extends SparkSpec {
       "no join/window may appear in the aggregate cascade")
   }
 
+  test("q84 benford collapses to the digit histogram in one fact scan") {
+    // the histogram BUILD is one lineitem scan with map-side partial
+    // aggregation; the registered query materializes that ≤9-row table
+    // (four consumers: spine/total/chi2/verdict — unmaterialized, each
+    // re-scanned the fact: 4 scans measured on the first draft)
+    val build = planOf(graft.operators.RelationalQueries
+      .q84DigitHist(spark, sf0001))
+    val buildScans = build.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(buildScans == 1,
+      s"expected one lineitem scan in the histogram build, got " +
+        s"$buildScans:\n" +
+        build.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(build.split("\n").exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      "the digit histogram must keep map-side partial aggregation:\n" +
+        build.split("\n").filter(_.contains("HashAggregate")).mkString("\n"))
+    val plan = planOf(graft.operators.RelationalQueries
+      .q84BenfordAudit(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans == 0,
+      s"the audit must consume the materialized histogram, got " +
+        s"$liScans fact scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "no SMJ/window may appear in the digit audit")
+  }
+
+  test("powerlaw alpha rides the session-cached edge list (no parquet rescan)") {
+    val plan = planOf(graft.llm.Graph.powerlawAlpha(spark, sf0001))
+    val parquetScans = plan.split("\n").count(_.contains("FileScan parquet"))
+    assert(parquetScans == 0,
+      "the MLE must consume the cached edge table, never re-scan the " +
+        "star schema:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("Window"),
+      "the histogram-grain MLE needs no window")
+  }
+
+  test("psi scores the materialized feature table (no second corpus scan)") {
+    // the fit + scoring consume the localCheckpointed feature table;
+    // the grid/PSI pipeline is arithmetic on the (source x 10) table.
+    // Protected property: the returned plan re-scans NO parquet.
+    val plan = planOf(graft.llm.Models.psi(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans == 0,
+      "psi must score the materialized feature table:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"),
+      "the dense-grid joins are all bounded-side broadcasts")
+  }
+
+  test("q85 gini: one fact scan, broadcast dim, entity-grain window") {
+    // one lineitem scan collapses to supplier grain; the nation dim
+    // broadcasts; the rank window runs over the entity table (the
+    // dim-not-fact window argument of q61). Protected property: no
+    // second fact scan, no SMJ, exactly one window.
+    val plan = planOf(graft.operators.RelationalQueries
+      .q85Gini(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans == 1,
+      s"expected one lineitem scan, got $liScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the nation dim must broadcast:\n" + plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "no SMJ may appear in the supplier-grain pipeline")
+    assert(plan.split("\n").count(_.contains("Window")) <= 1,
+      "exactly one entity-grain rank window")
+  }
+
+  test("hosmer scores the materialized feature table (no corpus rescan)") {
+    val plan = planOf(graft.llm.Models.hosmer(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans == 0,
+      "hosmer must score the materialized feature table:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "the ≤10-bin table needs no SMJ/window")
+  }
+
+  test("bigram-type build is one exploding corpus scan with partial agg") {
+    // the registered query materializes this table once for its three
+    // consumers (prefix rollup, marginal rollup, total)
+    val plan = planOf(graft.llm.TextAnalysis
+      .taBigramTypeTable(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans == 1,
+      s"expected one documents scan, got $docScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(plan.split("\n").exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      "the bigram-type groupBy must keep map-side partial aggregation:\n" +
+        plan.split("\n").filter(_.contains("HashAggregate")).mkString("\n"))
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      "the build is scan -> explode -> groupBy, nothing else")
+  }
+
+  test("q86 anova: moment build is one co-keyed join, audit scans nothing") {
+    // the build: one lineitem + one orders scan into the per-priority
+    // moment collapse; the registered query materializes that ≤5-row
+    // table (tot/x/f/final would otherwise each replay the fact join)
+    val build = planOf(graft.operators.RelationalQueries
+      .q86MomentTable(spark, sf0001))
+    for (t <- Seq("lineitem", "orders")) {
+      val scans = build.split("\n")
+        .count(l => l.contains("FileScan parquet") && l.contains(t))
+      assert(scans == 1, s"expected one $t scan in the moment build:\n" +
+        build.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    }
+    assert(build.split("\n").exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      "the moment collapse must keep map-side partial aggregation")
+    val plan = planOf(graft.operators.RelationalQueries
+      .q86Anova(spark, sf0001))
+    assert(!plan.contains("FileScan parquet"),
+      "the F-test must consume the materialized moment table:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
+  test("ht estimator: one corpus audit pass, sample-side work materialized") {
+    // the sample table (k rows) is materialized; the only corpus scan
+    // left in the registered plan is the true-total audit pass
+    val plan = planOf(graft.llm.Sampling.sampleHt(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans == 1,
+      s"expected exactly the true-total audit scan, got $docScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"),
+      "all joins in the estimator are k-row broadcasts")
+  }
+
+  test("silhouette: one embeddings pass against broadcast centroids") {
+    val plan = planOf(graft.llm.Similarity.ssSilhouette(spark, sf0001))
+    val embScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("embeddings"))
+    assert(embScans == 0,
+      "the rollup is materialized; the final plan re-scans nothing:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "the k-row join is a broadcast; no window anywhere")
+  }
+
   test("q74 price index scans the fact once (materialized moment table)") {
     val plan = planOf(graft.operators.RelationalQueries
       .q74PriceIndex(spark, sf0001))

@@ -1661,4 +1661,330 @@ class WaveTenSpec extends SparkSpec {
     assert(lr.getAs[Double]("accuracy") == r.getAs[Double]("acc_probe"),
       "probe decisions must be identical under the shared fit")
   }
+
+  test("q84 benford audit matches a naive first-digit recount") {
+    val rows = RelationalQueries.q84BenfordAudit(spark, sf0001).collect()
+    assert(rows.length == 9, "dense digit spine must emit all 9 digits")
+    val prices = graft.sources.Tables.lineitem(spark, sf0001)
+      .select($"l_extendedprice").collect().map(_.getDouble(0))
+    val digits = prices.map(p =>
+      math.round(p * 100).toString.charAt(0).asDigit)
+    val n = digits.length.toDouble
+    val expShare = Map(
+      1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+      4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+      7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+    val terms = (1 to 9).map { d =>
+      val o = digits.count(_ == d).toDouble
+      val e = n * expShare(d)
+      d -> ((o - e) * (o - e) / e)
+    }.toMap
+    val chi2 = terms.toSeq.sortBy(_._1).map(t => q12(t._2)).sum.toDouble
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(r.getAs[Long]("n_obs") == digits.count(_ == d).toLong)
+      assert(r.getAs[Double]("obs_share") == r6(digits.count(_ == d) / n))
+      assert(r.getAs[Double]("exp_share") == r6(expShare(d)))
+      assert(r.getAs[Double]("chi2_term") == r6(terms(d)),
+        s"chi2 term mismatch at digit $d")
+      assert(r.getAs[Double]("chi2_total") == r6(chi2))
+      assert(r.getString(6)
+        == (if (chi2 > 20.09) "nonconforming" else "conforming"))
+    }
+    // sanity: shares partition the corpus
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == digits.length.toLong)
+  }
+
+  test("powerlaw alpha matches a naive per-side MLE recomputation") {
+    val rows = Graph.powerlawAlpha(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("customer", "supplier"))
+    val pairs = graft.sources.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.sources.Tables.lineitem(spark, sf0001)
+        .select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // symmetric edges => a node's degree is its distinct-partner count
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).map { case (nd, xs) => nd -> xs.length }
+    rows.foreach { r =>
+      val side = r.getString(0)
+      val ds = deg.collect {
+        case (nd, d) if (nd % 2 == 0) == (side == "customer") => d
+      }.toSeq
+      val nN = ds.length
+      val dmin = ds.min
+      assert(r.getAs[Long]("n_nodes") == nN.toLong)
+      assert(r.getAs[Long]("d_min") == dmin.toLong)
+      assert(r.getAs[Long]("d_max") == ds.max.toLong)
+      assert(r.getAs[Double]("avg_degree")
+        == r6(ds.map(_.toLong).sum.toDouble / nN))
+      // histogram-grain MLE: group degrees, one q12-routed term per
+      // distinct degree (the engine's DECIMAL(28,12) per-row cast)
+      val tSum = ds.groupBy(identity).toSeq.sortBy(_._1).map {
+        case (d, xs) => q12(xs.length * math.log(d / (dmin - 0.5)))
+      }.sum.toDouble
+      val alpha = 1.0 + nN / tSum
+      assert(r.getAs[Double]("alpha") == r6(alpha),
+        s"alpha mismatch for $side")
+      assert(alpha > 1.0, "the MLE form is bounded below by 1")
+    }
+  }
+
+  test("psi matches a naive recount and is non-negative by construction") {
+    val rows = Models.psi(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val scored = Models.psiScored(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val n = scored.length.toDouble
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scored.length.toLong,
+      "per-source doc counts must partition the scored corpus")
+    val corpusShare = (0 to 9).map(b =>
+      b -> math.max(scored.count(_._2 == b) / n, 1e-4)).toMap
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = scored.filter(_._1 == src)
+      val ns = mine.length.toDouble
+      assert(r.getAs[Long]("n_docs") == mine.length.toLong)
+      val psiN = (0 to 9).map { b =>
+        val ps = math.max(mine.count(_._2 == b) / ns, 1e-4)
+        val pc = corpusShare(b)
+        q12((ps - pc) * math.log(ps / pc))
+      }.sum.toDouble
+      assert(r.getAs[Double]("psi") == r6(psiN), s"psi mismatch for $src")
+      assert(psiN >= -1e-12,
+        "PSI is a sum of (Δp·ln-ratio) terms with matching signs — " +
+          "it can never be negative")
+      val verdict =
+        if (psiN < 0.1) "stable"
+        else if (psiN < 0.25) "moderate" else "shifted"
+      assert(r.getString(3) == verdict)
+    }
+  }
+
+  test("q85 gini matches a naive rank-sum recomputation per nation") {
+    val rows = RelationalQueries.q85Gini(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select($"l_suppkey", $"l_extendedprice", $"l_discount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val rev = li.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(x => q12(x._2 * (1.0 - x._3))).sum.toDouble
+    }
+    val supNation = graft.sources.Tables.supplier(spark, sf0001)
+      .join(graft.sources.Tables.nation(spark, sf0001),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byNation = rev.toSeq
+      .map { case (s, x) => (supNation(s), s, x) }
+      .groupBy(_._1)
+    val expected = byNation.map { case (nat, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2))
+      val n = sorted.length
+      val tot = sorted.map(x => q12(x._3)).sum.toDouble
+      val wsum = sorted.zipWithIndex
+        .map { case (x, i) => q12((i + 1) * x._3) }.sum.toDouble
+      val g = if (tot <= 0.0) 0.0
+        else (2.0 * wsum - (n + 1) * tot) / (n * tot)
+      nat -> (n, tot, g)
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, tot, g) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_suppliers") == n.toLong)
+      assert(r.getAs[Double]("total_revenue")
+        == BigDecimal(tot).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      assert(r.getAs[Double]("gini") == r6(g),
+        s"gini mismatch for ${r.getString(0)}")
+      assert(g >= -1e-9 && g < 1.0, "gini of non-negative x must be [0,1)")
+    }
+    // the output must be sorted by raw gini descending
+    val gs = rows.map(r => expected(r.getString(0))._3).toSeq
+    assert(gs == gs.sortBy(-_), "rows must order by raw gini desc")
+  }
+
+  test("hosmer matches a naive per-bin recount over the scored corpus") {
+    val rows = Models.hosmer(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val scored = Models.aucScored(spark, sf0001).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.map(_.getAs[Long]("n")).sum == scored.length.toLong,
+      "bins must partition the scored corpus")
+    val byBin = scored.groupBy(x => math.floor(x._1 * 10).toInt)
+    val terms = byBin.map { case (b, xs) =>
+      val n = xs.length
+      val obs = xs.count(_._2 == 1.0)
+      val exp = xs.map(x => q12(x._1)).sum.toDouble
+      b -> (n, obs, exp,
+        (obs - exp) * (obs - exp) / (exp * (1.0 - exp / n)))
+    }
+    val hl = terms.toSeq.sortBy(_._1).map(t => q12(t._2._4)).sum.toDouble
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bin")
+      val (n, obs, exp, term) = terms(b)
+      assert(r.getAs[Long]("n") == n.toLong)
+      assert(r.getAs[Long]("obs_pos") == obs.toLong)
+      assert(r.getAs[Double]("exp_pos") == r6(exp))
+      assert(r.getAs[Double]("hl_term") == r6(term), s"term mismatch bin $b")
+      assert(r.getAs[Double]("hl_total") == r6(hl))
+      assert(r.getString(6)
+        == (if (hl > 15.507) "miscalibrated" else "calibrated"))
+    }
+  }
+
+  test("bigram entropy matches a naive recount and obeys H(W2|W1) <= H(W2)") {
+    val row = graft.llm.TextAnalysis.taBigramEntropy(spark, sf0001)
+      .collect().head
+    val texts = graft.sources.Tables.documents(spark, sf0001)
+      .select($"text").collect().map(_.getString(0))
+    // split(" ", -1): Spark's split and DuckDB's string_split both keep
+    // empty tokens, including trailing ones
+    val bigrams = texts.map(_.split(" ", -1)).filter(_.length >= 2)
+      .flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+    val c2 = bigrams.groupBy(identity).map { case (k, xs) => k -> xs.length }
+    val n = bigrams.length.toDouble
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val cm = c2.groupBy(_._1._2).map { case (w2, m) => w2 -> m.values.sum }
+    val hc = c2.toSeq.sortBy(_._1).map { case ((w1, _), c) =>
+      q12(-(c / n) * math.log(c.toDouble / c1(w1)))
+    }.sum.toDouble
+    val hm = cm.toSeq.sortBy(_._1).map { case (_, c) =>
+      q12(-(c / n) * math.log(c / n))
+    }.sum.toDouble
+    assert(row.getAs[Long]("n_bigrams") == bigrams.length.toLong)
+    assert(row.getAs[Long]("n_bigram_types") == c2.size.toLong)
+    assert(row.getAs[Long]("n_prefix_types") == c1.size.toLong)
+    assert(row.getAs[Double]("h_marginal") == r6(hm))
+    assert(row.getAs[Double]("h_conditional") == r6(hc))
+    assert(row.getAs[Double]("mutual_info") == r6(hm - hc))
+    assert(row.getAs[Double]("redundancy")
+      == r6(if (hm == 0.0) 0.0 else 1.0 - hc / hm))
+    // information-theoretic identities (up to the per-term DECIMAL(15,9)
+    // quantization): conditioning cannot increase entropy, MI >= 0
+    assert(hc <= hm + 1e-6, "H(W2|W1) must not exceed H(W2)")
+    assert(hm - hc >= -1e-6, "mutual information must be non-negative")
+  }
+
+  test("q86 anova matches a naive moment recomputation") {
+    val rows = RelationalQueries.q86Anova(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val lags = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.orders(spark, sf0001),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff($"l_shipdate", $"o_orderdate").cast("double").as("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+    val moments = lags.map { case (p, ys) =>
+      p -> (ys.length, ys.map(q12).sum.toDouble,
+        ys.map(y => q12(y * y)).sum.toDouble)
+    }
+    val nt = moments.values.map(_._1).sum
+    val k = moments.size
+    val t1 = moments.values.toSeq.sortBy(_._2).map(m => q12(m._2))
+      .sum.toDouble
+    val ssb = moments.toSeq.sortBy(_._1).map { case (_, (n, s1, _)) =>
+      val d = s1 / n - t1 / nt
+      q12(d * d * n)
+    }.sum.toDouble
+    val ssw = moments.toSeq.sortBy(_._1).map { case (_, (n, s1, s2)) =>
+      q12(s2 - s1 * s1 / n)
+    }.sum.toDouble
+    val fRaw =
+      if (ssw <= 0.0 || k <= 1 || nt <= k) 0.0
+      else (ssb / (k - 1)) / (ssw / (nt - k))
+    assert(rows.length == k)
+    rows.foreach { r =>
+      val p = r.getString(0)
+      val (n, s1, s2) = moments(p)
+      assert(r.getAs[Long]("n") == n.toLong)
+      assert(r.getAs[Double]("mean_lag") == r6(s1 / n))
+      assert(r.getAs[Double]("var_lag")
+        == r6(if (n <= 1) 0.0 else (s2 - s1 * s1 / n) / (n - 1)))
+      assert(r.getAs[Double]("ss_between") == r6(ssb))
+      assert(r.getAs[Double]("ss_within") == r6(ssw))
+      assert(r.getAs[Double]("f_stat") == r6(fRaw), s"F mismatch at $p")
+      assert(r.getString(7)
+        == (if (fRaw > 2.3719) "significant" else "insignificant"))
+    }
+    // the ANOVA identity: SSB + SSW = total SS (moment form)
+    val t2 = moments.values.toSeq.sortBy(_._2).map(m => q12(m._3))
+      .sum.toDouble
+    val sst = t2 - t1 * t1 / nt
+    assert(math.abs(ssb + ssw - sst) <= 1e-4 * math.max(1.0, sst),
+      s"ANOVA identity violated: $ssb + $ssw != $sst")
+  }
+
+  test("ht estimator matches a naive recomputation off the pps sample") {
+    val row = Sampling.sampleHt(spark, sf0001).collect().head
+    // Sigma n_hits == k exactly — the pps midpoint-anchor invariant
+    assert(row.getAs[Long]("n_draws") == 25L)
+    val sample = Sampling.samplePps(spark, sf0001)
+      .select($"doc_id", $"weight", $"n_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(row.getAs[Long]("n_sampled_docs") == sample.length.toLong)
+    val qual = graft.llm.TextAnalysis.taQuality(spark, sf0001)
+      .select($"doc_id", $"quality").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val tw = graft.sources.Tables.documents(spark, sf0001)
+      .agg(sum($"n_chars")).collect().head.getLong(0)
+    val yTrue = qual.values.toSeq.sorted.map(q12).sum.toDouble
+    val yps = sample.map { case (id, w, hits) =>
+      (hits, qual(id) * tw.toDouble / w.toDouble)
+    }
+    val yHt = yps.sortBy(_._2).map { case (h, yp) => q12(h * yp) }
+      .sum.toDouble / 25
+    val se = math.sqrt(yps.sortBy(_._2)
+      .map { case (h, yp) => q12((yp - yHt) * (yp - yHt) * h) }
+      .sum.toDouble / (25 * 24))
+    assert(row.getAs[Double]("ht_total") == r6(yHt))
+    assert(row.getAs[Double]("true_total") == r6(yTrue))
+    assert(row.getAs[Double]("rel_err")
+      == r6(if (yTrue == 0.0) 0.0 else math.abs(yHt - yTrue) / yTrue))
+    assert(row.getAs[Double]("se") == r6(se))
+    assert(se >= 0.0)
+  }
+
+  test("silhouette matches a naive recomputation against the trained cents") {
+    val rows = Similarity.ssSilhouette(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val cents = Similarity.kmTrainedCents(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val per = vecs.map { case (_, v) =>
+      val ds = cents.map { case (cid, cv) =>
+        ((dot(v, v) - 2.0 * dot(v, cv)) + dot(cv, cv), cid)
+      }.sorted
+      val a = math.sqrt(math.max(ds(0)._1, 0.0))
+      val b = math.sqrt(math.max(ds(1)._1, 0.0))
+      val s = if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      (ds(0)._2, a, s)
+    }.groupBy(_._1)
+    assert(rows.length == per.size)
+    // mirror the engine's two-level fold: per-cluster DECIMAL sums cast
+    // to double, then re-quantized into the global DECIMAL fold
+    val gs = per.toSeq.sortBy(_._1).map { case (_, mine) =>
+      q12(mine.map(x => q12(x._3)).sum.toDouble)
+    }.sum.toDouble / vecs.length
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cid")
+      val mine = per(cid)
+      assert(r.getAs[Long]("n") == mine.length.toLong)
+      assert(r.getAs[Double]("mean_a")
+        == r6(mine.map(x => q12(x._2)).sum.toDouble / mine.length))
+      assert(r.getAs[Double]("mean_sil")
+        == r6(mine.map(x => q12(x._3)).sum.toDouble / mine.length),
+        s"silhouette mismatch for cluster $cid")
+      // every silhouette is in [-1, 1] by construction
+      mine.foreach(x => assert(math.abs(x._3) <= 1.0 + 1e-9))
+    }
+    assert(rows.head.getAs[Double]("global_sil") == r6(gs))
+  }
 }
