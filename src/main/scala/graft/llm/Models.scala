@@ -1323,7 +1323,104 @@ object Models {
        |FROM terms t CROSS JOIN x
        |ORDER BY t.bin""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_models_gains: cumulative gains table of the quality probe at
+  // capacity cuts {1,5,10,25,50}% — "if the pipeline can only afford
+  // to keep the top k% of documents, what does the gate capture":
+  // per cut, the kept count (first score-histogram crossing ≥ the
+  // ceil(k·N/100) target — ties at one score are kept all-or-nothing,
+  // so kept ≥ target by at most one score class), the positives
+  // captured, precision, recall, and lift over the base rate. The
+  // capacity-first view of the gate: threshold_sweep prices fixed
+  // thresholds, confusion prices the F1-argmax point; a budgeted
+  // curation run is planned from THIS table.
+  // Scale shape: one scoring pass → the score histogram (the pr/ks
+  // device), materialized; the descending cumulative window and the
+  // 5-literal-cut join run over that bounded table. Determinism: all
+  // counts integer; the crossing is min_by over a strictly-increasing
+  // cumulative key; targets are integer ceil-division in both engines.
+  def gains(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.materialize(scoreHist(spark, dir))
+    if (hist.isEmpty)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Long, Long, Long, Double, Double, Double, Double)])
+        .toDF("cut_pct", "target", "n_kept", "pos_captured", "threshold",
+          "precision", "recall", "lift")
+    val w = Window.orderBy($"p".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("ck", sum($"pos" + $"neg").over(w))
+      .withColumn("cp", sum($"pos").over(w))
+      .select($"p", $"ck", $"cp")
+    val tot = hist.agg(sum($"pos" + $"neg").as("n"), sum($"pos").as("np"))
+    val cuts = Seq(1L, 5L, 10L, 25L, 50L).toDF("cut_pct")
+      .crossJoin(broadcast(tot))
+      .select($"cut_pct", $"n", $"np",
+        expr("(n * cut_pct + 99) div 100").as("target"))
+    cum.join(broadcast(cuts), $"ck" >= $"target")
+      .groupBy($"cut_pct", $"target", $"n", $"np")
+      .agg(min($"ck").as("n_kept"),
+        min_by($"cp", $"ck").as("pos_captured"),
+        min_by($"p", $"ck").as("thr"))
+      .select($"cut_pct", $"target", $"n_kept", $"pos_captured",
+        round($"thr", 6).as("threshold"),
+        round($"pos_captured".cast("double") / $"n_kept", 6)
+          .as("precision"),
+        round(when($"np" === 0, 0.0)
+          .otherwise($"pos_captured".cast("double") / $"np"), 6)
+          .as("recall"),
+        round(when($"np" === 0, 0.0)
+          .otherwise(($"pos_captured".cast("double") / $"n_kept")
+            / ($"np".cast("double") / $"n")), 6).as("lift"))
+      .orderBy($"cut_pct")
+  }
+
+  val gainsSql: String =
+    s"""WITH $logregChainSql,
+       |sc AS (
+       |  SELECT ${sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")} AS p, f.y
+       |  FROM f CROSS JOIN w3s w),
+       |hist AS (
+       |  SELECT p, SUM(CAST(y AS BIGINT)) AS pos,
+       |    SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS neg
+       |  FROM sc GROUP BY p),
+       |cum AS (
+       |  SELECT p,
+       |    SUM(pos + neg) OVER (ORDER BY p DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+       |    SUM(pos) OVER (ORDER BY p DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+       |  FROM hist),
+       |tot AS (SELECT SUM(pos + neg) AS n, SUM(pos) AS np FROM hist),
+       |cuts AS (
+       |  SELECT c.cut_pct, t.n, t.np,
+       |    (t.n * c.cut_pct + 99) // 100 AS target
+       |  FROM (SELECT unnest([1, 5, 10, 25, 50]) AS cut_pct) c
+       |  CROSS JOIN tot t),
+       |x AS (
+       |  SELECT c.cut_pct, c.target, c.n, c.np,
+       |    MIN(m.ck) AS n_kept,
+       |    MIN_BY(m.cp, m.ck) AS pos_captured,
+       |    MIN_BY(m.p, m.ck) AS thr
+       |  FROM cum m JOIN cuts c ON m.ck >= c.target
+       |  GROUP BY c.cut_pct, c.target, c.n, c.np)
+       |SELECT CAST(cut_pct AS BIGINT) AS cut_pct,
+       |  CAST(target AS BIGINT) AS target,
+       |  CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(pos_captured AS BIGINT) AS pos_captured,
+       |  ROUND(thr, 6) AS threshold,
+       |  ROUND(CAST(pos_captured AS DOUBLE) / n_kept, 6) AS precision,
+       |  ROUND(CASE WHEN np = 0 THEN 0.0
+       |    ELSE CAST(pos_captured AS DOUBLE) / np END, 6) AS recall,
+       |  ROUND(CASE WHEN np = 0 THEN 0.0
+       |    ELSE (CAST(pos_captured AS DOUBLE) / n_kept)
+       |      / (CAST(np AS DOUBLE) / n) END, 6) AS lift
+       |FROM x ORDER BY cut_pct""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_models_gains" -> (gains _),
     "llm_models_hosmer" -> (hosmer _),
     "llm_models_psi" -> (psi _),
     "llm_models_mcnemar" -> (mcnemar _),
@@ -1340,6 +1437,7 @@ object Models {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_models_gains" -> gainsSql,
     "llm_models_hosmer" -> hosmerSql,
     "llm_models_psi" -> psiSql,
     "llm_models_mcnemar" -> mcnemarSql,

@@ -2680,7 +2680,71 @@ object RelationalQueries {
       |FROM x CROSS JOIN fr f
       |ORDER BY x.priority""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q87_column_profile: ANALYZE-style statistics pass over the fact
+  // table — per column, exact distinct count, null count, and distinct
+  // ratio. The stats every optimizer decision hangs on (join-order
+  // cardinality estimates, dictionary-encoding choice, z-order column
+  // selection — llm_pipeline_zorder/skipping consume exactly this kind
+  // of profile) made a first-class query. Counts only, deliberately no
+  // min/max/top-value: value RENDERING is engine-specific (double and
+  // timestamp formatting diverge between engines) while counts are
+  // portable.
+  // Scale shape: ONE scan; the 11 simultaneous exact distincts expand
+  // the stream 11× into one shuffle (Spark's Expand) — the classic
+  // stats-collection pass; at 100 TB you swap exact distinct for the
+  // HLL sketch (llm_ta_heavy_hitters' device) column by column, same
+  // plan shape. Determinism: all outputs are integers plus one
+  // integer-ratio double; row order is the literal column list order.
+  def q87ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val li = Tables.lineitem(spark, dir)
+    val aggs = count(lit(1)).as("n") +:
+      cols.flatMap(c => Seq(
+        countDistinct(col(c)).as(s"d_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"z_$c")))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("ord"), lit(c).as("column_name"),
+        col(s"d_$c").as("n_distinct"), col(s"z_$c").as("n_nulls"))
+    }
+    one.select($"n", explode(array(stacked: _*)).as("s"))
+      .filter($"n" > 0)
+      .select($"s.column_name", $"n", $"s.n_distinct", $"s.n_nulls",
+        round($"s.n_distinct".cast("double") / $"n", 6)
+          .as("distinct_ratio"))
+      .orderBy($"column_name")
+  }
+
+  val q87Sql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val aggSel = cols.map(c =>
+      s"COUNT(DISTINCT $c) AS d_$c,\n    " +
+        s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS z_$c")
+      .mkString(",\n    ")
+    val rows = cols.map(c =>
+      s"SELECT '$c' AS column_name, n, d_$c AS n_distinct," +
+        s" z_$c AS n_nulls FROM one").mkString("\n  UNION ALL ")
+    s"""WITH one AS (
+       |  SELECT COUNT(*) AS n,
+       |    $aggSel
+       |  FROM lineitem HAVING COUNT(*) > 0),
+       |st AS (
+       |  $rows)
+       |SELECT column_name, CAST(n AS BIGINT) AS n,
+       |  CAST(n_distinct AS BIGINT) AS n_distinct,
+       |  CAST(n_nulls AS BIGINT) AS n_nulls,
+       |  ROUND(CAST(n_distinct AS DOUBLE) / n, 6) AS distinct_ratio
+       |FROM st ORDER BY column_name""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_column_profile" -> (q87ColumnProfile _),
     "q86_anova" -> (q86Anova _),
     "q85_gini" -> (q85Gini _),
     "q84_benford_audit" -> (q84BenfordAudit _),
@@ -2738,6 +2802,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_column_profile" -> q87Sql,
     "q86_anova" -> q86Sql,
     "q85_gini" -> q85Sql,
     "q84_benford_audit" -> q84Sql,

@@ -1488,7 +1488,141 @@ object WindowQueries {
       |LEFT JOIN wh ON tot.event_type = wh.event_type
       |ORDER BY tot.event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_value_drift: per-type distributional drift of `value` between
+  // the first and second half of the horizon — PSI over 10 equal-width
+  // bins spanning the type's full value range, shares floored at the
+  // literal 1e-4, stable/moderate/shifted verdicts at 0.1/0.25. The
+  // DISTRIBUTIONAL companion to st_cusum_drift: CUSUM tracks the mean
+  // (and misses a variance blowup or a bimodal split that keeps the
+  // mean flat); PSI sees any shape change. The monitor a value-keyed
+  // alerting threshold is re-qualified against after a release.
+  // Scale shape: one bounds pass (1-row horizon midpoint + per-type
+  // value ranges, both broadcast) then ONE event scan collapses to the
+  // (type × half × bin) histogram — partial-aggregable, ≤ types×20
+  // rows; the dense grid and PSI are arithmetic on that bounded table.
+  // Determinism: the midpoint and bin edges are integer/double
+  // arithmetic on identical operands; bin = least(floor(·),9) lands
+  // identically on bit-identical doubles; a type with an empty half
+  // reports psi = 0 / 'insufficient', never NaN.
+  def stValueDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", unix_micros($"ts").as("t_us"), $"value")
+    // per-type value ranges AND the global horizon in ONE bounds pass
+    // (the midpoint rolls up from the type-grain table, not a second
+    // fact scan); integer div: long/long `/` is double in Spark, and
+    // DuckDB's double->bigint cast ROUNDS where Spark truncates —
+    // `div` is the only form that lands identically
+    val vb = ev.groupBy($"event_type")
+      .agg(min($"value").as("vmn"), max($"value").as("vmx"),
+        min($"t_us").as("tmn"), max($"t_us").as("tmx"))
+    val bounds = vb.agg(min($"tmn").as("mn"), max($"tmx").as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+      .filter($"mid".isNotNull)
+    // (type × half × bin) histogram — bounded, three consumers below,
+    // materialized so the fact scan runs once through it
+    val binned = Tables.materialize(ev
+      .join(broadcast(vb.select($"event_type", $"vmn", $"vmx")),
+        "event_type")
+      .crossJoin(broadcast(bounds))
+      .select($"event_type",
+        when($"t_us" <= $"mid", 0).otherwise(1).as("half"),
+        when($"vmx" === $"vmn", 0)
+          .otherwise(least(floor(($"value" - $"vmn")
+            / (($"vmx" - $"vmn") / 10.0)), lit(9L)))
+          .cast("int").as("bin"))
+      .groupBy($"event_type", $"half", $"bin")
+      .agg(count(lit(1)).as("c")))
+    val halves = binned.groupBy($"event_type")
+      .agg(sum(when($"half" === 0, $"c").otherwise(0L)).as("n0"),
+        sum(when($"half" === 1, $"c").otherwise(0L)).as("n1"))
+    val bins = spark.range(0, 10).select($"id".cast("int").as("bin"))
+    val grid = halves.crossJoin(broadcast(bins))
+      .join(binned.filter($"half" === 0)
+        .select($"event_type", $"bin", $"c".as("c0")),
+        Seq("event_type", "bin"), "left")
+      .join(binned.filter($"half" === 1)
+        .select($"event_type", $"bin", $"c".as("c1")),
+        Seq("event_type", "bin"), "left")
+      .select($"event_type", $"n0", $"n1",
+        greatest(coalesce($"c0", lit(0L)).cast("double") / $"n0", lit(1e-4))
+          .as("p0"),
+        greatest(coalesce($"c1", lit(0L)).cast("double") / $"n1", lit(1e-4))
+          .as("p1"))
+    grid
+      .select($"event_type", $"n0", $"n1",
+        when($"n0" === 0 || $"n1" === 0, lit(0.0).cast(DecimalType(28, 12)))
+          .otherwise((($"p1" - $"p0") * log($"p1" / $"p0"))
+            .cast(DecimalType(28, 12))).as("t"))
+      .groupBy($"event_type")
+      .agg(max($"n0").as("n_first"), max($"n1").as("n_second"),
+        sum($"t").cast("double").as("psi_raw"))
+      .select($"event_type", $"n_first", $"n_second",
+        round($"psi_raw", 6).as("psi"),
+        when($"n_first" === 0 || $"n_second" === 0, lit("insufficient"))
+          .when($"psi_raw" < 0.1, lit("stable"))
+          .when($"psi_raw" < 0.25, lit("moderate"))
+          .otherwise(lit("shifted")).as("verdict"))
+      .orderBy($"event_type")
+  }
+
+  val stValueDriftSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS t_us, value
+      |  FROM events WHERE value IS NOT NULL),
+      |vb AS (SELECT event_type, MIN(value) AS vmn, MAX(value) AS vmx,
+      |    MIN(t_us) AS tmn, MAX(t_us) AS tmx
+      |  FROM ev GROUP BY 1),
+      |bounds AS (
+      |  SELECT (MIN(tmn) + MAX(tmx)) // 2 AS mid
+      |  FROM vb HAVING MIN(tmn) IS NOT NULL),
+      |binned AS (
+      |  SELECT e.event_type,
+      |    CASE WHEN e.t_us <= b.mid THEN 0 ELSE 1 END AS half,
+      |    CAST(CASE WHEN v.vmx = v.vmn THEN 0
+      |      ELSE LEAST(FLOOR((e.value - v.vmn)
+      |        / ((v.vmx - v.vmn) / 10.0)), 9) END AS INT) AS bin,
+      |    COUNT(*) AS c
+      |  FROM ev e JOIN vb v ON e.event_type = v.event_type
+      |  CROSS JOIN bounds b
+      |  GROUP BY 1, 2, 3),
+      |halves AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN half = 0 THEN c ELSE 0 END) AS n0,
+      |    SUM(CASE WHEN half = 1 THEN c ELSE 0 END) AS n1
+      |  FROM binned GROUP BY 1),
+      |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+      |grid AS (
+      |  SELECT h.event_type, h.n0, h.n1,
+      |    GREATEST(CAST(COALESCE(b0.c, 0) AS DOUBLE) / h.n0,
+      |      CAST(0.0001 AS DOUBLE)) AS p0,
+      |    GREATEST(CAST(COALESCE(b1.c, 0) AS DOUBLE) / h.n1,
+      |      CAST(0.0001 AS DOUBLE)) AS p1
+      |  FROM halves h CROSS JOIN bins bn
+      |  LEFT JOIN binned b0 ON b0.event_type = h.event_type
+      |    AND b0.bin = bn.bin AND b0.half = 0
+      |  LEFT JOIN binned b1 ON b1.event_type = h.event_type
+      |    AND b1.bin = bn.bin AND b1.half = 1),
+      |a AS (
+      |  SELECT event_type, MAX(n0) AS n_first, MAX(n1) AS n_second,
+      |    CAST(SUM(CASE WHEN n0 = 0 OR n1 = 0
+      |      THEN CAST(0 AS DECIMAL(28,12))
+      |      ELSE CAST((p1 - p0) * LN(p1 / p0) AS DECIMAL(28,12)) END)
+      |      AS DOUBLE) AS psi_raw
+      |  FROM grid GROUP BY 1)
+      |SELECT event_type, CAST(n_first AS BIGINT) AS n_first,
+      |  CAST(n_second AS BIGINT) AS n_second,
+      |  ROUND(psi_raw, 6) AS psi,
+      |  CASE WHEN n_first = 0 OR n_second = 0 THEN 'insufficient'
+      |    WHEN psi_raw < 0.1 THEN 'stable'
+      |    WHEN psi_raw < 0.25 THEN 'moderate'
+      |    ELSE 'shifted' END AS verdict
+      |FROM a ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_value_drift" -> (stValueDrift _),
     "st_whale_mass" -> (stWhaleMass _),
     "st_dispersion" -> (stDispersion _),
     "st_session_type_lift" -> (stSessionTypeLift _),
@@ -1518,6 +1652,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_value_drift" -> stValueDriftSql,
     "st_whale_mass" -> stWhaleMassSql,
     "st_dispersion" -> stDispersionSql,
     "st_session_type_lift" -> stSessionTypeLiftSql,

@@ -142,6 +142,11 @@ class DegenerateInputSpec extends SparkSpec {
     assert(graft.llm.Sampling.sampleHt(spark, emptyDir).collect().isEmpty)
     assert(graft.llm.Similarity.ssSilhouette(spark, emptyDir)
       .collect().isEmpty)
+    assert(graft.llm.Models.gains(spark, emptyDir).collect().isEmpty)
+    assert(graft.streaming.WindowQueries.stValueDrift(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.operators.RelationalQueries
+      .q87ColumnProfile(spark, emptyDir).collect().isEmpty)
     assert(graft.streaming.WindowQueries.stAcf(spark, emptyDir)
       .collect().isEmpty)
     assert(graft.llm.Models.prSummary(spark, emptyDir).collect().isEmpty)

@@ -572,6 +572,45 @@ class PlanSpec extends SparkSpec {
       "the k-row join is a broadcast; no window anywhere")
   }
 
+  test("gains: cumulative window over the materialized score histogram") {
+    val plan = planOf(graft.llm.Models.gains(spark, sf0001))
+    assert(!plan.contains("FileScan parquet"),
+      "gains must consume the materialized histogram:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(plan.split("\n").count(_.contains("Window")) <= 1,
+      "one descending cumulative window over the bounded histogram")
+  }
+
+  test("st_value_drift: two fact passes into a materialized histogram") {
+    // build shape: one events pass for the (value-range + horizon)
+    // bounds rollup, one for the binned collapse — the PSI pipeline
+    // itself consumes only the materialized (type x half x bin) table
+    val plan = planOf(graft.streaming.WindowQueries
+      .stValueDrift(spark, sf0001))
+    val evScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("events"))
+    assert(evScans == 0,
+      s"the PSI pipeline must ride the materialized histogram, got " +
+        s"$evScans event scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "grid joins are broadcast; no window anywhere")
+  }
+
+  test("q87 column profile is one scan through a single Expand") {
+    val plan = planOf(graft.operators.RelationalQueries
+      .q87ColumnProfile(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans == 1,
+      s"expected one lineitem scan, got $liScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(plan.contains("Expand"),
+      "the 11 simultaneous distincts ride one Expand, not 11 scans")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "no join/window in the stats pass")
+  }
+
   test("q74 price index scans the fact once (materialized moment table)") {
     val plan = planOf(graft.operators.RelationalQueries
       .q74PriceIndex(spark, sf0001))

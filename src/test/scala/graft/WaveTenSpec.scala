@@ -1987,4 +1987,106 @@ class WaveTenSpec extends SparkSpec {
     }
     assert(rows.head.getAs[Double]("global_sil") == r6(gs))
   }
+
+  test("gains table matches a naive capacity-cut recount") {
+    val rows = Models.gains(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("cut_pct")).toSeq
+      == Seq(1L, 5L, 10L, 25L, 50L))
+    val scored = Models.aucScored(spark, sf0001).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = scored.length.toLong
+    val np = scored.count(_._2 == 1.0).toLong
+    // score-class cumulative, descending
+    val classes = scored.groupBy(_._1).toSeq.sortBy(-_._1).map {
+      case (p, xs) => (p, xs.length.toLong, xs.count(_._2 == 1.0).toLong)
+    }
+    val cum = classes.scanLeft((0.0, 0L, 0L)) {
+      case ((_, ck, cp), (p, c, pos)) => (p, ck + c, cp + pos)
+    }.drop(1)
+    rows.foreach { r =>
+      val cut = r.getAs[Long]("cut_pct")
+      val target = (n * cut + 99) / 100
+      assert(r.getAs[Long]("target") == target)
+      val (thr, ck, cp) = cum.find(_._2 >= target).get
+      assert(r.getAs[Long]("n_kept") == ck)
+      assert(r.getAs[Long]("pos_captured") == cp)
+      assert(r.getAs[Double]("threshold") == r6(thr))
+      assert(r.getAs[Double]("precision") == r6(cp.toDouble / ck))
+      assert(r.getAs[Double]("recall")
+        == r6(if (np == 0) 0.0 else cp.toDouble / np))
+      assert(r.getAs[Double]("lift") == r6(
+        if (np == 0) 0.0
+        else (cp.toDouble / ck) / (np.toDouble / n)), s"lift at $cut%")
+    }
+    // capacity monotonicity: larger cuts keep supersets
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls == recalls.sorted, "recall must be nondecreasing in cut")
+    val kept = rows.map(_.getAs[Long]("n_kept")).toSeq
+    assert(kept == kept.sorted, "kept count must be nondecreasing in cut")
+  }
+
+  test("st_value_drift matches a naive half/bin recount and PSI >= 0") {
+    val rows = graft.streaming.WindowQueries.stValueDrift(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .filter($"value".isNotNull)
+      .select($"event_type", unix_micros($"ts"), $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val mid = {
+      val ts = evs.map(_._2)
+      // BigInt div mirrors the engines' integer `div` on the sum
+      ((BigInt(ts.min) + BigInt(ts.max)) / 2).toLong
+    }
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val mine = evs.filter(_._1 == t)
+      val (vmn, vmx) = (mine.map(_._3).min, mine.map(_._3).max)
+      def bin(v: Double) =
+        if (vmx == vmn) 0
+        else math.min(math.floor((v - vmn) / ((vmx - vmn) / 10.0)), 9.0).toInt
+      val h0 = mine.filter(_._2 <= mid)
+      val h1 = mine.filter(_._2 > mid)
+      assert(r.getAs[Long]("n_first") == h0.length.toLong)
+      assert(r.getAs[Long]("n_second") == h1.length.toLong)
+      val psiN =
+        if (h0.isEmpty || h1.isEmpty) 0.0
+        else (0 to 9).map { b =>
+          val p0 = math.max(h0.count(x => bin(x._3) == b).toDouble
+            / h0.length, 1e-4)
+          val p1 = math.max(h1.count(x => bin(x._3) == b).toDouble
+            / h1.length, 1e-4)
+          q12((p1 - p0) * math.log(p1 / p0))
+        }.sum.toDouble
+      assert(r.getAs[Double]("psi") == r6(psiN), s"psi mismatch for $t")
+      assert(psiN >= -1e-12, "PSI terms are sign-matching — never negative")
+      val verdict =
+        if (h0.isEmpty || h1.isEmpty) "insufficient"
+        else if (psiN < 0.1) "stable"
+        else if (psiN < 0.25) "moderate" else "shifted"
+      assert(r.getString(4) == verdict)
+    }
+  }
+
+  test("q87 column profile matches naive distinct/null counts") {
+    val rows = RelationalQueries.q87ColumnProfile(spark, sf0001).collect()
+    assert(rows.length == 11)
+    val li = graft.sources.Tables.lineitem(spark, sf0001).collect()
+    val schema = graft.sources.Tables.lineitem(spark, sf0001).schema
+    rows.foreach { r =>
+      val c = r.getString(0)
+      val idx = schema.fieldIndex(c)
+      val vals = li.map(row => if (row.isNullAt(idx)) null else row.get(idx))
+      assert(r.getAs[Long]("n") == li.length.toLong)
+      assert(r.getAs[Long]("n_distinct")
+        == vals.filter(_ != null).distinct.length.toLong,
+        s"distinct mismatch for $c")
+      assert(r.getAs[Long]("n_nulls") == vals.count(_ == null).toLong)
+      assert(r.getAs[Double]("distinct_ratio")
+        == r6(vals.filter(_ != null).distinct.length.toDouble / li.length))
+    }
+    // the profile is sorted by column name
+    val names = rows.map(_.getString(0)).toSeq
+    assert(names == names.sorted)
+  }
 }
