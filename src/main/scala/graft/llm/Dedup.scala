@@ -2832,7 +2832,87 @@ object Dedup {
        |    AS containment_simhash
        |FROM t""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_dd_shingle_sweep: shingle-width calibration — for word n-gram
+  // widths n ∈ {2, 3, 5}, the shingle-type count, total shingle
+  // tokens, mean distinct shingles per eligible doc, the type/token
+  // ratio, and the candidate-pair PRESSURE Σ df·(df−1) div 2 the
+  // banding would have to absorb at that width. The OTHER dedup
+  // tuning knob: minhash_k sweeps the signature length and lsh_tuning
+  // the banding, both at the shipped n=3 — this prices n itself
+  // (short shingles inflate df and pair pressure; long shingles
+  // fragment near-dups into disjoint shingle sets and kill recall).
+  // Scale shape: per width, ONE exploding corpus scan collapses to
+  // the (shingle → df) type table (term-keyed partial agg, the
+  // ngram_jaccard grain) and a doc-grain count rides the same scan
+  // form; all sweep arithmetic is on type-grain aggregates, and pair
+  // pressure is counted ARITHMETICALLY from df (the round-7 "no pair
+  // table" lesson). Determinism: all-integer outputs except two
+  // integer-ratio doubles; integer `div` keeps pressure exact past
+  // 2^53 (the r9 pair_work lesson).
+  private val ShingleWidths = Seq(2, 3, 5)
+  def ddShingleSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perN = ShingleWidths.map { n =>
+      val toks = Tables.documents(spark, dir)
+        .select(split($"text", " ").as("toks"))
+        .filter(size($"toks") >= n)
+      // one narrow scan for the eligible-doc count; Σ df on the type
+      // table recovers the total (doc, shingle) pairs, so the
+      // exploding scan runs ONCE per width
+      val docGrain = toks.agg(count(lit(1)).as("n_docs"))
+      val types = toks.select(explode(array_distinct(expr(
+        s"""transform(sequence(0, size(toks) - $n),
+           |  i -> concat_ws(' ', slice(toks, i + 1, $n)))"""
+          .stripMargin))).as("sh"))
+        .groupBy($"sh").agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("n_types"), sum($"df").as("n_total"),
+          sum(expr("(df * (df - 1)) div 2")).as("pair_pressure"))
+      docGrain.crossJoin(broadcast(types))
+        .filter($"n_docs" > 0)
+        .select(lit(n).as("shingle_n"), $"n_docs", $"n_types", $"n_total",
+          round($"n_total".cast("double") / $"n_docs", 6)
+            .as("mean_per_doc"),
+          round($"n_types".cast("double") / $"n_total", 6)
+            .as("type_token_ratio"),
+          $"pair_pressure")
+    }
+    perN.reduce(_ unionAll _).orderBy($"shingle_n")
+  }
+
+  val ddShingleSweepSql: String = {
+    def block(n: Int): String = {
+      val concat = (0 until n).map(j => s"toks[i + $j]")
+        .mkString(" || ' ' || ")
+      s"""SELECT $n AS shingle_n, d.n_docs, t.n_types, t.n_total,
+         |  ROUND(CAST(t.n_total AS DOUBLE) / d.n_docs, 6) AS mean_per_doc,
+         |  ROUND(CAST(t.n_types AS DOUBLE) / t.n_total, 6)
+         |    AS type_token_ratio,
+         |  t.pair_pressure
+         |FROM (
+         |  SELECT COUNT(*) AS n_docs
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+         |  WHERE len(toks) >= $n
+         |  HAVING COUNT(*) > 0) d
+         |CROSS JOIN (
+         |  SELECT COUNT(*) AS n_types,
+         |    CAST(SUM(df) AS BIGINT) AS n_total,
+         |    CAST(SUM((df * (df - 1)) // 2) AS BIGINT) AS pair_pressure
+         |  FROM (
+         |    SELECT sh, COUNT(*) AS df FROM (
+         |      SELECT unnest(list_distinct(list_transform(
+         |        range(1, len(toks) - $n + 2),
+         |        i -> $concat))) AS sh
+         |      FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+         |      WHERE len(toks) >= $n)
+         |    GROUP BY sh)) t""".stripMargin
+    }
+    ShingleWidths.map(block).mkString("\nUNION ALL\n") +
+      "\nORDER BY shingle_n"
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_shingle_sweep" -> (ddShingleSweep _),
     "llm_dd_detector_agreement" -> (ddDetectorAgreement _),
     "llm_dd_df_spectrum" -> (ddDfSpectrum _),
     "llm_dd_policy_mix_shift" -> (ddPolicyMixShift _),
@@ -2876,6 +2956,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dd_shingle_sweep" -> ddShingleSweepSql,
     "llm_dd_detector_agreement" -> ddDetectorAgreementSql,
     "llm_dd_df_spectrum" -> ddDfSpectrumSql,
     "llm_dd_policy_mix_shift" -> ddPolicyMixShiftSql,

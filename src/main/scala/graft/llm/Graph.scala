@@ -1121,7 +1121,99 @@ object Graph {
        |    AS alpha
        |FROM t GROUP BY side ORDER BY side""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_graph_bfs_hops: breadth-first reach profile from the hub —
+  // per hop (0..4), the newly-reached node count, the cumulative
+  // reach, and the still-unreached remainder, seeded at the
+  // max-degree node (ties: min node id). The "how far is everything
+  // from the center" exhibit: crawl-frontier sizing reads the hop
+  // growth rate (a frontier that 10×es per hop needs per-hop
+  // repartitioning), and a large unreached remainder after 4 hops
+  // from THE hub flags disconnected islands that per-component ops
+  // (cc) then explain. The frontier-expansion loop is the third
+  // fixed-point discipline in this file next to cc's label
+  // propagation and kcore's peeling.
+  // Scale shape: each hop is ONE join of the (small) frontier against
+  // the session-cached edge list — broadcast here; at cluster scale
+  // the edge table is bucketed by src and the frontier shuffles to
+  // it, never the reverse. Frontiers/visited localCheckpoint per hop
+  // (the cc/kcore loop discipline) so hop h never replays hops
+  // 0..h−1. Determinism: all counts integer; the seed is a total
+  // (degree DESC, node ASC) order; dedup via distinct + anti-join.
+  private val BfsHops = 4
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edgesWithDeg(spark, dir)
+    if (e.isEmpty)
+      return spark.createDataFrame(Seq.empty[(Int, Long, Long, Long)])
+        .toDF("hop", "n_new", "n_cum", "n_unreached")
+    val edges = e.select($"src", $"dst")
+    val seed = e.select($"src".as("node"), $"outdeg").distinct()
+      .orderBy($"outdeg".desc, $"node").limit(1).select($"node")
+    var visited = seed.select($"node", lit(0).as("hop")).localCheckpoint()
+    var frontier = visited.select($"node")
+    for (h <- 1 to BfsHops) {
+      val nf = edges
+        .join(broadcast(frontier.select($"node".as("src"))), "src")
+        .select($"dst".as("node")).distinct()
+        .join(visited.select($"node"), Seq("node"), "left_anti")
+        .select($"node", lit(h).as("hop"))
+      val nextVisited = visited.unionAll(nf).localCheckpoint()
+      frontier = nextVisited.filter($"hop" === h).select($"node")
+      Dedup.freeCheckpoint(visited)
+      visited = nextVisited
+    }
+    val tot = e.select($"src".as("node")).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"hop")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    visited.groupBy($"hop").agg(count(lit(1)).as("n_new"))
+      .withColumn("n_cum", sum($"n_new").over(w))
+      .crossJoin(broadcast(tot))
+      .select($"hop", $"n_new", $"n_cum",
+        ($"n_nodes" - $"n_cum").as("n_unreached"))
+      .orderBy($"hop")
+  }
+
+  val bfsHopsSql: String = {
+    def hop(prevV: String, prevF: String, h: Int): String =
+      s"""f$h AS (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN $prevF f ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prevV v
+         |    WHERE v.node = e.dst)),
+         |v$h AS (
+         |  SELECT node, hop FROM $prevV
+         |  UNION ALL SELECT node, $h AS hop FROM f$h)""".stripMargin
+    val chain = (1 to BfsHops)
+      .map(h => hop(s"v${h - 1}", if (h == 1) "v0" else s"f${h - 1}", h))
+      .mkString(",\n")
+    s"""WITH pairs AS ($edgeSql),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+       |seed AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+       |v0 AS (SELECT node, 0 AS hop FROM seed),
+       |$chain,
+       |tot AS (SELECT COUNT(*) AS n_nodes FROM deg),
+       |per AS (
+       |  SELECT hop, COUNT(*) AS n_new FROM v$BfsHops GROUP BY hop)
+       |SELECT CAST(hop AS INT) AS hop, CAST(n_new AS BIGINT) AS n_new,
+       |  CAST(SUM(n_new) OVER (ORDER BY hop
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_cum,
+       |  CAST(t.n_nodes - SUM(n_new) OVER (ORDER BY hop
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_unreached
+       |FROM per CROSS JOIN tot t
+       |ORDER BY hop""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_graph_bfs_hops" -> (bfsHops _),
     "llm_graph_powerlaw_alpha" -> (powerlawAlpha _),
     "llm_graph_reciprocity" -> (reciprocity _),
     "llm_graph_link_pred" -> (linkPred _),
@@ -1137,6 +1229,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_graph_bfs_hops" -> bfsHopsSql,
     "llm_graph_powerlaw_alpha" -> powerlawAlphaSql,
     "llm_graph_reciprocity" -> reciprocitySql,
     "llm_graph_link_pred" -> linkPredSql,

@@ -147,6 +147,11 @@ class DegenerateInputSpec extends SparkSpec {
       .collect().isEmpty)
     assert(graft.operators.RelationalQueries
       .q87ColumnProfile(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Graph.bfsHops(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Dedup.ddShingleSweep(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.operators.RelationalQueries
+      .q88RepeatBusiness(spark, emptyDir).collect().isEmpty)
     assert(graft.streaming.WindowQueries.stAcf(spark, emptyDir)
       .collect().isEmpty)
     assert(graft.llm.Models.prSummary(spark, emptyDir).collect().isEmpty)

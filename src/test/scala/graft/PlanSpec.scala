@@ -611,6 +611,35 @@ class PlanSpec extends SparkSpec {
       "no join/window in the stats pass")
   }
 
+  test("bfs hops: frontier loop rides checkpoints, final plan scans nothing") {
+    val plan = planOf(graft.llm.Graph.bfsHops(spark, sf0001))
+    assert(!plan.contains("FileScan parquet"),
+      "the hop rollup must consume the checkpointed visited set:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(plan.split("\n").count(_.contains("Window")) <= 1,
+      "one cumulative window over the ≤5-row hop table")
+  }
+
+  test("shingle sweep: one exploding + one narrow scan per width") {
+    val plan = planOf(graft.llm.Dedup.ddShingleSweep(spark, sf0001))
+    val docScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans == 2 * 3,
+      s"expected 2 scans per width (narrow doc count + exploding type " +
+        s"table), got $docScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "the sweep is scan -> explode -> two-level aggregate, nothing else")
+  }
+
+  test("q88 repeat business: one fact cascade into a materialized histogram") {
+    val plan = planOf(graft.operators.RelationalQueries
+      .q88RepeatBusiness(spark, sf0001))
+    assert(!plan.contains("FileScan parquet"),
+      "the totals/final must consume the materialized histogram:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("q74 price index scans the fact once (materialized moment table)") {
     val plan = planOf(graft.operators.RelationalQueries
       .q74PriceIndex(spark, sf0001))

@@ -2089,4 +2089,104 @@ class WaveTenSpec extends SparkSpec {
     val names = rows.map(_.getString(0)).toSeq
     assert(names == names.sorted)
   }
+
+  test("bfs hops match a naive frontier expansion from the same seed") {
+    val rows = Graph.bfsHops(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val pairs = graft.sources.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_custkey")
+      .join(graft.sources.Tables.lineitem(spark, sf0001)
+        .select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs.map(p => (p._1, p._2)) ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val deg = adj.map { case (k, vs) => k -> vs.size }
+    val seed = deg.toSeq.sortBy { case (node, d) => (-d, node) }.head._1
+    var visited = Set(seed)
+    var frontier = Set(seed)
+    val counts = scala.collection.mutable.ArrayBuffer(0 -> 1)
+    for (h <- 1 to 4) {
+      val nf = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- visited
+      if (nf.nonEmpty) counts += h -> nf.size
+      visited ++= nf
+      frontier = nf
+    }
+    assert(rows.length == counts.length)
+    var cum = 0L
+    rows.zip(counts).foreach { case (r, (h, nNew)) =>
+      cum += nNew
+      assert(r.getAs[Int]("hop") == h)
+      assert(r.getAs[Long]("n_new") == nNew.toLong, s"hop $h")
+      assert(r.getAs[Long]("n_cum") == cum)
+      assert(r.getAs[Long]("n_unreached") == adj.size.toLong - cum)
+    }
+    assert(rows.head.getAs[Long]("n_new") == 1L, "hop 0 is the seed alone")
+  }
+
+  test("shingle sweep matches a naive recount at every width") {
+    val rows = Dedup.ddShingleSweep(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Int]("shingle_n")).toSeq == Seq(2, 3, 5))
+    val texts = graft.sources.Tables.documents(spark, sf0001)
+      .select($"text").collect().map(_.getString(0))
+    rows.foreach { r =>
+      val n = r.getAs[Int]("shingle_n")
+      val docs = texts.map(_.split(" ", -1)).filter(_.length >= n)
+        .map(t => t.sliding(n).map(_.mkString(" ")).toSeq.distinct)
+      val df = docs.flatten.groupBy(identity)
+        .map { case (_, xs) => xs.length.toLong }
+      assert(r.getAs[Long]("n_docs") == docs.length.toLong)
+      assert(r.getAs[Long]("n_types") == df.size.toLong, s"types at n=$n")
+      val total = df.sum
+      assert(r.getAs[Long]("n_total") == total)
+      assert(r.getAs[Double]("mean_per_doc")
+        == r6(total.toDouble / docs.length))
+      assert(r.getAs[Double]("type_token_ratio")
+        == r6(df.size.toDouble / total))
+      assert(r.getAs[Long]("pair_pressure")
+        == df.map(d => d * (d - 1) / 2).sum, s"pressure at n=$n")
+    }
+    // wider shingles fragment: type/token ratio must not decrease in n
+    val ratios = rows.map(_.getAs[Double]("type_token_ratio")).toSeq
+    assert(ratios == ratios.sorted,
+      "wider shingles are rarer — type/token ratio rises with n")
+  }
+
+  test("repeat business histogram matches a naive pair recount") {
+    val rows = RelationalQueries.q88RepeatBusiness(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.orders(spark, sf0001),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_suppkey", $"l_orderkey",
+        $"l_extendedprice", $"l_discount").collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        q12(r.getDouble(3) * (1.0 - r.getDouble(4)))))
+    val orderRev = li.groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).sum.toDouble }
+    val pairs = orderRev.groupBy { case ((c, s, _), _) => (c, s) }
+      .map { case (k, m) =>
+        k -> (m.size, m.values.toSeq.map(q12).sum.toDouble)
+      }
+    def bucket(n: Int): Long =
+      if (n <= 3) n.toLong
+      else 1L << (63 - java.lang.Long.numberOfLeadingZeros(n.toLong))
+    val hist = pairs.values.groupBy { case (n, _) => bucket(n) }
+    val np = pairs.size.toLong
+    val nrep = pairs.values.count(_._1 >= 2).toLong
+    assert(rows.length == hist.size)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("depth_bucket")
+      val mine = hist(b).toSeq
+      assert(r.getAs[Long]("n_pairs") == mine.length.toLong)
+      assert(r.getAs[Long]("n_orders") == mine.map(_._1.toLong).sum)
+      assert(r.getAs[Double]("revenue")
+        == BigDecimal(mine.map(x => q12(x._2)).sum.toDouble)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Double]("repeat_share") == r6(nrep.toDouble / np))
+    }
+    // buckets partition the pair set
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == np)
+  }
 }
