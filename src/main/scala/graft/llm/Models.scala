@@ -1419,7 +1419,180 @@ object Models {
        |      / (CAST(np AS DOUBLE) / n) END, 6) AS lift
        |FROM x ORDER BY cut_pct""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_models_bootstrap_auc: Poisson-bootstrap confidence interval on
+  // the probe's AUC — B = 16 deterministic hash-replicates (the
+  // llm_sample_bootstrap weight device: w ~ Poisson(1) from
+  // h60(doc_id '#b' rep), Sampling.PoisCdf literals), each replicate's
+  // AUC computed by the weighted Mann-Whitney histogram form, then
+  // mean / sd / the exact ⌈0.05B⌉-th and ⌈0.95B⌉-th order statistics
+  // (= min and max at B = 16) over the replicate AUCs. The error bar on the
+  // headline metric: llm_models_auc says 0.87, this says whether that
+  // is 0.87 ± 0.005 or ± 0.08 — the difference between a defensible
+  // gate and noise at this corpus size.
+  // Scale shape: ONE scoring pass explodes ×B (linear, the standard
+  // bootstrap cost) and collapses to the (rep × score-class) weighted
+  // histogram — partial-aggregable; the per-replicate cumulative runs
+  // over that bounded table partitioned by rep; the final stats are
+  // arithmetic on B rows. Determinism: weights/counts integer; the
+  // per-rep AUC is the exact integer num over 2·np·nn as in
+  // llm_models_auc; order stats index a total (auc, rep) sort.
+  private val BootB = 16
+
+  /** The scored (doc_id, p, y) corpus under the shared fit — split out
+    * so WaveTenSpec can recompute the replicate weights and AUCs. */
+  private[graft] def bootScored(spark: SparkSession,
+                                dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir)
+      .select($"doc_id",
+        ($"n_chars" / 1000.0).as("x1"),
+        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+          / 100.0).as("x2"))
+      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
+        "doc_id")
+      .select($"doc_id", $"x1", $"x2",
+        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
+    val f = Tables.materialize(feats)
+    if (f.isEmpty)
+      return spark.createDataFrame(Seq.empty[(Long, Double, Double)])
+        .toDF("doc_id", "p", "y")
+    val (w1, w2, b) = fitOn(f.select($"x1", $"x2", $"y"))
+    f.select($"doc_id",
+      sig(lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2").as("p"), $"y")
+  }
+
+  /** The (rep × score-class) weighted histogram — split out so
+    * PlanSpec can assert the explode/partial-agg shape. */
+  private[graft] def bootRepHist(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    import spark.implicits._
+    val u = (TextAnalysis.h60(concat($"doc_id".cast("string"), lit("#b"),
+      $"rep".cast("string"))) % 1000000).cast("double") / 1000000.0
+    val wCol = Sampling.PoisCdf.zipWithIndex
+      .foldRight(lit(Sampling.PoisCdf.size): org.apache.spark.sql.Column) {
+        case ((cdf, k), els) => when(u < lit(cdf.toDouble), k).otherwise(els)
+      }
+    bootScored(spark, dir)
+      .select($"p", $"y", $"doc_id",
+        explode(sequence(lit(0), lit(BootB - 1))).as("rep"))
+      .select($"rep", $"p", $"y", wCol.cast("long").as("w"))
+      .groupBy($"rep", $"p")
+      .agg(sum(when($"y" === 1.0, $"w").otherwise(0L)).as("pos"),
+        sum(when($"y" === 0.0, $"w").otherwise(0L)).as("neg"))
+  }
+
+  def bootstrapAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = bootRepHist(spark, dir)
+    if (hist.isEmpty)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Double, Double, Double, Double)])
+        .toDF("n_reps", "boot_mean", "boot_sd", "boot_p5", "boot_p95")
+    val wd = Window.partitionBy($"rep").orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = hist
+      .withColumn("cumNeg", sum($"neg").over(wd))
+      .select($"rep", $"pos", $"neg",
+        ($"pos" * (($"cumNeg" - $"neg") * 2L + $"neg"))
+          .cast(DecimalType(38, 0)).as("t"))
+    val reps = terms.groupBy($"rep")
+      .agg(sum($"t").as("num"),
+        sum($"pos").as("np"), sum($"neg").as("nn"))
+      .select($"rep",
+        when($"np" === 0 || $"nn" === 0, 0.0)
+          .otherwise($"num".cast("double")
+            / ($"np" * $"nn" * 2L).cast("double")).as("auc"))
+      .collect().map(r => r.getDouble(1)).sorted
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val bN = reps.length
+    // double division AFTER the exact decimal fold — the same
+    // (CAST(SUM(decimal) AS DOUBLE) / n) order the oracle runs
+    val mean = reps.map(d12).sum.toDouble / bN
+    val sd =
+      if (bN <= 1) 0.0
+      else math.sqrt(math.max(
+        reps.map(a => d12((a - mean) * (a - mean))).sum.toDouble
+          / (bN - 1), 0.0))
+    spark.createDataFrame(Seq((bN.toLong, r6(mean), r6(sd),
+      r6(reps(math.ceil(0.05 * bN).toInt - 1)),
+      r6(reps(math.ceil(0.95 * bN).toInt - 1)))))
+      .toDF("n_reps", "boot_mean", "boot_sd", "boot_p5", "boot_p95")
+  }
+
+  val bootstrapAucSql: String = {
+    val fBody =
+      """  SELECT d.doc_id AS doc_id,
+        |    d.n_chars / CAST(1000.0 AS DOUBLE) AS x1,
+        |    (LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1)
+        |      / CAST(100.0 AS DOUBLE) AS x2,
+        |    CASE WHEN q.quality >= 0.5 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM documents d JOIN q ON d.doc_id = q.doc_id""".stripMargin
+    val u = s"CAST(${TextAnalysis.h60Sql(
+      "CAST(f.doc_id AS VARCHAR) || '#b' || f.rep")} % 1000000 AS DOUBLE)" +
+      " / CAST(1000000.0 AS DOUBLE)"
+    val wExpr = Sampling.PoisCdf.zipWithIndex.reverse
+      .foldLeft(s"${Sampling.PoisCdf.size}") { case (els, (cdf, k)) =>
+        s"CASE WHEN u < CAST($cdf AS DOUBLE) THEN $k ELSE $els END"
+      }
+    s"""WITH ${logregChainOverSql("", fBody)},
+       |sc AS (
+       |  SELECT f.doc_id,
+       |    ${sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")} AS p, f.y
+       |  FROM f CROSS JOIN w3s w),
+       |ru AS (
+       |  SELECT f.rep, f.p, f.y, $u AS u
+       |  FROM (SELECT sc.*, unnest(range(0, $BootB)) AS rep FROM sc) f),
+       |ww AS (SELECT rep, p, y, CAST($wExpr AS BIGINT) AS w FROM ru),
+       |hist AS (
+       |  SELECT rep, p,
+       |    SUM(CASE WHEN y = 1.0 THEN w ELSE 0 END) AS pos,
+       |    SUM(CASE WHEN y = 0.0 THEN w ELSE 0 END) AS neg
+       |  FROM ww GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT rep, pos, neg,
+       |    CAST(pos * ((SUM(neg) OVER (PARTITION BY rep ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg)
+       |      * 2 + neg) AS DECIMAL(38,0)) AS t
+       |  FROM hist),
+       |reps AS (
+       |  SELECT rep,
+       |    CASE WHEN SUM(pos) = 0 OR SUM(neg) = 0 THEN 0.0
+       |      ELSE CAST(SUM(t) AS DOUBLE)
+       |        / CAST(SUM(pos) * SUM(neg) * 2 AS DOUBLE) END AS auc
+       |  FROM terms GROUP BY rep),
+       |ranked AS (
+       |  SELECT auc, ROW_NUMBER() OVER (ORDER BY auc, rep) AS rn,
+       |    COUNT(*) OVER () AS bn
+       |  FROM reps),
+       |m AS (
+       |  SELECT COUNT(*) AS bn,
+       |    CAST(SUM(CAST(auc AS DECIMAL(28,12))) AS DOUBLE)
+       |      / COUNT(*) AS mean
+       |  FROM reps),
+       |s AS (
+       |  SELECT CASE WHEN m.bn <= 1 THEN 0.0
+       |    ELSE SQRT(GREATEST(CAST(SUM(CAST((r.auc - m.mean)
+       |      * (r.auc - m.mean) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / (m.bn - 1), 0.0)) END AS sd
+       |  FROM reps r CROSS JOIN m GROUP BY m.bn)
+       |SELECT CAST(m.bn AS BIGINT) AS n_reps,
+       |  ROUND(m.mean, 6) AS boot_mean,
+       |  ROUND(s.sd, 6) AS boot_sd,
+       |  ROUND((SELECT auc FROM ranked
+       |    WHERE rn = CAST(CEIL(0.05 * bn) AS BIGINT)), 6) AS boot_p5,
+       |  ROUND((SELECT auc FROM ranked
+       |    WHERE rn = CAST(CEIL(0.95 * bn) AS BIGINT)), 6) AS boot_p95
+       |FROM m CROSS JOIN s""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_models_bootstrap_auc" -> (bootstrapAuc _),
     "llm_models_gains" -> (gains _),
     "llm_models_hosmer" -> (hosmer _),
     "llm_models_psi" -> (psi _),
@@ -1437,6 +1610,7 @@ object Models {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_models_bootstrap_auc" -> bootstrapAucSql,
     "llm_models_gains" -> gainsSql,
     "llm_models_hosmer" -> hosmerSql,
     "llm_models_psi" -> psiSql,

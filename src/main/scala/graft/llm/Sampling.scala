@@ -497,7 +497,10 @@ object Sampling {
   // corpus mean (a driver reads ±2sd off this 16-row table).
   private val BootstrapB = 16
   // cumulative Poisson(1) pmf: P(W<=0), P(W<=1), ... (literal strings)
-  private val PoisCdf = Seq(
+  /** Poisson(1) CDF at k = 0..4 as 17-digit literals — shared with
+    * [[Models.bootstrapAuc]] so both bootstrap devices draw identical
+    * per-(row, replicate) weights. */
+  private[graft] val PoisCdf = Seq(
     "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
     "0.9810118431238462", "0.9963401531726563")
 

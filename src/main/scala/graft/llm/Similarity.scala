@@ -2932,7 +2932,78 @@ object Similarity {
        |FROM per CROSS JOIN gl
        |ORDER BY per.cid""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ss_query_hardness: per-query difficulty profile from the brute
+  // top-5 list — top-1/top-5 cosine, the distance contrast
+  // (1−c₅)/(1−c₁), and the MLE local intrinsic dimensionality
+  // LID = −k / Σ ln(dᵢ/d_k) over angular distances d = 1 − cosine
+  // (Amsaleg et al. 2015, the standard ANN-difficulty estimator). The
+  // ops number that PREDICTS which queries the approximate paths will
+  // miss: low contrast / high LID queries sit in locally
+  // high-dimensional neighborhoods where LSH/IVF recall collapses —
+  // the recall panels measure the damage per method, this explains
+  // WHICH queries cause it and routes them to the exact path.
+  // Scale shape: pure arithmetic on the (5 × queries)-row top-k
+  // output — the broadcast-query brute pass llm_ss_topk already
+  // prices; nothing corpus-sized moves. Determinism: consumes the
+  // ROUNDED (r6) cosines the gate already hashes; distances floored
+  // at the literal 1e-9 before ln (a duplicate vector would otherwise
+  // send ln(0) → −∞); per-term DECIMAL(28,12) routing.
+  def ssQueryHardness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // (5 x queries)-row table, two consumers (per-query aggregates +
+    // the term join) — materialized so the brute pass runs once
+    val top = Tables.materialize(ssTopk(spark, dir)
+      .select($"q_id", $"rank", $"cosine",
+        greatest(lit(1.0) - $"cosine", lit(1e-9)).as("d")))
+    val perQ = top.groupBy($"q_id")
+      .agg(count(lit(1)).as("k"),
+        max(when($"rank" === 1, $"cosine")).as("c1"),
+        min($"cosine").as("ck"),
+        max($"d").as("dk"))
+    top.join(broadcast(perQ), "q_id")
+      .select($"q_id", $"k", $"c1", $"ck", $"dk",
+        log($"d" / $"dk").cast(DecimalType(28, 12)).as("t"))
+      .groupBy($"q_id", $"k", $"c1", $"ck", $"dk")
+      .agg(sum($"t").cast("double").as("lsum"))
+      .select($"q_id", $"k",
+        round($"c1", 6).as("top1_cosine"),
+        round($"ck", 6).as("topk_cosine"),
+        round(($"dk") / greatest(lit(1.0) - $"c1", lit(1e-9)), 6)
+          .as("contrast"),
+        round(when($"lsum" === 0.0, 0.0)
+          .otherwise(-$"k".cast("double") / $"lsum"), 6).as("lid"))
+      .orderBy($"q_id")
+  }
+
+  val ssQueryHardnessSql: String =
+    s"""WITH topk AS (
+       |  SELECT q_id, rank, cosine,
+       |    GREATEST(1.0 - cosine, CAST(0.000000001 AS DOUBLE)) AS d
+       |  FROM ($ssTopkSql)),
+       |pq AS (
+       |  SELECT q_id, COUNT(*) AS k,
+       |    MAX(CASE WHEN rank = 1 THEN cosine END) AS c1,
+       |    MIN(cosine) AS ck,
+       |    MAX(d) AS dk
+       |  FROM topk GROUP BY 1),
+       |a AS (
+       |  SELECT t.q_id, p.k, p.c1, p.ck, p.dk,
+       |    CAST(SUM(CAST(LN(t.d / p.dk) AS DECIMAL(28,12))) AS DOUBLE)
+       |      AS lsum
+       |  FROM topk t JOIN pq p ON t.q_id = p.q_id
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT q_id, CAST(k AS BIGINT) AS k,
+       |  ROUND(c1, 6) AS top1_cosine,
+       |  ROUND(ck, 6) AS topk_cosine,
+       |  ROUND(dk / GREATEST(1.0 - c1, CAST(0.000000001 AS DOUBLE)), 6)
+       |    AS contrast,
+       |  ROUND(CASE WHEN lsum = 0.0 THEN 0.0
+       |    ELSE -CAST(k AS DOUBLE) / lsum END, 6) AS lid
+       |FROM a ORDER BY q_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ss_query_hardness" -> (ssQueryHardness _),
     "llm_ss_silhouette" -> (ssSilhouette _),
     "llm_ss_cosine_histogram" -> (ssCosineHistogram _),
     "llm_ss_ndcg" -> (ssNdcg _),
@@ -2977,6 +3048,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ss_query_hardness" -> ssQueryHardnessSql,
     "llm_ss_silhouette" -> ssSilhouetteSql,
     "llm_ss_cosine_histogram" -> ssCosineHistogramSql,
     "llm_ss_ndcg" -> ssNdcgSql,

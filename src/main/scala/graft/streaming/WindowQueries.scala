@@ -1621,7 +1621,56 @@ object WindowQueries {
       |    ELSE 'shifted' END AS verdict
       |FROM a ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_new_vs_returning: per-day acquisition split — events, distinct
+  // users, first-seen (new) users, returning users, and the new-user
+  // share. The growth-accounting staple next to q42's DAU/WAU
+  // stickiness: stickiness says how often actives return, this says
+  // what fraction of each day's actives the product had to ACQUIRE —
+  // a flat DAU with a rising new share is a leaky bucket, invisible
+  // to q42.
+  // Scale shape: one user-grain shuffle (min day per user — partial-
+  // aggregable), one day-grain shuffle (events + distinct users), a
+  // calendar-bounded rollup join. Determinism: all-integer counts;
+  // one integer-ratio double; day is an engine-portable DATE.
+  def stNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+    val daily = ev.groupBy($"day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+    val news = ev.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_new"))
+    daily.join(news, Seq("day"), "left")
+      .select($"day", $"n_events", $"n_users",
+        coalesce($"n_new", lit(0L)).as("n_new_users"),
+        ($"n_users" - coalesce($"n_new", lit(0L))).as("n_returning"),
+        round(coalesce($"n_new", lit(0L)).cast("double") / $"n_users", 6)
+          .as("new_share"))
+      .orderBy($"day")
+  }
+
+  val stNewVsReturningSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |daily AS (
+      |  SELECT day, COUNT(*) AS n_events,
+      |    COUNT(DISTINCT user_id) AS n_users
+      |  FROM ev GROUP BY 1),
+      |fd AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1),
+      |news AS (SELECT day, COUNT(*) AS n_new FROM fd GROUP BY 1)
+      |SELECT d.day, CAST(d.n_events AS BIGINT) AS n_events,
+      |  CAST(d.n_users AS BIGINT) AS n_users,
+      |  CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_users,
+      |  CAST(d.n_users - COALESCE(n.n_new, 0) AS BIGINT) AS n_returning,
+      |  ROUND(CAST(COALESCE(n.n_new, 0) AS DOUBLE) / d.n_users, 6)
+      |    AS new_share
+      |FROM daily d LEFT JOIN news n ON d.day = n.day
+      |ORDER BY d.day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_new_vs_returning" -> (stNewVsReturning _),
     "st_value_drift" -> (stValueDrift _),
     "st_whale_mass" -> (stWhaleMass _),
     "st_dispersion" -> (stDispersion _),
@@ -1652,6 +1701,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_new_vs_returning" -> stNewVsReturningSql,
     "st_value_drift" -> stValueDriftSql,
     "st_whale_mass" -> stWhaleMassSql,
     "st_dispersion" -> stDispersionSql,

@@ -152,6 +152,11 @@ class DegenerateInputSpec extends SparkSpec {
       .collect().isEmpty)
     assert(graft.operators.RelationalQueries
       .q88RepeatBusiness(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Models.bootstrapAuc(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Similarity.ssQueryHardness(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.streaming.WindowQueries.stNewVsReturning(spark, emptyDir)
+      .collect().isEmpty)
     assert(graft.streaming.WindowQueries.stAcf(spark, emptyDir)
       .collect().isEmpty)
     assert(graft.llm.Models.prSummary(spark, emptyDir).collect().isEmpty)

@@ -640,6 +640,49 @@ class PlanSpec extends SparkSpec {
         plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
   }
 
+  test("bootstrap auc: replicate histogram explodes the materialized scores") {
+    // the registered query's final row is driver-assembled; the
+    // scale-critical shape is the (rep x score-class) histogram build:
+    // one Generate (the xB explode) over the checkpointed feature
+    // table, collapsed by a partial-aggregable groupBy
+    val plan = planOf(graft.llm.Models.bootRepHist(spark, sf0001))
+    assert(!plan.contains("FileScan parquet"),
+      "the explode must ride the materialized scored table:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(plan.contains("Generate"),
+      "missing the xB replicate explode:\n" + plan.take(600))
+    assert(plan.split("\n").exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")),
+      "the weighted histogram must keep map-side partial aggregation")
+  }
+
+  test("query hardness is arithmetic on the top-k table (no extra scan)") {
+    // the brute pass runs once into the materialized top-k table; the
+    // profile arithmetic re-scans nothing
+    val plan = planOf(graft.llm.Similarity.ssQueryHardness(spark, sf0001))
+    val embScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("embeddings"))
+    assert(embScans == 0,
+      s"the hardness profile must ride the materialized top-k, got " +
+        s"$embScans embeddings scans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"),
+      "the per-query join is a broadcast of the bounded top-k table")
+  }
+
+  test("new-vs-returning: two grain shuffles, no window") {
+    val plan = planOf(graft.streaming.WindowQueries
+      .stNewVsReturning(spark, sf0001))
+    val evScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("events"))
+    assert(evScans == 2,
+      s"expected the day-grain and user-grain passes only, got " +
+        s"$evScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("Window"),
+      "first-seen is a groupBy min, never a user window")
+  }
+
   test("q74 price index scans the fact once (materialized moment table)") {
     val plan = planOf(graft.operators.RelationalQueries
       .q74PriceIndex(spark, sf0001))

@@ -2189,4 +2189,103 @@ class WaveTenSpec extends SparkSpec {
     // buckets partition the pair set
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == np)
   }
+
+  test("bootstrap auc matches a naive replicate recomputation") {
+    val row = Models.bootstrapAuc(spark, sf0001).collect().head
+    assert(row.getAs[Long]("n_reps") == 16L)
+    val scored = Models.bootScored(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cdf = graft.llm.Sampling.PoisCdf.map(_.toDouble)
+    def weight(docId: Long, rep: Int): Long = {
+      val u = (h60(s"$docId#b$rep") % 1000000L).toDouble / 1000000.0
+      val k = cdf.indexWhere(u < _)
+      (if (k < 0) cdf.size else k).toLong
+    }
+    val aucs = (0 until 16).map { rep =>
+      val hist = scored.map { case (id, p, y) => (p, y, weight(id, rep)) }
+        .groupBy(_._1).toSeq.sortBy(_._1).map { case (p, xs) =>
+          (p, xs.filter(_._2 == 1.0).map(_._3).sum,
+            xs.filter(_._2 == 0.0).map(_._3).sum)
+        }
+      var cumNeg = 0L
+      var num = BigInt(0)
+      hist.foreach { case (_, pos, neg) =>
+        num += BigInt(pos) * (2 * cumNeg + neg)
+        cumNeg += neg
+      }
+      val np = hist.map(_._2).sum
+      val nn = hist.map(_._3).sum
+      if (np == 0 || nn == 0) 0.0
+      else num.toDouble / (np.toDouble * nn * 2)
+    }.sorted
+    val mean = aucs.map(q12).sum.toDouble / 16
+    val sd = math.sqrt(math.max(
+      aucs.map(a => q12((a - mean) * (a - mean))).sum.toDouble / 15, 0.0))
+    assert(row.getAs[Double]("boot_mean") == r6(mean), "mean mismatch")
+    assert(row.getAs[Double]("boot_sd") == r6(sd))
+    assert(row.getAs[Double]("boot_p5") == r6(aucs.head))
+    assert(row.getAs[Double]("boot_p95") == r6(aucs.last))
+    assert(aucs.forall(a => a >= 0.0 && a <= 1.0))
+  }
+
+  test("query hardness matches a naive LID recomputation off the top-k") {
+    val rows = Similarity.ssQueryHardness(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val top = Similarity.ssTopk(spark, sf0001)
+      .select($"q_id", $"rank", $"cosine").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(rows.length == top.size)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val mine = top(q)
+      val ds = mine.map(x => math.max(1.0 - x._3, 1e-9))
+      val dk = ds.max
+      val c1 = mine.find(_._2 == 1).get._3
+      val lsum = ds.sorted.map(d => q12(math.log(d / dk))).sum.toDouble
+      assert(r.getAs[Long]("k") == mine.length.toLong)
+      assert(r.getAs[Double]("top1_cosine") == r6(c1))
+      assert(r.getAs[Double]("topk_cosine") == r6(mine.map(_._3).min))
+      assert(r.getAs[Double]("contrast")
+        == r6(dk / math.max(1.0 - c1, 1e-9)))
+      val lid = if (lsum == 0.0) 0.0 else -mine.length / lsum
+      assert(r.getAs[Double]("lid") == r6(lid), s"lid mismatch for q $q")
+      assert(lid >= 0.0, "distances <= dk make every ln term <= 0")
+    }
+  }
+
+  test("new-vs-returning matches a naive first-seen recount") {
+    val rows = graft.streaming.WindowQueries
+      .stNewVsReturning(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .select($"user_id", to_date($"ts")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString))
+    val firstDay = evs.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min
+    }
+    rows.foreach { r =>
+      val day = r.getDate(0).toString
+      val mine = evs.filter(_._2 == day)
+      val users = mine.map(_._1).distinct
+      val nNew = users.count(u => firstDay(u) == day)
+      assert(r.getAs[Long]("n_events") == mine.length.toLong)
+      assert(r.getAs[Long]("n_users") == users.length.toLong)
+      assert(r.getAs[Long]("n_new_users") == nNew.toLong, s"new at $day")
+      assert(r.getAs[Long]("n_returning") == (users.length - nNew).toLong)
+      assert(r.getAs[Double]("new_share")
+        == r6(nNew.toDouble / users.length))
+    }
+    // conservation: every user is new exactly once
+    assert(rows.map(_.getAs[Long]("n_new_users")).sum
+      == firstDay.size.toLong)
+    // day one has no returning users
+    assert(rows.head.getAs[Long]("n_returning") == 0L)
+  }
 }
