@@ -823,7 +823,80 @@ object FunctionQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY join_key")
   }
 
+  // --------------------------------------------------------------------
+  // q90_higher_order_funcs: the lambda/higher-order array surface —
+  // aggregate (left fold), zip_with, filter, exists, forall — over
+  // per-order quantity/price vectors. q17 exercises the scalar array
+  // functions; these are the CODEGEN'D LAMBDA forms that replace row
+  // UDFs for per-entity vector logic (the engine's own ANN/PQ paths
+  // run on exactly these), so the §2.7 matrix needs them first-class.
+  // Scale shape: one fact scan collapses to order grain (collect_list
+  // of (linenumber, value) structs, partial-aggregable); every lambda
+  // is per-row arithmetic on the bounded per-order array (TPC-H
+  // orders have ≤ 7 lines). Determinism: arrays are sorted by
+  // linenumber (total order) so the fold SEQUENCE is fixed — the
+  // fold's float rounding is then bit-identical in both engines (no
+  // DECIMAL routing needed: same operands, same order); exists/forall
+  // emit BIGINT 0/1 flags.
+  def q90HigherOrderFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice")
+      .groupBy($"l_orderkey")
+      // ONE sorted struct array, both vectors extracted from it: the
+      // fixture has DUPLICATE l_linenumber values within an order, so
+      // sorting qtys and prices independently would pair values from
+      // different lineitems; the (ln, qty, price) key is a total order
+      // up to fully-identical rows (where pairing is moot)
+      .agg(expr(
+        """array_sort(collect_list(
+          |  struct(l_linenumber, l_quantity, l_extendedprice)))"""
+          .stripMargin).as("items"))
+      .select($"l_orderkey",
+        expr("transform(items, s -> s.l_quantity)").as("qtys"),
+        expr("transform(items, s -> s.l_extendedprice)").as("prices"))
+      .select($"l_orderkey",
+        size($"qtys").as("n_items"),
+        round(expr(
+          "aggregate(qtys, cast(0.0 as double), (a, x) -> a + x)"), 2)
+          .as("hof_sum_qty"),
+        round(expr(
+          """aggregate(zip_with(qtys, prices, (q, p) -> q * p),
+            |  cast(0.0 as double), (a, x) -> a + x)""".stripMargin), 2)
+          .as("hof_dot"),
+        size(expr("filter(qtys, x -> x >= 30.0d)")).as("n_big"),
+        expr("if(exists(qtys, x -> x % 2.0d = 0.0d), 1L, 0L)")
+          .as("has_even"),
+        expr("if(forall(qtys, x -> x > 0.0d), 1L, 0L)")
+          .as("all_positive"))
+      .orderBy($"l_orderkey")
+  }
+
+  val q90Sql: String =
+    """WITH g AS (
+      |  SELECT l_orderkey,
+      |    list(l_quantity ORDER BY l_linenumber, l_quantity,
+      |      l_extendedprice) AS qtys,
+      |    list(l_extendedprice ORDER BY l_linenumber, l_quantity,
+      |      l_extendedprice) AS prices
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey,
+      |  CAST(len(qtys) AS INT) AS n_items,
+      |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), qtys),
+      |    (a, x) -> a + x), 2) AS hof_sum_qty,
+      |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(list_zip(qtys, prices), z -> z[1] * z[2])),
+      |    (a, x) -> a + x), 2) AS hof_dot,
+      |  CAST(len(list_filter(qtys, x -> x >= 30.0)) AS INT) AS n_big,
+      |  CAST(CASE WHEN len(list_filter(qtys, x -> x % 2.0 = 0.0)) > 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS has_even,
+      |  CAST(CASE WHEN len(list_filter(qtys, x -> NOT (x > 0.0))) = 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS all_positive
+      |FROM g ORDER BY l_orderkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_higher_order_funcs" -> (q90HigherOrderFuncs _),
     "q14_string_funcs" -> (q14StringFuncs _),
     "q15_datetime_funcs" -> (q15DatetimeFuncs _),
     "q16_math_funcs" -> (q16MathFuncs _),
@@ -852,6 +925,7 @@ object FunctionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q90_higher_order_funcs" -> q90Sql,
     "q14_string_funcs" -> q14Sql,
     "q15_datetime_funcs" -> q15Sql,
     "q16_math_funcs" -> q16Sql,

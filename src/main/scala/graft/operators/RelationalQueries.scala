@@ -2834,7 +2834,78 @@ object RelationalQueries {
       |FROM hist h CROSS JOIN tot t
       |ORDER BY h.depth_bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q89_sales_opportunity: the TPC-H Q22 shape — wealthy-but-INACTIVE
+  // customers: acctbal above the mean POSITIVE balance, with no orders
+  // in the horizon's final year, rolled up per nation (count + total
+  // idle balance). The classic "global scalar aggregate gates a fact
+  // anti-join" pattern: two 1-row broadcast scalars (mean balance,
+  // recency cutoff) and a left-anti join against the recent order
+  // slice — the last TPC-H query shape (correlated scalar + anti-join
+  // combo) the registry lacked. (Q22's literal "no orders ever" is
+  // empty on this fixture — every customer has ordered — so the
+  // recency form is the honest port of the intent.)
+  // Scale shape: one customer scan for the scalar (partial-agg), one
+  // for the candidate filter, the anti-join shuffles only candidate
+  // customers against the recent orders' CUSTKEYS (column-pruned +
+  // date-filtered); nation broadcasts. Determinism: the mean is
+  // DECIMAL-sum/count; candidates gate on the RAW mean; the cutoff is
+  // exact timestamp arithmetic; totals DECIMAL-routed, round 2.
+  def q89SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter($"c_acctbal" > 0.0)
+      .agg((dsum($"c_acctbal") / count(lit(1))).as("ab"))
+      .filter($"ab".isNotNull)
+    val orders = Tables.orders(spark, dir)
+    val cut = orders.agg(max($"o_orderdate").as("mx"))
+      .select(($"mx" - expr("INTERVAL 365 DAYS")).as("cutoff"))
+      .filter($"cutoff".isNotNull)
+    val recent = orders.select($"o_custkey", $"o_orderdate")
+      .crossJoin(broadcast(cut))
+      .filter($"o_orderdate" >= $"cutoff")
+      .select($"o_custkey")
+    val cand = cust.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"ab")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+    cand
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name".as("nation"))),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"nation")
+      .agg(count(lit(1)).as("n_customers"),
+        round(dsum($"c_acctbal"), 2).as("idle_balance"))
+      .orderBy($"nation")
+  }
+
+  val q89Sql: String =
+    """WITH ab AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,12))) AS DOUBLE)
+      |    / COUNT(*) AS ab
+      |  FROM customer WHERE c_acctbal > 0.0
+      |  HAVING COUNT(*) > 0),
+      |cut AS (
+      |  SELECT MAX(o_orderdate) - INTERVAL 365 DAY AS cutoff
+      |  FROM orders HAVING MAX(o_orderdate) IS NOT NULL),
+      |recent AS (
+      |  SELECT o_custkey FROM orders CROSS JOIN cut
+      |  WHERE o_orderdate >= cutoff),
+      |cand AS (
+      |  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      |  FROM customer c CROSS JOIN ab
+      |  WHERE c.c_acctbal > ab.ab
+      |    AND NOT EXISTS (SELECT 1 FROM recent r
+      |      WHERE r.o_custkey = c.c_custkey))
+      |SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,12))) AS DOUBLE), 2)
+      |    AS idle_balance
+      |FROM cand JOIN nation n ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_sales_opportunity" -> (q89SalesOpportunity _),
     "q88_repeat_business" -> (q88RepeatBusiness _),
     "q87_column_profile" -> (q87ColumnProfile _),
     "q86_anova" -> (q86Anova _),
@@ -2894,6 +2965,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_sales_opportunity" -> q89Sql,
     "q88_repeat_business" -> q88Sql,
     "q87_column_profile" -> q87Sql,
     "q86_anova" -> q86Sql,

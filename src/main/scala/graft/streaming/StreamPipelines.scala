@@ -24,6 +24,57 @@ object StreamPipelines {
       session_end: Timestamp, n_events: Long, sum_value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 
+  final case class HHState(counts: Map[Long, Long], n_seen: Long)
+  final case class HHOut(event_type: String, user_id: Long,
+      est_count: Long, rank: Int, n_seen: Long)
+
+  /** SpaceSaving capacity per event_type — any user whose true count
+    * exceeds n_seen / capacity is GUARANTEED present in the summary
+    * (Metwally et al. 2005), with est_count ≥ true count. */
+  private[streaming] val HHCapacity = 8
+
+  /** Streaming heavy hitters per event_type via the SpaceSaving
+    * sketch in `mapGroupsWithState` — the bounded-state answer to
+    * "top users right now" that an exact streaming distinct-count
+    * cannot give (its state grows with the user universe; this holds
+    * [[HHCapacity]] counters per type, FOREVER, at any traffic).
+    * Each event increments its user's counter or evicts the current
+    * minimum (ties on user id — deterministic), inheriting the
+    * evicted count + 1: the standard overestimate that preserves the
+    * frequent-item guarantee. Emits the current top-3 per type each
+    * trigger (Update mode). The batch st_top_users is the exact
+    * windowed twin; this is the 100 TB always-on monitor shape.
+    */
+  def heavyHittersStream(events: DataFrame)(
+      implicit spark: SparkSession): Dataset[HHOut] = {
+    import spark.implicits._
+    events.selectExpr("event_type", "user_id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HHState, HHOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[(String, Long)],
+         state: GroupState[HHState]) =>
+          var m = state.getOption.map(_.counts).getOrElse(Map.empty)
+          var n = state.getOption.map(_.n_seen).getOrElse(0L)
+          rows.foreach { case (_, u) =>
+            n += 1
+            m.get(u) match {
+              case Some(c) => m += u -> (c + 1)
+              case None if m.size < HHCapacity => m += u -> 1L
+              case None =>
+                val (evictU, evictC) =
+                  m.minBy { case (uu, cc) => (cc, uu) }
+                m = m - evictU + (u -> (evictC + 1))
+            }
+          }
+          state.update(HHState(m, n))
+          m.toSeq.sortBy { case (u, c) => (-c, u) }.take(3).zipWithIndex
+            .map { case ((u, c), i) => HHOut(typ, u, c, i + 1, n) }
+            .iterator
+      }
+  }
+
   /** Watermarked 1-hour tumbling counts per event_type. Late rows
     * beyond 10 minutes are dropped; state is bounded by the watermark
     * (windows close once the watermark passes window.end + 0). */

@@ -68,6 +68,14 @@ class DegenerateInputSpec extends SparkSpec {
         StructField("n_name", StringType),
         StructField("n_regionkey", IntegerType))))
     nation.write.parquet(s"$d/nation.parquet")
+    val customer = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType))))
+    customer.write.parquet(s"$d/customer.parquet")
     val embeddings = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       StructType(Seq(
@@ -157,6 +165,10 @@ class DegenerateInputSpec extends SparkSpec {
       .collect().isEmpty)
     assert(graft.streaming.WindowQueries.stNewVsReturning(spark, emptyDir)
       .collect().isEmpty)
+    assert(graft.operators.RelationalQueries
+      .q89SalesOpportunity(spark, emptyDir).collect().isEmpty)
+    assert(graft.operators.FunctionQueries
+      .q90HigherOrderFuncs(spark, emptyDir).collect().isEmpty)
     assert(graft.streaming.WindowQueries.stAcf(spark, emptyDir)
       .collect().isEmpty)
     assert(graft.llm.Models.prSummary(spark, emptyDir).collect().isEmpty)

@@ -683,6 +683,35 @@ class PlanSpec extends SparkSpec {
       "first-seen is a groupBy min, never a user window")
   }
 
+  test("q89: broadcast scalars gate a column-pruned anti-join") {
+    val plan = planOf(graft.operators.RelationalQueries
+      .q89SalesOpportunity(spark, sf0001))
+    assert(plan.split("\n").exists(l =>
+      l.contains("Join") && l.contains("LeftAnti")),
+      "the no-recent-orders test must be an anti-join:\n" + plan.take(800))
+    assert(!plan.contains("SortMergeJoin")
+      || plan.split("\n").count(_.contains("SortMergeJoin")) <= 1,
+      "at most the candidate-vs-recent join may merge; scalars broadcast")
+    val custScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("customer"))
+    assert(custScans <= 2,
+      "one customer scan for the scalar, one for the candidates:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
+  test("q90 higher-order funcs: one fact scan, lambdas stay per-row") {
+    val plan = planOf(graft.operators.FunctionQueries
+      .q90HigherOrderFuncs(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans == 1,
+      s"expected one lineitem scan, got $liScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      "per-order vectors come from ONE collect_list aggregate — no " +
+        "window, no join:\n" + plan.take(600))
+  }
+
   test("q74 price index scans the fact once (materialized moment table)") {
     val plan = planOf(graft.operators.RelationalQueries
       .q74PriceIndex(spark, sf0001))

@@ -500,4 +500,62 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(ssum - sum) < 1e-4, s"$k: sum_value $ssum != $sum")
     }
   }
+
+  test("space-saving heavy hitters: exact under capacity, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val mem = MemoryStream[Event]
+    val q = StreamPipelines.heavyHittersStream(mem.toDF())
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Update).start()
+    // batch 1: 6 distinct users (< capacity 8) -> counts are EXACT
+    // regardless of intra-batch arrival order
+    val b1 = Seq.fill(4)(1L) ++ Seq.fill(3)(2L) ++ Seq.fill(2)(3L) ++
+      Seq(4L, 5L, 6L)
+    mem.addData(b1.zipWithIndex.map { case (u, i) =>
+      Event(i.toLong, ts(i.toLong), u, "click", 1.0) }: _*)
+    q.processAllAvailable()
+    val snap1 = spark.table("hh_out").filter($"n_seen" === 12)
+      .select($"rank", $"user_id", $"est_count")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snap1 == Set((1, 1L, 4L), (2, 2L, 3L), (3, 3L, 2L)),
+      s"exact sub-capacity top-3 expected, got $snap1")
+    // batch 2: one user repeated -> deterministic regardless of order;
+    // ties in the top-3 sort break on user id (2 before 7 at count 3)
+    mem.addData((0 until 3).map(i =>
+      Event(100L + i, ts(50L + i), 7L, "click", 1.0)): _*)
+    q.processAllAvailable()
+    val snap2 = spark.table("hh_out").filter($"n_seen" === 15)
+      .select($"rank", $"user_id", $"est_count")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(snap2 == Set((1, 1L, 4L), (2, 2L, 3L), (3, 7L, 3L)),
+      s"tie must order user 2 before 7, got $snap2")
+  }
+
+  test("space-saving eviction preserves the frequent-item guarantee") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val mem = MemoryStream[Event]
+    val q = StreamPipelines.heavyHittersStream(mem.toDF())
+      .writeStream.format("memory").queryName("hh_evict_out")
+      .outputMode(OutputMode.Update).start()
+    // 10 distinct users with a dominant one: user 99 has 12 of 21
+    // events, far above n/capacity = 21/8 -> MUST be reported rank 1
+    // with est_count >= true count, whatever the eviction history
+    val others = (1L to 9L).map(u => Seq.fill(1)(u)).flatten
+    val data = (Seq.fill(12)(99L) ++ others).zipWithIndex
+    mem.addData(data.map { case (u, i) =>
+      Event(i.toLong, ts(i.toLong), u, "view", 1.0) }: _*)
+    q.processAllAvailable()
+    val rows = spark.table("hh_evict_out").filter($"n_seen" === 21)
+      .select($"rank", $"user_id", $"est_count")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    val top = rows.find(_._1 == 1).get
+    assert(top._2 == 99L, s"dominant user must be rank 1, got $rows")
+    assert(top._3 >= 12L, "SpaceSaving est_count is an overestimate")
+    // state is capacity-bounded: at most 3 rows are ever emitted
+    assert(rows.length <= 3)
+  }
 }

@@ -2288,4 +2288,68 @@ class WaveTenSpec extends SparkSpec {
     // day one has no returning users
     assert(rows.head.getAs[Long]("n_returning") == 0L)
   }
+
+  test("q89 sales opportunity matches a naive recency anti-join recount") {
+    val rows = RelationalQueries.q89SalesOpportunity(spark, sf0001)
+      .collect()
+    val cust = graft.sources.Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+      .select($"o_custkey",
+        unix_micros($"o_orderdate".cast("timestamp"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pos = cust.map(_._3).filter(_ > 0.0)
+    val ab = pos.map(q12).sum.toDouble / pos.length
+    val cutoff = orders.map(_._2).max - 365L * 86400000000L
+    val activeRecent = orders.filter(_._2 >= cutoff).map(_._1).toSet
+    val nations = graft.sources.Tables.nation(spark, sf0001)
+      .select($"n_nationkey", $"n_name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val cand = cust.filter(c => c._3 > ab && !activeRecent.contains(c._1))
+    val expected = cand.groupBy(c => nations(c._2)).map { case (n, xs) =>
+      n -> (xs.length, xs.map(x => q12(x._3)).sum.toDouble)
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, bal) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_customers") == n.toLong)
+      assert(r.getAs[Double]("idle_balance")
+        == BigDecimal(bal).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+  }
+
+  test("q90 higher-order funcs match a per-order scala fold") {
+    val rows = graft.operators.FunctionQueries
+      .q90HigherOrderFuncs(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(rows.length == li.size)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("l_orderkey")
+      // the engine's total sort key: (linenumber, qty, price)
+      val items = li(k).map(x => (x._2, x._3, x._4)).sortBy(identity)
+      val qtys = items.map(_._2)
+      val prices = items.map(_._3)
+      val sumQ = qtys.foldLeft(0.0)(_ + _)
+      val dot = qtys.zip(prices).map { case (q, p) => q * p }
+        .foldLeft(0.0)(_ + _)
+      assert(r.getAs[Int]("n_items") == qtys.length)
+      assert(r.getAs[Double]("hof_sum_qty") == BigDecimal(sumQ)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Double]("hof_dot") == BigDecimal(dot)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"dot mismatch for order $k")
+      assert(r.getAs[Int]("n_big") == qtys.count(_ >= 30.0))
+      assert(r.getAs[Long]("has_even")
+        == (if (qtys.exists(_ % 2.0 == 0.0)) 1L else 0L))
+      assert(r.getAs[Long]("all_positive")
+        == (if (qtys.forall(_ > 0.0)) 1L else 0L))
+    }
+  }
 }
