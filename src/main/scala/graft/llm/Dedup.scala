@@ -2911,7 +2911,102 @@ object Dedup {
       "\nORDER BY shingle_n"
   }
 
+  // --------------------------------------------------------------------
+  // llm_dd_cluster_depth: chaining audit of the near-dup clusters —
+  // BFS hop distance from each cluster representative over the
+  // candidate-pair graph, rolled up to a (hop → docs, share)
+  // histogram with an explicit hop = −1 row for members MORE than 4
+  // hops from their rep. The transitive-merge pathology exhibit:
+  // union-find clustering merges A~B~C even when A≁C, and members at
+  // hop ≥ 2 are exactly the docs kept/removed on NO direct similarity
+  // evidence — a rising deep-hop share is the signal to raise the
+  // banding threshold before a takedown request asks why an unrelated
+  // doc was deleted as a "duplicate". Third user of the bfs loop
+  // discipline (graph bfs_hops, here, cc).
+  // Scale shape: edges and cluster labels ride the session-cached
+  // dedup artifacts; each hop is ONE join of the shrinking frontier
+  // against the checkpointed edge list; the rollup is a ≤6-row
+  // histogram. Determinism: all counts integer; distinct + anti-join
+  // dedup; share is one integer-ratio double.
+  private val DepthHops = 4
+  def ddClusterDepth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clusters = ddCluster(spark, dir).select($"doc_id", $"cluster_id")
+    if (clusters.isEmpty)
+      return spark.createDataFrame(Seq.empty[(Int, Long, Double)])
+        .toDF("hop", "n_docs", "share")
+    val lshPairs = ddMinhashLsh(spark, dir)
+      .filter($"est_jaccard" >= 0.75)
+      .select($"doc_a", $"doc_b")
+    val edges = lshPairs
+      .union(lshPairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .localCheckpoint()
+    var visited = clusters.filter($"doc_id" === $"cluster_id")
+      .select($"doc_id", lit(0).as("hop")).localCheckpoint()
+    var frontier = visited.select($"doc_id")
+    for (h <- 1 to DepthHops) {
+      val nf = edges
+        .join(frontier.select($"doc_id".as("doc_a")), "doc_a")
+        .select($"doc_b".as("doc_id")).distinct()
+        .join(visited.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", lit(h).as("hop"))
+      val nextVisited = visited.unionAll(nf).localCheckpoint()
+      frontier = nextVisited.filter($"hop" === h).select($"doc_id")
+      freeCheckpoint(visited)
+      visited = nextVisited
+    }
+    freeCheckpoint(edges)
+    val tot = clusters.agg(count(lit(1)).as("n"))
+    clusters.join(visited, Seq("doc_id"), "left")
+      .select(coalesce($"hop", lit(-1)).as("hop"))
+      .groupBy($"hop").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select($"hop", $"n_docs",
+        round($"n_docs".cast("double") / $"n", 6).as("share"))
+      .orderBy($"hop")
+  }
+
+  val ddClusterDepthSql: String = {
+    // every level MATERIALIZED: v_h is consumed by BOTH f_{h+1} and
+    // v_{h+1}, and inlined CTEs would re-evaluate the whole chain
+    // (incl. the recursive closure) exponentially in the hop count
+    def hop(prevV: String, prevF: String, h: Int): String =
+      s"""f$h AS MATERIALIZED (
+         |  SELECT DISTINCT e.a AS doc
+         |  FROM edges e JOIN $prevF f ON e.b = f.doc
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prevV v WHERE v.doc = e.a)),
+         |v$h AS MATERIALIZED (
+         |  SELECT doc, hop FROM $prevV
+         |  UNION ALL SELECT doc, $h AS hop FROM f$h)""".stripMargin
+    val chain = (1 to DepthHops)
+      .map(h => hop(s"v${h - 1}", if (h == 1) "v0" else s"f${h - 1}", h))
+      .mkString(",\n")
+    s"""WITH RECURSIVE lsh AS MATERIALIZED (${ddMinhashLshSql}),
+       |edges(a, b) AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM lsh WHERE est_jaccard >= 0.75
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM lsh WHERE est_jaccard >= 0.75),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.doc_id),
+       |comp AS MATERIALIZED (SELECT doc_id, MIN(label) AS cluster_id
+       |  FROM reach GROUP BY doc_id),
+       |seeds AS (SELECT DISTINCT cluster_id AS doc FROM comp),
+       |v0 AS (SELECT doc, 0 AS hop FROM seeds),
+       |$chain,
+       |tot AS (SELECT COUNT(*) AS n FROM comp),
+       |d AS (
+       |  SELECT COALESCE(v.hop, -1) AS hop
+       |  FROM comp c LEFT JOIN v$DepthHops v ON c.doc_id = v.doc)
+       |SELECT CAST(hop AS INT) AS hop, COUNT(*) AS n_docs,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / t.n, 6) AS share
+       |FROM d CROSS JOIN tot t
+       |GROUP BY hop, t.n ORDER BY hop""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_cluster_depth" -> (ddClusterDepth _),
     "llm_dd_shingle_sweep" -> (ddShingleSweep _),
     "llm_dd_detector_agreement" -> (ddDetectorAgreement _),
     "llm_dd_df_spectrum" -> (ddDfSpectrum _),
@@ -2956,6 +3051,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dd_cluster_depth" -> ddClusterDepthSql,
     "llm_dd_shingle_sweep" -> ddShingleSweepSql,
     "llm_dd_detector_agreement" -> ddDetectorAgreementSql,
     "llm_dd_df_spectrum" -> ddDfSpectrumSql,

@@ -1177,20 +1177,22 @@ object Graph {
   }
 
   val bfsHopsSql: String = {
+    // every level MATERIALIZED: v_h has two consumers and inlined
+    // CTEs would re-evaluate the chain exponentially in the hop count
     def hop(prevV: String, prevF: String, h: Int): String =
-      s"""f$h AS (
+      s"""f$h AS MATERIALIZED (
          |  SELECT DISTINCT e.dst AS node
          |  FROM edges e JOIN $prevF f ON e.src = f.node
          |  WHERE NOT EXISTS (SELECT 1 FROM $prevV v
          |    WHERE v.node = e.dst)),
-         |v$h AS (
+         |v$h AS MATERIALIZED (
          |  SELECT node, hop FROM $prevV
          |  UNION ALL SELECT node, $h AS hop FROM f$h)""".stripMargin
     val chain = (1 to BfsHops)
       .map(h => hop(s"v${h - 1}", if (h == 1) "v0" else s"f${h - 1}", h))
       .mkString(",\n")
-    s"""WITH pairs AS ($edgeSql),
-       |edges AS (
+    s"""WITH pairs AS MATERIALIZED ($edgeSql),
+       |edges AS MATERIALIZED (
        |  SELECT c AS src, s AS dst FROM pairs
        |  UNION ALL
        |  SELECT s AS src, c AS dst FROM pairs),

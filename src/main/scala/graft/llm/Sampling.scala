@@ -1142,7 +1142,98 @@ object Sampling {
        |  ROUND(v.se, 6) AS se
        |FROM est e CROSS JOIN sev v CROSS JOIN yt y""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_sample_temperature_sweep: the α knob priced — the mT5-style
+  // temperature mixture llm_sample_mixture ships at α = 0.5, swept at
+  // α ∈ {0.25, 0.5, 0.75, 1.0}: per (α, source) the raw and tempered
+  // shares, plus per α the mixture entropy (nats) and the top-source
+  // share. The flattening-vs-fidelity trade as a table: α→0 drives
+  // entropy to ln(sources) (uniform — tail sources over-weighted),
+  // α = 1 is the raw mix; the chosen α is read off this curve. Same
+  // knob-sweep discipline as llm_dd_shingle_sweep.
+  // Scale shape: ONE corpus scan to the source-grain count table,
+  // materialized; every α is arithmetic on that bounded table.
+  // Determinism: p^α computed as sqrt CHAINS (¼ = √√, ½ = √, ¾ = √·√√
+  // — exact IEEE ops both engines; the libm-pow pitfall from
+  // lsh_tuning never enters); normalizers DECIMAL(28,12)-routed
+  // (mixture precedent); entropy terms DECIMAL(15,9) (taEntropy
+  // discipline).
+  def sampleTemperatureSweep(spark: SparkSession,
+                             dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val tt = ps.agg(sum($"n_docs").as("n_total")).filter($"n_total" > 0)
+    val base = Tables.materialize(ps.crossJoin(broadcast(tt))
+      .select($"source",
+        ($"n_docs".cast("double") / $"n_total").as("p")))
+    type C = org.apache.spark.sql.Column
+    val alphas: Seq[(Double, C => C)] = Seq(
+      0.25 -> ((p: C) => sqrt(sqrt(p))),
+      0.5 -> ((p: C) => sqrt(p)),
+      0.75 -> ((p: C) => sqrt(p) * sqrt(sqrt(p))),
+      1.0 -> ((p: C) => p))
+    alphas.map { case (a, f) =>
+      val t = base.select($"source", $"p", f($"p").as("s"))
+      val z = t.agg(sum($"s".cast(DecimalType(28, 12))).cast("double")
+        .as("z"))
+      // the per-term weight quantizes to DECIMAL(28,12) BEFORE the
+      // division, exactly as it enters the normalizer sum
+      val q = t.crossJoin(broadcast(z))
+        .select($"source", $"p",
+          ($"s".cast(DecimalType(28, 12)).cast("double") / $"z").as("q"))
+      val ent = q.agg(
+        sum((-$"q" * log($"q")).cast(DecimalType(15, 9))).cast("double")
+          .as("ent"),
+        max($"q").as("top"))
+      q.crossJoin(broadcast(ent))
+        .select(lit(a).as("alpha"), $"source",
+          round($"p", 6).as("p_raw"), round($"q", 6).as("p_temp"),
+          round($"ent", 6).as("mix_entropy"),
+          round($"top", 6).as("top_share"))
+    }.reduce(_ unionAll _).orderBy($"alpha", $"source")
+  }
+
+  val sampleTemperatureSweepSql: String = {
+    def block(aLit: String, sExpr: String): String =
+      s"""SELECT CAST($aLit AS DOUBLE) AS alpha, q.source,
+         |  ROUND(q.p, 6) AS p_raw, ROUND(q.q, 6) AS p_temp,
+         |  ROUND(e.ent, 6) AS mix_entropy, ROUND(e.top, 6) AS top_share
+         |FROM (
+         |  SELECT source, p, CAST(sdec AS DOUBLE) / z AS q
+         |  FROM (SELECT source, p,
+         |      CAST($sExpr AS DECIMAL(28,12)) AS sdec FROM base) s
+         |  CROSS JOIN (
+         |    SELECT CAST(SUM(CAST($sExpr AS DECIMAL(28,12))) AS DOUBLE)
+         |      AS z FROM base) zz) q
+         |CROSS JOIN (
+         |  SELECT
+         |    CAST(SUM(CAST(-(CAST(sdec AS DOUBLE) / z)
+         |      * LN(CAST(sdec AS DOUBLE) / z) AS DECIMAL(15,9)))
+         |      AS DOUBLE) AS ent,
+         |    MAX(CAST(sdec AS DOUBLE) / z) AS top
+         |  FROM (SELECT CAST($sExpr AS DECIMAL(28,12)) AS sdec FROM base) s2
+         |  CROSS JOIN (
+         |    SELECT CAST(SUM(CAST($sExpr AS DECIMAL(28,12))) AS DOUBLE)
+         |      AS z FROM base) zz2) e""".stripMargin
+    val blocks = Seq(
+      ("0.25", "SQRT(SQRT(p))"),
+      ("0.5", "SQRT(p)"),
+      ("0.75", "SQRT(p) * SQRT(SQRT(p))"),
+      ("1.0", "p")).map { case (a, s) => block(a, s) }
+    s"""WITH ps AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |tt AS (SELECT SUM(n_docs) AS n_total FROM ps
+       |  HAVING SUM(n_docs) > 0),
+       |base AS (
+       |  SELECT source, CAST(n_docs AS DOUBLE) / n_total AS p
+       |  FROM ps CROSS JOIN tt)
+       |${blocks.mkString("\nUNION ALL\n")}
+       |ORDER BY alpha, source""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_temperature_sweep" -> (sampleTemperatureSweep _),
     "llm_sample_ht" -> (sampleHt _),
     "llm_sample_alloc_variance" -> (sampleAllocVariance _),
     "llm_sample_deff" -> (sampleDeff _),
@@ -1164,6 +1255,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_temperature_sweep" -> sampleTemperatureSweepSql,
     "llm_sample_ht" -> sampleHtSql,
     "llm_sample_alloc_variance" -> sampleAllocVarianceSql,
     "llm_sample_deff" -> sampleDeffSql,

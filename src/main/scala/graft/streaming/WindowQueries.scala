@@ -1669,7 +1669,96 @@ object WindowQueries {
       |FROM daily d LEFT JOIN news n ON d.day = n.day
       |ORDER BY d.day""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_type_mix_drift: categorical drift of the EVENT-TYPE MIX between
+  // horizon halves — per type the first/second-half shares and the PSI
+  // term, plus the total mix PSI and verdict repeated per row. The
+  // categorical twin of st_value_drift: that op asks "did each type's
+  // VALUE distribution move", this asks "did the traffic composition
+  // move" — a new client version that swaps clicks for views shifts
+  // the mix long before any per-type value changes.
+  // Scale shape: ONE fact scan collapses to the (type × half) count
+  // table (partial-aggregable, bounded by types); midpoint from the
+  // same type-grain rollup trick as st_value_drift; PSI arithmetic on
+  // the bounded table. Determinism: `div` midpoint; shares are
+  // integer-ratio doubles floored at the literal 1e-4; DECIMAL-routed
+  // terms; verdict gates RAW psi at 0.1/0.25.
+  def stTypeMixDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", unix_micros($"ts").as("t_us"))
+    val tb = ev.groupBy($"event_type")
+      .agg(min($"t_us").as("tmn"), max($"t_us").as("tmx"))
+    val bounds = tb.agg(min($"tmn").as("mn"), max($"tmx").as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+      .filter($"mid".isNotNull)
+    val counts = Tables.materialize(ev.crossJoin(broadcast(bounds))
+      .groupBy($"event_type")
+      .agg(sum(when($"t_us" <= $"mid", 1L).otherwise(0L)).as("c0"),
+        sum(when($"t_us" > $"mid", 1L).otherwise(0L)).as("c1")))
+    val tot = counts.agg(sum($"c0").as("n0"), sum($"c1").as("n1"))
+      .filter($"n0" > 0 && $"n1" > 0)
+    val terms = counts.crossJoin(broadcast(tot))
+      .select($"event_type", $"c0", $"c1",
+        greatest($"c0".cast("double") / $"n0", lit(1e-4)).as("p0"),
+        greatest($"c1".cast("double") / $"n1", lit(1e-4)).as("p1"))
+      .select($"event_type", $"c0", $"c1", $"p0", $"p1",
+        (($"p1" - $"p0") * log($"p1" / $"p0"))
+          .cast(DecimalType(28, 12)).as("t"))
+    val psi = terms
+      .agg(sum($"t").cast("double").as("psi_raw"))
+    terms.crossJoin(broadcast(psi))
+      .select($"event_type", $"c0".as("n_first"), $"c1".as("n_second"),
+        round($"p0", 6).as("share_first"),
+        round($"p1", 6).as("share_second"),
+        round($"t".cast("double"), 6).as("psi_term"),
+        round($"psi_raw", 6).as("psi_total"),
+        when($"psi_raw" < 0.1, lit("stable"))
+          .when($"psi_raw" < 0.25, lit("moderate"))
+          .otherwise(lit("shifted")).as("verdict"))
+      .orderBy($"event_type")
+  }
+
+  val stTypeMixDriftSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS t_us FROM events),
+      |tb AS (SELECT event_type, MIN(t_us) AS tmn, MAX(t_us) AS tmx
+      |  FROM ev GROUP BY 1),
+      |bounds AS (
+      |  SELECT (MIN(tmn) + MAX(tmx)) // 2 AS mid
+      |  FROM tb HAVING MIN(tmn) IS NOT NULL),
+      |counts AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN t_us <= mid THEN 1 ELSE 0 END) AS c0,
+      |    SUM(CASE WHEN t_us > mid THEN 1 ELSE 0 END) AS c1
+      |  FROM ev CROSS JOIN bounds GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM counts
+      |  HAVING SUM(c0) > 0 AND SUM(c1) > 0),
+      |terms AS (
+      |  SELECT event_type, c0, c1,
+      |    GREATEST(CAST(c0 AS DOUBLE) / n0, CAST(0.0001 AS DOUBLE)) AS p0,
+      |    GREATEST(CAST(c1 AS DOUBLE) / n1, CAST(0.0001 AS DOUBLE)) AS p1
+      |  FROM counts CROSS JOIN tot),
+      |t2 AS (
+      |  SELECT event_type, c0, c1, p0, p1,
+      |    CAST((p1 - p0) * LN(p1 / p0) AS DECIMAL(28,12)) AS t
+      |  FROM terms),
+      |psi AS (SELECT CAST(SUM(t) AS DOUBLE) AS psi_raw FROM t2)
+      |SELECT event_type, CAST(c0 AS BIGINT) AS n_first,
+      |  CAST(c1 AS BIGINT) AS n_second,
+      |  ROUND(p0, 6) AS share_first,
+      |  ROUND(p1, 6) AS share_second,
+      |  ROUND(CAST(t AS DOUBLE), 6) AS psi_term,
+      |  ROUND(psi_raw, 6) AS psi_total,
+      |  CASE WHEN psi_raw < 0.1 THEN 'stable'
+      |    WHEN psi_raw < 0.25 THEN 'moderate'
+      |    ELSE 'shifted' END AS verdict
+      |FROM t2 CROSS JOIN psi
+      |ORDER BY event_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_type_mix_drift" -> (stTypeMixDrift _),
     "st_new_vs_returning" -> (stNewVsReturning _),
     "st_value_drift" -> (stValueDrift _),
     "st_whale_mass" -> (stWhaleMass _),
@@ -1701,6 +1790,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_type_mix_drift" -> stTypeMixDriftSql,
     "st_new_vs_returning" -> stNewVsReturningSql,
     "st_value_drift" -> stValueDriftSql,
     "st_whale_mass" -> stWhaleMassSql,

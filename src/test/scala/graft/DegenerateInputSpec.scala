@@ -169,6 +169,12 @@ class DegenerateInputSpec extends SparkSpec {
       .q89SalesOpportunity(spark, emptyDir).collect().isEmpty)
     assert(graft.operators.FunctionQueries
       .q90HigherOrderFuncs(spark, emptyDir).collect().isEmpty)
+    assert(graft.llm.Sampling.sampleTemperatureSweep(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.llm.Dedup.ddClusterDepth(spark, emptyDir)
+      .collect().isEmpty)
+    assert(graft.streaming.WindowQueries.stTypeMixDrift(spark, emptyDir)
+      .collect().isEmpty)
     assert(graft.streaming.WindowQueries.stAcf(spark, emptyDir)
       .collect().isEmpty)
     assert(graft.llm.Models.prSummary(spark, emptyDir).collect().isEmpty)

@@ -712,6 +712,38 @@ class PlanSpec extends SparkSpec {
         "window, no join:\n" + plan.take(600))
   }
 
+  test("temperature sweep: every alpha is arithmetic on the source table") {
+    val plan = planOf(graft.llm.Sampling
+      .sampleTemperatureSweep(spark, sf0001))
+    assert(!plan.contains("FileScan parquet"),
+      "the four alpha branches must ride the materialized source " +
+        "shares, never re-scan the corpus:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "the sweep is unions of broadcast-scalar arithmetic")
+  }
+
+  test("cluster depth rides the cached dedup artifacts (no parquet)") {
+    val plan = planOf(graft.llm.Dedup.ddClusterDepth(spark, sf0001))
+    assert(!plan.contains("FileScan parquet"),
+      "edges/labels come from session-cached artifacts; the rollup " +
+        "reads checkpoints:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+  }
+
+  test("type mix drift: two fact passes, bounded PSI arithmetic") {
+    val plan = planOf(graft.streaming.WindowQueries
+      .stTypeMixDrift(spark, sf0001))
+    val evScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("events"))
+    assert(evScans == 0,
+      s"the PSI pipeline must ride the materialized count table, got " +
+        s"$evScans:\n" +
+        plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      "no SMJ/window in the mix-drift arithmetic")
+  }
+
   test("q74 price index scans the fact once (materialized moment table)") {
     val plan = planOf(graft.operators.RelationalQueries
       .q74PriceIndex(spark, sf0001))

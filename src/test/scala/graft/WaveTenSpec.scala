@@ -2352,4 +2352,117 @@ class WaveTenSpec extends SparkSpec {
         == (if (qtys.forall(_ > 0.0)) 1L else 0L))
     }
   }
+
+  test("temperature sweep matches a naive recount; entropy falls with alpha") {
+    val rows = Sampling.sampleTemperatureSweep(spark, sf0001).collect()
+    val srcN = graft.sources.Tables.documents(spark, sf0001)
+      .groupBy($"source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = srcN.map(_._2).sum.toDouble
+    val alphas = Seq(
+      0.25 -> ((p: Double) => math.sqrt(math.sqrt(p))),
+      0.5 -> ((p: Double) => math.sqrt(p)),
+      0.75 -> ((p: Double) => math.sqrt(p) * math.sqrt(math.sqrt(p))),
+      1.0 -> ((p: Double) => p))
+    assert(rows.length == srcN.length * 4)
+    val entByAlpha = alphas.map { case (a, f) =>
+      val ts = srcN.map { case (s, c) => (s, c / n, f(c / n)) }
+      val z = ts.sortBy(_._1).map(t => q12(t._3)).sum.toDouble
+      val qs = ts.map { case (s, p, t) =>
+        (s, p, q12(t).toDouble / z)
+      }
+      val ent = qs.sortBy(_._1).map { case (_, _, q) =>
+        q12(-q * math.log(q))
+      }.sum.toDouble
+      val top = qs.map(_._3).max
+      rows.filter(_.getAs[Double]("alpha") == a).foreach { r =>
+        val (_, p, q) = qs.find(_._1 == r.getString(1)).get
+        assert(r.getAs[Double]("p_raw") == r6(p))
+        assert(r.getAs[Double]("p_temp") == r6(q), s"q mismatch at a=$a")
+        assert(r.getAs[Double]("mix_entropy") == r6(ent))
+        assert(r.getAs[Double]("top_share") == r6(top))
+      }
+      a -> ent
+    }
+    // flattening monotonicity: entropy is non-increasing in alpha
+    val es = entByAlpha.map(_._2)
+    assert(es.zip(es.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"tempered-mixture entropy must fall as alpha rises: $es")
+    // alpha = 1 reproduces the raw mix
+    rows.filter(_.getAs[Double]("alpha") == 1.0).foreach(r =>
+      assert(r.getAs[Double]("p_raw") == r.getAs[Double]("p_temp")))
+  }
+
+  test("cluster depth matches a naive BFS and partitions the corpus") {
+    val rows = Dedup.ddClusterDepth(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val clusters = Dedup.ddCluster(spark, sf0001)
+      .select($"doc_id", $"cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = Dedup.ddMinhashLsh(spark, sf0001)
+      .filter($"est_jaccard" >= 0.75)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).toSet }
+    var visited = clusters.filter(c => c._1 == c._2).map(_._1).toSet
+    var frontier = visited
+    val counts = scala.collection.mutable.Map(0 -> visited.size)
+    for (h <- 1 to 4) {
+      val nf = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- visited
+      if (nf.nonEmpty) counts(h) = nf.size
+      visited ++= nf
+      frontier = nf
+    }
+    val unreached = clusters.length - visited.size
+    if (unreached > 0) counts(-1) = unreached
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val h = r.getAs[Int]("hop")
+      assert(r.getAs[Long]("n_docs") == counts(h).toLong, s"hop $h")
+      assert(r.getAs[Double]("share")
+        == r6(counts(h).toDouble / clusters.length))
+    }
+    // the histogram partitions the corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == clusters.length.toLong)
+    // hop 0 is exactly the cluster representatives
+    assert(rows.find(_.getAs[Int]("hop") == 0).get.getAs[Long]("n_docs")
+      == clusters.map(_._2).distinct.length.toLong)
+  }
+
+  test("type mix drift matches a naive recount and PSI >= 0") {
+    val rows = graft.streaming.WindowQueries.stTypeMixDrift(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_type", unix_micros($"ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val mid = ((BigInt(evs.map(_._2).min) + BigInt(evs.map(_._2).max))
+      / 2).toLong
+    val h0 = evs.filter(_._2 <= mid)
+    val h1 = evs.filter(_._2 > mid)
+    val types = evs.map(_._1).distinct.sorted
+    val terms = types.map { t =>
+      val c0 = h0.count(_._1 == t)
+      val c1 = h1.count(_._1 == t)
+      val p0 = math.max(c0.toDouble / h0.length, 1e-4)
+      val p1 = math.max(c1.toDouble / h1.length, 1e-4)
+      t -> (c0, c1, p0, p1, q12((p1 - p0) * math.log(p1 / p0)))
+    }.toMap
+    val psi = types.map(t => terms(t)._5).sum.toDouble
+    assert(psi >= -1e-12)
+    rows.foreach { r =>
+      val (c0, c1, p0, p1, t) = terms(r.getString(0))
+      assert(r.getAs[Long]("n_first") == c0.toLong)
+      assert(r.getAs[Long]("n_second") == c1.toLong)
+      assert(r.getAs[Double]("share_first") == r6(p0))
+      assert(r.getAs[Double]("share_second") == r6(p1))
+      assert(r.getAs[Double]("psi_term") == r6(t.toDouble))
+      assert(r.getAs[Double]("psi_total") == r6(psi))
+      val verdict =
+        if (psi < 0.1) "stable"
+        else if (psi < 0.25) "moderate" else "shifted"
+      assert(r.getString(7) == verdict)
+    }
+  }
 }
