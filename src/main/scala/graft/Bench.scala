@@ -40,11 +40,20 @@ object Bench {
     // verdict) — the suite must measure plans, not harness state.
     def release(): Unit = graft.sources.Tables.releaseTransients(spark)
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
+    if (new java.io.File(warmDir).isDirectory) {
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
         release()
       }
+      // The sf0.001 pass exists only to compile codegen; its
+      // checkpointed tables and session-cached index builds are never
+      // read again, yet they'd stay pinned across the entire bench-SF
+      // warm + timed passes — roughly half the block sets a full-suite
+      // session holds. Evict the whole warm-dir artifact family before
+      // any timed work (round-10 verdict: board-wide timed mins rose
+      // 10-40% under 357 queries' coexisting cached artifacts).
+      graft.sources.Tables.releaseScope(spark, warmDir)
+    }
     if (!cold)
       selected.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => }

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -242,29 +243,53 @@ object Graph {
       .select($"s1", $"s2")
   }
 
+  /** Session-cached co-purchase SUPPORT table — one (s1 < s2, support)
+    * row per supplier pair sharing ≥1 order, after the per-order
+    * occupancy cap. The corpus-scale stage of the census family
+    * (fact distinct + occupancy gate + pair join + partial-agg), built
+    * once per (session, dir): llm_graph_triangles and
+    * llm_graph_local_cc both iterate on its ≤[[TriMaxEdges]]-edge
+    * backbone, so the pair expansion must not replay per query (the
+    * dd_bands convention; cold mode prices the build). */
+  private[graft] def triSupport(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "graph_tri_support")) {
+      import spark.implicits._
+      // materialized: the distinct (order, supplier) table feeds the
+      // occupancy audit AND the pair join's kept side — the fact-scan
+      // + distinct shuffle runs once, not per consumer
+      val so = Tables.materialize(
+        Tables.lineitem(spark, dir)
+          .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct())
+      val occ = so.groupBy($"ok").agg(count(lit(1)).as("n_supp"))
+      val keptSo =
+        so.join(occ.filter($"n_supp" <= TriOrderCap).select($"ok"), "ok")
+      val a = keptSo.select($"ok", $"sk".as("s1"))
+      val b = keptSo.select($"ok".as("ok2"), $"sk".as("s2"))
+      Tables.materialize(
+        a.join(b, $"ok" === $"ok2" && $"s1" < $"s2")
+          .groupBy($"s1", $"s2").agg(count(lit(1)).as("support")))
+    }
+
+  /** Session-cached 1-row census meta: how many orders the occupancy
+    * cap excluded (surfaced in the triangles output so the cap is
+    * auditable, not silent). Rebuilds the cheap distinct+groupBy
+    * subtree once per session rather than widening [[triSupport]]'s
+    * schema with a constant column. */
+  private[graft] def triExcluded(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "graph_tri_excl")) {
+      import spark.implicits._
+      Tables.materialize(
+        Tables.lineitem(spark, dir)
+          .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+          .groupBy($"ok").agg(count(lit(1)).as("n_supp"))
+          .filter($"n_supp" > TriOrderCap)
+          .agg(count(lit(1)).as("n_excluded_orders")))
+    }
+
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // materialized: the distinct (order, supplier) table feeds the
-    // occupancy audit AND the pair join's kept side — the fact-scan +
-    // distinct shuffle runs once, not per consumer
-    val so = Tables.materialize(
-      Tables.lineitem(spark, dir)
-        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct())
-    val occ = so.groupBy($"ok").agg(count(lit(1)).as("n_supp"))
-    val nExcluded = broadcast(
-      occ.filter($"n_supp" > TriOrderCap)
-        .agg(count(lit(1)).as("n_excluded_orders")))
-    val keptSo = so.join(occ.filter($"n_supp" <= TriOrderCap).select($"ok"), "ok")
-    val a = keptSo.select($"ok", $"sk".as("s1"))
-    val b = keptSo.select($"ok".as("ok2"), $"sk".as("s2"))
-    // materialized: the support table feeds the candidate count AND the
-    // backbone top-M — left lazy, the lineitem-distinct + occupancy +
-    // pair-join subtree (the only corpus-scale work here) replays per
-    // consumer (measured 24.3 s → 6.9 s at scale16). The table is one
-    // narrow (s1, s2, support) row per co-occurring pair.
-    val support = Tables.materialize(
-      a.join(b, $"ok" === $"ok2" && $"s1" < $"s2")
-        .groupBy($"s1", $"s2").agg(count(lit(1)).as("support")))
+    val support = triSupport(spark, dir)
+    val nExcluded = broadcast(triExcluded(spark, dir))
     val nCand = broadcast(
       support.agg(count(lit(1)).as("n_candidate_edges")))
     val edges = Tables.materialize(backbone(support))
@@ -354,6 +379,126 @@ object Graph {
        |    AS clustering_coeff,
        |  n_excluded_orders
        |FROM stats""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_graph_local_cc: PER-NODE local clustering coefficient
+  // distribution over the co-purchase backbone — lcc(v) =
+  // 2·tri(v)/(d(v)·(d(v)−1)) — as a decile histogram plus the mean.
+  // The census (llm_graph_triangles) prices the GLOBAL coefficient;
+  // communities and link farms separate in the per-node DISTRIBUTION:
+  // organic graphs are right-skewed with a hub tail near 0, templated
+  // link structure piles nodes at exactly 1.0.
+  // Scale shape: reads the session-cached support table (the corpus
+  // stage builds once — see triSupport); everything here runs on the
+  // ≤TriMaxEdges backbone: the same degree-oriented wedge join as the
+  // census but keeping closed wedges (INNER join vs the closing edge,
+  // not semi), each triangle exploding to its 3 vertices for the
+  // per-node count. Bounded M^1.5 work regardless of corpus size.
+  // Determinism: lcc is a ratio of exact integers evaluated in double
+  // (bit-identical both engines); the histogram bucket floor(lcc·10)
+  // applies to identical doubles; mean routes through DECIMAL(15,9).
+  def localClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Tables.materialize(backbone(triSupport(spark, dir)))
+    val deg = Tables.materialize(
+      edges.select($"s1".as("v")).unionAll(edges.select($"s2".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("d")))
+    val oriented = Tables.materialize(
+      edges
+        .join(deg.select($"v".as("s1"), $"d".as("d1")), "s1")
+        .join(deg.select($"v".as("s2"), $"d".as("d2")), "s2")
+        .select(
+          when($"d1" < $"d2" || ($"d1" === $"d2" && $"s1" < $"s2"), $"s1")
+            .otherwise($"s2").as("src"),
+          when($"d1" < $"d2" || ($"d1" === $"d2" && $"s1" < $"s2"), $"s2")
+            .otherwise($"s1").as("dst"),
+          when($"d1" < $"d2" || ($"d1" === $"d2" && $"s1" < $"s2"), $"d2")
+            .otherwise($"d1").as("ddeg")))
+    val x = oriented.select($"src", $"dst".as("b"), $"ddeg".as("bd"))
+    val y = oriented.select($"src".as("src2"), $"dst".as("c"), $"ddeg".as("cd"))
+    val closing = oriented.select($"src".as("cb"), $"dst".as("cc"))
+    val triNodes = x.join(y, $"src" === $"src2"
+        && ($"bd" < $"cd" || ($"bd" === $"cd" && $"b" < $"c")))
+      .join(closing, $"b" === $"cb" && $"c" === $"cc")
+      .select(explode(array($"src", $"b", $"c")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("t"))
+    val lcc = deg.join(triNodes, Seq("v"), "left")
+      .select($"v", $"d",
+        when($"d" < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce($"t", lit(0L))
+            / ($"d" * ($"d" - 1L))).as("lcc"),
+        ($"d" >= 2).as("eligible"))
+    // ≤12-row histogram + 1-row totals off one node-grain table
+    val hist = Tables.materialize(lcc
+      .groupBy(when(!$"eligible", lit(-1L))
+        .otherwise(floor($"lcc" * 10.0)).as("lcc_decile"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when($"eligible", $"lcc".cast(DecimalType(15, 9)))
+          .otherwise(lit(null))).as("lcc_sum")))
+    val tot = hist.agg(sum($"n_nodes").as("nt"),
+      sum(when($"lcc_decile" >= 0, $"n_nodes").otherwise(0L)).as("ne"),
+      sum($"lcc_sum").cast("double").as("ls")).filter($"nt" > 0)
+    hist.crossJoin(broadcast(tot))
+      .select($"lcc_decile", $"n_nodes",
+        round($"n_nodes".cast("double") / $"nt", 6).as("share"),
+        round(when($"ne" > 0, $"ls" / $"ne").otherwise(0.0), 6)
+          .as("mean_lcc"))
+      .orderBy($"lcc_decile")
+  }
+
+  val localCcSql: String =
+    s"""WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |occ AS (SELECT ok, COUNT(*) AS n_supp FROM so GROUP BY ok),
+       |kept AS (SELECT so.ok, so.sk FROM so
+       |  JOIN occ ON so.ok = occ.ok AND occ.n_supp <= $TriOrderCap),
+       |support AS (SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS support
+       |  FROM kept a JOIN kept b ON a.ok = b.ok AND a.sk < b.sk
+       |  GROUP BY a.sk, b.sk),
+       |edges AS (SELECT s1, s2 FROM support
+       |  ORDER BY support DESC, s1 ASC, s2 ASC LIMIT $TriMaxEdges),
+       |deg AS (SELECT v, COUNT(*) AS d FROM (
+       |  SELECT s1 AS v FROM edges UNION ALL SELECT s2 AS v FROM edges)
+       |  GROUP BY v),
+       |oriented AS (SELECT
+       |  CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND s1 < s2)
+       |    THEN s1 ELSE s2 END AS src,
+       |  CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND s1 < s2)
+       |    THEN s2 ELSE s1 END AS dst,
+       |  CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND s1 < s2)
+       |    THEN d2.d ELSE d1.d END AS ddeg
+       |  FROM edges
+       |  JOIN deg d1 ON edges.s1 = d1.v
+       |  JOIN deg d2 ON edges.s2 = d2.v),
+       |tri AS (SELECT x.src AS va, x.dst AS vb, y.dst AS vc
+       |  FROM oriented x
+       |  JOIN oriented y ON x.src = y.src
+       |    AND (x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst))
+       |  JOIN oriented z ON z.src = x.dst AND z.dst = y.dst),
+       |tv AS (SELECT v, COUNT(*) AS t FROM
+       |  (SELECT unnest([va, vb, vc]) AS v FROM tri) GROUP BY v),
+       |lcc AS (SELECT deg.v, deg.d,
+       |  CASE WHEN deg.d < 2 THEN 0.0
+       |    ELSE 2.0 * COALESCE(tv.t, 0) / (deg.d * (deg.d - 1)) END AS lcc,
+       |  deg.d >= 2 AS eligible
+       |  FROM deg LEFT JOIN tv ON deg.v = tv.v),
+       |hist AS (SELECT
+       |  CASE WHEN NOT eligible THEN -1
+       |    ELSE CAST(FLOOR(lcc * 10.0) AS BIGINT) END AS lcc_decile,
+       |  COUNT(*) AS n_nodes,
+       |  SUM(CASE WHEN eligible THEN CAST(lcc AS DECIMAL(15,9))
+       |    ELSE NULL END) AS lcc_sum
+       |  FROM lcc GROUP BY 1),
+       |tot AS (SELECT SUM(n_nodes) AS nt,
+       |  SUM(CASE WHEN lcc_decile >= 0 THEN n_nodes ELSE 0 END) AS ne,
+       |  CAST(SUM(lcc_sum) AS DOUBLE) AS ls
+       |  FROM hist HAVING SUM(n_nodes) > 0)
+       |SELECT CAST(h.lcc_decile AS BIGINT) AS lcc_decile,
+       |  CAST(h.n_nodes AS BIGINT) AS n_nodes,
+       |  ROUND(CAST(h.n_nodes AS DOUBLE) / t.nt, 6) AS share,
+       |  ROUND(CASE WHEN t.ne > 0 THEN t.ls / t.ne ELSE 0.0 END, 6)
+       |    AS mean_lcc
+       |FROM hist h CROSS JOIN tot t
+       |ORDER BY h.lcc_decile""".stripMargin
 
   // --------------------------------------------------------------------
   // llm_graph_cc: connected components by min-label propagation over
@@ -1225,6 +1370,7 @@ object Graph {
     "llm_graph_pagerank" -> (pagerank _),
     "llm_graph_degree" -> (degree _),
     "llm_graph_triangles" -> (triangles _),
+    "llm_graph_local_cc" -> (localClusteringCoeff _),
     "llm_graph_hits" -> (hits _),
     "llm_graph_rich_club" -> (richClub _),
     "llm_graph_modularity" -> (modularity _),
@@ -1241,6 +1387,7 @@ object Graph {
     "llm_graph_pagerank" -> pagerankSql,
     "llm_graph_degree" -> degreeSql,
     "llm_graph_triangles" -> trianglesSql,
+    "llm_graph_local_cc" -> localCcSql,
     "llm_graph_hits" -> hitsSql,
     "llm_graph_rich_club" -> richClubSql,
     "llm_graph_modularity" -> modularitySql,

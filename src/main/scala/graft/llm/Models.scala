@@ -840,6 +840,88 @@ object Models {
        |FROM x""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_models_youden: the ROC-side optimal operating point — the
+  // threshold maximizing Youden's J = TPR − FPR (ties at the max →
+  // smallest threshold, the confusion convention). The
+  // class-prevalence-FREE companion to confusion's F1 argmax: F1 moves
+  // with the positive rate, J does not, so when the deployment
+  // corpus's quality mix differs from the probe corpus (always, at
+  // 100 TB), J is the threshold that transfers. Balanced accuracy
+  // (TPR + TNR)/2 reported at the chosen point.
+  // Scale shape: identical to confusion — one scoring pass collapses
+  // to the score histogram; the cumulative window and argmax run on
+  // that bounded table; two driver .head() calls read 1-row
+  // aggregates. Determinism: TPR/FPR are exact integer ratios in
+  // double; the argmax tie-breaks by min threshold in both engines.
+  def youden(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.materialize(scoreHist(spark, dir))
+    val (np, nn) = histTotals(hist)
+    if (np == 0L || nn == 0L)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Long, Double, Double, Double, Double, Double)])
+        .toDF("n", "n_pos", "threshold", "tpr", "fpr", "youden_j",
+          "balanced_acc")
+    val w = Window.orderBy($"p".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = hist
+      .withColumn("cumPos", sum($"pos").over(w))
+      .withColumn("cumAll", sum($"pos" + $"neg").over(w))
+      .select($"p",
+        ($"cumPos".cast("double") / np.toDouble).as("tpr"),
+        (($"cumAll" - $"cumPos").cast("double") / nn.toDouble).as("fpr"))
+      .withColumn("j", $"tpr" - $"fpr")
+    val bj = pts.agg(max($"j")).head().getDouble(0)
+    val best = pts.filter($"j" === bj)
+      .orderBy($"p".asc).limit(1).head()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (tpr, fpr) = (best.getAs[Double]("tpr"), best.getAs[Double]("fpr"))
+    spark.createDataFrame(Seq((
+      np + nn, np, r6(best.getAs[Double]("p")), r6(tpr), r6(fpr),
+      r6(tpr - fpr), r6((tpr + (1.0 - fpr)) / 2.0))))
+      .toDF("n", "n_pos", "threshold", "tpr", "fpr", "youden_j",
+        "balanced_acc")
+  }
+
+  val youdenSql: String = {
+    val p = sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")
+    s"""WITH $logregChainSql,
+       |sc AS (SELECT $p AS p, f.y AS y FROM f CROSS JOIN w3s w),
+       |h AS (
+       |  SELECT p, CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos,
+       |    SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS neg
+       |  FROM sc GROUP BY p),
+       |tt AS (SELECT CAST(SUM(pos) AS BIGINT) AS np,
+       |  CAST(SUM(neg) AS BIGINT) AS nn FROM h),
+       |c AS (
+       |  SELECT p,
+       |    SUM(pos) OVER (ORDER BY p DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumPos,
+       |    SUM(pos + neg) OVER (ORDER BY p DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumAll
+       |  FROM h),
+       |pts AS (
+       |  SELECT c.p,
+       |    CAST(c.cumPos AS DOUBLE) / CAST(tt.np AS DOUBLE) AS tpr,
+       |    CAST(c.cumAll - c.cumPos AS DOUBLE) / CAST(tt.nn AS DOUBLE)
+       |      AS fpr
+       |  FROM c CROSS JOIN tt),
+       |jt AS (SELECT p, tpr, fpr, tpr - fpr AS j FROM pts),
+       |bj AS (SELECT MAX(j) AS bj FROM jt),
+       |best AS (
+       |  SELECT jt.p, jt.tpr, jt.fpr, jt.j FROM jt CROSS JOIN bj
+       |  WHERE jt.j = bj.bj ORDER BY jt.p ASC LIMIT 1)
+       |SELECT CAST(tt.np + tt.nn AS BIGINT) AS n,
+       |  CAST(tt.np AS BIGINT) AS n_pos,
+       |  ROUND(b.p, 6) AS threshold, ROUND(b.tpr, 6) AS tpr,
+       |  ROUND(b.fpr, 6) AS fpr, ROUND(b.j, 6) AS youden_j,
+       |  ROUND((b.tpr + (1.0 - b.fpr)) / 2.0, 6) AS balanced_acc
+       |FROM best b CROSS JOIN tt""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
   // llm_models_learning_curve: the data-scaling audit — fit the SAME
   // 3-step probe on hash-selected 25/50/75/100% training slices and
   // evaluate each fit's sign-accuracy on the FULL corpus. The "is more
@@ -1253,8 +1335,9 @@ object Models {
   // llm_models_hosmer: Hosmer–Lemeshow goodness-of-fit test of the
   // quality probe — per equal-width score bin, observed vs expected
   // positives and the HL chi² term (O−E)²/(E·(1−E/n)); the TOTAL gates
-  // a calibrated/miscalibrated verdict at the literal χ²₀.₉₅ df=8
-  // (15.507). The hypothesis-test companion to llm_models_calibration:
+  // a calibrated/miscalibrated verdict at χ²₀.₉₅ with df = g−2 where
+  // g is the OCCUPIED bin count (literal critical-value table, both
+  // engines). The hypothesis-test companion to llm_models_calibration:
   // the reliability curve SHOWS the deviation, HL says whether it is
   // statistically real at this corpus size — the number a gate
   // recalibration is triggered on.
@@ -1264,7 +1347,7 @@ object Models {
   // bin = floor(p·10) on bit-identical p (Elliott link, p ∈ (0,1));
   // Σp routes through DECIMAL(28,12); E ∈ (0,n) strictly (0 < p < 1),
   // so the denominator is never 0; the verdict gates the RAW total vs
-  // the literal 15.507.
+  // the df-selected literal critical value.
   def hosmer(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scored = aucScored(spark, dir)
@@ -1282,14 +1365,25 @@ object Models {
       (($"obs_pos".cast("double") - $"exp_pos")
         * ($"obs_pos".cast("double") - $"exp_pos")
         / ($"exp_pos" * (lit(1.0) - $"exp_pos" / $"n"))).as("term"))
+    // HL df = g − 2 where g is the OCCUPIED bin count (groups only
+    // form where floor(p·10) has rows — data-dependent, 10 on this
+    // fixture but not guaranteed). χ²₀.₉₅ literal table for df 1..8;
+    // g < 3 (df < 1) leaves the test undefined → 'calibrated' by
+    // convention (too few bins to reject). Oracle mirrors exactly.
     val tot = terms
-      .agg(sum($"term".cast(DecimalType(28, 12))).cast("double").as("hl"))
+      .agg(sum($"term".cast(DecimalType(28, 12))).cast("double").as("hl"),
+        count(lit(1)).as("g"))
+      .select($"hl", $"g",
+        when($"g" - 2 === 1, 3.8415).when($"g" - 2 === 2, 5.9915)
+          .when($"g" - 2 === 3, 7.8147).when($"g" - 2 === 4, 9.4877)
+          .when($"g" - 2 === 5, 11.0705).when($"g" - 2 === 6, 12.5916)
+          .when($"g" - 2 === 7, 14.0671).otherwise(15.5073).as("crit"))
     terms.crossJoin(broadcast(tot))
       .select($"bin", $"n", $"obs_pos",
         round($"exp_pos", 6).as("exp_pos"),
         round($"term", 6).as("hl_term"),
         round($"hl", 6).as("hl_total"),
-        when($"hl" > 15.507, lit("miscalibrated"))
+        when($"g" >= 3 && $"hl" > $"crit", lit("miscalibrated"))
           .otherwise(lit("calibrated")).as("verdict"))
       .orderBy($"bin")
   }
@@ -1311,14 +1405,19 @@ object Models {
        |      / (exp_pos * (1.0 - exp_pos / n)) AS term
        |  FROM bins),
        |x AS (
-       |  SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS hl
+       |  SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS hl,
+       |    COUNT(*) AS g,
+       |    CASE COUNT(*) - 2 WHEN 1 THEN 3.8415 WHEN 2 THEN 5.9915
+       |      WHEN 3 THEN 7.8147 WHEN 4 THEN 9.4877 WHEN 5 THEN 11.0705
+       |      WHEN 6 THEN 12.5916 WHEN 7 THEN 14.0671
+       |      ELSE 15.5073 END AS crit
        |  FROM terms)
        |SELECT t.bin, CAST(t.n AS BIGINT) AS n,
        |  CAST(t.obs_pos AS BIGINT) AS obs_pos,
        |  ROUND(t.exp_pos, 6) AS exp_pos,
        |  ROUND(t.term, 6) AS hl_term,
        |  ROUND(x.hl, 6) AS hl_total,
-       |  CASE WHEN x.hl > 15.507 THEN 'miscalibrated'
+       |  CASE WHEN x.g >= 3 AND x.hl > x.crit THEN 'miscalibrated'
        |    ELSE 'calibrated' END AS verdict
        |FROM terms t CROSS JOIN x
        |ORDER BY t.bin""".stripMargin
@@ -1605,11 +1704,13 @@ object Models {
     "llm_models_brier" -> (brier _),
     "llm_models_ks" -> (ks _),
     "llm_models_confusion" -> (confusion _),
+    "llm_models_youden" -> (youden _),
     "llm_models_learning_curve" -> (learningCurve _),
     "llm_models_threshold_sweep" -> (thresholdSweep _),
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_models_youden" -> youdenSql,
     "llm_models_bootstrap_auc" -> bootstrapAucSql,
     "llm_models_gains" -> gainsSql,
     "llm_models_hosmer" -> hosmerSql,

@@ -1069,6 +1069,59 @@ object Similarity {
       |FROM st CROSS JOIN tv ORDER BY dim""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_norm_audit: per-vector L2-norm audit of the embedding
+  // corpus — vector count, zero-norm count (cosine is undefined on
+  // them; every cosine path here assumes they were screened), near-
+  // unit-norm count (|‖v‖−1| ≤ 0.01 — tells you whether dot product
+  // IS cosine for this corpus, which decides MIPS-vs-cosine index
+  // choice), and min/mean/max norm. The data-quality gate that runs
+  // BEFORE any ANN index build; the per-VECTOR complement of
+  // llm_ss_dim_audit's per-dimension moments.
+  // Scale shape: one explode → partial-aggregable (vec_id) sum of
+  // squares (the unnest device every vector oracle here uses) → one
+  // 1-row aggregate; no joins, no index. At 100 TB this is a single
+  // map-side-combined pass. Determinism: Σx² routes through
+  // DECIMAL(28,12) (order-insensitive); norms are sqrt of identical
+  // doubles; the mean quantizes each norm to DECIMAL(15,9) first.
+  def ssNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val norms = Tables.embeddings(spark, dir)
+      .select($"vec_id", explode($"embedding").as("x"))
+      .groupBy($"vec_id")
+      .agg(sum(($"x".cast("double") * $"x".cast("double"))
+        .cast(DecimalType(28, 12))).cast("double").as("n2"))
+      .select(sqrt($"n2").as("norm"))
+    norms.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when($"norm" === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      sum(when(abs($"norm" - 1.0) <= 0.01, 1L).otherwise(0L))
+        .as("n_near_unit"),
+      round(min($"norm"), 6).as("min_norm"),
+      round(sum($"norm".cast(DecimalType(15, 9))).cast("double")
+        / count(lit(1)), 6).as("mean_norm"),
+      round(max($"norm"), 6).as("max_norm"))
+  }
+
+  val ssNormAuditSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+      |nv AS (
+      |  SELECT vec_id,
+      |    SQRT(CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE))
+      |      AS norm
+      |  FROM ex GROUP BY vec_id)
+      |SELECT COUNT(*) AS n_vecs,
+      |  CAST(SUM(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_zero,
+      |  CAST(SUM(CASE WHEN ABS(norm - 1.0) <= 0.01 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_near_unit,
+      |  ROUND(MIN(norm), 6) AS min_norm,
+      |  ROUND(CAST(SUM(CAST(norm AS DECIMAL(15,9))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_norm,
+      |  ROUND(MAX(norm), 6) AS max_norm
+      |FROM nv""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_ss_kmeans_ari: adjusted Rand index between the SEED-Voronoi
   // partition (assign to the raw seed vectors) and the 3-round-trained
   // partition — "did training actually reorganize the clustering, or
@@ -3035,6 +3088,7 @@ object Similarity {
     "llm_ss_kmeans_iter" -> (ssKmeansIter _),
     "llm_ss_kmeans_ari" -> (ssKmeansAri _),
     "llm_ss_dim_audit" -> (ssDimAudit _),
+    "llm_ss_norm_audit" -> (ssNormAudit _),
     "llm_ss_pq_distortion" -> (ssPqDistortion _),
     "llm_ss_pq_encode" -> (ssPqEncode _),
     "llm_ss_pq_search" -> (ssPqSearch _),
@@ -3079,6 +3133,7 @@ object Similarity {
     "llm_ss_kmeans_iter" -> ssKmeansIterSql,
     "llm_ss_kmeans_ari" -> ssKmeansAriSql,
     "llm_ss_dim_audit" -> ssDimAuditSql,
+    "llm_ss_norm_audit" -> ssNormAuditSql,
     "llm_ss_pq_distortion" -> ssPqDistortionSql,
     "llm_ss_pq_encode" -> ssPqEncodeSql,
     "llm_ss_pq_search" -> ssPqSearchSql,

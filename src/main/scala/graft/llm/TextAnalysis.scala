@@ -2589,6 +2589,11 @@ object TextAnalysis {
       .agg(sum($"t").cast("double").as("h")).head().getDouble(0)
     val counts = c2.agg(sum($"c2").as("n"), count(lit(1)).as("types"),
       countDistinct($"w1").as("prefixes")).head()
+    // All three consumers have read c2 by now; release its blocks —
+    // the bigram type table is the largest checkpointed transient in
+    // the text family (token-scale) and would otherwise stay pinned
+    // for the session (same discipline as ddClusterDepth / bfsHops).
+    graft.llm.Dedup.freeCheckpoint(c2)
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     spark.createDataFrame(Seq((

@@ -32,6 +32,14 @@ object Tables {
     */
   private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
+  /** Which pinned RDD ids each sessionCached key's build persisted —
+    * the reverse index that makes [[releaseScope]] possible. Ids are
+    * only ever added here together with [[pinned]] (same diff, same
+    * call site), so removing a key's ids from both keeps the two views
+    * consistent. */
+  private val pinnedByKey =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Set[Int]]()
+
   /** Unpersist every persistent RDD of `spark`'s context that is NOT
     * pinned by a session-cached artifact build. Safe between query
     * invocations: localCheckpoint truncates lineage, so blocks must
@@ -44,6 +52,36 @@ object Tables {
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!pinned.contains(id)) rdd.unpersist(blocking = false)
     }
+
+  /** Evict every sessionCached artifact of `spark` whose key is
+    * stamped under `dir` (all keys are `"$dir@snapshot#suffix"`):
+    * remove the cache entries AND unpersist the RDD blocks their
+    * builds pinned. For when a whole data directory's artifact family
+    * is known-dead — graft.Bench calls this after the sf0.001 codegen
+    * warm pass, whose checkpointed tables and index builds are never
+    * read again but would otherwise stay pinned across the entire
+    * bench-SF warm + timed passes (~half the block sets a 357-query
+    * suite holds; measured round 11: board-wide timed medians carry
+    * the occupancy cost). Safe only when no live DataFrame still
+    * reads the dir's artifacts: localCheckpoint truncates lineage, so
+    * a survivor would be unrecoverable — callers own that invariant
+    * (trivially true between bench passes). */
+  def releaseScope(spark: SparkSession, dir: String): Unit = {
+    val prefix = s"$dir@"
+    val live = spark.sparkContext.getPersistentRDDs
+    val it = cache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if ((k._1 eq spark) && k._2.startsWith(prefix)) {
+        it.remove()
+        val ids = pinnedByKey.remove(k)
+        if (ids != null) ids.foreach { id =>
+          pinned.remove(id)
+          live.get(id).foreach(_.unpersist(blocking = false))
+        }
+      }
+    }
+  }
 
   /** Session-scoped memo for a named DataFrame. The first build per
     * (session, key) wins. Eviction is APPLICATION-END only: Spark has
@@ -85,7 +123,14 @@ object Tables {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val built = build
-      sc.getPersistentRDDs.keySet.diff(before).foreach(pinned.add(_))
+      // Nested builds (an outer artifact building its cached inputs)
+      // attribute the inner key's ids to the OUTER key's diff as well;
+      // that is why [[releaseScope]] is dir-granular — every key of a
+      // dir releases together, so a doubly-attributed id can never be
+      // unpersisted while its own key survives.
+      val fresh = sc.getPersistentRDDs.keySet.diff(before)
+      fresh.foreach(pinned.add(_))
+      pinnedByKey.put(k, fresh.toSet)
       val prev = cache.putIfAbsent(k, built)
       if (prev != null) prev else built
     }

@@ -1757,7 +1757,128 @@ object WindowQueries {
       |FROM t2 CROSS JOIN psi
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_interarrival: distribution of PER-USER inter-arrival gaps — a
+  // log₂-bucketed histogram of the time between a user's consecutive
+  // events, with the global mean gap. The session-timeout calibrator:
+  // st_session picks a 30-minute gap by convention; this table shows
+  // where the actual gap mass sits (a bimodal histogram = within-burst
+  // vs between-visit, and the valley is the right timeout). Also the
+  // bot detector's favorite marginal: metronomic clients pile into one
+  // bucket.
+  // Scale shape: ONE shuffle partitioned by user (the lag window);
+  // the histogram is a partial-aggregable groupBy on ≤~40 bucket keys;
+  // totals ride a 1-row broadcast. Determinism: gaps are exact integer
+  // microseconds (ties broken by event_id in the window order, both
+  // engines); the mean routes through DECIMAL.
+  def stInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us", $"event_id")
+    val gaps = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+      .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+      .filter($"gap_us".isNotNull)
+    val hist = Tables.materialize(gaps
+      .groupBy(when($"gap_us" < 1000000L, lit(-1L))
+        .otherwise(length(bin($"gap_us" / lit(1000000L))) - 1)
+        .as("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"gap_us".cast(DecimalType(28, 0))).as("gap_sum_us")))
+    val tot = hist.agg(sum($"n_gaps").as("nt"),
+      sum($"gap_sum_us").cast("double").as("gs")).filter($"nt" > 0)
+    hist.crossJoin(broadcast(tot))
+      .select($"gap_bucket", $"n_gaps",
+        round($"n_gaps".cast("double") / $"nt", 6).as("share"),
+        round($"gs" / $"nt" / 1e6, 6).as("mean_gap_s"))
+      .orderBy($"gap_bucket")
+  }
+
+  val stInterarrivalSql: String =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+      |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |    AS gap_us
+      |  FROM events),
+      |gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+      |hist AS (
+      |  SELECT CASE WHEN gap_us < 1000000 THEN -1
+      |      ELSE LENGTH(BIN(gap_us // 1000000)) - 1 END AS gap_bucket,
+      |    COUNT(*) AS n_gaps,
+      |    SUM(CAST(gap_us AS DECIMAL(28,0))) AS gap_sum_us
+      |  FROM gg GROUP BY 1),
+      |tot AS (SELECT SUM(n_gaps) AS nt,
+      |    CAST(SUM(gap_sum_us) AS DOUBLE) AS gs
+      |  FROM hist HAVING SUM(n_gaps) > 0)
+      |SELECT CAST(h.gap_bucket AS BIGINT) AS gap_bucket,
+      |  CAST(h.n_gaps AS BIGINT) AS n_gaps,
+      |  ROUND(CAST(h.n_gaps AS DOUBLE) / t.nt, 6) AS share,
+      |  ROUND(t.gs / t.nt / 1e6, 6) AS mean_gap_s
+      |FROM hist h CROSS JOIN tot t ORDER BY h.gap_bucket""".stripMargin
+
+  // --------------------------------------------------------------------
+  // st_user_lifespan: per-user first→last-seen span distribution —
+  // day-grain buckets (0 = seen one day only) with user counts, event
+  // mass per bucket, and the mean span. The engagement-depth
+  // complement to st_new_vs_returning: acquisition tells you users
+  // arrived; lifespan tells you whether they stayed (a release that
+  // spikes signups but shifts lifespan mass to bucket 0 bought churn,
+  // not growth). Day grain, not log₂: the bucket count is bounded by
+  // the HORIZON (days between the earliest and latest event), never by
+  // user count — ≤31 rows on this fixture at any SF.
+  // Scale shape: ONE user-grain partial-aggregable groupBy (min/max/
+  // count — no window); the bucket rollup is O(horizon days); totals
+  // ride a 1-row broadcast. Determinism: spans are exact integer day
+  // counts off integer microsecond bounds; mean routes through
+  // DECIMAL.
+  def stUserLifespan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"))
+      .groupBy($"user_id")
+      .agg(((max($"ts_us") - min($"ts_us")) / lit(86400000000L))
+          .cast("long").as("span_days"),
+        count(lit(1)).as("n_events"))
+    val hist = Tables.materialize(spans
+      .groupBy($"span_days".as("span_bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum($"n_events").as("n_events"),
+        sum($"span_days".cast(DecimalType(28, 0))).as("span_sum")))
+    val tot = hist.agg(sum($"n_users").as("nu"),
+      sum($"span_sum").cast("double").as("ss")).filter($"nu" > 0)
+    hist.crossJoin(broadcast(tot))
+      .select($"span_bucket", $"n_users", $"n_events",
+        round($"n_users".cast("double") / $"nu", 6).as("share"),
+        round($"ss" / $"nu", 6).as("mean_span_days"))
+      .orderBy($"span_bucket")
+  }
+
+  val stUserLifespanSql: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000
+      |      AS span_days,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |hist AS (
+      |  SELECT span_days AS span_bucket,
+      |    COUNT(*) AS n_users,
+      |    CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |    SUM(CAST(span_days AS DECIMAL(28,0))) AS span_sum
+      |  FROM s GROUP BY 1),
+      |tot AS (SELECT SUM(n_users) AS nu,
+      |    CAST(SUM(span_sum) AS DOUBLE) AS ss
+      |  FROM hist HAVING SUM(n_users) > 0)
+      |SELECT CAST(h.span_bucket AS BIGINT) AS span_bucket,
+      |  CAST(h.n_users AS BIGINT) AS n_users, h.n_events,
+      |  ROUND(CAST(h.n_users AS DOUBLE) / t.nu, 6) AS share,
+      |  ROUND(t.ss / t.nu, 6) AS mean_span_days
+      |FROM hist h CROSS JOIN tot t ORDER BY h.span_bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_interarrival" -> (stInterarrival _),
+    "st_user_lifespan" -> (stUserLifespan _),
     "st_type_mix_drift" -> (stTypeMixDrift _),
     "st_new_vs_returning" -> (stNewVsReturning _),
     "st_value_drift" -> (stValueDrift _),
@@ -1790,6 +1911,8 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_interarrival" -> stInterarrivalSql,
+    "st_user_lifespan" -> stUserLifespanSql,
     "st_type_mix_drift" -> stTypeMixDriftSql,
     "st_new_vs_returning" -> stNewVsReturningSql,
     "st_value_drift" -> stValueDriftSql,

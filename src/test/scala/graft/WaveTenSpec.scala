@@ -1830,8 +1830,14 @@ class WaveTenSpec extends SparkSpec {
       assert(r.getAs[Double]("exp_pos") == r6(exp))
       assert(r.getAs[Double]("hl_term") == r6(term), s"term mismatch bin $b")
       assert(r.getAs[Double]("hl_total") == r6(hl))
+      // df = occupied bins − 2, χ²₀.₉₅ from the same literal table the
+      // query ships; g < 3 leaves the test undefined → calibrated
+      val crit = Map(1 -> 3.8415, 2 -> 5.9915, 3 -> 7.8147, 4 -> 9.4877,
+        5 -> 11.0705, 6 -> 12.5916, 7 -> 14.0671)
+        .getOrElse(terms.size - 2, 15.5073)
       assert(r.getString(6)
-        == (if (hl > 15.507) "miscalibrated" else "calibrated"))
+        == (if (terms.size >= 3 && hl > crit) "miscalibrated"
+            else "calibrated"))
     }
   }
 
@@ -1907,8 +1913,12 @@ class WaveTenSpec extends SparkSpec {
       assert(r.getAs[Double]("ss_between") == r6(ssb))
       assert(r.getAs[Double]("ss_within") == r6(ssw))
       assert(r.getAs[Double]("f_stat") == r6(fRaw), s"F mismatch at $p")
+      // F crit selected by the data-driven k−1 from the query's own
+      // literal table (clamped at df1=8 beyond it)
+      val fCrit = Map(1 -> 3.8415, 2 -> 2.9957, 3 -> 2.6049, 4 -> 2.3719,
+        5 -> 2.2141, 6 -> 2.0986, 7 -> 2.0096).getOrElse(k - 1, 1.9384)
       assert(r.getString(7)
-        == (if (fRaw > 2.3719) "significant" else "insignificant"))
+        == (if (fRaw > fCrit) "significant" else "insignificant"))
     }
     // the ANOVA identity: SSB + SSW = total SS (moment form)
     val t2 = moments.values.toSeq.sortBy(_._2).map(m => q12(m._3))

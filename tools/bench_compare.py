@@ -68,8 +68,10 @@ def spread_tag(name, old_min, new_min, a, b):
 
 
 def main():
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    args = [a for a in sys.argv[1:] if a != "--gate"]
+    gate = "--gate" in sys.argv[1:]
+    old_path, new_path = args[0], args[1]
+    ratio = float(args[2]) if len(args) > 2 else 1.5
     old_q, old_min, old_total = load(old_path)
     new_q, new_min, new_total = load(new_path)
     if old_q and new_q:
@@ -116,6 +118,22 @@ def main():
         else:
             print("-- no tight-spread regression beyond the bar: "
                   "drift attributes to host noise")
+        if gate:
+            # gate mode (tools/gate.sh): block the round on any
+            # tight-spread mover whose MIN also moved beyond the bar —
+            # the min is the throttle-resistant signal, so med+min both
+            # over `ratio` with tight spreads is a plan regression, not
+            # host noise. Exit 1 names the queries.
+            blockers = [
+                n for n in plan_sus
+                if n in old_min and n in new_min and old_min[n] > 0
+                and new_min[n] / old_min[n] > ratio]
+            if blockers:
+                print(f"GATE FAIL: plan-suspect regressions (median AND "
+                      f"min > {ratio}x, tight spreads): "
+                      f"{', '.join(blockers)}")
+                sys.exit(1)
+            print("GATE OK: no tight-spread min-confirmed regression")
     else:
         print("per-query data missing on one side; totals only")
     if old_total is not None and new_total is not None:

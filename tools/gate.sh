@@ -1,0 +1,19 @@
+#!/bin/bash
+# Round gate: full warm bench draw + spread-aware regression check
+# against the last archived draw. A tight-spread (plan-suspect) mover
+# whose median AND min both exceed the bar blocks the round (the
+# round-10 lesson: median drift was left to the judge to classify;
+# this makes the classification mechanical at gate time).
+#
+# Usage: tools/gate.sh [baseline.json]   (default: newest docs/bench/*.json
+#        with per-query data)
+set -e
+cd /root/repo
+BASE=${1:-$(ls -t docs/bench/r*.json | head -1)}
+sbt -batch compile -warn
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+java $OPENS -Xmx100g -Dspark.sql.session.timeZone=UTC -cp "$CP" \
+  graft.Bench 2>/dev/null | tail -1
+echo "-- spread-aware compare vs $BASE:"
+python3 tools/bench_compare.py --gate "$BASE" target/bench_last.json

@@ -24,6 +24,9 @@ if [ -z "${SPARK_GRAFT_ONLY:-}" ]; then
     exit 1
   fi
   echo "registry count: SURVEY=$DECL live=$LIVE ok"
+  # name-level: the documented name SET must equal the live key set
+  # (a rename or swap preserves the count; it cannot survive this).
+  python3 tools/registry_check.py SURVEY.md "$OUT"
 fi
 # Gate-guards-itself: prove the type-strict checks still fire (red
 # fixtures must FAIL) before trusting the real compare below.
