@@ -381,6 +381,66 @@ object Graph {
        |FROM stats""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_graph_edge_weights: support-value histogram of the co-purchase
+  // pair set (power-of-two buckets, q88's depth-bucket convention)
+  // with, per bucket, how many edges the [[TriMaxEdges]] backbone cut
+  // keeps. The evidence table behind the backbone: the census docs
+  // assert "a 1-order co-occurrence is noise, community structure
+  // lives in the strong ties" — this measures the support mass the
+  // cut keeps vs drops, per support level, so the cut threshold is a
+  // number read off data instead of a constant defended in a comment.
+  // Scale shape: reads the session-cached support table; the histogram
+  // is an O(log support) partial-agg; backbone membership attaches by
+  // broadcast of the ≤TriMaxEdges cut. Determinism: pure integers plus
+  // one exact ratio.
+  def edgeWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val support = triSupport(spark, dir)
+    val bb = backbone(support)
+      .select($"s1".as("b1"), $"s2".as("b2"), lit(1L).as("kept"))
+    val tagged = support.join(broadcast(bb),
+        $"s1" === $"b1" && $"s2" === $"b2", "left")
+    val hist = Tables.materialize(tagged
+      .groupBy(when($"support" <= 3, $"support")
+        .otherwise(expr(
+          "shiftleft(1L, cast(length(bin(support)) - 1 as int))"))
+        .as("support_bucket"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce($"kept", lit(0L))).as("n_in_backbone")))
+    val tot = hist.agg(sum($"n_edges").as("ne")).filter($"ne" > 0)
+    hist.crossJoin(broadcast(tot))
+      .select($"support_bucket", $"n_edges", $"n_in_backbone",
+        round($"n_edges".cast("double") / $"ne", 6).as("share"))
+      .orderBy($"support_bucket")
+  }
+
+  val edgeWeightsSql: String =
+    s"""WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |occ AS (SELECT ok, COUNT(*) AS n_supp FROM so GROUP BY ok),
+       |kept AS (SELECT so.ok, so.sk FROM so
+       |  JOIN occ ON so.ok = occ.ok AND occ.n_supp <= $TriOrderCap),
+       |support AS (SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS support
+       |  FROM kept a JOIN kept b ON a.ok = b.ok AND a.sk < b.sk
+       |  GROUP BY a.sk, b.sk),
+       |bb AS (SELECT s1 AS b1, s2 AS b2, 1 AS keptf FROM support
+       |  ORDER BY support DESC, s1 ASC, s2 ASC LIMIT $TriMaxEdges),
+       |tagged AS (
+       |  SELECT s.support, COALESCE(bb.keptf, 0) AS keptf
+       |  FROM support s LEFT JOIN bb ON s.s1 = bb.b1 AND s.s2 = bb.b2),
+       |hist AS (
+       |  SELECT CASE WHEN support <= 3 THEN support
+       |      ELSE CAST(1 AS BIGINT) << (LENGTH(BIN(support)) - 1)
+       |      END AS support_bucket,
+       |    COUNT(*) AS n_edges,
+       |    CAST(SUM(keptf) AS BIGINT) AS n_in_backbone
+       |  FROM tagged GROUP BY 1),
+       |tot AS (SELECT SUM(n_edges) AS ne FROM hist HAVING SUM(n_edges) > 0)
+       |SELECT CAST(h.support_bucket AS BIGINT) AS support_bucket,
+       |  CAST(h.n_edges AS BIGINT) AS n_edges, h.n_in_backbone,
+       |  ROUND(CAST(h.n_edges AS DOUBLE) / t.ne, 6) AS share
+       |FROM hist h CROSS JOIN tot t ORDER BY h.support_bucket""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_graph_local_cc: PER-NODE local clustering coefficient
   // distribution over the co-purchase backbone — lcc(v) =
   // 2·tri(v)/(d(v)·(d(v)−1)) — as a decile histogram plus the mean.
@@ -1371,6 +1431,7 @@ object Graph {
     "llm_graph_degree" -> (degree _),
     "llm_graph_triangles" -> (triangles _),
     "llm_graph_local_cc" -> (localClusteringCoeff _),
+    "llm_graph_edge_weights" -> (edgeWeights _),
     "llm_graph_hits" -> (hits _),
     "llm_graph_rich_club" -> (richClub _),
     "llm_graph_modularity" -> (modularity _),
@@ -1388,6 +1449,7 @@ object Graph {
     "llm_graph_degree" -> degreeSql,
     "llm_graph_triangles" -> trianglesSql,
     "llm_graph_local_cc" -> localCcSql,
+    "llm_graph_edge_weights" -> edgeWeightsSql,
     "llm_graph_hits" -> hitsSql,
     "llm_graph_rich_club" -> richClubSql,
     "llm_graph_modularity" -> modularitySql,

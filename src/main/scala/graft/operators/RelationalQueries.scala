@@ -3206,7 +3206,141 @@ object RelationalQueries {
       |JOIN nation n ON s.s_nationkey = n.n_nationkey
       |ORDER BY d.n_lead_parts DESC, supplier""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q97_status_transitions: first-order Markov matrix of order-status
+  // transitions per customer — for each customer's orders in date
+  // order, count (previous status → status) pairs and each row's share
+  // of its from-status mass. The order-lifecycle sanity audit: P→F and
+  // O→F flows are fulfillment; an F→O flow at volume means the status
+  // field is being reused and every downstream status filter is wrong.
+  // Scale shape: ONE window shuffle partitioned by customer over the
+  // ORDERS table (never the fact); the matrix is a ≤9-key partial-agg;
+  // from-status totals are a second agg ON THE MATRIX. Determinism:
+  // the window orders by (orderdate, orderkey) — a total order — in
+  // both engines; output is integer counts + one exact ratio.
+  def q97StatusTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_us", $"o_orderkey")
+    val pairs = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
+        unix_micros($"o_orderdate".cast("timestamp")).as("o_us"))
+      .withColumn("prev_status", lag($"o_orderstatus", 1).over(w))
+      .filter($"prev_status".isNotNull)
+    val matrix = Tables.materialize(
+      pairs.groupBy($"prev_status".as("from_status"),
+          $"o_orderstatus".as("to_status"))
+        .agg(count(lit(1)).as("n_transitions")))
+    val fromTot = matrix.groupBy($"from_status".as("f"))
+      .agg(sum($"n_transitions").as("from_total"))
+    matrix.join(broadcast(fromTot), $"from_status" === $"f")
+      .select($"from_status", $"to_status", $"n_transitions",
+        round($"n_transitions".cast("double") / $"from_total", 6)
+          .as("share_of_from"))
+      .orderBy($"from_status", $"to_status")
+  }
+
+  val q97Sql: String =
+    """WITH p AS (
+      |  SELECT o_orderstatus AS to_status,
+      |    LAG(o_orderstatus, 1) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS from_status
+      |  FROM orders),
+      |m AS (
+      |  SELECT from_status, to_status, COUNT(*) AS n_transitions
+      |  FROM p WHERE from_status IS NOT NULL GROUP BY 1, 2),
+      |ft AS (
+      |  SELECT from_status AS f, SUM(n_transitions) AS from_total
+      |  FROM m GROUP BY 1)
+      |SELECT m.from_status, m.to_status, m.n_transitions,
+      |  ROUND(CAST(m.n_transitions AS DOUBLE) / ft.from_total, 6)
+      |    AS share_of_from
+      |FROM m JOIN ft ON m.from_status = ft.f
+      |ORDER BY m.from_status, m.to_status""".stripMargin
+
+  // --------------------------------------------------------------------
+  // q98_dow_priority_chi2: chi-squared independence audit of order
+  // day-of-week × priority — per cell the observed count, expected
+  // count under independence (row·col/n), and the chi² term, plus the
+  // grand chi² and the DATA-DRIVEN df = (occupied rows − 1)(occupied
+  // cols − 1). Deliberately VERDICT-FREE: with df ranging to 24 a
+  // literal critical-value table would be the q86 mistake at scale —
+  // the engine reports the statistic and its df; the caller owns the
+  // significance policy. What it catches: batch-upload pipelines that
+  // stamp priorities by weekday (a dependence no marginal inspection
+  // shows).
+  // Scale shape: one orders scan → ≤35-cell partial-agg; marginals and
+  // chi² are arithmetic on that bounded grid (broadcast crosses only).
+  // Determinism: weekday is integer in both engines (Monday=0:
+  // Spark weekday() ≡ DuckDB isodow−1); expected/terms are
+  // integer-ratio doubles, terms DECIMAL-quantized before the total.
+  def q98DowPriorityChi2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.materialize(
+      Tables.orders(spark, dir)
+        .groupBy(weekday($"o_orderdate".cast("timestamp")).as("dow"),
+          $"o_orderpriority".as("priority"))
+        .agg(count(lit(1)).as("n")))
+    val rowTot = cells.groupBy($"dow".as("rd"))
+      .agg(sum($"n").as("row_total"))
+    val colTot = cells.groupBy($"priority".as("cp"))
+      .agg(sum($"n").as("col_total"))
+    val tot = cells.agg(sum($"n").as("nt"),
+      countDistinct($"dow").as("r_occ"),
+      countDistinct($"priority").as("c_occ")).filter($"nt" > 0)
+    val terms = cells
+      .join(broadcast(rowTot), $"dow" === $"rd")
+      .join(broadcast(colTot), $"priority" === $"cp")
+      .crossJoin(broadcast(tot))
+      .select($"dow", $"priority", $"n", $"nt", $"r_occ", $"c_occ",
+        ($"row_total".cast("double") * $"col_total" / $"nt").as("expected"))
+      .withColumn("term",
+        (($"n" - $"expected") * ($"n" - $"expected") / $"expected")
+          .cast(DecimalType(28, 12)))
+    val chi = terms.agg(sum($"term").cast("double").as("chi2"))
+    terms.crossJoin(broadcast(chi))
+      .select($"dow", $"priority", $"n",
+        round($"expected", 6).as("expected"),
+        round($"term".cast("double"), 6).as("chi2_term"),
+        round($"chi2", 6).as("chi2_total"),
+        (($"r_occ" - 1) * ($"c_occ" - 1)).as("df"))
+      .orderBy($"dow", $"priority")
+  }
+
+  val q98Sql: String =
+    """WITH cells AS (
+      |  SELECT ISODOW(o_orderdate) - 1 AS dow,
+      |    o_orderpriority AS priority, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT dow AS rd, SUM(n) AS row_total FROM cells GROUP BY 1),
+      |ct AS (SELECT priority AS cp, SUM(n) AS col_total
+      |  FROM cells GROUP BY 1),
+      |tt AS (SELECT SUM(n) AS nt, COUNT(DISTINCT dow) AS r_occ,
+      |    COUNT(DISTINCT priority) AS c_occ
+      |  FROM cells HAVING SUM(n) > 0),
+      |terms AS (
+      |  SELECT c.dow, c.priority, c.n, t.nt, t.r_occ, t.c_occ,
+      |    CAST(rt.row_total AS DOUBLE) * ct.col_total / t.nt AS expected,
+      |    CAST((c.n - CAST(rt.row_total AS DOUBLE) * ct.col_total / t.nt)
+      |      * (c.n - CAST(rt.row_total AS DOUBLE) * ct.col_total / t.nt)
+      |      / (CAST(rt.row_total AS DOUBLE) * ct.col_total / t.nt)
+      |      AS DECIMAL(28,12)) AS term
+      |  FROM cells c
+      |  JOIN rt ON c.dow = rt.rd
+      |  JOIN ct ON c.priority = ct.cp
+      |  CROSS JOIN tt t),
+      |chi AS (SELECT CAST(SUM(term) AS DOUBLE) AS chi2 FROM terms)
+      |SELECT t.dow, t.priority, t.n,
+      |  ROUND(t.expected, 6) AS expected,
+      |  ROUND(CAST(t.term AS DOUBLE), 6) AS chi2_term,
+      |  ROUND(c.chi2, 6) AS chi2_total,
+      |  CAST((t.r_occ - 1) * (t.c_occ - 1) AS BIGINT) AS df
+      |FROM terms t CROSS JOIN chi c
+      |ORDER BY t.dow, t.priority""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_status_transitions" -> (q97StatusTransitions _),
+    "q98_dow_priority_chi2" -> (q98DowPriorityChi2 _),
     "q91_priority_late_ships" -> (q91PriorityLateShips _),
     "q92_forecast_revenue" -> (q92ForecastRevenue _),
     "q93_part_value_concentration" -> (q93PartValueConcentration _),
@@ -3273,6 +3407,8 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_status_transitions" -> q97Sql,
+    "q98_dow_priority_chi2" -> q98Sql,
     "q91_priority_late_ships" -> q91Sql,
     "q92_forecast_revenue" -> q92Sql,
     "q93_part_value_concentration" -> q93Sql,

@@ -220,6 +220,57 @@ class WaveFiftyFiveSpec extends SparkSpec {
         - row.getAs[Double]("fpr"))) / 2.0))
   }
 
+  test("q97 transitions conserve: sum = total orders - customers") {
+    val rows = RelationalQueries.q97StatusTransitions(spark, sf0001)
+      .collect()
+    val o = graft.sources.Tables.orders(spark, sf0001)
+    val nOrders = o.count()
+    val nCust = o.select($"o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum == nOrders - nCust,
+      "every customer contributes (orders - 1) transitions")
+    // each from-status row group's shares sum to 1
+    rows.groupBy(_.getString(0)).foreach { case (f, xs) =>
+      val s = xs.map(_.getAs[Double]("share_of_from")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"shares of $f must sum to 1")
+    }
+  }
+
+  test("q98 expected counts conserve mass; df matches occupancy") {
+    val rows = RelationalQueries.q98DowPriorityChi2(spark, sf0001)
+      .collect()
+    val nObs = rows.map(_.getAs[Long]("n")).sum
+    val nExp = rows.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(nExp - nObs) < 1e-3,
+      "expected counts must sum to the observed total")
+    val rOcc = rows.map(_.getAs[Number]("dow").longValue).distinct.length
+    val cOcc = rows.map(_.getString(1)).distinct.length
+    assert(rows.head.getAs[Number]("df").longValue
+      == (rOcc - 1).toLong * (cOcc - 1))
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0.0))
+  }
+
+  test("edge weights: backbone keeps exactly min(M, edges), top-heavy") {
+    val rows = Graph.edgeWeights(spark, sf0001).collect()
+    val nEdges = rows.map(_.getAs[Long]("n_edges")).sum
+    val kept = rows.map(_.getAs[Long]("n_in_backbone")).sum
+    assert(kept == math.min(2000L, nEdges))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in_backbone") <= r.getAs[Long]("n_edges"))
+    }
+    // the cut is support-ranked: in descending bucket order, once a
+    // bucket is partially dropped every LOWER bucket is fully dropped
+    // (a support value lives in exactly one bucket, so the tie-broken
+    // boundary is the only partial bucket)
+    val byBucket = rows.sortBy(-_.getAs[Long]("support_bucket"))
+    val firstPartial = byBucket.indexWhere(r =>
+      r.getAs[Long]("n_in_backbone") < r.getAs[Long]("n_edges"))
+    if (firstPartial >= 0)
+      byBucket.drop(firstPartial + 1).foreach { r =>
+        assert(r.getAs[Long]("n_in_backbone") == 0L,
+          "buckets below the boundary must be fully dropped")
+      }
+  }
+
   test("norm audit counts partition the corpus; bounds hold") {
     val row = Similarity.ssNormAudit(spark, sf0001).collect().head
     val n = graft.sources.Tables.embeddings(spark, sf0001).count()
