@@ -3338,7 +3338,95 @@ object RelationalQueries {
       |FROM terms t CROSS JOIN chi c
       |ORDER BY t.dow, t.priority""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q99_purchase_episodes: sessionize each customer's ORDER HISTORY —
+  // consecutive orders ≤30 days apart chain into one purchase episode;
+  // a >30-day gap starts a new one. Output: episode-size histogram
+  // (orders per episode) with episode counts, order mass, and the mean
+  // episode span in days. Batch sessionization of a slowly-moving
+  // entity timeline — the same cumulative-boundary-sum device
+  // session_window uses in streams, applied where no stream exists
+  // (st_session's calendar twin; st_interarrival calibrates the
+  // 30-day gap choice the same way it calibrates stream timeouts).
+  // Scale shape: ONE window shuffle partitioned by customer on the
+  // ORDERS table; episode ids are a running conditional sum in the
+  // same window (no second shuffle — episode grain groups by
+  // (custkey, episode_id) which the window partitioning already
+  // co-located); histogram is a bounded partial-agg. Determinism:
+  // integer day gaps off integer microseconds, (date, orderkey) total
+  // order, DECIMAL-routed span mean.
+  def q99PurchaseEpisodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_us", $"o_orderkey")
+    val flagged = Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("o_us"))
+      .withColumn("gap_days",
+        (($"o_us" - lag($"o_us", 1).over(w)) / lit(86400000000L))
+          .cast("long"))
+      .withColumn("boundary",
+        when($"gap_days".isNull || $"gap_days" > 30, 1L).otherwise(0L))
+      .withColumn("episode_id", sum($"boundary").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val episodes = flagged.groupBy($"o_custkey", $"episode_id")
+      .agg(count(lit(1)).as("n_orders"),
+        (((max($"o_us") - min($"o_us")) / lit(86400000000L))
+          .cast("long")).as("span_days"))
+    val hist = Tables.materialize(episodes
+      .groupBy($"n_orders".as("episode_size"))
+      .agg(count(lit(1)).as("n_episodes"),
+        sum($"n_orders").as("n_orders"),
+        sum($"span_days".cast(DecimalType(28, 0))).as("span_sum")))
+    val tot = hist.agg(sum($"n_episodes").as("ne"),
+      sum($"span_sum").cast("double").as("ss")).filter($"ne" > 0)
+    hist.crossJoin(broadcast(tot))
+      .select($"episode_size", $"n_episodes", $"n_orders",
+        round($"n_episodes".cast("double") / $"ne", 6).as("share"),
+        round($"ss" / $"ne", 6).as("mean_span_days"))
+      .orderBy($"episode_size")
+  }
+
+  val q99Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_us
+      |  FROM orders),
+      |g AS (
+      |  SELECT o_custkey, o_orderkey, o_us,
+      |    (o_us - LAG(o_us, 1) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_us, o_orderkey)) // 86400000000 AS gap_days
+      |  FROM o),
+      |f AS (
+      |  SELECT o_custkey, o_orderkey, o_us,
+      |    CASE WHEN gap_days IS NULL OR gap_days > 30 THEN 1
+      |      ELSE 0 END AS boundary
+      |  FROM g),
+      |e AS (
+      |  SELECT o_custkey, o_us,
+      |    SUM(boundary) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_us, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS episode_id
+      |  FROM f),
+      |ep AS (
+      |  SELECT o_custkey, episode_id, COUNT(*) AS n_orders,
+      |    (MAX(o_us) - MIN(o_us)) // 86400000000 AS span_days
+      |  FROM e GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT n_orders AS episode_size, COUNT(*) AS n_episodes,
+      |    CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+      |    SUM(CAST(span_days AS DECIMAL(28,0))) AS span_sum
+      |  FROM ep GROUP BY 1),
+      |tot AS (SELECT SUM(n_episodes) AS ne,
+      |    CAST(SUM(span_sum) AS DOUBLE) AS ss
+      |  FROM hist HAVING SUM(n_episodes) > 0)
+      |SELECT CAST(h.episode_size AS BIGINT) AS episode_size,
+      |  CAST(h.n_episodes AS BIGINT) AS n_episodes, h.n_orders,
+      |  ROUND(CAST(h.n_episodes AS DOUBLE) / t.ne, 6) AS share,
+      |  ROUND(t.ss / t.ne, 6) AS mean_span_days
+      |FROM hist h CROSS JOIN tot t ORDER BY h.episode_size""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_purchase_episodes" -> (q99PurchaseEpisodes _),
     "q97_status_transitions" -> (q97StatusTransitions _),
     "q98_dow_priority_chi2" -> (q98DowPriorityChi2 _),
     "q91_priority_late_ships" -> (q91PriorityLateShips _),
@@ -3407,6 +3495,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q99_purchase_episodes" -> q99Sql,
     "q97_status_transitions" -> q97Sql,
     "q98_dow_priority_chi2" -> q98Sql,
     "q91_priority_late_ships" -> q91Sql,

@@ -1876,7 +1876,87 @@ object WindowQueries {
       |  ROUND(t.ss / t.nu, 6) AS mean_span_days
       |FROM hist h CROSS JOIN tot t ORDER BY h.span_bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_gap_sensitivity: how sessionization responds to the timeout
+  // choice — for gap thresholds {5, 15, 30, 60} minutes, the session
+  // count, mean sessions per user, and mean session length the
+  // threshold induces. st_session commits to 30 minutes by convention;
+  // this is the sensitivity table that justifies (or indicts) it: a
+  // plateau between 15 and 60 means the choice is safe, a cliff means
+  // session-grain metrics are artifacts of the timeout. Reads next to
+  // st_interarrival (the gap histogram SHOWS the valley; this prices
+  // each candidate cut).
+  // Scale shape: ONE user-partitioned lag window computes every gap
+  // once; each threshold is then a 1-row aggregate over the SAME gap
+  // table (sessions = users + gaps-over-threshold — the boundary-count
+  // identity, no per-threshold re-sessionization); the 4-threshold
+  // grid is a literal crossJoin. Determinism: exact integer µs gaps,
+  // integer session counts, integer-ratio doubles.
+  def stGapSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val gaps = Tables.materialize(
+      Tables.events(spark, dir)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+        .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+        .select($"gap_us"))
+    val users = Tables.events(spark, dir)
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+    // ONE pass over the gap table: all four thresholds are conditional
+    // sums in the same aggregate (not a ×4 grid join), unpivoted after
+    def bnd(m: Long) =
+      sum(when($"gap_us" > m * 60000000L, 1L).otherwise(0L)).as(s"b$m")
+    val sums = gaps.agg(bnd(5L), bnd(15L), bnd(30L), bnd(60L))
+    sums
+      .select(expr(
+        """stack(4, 5L, b5, 15L, b15, 30L, b30, 60L, b60)
+          |  AS (gap_minutes, n_boundaries)""".stripMargin))
+      .crossJoin(broadcast(users))
+      .select($"gap_minutes",
+        ($"n_users" + $"n_boundaries").as("n_sessions"),
+        round(($"n_users" + $"n_boundaries").cast("double") / $"n_users", 6)
+          .as("sessions_per_user"),
+        round($"n_events".cast("double")
+          / ($"n_users" + $"n_boundaries"), 6).as("mean_session_events"))
+      .orderBy($"gap_minutes")
+  }
+
+  val stGapSensitivitySql: String =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+      |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |    AS gap_us
+      |  FROM events),
+      |u AS (SELECT COUNT(DISTINCT user_id) AS n_users,
+      |    COUNT(*) AS n_events FROM events),
+      |s AS (
+      |  SELECT
+      |    SUM(CASE WHEN gap_us > CAST(5 AS BIGINT) * 60000000
+      |      THEN 1 ELSE 0 END) AS b5,
+      |    SUM(CASE WHEN gap_us > CAST(15 AS BIGINT) * 60000000
+      |      THEN 1 ELSE 0 END) AS b15,
+      |    SUM(CASE WHEN gap_us > CAST(30 AS BIGINT) * 60000000
+      |      THEN 1 ELSE 0 END) AS b30,
+      |    SUM(CASE WHEN gap_us > CAST(60 AS BIGINT) * 60000000
+      |      THEN 1 ELSE 0 END) AS b60
+      |  FROM g WHERE gap_us IS NOT NULL),
+      |b AS (
+      |  SELECT 5 AS gap_minutes, b5 AS n_boundaries FROM s
+      |  UNION ALL SELECT 15, b15 FROM s
+      |  UNION ALL SELECT 30, b30 FROM s
+      |  UNION ALL SELECT 60, b60 FROM s)
+      |SELECT CAST(b.gap_minutes AS BIGINT) AS gap_minutes,
+      |  CAST(u.n_users + b.n_boundaries AS BIGINT) AS n_sessions,
+      |  ROUND(CAST(u.n_users + b.n_boundaries AS DOUBLE) / u.n_users, 6)
+      |    AS sessions_per_user,
+      |  ROUND(CAST(u.n_events AS DOUBLE)
+      |    / (u.n_users + b.n_boundaries), 6) AS mean_session_events
+      |FROM b CROSS JOIN u ORDER BY gap_minutes""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_gap_sensitivity" -> (stGapSensitivity _),
     "st_interarrival" -> (stInterarrival _),
     "st_user_lifespan" -> (stUserLifespan _),
     "st_type_mix_drift" -> (stTypeMixDrift _),
@@ -1911,6 +1991,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_gap_sensitivity" -> stGapSensitivitySql,
     "st_interarrival" -> stInterarrivalSql,
     "st_user_lifespan" -> stUserLifespanSql,
     "st_type_mix_drift" -> stTypeMixDriftSql,

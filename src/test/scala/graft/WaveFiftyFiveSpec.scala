@@ -271,6 +271,43 @@ class WaveFiftyFiveSpec extends SparkSpec {
       }
   }
 
+  test("q99 episodes conserve orders and match the boundary identity") {
+    val rows = RelationalQueries.q99PurchaseEpisodes(spark, sf0001)
+      .collect()
+    val o = graft.sources.Tables.orders(spark, sf0001)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == o.count(),
+      "episode order mass must equal total orders")
+    // boundary identity: episodes = customers + (>30-day gaps), via a
+    // naive per-customer recount
+    val byCust = o.select($"o_custkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("us"),
+        $"o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val naiveEpisodes = byCust.values.map { xs =>
+      val sorted = xs.toSeq.sortBy(x => (x._2, x._3)).map(_._2)
+      1 + sorted.zip(sorted.tail)
+        .count { case (a, b) => (b - a) / 86400000000L > 30 }
+    }.sum
+    assert(rows.map(_.getAs[Long]("n_episodes")).sum == naiveEpisodes.toLong)
+  }
+
+  test("gap sensitivity is monotone and bounded by users/events") {
+    val rows = WindowQueries.stGapSensitivity(spark, sf0001).collect()
+    assert(rows.length == 4)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val nUsers = ev.select($"user_id").distinct().count()
+    val nEvents = ev.count()
+    val sessions = rows.sortBy(_.getAs[Long]("gap_minutes"))
+      .map(_.getAs[Long]("n_sessions"))
+    assert(sessions.zip(sessions.tail).forall { case (a, b) => a >= b },
+      "a larger timeout can only merge sessions")
+    sessions.foreach { s =>
+      assert(s >= nUsers && s <= nEvents,
+        "session count is bounded by users below and events above")
+    }
+  }
+
   test("norm audit counts partition the corpus; bounds hold") {
     val row = Similarity.ssNormAudit(spark, sf0001).collect().head
     val n = graft.sources.Tables.embeddings(spark, sf0001).count()
