@@ -1232,7 +1232,86 @@ object Sampling {
        |ORDER BY alpha, source""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_sample_coverage_audit: does the deterministic 5% hash sample
+  // (llm_sample_hash's rule, verbatim) PRESERVE the source mix? Per
+  // source: full-corpus share vs in-sample share and the PSI term
+  // (floored shares, the st_value_drift convention); plus the total
+  // PSI and a stable/moderate/shifted verdict. The audit every
+  // hash-sampled eval set needs before its numbers are trusted: a
+  // content hash correlated with source (e.g. boilerplate-heavy
+  // sources hashing into narrow ranges) silently reweights the mix —
+  // this measures exactly that failure.
+  // Scale shape: ONE corpus scan — full and sampled counts are
+  // conditional aggregates in the SAME source-grain groupBy (the
+  // sample predicate is a per-row hash test, not a join); everything
+  // downstream is arithmetic on the source-cardinality table.
+  // Determinism: integer counts; floored integer-ratio shares; terms
+  // DECIMAL-quantized; verdict gates the RAW total.
+  def sampleCoverageAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bySource = Tables.materialize(
+      Tables.documents(spark, dir)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_full"),
+          sum(when(h60($"text") % 100 < 5, 1L).otherwise(0L))
+            .as("n_samp")))
+    val tot = bySource.agg(sum($"n_full").as("nf"), sum($"n_samp").as("ns"))
+      .filter($"nf" > 0 && $"ns" > 0)
+    val terms = bySource.crossJoin(broadcast(tot))
+      .select($"source", $"n_full", $"n_samp",
+        greatest($"n_full".cast("double") / $"nf", lit(1e-4)).as("p_full"),
+        greatest($"n_samp".cast("double") / $"ns", lit(1e-4)).as("p_samp"))
+      .withColumn("term",
+        (($"p_samp" - $"p_full") * log($"p_samp" / $"p_full"))
+          .cast(DecimalType(28, 12)))
+    val psi = terms.agg(sum($"term").cast("double").as("psi"))
+    terms.crossJoin(broadcast(psi))
+      .select($"source", $"n_full", $"n_samp",
+        round($"p_full", 6).as("p_full"),
+        round($"p_samp", 6).as("p_samp"),
+        round($"term".cast("double"), 6).as("psi_term"),
+        round($"psi", 6).as("psi_total"),
+        when($"psi" < 0.1, lit("stable"))
+          .when($"psi" < 0.25, lit("moderate"))
+          .otherwise(lit("shifted")).as("verdict"))
+      .orderBy($"source")
+  }
+
+  val sampleCoverageAuditSql: String =
+    s"""WITH b AS (
+       |  SELECT source, COUNT(*) AS n_full,
+       |    SUM(CASE WHEN ${h60Sql("text")} % 100 < 5 THEN 1 ELSE 0 END)
+       |      AS n_samp
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT SUM(n_full) AS nf, SUM(n_samp) AS ns FROM b
+       |  HAVING SUM(n_full) > 0 AND SUM(n_samp) > 0),
+       |terms AS (
+       |  SELECT b.source, b.n_full, b.n_samp,
+       |    GREATEST(CAST(b.n_full AS DOUBLE) / t.nf,
+       |      CAST(0.0001 AS DOUBLE)) AS p_full,
+       |    GREATEST(CAST(b.n_samp AS DOUBLE) / t.ns,
+       |      CAST(0.0001 AS DOUBLE)) AS p_samp
+       |  FROM b CROSS JOIN t),
+       |tt AS (
+       |  SELECT source, n_full, n_samp, p_full, p_samp,
+       |    CAST((p_samp - p_full) * LN(p_samp / p_full)
+       |      AS DECIMAL(28,12)) AS term
+       |  FROM terms),
+       |p AS (SELECT CAST(SUM(term) AS DOUBLE) AS psi FROM tt)
+       |SELECT tt.source, CAST(tt.n_full AS BIGINT) AS n_full,
+       |  CAST(tt.n_samp AS BIGINT) AS n_samp,
+       |  ROUND(tt.p_full, 6) AS p_full,
+       |  ROUND(tt.p_samp, 6) AS p_samp,
+       |  ROUND(CAST(tt.term AS DOUBLE), 6) AS psi_term,
+       |  ROUND(p.psi, 6) AS psi_total,
+       |  CASE WHEN p.psi < 0.1 THEN 'stable'
+       |    WHEN p.psi < 0.25 THEN 'moderate'
+       |    ELSE 'shifted' END AS verdict
+       |FROM tt CROSS JOIN p ORDER BY tt.source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_coverage_audit" -> (sampleCoverageAudit _),
     "llm_sample_temperature_sweep" -> (sampleTemperatureSweep _),
     "llm_sample_ht" -> (sampleHt _),
     "llm_sample_alloc_variance" -> (sampleAllocVariance _),
@@ -1255,6 +1334,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_coverage_audit" -> sampleCoverageAuditSql,
     "llm_sample_temperature_sweep" -> sampleTemperatureSweepSql,
     "llm_sample_ht" -> sampleHtSql,
     "llm_sample_alloc_variance" -> sampleAllocVarianceSql,

@@ -3425,7 +3425,103 @@ object RelationalQueries {
       |  ROUND(t.ss / t.ne, 6) AS mean_span_days
       |FROM hist h CROSS JOIN tot t ORDER BY h.episode_size""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q100_nation_trade_balance: per nation, revenue EARNED by its
+  // suppliers vs revenue SPENT by its customers, the net balance, and
+  // each side's share of world trade. A two-sided rollup of the same
+  // fact through two different dimension paths (supplier-nation vs
+  // customer-nation via orders) — the classic conformed-dimension
+  // double-aggregation every BI layer needs, absent from the TPC-H
+  // shapes (Q5 measures one side only; Q7 pairs nations).
+  // Scale shape: TWO fact-grain partial-aggs (one keyed by suppkey,
+  // one by orderkey→custkey through the orders join), each collapsing
+  // to nation grain BEFORE the full-outer nation alignment; dims
+  // broadcast; the alignment joins two ≤|nation| tables. Determinism:
+  // DECIMAL-routed revenue; total ordering by nation.
+  def q100NationTradeBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def d28(c: Column) = sum(c.cast(DecimalType(28, 12))).cast("double")
+    val rev = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev")
+    val nations = broadcast(Tables.nation(spark, dir)
+      .select($"n_nationkey", $"n_name"))
+    val earned = Tables.lineitem(spark, dir)
+      .select($"l_suppkey", rev)
+      .groupBy($"l_suppkey").agg(d28($"rev").as("srev"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey".as("nk"))
+      .agg(sum($"srev".cast(DecimalType(28, 12))).cast("double")
+        .as("earned"))
+    val spent = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", rev)
+      .groupBy($"l_orderkey").agg(d28($"rev").as("orev"))
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nk2"))
+      .agg(sum($"orev".cast(DecimalType(28, 12))).cast("double")
+        .as("spent"))
+    val aligned = earned.join(spent, $"nk" === $"nk2", "full_outer")
+      .select(coalesce($"nk", $"nk2").as("nk"),
+        coalesce($"earned", lit(0.0)).as("earned"),
+        coalesce($"spent", lit(0.0)).as("spent"))
+    val tot = aligned.agg(
+      sum($"earned".cast(DecimalType(28, 12))).cast("double").as("world"))
+      .filter($"world" > 0.0)
+    aligned.join(nations, $"nk" === $"n_nationkey")
+      .crossJoin(broadcast(tot))
+      .select($"n_name".as("nation"),
+        round($"earned", 2).as("earned"),
+        round($"spent", 2).as("spent"),
+        round($"earned" - $"spent", 2).as("balance"),
+        round($"earned" / $"world", 6).as("earn_share"),
+        round($"spent" / $"world", 6).as("spend_share"))
+      .orderBy($"nation")
+  }
+
+  val q100Sql: String =
+    """WITH e AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS srev
+      |  FROM lineitem GROUP BY 1),
+      |earned AS (
+      |  SELECT s.s_nationkey AS nk,
+      |    CAST(SUM(CAST(e.srev AS DECIMAL(28,12))) AS DOUBLE) AS earned
+      |  FROM e JOIN supplier s ON e.l_suppkey = s.s_suppkey
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS orev
+      |  FROM lineitem GROUP BY 1),
+      |spent AS (
+      |  SELECT c.c_nationkey AS nk,
+      |    CAST(SUM(CAST(o.orev AS DECIMAL(28,12))) AS DOUBLE) AS spent
+      |  FROM o
+      |  JOIN orders ON o.l_orderkey = orders.o_orderkey
+      |  JOIN customer c ON orders.o_custkey = c.c_custkey
+      |  GROUP BY 1),
+      |aligned AS (
+      |  SELECT COALESCE(e.nk, s.nk) AS nk,
+      |    COALESCE(e.earned, 0.0) AS earned,
+      |    COALESCE(s.spent, 0.0) AS spent
+      |  FROM earned e FULL OUTER JOIN spent s ON e.nk = s.nk),
+      |t AS (SELECT CAST(SUM(CAST(earned AS DECIMAL(28,12))) AS DOUBLE)
+      |    AS world
+      |  FROM aligned HAVING SUM(CAST(earned AS DECIMAL(28,12))) > 0)
+      |SELECT n.n_name AS nation,
+      |  ROUND(a.earned, 2) AS earned,
+      |  ROUND(a.spent, 2) AS spent,
+      |  ROUND(a.earned - a.spent, 2) AS balance,
+      |  ROUND(a.earned / t.world, 6) AS earn_share,
+      |  ROUND(a.spent / t.world, 6) AS spend_share
+      |FROM aligned a JOIN nation n ON a.nk = n.n_nationkey
+      |CROSS JOIN t ORDER BY nation""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_nation_trade_balance" -> (q100NationTradeBalance _),
     "q99_purchase_episodes" -> (q99PurchaseEpisodes _),
     "q97_status_transitions" -> (q97StatusTransitions _),
     "q98_dow_priority_chi2" -> (q98DowPriorityChi2 _),
@@ -3495,6 +3591,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q100_nation_trade_balance" -> q100Sql,
     "q99_purchase_episodes" -> q99Sql,
     "q97_status_transitions" -> q97Sql,
     "q98_dow_priority_chi2" -> q98Sql,

@@ -308,6 +308,37 @@ class WaveFiftyFiveSpec extends SparkSpec {
     }
   }
 
+  test("coverage audit: sample counts match sample_hash; PSI >= 0") {
+    val rows = graft.llm.Sampling.sampleCoverageAudit(spark, sf0001)
+      .collect()
+    val sampled = graft.llm.Sampling.sampleHash(spark, sf0001)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_samp") == sampled.getOrElse(r.getString(0), 0L),
+        s"sample count drift for ${r.getString(0)} — the audit must use " +
+          "sample_hash's selection rule verbatim")
+    }
+    assert(rows.head.getAs[Double]("psi_total") >= 0.0)
+    val nFull = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_full")).sum == nFull)
+  }
+
+  test("trade balance conserves: world earned = world spent") {
+    val rows = RelationalQueries.q100NationTradeBalance(spark, sf0001)
+      .collect()
+    val earned = rows.map(_.getAs[Double]("earned")).sum
+    val spent = rows.map(_.getAs[Double]("spent")).sum
+    // every lineitem's revenue is earned by exactly one supplier nation
+    // and spent by exactly one customer nation
+    assert(math.abs(earned - spent) < 0.05 * rows.length,
+      s"earned $earned vs spent $spent must agree to rounding")
+    assert(math.abs(rows.map(_.getAs[Double]("earn_share")).sum - 1.0)
+      < 1e-3)
+    assert(math.abs(rows.map(_.getAs[Double]("balance")).sum) <
+      0.05 * rows.length)
+  }
+
   test("norm audit counts partition the corpus; bounds hold") {
     val row = Similarity.ssNormAudit(spark, sf0001).collect().head
     val n = graft.sources.Tables.embeddings(spark, sf0001).count()
