@@ -1955,7 +1955,78 @@ object WindowQueries {
       |    / (u.n_users + b.n_boundaries), 6) AS mean_session_events
       |FROM b CROSS JOIN u ORDER BY gap_minutes""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_reident_risk: k-anonymity audit of behavioral profiles — treat
+  // each user's distinct (event_type, 6-hour day-part) set as a
+  // quasi-identifier and measure how many users share each profile:
+  // the k-bucket histogram (k=1 = uniquely re-identifiable) plus the
+  // unique-user share. The privacy gate a "pseudonymized" event export
+  // needs BEFORE release: dropping user_id does nothing if the
+  // behavioral fingerprint is unique — this measures exactly how
+  // unique. (The PII-redaction op scrubs content; this audits shape.)
+  // Scale shape: one partial-agg to distinct (user, type, hour); one
+  // user-grain collect_set → canonical sorted profile string; one
+  // profile-grain count; one bounded k-histogram. All shuffles key on
+  // grains no wider than the user set. Determinism: profiles are
+  // sort_array-canonicalized (collect_set order never observed);
+  // string format "type:daypart" identical in both engines; integer
+  // counts + exact ratios. Day-part (hour÷6), not raw hour: the
+  // raw-hour profile is unique for EVERY fixture user (measured —
+  // the output would be one degenerate k=1 row), while the 4-band
+  // profile spreads k across 1..75, which is also the realistic
+  // release granularity an export would round to.
+  def stReidentRisk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val profiles = Tables.events(spark, dir)
+      .select($"user_id",
+        concat($"event_type", lit(":"),
+          (hour($"ts") / 6).cast("int").cast("string")).as("p"))
+      .groupBy($"user_id")
+      .agg(array_join(sort_array(collect_set($"p")), ",").as("profile"))
+    val kTable = profiles.groupBy($"profile")
+      .agg(count(lit(1)).as("k"))
+    val hist = Tables.materialize(kTable
+      .groupBy(when($"k" <= 3, $"k")
+        .otherwise(expr("shiftleft(1L, cast(length(bin(k)) - 1 as int))"))
+        .as("k_bucket"))
+      .agg(count(lit(1)).as("n_profiles"), sum($"k").as("n_users")))
+    val tot = hist.agg(sum($"n_users").as("nu"),
+      sum(when($"k_bucket" === 1, $"n_users").otherwise(0L)).as("uniq"))
+      .filter($"nu" > 0)
+    hist.crossJoin(broadcast(tot))
+      .select($"k_bucket", $"n_profiles", $"n_users",
+        round($"n_users".cast("double") / $"nu", 6).as("user_share"),
+        round($"uniq".cast("double") / $"nu", 6).as("unique_user_share"))
+      .orderBy($"k_bucket")
+  }
+
+  val stReidentRiskSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id,
+      |    event_type || ':'
+      |      || CAST(EXTRACT(HOUR FROM ts) // 6 AS VARCHAR) AS p
+      |  FROM events),
+      |prof AS (
+      |  SELECT user_id, STRING_AGG(p, ',' ORDER BY p) AS profile
+      |  FROM pairs GROUP BY 1),
+      |kt AS (SELECT profile, COUNT(*) AS k FROM prof GROUP BY 1),
+      |hist AS (
+      |  SELECT CASE WHEN k <= 3 THEN k
+      |      ELSE CAST(1 AS BIGINT) << (LENGTH(BIN(k)) - 1) END
+      |      AS k_bucket,
+      |    COUNT(*) AS n_profiles, CAST(SUM(k) AS BIGINT) AS n_users
+      |  FROM kt GROUP BY 1),
+      |tot AS (SELECT SUM(n_users) AS nu,
+      |    SUM(CASE WHEN k_bucket = 1 THEN n_users ELSE 0 END) AS uniq
+      |  FROM hist HAVING SUM(n_users) > 0)
+      |SELECT CAST(h.k_bucket AS BIGINT) AS k_bucket,
+      |  CAST(h.n_profiles AS BIGINT) AS n_profiles, h.n_users,
+      |  ROUND(CAST(h.n_users AS DOUBLE) / t.nu, 6) AS user_share,
+      |  ROUND(CAST(t.uniq AS DOUBLE) / t.nu, 6) AS unique_user_share
+      |FROM hist h CROSS JOIN tot t ORDER BY h.k_bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_reident_risk" -> (stReidentRisk _),
     "st_gap_sensitivity" -> (stGapSensitivity _),
     "st_interarrival" -> (stInterarrival _),
     "st_user_lifespan" -> (stUserLifespan _),
@@ -1991,6 +2062,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_reident_risk" -> stReidentRiskSql,
     "st_gap_sensitivity" -> stGapSensitivitySql,
     "st_interarrival" -> stInterarrivalSql,
     "st_user_lifespan" -> stUserLifespanSql,

@@ -339,6 +339,26 @@ class WaveFiftyFiveSpec extends SparkSpec {
       0.05 * rows.length)
   }
 
+  test("reident risk conserves users; unique share matches k=1 bucket") {
+    val rows = WindowQueries.stReidentRisk(spark, sf0001).collect()
+    val nUsers = graft.sources.Tables.events(spark, sf0001)
+      .select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers,
+      "k-buckets must partition the user set")
+    val uniq = rows.find(_.getAs[Long]("k_bucket") == 1L)
+      .map(_.getAs[Long]("n_users")).getOrElse(0L)
+    val r6u = BigDecimal(uniq.toDouble / nUsers)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach(r =>
+      assert(r.getAs[Double]("unique_user_share") == r6u))
+    // every profile in a k-bucket holds exactly k users
+    rows.foreach { r =>
+      val b = r.getAs[Long]("k_bucket")
+      if (b <= 3)
+        assert(r.getAs[Long]("n_users") == b * r.getAs[Long]("n_profiles"))
+    }
+  }
+
   test("norm audit counts partition the corpus; bounds hold") {
     val row = Similarity.ssNormAudit(spark, sf0001).collect().head
     val n = graft.sources.Tables.embeddings(spark, sf0001).count()
