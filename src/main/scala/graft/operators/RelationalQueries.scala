@@ -2936,8 +2936,12 @@ object RelationalQueries {
   // the 5-row priority grain. Determinism: pure integer counts.
   def q91PriorityLateShips(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // range form, not year(o_orderdate) === 1997: a function of the
+    // column defeats parquet predicate pushdown; the half-open range
+    // reaches the scan (PushedFilters — PlanSpec-guarded)
     val o = Tables.orders(spark, dir)
-      .filter(year($"o_orderdate") === 1997)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
       .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
     val l = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_shipdate")
@@ -2953,7 +2957,8 @@ object RelationalQueries {
   val q91Sql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_late_orders
       |FROM orders
-      |WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |  AND EXISTS (SELECT 1 FROM lineitem
       |    WHERE l_orderkey = o_orderkey
       |      AND DATE_DIFF('day', CAST(o_orderdate AS DATE),
@@ -3218,19 +3223,27 @@ object RelationalQueries {
   // from-status totals are a second agg ON THE MATRIX. Determinism:
   // the window orders by (orderdate, orderkey) — a total order — in
   // both engines; output is integer counts + one exact ratio.
-  def q97StatusTransitions(spark: SparkSession, dir: String): DataFrame = {
+  /** The un-checkpointed transition-matrix builder — split out so
+    * PlanSpec can assert the customer-partitioned window on the build
+    * (the materialized table the registered query reads hides it). */
+  private[graft] def q97MatrixBuild(spark: SparkSession,
+                                    dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey")
       .orderBy($"o_us", $"o_orderkey")
-    val pairs = Tables.orders(spark, dir)
+    Tables.orders(spark, dir)
       .select($"o_custkey", $"o_orderkey", $"o_orderstatus",
         unix_micros($"o_orderdate".cast("timestamp")).as("o_us"))
       .withColumn("prev_status", lag($"o_orderstatus", 1).over(w))
       .filter($"prev_status".isNotNull)
-    val matrix = Tables.materialize(
-      pairs.groupBy($"prev_status".as("from_status"),
-          $"o_orderstatus".as("to_status"))
-        .agg(count(lit(1)).as("n_transitions")))
+      .groupBy($"prev_status".as("from_status"),
+        $"o_orderstatus".as("to_status"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  def q97StatusTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val matrix = Tables.materialize(q97MatrixBuild(spark, dir))
     val fromTot = matrix.groupBy($"from_status".as("f"))
       .agg(sum($"n_transitions").as("from_total"))
     matrix.join(broadcast(fromTot), $"from_status" === $"f")
@@ -3355,7 +3368,11 @@ object RelationalQueries {
   // co-located); histogram is a bounded partial-agg. Determinism:
   // integer day gaps off integer microseconds, (date, orderkey) total
   // order, DECIMAL-routed span mean.
-  def q99PurchaseEpisodes(spark: SparkSession, dir: String): DataFrame = {
+  /** The un-checkpointed episode-histogram builder — split out so
+    * PlanSpec can assert the customer-partitioned windows on the
+    * build. */
+  private[graft] def q99HistBuild(spark: SparkSession,
+                                  dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_us", $"o_orderkey")
     val flagged = Tables.orders(spark, dir)
@@ -3368,15 +3385,19 @@ object RelationalQueries {
         when($"gap_days".isNull || $"gap_days" > 30, 1L).otherwise(0L))
       .withColumn("episode_id", sum($"boundary").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val episodes = flagged.groupBy($"o_custkey", $"episode_id")
+    flagged.groupBy($"o_custkey", $"episode_id")
       .agg(count(lit(1)).as("n_orders"),
         (((max($"o_us") - min($"o_us")) / lit(86400000000L))
           .cast("long")).as("span_days"))
-    val hist = Tables.materialize(episodes
       .groupBy($"n_orders".as("episode_size"))
       .agg(count(lit(1)).as("n_episodes"),
         sum($"n_orders").as("n_orders"),
-        sum($"span_days".cast(DecimalType(28, 0))).as("span_sum")))
+        sum($"span_days".cast(DecimalType(28, 0))).as("span_sum"))
+  }
+
+  def q99PurchaseEpisodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.materialize(q99HistBuild(spark, dir))
     val tot = hist.agg(sum($"n_episodes").as("ne"),
       sum($"span_sum").cast("double").as("ss")).filter($"ne" > 0)
     hist.crossJoin(broadcast(tot))

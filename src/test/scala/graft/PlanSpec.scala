@@ -1390,4 +1390,106 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || !plan.contains("SortMergeJoin"),
       "cell join must broadcast:\n" + plan.take(800))
   }
+
+  test("q92 pushes all four predicates and prunes to 4 columns") {
+    // the default 100-char metadata truncation cuts the PushedFilters
+    // list mid-entry; widen it so the assertion sees the full list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan = planOf(RelationalQueries.q92ForecastRevenue(spark, sf0001))
+    val scan = plan.split("\n").find(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scan.isDefined, "no lineitem FileScan:\n" + plan.take(600))
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(scan.get.contains(s"GreaterThanOrEqual($c")
+          || scan.get.contains(s"LessThan($c")
+          || scan.get.contains(s"LessThanOrEqual($c"),
+        s"$c bound not pushed: ${scan.get.take(400)}")
+    }
+    val width = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scan.get)
+      .map(_.group(1).split(",").length).getOrElse(Int.MaxValue)
+    assert(width <= 4, s"scan reads $width columns: ${scan.get.take(300)}")
+    assert(!plan.contains("Join"), "q92 must be join-free")
+  }
+
+  test("q91 EXISTS plans as a semi join; the year range reaches the scan") {
+    val plan = planOf(RelationalQueries.q91PriorityLateShips(spark, sf0001))
+    assert(plan.contains("LeftSemi"),
+      "EXISTS must plan as a left-semi join:\n" + plan.take(800))
+    val oScan = plan.split("\n").find(l =>
+      l.contains("FileScan parquet") && l.contains("orders"))
+    assert(oScan.exists(_.contains("GreaterThanOrEqual(o_orderdate")),
+      "orders year range not pushed:\n" + oScan.getOrElse("<none>").take(400))
+  }
+
+  test("q95 broadcasts part; quantity bounds reach the fact scan") {
+    val plan = planOf(RelationalQueries.q95DisjunctivePromo(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      "part side must broadcast:\n" + plan.take(800))
+    val lScan = plan.split("\n").find(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(lScan.exists(s => s.contains("GreaterThanOrEqual(l_quantity")
+        && s.contains("LessThanOrEqual(l_quantity")),
+      "derived quantity range not pushed:\n"
+        + lScan.getOrElse("<none>").take(400))
+  }
+
+  test("q96 scans the fact once; the argmax windows on the part key") {
+    val plan = planOf(RelationalQueries.q96DominantSuppliers(spark, sf0001))
+    val liScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans <= 1,
+      s"(part,supplier) grain must come from ONE fact scan, got $liScans")
+    val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(winLines.nonEmpty && winLines.forall(
+        _.matches(".*windowspecdefinition\\(l_partkey#\\d+.*")),
+      "argmax must window on l_partkey:\n" + winLines.mkString("\n"))
+    assert(!plan.contains("SinglePartition"),
+      "q96 contains a single-partition window:\n" + plan.take(800))
+  }
+
+  test("q97/q99 window the orders table partitioned by customer") {
+    // guard the BUILD plans — the registered queries read the
+    // materialized matrix/histogram, which hides the window subtree
+    Seq(RelationalQueries.q97MatrixBuild(spark, sf0001),
+      RelationalQueries.q99HistBuild(spark, sf0001)).foreach { df =>
+      val plan = planOf(df)
+      val winLines = plan.split("\n").filter(_.contains("windowspecdefinition"))
+      assert(winLines.nonEmpty && winLines.forall(
+          _.matches(".*windowspecdefinition\\(o_custkey#\\d+.*")),
+        "window must partition by o_custkey:\n" + winLines.mkString("\n"))
+      assert(!plan.contains("SinglePartition"),
+        "single-partition window:\n" + plan.take(800))
+      val factScans = plan.split("\n")
+        .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+      assert(factScans == 0, "these ops must never touch the fact")
+    }
+  }
+
+  test("gap sensitivity prices all thresholds off one gap pass") {
+    val plan = planOf(
+      graft.streaming.WindowQueries.stGapSensitivity(spark, sf0001))
+    // the gap table is materialized; the 4 thresholds are conditional
+    // sums in ONE aggregate — no per-threshold join of the gap table
+    assert(!plan.contains("CartesianProduct"),
+      "threshold grid must not cartesian the gap table:\n" + plan.take(800))
+    val evScans = plan.split("\n")
+      .count(l => l.contains("FileScan parquet") && l.contains("events"))
+    assert(evScans <= 1,
+      s"expected <=1 raw events scan beside the materialized gaps, got $evScans")
+  }
+
+  test("local CC and edge weights read the cached support artifact") {
+    // build the session-cached support once (any census query does)
+    graft.llm.Graph.triSupport(spark, sf0001).count()
+    Seq(graft.llm.Graph.localClusteringCoeff(spark, sf0001),
+      graft.llm.Graph.edgeWeights(spark, sf0001)).foreach { df =>
+      val plan = planOf(df)
+      val liScans = plan.split("\n")
+        .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+      assert(liScans == 0,
+        "must read the cached support table, never re-scan the fact:\n" +
+          plan.split("\n").filter(_.contains("FileScan")).mkString("\n"))
+    }
+  }
 }
