@@ -3541,7 +3541,83 @@ object RelationalQueries {
       |FROM aligned a JOIN nation n ON a.nk = n.n_nationkey
       |CROSS JOIN t ORDER BY nation""".stripMargin
 
+  // --------------------------------------------------------------------
+  // q101_order_backlog: month-end OPEN-ORDER backlog time series — an
+  // order is open from o_orderdate until its last lineitem ships; per
+  // month: orders opened, orders fully shipped, and the running
+  // backlog. The classic interval-count query done the SWEEP-LINE way:
+  // materialize +1/−1 deltas at each order's endpoints and take a
+  // cumulative sum over the bounded month spine — NOT a month×order
+  // range join (which multiplies the fact by the horizon and is the
+  // naive trap at 100 TB; the oracle's correctness is checked against
+  // exactly that naive form in the spec).
+  // Scale shape: one fact partial-agg to order grain (max shipdate),
+  // one join to orders (orderkey-partial), two month-grain partial
+  // aggs union'd, ONE window over the ≤horizon-month spine.
+  // Determinism: month keys are integer year*12+month off integer
+  // timestamps; counts integer; the cumulative window orders by the
+  // unique month key.
+  def q101OrderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def mkey(c: Column) = (year(c) * 12 + month(c) - 1).cast("long")
+    // close clamps to the open month: the synthetic fixture ships some
+    // lineitems BEFORE the order date (shipdates are independent of
+    // orderdate), and an interval cannot close before it opens — the
+    // clamp makes those zero-length (opened and closed same month)
+    val spans = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(max($"l_shipdate").as("last_ship"))
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(mkey($"o_orderdate").as("open_m"),
+        greatest(mkey($"o_orderdate"), mkey($"last_ship")).as("close_m"))
+    val opens = spans.groupBy($"open_m".as("m"))
+      .agg(count(lit(1)).as("opened"))
+    val closes = spans.groupBy($"close_m".as("m2"))
+      .agg(count(lit(1)).as("closed"))
+    val months = opens.join(closes, $"m" === $"m2", "full_outer")
+      .select(coalesce($"m", $"m2").as("m"),
+        coalesce($"opened", lit(0L)).as("opened"),
+        coalesce($"closed", lit(0L)).as("closed"))
+    val w = Window.orderBy($"m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    months
+      .withColumn("backlog", sum($"opened" - $"closed").over(w))
+      .select((($"m" / 12L).cast("long")).as("year"),
+        ($"m" % 12 + 1).cast("int").as("month"),
+        $"opened", $"closed", $"backlog")
+      .orderBy($"year", $"month")
+  }
+
+  val q101Sql: String =
+    """WITH spans AS (
+      |  SELECT (EXTRACT(YEAR FROM o.o_orderdate) * 12
+      |      + EXTRACT(MONTH FROM o.o_orderdate) - 1) AS open_m,
+      |    GREATEST(
+      |      (EXTRACT(YEAR FROM o.o_orderdate) * 12
+      |        + EXTRACT(MONTH FROM o.o_orderdate) - 1),
+      |      (EXTRACT(YEAR FROM ls.last_ship) * 12
+      |        + EXTRACT(MONTH FROM ls.last_ship) - 1)) AS close_m
+      |  FROM (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+      |        FROM lineitem GROUP BY 1) ls
+      |  JOIN orders o ON ls.l_orderkey = o.o_orderkey),
+      |op AS (SELECT open_m AS m, COUNT(*) AS opened FROM spans GROUP BY 1),
+      |cl AS (SELECT close_m AS m, COUNT(*) AS closed FROM spans GROUP BY 1),
+      |months AS (
+      |  SELECT COALESCE(op.m, cl.m) AS m,
+      |    COALESCE(op.opened, 0) AS opened,
+      |    COALESCE(cl.closed, 0) AS closed
+      |  FROM op FULL OUTER JOIN cl ON op.m = cl.m)
+      |SELECT CAST(m // 12 AS BIGINT) AS year,
+      |  CAST(m % 12 + 1 AS INT) AS month,
+      |  CAST(opened AS BIGINT) AS opened,
+      |  CAST(closed AS BIGINT) AS closed,
+      |  CAST(SUM(opened - closed) OVER (ORDER BY m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS backlog
+      |FROM months ORDER BY year, month""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_order_backlog" -> (q101OrderBacklog _),
     "q100_nation_trade_balance" -> (q100NationTradeBalance _),
     "q99_purchase_episodes" -> (q99PurchaseEpisodes _),
     "q97_status_transitions" -> (q97StatusTransitions _),
@@ -3612,6 +3688,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q101_order_backlog" -> q101Sql,
     "q100_nation_trade_balance" -> q100Sql,
     "q99_purchase_episodes" -> q99Sql,
     "q97_status_transitions" -> q97Sql,

@@ -359,6 +359,36 @@ class WaveFiftyFiveSpec extends SparkSpec {
     }
   }
 
+  test("q101 backlog matches the naive month-by-month interval count") {
+    val rows = RelationalQueries.q101OrderBacklog(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // naive reference: for each output month, count orders whose
+    // [open month, close month] interval covers it — the range-join
+    // form the sweep-line plan deliberately avoids
+    val spans = graft.sources.Tables.lineitem(spark, sf0001)
+      .groupBy($"l_orderkey").agg(max($"l_shipdate").as("ls"))
+      .join(graft.sources.Tables.orders(spark, sf0001)
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select((year($"o_orderdate") * 12 + month($"o_orderdate") - 1)
+          .cast("long").as("om"),
+        (year($"ls") * 12 + month($"ls") - 1).cast("long").as("cm"))
+      .collect()
+      // the query clamps close >= open (fixture ships some lines
+      // before the order date); mirror it in the reference
+      .map(r => (r.getLong(0), math.max(r.getLong(0), r.getLong(1))))
+    rows.foreach { r =>
+      val m = r.getAs[Long]("year") * 12 + r.getAs[Int]("month") - 1
+      val naiveBacklog = spans.count(s => s._1 <= m && s._2 > m)
+      assert(r.getAs[Long]("backlog") == naiveBacklog.toLong,
+        s"backlog mismatch at month $m")
+      assert(r.getAs[Long]("opened") == spans.count(_._1 == m).toLong)
+      assert(r.getAs[Long]("closed") == spans.count(_._2 == m).toLong)
+    }
+    // conservation: final backlog = 0 (every order eventually ships)
+    assert(rows.last.getAs[Long]("backlog") == 0L)
+  }
+
   test("norm audit counts partition the corpus; bounds hold") {
     val row = Similarity.ssNormAudit(spark, sf0001).collect().head
     val n = graft.sources.Tables.embeddings(spark, sf0001).count()
