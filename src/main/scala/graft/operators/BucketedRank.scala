@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact NTILE — the bucketed prefix-sum decomposition of a
+  * global ordered window, generalized from the llm_pipeline_budget
+  * pattern (Pipeline.scala `budget`) to exact global RANKS.
+  *
+  * `ntile(k).over(Window.orderBy(v.desc, tie))` puts the ENTIRE input
+  * through one window task: at TPC-H scale the customer grain grows
+  * WITH the fact (sf100k ≈ 15B customers), so a single-partition
+  * window over customers is a scale-killer even though it is "only"
+  * dim grain at bench SF. This helper reproduces NTILE's exact output
+  * (hash-identical: the (v DESC, tie ASC) order is total, and the tile
+  * boundaries are pure arithmetic on the global rank) while keeping
+  * every data-sized operation partitioned:
+  *
+  *   1. one 1-row min/max aggregate over `v` (broadcast);
+  *   2. a range-bucket id `floor((vmax−v)/(vmax−vmin)·B)` — a monotone
+  *      step function of v (IEEE subtract/multiply/divide by positive
+  *      constants are monotone, so bucket ASC ≡ v DESC; double
+  *      rounding can only MERGE near-equal values into one bucket,
+  *      never reorder them — merged ties resolve in step 4's
+  *      within-bucket sort);
+  *   3. a ≤B-row bucket-count table whose exclusive prefix sum gives
+  *      each bucket's global rank offset (the one legal bounded
+  *      single-partition window, like budget's 20-row bucket cumsum);
+  *   4. `row_number` PARTITIONED by bucket (each task sorts one
+  *      bucket's rows) + the broadcast offset = exact global rank;
+  *   5. NTILE arithmetic from (rank, n): with q = n div k, r = n mod k,
+  *      the first r tiles carry q+1 rows — integer `div`, no doubles.
+  *
+  * At 100 TB a pathologically hot bucket (heavy-tailed v) re-buckets
+  * on a finer grid recursively — the same step, same bounded windows;
+  * the all-equal-v corner (every row one bucket) is the one input no
+  * order-aligned bucketing can split, and is exactly the input where
+  * NTILE's order is arbitrary anyway.
+  *
+  * The input is localCheckpointed (narrow rank-grain rows, referenced
+  * by both the bucket-count aggregate and the rank join — without
+  * materialization Catalyst re-derives the upstream fact collapse
+  * twice); callers release it with the per-query transient sweep.
+  */
+object BucketedRank {
+
+  /** Append `out` = NTILE(`k`) OVER (ORDER BY `valueCol` DESC,
+    * `tieCol` ASC) to `df`, computed distributed-exactly as described
+    * above. `tieCol` must be unique per row (the queries use the
+    * customer key), so the order is total and the result deterministic.
+    */
+  def ntileDesc(df: DataFrame, valueCol: String, tieCol: String, k: Int,
+                out: String, buckets: Int = 1024): DataFrame = {
+    val base = df.localCheckpoint()
+    val v: Column = col(valueCol).cast("double")
+    // 1-row range table, MATERIALIZED: `withB` is derived twice below
+    // (bucket counts + rank join), and unmaterialized each derivation
+    // re-runs the min/max aggregate over the checkpointed base.
+    val mm = base.agg(min(v).as("gnt_vmin"), max(v).as("gnt_vmax"))
+      .localCheckpoint()
+    val withB = base.crossJoin(broadcast(mm))
+      .withColumn("gnt_bkt",
+        when(col("gnt_vmax") === col("gnt_vmin"), lit(0))
+          .otherwise(least(
+            floor((col("gnt_vmax") - v)
+              / (col("gnt_vmax") - col("gnt_vmin")) * buckets),
+            lit(buckets - 1)).cast("int")))
+      .drop("gnt_vmin", "gnt_vmax")
+    // bounded bucket table: counts → exclusive prefix offsets, total n,
+    // and the tile-arithmetic constants (all functions of n alone)
+    val wOff = Window.orderBy(col("gnt_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("gnt_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bt = withB.groupBy(col("gnt_bkt")).agg(count(lit(1)).as("gnt_bc"))
+      .withColumn("gnt_off", coalesce(sum(col("gnt_bc")).over(wOff), lit(0L)))
+      .withColumn("gnt_n", sum(col("gnt_bc")).over(wAll))
+      .withColumn("gnt_q", expr(s"gnt_n div $k"))
+      .withColumn("gnt_r", col("gnt_n") % k)
+      .select(col("gnt_bkt"), col("gnt_off"), col("gnt_q"), col("gnt_r"))
+    val wIn = Window.partitionBy(col("gnt_bkt"))
+      .orderBy(col(valueCol).desc, col(tieCol))
+    withB.join(broadcast(bt), "gnt_bkt")
+      .withColumn("gnt_rank", col("gnt_off") + row_number().over(wIn))
+      // rank ≤ r(q+1): inside the fat tiles, tile = ⌈rank/(q+1)⌉;
+      // after: r + ⌈(rank − r(q+1))/q⌉. greatest(q,1) only guards the
+      // not-taken branch when n < k (q = 0 ⇒ every rank ≤ r·1 = n).
+      .withColumn(out, expr(
+        s"""CAST(CASE
+           |  WHEN gnt_rank <= gnt_r * (gnt_q + 1)
+           |    THEN (gnt_rank + gnt_q) div (gnt_q + 1)
+           |  ELSE gnt_r + (gnt_rank - gnt_r * (gnt_q + 1)
+           |    + greatest(gnt_q, 1L) - 1) div greatest(gnt_q, 1L)
+           |END AS INT)""".stripMargin))
+      .drop("gnt_bkt", "gnt_off", "gnt_q", "gnt_r", "gnt_rank")
+  }
+}

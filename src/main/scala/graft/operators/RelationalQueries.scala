@@ -1098,23 +1098,26 @@ object RelationalQueries {
   // --------------------------------------------------------------------
   // q61: Pareto concentration curve — what share of revenue the top
   // customer deciles carry (the 80/20 audit). Customers aggregate to
-  // revenue grain first (the one fact shuffle), then NTILE(10) ranks
-  // the CUSTOMER-cardinality table — a global window, but over dim
-  // rows, not fact rows (at extreme customer counts the bucketed
-  // prefix-sum pattern of llm_pipeline_budget replaces it; noted, not
-  // needed at dim scale). Revenue stays DECIMAL through both the
-  // decile sums and the cumulative fold; shares are one rounded
-  // division each.
+  // revenue grain first (the one fact shuffle), then the deciles come
+  // from [[BucketedRank.ntileDesc]] — NTILE's exact output via range
+  // buckets + a bounded prefix window + PARTITIONED within-bucket
+  // ranks, because TPC-H customers scale WITH the fact (sf100k ≈ 15B
+  // customers), so a global NTILE window would funnel fact-scale rows
+  // through one task. Revenue stays DECIMAL through both the decile
+  // sums and the cumulative fold; shares are one rounded division each.
   def q61ParetoCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val perCust = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
-    val wN = Window.orderBy($"rev".desc, $"o_custkey")
-    val deciled = perCust.withColumn("decile", ntile(10).over(wN))
+    val deciled = BucketedRank.ntileDesc(perCust, "rev", "o_custkey", 10, "decile")
+    // 10-row table, MATERIALIZED (k-row convention): both `tot` and the
+    // crossJoin below reference it, and unmaterialized Catalyst would
+    // re-derive the whole bucketed-rank subtree per reference.
     val byDecile = deciled.groupBy($"decile")
       .agg(count(lit(1)).as("n_customers"), sum($"rev").as("decile_rev"))
+      .localCheckpoint()
     val tot = broadcast(byDecile.agg(sum($"decile_rev").as("total_rev")))
     val wCum = Window.orderBy($"decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1393,8 +1396,9 @@ object RelationalQueries {
           && $"o_orderdate" < lit(java.sql.Timestamp.valueOf(to)))
         .groupBy($"o_custkey")
         .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
-      rev.withColumn(qcol,
-        ntile(4).over(Window.orderBy($"rev".desc, $"o_custkey")))
+      // distributed-exact NTILE (see q61's note): customer grain is
+      // fact-scale at the 100 TB design point, so no global window
+      BucketedRank.ntileDesc(rev, "rev", "o_custkey", 4, qcol)
     }
     val early = periodQuartile("1995-01-01 00:00:00", "1998-01-01 00:00:00", "q_early")
       .select($"o_custkey".as("c_early"), $"q_early")
@@ -1732,9 +1736,10 @@ object RelationalQueries {
   // share of post-1998 revenue and the cumulative capture curve (the
   // model-lift report marketers run on churn scores, computed here on
   // the identity "model" early_rev). Scale shape: two date-pruned
-  // partial-aggregable collapses of orders at customer grain, NTILE
-  // over the DIM-sized customer table (total-ordered tie-break on
-  // custkey), then a 10-row decile rollup + cumulative window.
+  // partial-aggregable collapses of orders at customer grain, then
+  // distributed-exact NTILE via [[BucketedRank.ntileDesc]] (customer
+  // grain is fact-scale at 100 TB — see q61), then a 10-row decile
+  // rollup + cumulative window.
   def q72DecileLift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cut = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
@@ -1744,19 +1749,25 @@ object RelationalQueries {
     val late = o.filter($"o_orderdate" >= cut)
       .groupBy($"o_custkey".as("lk"))
       .agg(dsum($"o_totalprice").as("late_rev"))
-    val wD = Window.orderBy($"early_rev".desc, $"o_custkey")
-    val deciled = early
+    val joined = early
       .join(late, $"o_custkey" === $"lk", "left")
       .select($"o_custkey", $"early_rev",
         coalesce($"late_rev", lit(0.0)).as("late_rev"))
-      .withColumn("decile", ntile(10).over(wD))
-    val totals = broadcast(deciled.agg(
-      sum($"early_rev".cast(DecimalType(28, 6))).cast("double").as("te"),
-      sum($"late_rev".cast(DecimalType(28, 6))).cast("double").as("tl")))
-    val perDecile = deciled.groupBy($"decile")
+    val deciled = BucketedRank.ntileDesc(joined, "early_rev", "o_custkey", 10, "decile")
+    // 10-row table, MATERIALIZED (k-row convention) and kept DECIMAL:
+    // the grand totals fold the per-decile DECIMAL sums (exact — sums
+    // of exact sums), so `deciled` is referenced ONCE and the bucketed-
+    // rank subtree is not re-derived for the totals pass.
+    val perDecileD = deciled.groupBy($"decile")
       .agg(count(lit(1)).as("n_custs"),
-        sum($"early_rev".cast(DecimalType(28, 6))).cast("double").as("de"),
-        sum($"late_rev".cast(DecimalType(28, 6))).cast("double").as("dl"))
+        sum($"early_rev".cast(DecimalType(28, 6))).as("de_dec"),
+        sum($"late_rev".cast(DecimalType(28, 6))).as("dl_dec"))
+      .localCheckpoint()
+    val totals = broadcast(perDecileD.agg(
+      sum($"de_dec").cast("double").as("te"),
+      sum($"dl_dec").cast("double").as("tl")))
+    val perDecile = perDecileD.select($"decile", $"n_custs",
+      $"de_dec".cast("double").as("de"), $"dl_dec".cast("double").as("dl"))
     val wCum = Window.orderBy($"decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perDecile.crossJoin(totals)
@@ -3008,7 +3019,11 @@ object RelationalQueries {
   // Scale shape: nation⋈region collapses to a broadcast key list; the
   // fact aggregates once on partkey (partial-agg); the global total is
   // a 1-row broadcast the filter crosses — no second fact pass, no
-  // window. Determinism: DECIMAL-routed sums; (value, partkey) order.
+  // window. Determinism: DECIMAL-routed sums; BOTH engines sort the
+  // ROUNDED value (Spark's orderBy resolves the post-projection alias;
+  // the oracle says ROUND(bp.value,2) explicitly) with the partkey
+  // tie-break, so near-equal raw values that round equal cannot order
+  // differently across engines at larger SFs.
   def q93PartValueConcentration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def d28(c: Column) = sum(c.cast(DecimalType(28, 12))).cast("double")
@@ -3055,7 +3070,7 @@ object RelationalQueries {
       |  ROUND(bp.value / t.total, 6) AS share
       |FROM bp CROSS JOIN tot t
       |WHERE bp.value > t.total * 0.001
-      |ORDER BY bp.value DESC, partkey""".stripMargin
+      |ORDER BY ROUND(bp.value, 2) DESC, partkey""".stripMargin
 
   // --------------------------------------------------------------------
   // q94_brand_supplier_breadth: TPC-H Q16 shape — per (brand, size

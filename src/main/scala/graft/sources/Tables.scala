@@ -40,6 +40,15 @@ object Tables {
   private val pinnedByKey =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Set[Int]]()
 
+  /** Per-SparkContext build lock: the persistent-RDD id diff in
+    * [[sessionCached]] is context-global, so two builds diffing
+    * concurrently would attribute each other's ids. Serializing
+    * builds per context makes the diff exact under multi-threaded
+    * drivers too (the lock is reentrant, so nested builds — an outer
+    * artifact building its cached inputs — still work). */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, Object]()
+
   /** Unpersist every persistent RDD of `spark`'s context that is NOT
     * pinned by a session-cached artifact build. Safe between query
     * invocations: localCheckpoint truncates lineage, so blocks must
@@ -116,23 +125,34 @@ object Tables {
       // pin every RDD the build persists (localCheckpoint is eager, so
       // blocks exist by the time `build` returns): the id-set diff
       // captures the artifact itself plus its build transients, both
-      // of which must survive releaseTransients. Sessions here are
-      // effectively single-threaded (see the race note above), so the
-      // diff doesn't swallow another query's transients in practice —
-      // and over-pinning a stray id only keeps one bounded block set.
+      // of which must survive releaseTransients. The diff is
+      // context-global, so builds serialize on a per-context lock
+      // (reentrant — nested builds of cached inputs still work): a
+      // concurrent build for another dir can no longer interleave its
+      // persists into this key's diff window.
       val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val built = build
-      // Nested builds (an outer artifact building its cached inputs)
-      // attribute the inner key's ids to the OUTER key's diff as well;
-      // that is why [[releaseScope]] is dir-granular — every key of a
-      // dir releases together, so a doubly-attributed id can never be
-      // unpersisted while its own key survives.
-      val fresh = sc.getPersistentRDDs.keySet.diff(before)
-      fresh.foreach(pinned.add(_))
-      pinnedByKey.put(k, fresh.toSet)
-      val prev = cache.putIfAbsent(k, built)
-      if (prev != null) prev else built
+      val lock = buildLocks.computeIfAbsent(sc, _ => new Object)
+      lock.synchronized {
+        val again = cache.get(k) // a racer may have built while we waited
+        if (again != null) again
+        else {
+          val before = sc.getPersistentRDDs.keySet
+          val built = build
+          // Nested builds (an outer artifact building its cached inputs)
+          // attribute the inner key's ids to the OUTER key's diff as well;
+          // that is why [[releaseScope]] is dir-granular — every key of a
+          // dir releases together, so a doubly-attributed id can never be
+          // unpersisted while its own key survives.
+          val fresh = sc.getPersistentRDDs.keySet.diff(before)
+          fresh.foreach(pinned.add(_))
+          // merge, never replace: if this key somehow has ids already
+          // (a prior partial build), union them — a lost race must not
+          // orphan the surviving build's blocks from the reverse index.
+          pinnedByKey.merge(k, fresh.toSet, (a: Set[Int], b: Set[Int]) => a ++ b)
+          val prev = cache.putIfAbsent(k, built)
+          if (prev != null) prev else built
+        }
+      }
     }
   }
 

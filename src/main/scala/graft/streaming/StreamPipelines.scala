@@ -203,6 +203,59 @@ object StreamPipelines {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class GapOut(user_id: Long, gap_us: Long)
+  final case class LastSeen(ts_us: Long, event_id: Long)
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Streaming twin of st_interarrival's gap derivation: per-user
+    * last-seen state in `flatMapGroupsWithState`, emitting one exact
+    * integer-µs gap per event after a user's first. Within a
+    * micro-batch events sort by (ts, event_id) — the batch lag-window
+    * order — so under in-order delivery ACROSS batches (the same
+    * contract the tumbling-counts twin tests) the emitted gap multiset
+    * equals the batch form exactly. State is O(1) per user (one
+    * timestamp), the always-on shape; the downstream log₂ histogram is
+    * an ordinary streaming aggregation over the gap column. */
+  def interarrivalStream(events: Dataset[Event])(
+      implicit spark: SparkSession): Dataset[GapOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, GapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[LastSeen]) =>
+          val sorted = rows.toIndexedSeq
+            .sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Vector.newBuilder[GapOut]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            last.foreach(l => out += GapOut(uid, us - l.ts_us))
+            last = Some(LastSeen(us, e.event_id))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of st_user_lifespan's user-grain collapse: a
+    * running (first-seen, last-seen, count) aggregate per user —
+    * min/max/count are order- and retry-insensitive, so the final
+    * table equals the batch collapse on ANY delivery order (no
+    * in-order contract needed, unlike the gap twin). State is one row
+    * per user; the day-bucket histogram downstream is bounded by the
+    * horizon. Lifespan inherently spans a user's whole history, so
+    * there is no watermark to bound state by — the always-on form
+    * would TTL dormant users instead (their span is final once they
+    * stop arriving). */
+  def lifespanStream(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"),
+        count(lit(1)).as("n_events"))
+
   /** foreachBatch upsert sink: each micro-batch MERGES into the date
     * partitions it touches — last-write-wins per (pkg,test,date) key
     * (the A1 dedup key), so a re-delivered row replaces its stale

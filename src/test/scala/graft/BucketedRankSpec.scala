@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.BucketedRank
+
+/** BucketedRank.ntileDesc must be HASH-IDENTICAL to
+  * `ntile(k).over(orderBy(v desc, tie))` — it replaced the global
+  * NTILE windows in q61/q66/q72 (the round-11 verdict's last
+  * scale-killer), so any divergence is a silent wrong answer in three
+  * oracle-gated queries. The equivalence cases cover the NTILE
+  * boundary arithmetic: n divisible by k, n mod k ≠ 0 (fat first
+  * tiles), n < k (one row per tile), heavy value ties (bucket-merged
+  * rows resolved by the tie column), and all-equal values (the one
+  * bucket no order-aligned split can break — still exact, just
+  * serial, and NTILE's order is arbitrary there anyway).
+  */
+class BucketedRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(n: Int, k: Int, vals: Int => Double): Unit = {
+    val df = spark.range(n.toLong).select(
+      $"id".as("tie"),
+      udf(vals).apply($"id".cast("int")).as("v"))
+    val expect = df.withColumn("t",
+      ntile(k).over(Window.orderBy($"v".desc, $"tie")))
+    val got = BucketedRank.ntileDesc(df, "v", "tie", k, "t", buckets = 16)
+    val e = expect.orderBy($"tie").collect().map(r => (r.getLong(0), r.getInt(2)))
+    val g = got.orderBy($"tie").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(g.toSeq == e.toSeq, s"n=$n k=$k diverged")
+  }
+
+  test("matches ntile: n divisible by k") {
+    check(40, 10, i => (i * 37 % 101).toDouble)
+  }
+
+  test("matches ntile: fat first tiles (n mod k != 0)") {
+    check(43, 10, i => (i * 37 % 101).toDouble)
+    check(97, 4, i => (i * 53 % 89).toDouble)
+  }
+
+  test("matches ntile: n < k (one row per tile = rank)") {
+    check(7, 10, i => (i * 37 % 101).toDouble)
+  }
+
+  test("matches ntile: heavy ties resolved by the tie column") {
+    check(100, 10, i => (i % 3).toDouble)
+  }
+
+  test("matches ntile: all values equal (single-bucket corner)") {
+    check(50, 10, _ => 1.0)
+  }
+
+  test("matches ntile: negative and fractional values") {
+    check(61, 10, i => math.sin(i.toDouble) * 1000.0 - 400.0)
+  }
+
+  test("plan: no global NTILE window; ranks partition by the bucket") {
+    // the q61 input shape, pre-checkpoint (the query's own plan hides
+    // the helper behind the eager localCheckpoint of its decile table)
+    val perCust = graft.sources.Tables.orders(spark, sf0001)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(org.apache.spark.sql.types
+        .DecimalType(18, 2))).as("rev"))
+    val plan = BucketedRank.ntileDesc(perCust, "rev", "o_custkey", 10, "decile")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile("),
+      "global NTILE window reappeared:\n" + plan.take(800))
+    val rankLines = plan.split("\n").filter(_.contains("row_number()"))
+    assert(rankLines.nonEmpty, "no within-bucket rank window:\n" + plan.take(800))
+    assert(rankLines.forall(_.matches(".*windowspecdefinition\\(gnt_bkt#\\d+.*")),
+      "rank window must partition by gnt_bkt:\n" + rankLines.mkString("\n"))
+    // the only legal SinglePartition exchange is bounded: the <=B-row
+    // bucket-offset window (the 1-row min/max range table is an eager
+    // checkpoint, outside this plan). A second would mean customer
+    // rows were funneled through one task.
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1,
+      s"$single single-partition exchanges (rank rows funneled):\n"
+        + plan.take(1200))
+    // the bucket table reaches the rank join as a BROADCAST
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+}

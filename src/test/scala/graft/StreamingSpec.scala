@@ -558,4 +558,77 @@ class StreamingSpec extends SparkSpec {
     // state is capacity-bounded: at most 3 rows are ever emitted
     assert(rows.length <= 3)
   }
+
+  test("streaming inter-arrival gaps equal batch lag gaps on the fixture (in-order)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    // the st_interarrival twin: same gap multiset as the batch lag
+    // window when delivery is in event-time order across batches (the
+    // tumbling twin's contract); within a batch the op sorts per user
+    val evRows = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    assert(evRows.nonEmpty)
+    val mem = MemoryStream[Event]
+    val q = StreamPipelines.interarrivalStream(mem.toDS())
+      .writeStream.format("memory").queryName("gap_out")
+      .outputMode(OutputMode.Append).start()
+    // three arbitrary time-ordered chunks: per-user state must carry
+    // the last-seen timestamp across micro-batch boundaries
+    evRows.grouped(math.max(1, evRows.length / 3 + 1)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("gap_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .select($"user_id", org.apache.spark.sql.functions
+        .unix_micros($"ts").as("ts_us"), $"event_id")
+      .withColumn("gap_us", $"ts_us"
+        - org.apache.spark.sql.functions.lag($"ts_us", 1).over(w))
+      .filter($"gap_us".isNotNull)
+      .select($"user_id", $"gap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(streamed.length == batch.length,
+      s"${streamed.length} streamed gaps vs ${batch.length} batch gaps")
+    assert(streamed.toSeq == batch.toSeq, "gap multisets diverge")
+  }
+
+  test("streaming user-lifespan collapse equals batch spans on ANY delivery order") {
+    implicit val sqlCtx = spark.sqlContext
+    // the st_user_lifespan twin: min/max/count commute with delivery
+    // order, so feed the fixture REVERSED and split across batches
+    val evRows = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .sortBy(e => (-e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = StreamPipelines.lifespanStream(mem.toDF())
+      .writeStream.format("memory").queryName("lifespan_out")
+      .outputMode(OutputMode.Complete).start()
+    evRows.grouped(math.max(1, evRows.length / 4 + 1)).foreach { chunk =>
+      mem.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("lifespan_out")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    q.stop()
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .select($"user_id", org.apache.spark.sql.functions
+        .unix_micros($"ts").as("ts_us"))
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.min($"ts_us").as("first_us"),
+        org.apache.spark.sql.functions.max($"ts_us").as("last_us"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch,
+      s"user-grain collapse diverges: ${streamed.size} vs ${batch.size} users")
+  }
 }

@@ -74,6 +74,17 @@ def main():
     ratio = float(args[2]) if len(args) > 2 else 1.5
     old_q, old_min, old_total = load(old_path)
     new_q, new_min, new_total = load(new_path)
+    if gate and old_q and new_q:
+        # a scale16/64 or isolated-subset baseline shares few queries
+        # (or a different SF cost profile) with a full warm draw;
+        # gating against it is meaningless. Require the baseline to be
+        # substantially covered by the new draw.
+        overlap = len(set(old_q) & set(new_q))
+        if overlap < 0.8 * len(old_q):
+            print(f"GATE FAIL: baseline/new query sets mismatch "
+                  f"({overlap}/{len(old_q)} baseline queries present in "
+                  f"new draw) — baseline is likely a subset/scale draw")
+            sys.exit(1)
     if old_q and new_q:
         moved = []
         for name in sorted(set(old_q) | set(new_q)):
@@ -135,6 +146,14 @@ def main():
                 sys.exit(1)
             print("GATE OK: no tight-spread min-confirmed regression")
     else:
+        if gate:
+            # a gate with no per-query signal must fail loudly, not
+            # pass silently — this is exactly when a wrong baseline
+            # (wrapper file, different draw format) slips through.
+            print("GATE FAIL: per-query data missing on one side — "
+                  "cannot evaluate blockers (pick a full-suite warm "
+                  "draw as baseline)")
+            sys.exit(1)
         print("per-query data missing on one side; totals only")
     if old_total is not None and new_total is not None:
         print(f"total: {old_total:.3f}s -> {new_total:.3f}s "

@@ -5,11 +5,13 @@
 # round-10 lesson: median drift was left to the judge to classify;
 # this makes the classification mechanical at gate time).
 #
-# Usage: tools/gate.sh [baseline.json]   (default: newest docs/bench/*.json
-#        with per-query data)
+# Usage: tools/gate.sh [baseline.json]   (default: newest full-suite
+#        warm draw, docs/bench/r*_final*.json or r*_full*.json — scale16/
+#        scale64/cold/isolated-subset draws are at a different SF or
+#        query set, so gating against them would be meaningless)
 set -e
 cd /root/repo
-BASE=${1:-$(ls -t docs/bench/r*.json | head -1)}
+BASE=${1:-$(ls -t docs/bench/r*_final*.json docs/bench/r*_full*.json 2>/dev/null | grep -v scale | grep -v cold | head -1)}
 sbt -batch compile -warn
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
