@@ -86,11 +86,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.map(median).sum
     val totalR = math.round(total * 1000) / 1000.0
+    // JVM session-state telemetry: the q12 lesson (r8/r11/r12) — a
+    // cheap query flagging in SOME full-suite sessions with tight
+    // spreads, irreproducible in any subset, points at whole-session
+    // JVM accumulation (JIT code cache filled by ~750 codegen classes
+    // → late compilations stay interpreted; old-gen growth → GC tax).
+    // Recording both per draw lets a flagged draw self-attribute
+    // instead of costing another round of isolated re-draws.
+    import scala.jdk.CollectionConverters._
+    val cc = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getName.startsWith("CodeHeap"))
+    val ccUsedMb = cc.map(_.getUsage.getUsed).sum / 1048576
+    val ccMaxMb = cc.map(_.getUsage.getMax).sum / 1048576
+    val gcMs = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     // Per-query detail goes to disk only; stdout gets a short
     // total-only line (the harness tails stdout with a bounded buffer,
     // so the final line must stay well under that bound).
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir","jvm":{"code_cache_used_mb":$ccUsedMb,"code_cache_max_mb":$ccMaxMb,"gc_ms":$gcMs}}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)

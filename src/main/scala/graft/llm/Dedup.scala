@@ -2388,11 +2388,21 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"lang", ($"n_chars" / 8).cast("long").as("blk"),
         substring($"text", 1, 64).as("pfx"))
-    // overlapping blocks: each doc is indexed under blk and blk+1, so
-    // same-block and adjacent-block pairs both surface; the distinct on
-    // (a, b) collapses the double hit for same-block pairs. The index
-    // carries IDS ONLY — candidate generation, the distinct, and the
-    // occupancy cap all run on (doc_id, lang, bkt) rows with no string
+    // overlapping blocks: each doc is indexed under blk (native entry)
+    // and blk+1 (shifted entry), so same-block and adjacent-block pairs
+    // both surface. Keeping only pairs where AT LEAST ONE side is
+    // native makes every candidate surface EXACTLY once — a same-block
+    // pair meets native/native at its own block (its shifted/shifted
+    // echo at blk+1 is dropped) and a straddling pair meets
+    // shifted/native at the upper block — so the former pair-stream
+    // DISTINCT (a full shuffle of the quadratic candidate set, the
+    // single biggest line item in this op's r11 profile) is gone.
+    // Blocking-policy corollary, mirrored in the oracle: a same-block
+    // pair whose native block is occupancy-capped is excluded even if
+    // the shifted block is under cap (before, the echo could resurrect
+    // it — an artifact, not a guarantee; capped blocks are excluded by
+    // policy). The index carries IDS ONLY — candidate generation and
+    // the occupancy cap run on (doc_id, lang, bkt) rows with no string
     // payload (the prefix attaches to the ~100× smaller verified
     // candidate set afterward, the same strings-never-shuffle discipline
     // as the MinHash band index). Pre-renamed join sides keep this an
@@ -2401,16 +2411,24 @@ object Dedup {
     // `a.lang === b.lang` to one attribute (trivially true) and
     // degrading to a nested-loop cross join.
     val indexed = docs.select($"doc_id", $"lang",
-        explode(array($"blk", $"blk" + 1)).as("bkt"))
+        explode(array(struct($"blk".as("bkt"), lit(true).as("nat")),
+          struct(($"blk" + 1).as("bkt"), lit(false).as("nat")))).as("e"))
+      .select($"doc_id", $"lang", $"e.bkt", $"e.nat")
     val occ = indexed.groupBy($"lang", $"bkt").agg(count(lit(1)).as("n_blk"))
       .filter($"n_blk" <= EditBlockCap)
-    val inBlk = indexed.join(occ.select($"lang", $"bkt"), Seq("lang", "bkt"))
-    val pairs = inBlk.select($"lang", $"bkt", $"doc_id".as("doc_a"))
-      .join(inBlk.select($"lang", $"bkt", $"doc_id".as("doc_b")),
-        Seq("lang", "bkt"))
-      .filter($"doc_a" < $"doc_b")
+    // materialized (ids only, ~2 index entries/doc): BOTH self-join
+    // sides read it, and unmaterialized each side re-derives the
+    // document scan + explode + occupancy join — measured at sf0.1,
+    // pair generation was 1.4 s of the op's 2.2 s against ~0.15 s for
+    // the 151k-pair join itself once the index is a table.
+    val inBlk = Tables.materialize(
+      indexed.join(occ.select($"lang", $"bkt"), Seq("lang", "bkt")))
+    val pairs = inBlk.select($"lang", $"bkt", $"doc_id".as("doc_a"),
+        $"nat".as("nat_a"))
+      .join(inBlk.select($"lang", $"bkt", $"doc_id".as("doc_b"),
+        $"nat".as("nat_b")), Seq("lang", "bkt"))
+      .filter($"doc_a" < $"doc_b" && ($"nat_a" || $"nat_b"))
       .select($"doc_a", $"doc_b", $"lang")
-      .distinct()
     val pfx = docs.select($"doc_id", $"pfx")
     pairs
       .join(pfx.select($"doc_id".as("doc_a"), $"pfx".as("pfx_a")), "doc_a")
@@ -2433,19 +2451,20 @@ object Dedup {
        |    substr(text, 1, 64) AS pfx
        |  FROM documents),
        |indexed AS (
-       |  SELECT doc_id, lang, pfx, blk AS bkt FROM docs
+       |  SELECT doc_id, lang, pfx, blk AS bkt, TRUE AS nat FROM docs
        |  UNION ALL
-       |  SELECT doc_id, lang, pfx, blk + 1 AS bkt FROM docs),
+       |  SELECT doc_id, lang, pfx, blk + 1 AS bkt, FALSE AS nat FROM docs),
        |occ AS (
        |  SELECT lang, bkt FROM indexed GROUP BY lang, bkt
        |  HAVING COUNT(*) <= $EditBlockCap),
        |inblk AS (
        |  SELECT i.* FROM indexed i JOIN occ USING (lang, bkt)),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.lang AS lang, a.pfx AS pfx_a, b.pfx AS pfx_b
        |  FROM inblk a JOIN inblk b
-       |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+       |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+       |  WHERE a.nat OR b.nat)
        |SELECT doc_a, doc_b, lang, CAST(levenshtein(pfx_a, pfx_b) AS INT) AS dist,
        |  ROUND(CAST(1.0 AS DOUBLE) - levenshtein(pfx_a, pfx_b)
        |    / GREATEST(LENGTH(pfx_a), LENGTH(pfx_b)), 6) AS sim

@@ -1419,7 +1419,92 @@ object Graph {
        |ORDER BY hop""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_graph_degree_gini: degree-inequality coefficient per side —
+  // the exact Gini of the degree distribution, computed at HISTOGRAM
+  // grain. [[degree]] shows the log₂ buckets and [[powerlawAlpha]]
+  // fits the tail; the Gini is the single-number version a capacity
+  // planner thresholds on ("above 0.6, per-hub capping is mandatory").
+  // For values grouped as (degree d_j, count c_j) sorted by d asc with
+  // running count cum_j, the classic rank form 2·Σᵢ i·xᵢ/(n·T) −
+  // (n+1)/n needs only 2S = Σ_j d_j·c_j·(cum_j + prev_j + 1) — exact
+  // integers, no per-node rank materialization.
+  // Scale shape: one node-grain partial agg (the session-cached degree
+  // table) → (side, degree) histogram → windows PARTITIONED BY side
+  // over histogram rows (bounded by distinct degree values, not node
+  // count). Determinism: 2S sums in DECIMAL(38,0); gini/mean are one
+  // rounded rational each.
+  def degreeGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val deg = edgesWithDeg(spark, dir)
+      .select($"src".as("node"), $"outdeg").distinct()
+    val hist = deg.groupBy(
+        when($"node" % 2 === 0, "customer").otherwise("supplier").as("side"),
+        $"outdeg".as("d"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"side").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("prev", $"cum" - $"c")
+      .withColumn("two_s_term",
+        $"d".cast(DecimalType(38, 0)) * $"c" * ($"cum" + $"prev" + 1))
+      .groupBy($"side")
+      .agg(sum($"cum" - $"prev").as("n_nodes"),
+        count(lit(1)).as("n_distinct_degrees"),
+        sum($"d" * $"c").as("sum_degree"),
+        max($"d").as("max_degree"),
+        sum($"two_s_term").as("two_s"))
+      .select($"side", $"n_nodes", $"n_distinct_degrees",
+        round($"sum_degree".cast("double") / $"n_nodes", 6)
+          .as("mean_degree"),
+        $"max_degree",
+        round($"two_s".cast("double")
+          / ($"n_nodes".cast("double") * $"sum_degree")
+          - ($"n_nodes" + 1.0) / $"n_nodes", 6).as("gini"))
+      .orderBy($"side")
+  }
+
+  val degreeGiniSql: String =
+    s"""WITH pairs AS ($edgeSql),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |hist AS (
+       |  SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |      AS side,
+       |    outdeg AS d, COUNT(*) AS c
+       |  FROM deg GROUP BY 1, 2),
+       |r AS (
+       |  SELECT side, d, c,
+       |    SUM(c) OVER (PARTITION BY side ORDER BY d
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM hist),
+       |x AS (
+       |  SELECT side, d, c, cum, cum - c AS prev,
+       |    CAST(d AS DECIMAL(38,0)) * c * (cum + (cum - c) + 1)
+       |      AS two_s_term
+       |  FROM r),
+       |a AS (
+       |  SELECT side, CAST(SUM(cum - prev) AS BIGINT) AS n_nodes,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct_degrees,
+       |    CAST(SUM(d * c) AS BIGINT) AS sum_degree,
+       |    CAST(MAX(d) AS BIGINT) AS max_degree,
+       |    SUM(two_s_term) AS two_s
+       |  FROM x GROUP BY side)
+       |SELECT side, n_nodes, n_distinct_degrees,
+       |  ROUND(CAST(sum_degree AS DOUBLE) / n_nodes, 6) AS mean_degree,
+       |  max_degree,
+       |  ROUND(CAST(two_s AS DOUBLE)
+       |    / (CAST(n_nodes AS DOUBLE) * sum_degree)
+       |    - (n_nodes + 1.0) / n_nodes, 6) AS gini
+       |FROM a ORDER BY side""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_graph_degree_gini" -> (degreeGini _),
     "llm_graph_bfs_hops" -> (bfsHops _),
     "llm_graph_powerlaw_alpha" -> (powerlawAlpha _),
     "llm_graph_reciprocity" -> (reciprocity _),
@@ -1438,6 +1523,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_graph_degree_gini" -> degreeGiniSql,
     "llm_graph_bfs_hops" -> bfsHopsSql,
     "llm_graph_powerlaw_alpha" -> powerlawAlphaSql,
     "llm_graph_reciprocity" -> reciprocitySql,

@@ -1690,7 +1690,101 @@ object Models {
        |FROM m CROSS JOIN s""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_models_cost_curve: cost-sensitive operating points — for each
+  // false-negative:false-positive cost ratio in {1, 2, 5, 10}, the
+  // threshold that MINIMIZES total cost fp + ratio·fn over every
+  // possible cut of the score distribution, with its confusion counts
+  // and normalized cost. The decision-theoretic complement of
+  // [[thresholdSweep]] (the curve at fixed thresholds) and [[youden]]/
+  // [[confusion]] (statistically-optimal single points): a curation
+  // gate where letting bad documents through costs 10× more than
+  // discarding good ones operates at a DIFFERENT threshold than the
+  // F1 optimum, and this table says which one. The candidate cuts are
+  // every distinct score plus the predict-nothing sentinel (1.0 —
+  // sigmoid scores are < 1), so the minimum is exact, not grid-bound.
+  // Scale shape: one scoring scan collapses to the bounded score
+  // histogram; cumulative cuts, the ×4 ratio grid, argmin, and the
+  // count re-attach all run at score grain. Determinism: integer
+  // costs; the threshold is MIN(p) over the exact-equality argmin set
+  // (identical doubles ⇒ identical set in both engines).
+  def costCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.materialize(scoreHist(spark, dir))
+    val (np, nn) = histTotals(hist)
+    if (np == 0L || nn == 0L)
+      return spark.createDataFrame(
+        Seq.empty[(Long, Double, Long, Long, Long, Long, Long, Double)])
+        .toDF("cost_ratio", "threshold", "tp", "fp", "tn", "fn",
+          "total_cost", "cost_per_item")
+    val w = Window.orderBy($"p".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist
+      .withColumn("tp", sum($"pos").over(w))
+      .withColumn("fp", sum($"neg").over(w))
+      .select($"p", $"tp", $"fp")
+      .unionAll(Seq((1.0, 0L, 0L)).toDF("p", "tp", "fp"))
+      .withColumn("fn", lit(np) - $"tp")
+      .withColumn("tn", lit(nn) - $"fp")
+    val ratios = Seq(1L, 2L, 5L, 10L).toDF("cost_ratio")
+    val costs = cuts.crossJoin(broadcast(ratios))
+      .withColumn("cost", $"fp" + $"cost_ratio" * $"fn")
+    val best = costs.groupBy($"cost_ratio").agg(min($"cost").as("best_cost"))
+    val sel = costs.join(broadcast(best), "cost_ratio")
+      .filter($"cost" === $"best_cost")
+      .groupBy($"cost_ratio").agg(min($"p").as("thr"))
+    sel.join(cuts, sel("thr") === cuts("p"))
+      .select($"cost_ratio", round($"thr", 6).as("threshold"),
+        $"tp", $"fp", $"tn", $"fn",
+        ($"fp" + $"cost_ratio" * $"fn").as("total_cost"),
+        round(($"fp" + $"cost_ratio" * $"fn").cast("double")
+          / (np + nn).toDouble, 6).as("cost_per_item"))
+      .orderBy($"cost_ratio")
+  }
+
+  val costCurveSql: String = {
+    val p = sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")
+    s"""WITH $logregChainSql,
+       |sc AS (SELECT $p AS p, f.y AS y FROM f CROSS JOIN w3s w),
+       |h AS (
+       |  SELECT p, CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos,
+       |    SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS neg
+       |  FROM sc GROUP BY p),
+       |tt AS (SELECT CAST(SUM(pos) AS BIGINT) AS np,
+       |  CAST(SUM(neg) AS BIGINT) AS nn FROM h),
+       |cc0 AS (SELECT p,
+       |    CAST(SUM(pos) OVER (ORDER BY p DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+       |    CAST(SUM(neg) OVER (ORDER BY p DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+       |  FROM h
+       |  UNION ALL SELECT CAST(1.0 AS DOUBLE), CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT)),
+       |ccx AS (SELECT cc0.p, cc0.tp, cc0.fp, tt.np - cc0.tp AS fn,
+       |    tt.nn - cc0.fp AS tn
+       |  FROM cc0 CROSS JOIN tt),
+       |gg AS (SELECT CAST(unnest([1, 2, 5, 10]) AS BIGINT) AS cost_ratio),
+       |ccosts AS (SELECT gg.cost_ratio, ccx.p, ccx.tp, ccx.fp, ccx.tn,
+       |    ccx.fn, ccx.fp + gg.cost_ratio * ccx.fn AS cost
+       |  FROM ccx CROSS JOIN gg),
+       |bb AS (SELECT cost_ratio, MIN(cost) AS best_cost
+       |  FROM ccosts GROUP BY cost_ratio),
+       |ss AS (SELECT c.cost_ratio, MIN(c.p) AS thr
+       |  FROM ccosts c JOIN bb ON c.cost_ratio = bb.cost_ratio
+       |    AND c.cost = bb.best_cost
+       |  GROUP BY c.cost_ratio)
+       |SELECT ss.cost_ratio, ROUND(ss.thr, 6) AS threshold,
+       |  x.tp, x.fp, x.tn, x.fn,
+       |  CAST(x.fp + ss.cost_ratio * x.fn AS BIGINT) AS total_cost,
+       |  ROUND(CAST(x.fp + ss.cost_ratio * x.fn AS DOUBLE)
+       |    / (tt.np + tt.nn), 6) AS cost_per_item
+       |FROM ss JOIN ccx x ON ss.thr = x.p CROSS JOIN tt
+       |ORDER BY cost_ratio""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_models_cost_curve" -> (costCurve _),
     "llm_models_bootstrap_auc" -> (bootstrapAuc _),
     "llm_models_gains" -> (gains _),
     "llm_models_hosmer" -> (hosmer _),
@@ -1710,6 +1804,7 @@ object Models {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_models_cost_curve" -> costCurveSql,
     "llm_models_youden" -> youdenSql,
     "llm_models_bootstrap_auc" -> bootstrapAucSql,
     "llm_models_gains" -> gainsSql,

@@ -931,7 +931,219 @@ object Multimodal {
        |    / COUNT(*), 6) AS avg_sampled_frames
        |FROM s GROUP BY n_scenes ORDER BY n_scenes""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_mm_resolution_tiers: resolution-tier planning for image
+  // training — bucket images by shortest side into the canonical
+  // training resolutions (<480 → the 256-px tier, <768 → 512, else
+  // 1024) and report per-tier counts, share, and megapixel mass (the
+  // decode+resize compute budget is ∝ input megapixels, so this table
+  // IS the preprocessing cost plan). Complements mmAspectBuckets
+  // (shape) with size: together they determine the data-loader's
+  // bucket grid. Dims are the same deterministic fake decode as
+  // mmMetadata (h60 of the payload text).
+  // Scale shape: one narrow codegen projection → 3-group partial agg;
+  // the share denominator rides a 1-row broadcast. Determinism:
+  // integer width·height sums (exact), one rounded division each.
+  def mmResolutionTiers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.documents(spark, dir)
+      .select($"doc_id",
+        (h60($"text") % 1600 + 320).as("width"),
+        (h60($"text") % 840 + 240).as("height"))
+      .withColumn("short_side", least($"width", $"height"))
+      .withColumn("tier",
+        when($"short_side" < 480, "256")
+          .when($"short_side" < 768, "512")
+          .otherwise("1024"))
+    val byTier = m.groupBy($"tier")
+      .agg(count(lit(1)).as("n_images"),
+        sum($"width" * $"height").as("px"))
+    val tot = byTier.agg(sum($"n_images").as("n_tot")).filter($"n_tot" > 0)
+    byTier.crossJoin(broadcast(tot))
+      .select($"tier", $"n_images",
+        round($"n_images".cast("double") / $"n_tot", 6).as("share"),
+        round($"px".cast("double") / 1000000.0, 3).as("total_mpx"),
+        round($"px".cast("double") / $"n_images" / 1000000.0, 6)
+          .as("mean_mpx"))
+      .orderBy($"tier")
+  }
+
+  val mmResolutionTiersSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    ${h60Sql("text")} % 1600 + 320 AS width,
+       |    ${h60Sql("text")} % 840 + 240 AS height
+       |  FROM documents),
+       |s AS (SELECT doc_id, width, height,
+       |    LEAST(width, height) AS short_side FROM m),
+       |b AS (SELECT CASE WHEN short_side < 480 THEN '256'
+       |    WHEN short_side < 768 THEN '512' ELSE '1024' END AS tier,
+       |    width * height AS wh FROM s),
+       |t AS (SELECT tier, COUNT(*) AS n_images,
+       |    CAST(SUM(wh) AS BIGINT) AS px FROM b GROUP BY tier),
+       |tt AS (SELECT CAST(SUM(n_images) AS BIGINT) AS n_tot FROM t
+       |  HAVING SUM(n_images) > 0)
+       |SELECT tier, CAST(n_images AS BIGINT) AS n_images,
+       |  ROUND(CAST(n_images AS DOUBLE) / n_tot, 6) AS share,
+       |  ROUND(CAST(px AS DOUBLE) / 1000000.0, 3) AS total_mpx,
+       |  ROUND(CAST(px AS DOUBLE) / n_images / 1000000.0, 6) AS mean_mpx
+       |FROM t CROSS JOIN tt ORDER BY tier""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_mm_caption_stats: image-caption pairing audit — treat the
+  // payload's leading sentence (text up to the first '.', only if it
+  // closes within 128 chars) as the caption a VLM pair would train on,
+  // and report per source how many payloads HAVE a usable caption and
+  // how long captions run. The cross-modal coverage gate: a source
+  // with a low captioned share feeds caption-free pretraining only,
+  // and caption length drives the text-tower token budget.
+  // Scale shape: one narrow projection (instr + length — no split, no
+  // explode) → source-grain partial agg. Determinism: caption lengths
+  // are exact integers; the mean routes through an integer sum.
+  def mmCaptionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Tables.documents(spark, dir)
+      .select($"source",
+        instr($"text", ".").as("pos"))
+      .withColumn("cap_chars",
+        when($"pos" >= 1 && $"pos" <= 128, $"pos"))
+    m.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"cap_chars").as("n_captioned"),
+        sum($"cap_chars".cast("long")).as("cap_sum"))
+      .select($"source", $"n_docs", $"n_captioned",
+        round($"n_captioned".cast("double") / $"n_docs", 6)
+          .as("captioned_share"),
+        when($"n_captioned" > 0,
+          round($"cap_sum".cast("double") / $"n_captioned", 6))
+          .as("mean_caption_chars"))
+      .orderBy($"source")
+  }
+
+  val mmCaptionStatsSql: String =
+    """WITH m AS (SELECT source, strpos(text, '.') AS pos FROM documents),
+      |c AS (SELECT source,
+      |    CASE WHEN pos BETWEEN 1 AND 128 THEN pos END AS cap_chars
+      |  FROM m),
+      |s AS (SELECT source, COUNT(*) AS n_docs,
+      |    COUNT(cap_chars) AS n_captioned,
+      |    CAST(SUM(cap_chars) AS BIGINT) AS cap_sum
+      |  FROM c GROUP BY source)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_captioned AS BIGINT) AS n_captioned,
+      |  ROUND(CAST(n_captioned AS DOUBLE) / n_docs, 6) AS captioned_share,
+      |  CASE WHEN n_captioned > 0
+      |    THEN ROUND(CAST(cap_sum AS DOUBLE) / n_captioned, 6) END
+      |    AS mean_caption_chars
+      |FROM s ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_mm_duration_mix: audio-hours inventory per source — under the
+  // mmAudio decode convention (payload = 16 kHz 16-bit mono), each
+  // source's clip count, total minutes, share of the corpus's audio
+  // mass, and mean clip seconds. The first table an ASR/audio-LM data
+  // plan is built from: token budgets are set in HOURS, not documents,
+  // and a source mix balanced by doc count can be wildly unbalanced by
+  // duration.
+  // Scale shape: one narrow projection (octet_length only) →
+  // source-grain partial agg; the share denominator rides a 1-row
+  // broadcast. Determinism: durations are exact integer milliseconds.
+  def mmDurationMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"source",
+        (octet_length(encode($"text", "utf-8")).cast("long") / 2)
+          .cast("long").as("n_samples"))
+      .select($"source", expr("n_samples div 16").as("duration_ms"))
+    val bySrc = d.groupBy($"source")
+      .agg(count(lit(1)).as("n_clips"), sum($"duration_ms").as("ms"))
+    val tot = bySrc.agg(sum($"ms").as("ms_tot")).filter($"ms_tot" > 0)
+    bySrc.crossJoin(broadcast(tot))
+      .select($"source", $"n_clips",
+        round($"ms".cast("double") / 60000.0, 4).as("total_minutes"),
+        round($"ms".cast("double") / $"ms_tot", 6).as("share"),
+        round($"ms".cast("double") / $"n_clips" / 1000.0, 6)
+          .as("mean_clip_s"))
+      .orderBy($"source")
+  }
+
+  val mmDurationMixSql: String =
+    """WITH d AS (SELECT source,
+      |    (CAST(octet_length(encode(text)) // 2 AS BIGINT)) // 16
+      |      AS duration_ms
+      |  FROM documents),
+      |s AS (SELECT source, COUNT(*) AS n_clips,
+      |    CAST(SUM(duration_ms) AS BIGINT) AS ms FROM d GROUP BY source),
+      |t AS (SELECT CAST(SUM(ms) AS BIGINT) AS ms_tot FROM s
+      |  HAVING SUM(ms) > 0)
+      |SELECT source, CAST(n_clips AS BIGINT) AS n_clips,
+      |  ROUND(CAST(ms AS DOUBLE) / 60000.0, 4) AS total_minutes,
+      |  ROUND(CAST(ms AS DOUBLE) / ms_tot, 6) AS share,
+      |  ROUND(CAST(ms AS DOUBLE) / n_clips / 1000.0, 6) AS mean_clip_s
+      |FROM s CROSS JOIN t ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // llm_mm_band_occupancy: LSH-band health audit for the media phash
+  // index — per band, the log₂ histogram of bucket occupancies (how
+  // many (band, key) buckets hold 1, 2–3, 4–7, … docs) with entry and
+  // candidate-pair mass per size class. The capacity-planning view
+  // every banded dedup needs BEFORE running pair generation: pair cost
+  // is Σ n·(n−1)/2 over buckets, so one hot size class IS the bill,
+  // and a band whose mass sits in big buckets needs a finer key (more
+  // bits) while all-singleton bands waste recall. Reads the SAME
+  // session-cached phash artifact as llm_mm_phash — the audit costs no
+  // second hash pass.
+  // Scale shape: doc-grain band explode (×4) → (band, key) partial-agg
+  // counts → ≤(4 × log₂ max-occupancy)-row rollup. All integer.
+  def mmBandOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = phashes(spark, dir)
+      .select($"doc_id", explode(array(
+        (0 until 4).map(j => struct(lit(j).as("band"),
+          expr(s"(phash div ${1L << (15 * j)}) % 32768").as("key"))): _*))
+        .as("bk"))
+      .select($"bk.band", $"bk.key")
+    val occ = bands.groupBy($"band", $"key").agg(count(lit(1)).as("n"))
+    occ.groupBy($"band", (length(bin($"n")) - 1).as("size_bucket"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"n").as("n_entries"),
+        sum(expr("n * (n - 1) div 2")).as("pair_mass"))
+      .orderBy($"band", $"size_bucket")
+  }
+
+  val mmBandOccupancySql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |    rpad(substr(text, 1, $PhashBytes), $PhashBytes, ' ') AS pfx
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    list_transform(range(0, $PhashBlocks), b ->
+       |      ascii(substr(pfx, b*4+1, 1)) + ascii(substr(pfx, b*4+2, 1))
+       |      + ascii(substr(pfx, b*4+3, 1)) + ascii(substr(pfx, b*4+4, 1)))
+       |    AS bs
+       |  FROM p),
+       |h AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, $PhashBlocks), b ->
+       |      CASE WHEN bs[b+1] > CAST(list_sum(bs) AS DOUBLE) / $PhashBlocks
+       |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT) AS phash
+       |  FROM s),
+       |b AS (SELECT doc_id, phash,
+       |    CAST(unnest(range(0, 4)) AS INT) AS band FROM h),
+       |k AS (SELECT band,
+       |    (phash // (CAST(1 AS BIGINT) << (15 * band))) % 32768 AS key,
+       |    COUNT(*) AS n
+       |  FROM b GROUP BY band, key)
+       |SELECT band, CAST(LENGTH(BIN(n)) - 1 AS INT) AS size_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(n) AS BIGINT) AS n_entries,
+       |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pair_mass
+       |FROM k GROUP BY band, size_bucket
+       |ORDER BY band, size_bucket""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_resolution_tiers" -> (mmResolutionTiers _),
+    "llm_mm_caption_stats" -> (mmCaptionStats _),
+    "llm_mm_duration_mix" -> (mmDurationMix _),
+    "llm_mm_band_occupancy" -> (mmBandOccupancy _),
     "llm_mm_scene_segments" -> (mmSceneSegments _),
     "llm_mm_frame_dedup" -> (mmFrameDedup _),
     "llm_mm_magic_router" -> (mmMagicRouter _),
@@ -950,6 +1162,10 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_mm_resolution_tiers" -> mmResolutionTiersSql,
+    "llm_mm_caption_stats" -> mmCaptionStatsSql,
+    "llm_mm_duration_mix" -> mmDurationMixSql,
+    "llm_mm_band_occupancy" -> mmBandOccupancySql,
     "llm_mm_scene_segments" -> mmSceneSegmentsSql,
     "llm_mm_frame_dedup" -> mmFrameDedupSql,
     "llm_mm_magic_router" -> mmMagicRouterSql,

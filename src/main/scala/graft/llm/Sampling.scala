@@ -1310,7 +1310,105 @@ object Sampling {
        |    ELSE 'shifted' END AS verdict
        |FROM tt CROSS JOIN p ORDER BY tt.source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_sample_lang_quota: per-language token-budget selection — keep
+  // each language's highest-quality documents until 30% of THAT
+  // language's tokens are filled, and report the per-language fill
+  // (docs kept, tokens kept vs quota, the quality floor the quota
+  // buys). The grouped twin of llm_pipeline_budget: a global budget
+  // lets high-resource languages starve the tail, a per-lang quota is
+  // how multilingual mixes are actually provisioned — and the
+  // quality-floor column exposes the real cost (the floor a 30% quota
+  // buys in a small language is far below the big-language floor).
+  //
+  // Spec = per-lang prefix of the (quality DESC, doc_id) order whose
+  // running token sum fits the lang quota. Scale shape: the budget
+  // decomposition applied PER GROUP — quality buckets (a step function
+  // of each lang's order), a (lang × 20)-row bucket table whose
+  // cumulative window partitions by lang (bounded rows per partition),
+  // whole under-quota buckets kept sort-free, and ONLY each lang's
+  // single boundary bucket pays an ordered within-bucket running sum
+  // (a window partitioned by (lang, bucket) — never a lang-wide or
+  // global sort; at any corpus size no task sees more than one
+  // bucket of one language).
+  // Determinism: integer token sums; quality is taQuality's 6-dp
+  // double (identical both engines); the bucket id is a monotone step
+  // of quality, so bucket boundaries align with the order exactly.
+  def sampleLangQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.taQuality(spark, dir)
+      .select($"doc_id", $"n_tokens".cast("long").as("tok"), $"quality")
+      .join(Tables.documents(spark, dir).select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"lang", $"tok", $"quality",
+        least(floor($"quality" * 20).cast("int"), lit(19)).as("bkt"))
+      .localCheckpoint()
+    val wCum = Window.partitionBy($"lang").orderBy($"bkt".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"lang").orderBy($"bkt".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bt = q.groupBy($"lang", $"bkt")
+      .agg(sum($"tok").as("tok_b"), count(lit(1)).as("n_b"))
+      .withColumn("cum_b", sum($"tok_b").over(wCum))
+      .withColumn("tot", sum($"tok_b").over(wAll))
+      .withColumn("n_docs", sum($"n_b").over(wAll))
+      .withColumn("quota", expr("tot * 3 div 10"))
+      .withColumn("cum_prev", $"cum_b" - $"tok_b")
+      .select($"lang", $"bkt", $"cum_b", $"cum_prev", $"tot", $"n_docs",
+        $"quota")
+      .localCheckpoint()
+    val joined = q.join(broadcast(bt), Seq("lang", "bkt"))
+    val full = joined.filter($"cum_b" <= $"quota")
+      .select($"lang", $"tok", $"quality")
+    val wIn = Window.partitionBy($"lang", $"bkt")
+      .orderBy($"quality".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .filter($"cum_prev" <= $"quota" && $"cum_b" > $"quota")
+      .withColumn("wcum", sum($"tok").over(wIn))
+      .filter($"cum_prev" + $"wcum" <= $"quota")
+      .select($"lang", $"tok", $"quality")
+    val kept = full.union(boundary).groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"tok").as("tokens_kept"),
+        min($"quality").as("min_quality_kept"))
+    bt.select($"lang", $"n_docs", $"tot".as("tokens_total"),
+        $"quota".as("quota_tokens")).distinct()
+      .join(kept, "lang")
+      .select($"lang", $"n_docs", $"n_kept", $"tokens_total",
+        $"tokens_kept", $"quota_tokens",
+        round($"n_kept".cast("double") / $"n_docs", 6).as("kept_doc_share"),
+        $"min_quality_kept")
+      .orderBy($"lang")
+  }
+
+  // The oracle states the SPEC (per-lang global ordered prefix sum) —
+  // the grouped bucketed plan must reproduce it exactly.
+  val sampleLangQuotaSql: String =
+    s"""WITH q AS (${TextAnalysis.taQualitySql}),
+       |j AS (SELECT q.doc_id, d.lang, CAST(q.n_tokens AS BIGINT) AS tok,
+       |    q.quality
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+       |t AS (SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(tok) AS BIGINT) AS tokens_total,
+       |    CAST(SUM(tok) AS BIGINT) * 3 // 10 AS quota_tokens
+       |  FROM j GROUP BY lang),
+       |r AS (SELECT lang, doc_id, tok, quality,
+       |    SUM(tok) OVER (PARTITION BY lang
+       |      ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM j),
+       |k AS (SELECT r.lang, COUNT(*) AS n_kept,
+       |    CAST(SUM(r.tok) AS BIGINT) AS tokens_kept,
+       |    MIN(r.quality) AS min_quality_kept
+       |  FROM r JOIN t ON r.lang = t.lang
+       |  WHERE r.cum <= t.quota_tokens GROUP BY r.lang)
+       |SELECT t.lang, CAST(t.n_docs AS BIGINT) AS n_docs,
+       |  CAST(k.n_kept AS BIGINT) AS n_kept, t.tokens_total,
+       |  k.tokens_kept, t.quota_tokens,
+       |  ROUND(CAST(k.n_kept AS DOUBLE) / t.n_docs, 6) AS kept_doc_share,
+       |  k.min_quality_kept
+       |FROM t JOIN k ON t.lang = k.lang ORDER BY t.lang""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_lang_quota" -> (sampleLangQuota _),
     "llm_sample_coverage_audit" -> (sampleCoverageAudit _),
     "llm_sample_temperature_sweep" -> (sampleTemperatureSweep _),
     "llm_sample_ht" -> (sampleHt _),
@@ -1334,6 +1432,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_lang_quota" -> sampleLangQuotaSql,
     "llm_sample_coverage_audit" -> sampleCoverageAuditSql,
     "llm_sample_temperature_sweep" -> sampleTemperatureSweepSql,
     "llm_sample_ht" -> sampleHtSql,

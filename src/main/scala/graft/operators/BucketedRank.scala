@@ -49,16 +49,24 @@ object BucketedRank {
     * `tieCol` ASC) to `df`, computed distributed-exactly as described
     * above. `tieCol` must be unique per row (the queries use the
     * customer key), so the order is total and the result deterministic.
+    *
+    * `materialized = true` skips the internal localCheckpoint — for
+    * callers that already checkpointed `df` (so they can fold their
+    * own grand totals off the same narrow table without a second
+    * derivation). Job economy matters here: every localCheckpoint is
+    * a separate eager job, and the first cut of this helper (input +
+    * range-table + caller-side decile-table checkpoints) tripled the
+    * three callers' bench medians on pure job-launch overhead. The
+    * range and bucket tables therefore stay INLINE broadcast subtrees
+    * of the caller's single action — bounded (1-row / ≤B-row)
+    * single-partition aggregates are two cheap stages, not jobs.
     */
   def ntileDesc(df: DataFrame, valueCol: String, tieCol: String, k: Int,
-                out: String, buckets: Int = 1024): DataFrame = {
-    val base = df.localCheckpoint()
+                out: String, buckets: Int = 1024,
+                materialized: Boolean = false): DataFrame = {
+    val base = if (materialized) df else df.localCheckpoint()
     val v: Column = col(valueCol).cast("double")
-    // 1-row range table, MATERIALIZED: `withB` is derived twice below
-    // (bucket counts + rank join), and unmaterialized each derivation
-    // re-runs the min/max aggregate over the checkpointed base.
     val mm = base.agg(min(v).as("gnt_vmin"), max(v).as("gnt_vmax"))
-      .localCheckpoint()
     val withB = base.crossJoin(broadcast(mm))
       .withColumn("gnt_bkt",
         when(col("gnt_vmax") === col("gnt_vmin"), lit(0))

@@ -1108,17 +1108,19 @@ object RelationalQueries {
   def q61ParetoCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // ONE materialization job: the checkpointed customer collapse
+    // feeds the rank helper AND the grand total (sum of decile sums ==
+    // sum over customers — exact DECIMAL addition is associative), so
+    // the decile table is referenced once and needs no checkpoint.
     val perCust = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
-    val deciled = BucketedRank.ntileDesc(perCust, "rev", "o_custkey", 10, "decile")
-    // 10-row table, MATERIALIZED (k-row convention): both `tot` and the
-    // crossJoin below reference it, and unmaterialized Catalyst would
-    // re-derive the whole bucketed-rank subtree per reference.
+      .localCheckpoint()
+    val deciled = BucketedRank.ntileDesc(perCust, "rev", "o_custkey", 10,
+      "decile", materialized = true)
     val byDecile = deciled.groupBy($"decile")
       .agg(count(lit(1)).as("n_customers"), sum($"rev").as("decile_rev"))
-      .localCheckpoint()
-    val tot = broadcast(byDecile.agg(sum($"decile_rev").as("total_rev")))
+    val tot = broadcast(perCust.agg(sum($"rev").as("total_rev")))
     val wCum = Window.orderBy($"decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byDecile.crossJoin(tot)
@@ -1749,25 +1751,23 @@ object RelationalQueries {
     val late = o.filter($"o_orderdate" >= cut)
       .groupBy($"o_custkey".as("lk"))
       .agg(dsum($"o_totalprice").as("late_rev"))
+    // ONE materialization job: the checkpointed customer-grain join
+    // feeds the rank helper AND the grand totals (the decile column is
+    // irrelevant to the sums), so the decile table is referenced once.
     val joined = early
       .join(late, $"o_custkey" === $"lk", "left")
       .select($"o_custkey", $"early_rev",
         coalesce($"late_rev", lit(0.0)).as("late_rev"))
-    val deciled = BucketedRank.ntileDesc(joined, "early_rev", "o_custkey", 10, "decile")
-    // 10-row table, MATERIALIZED (k-row convention) and kept DECIMAL:
-    // the grand totals fold the per-decile DECIMAL sums (exact — sums
-    // of exact sums), so `deciled` is referenced ONCE and the bucketed-
-    // rank subtree is not re-derived for the totals pass.
-    val perDecileD = deciled.groupBy($"decile")
-      .agg(count(lit(1)).as("n_custs"),
-        sum($"early_rev".cast(DecimalType(28, 6))).as("de_dec"),
-        sum($"late_rev".cast(DecimalType(28, 6))).as("dl_dec"))
       .localCheckpoint()
-    val totals = broadcast(perDecileD.agg(
-      sum($"de_dec").cast("double").as("te"),
-      sum($"dl_dec").cast("double").as("tl")))
-    val perDecile = perDecileD.select($"decile", $"n_custs",
-      $"de_dec".cast("double").as("de"), $"dl_dec".cast("double").as("dl"))
+    val deciled = BucketedRank.ntileDesc(joined, "early_rev", "o_custkey", 10,
+      "decile", materialized = true)
+    val totals = broadcast(joined.agg(
+      sum($"early_rev".cast(DecimalType(28, 6))).cast("double").as("te"),
+      sum($"late_rev".cast(DecimalType(28, 6))).cast("double").as("tl")))
+    val perDecile = deciled.groupBy($"decile")
+      .agg(count(lit(1)).as("n_custs"),
+        sum($"early_rev".cast(DecimalType(28, 6))).cast("double").as("de"),
+        sum($"late_rev".cast(DecimalType(28, 6))).cast("double").as("dl"))
     val wCum = Window.orderBy($"decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perDecile.crossJoin(totals)
