@@ -39,10 +39,33 @@ object Bench {
     // late-suite medians up to 16× their isolated cost (round-7
     // verdict) — the suite must measure plans, not harness state.
     def release(): Unit = graft.sources.Tables.releaseTransients(spark)
+    // Per-query progress journal (append-only, name + pass + seconds):
+    // the r12 lesson — a full-scale draw that wedges mid-pass is
+    // unattributable from the outside (stdout is one line at the end,
+    // per-query detail exists only post-hoc), so a 2-hour 64× draw had
+    // to be killed blind. The journal names the in-flight query at any
+    // moment and doubles as a per-pass cost record.
+    val progressPath = java.nio.file.Paths.get("target", "bench_progress.log")
+    try {
+      java.nio.file.Files.createDirectories(progressPath.getParent)
+      java.nio.file.Files.deleteIfExists(progressPath)
+    } catch { case _: Throwable => }
+    def logProgress(tag: String, name: String, sec: Double): Unit =
+      try java.nio.file.Files.writeString(progressPath,
+        f"$tag $name $sec%.2f%n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => }
+    def timed1(tag: String, name: String, f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      logProgress(tag, name, -1.0) // in-flight marker: names a wedge
+      try f catch { case _: Throwable => }
+      logProgress(tag, name, (System.nanoTime() - t0) / 1e9)
+    }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      selected.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      selected.foreach { case (name, fn) =>
+        timed1("warm-sf0.001", name, fn(spark, warmDir).count())
         release()
       }
       // The sf0.001 pass exists only to compile codegen; its
@@ -55,8 +78,8 @@ object Bench {
       graft.sources.Tables.releaseScope(spark, warmDir)
     }
     if (!cold)
-      selected.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => }
+      selected.foreach { case (name, fn) =>
+        timed1("warm-bench-sf", name, fn(spark, sfDir).count())
         release()
       }
     // Timed pass: N draws per query (median reported). The sandbox
@@ -68,10 +91,13 @@ object Bench {
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt)
       .getOrElse(if (cold) 1 else 3)
     val results = selected.map { case (name, fn) =>
-      val runs = (1 to iters).map { _ =>
+      val runs = (1 to iters).map { i =>
         val t0 = System.nanoTime()
+        logProgress(s"timed-$i", name, -1.0)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val s = (System.nanoTime() - t0) / 1e9
+        logProgress(s"timed-$i", name, s)
+        s
       }
       release()
       name -> runs
