@@ -50,17 +50,32 @@ object Bench {
       java.nio.file.Files.createDirectories(progressPath.getParent)
       java.nio.file.Files.deleteIfExists(progressPath)
     } catch { case _: Throwable => }
+    // Locale.ROOT: the f interpolator is default-locale-sensitive — on
+    // a comma-decimal locale the journal would write "1,23" and break
+    // every downstream parse. A query that THROWS logs a distinct
+    // "FAIL" tag (still with its wall-time), so a fast failure is
+    // never mistaken for a fast pass in the progress record.
     def logProgress(tag: String, name: String, sec: Double): Unit =
       try java.nio.file.Files.writeString(progressPath,
-        f"$tag $name $sec%.2f%n",
+        String.format(java.util.Locale.ROOT, "%s %s %.2f%n", tag, name,
+          Double.box(sec)),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       catch { case _: Throwable => }
+    // Artifact-build attribution (round-12 verdict item 4): cold-mode
+    // draws bill a whole session-cached family's build to whichever
+    // query touches it first (llm_dd_jaccard_est "578 s" at 64x cold
+    // was mostly the dd class/shingle/band bootstrap). Journaling each
+    // build by key makes cold regressions diffable per artifact.
+    graft.sources.Tables.onArtifactBuild = (key, sec) =>
+      logProgress("build", key.replace(' ', '_'), sec)
     def timed1(tag: String, name: String, f: => Unit): Unit = {
       val t0 = System.nanoTime()
       logProgress(tag, name, -1.0) // in-flight marker: names a wedge
-      try f catch { case _: Throwable => }
-      logProgress(tag, name, (System.nanoTime() - t0) / 1e9)
+      try { f; logProgress(tag, name, (System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable =>
+        logProgress(s"$tag-FAIL", name, (System.nanoTime() - t0) / 1e9)
+      }
     }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
@@ -94,9 +109,10 @@ object Bench {
       val runs = (1 to iters).map { i =>
         val t0 = System.nanoTime()
         logProgress(s"timed-$i", name, -1.0)
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         val s = (System.nanoTime() - t0) / 1e9
-        logProgress(s"timed-$i", name, s)
+        logProgress(if (ok) s"timed-$i" else s"timed-$i-FAIL", name, s)
         s
       }
       release()
@@ -120,17 +136,40 @@ object Bench {
     // Recording both per draw lets a flagged draw self-attribute
     // instead of costing another round of isolated re-draws.
     import scala.jdk.CollectionConverters._
+    // -XX:-SegmentedCodeCache JVMs expose ONE pool named "CodeCache"
+    // (no "CodeHeap" prefix), and a pool with undefined max reports
+    // getMax = -1 — both would silently zero/corrupt the telemetry
+    // this block exists to provide, so match both names and clamp
+    // negative maxima out of the sum.
     val cc = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
-      .asScala.filter(_.getName.startsWith("CodeHeap"))
-    val ccUsedMb = cc.map(_.getUsage.getUsed).sum / 1048576
-    val ccMaxMb = cc.map(_.getUsage.getMax).sum / 1048576
+      .asScala.filter(p => p.getName.startsWith("CodeHeap")
+        || p.getName == "CodeCache")
+    val ccUsedMb = cc.map(_.getUsage.getUsed.max(0L)).sum / 1048576
+    val ccMaxMb = cc.map(_.getUsage.getMax.max(0L)).sum / 1048576
     val gcMs = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // Artifact-build table: key shortened to dir-basename#suffix (the
+    // snapshot stamp is session noise); repeated keys (per-dir scans)
+    // keep their max observed build time.
+    import scala.jdk.CollectionConverters.IterableHasAsScala
+    val builds = graft.sources.Tables.buildLog.asScala.toSeq
+      .map { case (k, s) =>
+        val short = k.replaceAll("@[^#]*#", "#")
+          .reverse.takeWhile(_ != '/').reverse
+        short -> s
+      }
+      .groupMapReduce(_._1)(_._2)(math.max)
+      .toSeq.sortBy(-_._2)
+      .map { case (k, s) =>
+        val kq = k.replace("\\", "\\\\").replace("\"", "\\\"")
+        String.format(java.util.Locale.ROOT, "\"%s\":%.3f", kq,
+          Double.box(s)) }
+      .mkString("{", ",", "}")
     // Per-query detail goes to disk only; stdout gets a short
     // total-only line (the harness tails stdout with a bounded buffer,
     // so the final line must stay well under that bound).
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir","jvm":{"code_cache_used_mb":$ccUsedMb,"code_cache_max_mb":$ccMaxMb,"gc_ms":$gcMs}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"sf":"$sfDir","jvm":{"code_cache_used_mb":$ccUsedMb,"code_cache_max_mb":$ccMaxMb,"gc_ms":$gcMs},"builds":$builds}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench_last.json")
       java.nio.file.Files.createDirectories(p.getParent)

@@ -40,6 +40,26 @@ object Tables {
   private val pinnedByKey =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Set[Int]]()
 
+  /** Wall-time of every [[sessionCached]] artifact build this JVM ran,
+    * in completion order (key, seconds). Nested builds appear BEFORE
+    * their outer key and their time is included in the outer entry.
+    * graft.Bench drains this into bench_last.json's `builds` table so
+    * a cold draw's first-touch query cost decomposes into named
+    * artifact builds (round-12 verdict: a 578 s cold-64× query was
+    * mostly un-attributed family bootstrap). Bounded by the number of
+    * distinct artifact keys a session touches (hundreds), not by
+    * query volume. */
+  val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+
+  /** Observer invoked after each artifact build completes, with the
+    * cache key and build seconds — graft.Bench points this at its
+    * per-query progress journal so an IN-FLIGHT build is attributable
+    * from outside the JVM (the completion entry lands next to the
+    * journal's `-1` in-flight marker of whichever query triggered it).
+    * Default no-op; exceptions are swallowed at the call site. */
+  @volatile var onArtifactBuild: (String, Double) => Unit = (_, _) => ()
+
   /** Per-SparkContext build lock: the persistent-RDD id diff in
     * [[sessionCached]] is context-global, so two builds diffing
     * concurrently would attribute each other's ids. Serializing
@@ -137,7 +157,17 @@ object Tables {
         if (again != null) again
         else {
           val before = sc.getPersistentRDDs.keySet
+          val t0 = System.nanoTime()
           val built = build
+          // Build-cost attribution (bench journal): a nested build's
+          // time is INCLUDED in its outer key's time — the journal
+          // entries are ordered innermost-first, so the outer entry's
+          // self-cost is its total minus the nested entries logged
+          // between its start and end. Observer failures never fail
+          // a build.
+          val buildSec = (System.nanoTime() - t0) / 1e9
+          buildLog.add(key -> buildSec)
+          try onArtifactBuild(key, buildSec) catch { case _: Throwable => }
           // Nested builds (an outer artifact building its cached inputs)
           // attribute the inner key's ids to the OUTER key's diff as well;
           // that is why [[releaseScope]] is dir-granular — every key of a

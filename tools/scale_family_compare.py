@@ -53,9 +53,16 @@ def main():
     for f, xs in by.items():
         s = sum(a for _, a, _ in xs)
         b = sum(c for _, _, c in xs)
-        worst = max(xs, key=lambda t: (t[2] / t[1]) if t[1] > 0.05 else 0)
-        rows.append((b, f, len(xs), s, b,
-                     f"{worst[0]} ({worst[2]/max(worst[1],1e-9):.1f}x)"))
+        # worst-query annotation only means something when at least one
+        # query clears the small-draw noise floor; otherwise max() picks
+        # an arbitrary entry and the 1e-9 guard prints an absurd ratio
+        eligible = [t for t in xs if t[1] > 0.05]
+        if eligible:
+            worst = max(eligible, key=lambda t: t[2] / t[1])
+            wtxt = f"{worst[0]} ({worst[2]/worst[1]:.1f}x)"
+        else:
+            wtxt = "-"
+        rows.append((b, f, len(xs), s, b, wtxt))
     for _, f, n, s, b, w in sorted(rows, reverse=True):
         print(f"{f:12s} {n:4d} {s:9.1f} {b:9.1f} {b/max(s,1e-9):6.2f}  {w}")
     st = sum(small[n] for n in shared)
