@@ -44,7 +44,22 @@ object Graph {
     * the orders⨝lineitem distinct-pair build runs once per (session,
     * dir) and both graph queries plus all [[Iters]] PageRank iterations
     * reuse the materialized table. At cluster scale this is the table
-    * you would bucket by `src` so every iteration's join is co-located.
+    * you would bucket by `src` (a bucketed STORAGE write) so every
+    * iteration's join is co-located once rank tables outgrow the
+    * broadcast threshold.
+    *
+    * Measured and rejected (round 13): the in-session equivalent —
+    * `repartition(col("src"))` under AQE-off so the checkpoint keeps
+    * hash(src) — was evaluated with isolated 5-iter draws at sf0.1.
+    * PageRank improved (2.24 → 1.6 s med: its src-keyed iteration
+    * exploits the clustering) but HITS destabilized badly (2.06 →
+    * 8.9 s med with 16 s spikes — its half-steps alternate join keys
+    * src/dst, so the pinned partitioning just denies AQE its plan
+    * choices), and at bench SF the rank side broadcasts anyway, so
+    * the clustering buys nothing the optimizer doesn't already do.
+    * Net: keep the artifact layout AQE-planned in-session; co-location
+    * at fact scale belongs to the storage layer (bucketed table), not
+    * a pinned in-memory partitioning.
     */
   private def edgesWithDeg(spark: SparkSession, dir: String): DataFrame =
     Tables.sessionCached(spark, Tables.stamped(spark, dir, "graph_edges")) {

@@ -32,11 +32,28 @@ import org.apache.spark.sql.functions._
   *   5. NTILE arithmetic from (rank, n): with q = n div k, r = n mod k,
   *      the first r tiles carry q+1 rows — integer `div`, no doubles.
   *
-  * At 100 TB a pathologically hot bucket (heavy-tailed v) re-buckets
-  * on a finer grid recursively — the same step, same bounded windows;
-  * the all-equal-v corner (every row one bucket) is the one input no
-  * order-aligned bucketing can split, and is exactly the input where
-  * NTILE's order is arbitrary anyway.
+  * Hot-bucket fallback (`occupancyCap`): a heavy-tailed v floods one
+  * range bucket and step 4's per-bucket sort becomes a single fat
+  * task. With a finite cap, each of `refineLevels` refinement rounds
+  * computes a bounded per-bucket stats table (count, v range, tie
+  * range) and SUBDIVIDES every bucket over the cap on a B-point grid:
+  *   - multi-valued hot bucket → finer grid over v (order-aligned:
+  *     same monotone step function, one level shrinks the value range
+  *     B×, so repeated levels isolate a heavy atom geometrically);
+  *   - single-valued hot bucket (vmin = vmax) → grid over the TIE
+  *     column ascending — legal exactly there, because within equal v
+  *     the total order IS tie ASC; requires a numeric tie (a cast
+  *     would reorder strings, so non-numeric ties never tie-split).
+  * The composite id `bkt·B + sub` keeps the offset window's order
+  * (sub < B), and every added table stays bounded: ≤ B + #hot·B rows
+  * per level. Residual: a tie-split equalizes by VALUE range, so a
+  * pathologically clustered tie domain can still leave a warm bucket
+  * — the spec measures occupancy on a power-law input to keep the
+  * guarantee empirical rather than asserted. The all-equal-v corner
+  * with a constant tie (zero information to split on) stays one
+  * bucket — the input where NTILE's order is arbitrary anyway.
+  * Default cap = MaxValue keeps the zero-overhead two-stage plan for
+  * inputs whose grain is known benign.
   *
   * The input is localCheckpointed (narrow rank-grain rows, referenced
   * by both the bucket-count aggregate and the rank join — without
@@ -61,20 +78,67 @@ object BucketedRank {
     * of the caller's single action — bounded (1-row / ≤B-row)
     * single-partition aggregates are two cheap stages, not jobs.
     */
-  def ntileDesc(df: DataFrame, valueCol: String, tieCol: String, k: Int,
-                out: String, buckets: Int = 1024,
-                materialized: Boolean = false): DataFrame = {
+  /** The bucketing stage of [[ntileDesc]] alone: `df` plus the
+    * (possibly hot-refined) composite `gnt_bkt` column — split out so
+    * the spec can MEASURE per-bucket occupancy on adversarial inputs
+    * instead of trusting the refinement argument. */
+  private[graft] def bucketIds(df: DataFrame, valueCol: String,
+                               tieCol: String, buckets: Int,
+                               occupancyCap: Long, refineLevels: Int,
+                               materialized: Boolean): DataFrame = {
     val base = if (materialized) df else df.localCheckpoint()
     val v: Column = col(valueCol).cast("double")
     val mm = base.agg(min(v).as("gnt_vmin"), max(v).as("gnt_vmax"))
-    val withB = base.crossJoin(broadcast(mm))
+    var withB = base.crossJoin(broadcast(mm))
       .withColumn("gnt_bkt",
-        when(col("gnt_vmax") === col("gnt_vmin"), lit(0))
+        when(col("gnt_vmax") === col("gnt_vmin"), lit(0L))
           .otherwise(least(
             floor((col("gnt_vmax") - v)
               / (col("gnt_vmax") - col("gnt_vmin")) * buckets),
-            lit(buckets - 1)).cast("int")))
+            lit(buckets - 1)).cast("long")))
       .drop("gnt_vmin", "gnt_vmax")
+    if (occupancyCap < Long.MaxValue) {
+      val tieNumeric = df.schema(tieCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val t: Column = col(tieCol).cast("double")
+      for (_ <- 1 to refineLevels) {
+        // bounded per-bucket stats (≤ current bucket count rows) as an
+        // inline broadcast subtree — same job-economy rule as the
+        // range/offset tables: stages, not separate checkpoint jobs
+        val st = withB.groupBy(col("gnt_bkt")).agg(
+          count(lit(1)).as("gnt_hc"),
+          min(v).as("gnt_hvmin"), max(v).as("gnt_hvmax"),
+          min(t).as("gnt_htmin"), max(t).as("gnt_htmax"))
+        val vSub = least(
+          floor((col("gnt_hvmax") - v)
+            / (col("gnt_hvmax") - col("gnt_hvmin")) * buckets),
+          lit(buckets - 1)).cast("long")
+        val tSub =
+          if (!tieNumeric) lit(0L)
+          else when(col("gnt_htmax") > col("gnt_htmin"),
+            least(floor((t - col("gnt_htmin"))
+              / (col("gnt_htmax") - col("gnt_htmin")) * buckets),
+              lit(buckets - 1)).cast("long")).otherwise(lit(0L))
+        withB = withB.join(broadcast(st), "gnt_bkt")
+          .withColumn("gnt_sub",
+            when(col("gnt_hc") <= occupancyCap, lit(0L))
+              .otherwise(when(col("gnt_hvmax") > col("gnt_hvmin"), vSub)
+                .otherwise(tSub)))
+          .withColumn("gnt_bkt", col("gnt_bkt") * buckets + col("gnt_sub"))
+          .drop("gnt_hc", "gnt_hvmin", "gnt_hvmax",
+            "gnt_htmin", "gnt_htmax", "gnt_sub")
+      }
+    }
+    withB
+  }
+
+  def ntileDesc(df: DataFrame, valueCol: String, tieCol: String, k: Int,
+                out: String, buckets: Int = 1024,
+                materialized: Boolean = false,
+                occupancyCap: Long = Long.MaxValue,
+                refineLevels: Int = 2): DataFrame = {
+    val withB = bucketIds(df, valueCol, tieCol, buckets, occupancyCap,
+      refineLevels, materialized)
     // bounded bucket table: counts → exclusive prefix offsets, total n,
     // and the tile-arithmetic constants (all functions of n alone)
     val wOff = Window.orderBy(col("gnt_bkt"))
