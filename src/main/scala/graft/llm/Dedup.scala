@@ -3024,7 +3024,101 @@ object Dedup {
        |GROUP BY hop, t.n ORDER BY hop""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_dd_winnow: winnowing document fingerprints (the MOSS
+  // algorithm, cf. Schleimer/Wilkerson/Aiken "Winnowing: Local
+  // Algorithms for Document Fingerprinting"): hash every positional
+  // word-3-gram, slide a window of W = 4 consecutive hashes, keep
+  // each window's MINIMUM — the guarantee the full-shingle detectors
+  // here don't give is LOCALITY: any shared run of ≥ W+2 tokens
+  // between two documents shares at least one selected fingerprint,
+  // at ~1/W the fingerprint density of llm_dd_substring's
+  // every-window form. The audit reports corpus fingerprint density
+  // and the candidate-pair mass at fingerprint-class grain, with the
+  // repo's standard hot-class occupancy cap excluded and counted
+  // separately (boilerplate fingerprints shared by thousands of docs
+  // pair-explode; a production pass drops them exactly like hot
+  // shingle buckets).
+  // Scale shape: gram hashing and window minima are pure PROJECTIONS
+  // on the token array (transform + array_min over slices — stays in
+  // whole-stage codegen, no window exec, doc-grain parallel); the
+  // only shuffles are the per-doc distinct and the class-grain
+  // groupBy. Pair counts are CLOSED FORMS over class sizes (nd·(nd−1)
+  // div 2) — no pair materialization anywhere. Determinism: h60
+  // hashes, integer counts, one rounded division.
+  // Short docs (< W+2 tokens but ≥ 3): one window over all hashes,
+  // the standard winnowing boundary rule.
+  private val WinnowW = 4
+  def ddWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .select($"doc_id", expr(
+        """transform(sequence(1, greatest(size(tk) - 2, 0)),
+          |  i -> h60(concat_ws(' ', element_at(tk, i),
+          |    element_at(tk, i + 1), element_at(tk, i + 2))))"""
+          .stripMargin).as("hs"))
+      .filter(size($"hs") >= 1)
+    val fp = grams.select($"doc_id", explode(expr(
+        s"""transform(sequence(1, greatest(size(hs) - ${WinnowW - 1}, 1)),
+           |  s -> array_min(slice(hs, s,
+           |    least($WinnowW, size(hs) - s + 1))))""".stripMargin))
+        .as("h"))
+      .distinct()
+      .localCheckpoint()
+    val docs = fp.groupBy($"doc_id").agg(count(lit(1)).as("nfp"))
+      .agg(count(lit(1)).as("n_docs"), sum($"nfp").as("n_fingerprints"))
+    val cls = fp.groupBy($"h").agg(count(lit(1)).as("nd"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_cross_classes"),
+        sum(when($"nd" > 1 && $"nd" <= MaxBucketDf,
+          $"nd" * ($"nd" - 1)).otherwise(0L)).as("pairs2"),
+        sum(when($"nd" > MaxBucketDf, 1L).otherwise(0L))
+          .as("n_hot_classes"))
+    docs.crossJoin(cls)
+      .select($"n_docs", $"n_fingerprints",
+        round($"n_fingerprints".cast("double") / $"n_docs", 6)
+          .as("fp_per_doc"),
+        $"n_classes", $"n_cross_classes",
+        expr("pairs2 div 2").as("candidate_pairs"), $"n_hot_classes")
+  }
+
+  val ddWinnowSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+       |      i -> ${h60Sql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")})
+       |      AS hs
+       |  FROM t WHERE len(tk) >= 3),
+       |f AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(
+       |      range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1),
+       |      s -> list_min(list_slice(hs, s,
+       |        s + least($WinnowW, len(hs) - s + 1) - 1)))) AS h
+       |  FROM g),
+       |d AS (SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(nfp) AS BIGINT) AS n_fingerprints
+       |  FROM (SELECT doc_id, COUNT(*) AS nfp FROM f GROUP BY doc_id)),
+       |c AS (
+       |  SELECT COUNT(*) AS n_classes,
+       |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_cross_classes,
+       |    CAST(SUM(CASE WHEN nd > 1 AND nd <= $MaxBucketDf
+       |      THEN nd * (nd - 1) ELSE 0 END) AS BIGINT) AS pairs2,
+       |    CAST(SUM(CASE WHEN nd > $MaxBucketDf THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hot_classes
+       |  FROM (SELECT h, COUNT(*) AS nd FROM f GROUP BY h))
+       |SELECT n_docs, n_fingerprints,
+       |  ROUND(CAST(n_fingerprints AS DOUBLE) / n_docs, 6) AS fp_per_doc,
+       |  n_classes, n_cross_classes, pairs2 // 2 AS candidate_pairs,
+       |  n_hot_classes
+       |FROM d CROSS JOIN c""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dd_winnow" -> (ddWinnow _),
     "llm_dd_cluster_depth" -> (ddClusterDepth _),
     "llm_dd_shingle_sweep" -> (ddShingleSweep _),
     "llm_dd_detector_agreement" -> (ddDetectorAgreement _),
@@ -3070,6 +3164,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_dd_winnow" -> ddWinnowSql,
     "llm_dd_cluster_depth" -> ddClusterDepthSql,
     "llm_dd_shingle_sweep" -> ddShingleSweepSql,
     "llm_dd_detector_agreement" -> ddDetectorAgreementSql,

@@ -1518,7 +1518,108 @@ object Graph {
        |    - (n_nodes + 1.0) / n_nodes, 6) AS gini
        |FROM a ORDER BY side""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_graph_eff_diameter: effective-diameter estimate from K pinned
+  // BFS sources — the ANF/HyperANF question ("how many hops until 90%
+  // of reachable pairs are covered") answered EXACTLY on a
+  // deterministic source panel instead of approximately on all nodes:
+  // K = 8 roots (top degree, ties min node id — the bfs_hops seed rule
+  // widened), BFS to 4 hops, and the per-hop (root, node) pair
+  // histogram with cumulative shares; the first hop covering ≥ 90% of
+  // the pairs reached within the horizon is flagged as the effective
+  // diameter. The crawl-planning number: hop growth says how many
+  // expansion rounds a frontier scheduler must provision.
+  // Scale shape: identical to bfs_hops with a root column riding the
+  // state — each hop is ONE edges⨝frontier join (frontier ≤ K·|V|
+  // rows, NOT force-broadcast: at fact scale it shuffles to the
+  // bucketed edge table), per-hop distinct + anti-join at (root,
+  // node) grain, every level localCheckpointed so hop h never
+  // replays hops 0..h−1. The final histogram is ≤ hops+1 rows.
+  // Determinism: integer counts; shares are single divisions of
+  // exact longs, rounded 6.
+  private val EffDiamSources = 8
+  private val EffDiamHops = 4
+  def effDiameter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edgesWithDeg(spark, dir)
+    val edges = e.select($"src", $"dst")
+    val seeds = e.select($"src".as("node"), $"outdeg").distinct()
+      .orderBy($"outdeg".desc, $"node").limit(EffDiamSources)
+      .select($"node".as("root"))
+    var visited = seeds
+      .select($"root", $"root".as("node"), lit(0).as("hop"))
+      .localCheckpoint()
+    var frontier = visited.select($"root", $"node")
+    for (h <- 1 to EffDiamHops) {
+      val nf = edges
+        .join(frontier.select($"node".as("src"), $"root"), "src")
+        .select($"root", $"dst".as("node")).distinct()
+        .join(visited.select($"root", $"node"),
+          Seq("root", "node"), "left_anti")
+        .select($"root", $"node", lit(h).as("hop"))
+      val nextVisited = visited.unionAll(nf).localCheckpoint()
+      frontier = nextVisited.filter($"hop" === h).select($"root", $"node")
+      Dedup.freeCheckpoint(visited)
+      visited = nextVisited
+    }
+    val tot = broadcast(visited.agg(count(lit(1)).as("n_pairs_total")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"hop")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    visited.groupBy($"hop").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_pairs", sum($"n_pairs").over(w))
+      .crossJoin(tot)
+      .select($"hop", $"n_pairs", $"cum_pairs",
+        round($"cum_pairs".cast("double") / $"n_pairs_total", 6)
+          .as("cum_share"),
+        ($"cum_pairs" * 10L >= $"n_pairs_total" * 9L
+          && ($"cum_pairs" - $"n_pairs") * 10L < $"n_pairs_total" * 9L)
+          .as("is_eff_diameter"))
+      .orderBy($"hop")
+  }
+
+  val effDiameterSql: String = {
+    def hop(prevV: String, prevF: String, h: Int): String =
+      s"""f$h AS MATERIALIZED (
+         |  SELECT DISTINCT f.root, e.dst AS node
+         |  FROM edges e JOIN $prevF f ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prevV v
+         |    WHERE v.root = f.root AND v.node = e.dst)),
+         |v$h AS MATERIALIZED (
+         |  SELECT root, node, hop FROM $prevV
+         |  UNION ALL SELECT root, node, $h AS hop FROM f$h)""".stripMargin
+    val chain = (1 to EffDiamHops)
+      .map(h => hop(s"v${h - 1}", if (h == 1) "v0" else s"f${h - 1}", h))
+      .mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED ($edgeSql),
+       |edges AS MATERIALIZED (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+       |seeds AS (SELECT node AS root FROM deg
+       |  ORDER BY d DESC, node LIMIT $EffDiamSources),
+       |v0 AS MATERIALIZED (
+       |  SELECT root, root AS node, 0 AS hop FROM seeds),
+       |$chain,
+       |t AS (SELECT COUNT(*) AS n_pairs_total FROM v$EffDiamHops),
+       |g AS (SELECT hop, COUNT(*) AS n_pairs FROM v$EffDiamHops
+       |  GROUP BY hop),
+       |c AS (SELECT hop, n_pairs,
+       |    SUM(n_pairs) OVER (ORDER BY hop ROWS UNBOUNDED PRECEDING)
+       |      AS cum_pairs
+       |  FROM g)
+       |SELECT hop, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(cum_pairs AS BIGINT) AS cum_pairs,
+       |  ROUND(CAST(cum_pairs AS DOUBLE) / n_pairs_total, 6) AS cum_share,
+       |  (cum_pairs * 10 >= n_pairs_total * 9
+       |    AND (cum_pairs - n_pairs) * 10 < n_pairs_total * 9)
+       |    AS is_eff_diameter
+       |FROM c CROSS JOIN t ORDER BY hop""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_graph_eff_diameter" -> (effDiameter _),
     "llm_graph_degree_gini" -> (degreeGini _),
     "llm_graph_bfs_hops" -> (bfsHops _),
     "llm_graph_powerlaw_alpha" -> (powerlawAlpha _),
@@ -1538,6 +1639,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_graph_eff_diameter" -> effDiameterSql,
     "llm_graph_degree_gini" -> degreeGiniSql,
     "llm_graph_bfs_hops" -> bfsHopsSql,
     "llm_graph_powerlaw_alpha" -> powerlawAlphaSql,

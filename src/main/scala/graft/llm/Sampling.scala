@@ -594,6 +594,61 @@ object Sampling {
        |GROUP BY fold, n_total ORDER BY fold""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_sample_group_kfold: leakage-safe GROUP k-fold — folds are
+  // assigned at SOURCE grain (fold = h60(source) mod 5), so every
+  // document of a source lands in one fold and near-duplicate leakage
+  // WITHIN a source can never straddle a train/eval split — the group
+  // k-fold discipline of sklearn re-expressed for corpus curation,
+  // complementing llm_sample_kfold's cluster-grain folds. The audit
+  // half quantifies what source-grouping CANNOT isolate: documents
+  // whose exact text class (h60 of the full text) spans more than one
+  // fold are CROSS-SOURCE duplicates — n_leaky_docs per fold is the
+  // residual contamination a cluster-grain split (sample_kfold) would
+  // have caught, so the pair of queries brackets the split-design
+  // trade. Scale shape: fold assignment is a projection; the leak
+  // audit is one class-grain groupBy (countDistinct fold = 2-phase
+  // partial-aggregable) joined back on the class key — bucket-shaped,
+  // no pair expansion; fold rollup is a 5-row aggregate.
+  def sampleGroupKfold(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", (h60($"source") % 5).as("fold"),
+        h60($"text").as("cls"))
+    val span = f.groupBy($"cls")
+      .agg(countDistinct($"fold").as("nf"))
+    val tot = broadcast(f.agg(count(lit(1)).as("n_total")))
+    f.join(span, "cls")
+      .groupBy($"fold")
+      .agg(countDistinct($"source").as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(when($"nf" > 1, 1L).otherwise(0L)).as("n_leaky_docs"))
+      .crossJoin(tot)
+      .select($"fold", $"n_sources", $"n_docs",
+        round($"n_docs".cast("double") / $"n_total", 6).as("doc_share"),
+        $"n_leaky_docs",
+        round($"n_leaky_docs".cast("double") / $"n_docs", 6)
+          .as("leak_share"))
+      .orderBy($"fold")
+  }
+
+  val sampleGroupKfoldSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source, ${h60Sql("source")} % 5 AS fold,
+       |    ${h60Sql("text")} AS cls
+       |  FROM documents),
+       |sp AS (SELECT cls, COUNT(DISTINCT fold) AS nf FROM f GROUP BY cls),
+       |t AS (SELECT COUNT(*) AS n_total FROM f)
+       |SELECT fold, COUNT(DISTINCT source) AS n_sources,
+       |  COUNT(*) AS n_docs,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_total, 6) AS doc_share,
+       |  CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_leaky_docs,
+       |  ROUND(CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS leak_share
+       |FROM f JOIN sp USING (cls) CROSS JOIN t
+       |GROUP BY fold, n_total ORDER BY fold""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_sample_ess: clipped importance weights toward a uniform source
   // mixture + the effective sample size they leave. Reweighting toward
   // a target mixture (w = target_share / actual_share, clipped to
@@ -1408,6 +1463,7 @@ object Sampling {
        |FROM t JOIN k ON t.lang = k.lang ORDER BY t.lang""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_group_kfold" -> (sampleGroupKfold _),
     "llm_sample_lang_quota" -> (sampleLangQuota _),
     "llm_sample_coverage_audit" -> (sampleCoverageAudit _),
     "llm_sample_temperature_sweep" -> (sampleTemperatureSweep _),
@@ -1432,6 +1488,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_sample_group_kfold" -> sampleGroupKfoldSql,
     "llm_sample_lang_quota" -> sampleLangQuotaSql,
     "llm_sample_coverage_audit" -> sampleCoverageAuditSql,
     "llm_sample_temperature_sweep" -> sampleTemperatureSweepSql,

@@ -2639,7 +2639,85 @@ object TextAnalysis {
       |    ELSE 1.0 - hc.h / hm.h END, 6) AS redundancy
       |FROM k CROSS JOIN hc CROSS JOIN hm""".stripMargin
 
+  // --------------------------------------------------------------------
+  // ta_ppl_buckets: CCNet-style per-language perplexity bucketing —
+  // the curation move downstream of ta_lm_score: within each language,
+  // split documents into head/middle/tail TERCILES of the LM score
+  // (best third = head, the slice CCNet keeps or upsamples) and report
+  // each bucket's doc count, token mass and score range. The spec is
+  // NTILE(3) OVER (PARTITION BY lang ORDER BY avg_p DESC, doc_id) —
+  // but a lang-partitioned NTILE window is the q61 funnel per
+  // language (a language's documents grow WITH the corpus, so one
+  // task per lang sorts a corpus-sized partition at 100 TB). The
+  // plan instead runs the GROUPED bucketed-prefix decomposition (the
+  // sample_lang_quota pattern joined with BucketedRank's tile
+  // arithmetic): a monotone score-grid bucket id, a bounded
+  // (lang × grid) count table whose lang-partitioned prefix sums give
+  // per-bucket rank offsets, a (lang, bkt)-partitioned row_number,
+  // and NTILE boundaries as pure integer arithmetic on (rank, n).
+  // Every data-sized operation stays partitioned; the only windows
+  // run over the bounded bucket table or fine (lang, bkt) grain.
+  // Determinism: avg_p arrives pre-rounded (9dp) from ta_lm_score;
+  // the grid is a monotone step function of it (merge-only, ties
+  // resolve on doc_id); counts and token sums are exact longs.
+  def taPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grid = 1000
+    val scored = taLmScore(spark, dir)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"lang"),
+        "doc_id")
+      .select($"doc_id", $"lang", $"n_toks", $"avg_p",
+        least(floor((lit(1.0) - $"avg_p") * grid), lit(grid - 1))
+          .cast("int").as("bkt"))
+      .localCheckpoint()
+    val wOff = Window.partitionBy($"lang").orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy($"lang").orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bt = scored.groupBy($"lang", $"bkt").agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum($"bc").over(wOff), lit(0L)))
+      .withColumn("n", sum($"bc").over(wAll))
+      .withColumn("tq", expr("n div 3"))
+      .withColumn("tr", $"n" % 3)
+      .select($"lang", $"bkt", $"off", $"tq", $"tr")
+    val wIn = Window.partitionBy($"lang", $"bkt")
+      .orderBy($"avg_p".desc, $"doc_id")
+    scored.join(broadcast(bt), Seq("lang", "bkt"))
+      .withColumn("rnk", $"off" + row_number().over(wIn))
+      // same fat-tile arithmetic as BucketedRank.ntileDesc
+      .withColumn("tercile", expr(
+        """CAST(CASE
+          |  WHEN rnk <= tr * (tq + 1) THEN (rnk + tq) div (tq + 1)
+          |  ELSE tr + (rnk - tr * (tq + 1)
+          |    + greatest(tq, 1L) - 1) div greatest(tq, 1L)
+          |END AS INT)""".stripMargin))
+      .groupBy($"lang", $"tercile")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("tokens"),
+        min($"avg_p").as("min_p"), max($"avg_p").as("max_p"))
+      .withColumn("bucket", element_at(
+        array(lit("head"), lit("middle"), lit("tail")), $"tercile"))
+      .select($"lang", $"tercile", $"bucket", $"n_docs", $"tokens",
+        $"min_p", $"max_p")
+      .orderBy($"lang", $"tercile")
+  }
+
+  // oracle states the SPEC (per-lang NTILE(3)); the grouped bucketed
+  // plan must reproduce it exactly
+  val taPplBucketsSql: String =
+    s"""WITH s AS ($taLmScoreSql),
+       |j AS (SELECT s.doc_id, d.lang, s.n_toks, s.avg_p
+       |  FROM s JOIN documents d USING (doc_id)),
+       |r AS (SELECT *, NTILE(3) OVER (PARTITION BY lang
+       |    ORDER BY avg_p DESC, doc_id) AS tercile FROM j)
+       |SELECT lang, tercile,
+       |  (['head', 'middle', 'tail'])[tercile] AS bucket,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS tokens,
+       |  MIN(avg_p) AS min_p, MAX(avg_p) AS max_p
+       |FROM r GROUP BY lang, tercile ORDER BY lang, tercile""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_ppl_buckets" -> (taPplBuckets _),
     "llm_ta_bigram_entropy" -> (taBigramEntropy _),
     "llm_ta_source_lexical_health" -> (taSourceLexicalHealth _),
     "llm_ta_source_similarity" -> (taSourceSimilarity _),
@@ -2688,6 +2766,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_ppl_buckets" -> taPplBucketsSql,
     "llm_ta_bigram_entropy" -> taBigramEntropySql,
     "llm_ta_source_lexical_health" -> taSourceLexicalHealthSql,
     "llm_ta_source_similarity" -> taSourceSimilaritySql,

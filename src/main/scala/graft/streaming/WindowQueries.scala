@@ -1670,6 +1670,64 @@ object WindowQueries {
       |ORDER BY d.day""".stripMargin
 
   // --------------------------------------------------------------------
+  // st_retention_matrix: weekly cohort retention — users grouped by
+  // first-seen week (the cohort), and for each (cohort, week-offset)
+  // cell the distinct users active that week plus the retention share
+  // against the cohort's size. THE product-analytics retention
+  // triangle, and the complement of this file's other user-lifecycle
+  // ops: st_new_vs_returning counts acquisition per day,
+  // st_user_lifespan measures spans, this says how each acquisition
+  // VINTAGE decays week over week — mixed-cohort DAU hides a
+  // collapsing new-cohort curve until the triangle splits it out.
+  // Scale shape: one user-grain shuffle (first-seen week — partial
+  // aggregable min), one (user, week) distinct at user grain, then a
+  // (cohort, offset) rollup over the calendar-bounded matrix
+  // (horizon-weeks² cells at ANY corpus size) joined against the
+  // broadcast cohort-size row. Determinism: integer counts, one
+  // integer-ratio double per cell; weeks are Monday-truncated DATEs
+  // in both engines so the cohort keys are engine-portable.
+  def stRetentionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id",
+        date_trunc("week", to_date($"ts")).cast("date").as("week"))
+      .distinct()
+    val cohorts = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val cells = ev.join(cohorts, "user_id")
+      .groupBy($"cohort_week",
+        (datediff($"week", $"cohort_week") / 7).cast("int").as("offset_w"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cells.filter($"offset_w" === 0)
+      .select($"cohort_week", $"n_active".as("n_cohort"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .select($"cohort_week", $"offset_w", $"n_active", $"n_cohort",
+        round($"n_active".cast("double") / $"n_cohort", 6)
+          .as("retention"))
+      .orderBy($"cohort_week", $"offset_w")
+  }
+
+  val stRetentionMatrixSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1),
+      |m AS (
+      |  SELECT cohort_week,
+      |    CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS offset_w,
+      |    COUNT(*) AS n_active
+      |  FROM ev JOIN c USING (user_id)
+      |  GROUP BY 1, 2),
+      |s AS (SELECT cohort_week, n_active AS n_cohort FROM m
+      |  WHERE offset_w = 0)
+      |SELECT m.cohort_week, m.offset_w,
+      |  CAST(m.n_active AS BIGINT) AS n_active,
+      |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
+      |  ROUND(CAST(m.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+      |FROM m JOIN s USING (cohort_week)
+      |ORDER BY m.cohort_week, m.offset_w""".stripMargin
+
+  // --------------------------------------------------------------------
   // st_type_mix_drift: categorical drift of the EVENT-TYPE MIX between
   // horizon halves — per type the first/second-half shares and the PSI
   // term, plus the total mix PSI and verdict repeated per row. The
@@ -2026,6 +2084,7 @@ object WindowQueries {
       |FROM hist h CROSS JOIN tot t ORDER BY h.k_bucket""".stripMargin
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_retention_matrix" -> (stRetentionMatrix _),
     "st_reident_risk" -> (stReidentRisk _),
     "st_gap_sensitivity" -> (stGapSensitivity _),
     "st_interarrival" -> (stInterarrival _),
@@ -2062,6 +2121,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_retention_matrix" -> stRetentionMatrixSql,
     "st_reident_risk" -> stReidentRiskSql,
     "st_gap_sensitivity" -> stGapSensitivitySql,
     "st_interarrival" -> stInterarrivalSql,

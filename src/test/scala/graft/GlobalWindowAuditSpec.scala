@@ -45,6 +45,7 @@ class GlobalWindowAuditSpec extends SparkSpec {
     */
   private val boundedSpine: Map[String, (String, Long)] = Map(
     "llm_graph_bfs_hops" -> ("dim: hop table, <= graph diameter rows", 64L),
+    "llm_graph_eff_diameter" -> ("dim: hop histogram, <= hops+1 rows", 64L),
     "llm_models_cost_curve" -> ("hist: score histogram cuts (feature-domain grain)", 4096L),
     "llm_models_gains" -> ("hist: score histogram cumulative", 4096L),
     "llm_pipeline_ivm_cost" -> ("spine: per-day delta table, <= horizon days", 4096L),
