@@ -1409,7 +1409,20 @@ object Dedup {
   def ddDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.Shingle3.register(spark)
+    // repartition BEFORE the explode: the scan's parallelism is the
+    // parquet row-group count (single digits for the documents table
+    // at any one-file fixture scale), and without the exchange the
+    // whole explode → broadcast-join → partial-agg pipeline runs in
+    // that many tasks. The partial agg keys on (doc_id, eval_id) —
+    // under heavy duplication the pair cardinality grows
+    // QUADRATICALLY, and one task absorbing it is THE scale wedge:
+    // the round-12 "24-min single-task generate→hashAgg at 90 GB"
+    // event reproduced at the 64× draw and jstack-attributed HERE
+    // (round-13). Doc-keyed repartition also localizes each (doc,
+    // eval) group in one task, so the partial agg combines fully
+    // before the final shuffle.
     val sh = Tables.documents(spark, dir)
+      .repartition($"doc_id")
       .select($"doc_id", explode(expr("shingle3(text)")).as("shingle"))
     val evalSh = sh.filter($"doc_id" % 10 === 0)
       .select($"doc_id".as("eval_id"), $"shingle")
