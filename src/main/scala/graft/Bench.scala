@@ -69,12 +69,30 @@ object Bench {
     // build by key makes cold regressions diffable per artifact.
     graft.sources.Tables.onArtifactBuild = (key, sec) =>
       logProgress("build", key.replace(' ', '_'), sec)
+    // A FAIL line that records only wall-time is unattributable after
+    // the fact (the r13 64x attempt-1 journal has seven ~400s dd FAILs
+    // with no way to tell an intentional fail-fast fence from an OOM):
+    // append the root-cause class + first message line to FAIL records.
+    def errSummary(e: Throwable): String = {
+      var root = e
+      while (root.getCause != null && (root.getCause ne root)) root = root.getCause
+      val msg = Option(root.getMessage).getOrElse("")
+        .takeWhile(_ != '\n').take(160).replaceAll("\\s+", " ")
+      s" ${root.getClass.getSimpleName}: $msg"
+    }
+    def logFail(tag: String, name: String, sec: Double, e: Throwable): Unit =
+      try java.nio.file.Files.writeString(progressPath,
+        String.format(java.util.Locale.ROOT, "%s %s %.2f%s%n", tag, name,
+          Double.box(sec), errSummary(e)),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => }
     def timed1(tag: String, name: String, f: => Unit): Unit = {
       val t0 = System.nanoTime()
       logProgress(tag, name, -1.0) // in-flight marker: names a wedge
       try { f; logProgress(tag, name, (System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable =>
-        logProgress(s"$tag-FAIL", name, (System.nanoTime() - t0) / 1e9)
+      catch { case e: Throwable =>
+        logFail(s"$tag-FAIL", name, (System.nanoTime() - t0) / 1e9, e)
       }
     }
     val warmDir = "/root/testdata/sf0.001"
@@ -109,10 +127,13 @@ object Bench {
       val runs = (1 to iters).map { i =>
         val t0 = System.nanoTime()
         logProgress(s"timed-$i", name, -1.0)
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable => Some(e) }
         val s = (System.nanoTime() - t0) / 1e9
-        logProgress(if (ok) s"timed-$i" else s"timed-$i-FAIL", name, s)
+        err match {
+          case None    => logProgress(s"timed-$i", name, s)
+          case Some(e) => logFail(s"timed-$i-FAIL", name, s, e)
+        }
         s
       }
       release()

@@ -1618,7 +1618,102 @@ object Graph {
        |FROM c CROSS JOIN t ORDER BY hop""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_graph_lpa: K-round SYNCHRONOUS label propagation over the
+  // regional trade graph — the community detector that needs no edge
+  // weights, no modularity objective, and no global state: each round,
+  // every node adopts the most frequent label among its neighbors
+  // (ties → smallest label, self-loop included so a node's own label
+  // votes once — the standard damping against the bipartite two-round
+  // oscillation this graph's customer↔supplier structure would
+  // otherwise feed; with unique initial labels, round 1 degenerates to
+  // min-label, rounds 2+ are genuine majority dynamics). Fixed K = 4
+  // by the cc precedent: the output is DEFINED as the round-K census
+  // (sync LPA has no convergence guarantee on bipartite graphs, so no
+  // fixed-point claim is made — documented semantics, deterministic on
+  // both engines because the tie-break is total). Per community:
+  // member/customer/supplier counts — the "which trading cliques would
+  // a near-dup source collapse merge" view at community grain.
+  // Scale shape: per round ONE shuffle of the session-cached edge list
+  // against the node-cardinality label table, then two
+  // partial-aggregable groupBys ((dst,label) vote counts → per-dst
+  // argmax via max(struct(cnt, −label)) — no per-node window, no
+  // driver state); labels are referenced once per round, so lineage
+  // stays linear in K (the cc self-union lesson).
+  private val LpaIters = 4
+  /** Exposed for the spec (mirrors [[ccItersForSpec]]). */
+  private[graft] def lpaItersForSpec: Int = LpaIters
+
+  /** Label table after `iters` synchronous majority rounds — exposed
+    * so the spec can replay the dynamics on a hand-computed synthetic
+    * graph ([[lpaLabelsOn]] path) and assert the production round
+    * count. */
+  private[graft] def lpaLabelsOn(edges: DataFrame, iters: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    var labels: DataFrame = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    for (_ <- 1 to iters)
+      labels = edges.join(labels, $"src" === $"node")
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("cnt"))
+        .groupBy($"dst")
+        .agg(max(struct($"cnt", (lit(0L) - $"label").as("nl"))).as("m"))
+        .select($"dst".as("node"), (lit(0L) - col("m.nl")).as("label"))
+    labels
+  }
+
+  def lpa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lpaLabelsOn(regionEdges(spark, dir), LpaIters)
+      .groupBy($"label".as("community_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when($"node" % 2 === 0, 1L).otherwise(0L)).as("n_cust"),
+        sum(when($"node" % 2 === 1, 1L).otherwise(0L)).as("n_supp"))
+      .orderBy($"n_members".desc, $"community_id")
+  }
+
+  val lpaSql: String = {
+    def iter(prev: String, k: Int): String =
+      s"""c$k AS (
+         |  SELECT e.dst AS node, p.label AS label, COUNT(*) AS cnt
+         |  FROM edges e JOIN $prev p ON e.src = p.node
+         |  GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, ROW_NUMBER() OVER (
+         |      PARTITION BY node ORDER BY cnt DESC, label) AS rn
+         |    FROM c$k) WHERE rn = 1)""".stripMargin
+    val chain = (1 to LpaIters)
+      .map(k => iter(s"l${k - 1}", k)).mkString(",\n")
+    s"""WITH cn AS (
+       |  SELECT c_custkey, n_regionkey AS c_region FROM customer
+       |  JOIN nation ON c_nationkey = n_nationkey),
+       |sn AS (
+       |  SELECT s_suppkey, n_regionkey AS s_region FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey),
+       |pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN cn ON o_custkey = c_custkey
+       |  JOIN sn ON l_suppkey = s_suppkey AND c_region = s_region),
+       |nodes AS (
+       |  SELECT c AS n FROM pairs UNION SELECT s AS n FROM pairs),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, c AS dst FROM pairs
+       |  UNION ALL SELECT n AS src, n AS dst FROM nodes),
+       |l0 AS (SELECT n AS node, n AS label FROM nodes),
+       |$chain
+       |SELECT label AS community_id, COUNT(*) AS n_members,
+       |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cust,
+       |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_supp
+       |FROM l$LpaIters GROUP BY 1
+       |ORDER BY n_members DESC, community_id""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_graph_lpa" -> (lpa _),
     "llm_graph_eff_diameter" -> (effDiameter _),
     "llm_graph_degree_gini" -> (degreeGini _),
     "llm_graph_bfs_hops" -> (bfsHops _),
@@ -1639,6 +1734,7 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_graph_lpa" -> lpaSql,
     "llm_graph_eff_diameter" -> effDiameterSql,
     "llm_graph_degree_gini" -> degreeGiniSql,
     "llm_graph_bfs_hops" -> bfsHopsSql,

@@ -1783,6 +1783,98 @@ object Models {
        |ORDER BY cost_ratio""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_models_fairness_audit: per-language operating metrics of the
+  // trained quality probe at its natural z ≥ 0 gate (= p ≥ 0.5, the
+  // prevalence-free decision) — the dataset-bias audit a curation gate
+  // must pass before deployment: a classifier with equal global
+  // accuracy can still select one language at twice the rate of
+  // another (demographic-parity gap) or miss true-quality docs of one
+  // language disproportionately (TPR gap = equalized-odds violation).
+  // Per lang: n, positives, selected count, selection rate, TPR, FPR,
+  // and the parity gap vs the corpus-wide selection rate. The fit is
+  // the EXACT [[logregFit]] weights (the lang rider is inert for the
+  // gradient — same rows, same sums), so this audits the same model
+  // every other models_* metric scores.
+  // Scale shape: one scoring scan partial-aggregates to the bounded
+  // lang grain; the corpus-wide rate reduces over THAT table and
+  // broadcasts back. Determinism: all cells are exact integer counts;
+  // every reported rate is a ratio of integers in double; zero
+  // denominators (a lang with no positives / no negatives) report 0.0
+  // by the confusion convention.
+  def fairnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        ($"n_chars" / 1000.0).as("x1"),
+        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+          / 100.0).as("x2"))
+      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
+        "doc_id")
+      .select($"lang", $"x1", $"x2",
+        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
+    val f = Tables.materialize(feats)
+    val (w1, w2, b) = fitOn(f)
+    val z = lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"
+    val g = Tables.materialize(
+      f.select($"lang", $"y", when(z >= 0.0, 1L).otherwise(0L).as("yhat"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"y" === 1.0, 1L).otherwise(0L)).as("n_pos"),
+          sum($"yhat").as("n_sel"),
+          sum(when($"yhat" === 1L && $"y" === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when($"yhat" === 1L && $"y" === 0.0, 1L).otherwise(0L)).as("fp")))
+    val t = g.agg(sum($"n").as("tn"), sum($"n_sel").as("ts")).head()
+    val overallSel = t.getAs[Long]("ts").toDouble / t.getAs[Long]("tn")
+    g.select($"lang", $"n", $"n_pos", $"n_sel",
+        round($"n_sel".cast("double") / $"n", 6).as("sel_rate"),
+        round(when($"n_pos" > 0, $"tp".cast("double") / $"n_pos")
+          .otherwise(0.0), 6).as("tpr"),
+        round(when($"n" - $"n_pos" > 0,
+          $"fp".cast("double") / ($"n" - $"n_pos"))
+          .otherwise(0.0), 6).as("fpr"),
+        round($"n_sel".cast("double") / $"n" - overallSel, 6)
+          .as("parity_gap"))
+      .orderBy($"lang")
+  }
+
+  val fairnessAuditSql: String = {
+    val fBody =
+      """  SELECT d.lang AS lang,
+        |    d.n_chars / CAST(1000.0 AS DOUBLE) AS x1,
+        |    (LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1)
+        |      / CAST(100.0 AS DOUBLE) AS x2,
+        |    CASE WHEN q.quality >= 0.5 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS y
+        |  FROM documents d JOIN q ON d.doc_id = q.doc_id""".stripMargin
+    s"""WITH ${logregChainOverSql("", fBody)},
+       |sc AS (
+       |  SELECT f.lang, f.y,
+       |    CASE WHEN (w.b + w.w1 * f.x1 + w.w2 * f.x2) >= 0.0
+       |      THEN 1 ELSE 0 END AS yhat
+       |  FROM f CROSS JOIN w3s w),
+       |g AS (
+       |  SELECT lang, COUNT(*) AS n,
+       |    SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n_pos,
+       |    SUM(yhat) AS n_sel,
+       |    SUM(CASE WHEN yhat = 1 AND y = 1.0 THEN 1 ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN yhat = 1 AND y = 0.0 THEN 1 ELSE 0 END) AS fp
+       |  FROM sc GROUP BY lang),
+       |t AS (SELECT CAST(SUM(n_sel) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+       |    AS osel FROM g)
+       |SELECT g.lang AS lang, CAST(g.n AS BIGINT) AS n,
+       |  CAST(g.n_pos AS BIGINT) AS n_pos,
+       |  CAST(g.n_sel AS BIGINT) AS n_sel,
+       |  ROUND(CAST(g.n_sel AS DOUBLE) / g.n, 6) AS sel_rate,
+       |  ROUND(CASE WHEN g.n_pos > 0
+       |      THEN CAST(g.tp AS DOUBLE) / g.n_pos ELSE 0.0 END, 6) AS tpr,
+       |  ROUND(CASE WHEN g.n - g.n_pos > 0
+       |      THEN CAST(g.fp AS DOUBLE) / (g.n - g.n_pos) ELSE 0.0 END, 6)
+       |    AS fpr,
+       |  ROUND(CAST(g.n_sel AS DOUBLE) / g.n - t.osel, 6) AS parity_gap
+       |FROM g CROSS JOIN t ORDER BY lang""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_models_cost_curve" -> (costCurve _),
     "llm_models_bootstrap_auc" -> (bootstrapAuc _),
@@ -1790,6 +1882,7 @@ object Models {
     "llm_models_hosmer" -> (hosmer _),
     "llm_models_psi" -> (psi _),
     "llm_models_mcnemar" -> (mcnemar _),
+    "llm_models_fairness_audit" -> (fairnessAudit _),
     "llm_models_auc" -> (auc _),
     "llm_ta_ridge" -> (ridge _),
     "llm_ta_logreg" -> (logreg _),
@@ -1811,6 +1904,7 @@ object Models {
     "llm_models_hosmer" -> hosmerSql,
     "llm_models_psi" -> psiSql,
     "llm_models_mcnemar" -> mcnemarSql,
+    "llm_models_fairness_audit" -> fairnessAuditSql,
     "llm_ta_ridge" -> ridgeSql,
     "llm_ta_logreg" -> logregSql,
     "llm_models_calibration" -> calibrationSql,

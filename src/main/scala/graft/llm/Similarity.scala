@@ -1883,6 +1883,72 @@ object Similarity {
        |FROM a ORDER BY pos""".stripMargin
 
   // --------------------------------------------------------------------
+  // llm_ss_anisotropy: per-label anisotropy audit of the embedding
+  // space — the EXACT mean pairwise cosine over L2-normalized vectors
+  // without generating a single pair, via the Gram identity
+  //   Σ_{i,j} û_i·û_j = ||Σ_i û_i||²  ⇒
+  //   avg_{i≠j} cos(v_i, v_j) = (||Σ û||² − n) / (n·(n−1))
+  // (the diagonal contributes exactly n once vectors are unit-norm).
+  // High avg cosine = the "narrow cone" pathology (Ethayarajh 2019):
+  // contrastive quality and ANN recall both degrade when all vectors
+  // crowd one direction — this is the audit that says whether
+  // mean-centering is needed BEFORE an IVF/PQ index is trained.
+  // mean_dir_norm = ||mean û|| is the same signal as a norm (0 =
+  // isotropic, 1 = collapsed); mean_norm audits raw vector scale.
+  // Scale shape: ONE posexplode scan partial-aggregated to the
+  // (label × d) cell grid — the exact-pairwise answer at sketch cost;
+  // nothing pairs, nothing is corpus-sized after the first shuffle
+  // (the dim_stats / centroid_shift bound). Determinism: û division
+  // is double arithmetic on the bit-identical vec_dot norm; per-cell
+  // sums and the cross-pos reduce are DECIMAL(28,12)-routed; a
+  // single-member label reports 0.0 by convention, never a 0/0.
+  def ssAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = withNorm(spark, dir)
+      .select($"label", $"nrm", expr("transform(v, x -> x / nrm)").as("u"))
+    val perLabel = u.groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        sum($"nrm".cast("decimal(28,12)")).cast("double").as("snrm"))
+    val gram = u
+      .select($"label", posexplode($"u").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(sum($"x".cast("decimal(28,12)")).cast("double").as("s"))
+      .groupBy($"label")
+      .agg(sum(($"s" * $"s").cast("decimal(28,12)")).cast("double").as("ss2"))
+    perLabel.join(gram, "label")
+      .select($"label", $"n",
+        round($"snrm" / $"n", 6).as("mean_norm"),
+        round(sqrt($"ss2") / $"n", 6).as("mean_dir_norm"),
+        round(when($"n" > 1,
+          ($"ss2" - $"n") / ($"n".cast("double") * ($"n" - 1)))
+          .otherwise(0.0), 6).as("avg_pair_cosine"))
+      .orderBy($"label")
+  }
+
+  val ssAnisotropySql: String =
+    s"""$normCte,
+       |u AS (SELECT label, nrm,
+       |    list_transform(v, x -> x / nrm) AS u FROM n),
+       |pl AS (SELECT label, COUNT(*) AS n,
+       |    CAST(SUM(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE) AS snrm
+       |  FROM u GROUP BY label),
+       |ex AS (SELECT label, unnest(list_transform(range(0, len(u)),
+       |    i -> {'pos': i, 'x': u[i + 1]})) AS w FROM u),
+       |s AS (SELECT label, w.pos AS pos,
+       |    CAST(SUM(CAST(w.x AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |  FROM ex GROUP BY label, w.pos),
+       |g AS (SELECT label,
+       |    CAST(SUM(CAST(s * s AS DECIMAL(28,12))) AS DOUBLE) AS ss2
+       |  FROM s GROUP BY label)
+       |SELECT pl.label AS label, CAST(pl.n AS BIGINT) AS n,
+       |  ROUND(pl.snrm / pl.n, 6) AS mean_norm,
+       |  ROUND(SQRT(g.ss2) / pl.n, 6) AS mean_dir_norm,
+       |  ROUND(CASE WHEN pl.n > 1
+       |      THEN (g.ss2 - pl.n) / (CAST(pl.n AS DOUBLE) * (pl.n - 1))
+       |      ELSE 0.0 END, 6) AS avg_pair_cosine
+       |FROM pl JOIN g USING (label) ORDER BY label""".stripMargin
+
+  // --------------------------------------------------------------------
   // llm_ss_centroid_shift: embedding-drift audit between two corpus
   // snapshots (derived deterministically as the vec_id-parity halves) —
   // per label, the cosine between the half-centroids and the centroid
@@ -3099,6 +3165,7 @@ object Similarity {
     "llm_ss_ivf_kmeans" -> (ssIvfKmeans _),
     "llm_ss_outliers" -> (ssOutliers _),
     "llm_ss_dim_stats" -> (ssDimStats _),
+    "llm_ss_anisotropy" -> (ssAnisotropy _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3145,5 +3212,6 @@ object Similarity {
     "llm_ss_outliers" -> ssOutliersSql,
     "llm_ss_dim_stats" -> ssDimStatsSql,
     "llm_ss_centroid_shift" -> ssCentroidShiftSql,
+    "llm_ss_anisotropy" -> ssAnisotropySql,
   )
 }

@@ -2716,7 +2716,69 @@ object TextAnalysis {
        |  MIN(avg_p) AS min_p, MAX(avg_p) AS max_p
        |FROM r GROUP BY lang, tercile ORDER BY lang, tercile""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_ta_sentence_stats: per-language sentence-length profile —
+  // sentences = [.!?]+-delimited segments with space-trimmed non-empty
+  // text (the cheap segmentation every readability / chunking decision
+  // starts from). Per lang: docs, sentences, sentences/doc, mean
+  // sentence chars, max, and the share of run-on sentences (> 160
+  // chars — the boilerplate/minified-text tell: prose languages sit
+  // near zero, extraction failures spike it). Complements
+  // llm_ta_readability (whose sentence count feeds a formula) by
+  // exposing the DISTRIBUTION the formula hides.
+  // Scale shape: one documents scan explodes to sentence grain and
+  // partial-aggregates straight to the bounded lang key — no joins on
+  // corpus-sized keys, no windows; the doc-count side is a second
+  // narrow scan of the same (warm-mode-checkpointed) table.
+  // Determinism: all counts exact integers; sum of integer lengths is
+  // a BIGINT sum (no float accumulation); ratios are integer/integer
+  // in double, rounded 6.
+  def taSentenceStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"lang",
+        expr("filter(transform(split(text, '[.!?]+'), s -> trim(s)), " +
+          "s -> s <> '')").as("sents"))
+    val perDoc = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val s = docs.select($"lang", explode($"sents").as("snt"))
+      .select($"lang", length($"snt").cast("long").as("slen"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sent"),
+        sum($"slen").as("sum_chars"),
+        max($"slen").as("max_chars"),
+        sum(when($"slen" > 160, 1L).otherwise(0L)).as("n_long"))
+    perDoc.join(s, Seq("lang"))
+      .select($"lang", $"n_docs", $"n_sent",
+        round($"n_sent".cast("double") / $"n_docs", 6).as("sents_per_doc"),
+        round($"sum_chars".cast("double") / $"n_sent", 6)
+          .as("avg_sent_chars"),
+        $"max_chars",
+        round($"n_long".cast("double") / $"n_sent", 6).as("share_long"))
+      .orderBy($"lang")
+  }
+
+  val taSentenceStatsSql: String =
+    """WITH d AS (SELECT lang,
+      |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+      |      s -> trim(s)), s -> s <> '') AS sents
+      |  FROM documents),
+      |pd AS (SELECT lang, COUNT(*) AS n_docs FROM d GROUP BY lang),
+      |ex AS (SELECT lang, unnest(sents) AS snt FROM d),
+      |sl AS (SELECT lang, CAST(LENGTH(snt) AS BIGINT) AS slen FROM ex),
+      |a AS (SELECT lang, COUNT(*) AS n_sent, SUM(slen) AS sum_chars,
+      |    MAX(slen) AS max_chars,
+      |    SUM(CASE WHEN slen > 160 THEN 1 ELSE 0 END) AS n_long
+      |  FROM sl GROUP BY lang)
+      |SELECT pd.lang AS lang, CAST(pd.n_docs AS BIGINT) AS n_docs,
+      |  CAST(a.n_sent AS BIGINT) AS n_sent,
+      |  ROUND(CAST(a.n_sent AS DOUBLE) / pd.n_docs, 6) AS sents_per_doc,
+      |  ROUND(CAST(a.sum_chars AS DOUBLE) / a.n_sent, 6) AS avg_sent_chars,
+      |  CAST(a.max_chars AS BIGINT) AS max_chars,
+      |  ROUND(CAST(a.n_long AS DOUBLE) / a.n_sent, 6) AS share_long
+      |FROM pd JOIN a USING (lang) ORDER BY lang""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ta_sentence_stats" -> (taSentenceStats _),
     "llm_ta_ppl_buckets" -> (taPplBuckets _),
     "llm_ta_bigram_entropy" -> (taBigramEntropy _),
     "llm_ta_source_lexical_health" -> (taSourceLexicalHealth _),
@@ -2766,6 +2828,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_ta_sentence_stats" -> taSentenceStatsSql,
     "llm_ta_ppl_buckets" -> taPplBucketsSql,
     "llm_ta_bigram_entropy" -> taBigramEntropySql,
     "llm_ta_source_lexical_health" -> taSourceLexicalHealthSql,
