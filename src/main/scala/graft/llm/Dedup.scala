@@ -143,17 +143,47 @@ object Dedup {
   }
 
   /** Dir-based [[ngramJaccardPairs]] wired to the session-cached class
-    * and rep-shingle tables, itself materialized once per (session,
-    * dir): the jaccard query and the LSH-recall ground truth both
-    * consume the full pair table — the near-dup edge list a production
-    * pipeline persists beside the cluster assignments. */
-  private def ngramPairsFor(spark: SparkSession, dir: String): DataFrame =
-    Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_ngramPairs")) {
-      Tables.materialize(ngramJaccardPairs(spark,
-        Tables.documents(spark, dir).selectExpr("doc_id", "text"),
-        MaxBucketDf, Some(rawClassesFor(spark, dir)),
-        Some(repShinglesFor(spark, dir))))
+    * and rep-shingle tables. What gets MATERIALIZED is the REP-LEVEL
+    * pair core (candidate pairs over class representatives + kept
+    * counts) — bounded by the DEDUPLICATED corpus, so its size is
+    * replication-invariant; the doc-level member expansion is returned
+    * LAZY and re-generated by each consumer as a streaming equi-join
+    * fan-out that no operator ever stores.
+    *
+    * This replaces the round-1..12 form that localCheckpointed the
+    * EXPANSION itself ("dd_ngramPairs"): at 64× replica density the
+    * expansion is ~4096× the base pair count (every rep pair expands
+    * na×nb member pairs), and checkpointing it produced multi-GiB
+    * block-store partitions that starved the executor into heartbeat
+    * death during the r13 64× warm draw (bench_progress.log names
+    * llm_dd_quality_prop at 1256 s; MemoryStore logged 2.9–6.4 GiB
+    * single partitions against the 100 GB heap). The near-dup edge
+    * list a production pipeline persists belongs in a STORAGE-layer
+    * table write on a cluster — never in executor block memory. */
+  private def ngramPairsFor(spark: SparkSession, dir: String): DataFrame = {
+    val (_, members) = rawClassesFor(spark, dir)
+    val sh = repShinglesFor(spark, dir)
+    val (repPairs, keptCnt) = repPairCoreFor(spark, dir)
+    expandDocPairs(members, sh, repPairs, keptCnt)
+  }
+
+  /** Session-cached rep-level pair core: candidate rep pairs and
+    * per-rep kept-shingle counts from [[repPairsAndKept]], each
+    * materialized at CLASS grain (dim-sized at any replication). */
+  private def repPairCoreFor(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val repPairs = Tables.sessionCached(spark,
+        Tables.stamped(spark, dir, "dd_ngramRepPairs")) {
+      Tables.materialize(
+        repPairsAndKept(spark, repShinglesFor(spark, dir), MaxBucketDf)._1)
     }
+    val keptCnt = Tables.sessionCached(spark,
+        Tables.stamped(spark, dir, "dd_ngramKeptCnt")) {
+      Tables.materialize(
+        repPairsAndKept(spark, repShinglesFor(spark, dir), MaxBucketDf)._2)
+    }
+    (repPairs, keptCnt)
+  }
 
   /** Core of [[ddNgramJaccard]] over an arbitrary (doc_id, text)
     * DataFrame with an explicit df cap — separated so the doc-level
@@ -258,6 +288,16 @@ object Dedup {
         .localCheckpoint()
     }
     val (repPairs, keptCnt) = repPairsAndKept(spark, sh, cap)
+    expandDocPairs(members, sh, repPairs, keptCnt)
+  }
+
+  /** Member expansion of the rep-level pair core back to doc pairs —
+    * the LAZY tail of [[ngramJaccardPairs]]: a pure equi-join fan-out
+    * whose output is never stored (see [[ngramPairsFor]]). */
+  private[graft] def expandDocPairs(
+      members: DataFrame, sh: DataFrame,
+      repPairs: DataFrame, keptCnt: DataFrame): DataFrame = {
+    import members.sparkSession.implicits._
     val cross = repPairs
       .join(members.select($"rep".as("ra"), $"doc_id".as("da")),
         $"rep_a" === $"ra")

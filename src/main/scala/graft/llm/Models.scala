@@ -1875,7 +1875,63 @@ object Models {
        |FROM g CROSS JOIN t ORDER BY lang""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // llm_models_ece: expected + maximum calibration error of the trained
+  // quality probe — the single-number summary of [[calibration]]'s
+  // reliability curve (ECE = Σ (n_b/N)·|mean_pred_b − pos_rate_b| over
+  // the same 10 equal-width bins; MCE = the worst bin's gap). THE
+  // monitoring scalar for a deployed probability gate: calibration
+  // shows the curve once, ECE is what a pipeline dashboard thresholds
+  // every snapshot. Binning is byte-identical to [[calibration]]
+  // (same fit, same Elliott link, same floor(p·10) index), so the two
+  // queries can never disagree about which bin a document is in.
+  // Scale shape: one scoring scan partial-aggregates to ≤ 10 bins;
+  // the ECE reduce runs on that table. Determinism: per-bin means are
+  // DECIMAL-routed rational doubles; the cross-bin weighted-gap sum is
+  // DECIMAL-routed again (order-insensitive); MCE is a max (order-free).
+  def ece(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (f, w1, w2, b) = logregFit(spark, dir)
+    val p = sig(lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2")
+    val bins = f.select(p.as("p"), $"y")
+      .select(least(floor($"p" * 10).cast("int"), lit(9)).as("bin"),
+        $"p", $"y")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("nb"),
+        dsum12($"p").as("sp"), dsum12($"y").as("sy"))
+    bins.agg(sum($"nb").as("n"), count(lit(1)).as("n_bins"),
+        sum(($"nb" * abs($"sp" / $"nb" - $"sy" / $"nb"))
+          .cast("decimal(28,12)")).cast("double").as("gsum"),
+        max(abs($"sp" / $"nb" - $"sy" / $"nb")).as("mx"))
+      .select($"n", $"n_bins",
+        round($"gsum" / $"n", 6).as("ece"),
+        round($"mx", 6).as("mce"))
+  }
+
+  val eceSql: String = {
+    val p = sigSql("w.b + w.w1 * f.x1 + w.w2 * f.x2")
+    s"""WITH $logregChainSql,
+       |s AS (
+       |  SELECT LEAST(CAST(FLOOR($p * 10) AS INT), 9) AS bin,
+       |    $p AS p, f.y AS y
+       |  FROM f CROSS JOIN w3s w),
+       |bi AS (SELECT bin, COUNT(*) AS nb,
+       |    CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy
+       |  FROM s GROUP BY bin),
+       |a AS (SELECT CAST(SUM(nb) AS BIGINT) AS n,
+       |    COUNT(*) AS n_bins,
+       |    CAST(SUM(CAST(nb * ABS(sp / nb - sy / nb) AS DECIMAL(28,12)))
+       |      AS DOUBLE) AS gsum,
+       |    MAX(ABS(sp / nb - sy / nb)) AS mx
+       |  FROM bi)
+       |SELECT n, CAST(n_bins AS BIGINT) AS n_bins,
+       |  ROUND(gsum / n, 6) AS ece, ROUND(mx, 6) AS mce
+       |FROM a""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_models_ece" -> (ece _),
     "llm_models_cost_curve" -> (costCurve _),
     "llm_models_bootstrap_auc" -> (bootstrapAuc _),
     "llm_models_gains" -> (gains _),
@@ -1905,6 +1961,7 @@ object Models {
     "llm_models_psi" -> psiSql,
     "llm_models_mcnemar" -> mcnemarSql,
     "llm_models_fairness_audit" -> fairnessAuditSql,
+    "llm_models_ece" -> eceSql,
     "llm_ta_ridge" -> ridgeSql,
     "llm_ta_logreg" -> logregSql,
     "llm_models_calibration" -> calibrationSql,

@@ -1139,7 +1139,87 @@ object Multimodal {
        |FROM k GROUP BY band, size_bucket
        |ORDER BY band, size_bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // llm_mm_hamming_hist: Hamming-distance histogram of the banded
+  // phash candidate pairs — the threshold-choice evidence behind
+  // llm_mm_phash's `hamming <= 3` convention: a clean corpus shows a
+  // bimodal histogram (a near-dup spike at low distance, background
+  // mass near d/2) and the valley IS the threshold; a flat histogram
+  // says the hash doesn't separate at all. Rows: per distance, the
+  // distinct-value candidate pairs the 4-band index surfaces and the
+  // doc-pair mass they expand to (value multiplicities ride the pair,
+  // nothing expands). Distance-0 mass (same-value duplicates) comes
+  // from the value table's own counts — closed form, no self-join.
+  // Scale shape: value-grain banding (buckets bounded by VALUE
+  // diversity, not corpus size — the mm_phash argument), one
+  // band-key equi-join, ≤ 61 output rows. All integer arithmetic.
+  def mmHammingHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vcnt = phashes(spark, dir)
+      .groupBy($"phash").agg(count(lit(1)).as("nd"))
+    val vbands = vcnt.select($"phash", $"nd", explode(array(
+        (0 until 4).map(j => struct(lit(j).as("band"),
+          expr(s"(phash div ${1L << (15 * j)}) % 32768").as("key"))): _*))
+        .as("bk"))
+      .select($"phash", $"nd", $"bk.band", $"bk.key")
+    val cross = vbands.as("a").join(vbands.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key"
+          && $"a.phash" < $"b.phash")
+      .select($"a.phash".as("va"), $"b.phash".as("vb"),
+        $"a.nd".as("na"), $"b.nd".as("nb"))
+      .distinct()
+      .select(expr("bit_count(va ^ vb)").as("hamming"),
+        ($"na" * $"nb").as("dp"))
+      .groupBy($"hamming")
+      .agg(count(lit(1)).as("n_value_pairs"), sum($"dp").as("n_doc_pairs"))
+    val same = vcnt.filter($"nd" > 1)
+      .agg(count(lit(1)).as("n_value_pairs"),
+        sum(expr("nd * (nd - 1) div 2")).as("n_doc_pairs"))
+      .select(lit(0).as("hamming"), $"n_value_pairs", $"n_doc_pairs")
+    same.filter($"n_value_pairs" > 0).unionByName(cross)
+      .orderBy($"hamming")
+  }
+
+  val mmHammingHistSql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |    rpad(substr(text, 1, $PhashBytes), $PhashBytes, ' ') AS pfx
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    list_transform(range(0, $PhashBlocks), b ->
+       |      ascii(substr(pfx, b*4+1, 1)) + ascii(substr(pfx, b*4+2, 1))
+       |      + ascii(substr(pfx, b*4+3, 1)) + ascii(substr(pfx, b*4+4, 1)))
+       |    AS bs
+       |  FROM p),
+       |h AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0, $PhashBlocks), b ->
+       |      CASE WHEN bs[b+1] > CAST(list_sum(bs) AS DOUBLE) / $PhashBlocks
+       |        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+       |      AS BIGINT) AS phash
+       |  FROM s),
+       |v AS (SELECT phash, COUNT(*) AS nd FROM h GROUP BY phash),
+       |vb AS (SELECT phash, nd,
+       |    CAST(unnest(range(0, 4)) AS INT) AS band FROM v),
+       |vk AS (SELECT phash, nd, band,
+       |    (phash // (CAST(1 AS BIGINT) << (15 * band))) % 32768 AS key
+       |  FROM vb),
+       |pr AS (SELECT DISTINCT a.phash AS va, b.phash AS vb2,
+       |    a.nd AS na, b.nd AS nb
+       |  FROM vk a JOIN vk b
+       |    ON a.band = b.band AND a.key = b.key AND a.phash < b.phash),
+       |cr AS (SELECT CAST(bit_count(xor(va, vb2)) AS INT) AS hamming,
+       |    na * nb AS dp FROM pr),
+       |ch AS (SELECT hamming, COUNT(*) AS n_value_pairs,
+       |    SUM(dp) AS n_doc_pairs FROM cr GROUP BY hamming),
+       |sm AS (SELECT 0 AS hamming, COUNT(*) AS n_value_pairs,
+       |    SUM(nd * (nd - 1) // 2) AS n_doc_pairs
+       |  FROM v WHERE nd > 1 HAVING COUNT(*) > 0)
+       |SELECT hamming, CAST(n_value_pairs AS BIGINT) AS n_value_pairs,
+       |  CAST(n_doc_pairs AS BIGINT) AS n_doc_pairs
+       |FROM (SELECT * FROM sm UNION ALL SELECT * FROM ch)
+       |ORDER BY hamming""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_hamming_hist" -> (mmHammingHist _),
     "llm_mm_resolution_tiers" -> (mmResolutionTiers _),
     "llm_mm_caption_stats" -> (mmCaptionStats _),
     "llm_mm_duration_mix" -> (mmDurationMix _),
@@ -1166,6 +1246,7 @@ object Multimodal {
     "llm_mm_caption_stats" -> mmCaptionStatsSql,
     "llm_mm_duration_mix" -> mmDurationMixSql,
     "llm_mm_band_occupancy" -> mmBandOccupancySql,
+    "llm_mm_hamming_hist" -> mmHammingHistSql,
     "llm_mm_scene_segments" -> mmSceneSegmentsSql,
     "llm_mm_frame_dedup" -> mmFrameDedupSql,
     "llm_mm_magic_router" -> mmMagicRouterSql,

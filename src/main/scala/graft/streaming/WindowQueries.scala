@@ -2083,7 +2083,64 @@ object WindowQueries {
       |  ROUND(CAST(t.uniq AS DOUBLE) / t.nu, 6) AS unique_user_share
       |FROM hist h CROSS JOIN tot t ORDER BY h.k_bucket""".stripMargin
 
+  // --------------------------------------------------------------------
+  // st_stickiness: weekly DAU/WAU stickiness — per Monday-truncated
+  // week, the weekly active users, active-day count, peak daily
+  // actives, average daily actives, and the stickiness ratio
+  // avg_DAU / WAU (the "how many of this week's users show up on a
+  // given day" engagement scalar — the one number that separates a
+  // daily habit from a weekly visit at identical WAU). Completes the
+  // cadence set: st_retention_matrix says vintages decay,
+  // st_new_vs_returning says who is new, this says how OFTEN actives
+  // return within the week.
+  // Scale shape: one (user, day) distinct at user grain (week rides
+  // along — a function of day), then two partial-aggregable rollups to
+  // the calendar-bounded week grain; no windows, no per-user state.
+  // Determinism: integer counts; ratios are integer/integer doubles;
+  // weeks are Monday-truncated DATEs in both engines.
+  def stStickiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day"),
+        date_trunc("week", to_date($"ts")).cast("date").as("week"))
+      .distinct()
+    val daily = ud.groupBy($"week", $"day").agg(count(lit(1)).as("dau"))
+      .groupBy($"week")
+      .agg(sum($"dau").as("sum_dau"), count(lit(1)).as("n_active_days"),
+        max($"dau").as("peak_dau"))
+    val wau = ud.select($"week", $"user_id").distinct()
+      .groupBy($"week").agg(count(lit(1)).as("wau"))
+    daily.join(wau, Seq("week"))
+      .select($"week", $"wau", $"n_active_days", $"peak_dau",
+        round($"sum_dau".cast("double") / $"n_active_days", 6)
+          .as("avg_dau"),
+        round($"sum_dau".cast("double")
+          / ($"n_active_days" * $"wau"), 6).as("stickiness"))
+      .orderBy($"week")
+  }
+
+  val stStickinessSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+      |  FROM events),
+      |d AS (SELECT week, day, COUNT(*) AS dau FROM ud GROUP BY 1, 2),
+      |dd AS (SELECT week, SUM(dau) AS sum_dau,
+      |    COUNT(*) AS n_active_days, MAX(dau) AS peak_dau
+      |  FROM d GROUP BY week),
+      |w AS (SELECT week, COUNT(*) AS wau
+      |  FROM (SELECT DISTINCT week, user_id FROM ud) GROUP BY week)
+      |SELECT dd.week AS week, CAST(w.wau AS BIGINT) AS wau,
+      |  CAST(dd.n_active_days AS BIGINT) AS n_active_days,
+      |  CAST(dd.peak_dau AS BIGINT) AS peak_dau,
+      |  ROUND(CAST(dd.sum_dau AS DOUBLE) / dd.n_active_days, 6)
+      |    AS avg_dau,
+      |  ROUND(CAST(dd.sum_dau AS DOUBLE) / (dd.n_active_days * w.wau), 6)
+      |    AS stickiness
+      |FROM dd JOIN w USING (week) ORDER BY week""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_stickiness" -> (stStickiness _),
     "st_retention_matrix" -> (stRetentionMatrix _),
     "st_reident_risk" -> (stReidentRisk _),
     "st_gap_sensitivity" -> (stGapSensitivity _),
@@ -2121,6 +2178,7 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st_stickiness" -> stStickinessSql,
     "st_retention_matrix" -> stRetentionMatrixSql,
     "st_reident_risk" -> stReidentRiskSql,
     "st_gap_sensitivity" -> stGapSensitivitySql,
