@@ -136,7 +136,8 @@ object Dedup {
 
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    ngramPairsFor(spark, dir)
+    val (members, rg) = repGrainFor(spark, dir)
+    topKByRepMetric(members, rg, $"jaccard", 100)
       .select($"doc_a", $"doc_b", $"n_inter", $"jaccard")
       .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
       .limit(100)
@@ -161,10 +162,18 @@ object Dedup {
     * list a production pipeline persists belongs in a STORAGE-layer
     * table write on a cluster — never in executor block memory. */
   private def ngramPairsFor(spark: SparkSession, dir: String): DataFrame = {
+    val (members, rg) = repGrainFor(spark, dir)
+    expandRepGrain(members, rg)
+  }
+
+  /** (member table, rep-grain pair table) off the session-cached core —
+    * the two inputs every pair consumer starts from. */
+  private[graft] def repGrainFor(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (_, members) = rawClassesFor(spark, dir)
     val sh = repShinglesFor(spark, dir)
     val (repPairs, keptCnt) = repPairCoreFor(spark, dir)
-    expandDocPairs(members, sh, repPairs, keptCnt)
+    (members, repGrainPairs(sh, repPairs, keptCnt))
   }
 
   /** Session-cached rep-level pair core: candidate rep pairs and
@@ -293,34 +302,107 @@ object Dedup {
 
   /** Member expansion of the rep-level pair core back to doc pairs —
     * the LAZY tail of [[ngramJaccardPairs]]: a pure equi-join fan-out
-    * whose output is never stored (see [[ngramPairsFor]]). */
+    * whose output is never stored (see [[ngramPairsFor]]).
+    *
+    * Every VALUE column (n_inter, na, nb, jaccard) is a function of
+    * the rep pair alone, so all arithmetic — in particular `round`,
+    * which on doubles allocates a BigDecimal PER ROW — runs at REP
+    * grain before the fan-out; the expansion only copies. (A 64×
+    * probe caught the per-row form: 15 executor threads pinned in
+    // BigDecimal.<init> under the expansion's codegen stage.) It also
+    * means a consumer's jaccard-threshold filter pushes through the
+    * join to the dim-sized rep side — candidates shrink BEFORE they
+    * multiply. */
   private[graft] def expandDocPairs(
       members: DataFrame, sh: DataFrame,
-      repPairs: DataFrame, keptCnt: DataFrame): DataFrame = {
+      repPairs: DataFrame, keptCnt: DataFrame): DataFrame =
+    expandRepGrain(members, repGrainPairs(sh, repPairs, keptCnt))
+
+  /** The complete rep-grain pair table: cross-class candidate pairs
+    * (rep_a ≠ rep_b) unioned with one INTRA row per class
+    * (rep_a = rep_b) — identical docs co-occur in every KEPT shingle
+    * bucket of their class, so the doc-level form counts n_kept shared
+    * shingles for them, and emits nothing when the class has no kept
+    * shingle (all hot, or fewer than 3 tokens): the inner join with
+    * the kept-count table reproduces both facts. Every value column —
+    * including `round`ed jaccard, which on doubles allocates a
+    * BigDecimal per evaluation — is computed HERE, once per rep pair,
+    * never per expanded row (a 64× probe caught the per-row form: 15
+    * executor threads pinned in BigDecimal.&lt;init&gt; under the
+    * expansion's codegen stage). It also means a consumer's
+    * jaccard-threshold filter pushes through the join to this
+    * dim-sized side — candidates shrink BEFORE they multiply. */
+  private[graft] def repGrainPairs(
+      sh: DataFrame, repPairs: DataFrame, keptCnt: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    def jac(nInter: org.apache.spark.sql.Column,
+            na: org.apache.spark.sql.Column,
+            nb: org.apache.spark.sql.Column) =
+      round(nInter.cast("double") / (na + nb - nInter), 6).as("jaccard")
+    // `expandable`: does this rep row expand to >= 1 doc pair? Cross
+    // rows always do (every class has >= 1 member); an intra row only
+    // when its class has >= 2 members (C(w,2) = 0 for singletons).
+    // topKByRepMetric's covering argument needs exactly this flag —
+    // without it a singleton class's jaccard-1.0 intra row can set the
+    // threshold above every real pair.
+    val crossRep = repPairs.select($"rep_a", $"rep_b",
+      $"n_inter", $"na", $"nb", jac($"n_inter", $"na", $"nb"),
+      lit(true).as("expandable"))
+    val intraRep = sh.select($"rep".as("rs"), $"w", $"n_sh")
+      .join(keptCnt, $"rs" === $"rk")
+      .select($"rs".as("rep_a"), $"rs".as("rep_b"),
+        $"n_kept".as("n_inter"), $"n_sh".as("na"), $"n_sh".as("nb"),
+        jac($"n_kept", $"n_sh", $"n_sh"),
+        ($"w" >= 2).as("expandable"))
+    crossRep.union(intraRep)
+  }
+
+  /** Member expansion of a rep-grain pair table (or any subset of one)
+    * back to doc pairs — a pure copying fan-out: cross rows join the
+    * member table once per side, intra rows (rep_a = rep_b) become the
+    * within-class d1 &lt; d2 combinations. */
+  private[graft] def expandRepGrain(
+      members: DataFrame, rg: DataFrame): DataFrame = {
     import members.sparkSession.implicits._
-    val cross = repPairs
+    val cross = rg.filter($"rep_a" =!= $"rep_b")
       .join(members.select($"rep".as("ra"), $"doc_id".as("da")),
         $"rep_a" === $"ra")
       .join(members.select($"rep".as("rb"), $"doc_id".as("db")),
         $"rep_b" === $"rb")
       .select(least($"da", $"db").as("doc_a"),
-        greatest($"da", $"db").as("doc_b"), $"n_inter", $"na", $"nb")
-    // Intra-class pairs: identical docs co-occur in every KEPT shingle
-    // bucket of their class, so the doc-level form counts n_kept shared
-    // shingles for them — and emits nothing when the class has no kept
-    // shingle (all hot, or fewer than 3 tokens). The inner join with
-    // the kept-count table reproduces both facts.
-    val intra = members.select($"rep".as("r1"), $"doc_id".as("d1"))
+        greatest($"da", $"db").as("doc_b"),
+        $"n_inter", $"na", $"nb", $"jaccard")
+    val intra = rg.filter($"rep_a" === $"rep_b")
+      .join(members.select($"rep".as("r1"), $"doc_id".as("d1")),
+        $"rep_a" === $"r1")
       .join(members.select($"rep".as("r2"), $"doc_id".as("d2")),
-        $"r1" === $"r2" && $"d1" < $"d2")
-      .join(sh.select($"rep".as("rs"), $"n_sh"), $"r1" === $"rs")
-      .join(keptCnt, $"r1" === $"rk")
+        $"rep_b" === $"r2" && $"d1" < $"d2")
       .select($"d1".as("doc_a"), $"d2".as("doc_b"),
-        $"n_kept".as("n_inter"), $"n_sh".as("na"), $"n_sh".as("nb"))
+        $"n_inter", $"na", $"nb", $"jaccard")
     cross.union(intra)
-      .select($"doc_a", $"doc_b", $"n_inter", $"na", $"nb",
-        round($"n_inter".cast("double")
-          / ($"na" + $"nb" - $"n_inter"), 6).as("jaccard"))
+      .select($"doc_a", $"doc_b", $"n_inter", $"na", $"nb", $"jaccard")
+  }
+
+  /** Doc-level top-k over the pair expansion WITHOUT streaming the
+    * whole fan-out through a row-copying TakeOrdered (the 64× probe's
+    * second finding: UnsafeRow.copy per expanded row inside the top-k
+    * heap). Every rep pair expands to ≥ 1 doc pair and all its doc
+    * pairs share the metric, so the k-th doc pair's metric is ≥ the
+    * k-th REP pair's: thresholding rep pairs at their own k-th metric
+    * value provably covers the doc-level top-k, and only the
+    * survivors (rep-grain ties included) ever expand. `metric` must
+    * be a function of the rep-grain row. */
+  private[graft] def topKByRepMetric(
+      members: DataFrame, rg: DataFrame,
+      metric: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    import members.sparkSession.implicits._
+    val exp = rg.filter($"expandable")
+    val thr = exp.select(metric.as("m")).orderBy($"m".desc).limit(k)
+      .agg(min($"m").as("mthr"))
+    val cut = exp.crossJoin(broadcast(thr))
+      .filter(metric >= $"mthr")
+      .drop("mthr")
+    expandRepGrain(members, cut)
   }
 
   /** Oracle pair table (doc-level spec of [[ngramJaccardPairs]]),
@@ -2273,7 +2355,13 @@ object Dedup {
   // the containment algebra is a pure projection over pair rows.
   def ddContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    ngramPairsFor(spark, dir)
+    val (members, rg) = repGrainFor(spark, dir)
+    // the sort metric is a rep-grain function, so the doc-level
+    // top-100 selects at rep grain (topKByRepMetric) and only the
+    // surviving rep pairs expand
+    val m = greatest(round($"n_inter".cast("double") / $"na", 6),
+      round($"n_inter".cast("double") / $"nb", 6))
+    topKByRepMetric(members, rg, m, 100)
       .select($"doc_a", $"doc_b",
         $"na".cast("long").as("na"), $"nb".cast("long").as("nb"),
         $"jaccard",
