@@ -3192,7 +3192,17 @@ object Dedup {
   private val WinnowW = 4
   def ddWinnow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // doc-keyed repartition ahead of the gram projection: the
+    // higher-order transform lambdas run INTERPRETED (HOFs are
+    // codegen-barred), and at replication factors where the parquet
+    // scan has few row-groups the whole interpreted pipeline otherwise
+    // lands in ONE task (the decontaminate funnel, seen again in the
+    // r13 16× wave draw — jstack showed a single worker in
+    // StringSplit.nullSafeEval). Scan-independent parallelism makes
+    // the interpreted cost a constant-factor, not a funnel.
     val grams = Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .repartition($"doc_id")
       .select($"doc_id", split($"text", " ").as("tk"))
       .select($"doc_id", expr(
         """transform(sequence(1, greatest(size(tk) - 2, 0)),
