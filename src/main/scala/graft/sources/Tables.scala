@@ -298,7 +298,20 @@ object Tables {
     graft.functions.Shingle3.register(spark)
     sessionCached(spark, stamped(spark, dir, name)) {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (cacheMode.contains("checkpoint")) df.localCheckpoint() else df
+      // Warm mode repartitions BEFORE checkpointing: localCheckpoint
+      // freezes the scan's partitioning, and a replicated fixture
+      // written as one parquet row-group pins the whole table to ~1
+      // partition — every downstream consumer then runs its narrow
+      // stages single-task (the r13 16×/64× funnel class: jstack'd
+      // single workers under fairness_audit 738 s / stickiness 357 s
+      // warm at 16× while the host sat at load 1.5). Scan-independent
+      // parallelism here fixes the entire class at once; the
+      // correctness gate (Verify) keeps raw scans, so pushdown plans
+      // stay audited.
+      if (cacheMode.contains("checkpoint"))
+        df.repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+      else df
     }
   }
 
