@@ -32,4 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A ~400-query bench suite compiles ~750 codegen classes; the JVM's
+  // 240 MB default code cache can fill and silently leave late
+  // compilations interpreted (the q12-class tight-spread in-suite
+  // flags). tools/gate.sh already raises it; raising it here too means
+  // any forked run of graft.Bench — including the round driver's —
+  // inherits the same headroom (bench_last.json's jvm block records
+  // the resulting max so a draw self-attributes either way).
+  "-XX:ReservedCodeCacheSize=512m",
 )

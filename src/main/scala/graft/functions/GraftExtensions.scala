@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle3"),
       new ExpressionInfo(classOf[Shingle3].getName, "shingle3"),
       (args: Seq[Expression]) => Shingle3(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow4"),
+      new ExpressionInfo(classOf[Winnow4].getName, "winnow4"),
+      (args: Seq[Expression]) => Winnow4(args.head)))
   }
 }

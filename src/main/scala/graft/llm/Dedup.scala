@@ -163,31 +163,105 @@ object Dedup {
     * table write on a cluster — never in executor block memory. */
   private def ngramPairsFor(spark: SparkSession, dir: String): DataFrame = {
     val (members, rg) = repGrainFor(spark, dir)
-    expandRepGrain(members, rg)
+    // SIZE GATE (r13 verdict item 5): the expansion's EXACT row count
+    // is Σ mult over the dim-sized rep table — one cheap aggregate,
+    // decided once per (session, dir) via the cached 1-row frame.
+    // Under the bound the doc-pair table materializes and consumers
+    // share it (bench-SF shape — recovers the r12 consumer costs the
+    // per-query lazy fan-out gave back); above it the expansion stays
+    // a lazy streaming fan-out that is never stored (replica-dense
+    // shape: 290M rows at 16×, ~10⁹ at 64× — the r13 heartbeat-death
+    // artifact this gate exists to never re-materialize).
+    val cnt = Tables.sessionCached(spark,
+        Tables.stamped(spark, dir, "dd_pairExpansionCount")) {
+      Tables.materialize(withPairMult(rg, repWeightsFor(spark, dir))
+        .agg(coalesce(sum(col("mult")), lit(0L)).as("n")))
+    }.head().getLong(0)
+    if (cnt <= ExpandCacheMaxRows)
+      Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_ngramPairs")) {
+        Tables.materialize(expandRepGrain(members, rg))
+      }
+    else expandRepGrain(members, rg)
   }
 
+  /** Doc-pair expansion rows under which [[ngramPairsFor]] materializes
+    * the expansion instead of re-generating it per consumer: ~4M rows
+    * of 6 numeric columns is tens of MB of block storage — safely under
+    * any executor budget — while the replica-dense fixtures that killed
+    * the r13 64× draw (multi-GiB single partitions) sit orders of
+    * magnitude above. */
+  private val ExpandCacheMaxRows = 4000000L
+
   /** (member table, rep-grain pair table) off the session-cached core —
-    * the two inputs every pair consumer starts from. */
+    * the two inputs every pair consumer starts from. The COMPLETE
+    * rep-grain table (cross + intra rows, all value columns) is itself
+    * session-cached and materialized: it is bounded by the
+    * DEDUPLICATED corpus at any replication (cross rows = candidate
+    * rep pairs, intra rows = one per class), and before this cache
+    * every pair consumer re-ran the cross/intra union join per query
+    * (r13: containment 0.19→2.53 s, ngram_jaccard 0.14→1.49 s at
+    * sf0.1 — the per-consumer recompute the r13 verdict's item 5
+    * names). */
   private[graft] def repGrainFor(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (_, members) = rawClassesFor(spark, dir)
-    val sh = repShinglesFor(spark, dir)
-    val (repPairs, keptCnt) = repPairCoreFor(spark, dir)
-    (members, repGrainPairs(sh, repPairs, keptCnt))
+    val rg = Tables.sessionCached(spark,
+        Tables.stamped(spark, dir, "dd_repGrain")) {
+      val sh = repShinglesFor(spark, dir)
+      val (repPairs, keptCnt) = repPairCoreFor(spark, dir)
+      Tables.materialize(repGrainPairs(sh, repPairs, keptCnt))
+    }
+    (members, rg)
   }
+
+  /** Class weights (rep → class size) for multiplicity arithmetic:
+    * dim-sized (one row per distinct text) at any replication, so it
+    * broadcasts. */
+  private def repWeightsFor(spark: SparkSession, dir: String): DataFrame =
+    rawClassesFor(spark, dir)._1.select(col("rep"), col("w"))
+
+  /** Attach `mult` — the EXACT number of doc pairs a rep-grain pair row
+    * expands to — to any table keyed (rep_a, rep_b): a cross row
+    * (rep_a ≠ rep_b) expands to wa·wb member pairs, an intra row to
+    * C(w,2) (zero for singleton classes, whose intra rows are
+    * unexpandable by construction). This is what lets the measurement
+    * queries (lsh_recall / jaccard_est / minhash_k / minhash_precision)
+    * compute doc-level counts, sums, and means WITHOUT ever shuffling
+    * the expanded doc-pair stream (the r13 64× jstack finding: 9/10
+    * workers in UnsafeRow.copy inside the shuffle writer under the
+    * doc-grain truth⨝candidate joins; minhash_k killed unfinished at
+    * ~25 min): identical docs have identical shingle sets AND identical
+    * signatures, so truth and candidates both factor exactly through
+    * rep pairs with this multiplicity. */
+  private def withPairMult(rg: DataFrame, weights: DataFrame): DataFrame =
+    rg.join(broadcast(weights.select(col("rep").as("rep_a"), col("w").as("wa"))),
+        "rep_a")
+      .join(broadcast(weights.select(col("rep").as("rep_b"), col("w").as("wb"))),
+        "rep_b")
+      .withColumn("mult",
+        when(col("rep_a") === col("rep_b"), expr("(wa * (wa - 1)) div 2"))
+          .otherwise(col("wa") * col("wb")))
+      .drop("wa", "wb")
 
   /** Session-cached rep-level pair core: candidate rep pairs and
     * per-rep kept-shingle counts from [[repPairsAndKept]], each
-    * materialized at CLASS grain (dim-sized at any replication). */
+    * materialized at CLASS grain (dim-sized at any replication). ONE
+    * repPairsAndKept call materializes both outputs — the first key's
+    * build registers the second under its own key — so the shared
+    * explode + hot-shingle anti-join lineage is derived once per
+    * session (the two materialization jobs still run separately; the
+    * second closure is the fallback if the kept-count key is somehow
+    * resolved first). */
   private def repPairCoreFor(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val keyK = Tables.stamped(spark, dir, "dd_ngramKeptCnt")
     val repPairs = Tables.sessionCached(spark,
         Tables.stamped(spark, dir, "dd_ngramRepPairs")) {
-      Tables.materialize(
-        repPairsAndKept(spark, repShinglesFor(spark, dir), MaxBucketDf)._1)
+      val (p, k) = repPairsAndKept(spark, repShinglesFor(spark, dir), MaxBucketDf)
+      Tables.sessionCached(spark, keyK)(Tables.materialize(k))
+      Tables.materialize(p)
     }
-    val keptCnt = Tables.sessionCached(spark,
-        Tables.stamped(spark, dir, "dd_ngramKeptCnt")) {
+    val keptCnt = Tables.sessionCached(spark, keyK) {
       Tables.materialize(
         repPairsAndKept(spark, repShinglesFor(spark, dir), MaxBucketDf)._2)
     }
@@ -362,25 +436,25 @@ object Dedup {
     * member table once per side, intra rows (rep_a = rep_b) become the
     * within-class d1 &lt; d2 combinations. */
   private[graft] def expandRepGrain(
-      members: DataFrame, rg: DataFrame): DataFrame = {
+      members: DataFrame, rg: DataFrame,
+      vals: Seq[String] = Seq("n_inter", "na", "nb", "jaccard")): DataFrame = {
     import members.sparkSession.implicits._
+    val valCols = vals.map(col)
     val cross = rg.filter($"rep_a" =!= $"rep_b")
       .join(members.select($"rep".as("ra"), $"doc_id".as("da")),
         $"rep_a" === $"ra")
       .join(members.select($"rep".as("rb"), $"doc_id".as("db")),
         $"rep_b" === $"rb")
-      .select(least($"da", $"db").as("doc_a"),
-        greatest($"da", $"db").as("doc_b"),
-        $"n_inter", $"na", $"nb", $"jaccard")
+      .select(least($"da", $"db").as("doc_a") +:
+        greatest($"da", $"db").as("doc_b") +: valCols: _*)
     val intra = rg.filter($"rep_a" === $"rep_b")
       .join(members.select($"rep".as("r1"), $"doc_id".as("d1")),
         $"rep_a" === $"r1")
       .join(members.select($"rep".as("r2"), $"doc_id".as("d2")),
         $"rep_b" === $"r2" && $"d1" < $"d2")
-      .select($"d1".as("doc_a"), $"d2".as("doc_b"),
-        $"n_inter", $"na", $"nb", $"jaccard")
+      .select($"d1".as("doc_a") +: $"d2".as("doc_b") +: valCols: _*)
     cross.union(intra)
-      .select($"doc_a", $"doc_b", $"n_inter", $"na", $"nb", $"jaccard")
+      .select($"doc_a" +: $"doc_b" +: valCols: _*)
   }
 
   /** Doc-level top-k over the pair expansion WITHOUT streaming the
@@ -394,7 +468,8 @@ object Dedup {
     * be a function of the rep-grain row. */
   private[graft] def topKByRepMetric(
       members: DataFrame, rg: DataFrame,
-      metric: org.apache.spark.sql.Column, k: Int): DataFrame = {
+      metric: org.apache.spark.sql.Column, k: Int,
+      vals: Seq[String] = Seq("n_inter", "na", "nb", "jaccard")): DataFrame = {
     import members.sparkSession.implicits._
     val exp = rg.filter($"expandable")
     val thr = exp.select(metric.as("m")).orderBy($"m".desc).limit(k)
@@ -402,7 +477,7 @@ object Dedup {
     val cut = exp.crossJoin(broadcast(thr))
       .filter(metric >= $"mthr")
       .drop("mthr")
-    expandRepGrain(members, cut)
+    expandRepGrain(members, cut, vals)
   }
 
   /** Oracle pair table (doc-level spec of [[ngramJaccardPairs]]),
@@ -439,6 +514,25 @@ object Dedup {
   val minhashB = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
   private val P31 = 2147483647L
 
+  /** Session-cached MinHash signatures at CLASS grain — (rep, w,
+    * sig0..sig7), one row per distinct text at any replication. The
+    * 8×hash-min aggregation over the packed rep-shingle table runs
+    * once per session; the doc-level signature table ([[ddMinhashSigs]])
+    * and the rep-grain LSH candidate generator ([[repLshCandsFor]])
+    * both read it. */
+  private def repSigsFor(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_repSigs")) {
+      val ex = repShinglesFor(spark, dir)
+        .select(col("rep"), col("w"), explode(col("shingles")).as("shingle"))
+        .withColumn("x31", h60(col("shingle")) % P31)
+      val sigCols = minhashA.zip(minhashB).zipWithIndex.map {
+        case ((a, b), i) =>
+          min((col("x31") * a + b) % P31).as(s"sig$i")
+      }
+      Tables.materialize(
+        ex.groupBy(col("rep"), col("w")).agg(sigCols.head, sigCols.tail: _*))
+    }
+
   def ddMinhashSigs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // TWO-LEVEL ([[rawClassesFor]]): identical raw text → identical
@@ -448,15 +542,7 @@ object Dedup {
     // pair generator) — and fans back out through the member table:
     // signatures for a 16×-replicated corpus cost ~the base corpus.
     val (_, members) = rawClassesFor(spark, dir)
-    val ex = repShinglesFor(spark, dir)
-      .select($"rep", explode($"shingles").as("shingle"))
-      .withColumn("x31", h60($"shingle") % P31)
-    val sigCols = minhashA.zip(minhashB).zipWithIndex.map {
-      case ((a, b), i) =>
-        min((col("x31") * a + b) % P31).as(s"sig$i")
-    }
-    val repSigs = ex.groupBy($"rep").agg(sigCols.head, sigCols.tail: _*)
-    members.join(repSigs, "rep")
+    members.join(repSigsFor(spark, dir).drop("w"), "rep")
       .select($"doc_id" +: (0 until 8).map(i => col(s"sig$i")): _*)
       .orderBy($"doc_id")
   }
@@ -500,6 +586,62 @@ object Dedup {
           array(sigCols: _*).as("sigs")))
     }
   }
+
+  /** Rep-grain LSH candidate pairs — the scale-true form of
+    * [[ddMinhashLsh]]'s output: one row per CLASS pair, (rep_a, rep_b,
+    * est_jaccard), with an intra row (rep_a = rep_b, est = 1.0) per
+    * class whose ≥2 identical members are bucket-mates. Exactly the
+    * doc-level candidate set factored through exact-duplicate classes:
+    * identical docs have identical signatures, hence identical band
+    * keys, so (a) a cross doc pair is a candidate iff its rep pair
+    * shares a kept bucket, and every wa·wb member combination is then
+    * a candidate; (b) members of one class co-occur in all 4 of their
+    * buckets, so intra pairs are candidates iff any one of those
+    * buckets is kept. The doc-level df cap is preserved EXACTLY by
+    * counting bucket occupancy as Σ class weights (`sum(w)`), which is
+    * the doc count of the bucket.
+    *
+    * Replication-invariant (bounded by the deduplicated corpus), so it
+    * materializes safely at any replica density — this is what lets
+    * the four measurement queries run their truth⨝candidate joins at
+    * rep grain with multiplicity weights instead of shuffling the
+    * ~10⁹-row doc-pair expansion (the r13 64× UnsafeRow.copy wedge). */
+  private def repLshCandsFor(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_repLshCands")) {
+      import spark.implicits._
+      val sigCols = (0 until 8).map(i => col(s"sig$i"))
+      val repBands = repSigsFor(spark, dir)
+        .select($"rep" +: $"w" +: array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            concat_ws(":", col(s"sig${2 * j}"), col(s"sig${2 * j + 1}"))
+              .as("key"))): _*).as("bks") +: sigCols: _*)
+        .select($"rep" +: $"w" +: explode($"bks").as("bk") +: sigCols: _*)
+        .select($"rep", $"w", $"bk.band", $"bk.key",
+          array(sigCols: _*).as("sigs"))
+      // doc-level bucket df = Σ class weights; keep (1, MaxBucketDf] —
+      // the ddMinhashLsh cap semantics, verbatim, at class grain
+      val kept = repBands.groupBy($"band", $"key").agg(sum($"w").as("df"))
+        .filter($"df" > 1 && $"df" <= MaxBucketDf)
+        .select($"band", $"key")
+      val inB = repBands.join(kept, Seq("band", "key"))
+      val agree = (0 until 8).map(i =>
+          when(col("pa.sigs")(i) === col("pb.sigs")(i), 1).otherwise(0))
+        .reduce(_ + _)
+      // collect_list buffer bounded: rep count per kept bucket ≤ its
+      // doc df ≤ MaxBucketDf
+      val cross = inB.groupBy($"band", $"key")
+        .agg(collect_list(struct($"rep", $"sigs")).as("docs"))
+        .select(explode($"docs").as("pa"), $"docs")
+        .select($"pa", explode($"docs").as("pb"))
+        .filter($"pa.rep" < $"pb.rep")
+        .select($"pa.rep".as("rep_a"), $"pb.rep".as("rep_b"),
+          round(agree.cast("double") / 8.0, 6).as("est_jaccard"))
+        .distinct()
+      val intra = inB.filter($"w" >= 2).select($"rep").distinct()
+        .select($"rep".as("rep_a"), $"rep".as("rep_b"),
+          lit(1.0).as("est_jaccard"))
+      Tables.materialize(cross.union(intra))
+    }
 
   // --------------------------------------------------------------------
   // llm_dd_lsh_tuning: band/row sweep for the LSH index — the tuning
@@ -1767,18 +1909,27 @@ object Dedup {
   // subplans.
   def ddLshRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val truth = ngramPairsFor(spark, dir)
-      .filter($"jaccard" >= 0.75)
-      .select($"doc_a", $"doc_b")
-      .localCheckpoint()
-    val cand = ddMinhashLsh(spark, dir)
-      .filter($"est_jaccard" >= 0.75)
-      .select($"doc_a", $"doc_b")
-      .localCheckpoint()
-    val hits = cand.join(truth, Seq("doc_a", "doc_b"))
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+    // REP GRAIN with multiplicity weights — never the doc-pair
+    // expansion: identical docs have identical shingles (truth side)
+    // and identical signatures (candidate side), so both pair sets
+    // factor exactly through rep pairs, and every doc-level count is
+    // Σ mult over the corresponding dim-sized rep table. The former
+    // doc-grain form localCheckpointed + joined the expanded streams —
+    // the r13 64× shuffle wedge.
+    val wts = repWeightsFor(spark, dir)
+    val truth = withPairMult(
+        repGrainFor(spark, dir)._2.filter($"jaccard" >= 0.75), wts)
+      .select($"rep_a", $"rep_b", $"mult")
+    val cand = withPairMult(
+        repLshCandsFor(spark, dir).filter($"est_jaccard" >= 0.75), wts)
+      .select($"rep_a", $"rep_b", $"mult")
+    // mult agrees on both sides of a hit (it is a function of the two
+    // class weights alone), so either side's sum counts the hits
+    val hits = cand.join(truth.select($"rep_a", $"rep_b"),
+      Seq("rep_a", "rep_b"))
+    truth.agg(coalesce(sum($"mult"), lit(0L)).as("n_truth"))
+      .crossJoin(cand.agg(coalesce(sum($"mult"), lit(0L)).as("n_cand")))
+      .crossJoin(hits.agg(coalesce(sum($"mult"), lit(0L)).as("n_hit")))
       .select($"n_truth", $"n_cand", $"n_hit",
         // empty denominators get an explicit vacuous convention (no
         // candidates → no false positives → precision 1.0; no truth
@@ -1829,17 +1980,28 @@ object Dedup {
   // under the df-cap convention both engines already share.
   def ddJaccardEst(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cand = ddMinhashLsh(spark, dir)
-      .select($"doc_a", $"doc_b", $"est_jaccard")
-    val truth = ngramPairsFor(spark, dir)
-      .select($"doc_a", $"doc_b", $"jaccard")
-    cand.join(truth, Seq("doc_a", "doc_b"), "left")
-      .select($"doc_a", $"doc_b", $"est_jaccard",
+    // REP GRAIN: the candidate⨝truth left join runs over the two
+    // dim-sized rep-pair artifacts (est and true Jaccard are both
+    // class-level facts), and the doc-level top-100 selects at rep
+    // grain via the topKByRepMetric threshold — only surviving rep
+    // pairs expand. Every repLshCands row expands to ≥1 doc pair
+    // (cross always, intra only emitted for w ≥ 2), so the covering
+    // argument holds with expandable ≡ true.
+    val (members, rg) = repGrainFor(spark, dir)
+    val joined = repLshCandsFor(spark, dir)
+      .join(rg.select($"rep_a", $"rep_b", $"jaccard"),
+        Seq("rep_a", "rep_b"), "left")
+      .select($"rep_a", $"rep_b", $"est_jaccard",
         coalesce($"jaccard", lit(0.0)).as("true_jaccard"),
         round(abs($"est_jaccard" - coalesce($"jaccard", lit(0.0))), 6)
-          .as("abs_err"))
+          .as("abs_err"),
+        lit(true).as("expandable"))
+    topKByRepMetric(members, joined, $"abs_err", 100,
+        vals = Seq("est_jaccard", "true_jaccard", "abs_err"))
       .orderBy($"abs_err".desc, $"doc_a", $"doc_b")
       .limit(100)
+      .select($"doc_a", $"doc_b", $"est_jaccard", $"true_jaccard",
+        $"abs_err")
   }
 
   val ddJaccardEstSql: String =
@@ -2189,14 +2351,25 @@ object Dedup {
   // DECIMAL-routed means, then unpivoted to 3 rows.
   def ddMinhashK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = bandsFor(spark, dir).select($"doc_id", $"sigs")
-      .dropDuplicates("doc_id")
-    val truth = ngramPairsFor(spark, dir)
-      .select($"doc_a", $"doc_b", $"jaccard")
-    val pairs = ddMinhashLsh(spark, dir).select($"doc_a", $"doc_b")
-      .join(sigs.select($"doc_id".as("doc_a"), $"sigs".as("sa")), "doc_a")
-      .join(sigs.select($"doc_id".as("doc_b"), $"sigs".as("sb")), "doc_b")
-      .join(truth, Seq("doc_a", "doc_b"), "left")
+    // REP GRAIN with multiplicity: signatures, est-prefix agreement and
+    // true Jaccard are all class-level facts, so every per-doc-pair err
+    // is a rep-pair err repeated `mult` times — the decimal error sums
+    // weight by mult (decimal × integer stays exact, so the sum equals
+    // the doc-level Σ of per-pair 12-dp-rounded errs bit for bit),
+    // counts are Σ mult, and maxima are unweighted (every rep row
+    // expands ≥ once). The former doc-grain form joined truth and sigs
+    // over the expanded stream — unfinished at ~25 min in the r13 64×
+    // draw.
+    val sigCols = (0 until 8).map(i => col(s"sig$i"))
+    val sigs = repSigsFor(spark, dir)
+      .select($"rep", array(sigCols: _*).as("sigs"))
+    val (_, rg) = repGrainFor(spark, dir)
+    val pairs = withPairMult(repLshCandsFor(spark, dir),
+        repWeightsFor(spark, dir))
+      .join(sigs.select($"rep".as("rep_a"), $"sigs".as("sa")), "rep_a")
+      .join(sigs.select($"rep".as("rep_b"), $"sigs".as("sb")), "rep_b")
+      .join(rg.select($"rep_a", $"rep_b", $"jaccard"),
+        Seq("rep_a", "rep_b"), "left")
       .withColumn("tj", coalesce($"jaccard", lit(0.0)))
     def estK(k: Int) = (0 until k).map(i =>
         when($"sa"(i) === $"sb"(i), 1).otherwise(0))
@@ -2205,9 +2378,11 @@ object Dedup {
       df.withColumn(s"err$k", abs(round(estK(k), 6) - $"tj"))
     }
     val aggCols = Seq(2, 4, 8).flatMap(k => Seq(
-      sum(col(s"err$k").cast("decimal(28,12)")).cast("double").as(s"s$k"),
+      sum(col(s"err$k").cast("decimal(28,12)") * $"mult")
+        .cast("double").as(s"s$k"),
       max(col(s"err$k")).as(s"m$k")))
-    val agg = errs.agg(count(lit(1)).as("n_pairs"), aggCols: _*)
+    val agg = errs.agg(
+      coalesce(sum($"mult"), lit(0L)).as("n_pairs"), aggCols: _*)
     agg.select(expr(
       """stack(3,
         |  2, n_pairs, round(s2 / n_pairs, 6), round(m2, 6),
@@ -2752,23 +2927,29 @@ object Dedup {
   // 4-row bin groupBy never touch the corpus.
   def ddMinhashPrecision(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val est = ddMinhashLsh(spark, dir)
-      .select($"doc_a", $"doc_b", $"est_jaccard")
-    val truth = ngramPairsFor(spark, dir)
-      .select($"doc_a", $"doc_b", $"jaccard")
-    est.join(truth, Seq("doc_a", "doc_b"), "left")
+    // REP GRAIN with multiplicity (see ddLshRecall): bins, estimates
+    // and true Jaccard are class-level facts, so each bin's doc-pair
+    // count is Σ mult and each mean weights the per-rep-pair decimal
+    // term by mult — decimal × integer is exact, so the sums (and the
+    // final rounded doubles) are bit-identical to the doc-level form
+    // without ever expanding the pair stream.
+    val (_, rg) = repGrainFor(spark, dir)
+    withPairMult(repLshCandsFor(spark, dir), repWeightsFor(spark, dir))
+      .join(rg.select($"rep_a", $"rep_b", $"jaccard"),
+        Seq("rep_a", "rep_b"), "left")
       .select(
         least(floor($"est_jaccard" * 4).cast("int"), lit(3)).as("est_bin"),
         $"est_jaccard",
-        coalesce($"jaccard", lit(0.0)).as("tj"))
+        coalesce($"jaccard", lit(0.0)).as("tj"),
+        $"mult")
       .groupBy($"est_bin")
-      .agg(count(lit(1)).as("n_pairs"),
-        round(sum($"est_jaccard".cast("decimal(28,12)")).cast("double")
-          / count(lit(1)), 6).as("mean_est"),
-        round(sum($"tj".cast("decimal(28,12)")).cast("double")
-          / count(lit(1)), 6).as("mean_true"),
-        round(sum(abs($"est_jaccard" - $"tj").cast("decimal(28,12)"))
-          .cast("double") / count(lit(1)), 6).as("mean_abs_err"))
+      .agg(sum($"mult").as("n_pairs"),
+        round(sum($"est_jaccard".cast("decimal(28,12)") * $"mult")
+          .cast("double") / sum($"mult"), 6).as("mean_est"),
+        round(sum($"tj".cast("decimal(28,12)") * $"mult")
+          .cast("double") / sum($"mult"), 6).as("mean_true"),
+        round(sum(abs($"est_jaccard" - $"tj").cast("decimal(28,12)")
+          * $"mult").cast("double") / sum($"mult"), 6).as("mean_abs_err"))
       .orderBy($"est_bin")
   }
 
@@ -3189,32 +3370,21 @@ object Dedup {
   // hashes, integer counts, one rounded division.
   // Short docs (< W+2 tokens but ≥ 3): one window over all hashes,
   // the standard winnowing boundary rule.
-  private val WinnowW = 4
+  private val WinnowW = 4 // window width; Winnow4Impl hard-codes the same
   def ddWinnow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // doc-keyed repartition ahead of the gram projection: the
-    // higher-order transform lambdas run INTERPRETED (HOFs are
-    // codegen-barred), and at replication factors where the parquet
-    // scan has few row-groups the whole interpreted pipeline otherwise
-    // lands in ONE task (the decontaminate funnel, seen again in the
-    // r13 16× wave draw — jstack showed a single worker in
-    // StringSplit.nullSafeEval). Scan-independent parallelism makes
-    // the interpreted cost a constant-factor, not a funnel.
-    val grams = Tables.documents(spark, dir)
-      .select($"doc_id", $"text")
-      .repartition($"doc_id")
-      .select($"doc_id", split($"text", " ").as("tk"))
-      .select($"doc_id", expr(
-        """transform(sequence(1, greatest(size(tk) - 2, 0)),
-          |  i -> h60(concat_ws(' ', element_at(tk, i),
-          |    element_at(tk, i + 1), element_at(tk, i + 2))))"""
-          .stripMargin).as("hs"))
-      .filter(size($"hs") >= 1)
-    val fp = grams.select($"doc_id", explode(expr(
-        s"""transform(sequence(1, greatest(size(hs) - ${WinnowW - 1}, 1)),
-           |  s -> array_min(slice(hs, s,
-           |    least($WinnowW, size(hs) - s + 1))))""".stripMargin))
-        .as("h"))
+    // The entire gram-hash + window-min pipeline is the fused codegen
+    // expression winnow4 (graft.functions.Winnow4): the earlier
+    // composed transform/slice form ran its higher-order lambdas
+    // INTERPRETED (HOFs are codegen-barred — jstack in the r13 16×
+    // draw showed a single worker in StringSplit.nullSafeEval) and
+    // needed a doc-key repartition band-aid for parallelism; now the
+    // projection is one whole-stage-codegen pass that parallelizes
+    // with the scan (warm mode sizes the scan's partitioning —
+    // Tables.warmPartitions). WinnowPlanSpec pins the no-HOF /
+    // codegen-survival property.
+    val fp = Tables.documents(spark, dir)
+      .select($"doc_id", explode(expr("winnow4(text)")).as("h"))
       .distinct()
       .localCheckpoint()
     val docs = fp.groupBy($"doc_id").agg(count(lit(1)).as("nfp"))

@@ -1913,6 +1913,67 @@ object RelationalQueries {
       |GROUP BY yr ORDER BY yr""".stripMargin
 
   // --------------------------------------------------------------------
+  // q75: Paasche + Fisher price indexes by ship year — the canonical
+  // companions of q74's Laspeyres: Paasche weights by CURRENT-year
+  // quantities (Σ p_t·q_t / Σ p₀·q_t — "what does this year's basket
+  // cost at this year's vs base prices"), and Fisher is their
+  // geometric mean √(L·P), the superlative index that bounds the
+  // substitution bias the two one-sided indexes carry in opposite
+  // directions. Same part universe as q74 (parts traded in both the
+  // 1995 base year and year t), so the L−P gap is read directly.
+  // Scale shape: identical to q74 — ONE fact collapse to the
+  // dim-bounded (year, part) decimal moments, materialized (base
+  // slice + all-years side), then arithmetic on the small table; the
+  // doubled index algebra costs nothing more at any scale. (q75 was a
+  // skipped number in the wave-58 series until r14 — restored with
+  // this query rather than renumbering, per the r13 verdict's
+  // registry-hygiene item.)
+  def q75PaascheIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pp = Tables.materialize(Tables.lineitem(spark, dir)
+      .groupBy(year($"l_shipdate").as("yr"), $"l_partkey")
+      .agg(dsum($"l_extendedprice", 6).as("sp"),
+        dsum($"l_quantity", 6).as("sq"))
+      .select($"yr", $"l_partkey", ($"sp" / $"sq").as("p"), $"sq"))
+    val base = pp.filter($"yr" === 1995)
+      .select($"l_partkey".as("bk"), $"p".as("p0"), $"sq".as("q0"))
+    pp.join(base, $"l_partkey" === $"bk")
+      .groupBy($"yr")
+      .agg(count(lit(1)).as("n_parts"),
+        (sum(($"p" * $"sq").cast(DecimalType(28, 6))).cast("double")
+          / sum(($"p0" * $"sq").cast(DecimalType(28, 6))).cast("double"))
+          .as("pa"),
+        (sum(($"p" * $"q0").cast(DecimalType(28, 6))).cast("double")
+          / sum(($"p0" * $"q0").cast(DecimalType(28, 6))).cast("double"))
+          .as("la"))
+      .select($"yr", $"n_parts",
+        round($"pa", 6).as("paasche_index"),
+        round(sqrt($"pa" * $"la"), 6).as("fisher_index"))
+      .orderBy($"yr")
+  }
+
+  val q75Sql: String =
+    """WITH pp AS (
+      |  SELECT year(l_shipdate) AS yr, l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      |      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS p,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq
+      |  FROM lineitem GROUP BY 1, 2),
+      |base AS (
+      |  SELECT l_partkey AS bk, p AS p0, sq AS q0 FROM pp WHERE yr = 1995),
+      |ix AS (
+      |  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |    CAST(SUM(CAST(p * sq AS DECIMAL(28,6))) AS DOUBLE)
+      |      / CAST(SUM(CAST(p0 * sq AS DECIMAL(28,6))) AS DOUBLE) AS pa,
+      |    CAST(SUM(CAST(p * q0 AS DECIMAL(28,6))) AS DOUBLE)
+      |      / CAST(SUM(CAST(p0 * q0 AS DECIMAL(28,6))) AS DOUBLE) AS la
+      |  FROM pp JOIN base ON l_partkey = bk
+      |  GROUP BY yr)
+      |SELECT yr, n_parts, ROUND(pa, 6) AS paasche_index,
+      |  ROUND(SQRT(pa * la), 6) AS fisher_index
+      |FROM ix ORDER BY yr""".stripMargin
+
+  // --------------------------------------------------------------------
   // q76: supplier churn by ship year — of the suppliers active
   // (shipping ≥ 1 line) in year t, how many ship nothing in t+1? The
   // supplier-side retention curve (q39 is the user-side one). The
@@ -3697,6 +3758,7 @@ object RelationalQueries {
     "q67_repeat_intervals" -> (q67RepeatIntervals _),
     "q71_ship_latency" -> (q71ShipLatency _),
     "q74_price_index" -> (q74PriceIndex _),
+    "q75_paasche_index" -> (q75PaascheIndex _),
     "q76_supplier_churn" -> (q76SupplierChurn _),
     "q72_decile_lift" -> (q72DecileLift _),
     "q73_trade_balance" -> (q73TradeBalance _),
@@ -3729,6 +3791,7 @@ object RelationalQueries {
     "q77_wilson_returns" -> q77Sql,
     "q71_ship_latency" -> q71Sql,
     "q74_price_index" -> q74Sql,
+    "q75_paasche_index" -> q75Sql,
     "q76_supplier_churn" -> q76Sql,
     "q72_decile_lift" -> q72Sql,
     "q73_trade_balance" -> q73Sql,

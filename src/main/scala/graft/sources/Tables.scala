@@ -289,6 +289,31 @@ object Tables {
     * scan pruning from plan audits and is the wrong trade for a
     * one-pass query over a 100 TB table.
     */
+  /** Rows per partition for a warm-mode checkpointed table. Sizing is
+    * by ROW COUNT (free from parquet footers — no Spark job), not
+    * bytes: the funnel class this exists for (r13: fairness_audit
+    * 738 s / stickiness 357 s single-task warm at 16×) is narrow
+    * stages DOWNSTREAM of the scan whose per-row work (shingling,
+    * gram explode, per-doc scoring) dwarfs the scan bytes, so a
+    * bytes/64MB rule would still pin a 38 MB replicated documents
+    * file to one task. 4096 keeps every dim table (region, nation,
+    * supplier) and the sf0.1 documents table at its natural 1
+    * partition — zero added scheduling overhead on tiny queries —
+    * while a 16× documents fixture (80k rows) checkpoints 20-way and
+    * 64× saturates the cores. */
+  val WarmRowsPerPartition = 4096
+
+  /** Warm-mode partition target for a parquet table: row count from
+    * footer metadata, one partition per [[WarmRowsPerPartition]] rows,
+    * clamped to [1, defaultParallelism]. */
+  def warmPartitions(spark: SparkSession, path: String): Int = {
+    val rows =
+      try parquetRowCount(spark, path)
+      catch { case _: Exception => 0L }
+    val want = (rows + WarmRowsPerPartition - 1) / WarmRowsPerPartition
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong, want)).toInt
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // every query path starts here, so it's the chokepoint that makes
     // the engine's native functions (h60, vec_dot, shingle3)
@@ -296,22 +321,40 @@ object Tables {
     graft.functions.H60.register(spark)
     graft.functions.VecDot.register(spark)
     graft.functions.Shingle3.register(spark)
+    graft.functions.Winnow4.register(spark)
     sessionCached(spark, stamped(spark, dir, name)) {
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      // Warm mode repartitions BEFORE checkpointing: localCheckpoint
-      // freezes the scan's partitioning, and a replicated fixture
-      // written as one parquet row-group pins the whole table to ~1
-      // partition — every downstream consumer then runs its narrow
-      // stages single-task (the r13 16×/64× funnel class: jstack'd
-      // single workers under fairness_audit 738 s / stickiness 357 s
-      // warm at 16× while the host sat at load 1.5). Scan-independent
-      // parallelism here fixes the entire class at once; the
-      // correctness gate (Verify) keeps raw scans, so pushdown plans
-      // stay audited.
-      if (cacheMode.contains("checkpoint"))
-        df.repartition(spark.sparkContext.defaultParallelism)
+      val path = s"$dir/$name.parquet"
+      val df = spark.read.parquet(path)
+      // Warm mode repartitions BEFORE checkpointing when — and only
+      // when — the raw scan is under-parallel for the table's size:
+      // localCheckpoint freezes the scan's partitioning, and a
+      // replicated fixture written as one parquet row-group pins the
+      // whole table to ~1 partition — every downstream consumer then
+      // runs its narrow stages single-task (the r13 16×/64× funnel
+      // class: jstack'd single workers under fairness_audit 738 s /
+      // stickiness 357 s warm at 16× while the host sat at load 1.5).
+      // The first fix (r13 snapshot commit) repartitioned EVERY table
+      // to defaultParallelism: that made 3-row dim queries pay ~32-task
+      // scheduling per scan stage and regressed the official suite
+      // 3.3× (BENCH_r13, r13 verdict finding 1). Size-aware target +
+      // the `> scan partitions` guard keeps small tables shuffle-free
+      // at their natural partitioning while replicated big tables
+      // still checkpoint wide. The correctness gate (Verify) keeps raw
+      // scans, so pushdown plans stay audited.
+      //
+      // INVARIANT (load-bearing, per the r13 advice): warm mode may
+      // present any partitioning/row order to a query, so every
+      // registry query must be partition-order-insensitive — sums are
+      // DECIMAL-routed or order-free, outputs fully ordered or
+      // set-compared. WarmRawParitySpec spot-checks warm-vs-raw result
+      // hashes so a future order-sensitive query can't silently report
+      // warm timings for different results.
+      if (cacheMode.contains("checkpoint")) {
+        val target = warmPartitions(spark, path)
+        val scanParts = df.rdd.getNumPartitions
+        (if (target > scanParts) df.repartition(target) else df)
           .localCheckpoint()
-      else df
+      } else df
     }
   }
 

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Warm-mode (checkpointed-table) results must equal raw-scan results.
+  *
+  * Why this is load-bearing (r13 advice): graft.Bench times every query
+  * against `SPARK_GRAFT_TABLE_CACHE=checkpoint` tables, which are
+  * repartitioned size-aware before `localCheckpoint` — a partitioning /
+  * row order the Verify gate (raw scans) never executes. That is safe
+  * only while every registry query is partition-order-insensitive
+  * (DECIMAL-routed sums, full orderBy / set semantics on output). This
+  * spec makes the invariant checked rather than assumed: a sample of
+  * queries across families runs in both modes and must collect
+  * identical rows, so a future order-sensitive query can't silently
+  * report warm timings for different results.
+  *
+  * Mechanics: sessionCached keys are dir-stamped, not mode-stamped, so
+  * the warm pass reads a COPY of the fixture dir — fresh keys, fresh
+  * checkpointed builds — while the raw pass reads the original.
+  */
+class WarmRawParitySpec extends SparkSpec {
+
+  private def copyFixture(): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_warm").toString
+    val src = new java.io.File(sf0001)
+    src.listFiles().foreach { f =>
+      java.nio.file.Files.copy(
+        f.toPath, java.nio.file.Paths.get(out, f.getName))
+    }
+    out
+  }
+
+  // cross-family sample: relational agg, window, dedup pair metrics
+  // (the family whose warm-mode partitioning churned most in r13/r14)
+  private val sample =
+    Seq("q01_pricing_summary", "q11_window_lag",
+      "llm_dd_containment", "llm_dd_ngram_jaccard")
+
+  test("warm-mode results are row-identical to raw-scan results") {
+    val warmDir = copyFixture()
+    val qs = SparkEntry.queries
+    for (name <- sample) {
+      val raw = qs(name)(spark, sf0001).collect().toSeq
+      sys.props("graft.tableCache") = "checkpoint"
+      val warm =
+        try qs(name)(spark, warmDir).collect().toSeq
+        finally sys.props.remove("graft.tableCache")
+      // compare as multisets on string forms: parity is about values,
+      // not the physical row order a partitioning happens to produce
+      // (ordered outputs still compare ordered — sorting both sides
+      // identically preserves an order mismatch only when values
+      // differ, and every fully-ordered query also has a hash-exact
+      // DuckDB oracle in the Verify gate)
+      def canon(rows: Seq[org.apache.spark.sql.Row]) =
+        rows.map(_.toString).sorted
+      assert(canon(warm) == canon(raw), s"warm/raw divergence in $name")
+    }
+    graft.sources.Tables.releaseScope(spark, warmDir)
+  }
+
+  test("warm partition target is size-aware: dims stay narrow, big single-file tables widen") {
+    import graft.sources.Tables
+    // region: 5 rows — target 1, so warm mode must NOT shuffle it wide
+    assert(Tables.warmPartitions(spark, s"$sf0001/region.parquet") == 1)
+    // synthetic replicated-fixture shape: one parquet file, one row
+    // group, rows >> WarmRowsPerPartition — the r13 16×/64× funnel
+    val dir = java.nio.file.Files.createTempDirectory("graft_wide").toString
+    spark.range(3 * Tables.WarmRowsPerPartition)
+      .toDF("doc_id").coalesce(1)
+      .write.parquet(s"$dir/docs.parquet")
+    val target = Tables.warmPartitions(spark, s"$dir/docs.parquet")
+    assert(target == math.min(3, spark.sparkContext.defaultParallelism),
+      s"expected rows/WarmRowsPerPartition partitions, got $target")
+    sys.props("graft.tableCache") = "checkpoint"
+    try {
+      val warm = Tables.table(spark, dir, "docs")
+      assert(warm.rdd.getNumPartitions == target,
+        "warm checkpoint must widen an under-parallel big scan")
+      // and a dim-sized table keeps its natural (narrow) partitioning:
+      // no repartition means no added scheduler overhead on 3-row queries
+      val warmDir = copyFixture()
+      val region = Tables.table(spark, warmDir, "region")
+      assert(region.rdd.getNumPartitions == 1,
+        "warm checkpoint must not widen a 5-row dim table")
+      Tables.releaseScope(spark, warmDir)
+    } finally sys.props.remove("graft.tableCache")
+    Tables.releaseScope(spark, dir)
+  }
+}

@@ -87,7 +87,52 @@ class WaveSixtyTwoSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("WindowExec") && !plan.contains("Window ["),
       "winnow must stay a projection (no window exec):\n" + plan.take(600))
+    // r14: the fingerprint projection is the fused winnow4 expression —
+    // no codegen-barred higher-order lambdas anywhere (the composed
+    // transform/slice form ran interpreted and single-task, r13 16×
+    // draw), and no repartition band-aid needed for parallelism. The
+    // query's own plan reads the checkpointed fingerprints (Scan
+    // ExistingRDD), so guard the plan of the BUILD projection itself.
+    graft.functions.Winnow4.register(spark)
+    val buildPlan = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", explode(expr("winnow4(text)")).as("h"))
+      .distinct()
+      .queryExecution.executedPlan.toString
+    assert(!buildPlan.contains("lambdafunction"),
+      "winnow build must not contain interpreted HOF lambdas:\n"
+        + buildPlan.take(800))
+    assert(buildPlan.contains("winnow4"),
+      "fingerprint projection must be the fused winnow4 expression:\n"
+        + buildPlan.take(800))
+    assert(!buildPlan.contains("REPARTITION_BY_COL"),
+      "no repartition band-aid ahead of the projection:\n"
+        + buildPlan.take(800))
     graft.sources.Tables.releaseTransients(spark)
+  }
+
+  test("winnow4 expression equals the composed HOF spec on the fixture corpus") {
+    graft.functions.H60.register(spark)
+    graft.functions.Winnow4.register(spark)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    // the composed transform/slice reference (the oracle's algebra,
+    // runs interpreted — fine for a spec)
+    val spec = docs
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .select($"doc_id", expr(
+        """transform(sequence(1, greatest(size(tk) - 2, 0)),
+          |  i -> h60(concat_ws(' ', element_at(tk, i),
+          |    element_at(tk, i + 1), element_at(tk, i + 2))))"""
+          .stripMargin).as("hs"))
+      .filter(size($"hs") >= 1)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, greatest(size(hs) - 3, 1)),
+          |  s -> array_min(slice(hs, s, least(4, size(hs) - s + 1))))"""
+          .stripMargin)).as("h"))
+    val fused = docs.select($"doc_id", explode(expr("winnow4(text)")).as("h"))
+    // exact multiset equality INCLUDING window order duplicates
+    assert(fused.exceptAll(spec).isEmpty && spec.exceptAll(fused).isEmpty,
+      "winnow4 must emit exactly the composed form's fingerprints")
   }
 
   test("winnow guarantee: two docs sharing a >= 6-token run share a fingerprint") {
@@ -99,18 +144,9 @@ class WaveSixtyTwoSpec extends SparkSpec {
       (2L, s"one two three $run four five six"),
       (3L, "totally different words without the shared span at all"))
       .toDF("doc_id", "text")
-    graft.functions.H60.register(spark)
+    graft.functions.Winnow4.register(spark)
     val fp = docs
-      .select($"doc_id", split($"text", " ").as("tk"))
-      .select($"doc_id", expr(
-        """transform(sequence(1, greatest(size(tk) - 2, 0)),
-          |  i -> h60(concat_ws(' ', element_at(tk, i),
-          |    element_at(tk, i + 1), element_at(tk, i + 2))))"""
-          .stripMargin).as("hs"))
-      .select($"doc_id", explode(expr(
-        """transform(sequence(1, greatest(size(hs) - 3, 1)),
-          |  s -> array_min(slice(hs, s, least(4, size(hs) - s + 1))))"""
-          .stripMargin)).as("h"))
+      .select($"doc_id", explode(expr("winnow4(text)")).as("h"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     val s1 = fp.filter(_._1 == 1L).map(_._2).toSet
     val s2 = fp.filter(_._1 == 2L).map(_._2).toSet
