@@ -209,7 +209,18 @@ object Dedup {
         Tables.stamped(spark, dir, "dd_repGrain")) {
       val sh = repShinglesFor(spark, dir)
       val (repPairs, keptCnt) = repPairCoreFor(spark, dir)
-      Tables.materialize(repGrainPairs(sh, repPairs, keptCnt))
+      // repartition(4) before the checkpoint: the cross∪intra union
+      // otherwise freezes at ~64 near-empty partitions (32 from each
+      // side's shuffle), and every consumer's threshold/filter scans
+      // then pay ~64 tasks × ~25 ms across ~6 stages per query
+      // (containment/ngram_jaccard flagged 4–7× in the r14 draw-3
+      // gate). The table is bounded by the DEDUPLICATED corpus at any
+      // replication (cross rows = candidate rep pairs, intra = one per
+      // class — ~25k rows at bench SF and identical at 64×), so a
+      // handful of partitions is right at every scale; downstream
+      // fan-out joins re-parallelize through their own shuffles.
+      Tables.materialize(
+        repGrainPairs(sh, repPairs, keptCnt).repartition(4))
     }
     (members, rg)
   }
@@ -440,21 +451,25 @@ object Dedup {
       vals: Seq[String] = Seq("n_inter", "na", "nb", "jaccard")): DataFrame = {
     import members.sparkSession.implicits._
     val valCols = vals.map(col)
-    val cross = rg.filter($"rep_a" =!= $"rep_b")
-      .join(members.select($"rep".as("ra"), $"doc_id".as("da")),
+    // ONE pass for both row kinds (2 member joins, no union): a cross
+    // row (rep_a ≠ rep_b) emits every (da, db) member combination in
+    // canonical least/greatest order; an intra row joins its own class
+    // on both sides and keeps only da < db — exactly the within-class
+    // C(w,2) combinations, already ordered. The first draft ran cross
+    // and intra as separate join pairs and unioned (4 member-table
+    // broadcasts + a union per consumer query); fusing halves the
+    // per-query job count — the dominant cost of the rep-grain top-k
+    // consumers at bench SF, where every job is small.
+    rg.join(members.select($"rep".as("ra"), $"doc_id".as("da")),
         $"rep_a" === $"ra")
       .join(members.select($"rep".as("rb"), $"doc_id".as("db")),
         $"rep_b" === $"rb")
-      .select(least($"da", $"db").as("doc_a") +:
-        greatest($"da", $"db").as("doc_b") +: valCols: _*)
-    val intra = rg.filter($"rep_a" === $"rep_b")
-      .join(members.select($"rep".as("r1"), $"doc_id".as("d1")),
-        $"rep_a" === $"r1")
-      .join(members.select($"rep".as("r2"), $"doc_id".as("d2")),
-        $"rep_b" === $"r2" && $"d1" < $"d2")
-      .select($"d1".as("doc_a") +: $"d2".as("doc_b") +: valCols: _*)
-    cross.union(intra)
-      .select($"doc_a" +: $"doc_b" +: valCols: _*)
+      .filter($"rep_a" =!= $"rep_b" || $"da" < $"db")
+      .select(
+        when($"rep_a" === $"rep_b", $"da")
+          .otherwise(least($"da", $"db")).as("doc_a") +:
+        when($"rep_a" === $"rep_b", $"db")
+          .otherwise(greatest($"da", $"db")).as("doc_b") +: valCols: _*)
   }
 
   /** Doc-level top-k over the pair expansion WITHOUT streaming the

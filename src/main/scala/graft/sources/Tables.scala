@@ -289,29 +289,49 @@ object Tables {
     * scan pruning from plan audits and is the wrong trade for a
     * one-pass query over a 100 TB table.
     */
-  /** Rows per partition for a warm-mode checkpointed table. Sizing is
-    * by ROW COUNT (free from parquet footers — no Spark job), not
-    * bytes: the funnel class this exists for (r13: fairness_audit
-    * 738 s / stickiness 357 s single-task warm at 16×) is narrow
-    * stages DOWNSTREAM of the scan whose per-row work (shingling,
-    * gram explode, per-doc scoring) dwarfs the scan bytes, so a
-    * bytes/64MB rule would still pin a 38 MB replicated documents
-    * file to one task. 4096 keeps every dim table (region, nation,
-    * supplier) and the sf0.1 documents table at its natural 1
-    * partition — zero added scheduling overhead on tiny queries —
-    * while a 16× documents fixture (80k rows) checkpoints 20-way and
-    * 64× saturates the cores. */
-  val WarmRowsPerPartition = 4096
+  /** UNCOMPRESSED bytes per partition for a warm-mode checkpointed
+    * table (from parquet footer row-group metadata — no Spark job).
+    * Why uncompressed bytes and not rows or file size: the funnel
+    * class this exists for (r13: fairness_audit 738 s / stickiness
+    * 357 s single-task warm at 16×) is narrow stages DOWNSTREAM of a
+    * scan pinned to ~1 partition, and what predicts their cost is the
+    * DATA VOLUME flowing through them — a 16×-replicated documents
+    * table is 29 MB uncompressed (wants wide) but only 1 MB on disk
+    * (dictionary-compressed copies) and 80k rows, while sf0.1 events
+    * is 100k rows but 2.6 MB uncompressed (trivial per task). The
+    * first size-aware draft used rows/4096 and made every sf0.1
+    * events/orders consumer pay ~25 near-empty tasks at ~25 ms each —
+    * st_hourly_profile 2× worse, measured same-JVM. 2 MB/partition
+    * keeps every sf0.1 table within 1 partition of its natural scan
+    * (r12 shape, zero added scheduling) while 16×/64× documents and
+    * events checkpoint 13–32-way. */
+  val WarmBytesPerPartition =
+    sys.props.get("graft.warmBytesPerPartition").map(_.toLong)
+      .getOrElse(2L << 20)
 
-  /** Warm-mode partition target for a parquet table: row count from
-    * footer metadata, one partition per [[WarmRowsPerPartition]] rows,
-    * clamped to [1, defaultParallelism]. */
+  /** Warm-mode partition target for a parquet table: total uncompressed
+    * row-group bytes from footer metadata, one partition per
+    * [[WarmBytesPerPartition]], clamped to [1, defaultParallelism]. */
   def warmPartitions(spark: SparkSession, path: String): Int = {
-    val rows =
-      try parquetRowCount(spark, path)
+    val bytes =
+      try parquetUncompressedBytes(spark, path)
       catch { case _: Exception => 0L }
-    val want = (rows + WarmRowsPerPartition - 1) / WarmRowsPerPartition
+    val want = (bytes + WarmBytesPerPartition - 1) / WarmBytesPerPartition
     math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong, want)).toInt
+  }
+
+  /** Σ row-group `totalByteSize` (uncompressed) over a parquet file or
+    * dir of part files — footer metadata only, no Spark job. */
+  def parquetUncompressedBytes(spark: SparkSession, path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    parquetDataFiles(conf, path).map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getTotalByteSize).sum
+      finally r.close()
+    }.sum
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -61,17 +61,33 @@ class WarmRawParitySpec extends SparkSpec {
 
   test("warm partition target is size-aware: dims stay narrow, big single-file tables widen") {
     import graft.sources.Tables
-    // region: 5 rows — target 1, so warm mode must NOT shuffle it wide
+    import org.apache.spark.sql.functions._
+    // region: 5 rows / a few hundred uncompressed bytes — target 1, so
+    // warm mode must NOT shuffle it wide (the r13 blanket-repartition
+    // regression class); every sf0.001 table is likewise single-target
     assert(Tables.warmPartitions(spark, s"$sf0001/region.parquet") == 1)
-    // synthetic replicated-fixture shape: one parquet file, one row
-    // group, rows >> WarmRowsPerPartition — the r13 16×/64× funnel
+    assert(Tables.warmPartitions(spark, s"$sf0001/events.parquet") == 1)
+    // synthetic big-table shape: one parquet file written as one task,
+    // encoded bytes >> WarmBytesPerPartition — the r13 16×/64× funnel.
+    // texts must be DISTINCT: totalByteSize is the post-encoding size,
+    // and a constant string dictionary-encodes to ~nothing (while the
+    // real replicated fixtures keep their 29–116 MB because each class
+    // text is distinct in the dictionary).
     val dir = java.nio.file.Files.createTempDirectory("graft_wide").toString
-    spark.range(3 * Tables.WarmRowsPerPartition)
-      .toDF("doc_id").coalesce(1)
+    spark.range(60000)
+      .select(col("id").as("doc_id"),
+        concat(lit("x" * 180), col("id").cast("string")).as("text"))
+      .coalesce(1)
       .write.parquet(s"$dir/docs.parquet")
+    val unc = Tables.parquetUncompressedBytes(spark, s"$dir/docs.parquet")
+    assert(unc > 2 * Tables.WarmBytesPerPartition,
+      s"fixture not big enough uncompressed: $unc")
     val target = Tables.warmPartitions(spark, s"$dir/docs.parquet")
-    assert(target == math.min(3, spark.sparkContext.defaultParallelism),
-      s"expected rows/WarmRowsPerPartition partitions, got $target")
+    val expect = math.min(
+      ((unc + Tables.WarmBytesPerPartition - 1) / Tables.WarmBytesPerPartition).toInt,
+      spark.sparkContext.defaultParallelism)
+    assert(target == expect,
+      s"expected bytes/WarmBytesPerPartition partitions ($expect), got $target")
     sys.props("graft.tableCache") = "checkpoint"
     try {
       val warm = Tables.table(spark, dir, "docs")
