@@ -655,7 +655,38 @@ object Dedup {
       val intra = inB.filter($"w" >= 2).select($"rep").distinct()
         .select($"rep".as("rep_a"), $"rep".as("rep_b"),
           lit(1.0).as("est_jaccard"))
-      Tables.materialize(cross.union(intra))
+      Tables.materialize(cross.union(intra).repartition(4))
+    }
+
+  /** Session-cached CALIBRATION table — the rep-grain LSH candidates
+    * joined with their doc-pair multiplicity, both signature arrays,
+    * and the true Jaccard (null-safe as `tj`, 0 for band collisions
+    * with no kept-shingle overlap): (rep_a, rep_b, est_jaccard, mult,
+    * sa, sb, jaccard, tj). All four estimator-measurement queries
+    * (lsh_recall, jaccard_est, minhash_k, minhash_precision) reduce
+    * over exactly this table, so the cand⨝truth⨝sigs join pipeline
+    * runs once per session instead of once per query (~7 small jobs
+    * each at bench SF — jaccard_est 1.5 s / minhash_k 2.1 s in the r14
+    * draw-4 gate, vs one cached-scan aggregate now). Dim-sized at any
+    * replication; 4 partitions for the same reason as dd_repGrain. The
+    * production analogue is the estimator-calibration table a pipeline
+    * materializes next to its band index to decide whether est_jaccard
+    * can be trusted as a dedup threshold. */
+  private def repCalibFor(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_repCalib")) {
+      import spark.implicits._
+      val (_, rg) = repGrainFor(spark, dir)
+      val sigCols = (0 until 8).map(i => col(s"sig$i"))
+      val sigs = repSigsFor(spark, dir)
+        .select($"rep", array(sigCols: _*).as("sigs"))
+      Tables.materialize(
+        withPairMult(repLshCandsFor(spark, dir), repWeightsFor(spark, dir))
+          .join(sigs.select($"rep".as("rep_a"), $"sigs".as("sa")), "rep_a")
+          .join(sigs.select($"rep".as("rep_b"), $"sigs".as("sb")), "rep_b")
+          .join(rg.select($"rep_a", $"rep_b", $"jaccard"),
+            Seq("rep_a", "rep_b"), "left")
+          .withColumn("tj", coalesce($"jaccard", lit(0.0)))
+          .repartition(4))
     }
 
   // --------------------------------------------------------------------
@@ -1931,20 +1962,21 @@ object Dedup {
     // Σ mult over the corresponding dim-sized rep table. The former
     // doc-grain form localCheckpointed + joined the expanded streams —
     // the r13 64× shuffle wedge.
-    val wts = repWeightsFor(spark, dir)
     val truth = withPairMult(
-        repGrainFor(spark, dir)._2.filter($"jaccard" >= 0.75), wts)
+        repGrainFor(spark, dir)._2.filter($"jaccard" >= 0.75),
+        repWeightsFor(spark, dir))
       .select($"rep_a", $"rep_b", $"mult")
-    val cand = withPairMult(
-        repLshCandsFor(spark, dir).filter($"est_jaccard" >= 0.75), wts)
-      .select($"rep_a", $"rep_b", $"mult")
-    // mult agrees on both sides of a hit (it is a function of the two
-    // class weights alone), so either side's sum counts the hits
-    val hits = cand.join(truth.select($"rep_a", $"rep_b"),
-      Seq("rep_a", "rep_b"))
+    // cand and hits reduce over the cached calibration table: a hit is
+    // a candidate row whose (left-joined, null-safe) true Jaccard also
+    // clears the threshold — no second join needed, and mult agrees on
+    // both sides of a hit (it is a function of the two class weights
+    // alone)
+    val calib = repCalibFor(spark, dir).filter($"est_jaccard" >= 0.75)
     truth.agg(coalesce(sum($"mult"), lit(0L)).as("n_truth"))
-      .crossJoin(cand.agg(coalesce(sum($"mult"), lit(0L)).as("n_cand")))
-      .crossJoin(hits.agg(coalesce(sum($"mult"), lit(0L)).as("n_hit")))
+      .crossJoin(calib.agg(
+        coalesce(sum($"mult"), lit(0L)).as("n_cand"),
+        coalesce(sum(when($"tj" >= 0.75, $"mult").otherwise(0L)), lit(0L))
+          .as("n_hit")))
       .select($"n_truth", $"n_cand", $"n_hit",
         // empty denominators get an explicit vacuous convention (no
         // candidates → no false positives → precision 1.0; no truth
@@ -2002,14 +2034,11 @@ object Dedup {
     // pairs expand. Every repLshCands row expands to ≥1 doc pair
     // (cross always, intra only emitted for w ≥ 2), so the covering
     // argument holds with expandable ≡ true.
-    val (members, rg) = repGrainFor(spark, dir)
-    val joined = repLshCandsFor(spark, dir)
-      .join(rg.select($"rep_a", $"rep_b", $"jaccard"),
-        Seq("rep_a", "rep_b"), "left")
+    val (members, _) = repGrainFor(spark, dir)
+    val joined = repCalibFor(spark, dir)
       .select($"rep_a", $"rep_b", $"est_jaccard",
-        coalesce($"jaccard", lit(0.0)).as("true_jaccard"),
-        round(abs($"est_jaccard" - coalesce($"jaccard", lit(0.0))), 6)
-          .as("abs_err"),
+        $"tj".as("true_jaccard"),
+        round(abs($"est_jaccard" - $"tj"), 6).as("abs_err"),
         lit(true).as("expandable"))
     topKByRepMetric(members, joined, $"abs_err", 100,
         vals = Seq("est_jaccard", "true_jaccard", "abs_err"))
@@ -2359,11 +2388,11 @@ object Dedup {
   // engine's k=8 choice. Truth convention matches llm_dd_jaccard_est:
   // a candidate pair absent from the pair table has true Jaccard 0.
   //
-  // Scale shape: per-doc signatures come from the session-cached band
-  // index (4 rows/doc, deduped to 1 — no signature recompute); all
-  // three prefix estimates are per-row projections over the
-  // candidate-pair table, reduced in ONE partial-aggregable pass with
-  // DECIMAL-routed means, then unpivoted to 3 rows.
+  // Scale shape: all three prefix estimates are per-row projections
+  // over the session-cached rep-grain calibration table (repCalibFor —
+  // signatures, true Jaccard and multiplicity pre-joined, dim-sized at
+  // any replication), reduced in ONE partial-aggregable pass with
+  // DECIMAL-routed mult-weighted means, then unpivoted to 3 rows.
   def ddMinhashK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // REP GRAIN with multiplicity: signatures, est-prefix agreement and
@@ -2375,17 +2404,7 @@ object Dedup {
     // expands ≥ once). The former doc-grain form joined truth and sigs
     // over the expanded stream — unfinished at ~25 min in the r13 64×
     // draw.
-    val sigCols = (0 until 8).map(i => col(s"sig$i"))
-    val sigs = repSigsFor(spark, dir)
-      .select($"rep", array(sigCols: _*).as("sigs"))
-    val (_, rg) = repGrainFor(spark, dir)
-    val pairs = withPairMult(repLshCandsFor(spark, dir),
-        repWeightsFor(spark, dir))
-      .join(sigs.select($"rep".as("rep_a"), $"sigs".as("sa")), "rep_a")
-      .join(sigs.select($"rep".as("rep_b"), $"sigs".as("sb")), "rep_b")
-      .join(rg.select($"rep_a", $"rep_b", $"jaccard"),
-        Seq("rep_a", "rep_b"), "left")
-      .withColumn("tj", coalesce($"jaccard", lit(0.0)))
+    val pairs = repCalibFor(spark, dir)
     def estK(k: Int) = (0 until k).map(i =>
         when($"sa"(i) === $"sb"(i), 1).otherwise(0))
       .reduce(_ + _).cast("double") / k
@@ -2948,15 +2967,10 @@ object Dedup {
     // term by mult — decimal × integer is exact, so the sums (and the
     // final rounded doubles) are bit-identical to the doc-level form
     // without ever expanding the pair stream.
-    val (_, rg) = repGrainFor(spark, dir)
-    withPairMult(repLshCandsFor(spark, dir), repWeightsFor(spark, dir))
-      .join(rg.select($"rep_a", $"rep_b", $"jaccard"),
-        Seq("rep_a", "rep_b"), "left")
+    repCalibFor(spark, dir)
       .select(
         least(floor($"est_jaccard" * 4).cast("int"), lit(3)).as("est_bin"),
-        $"est_jaccard",
-        coalesce($"jaccard", lit(0.0)).as("tj"),
-        $"mult")
+        $"est_jaccard", $"tj", $"mult")
       .groupBy($"est_bin")
       .agg(sum($"mult").as("n_pairs"),
         round(sum($"est_jaccard".cast("decimal(28,12)") * $"mult")
