@@ -136,8 +136,7 @@ object Dedup {
 
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (members, rg) = repGrainFor(spark, dir)
-    topKByRepMetric(members, rg, $"jaccard", 100)
+    topKPairSource(spark, dir, $"jaccard", 100)
       .select($"doc_a", $"doc_b", $"n_inter", $"jaccard")
       .orderBy($"jaccard".desc, $"doc_a", $"doc_b")
       .limit(100)
@@ -163,26 +162,55 @@ object Dedup {
     * table write on a cluster — never in executor block memory. */
   private def ngramPairsFor(spark: SparkSession, dir: String): DataFrame = {
     val (members, rg) = repGrainFor(spark, dir)
-    // SIZE GATE (r13 verdict item 5): the expansion's EXACT row count
-    // is Σ mult over the dim-sized rep table — one cheap aggregate,
-    // decided once per (session, dir) via the cached 1-row frame.
-    // Under the bound the doc-pair table materializes and consumers
-    // share it (bench-SF shape — recovers the r12 consumer costs the
-    // per-query lazy fan-out gave back); above it the expansion stays
-    // a lazy streaming fan-out that is never stored (replica-dense
-    // shape: 290M rows at 16×, ~10⁹ at 64× — the r13 heartbeat-death
-    // artifact this gate exists to never re-materialize).
-    val cnt = Tables.sessionCached(spark,
-        Tables.stamped(spark, dir, "dd_pairExpansionCount")) {
-      Tables.materialize(withPairMult(rg, repWeightsFor(spark, dir))
-        .agg(coalesce(sum(col("mult")), lit(0L)).as("n")))
-    }.head().getLong(0)
-    if (cnt <= ExpandCacheMaxRows)
+    // SIZE GATE (r13 verdict item 5): under the bound the doc-pair
+    // table materializes and consumers share it (bench-SF shape —
+    // recovers the r12 consumer costs the per-query lazy fan-out gave
+    // back); above it the expansion stays a lazy streaming fan-out
+    // that is never stored (replica-dense shape: 290M rows at 16×,
+    // ~10⁹ at 64× — the r13 heartbeat-death artifact this gate exists
+    // to never re-materialize).
+    if (pairExpansionRows(spark, dir) <= ExpandCacheMaxRows)
       Tables.sessionCached(spark, Tables.stamped(spark, dir, "dd_ngramPairs")) {
         Tables.materialize(expandRepGrain(members, rg))
       }
     else expandRepGrain(members, rg)
   }
+
+  /** EXACT doc-pair expansion row count for `dir`: Σ mult over the
+    * dim-sized rep-grain table — one cheap aggregate, decided once per
+    * (session, dir) via the cached 1-row frame. The routing fact both
+    * [[ngramPairsFor]] and the top-k consumers branch on. */
+  private def pairExpansionRows(spark: SparkSession, dir: String): Long =
+    Tables.sessionCached(spark,
+        Tables.stamped(spark, dir, "dd_pairExpansionCount")) {
+      Tables.materialize(
+        withPairMult(repGrainFor(spark, dir)._2, repWeightsFor(spark, dir))
+          .agg(coalesce(sum(col("mult")), lit(0L)).as("n")))
+    }.head().getLong(0)
+
+  /** Doc-pair source for a top-k-by-`metric` consumer (`metric` must
+    * be a function of the rep-grain value columns, which every
+    * expanded row also carries). Two regimes, decided by the same size
+    * gate as [[ngramPairsFor]]:
+    *   - expansion materialized (bench-SF shape): return the
+    *     session-cached doc-pair table directly — the consumer's own
+    *     TakeOrdered over one cached table is ONE job, where the
+    *     rep-grain threshold machinery costs ~4 extra small jobs per
+    *     query (threshold agg + crossJoin filter + 2-join expand; the
+    *     r14 verdict's finding 2: containment 4.9× / ngram_jaccard
+    *     2.8× their r12 cost at sf0.1 with tight spreads);
+    *   - lazy regime (replica-dense): the rep-grain threshold cover
+    *     ([[topKByRepMetric]]) — only surviving rep pairs ever expand,
+    *     and the fan-out is never stored or heap-sorted. */
+  private def topKPairSource(
+      spark: SparkSession, dir: String,
+      metric: org.apache.spark.sql.Column, k: Int): DataFrame =
+    if (pairExpansionRows(spark, dir) <= ExpandCacheMaxRows)
+      ngramPairsFor(spark, dir)
+    else {
+      val (members, rg) = repGrainFor(spark, dir)
+      topKByRepMetric(members, rg, metric, k)
+    }
 
   /** Doc-pair expansion rows under which [[ngramPairsFor]] materializes
     * the expansion instead of re-generating it per consumer: ~4M rows
@@ -2398,12 +2426,14 @@ object Dedup {
     // REP GRAIN with multiplicity: signatures, est-prefix agreement and
     // true Jaccard are all class-level facts, so every per-doc-pair err
     // is a rep-pair err repeated `mult` times — the decimal error sums
-    // weight by mult (decimal × integer stays exact, so the sum equals
-    // the doc-level Σ of per-pair 12-dp-rounded errs bit for bit),
-    // counts are Σ mult, and maxima are unweighted (every rep row
-    // expands ≥ once). The former doc-grain form joined truth and sigs
-    // over the expanded stream — unfinished at ~25 min in the r13 64×
-    // draw.
+    // weight by mult. decimal(18,12) × long = decimal(38,12) with NO
+    // precision-loss adjustment (18+20 ≤ 38), so each product keeps
+    // scale 12 and the sum equals the doc-level Σ of per-pair errs
+    // exactly; errs are |rounded(6dp) − rounded(6dp)| so 12 fractional
+    // digits is headroom, not a precondition. Counts are Σ mult, and
+    // maxima are unweighted (every rep row expands ≥ once). The former
+    // doc-grain form joined truth and sigs over the expanded stream —
+    // unfinished at ~25 min in the r13 64× draw.
     val pairs = repCalibFor(spark, dir)
     def estK(k: Int) = (0 until k).map(i =>
         when($"sa"(i) === $"sb"(i), 1).otherwise(0))
@@ -2412,7 +2442,7 @@ object Dedup {
       df.withColumn(s"err$k", abs(round(estK(k), 6) - $"tj"))
     }
     val aggCols = Seq(2, 4, 8).flatMap(k => Seq(
-      sum(col(s"err$k").cast("decimal(28,12)") * $"mult")
+      sum(col(s"err$k").cast("decimal(18,12)") * $"mult")
         .cast("double").as(s"s$k"),
       max(col(s"err$k")).as(s"m$k")))
     val agg = errs.agg(
@@ -2564,13 +2594,13 @@ object Dedup {
   // the containment algebra is a pure projection over pair rows.
   def ddContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (members, rg) = repGrainFor(spark, dir)
-    // the sort metric is a rep-grain function, so the doc-level
-    // top-100 selects at rep grain (topKByRepMetric) and only the
-    // surviving rep pairs expand
+    // the sort metric is a rep-grain function, so in the lazy regime
+    // the doc-level top-100 selects at rep grain and only surviving
+    // rep pairs expand; in the materialized regime the cached doc-pair
+    // table sorts directly (topKPairSource decides)
     val m = greatest(round($"n_inter".cast("double") / $"na", 6),
       round($"n_inter".cast("double") / $"nb", 6))
-    topKByRepMetric(members, rg, m, 100)
+    topKPairSource(spark, dir, m, 100)
       .select($"doc_a", $"doc_b",
         $"na".cast("long").as("na"), $"nb".cast("long").as("nb"),
         $"jaccard",
@@ -2964,20 +2994,23 @@ object Dedup {
     // REP GRAIN with multiplicity (see ddLshRecall): bins, estimates
     // and true Jaccard are class-level facts, so each bin's doc-pair
     // count is Σ mult and each mean weights the per-rep-pair decimal
-    // term by mult — decimal × integer is exact, so the sums (and the
-    // final rounded doubles) are bit-identical to the doc-level form
-    // without ever expanding the pair stream.
+    // term by mult. decimal(18,12) × long = decimal(38,12) with no
+    // precision-loss adjustment, so each product keeps scale 12 and
+    // the sums (and the final rounded doubles) equal the doc-level
+    // form exactly without ever expanding the pair stream (the values
+    // are 6-dp-rounded upstream, so 12 fractional digits is headroom,
+    // not a precondition).
     repCalibFor(spark, dir)
       .select(
         least(floor($"est_jaccard" * 4).cast("int"), lit(3)).as("est_bin"),
         $"est_jaccard", $"tj", $"mult")
       .groupBy($"est_bin")
       .agg(sum($"mult").as("n_pairs"),
-        round(sum($"est_jaccard".cast("decimal(28,12)") * $"mult")
+        round(sum($"est_jaccard".cast("decimal(18,12)") * $"mult")
           .cast("double") / sum($"mult"), 6).as("mean_est"),
-        round(sum($"tj".cast("decimal(28,12)") * $"mult")
+        round(sum($"tj".cast("decimal(18,12)") * $"mult")
           .cast("double") / sum($"mult"), 6).as("mean_true"),
-        round(sum(abs($"est_jaccard" - $"tj").cast("decimal(28,12)")
+        round(sum(abs($"est_jaccard" - $"tj").cast("decimal(18,12)")
           * $"mult").cast("double") / sum($"mult"), 6).as("mean_abs_err"))
       .orderBy($"est_bin")
   }

@@ -135,6 +135,33 @@ class WaveSixtyTwoSpec extends SparkSpec {
       "winnow4 must emit exactly the composed form's fingerprints")
   }
 
+  test("winnow4 boundary: sub-3-token and empty docs fingerprint to empty") {
+    // INTENTIONAL divergence from the composed Spark spec above: on a
+    // <3-token doc the composed form errors (sequence(1, 0) yields
+    // [1, 0] and element_at(tk, 0) throws), while winnow4 — and the
+    // DuckDB oracle's list_transform composition — return an empty
+    // fingerprint set. The fused behavior is the correct one; this
+    // test pins it at the boundary the fixture corpus never reaches.
+    graft.functions.Winnow4.register(spark)
+    val edge = Seq(
+      (1L, ""), (2L, "one"), (3L, "one two"),
+      (4L, "   "), (5L, "one two three"))
+      .toDF("doc_id", "text")
+    val fps = edge
+      .select($"doc_id", expr("winnow4(text)").as("hs"))
+      .orderBy($"doc_id").collect()
+    for (r <- fps.take(3))
+      assert(r.getSeq[Long](1).isEmpty,
+        s"doc ${r.getLong(0)}: <3 tokens must yield no fingerprints")
+    // "   " is FOUR empty tokens under the split(' ', keep-empties)
+    // tokenizer contract (matches split(text, ' ') / string_split):
+    // 2 positional grams → one boundary window → one fingerprint
+    assert(fps(3).getSeq[Long](1).length == 1,
+      "whitespace-only doc tokenizes to empties, not to nothing")
+    assert(fps.last.getSeq[Long](1).length == 1,
+      "a 3-token doc has exactly one gram and must fingerprint it")
+  }
+
   test("winnow guarantee: two docs sharing a >= 6-token run share a fingerprint") {
     // synthetic corpus exercised through the same projection pipeline:
     // doc 2 embeds doc 1's 6-token run inside unrelated text
