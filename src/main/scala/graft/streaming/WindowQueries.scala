@@ -1136,21 +1136,34 @@ object WindowQueries {
   // mean/σ are rational + IEEE-exact sqrt of integer-derived doubles.
   def stBurstEpisodes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // materialized: the hour-grain grid feeds the stats AND the
-    // join-back (Spark never dedupes common subplans)
-    val hourly = Tables.materialize(Tables.events(spark, dir)
+    val hourly = Tables.events(spark, dir)
       .select($"event_type",
         floor(unix_micros($"ts") / lit(3600000000L)).as("hr"))
-      .groupBy($"event_type", $"hr").agg(count(lit(1)).as("n_events")))
-    val stats = hourly.groupBy($"event_type")
-      .agg(count(lit(1)).as("nh"), sum($"n_events").as("sc"),
-        sum($"n_events" * $"n_events").as("scc"))
-      .select($"event_type",
-        ($"sc".cast("double") / $"nh".cast("double")).as("mean"),
+      .groupBy($"event_type", $"hr").agg(count(lit(1)).as("n_events"))
+    // Per-type mean/σ as WHOLE-PARTITION window aggregates over the
+    // hour grid rather than a separate stats groupBy broadcast-joined
+    // back (the pre-r15 shape): that form needed the grid materialized
+    // (Spark never dedupes common subplans) and cost a localCheckpoint
+    // job + stats shuffle + broadcast build PER CALL — ~9 stages for a
+    // calendar-bounded 3.6k-row grid, pure scheduling latency (the r14
+    // verdict's tight-spread 2.4× flag). The window form reads the grid
+    // once; the integer sums (nh, sc, scc) and the double algebra are
+    // IDENTICAL terms in identical order, so flagged hours — and the
+    // oracle hashes — are unchanged. The stats window and the islands
+    // row_number below share the event_type hash partitioning, so
+    // Catalyst plans one exchange for both.
+    val wType = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type")
+    val withStats = hourly
+      .withColumn("nh", count(lit(1)).over(wType))
+      .withColumn("sc", sum($"n_events").over(wType))
+      .withColumn("scc", sum($"n_events" * $"n_events").over(wType))
+      .withColumn("mean", $"sc".cast("double") / $"nh".cast("double"))
+      .withColumn("sd",
         sqrt(($"nh".cast("double") * $"scc".cast("double")
           - $"sc".cast("double") * $"sc".cast("double"))
-          / ($"nh".cast("double") * $"nh".cast("double"))).as("sd"))
-    val flagged = hourly.join(broadcast(stats), "event_type")
+          / ($"nh".cast("double") * $"nh".cast("double"))))
+    val flagged = withStats
       .filter($"sd" > 0.0 &&
         ($"n_events".cast("double") - $"mean") / $"sd" > 2.0)
       .select($"event_type", $"hr", $"n_events")
