@@ -34,17 +34,11 @@ object Models {
   // Output is the fitted model card: weights, intercept, R², n.
   def ridge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = Tables.documents(spark, dir)
-      .select($"doc_id",
-        ($"n_chars" / 1000.0).as("x1"),
-        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
-          / 100.0).as("x2"))
-      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
-        "doc_id")
-      .select($"x1", $"x2", $"quality".as("y"))
-    // one narrow materialization feeds all three passes — the scan
-    // (with its tokenizing quality join) runs once, not three times
-    val f = Tables.materialize(feats)
+    // the session-cached family base feeds all three passes — the scan
+    // (with its tokenizing quality join) runs once per session, not
+    // three times per invocation (ridge's label is the RAW quality,
+    // carried on the base exactly for this consumer)
+    val f = lrBase(spark, dir).select($"x1", $"x2", $"quality".as("y"))
 
     def dsum(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(28,12)")).cast("double")
@@ -190,20 +184,58 @@ object Models {
     (w1, w2, b)
   }
 
+  /** Session-cached feature base for the whole models family: ONE
+    * documents⨝taQuality scan (the taQuality side tokenizes every
+    * document — the expensive part) materialized with every rider any
+    * family member needs (source for PSI, lang for the fairness audit,
+    * doc_id for the bootstrap/learning-curve hash buckets, raw quality
+    * for the ridge label). Before r15 each of the 17 llm_models_*
+    * queries rebuilt + re-materialized its own copy of this table per
+    * invocation — ~15.9 s of the r14 best-of-2 board was mostly 17
+    * repeats of the same scan + fit (guide §1.2 step 1: don't compute
+    * things twice). Same artifact contract as the dedup band index /
+    * dd_repCalib: snapshot-stamped, built once per (session, dir),
+    * cold mode bills the build to the first toucher. */
+  private[graft] def lrBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark,
+        Tables.stamped(spark, dir, "models_lr_base")) {
+      import spark.implicits._
+      Tables.materialize(Tables.documents(spark, dir)
+        .select($"doc_id", $"source", $"lang",
+          ($"n_chars" / 1000.0).as("x1"),
+          ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
+            / 100.0).as("x2"))
+        .join(TextAnalysis.taQuality(spark, dir)
+          .select($"doc_id", $"quality"), "doc_id")
+        .select($"doc_id", $"source", $"lang", $"x1", $"x2", $"quality",
+          when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y")))
+    }
+
+  /** Session-cached full-corpus logreg weights (w1, w2, b): the SAME
+    * [[fitOn]] gradient arithmetic over the SAME (x1, x2, y) multiset
+    * as every pre-r15 per-query fit (fitOn's sums are DECIMAL-routed
+    * and order-insensitive, so the riders projected away here cannot
+    * change a bit), run once per (session, dir) instead of inside all
+    * 14 full-corpus-fit consumers (3 gradient jobs + a count per
+    * invocation). Stored as a 1-row checkpointed frame so staleness
+    * tracks the dir snapshot exactly like every other artifact. */
+  private def lrWeights(spark: SparkSession,
+                        dir: String): (Double, Double, Double) = {
+    import spark.implicits._
+    val row = Tables.sessionCached(spark,
+        Tables.stamped(spark, dir, "models_lr_weights")) {
+      val (w1, w2, b) = fitOn(lrBase(spark, dir).select($"x1", $"x2", $"y"))
+      Tables.materialize(
+        spark.createDataFrame(Seq((w1, w2, b))).toDF("w1", "w2", "b"))
+    }.head()
+    (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+  }
+
   private def logregFit(spark: SparkSession,
                         dir: String): (DataFrame, Double, Double, Double) = {
     import spark.implicits._
-    val feats = Tables.documents(spark, dir)
-      .select($"doc_id",
-        ($"n_chars" / 1000.0).as("x1"),
-        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
-          / 100.0).as("x2"))
-      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
-        "doc_id")
-      .select($"x1", $"x2",
-        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
-    val f = Tables.materialize(feats)
-    val (w1, w2, b) = fitOn(f)
+    val f = lrBase(spark, dir).select($"x1", $"x2", $"y")
+    val (w1, w2, b) = lrWeights(spark, dir)
     (f, w1, w2, b)
   }
 
@@ -937,17 +969,15 @@ object Models {
   // (Elliott link, DECIMAL gradient sums, sign decision rule).
   def learningCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = Tables.documents(spark, dir)
-      .select($"doc_id",
-        ($"n_chars" / 1000.0).as("x1"),
-        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
-          / 100.0).as("x2"))
-      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
-        "doc_id")
+    // per-fraction fits stay live (they ARE the query's semantics);
+    // only the scan+tokenize base comes from the shared artifact. The
+    // narrow per-call materialize STAYS: the ~21 driver-loop actions
+    // below each re-read their input, and reading a checkpointed
+    // 4-column table beats re-projecting h60 buckets from the base per
+    // action (measured: dropping it cost 1.32 -> 1.84 s isolated).
+    val f = Tables.materialize(lrBase(spark, dir)
       .select((TextAnalysis.h60($"doc_id".cast("string")) % 100).as("bucket"),
-        $"x1", $"x2",
-        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
-    val f = Tables.materialize(feats)
+        $"x1", $"x2", $"y"))
     val nFull = f.count()
     if (nFull == 0L)
       return spark.createDataFrame(
@@ -1116,24 +1146,22 @@ object Models {
   // against the literal 3.8416 (never a folded 1.96*1.96).
   def mcnemar(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = Tables.documents(spark, dir)
-      .select($"doc_id",
-        ($"n_chars" / 1000.0).as("x1"),
-        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
-          / 100.0).as("x2"))
-      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
-        "doc_id")
+    // gopher emits exactly one keep flag per document, so the join is
+    // 1:1 covering and the joined (x1,x2,y) multiset equals the corpus
+    // — the shared lrWeights fit is bit-identical to the pre-r15
+    // fit-after-join (verified hash-exact at sf0.01 and sf0.1)
+    val feats = lrBase(spark, dir)
+      .select($"doc_id", $"x1", $"x2", $"y")
       .join(TextAnalysis.taGopherRules(spark, dir)
         .select($"doc_id", $"keep".as("keep_g")), "doc_id")
-      .select($"x1", $"x2",
-        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"), $"keep_g")
+      .select($"x1", $"x2", $"y", $"keep_g")
     val f = Tables.materialize(feats)
     if (f.isEmpty)
       return spark.createDataFrame(
         Seq.empty[(Long, Long, Long, Long, Long, Double, Double, Double, Long)])
         .toDF("n", "n_both", "n_probe_only", "n_gopher_only", "n_neither",
           "acc_probe", "acc_gopher", "chi2", "significant")
-    val (w1, w2, b) = fitOn(f.select($"x1", $"x2", $"y"))
+    val (w1, w2, b) = lrWeights(spark, dir)
 
     val z = lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"
     val m = f.select(
@@ -1237,20 +1265,13 @@ object Models {
     * WaveTenSpec can recompute the PSI naively from the same binning. */
   private[graft] def psiScored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = Tables.documents(spark, dir)
-      .select($"doc_id", $"source",
-        ($"n_chars" / 1000.0).as("x1"),
-        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
-          / 100.0).as("x2"))
-      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
-        "doc_id")
-      .select($"source", $"x1", $"x2",
-        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
-    val f = Tables.materialize(feats)
+    val f = lrBase(spark, dir).select($"source", $"x1", $"x2", $"y")
     if (f.isEmpty)
       return spark.createDataFrame(Seq.empty[(String, Int)])
         .toDF("source", "bin")
-    val (w1, w2, b) = fitOn(f.select($"x1", $"x2", $"y"))
+    // the shared full-corpus fit: identical multiset, identical
+    // order-insensitive gradient sums → identical weights bits
+    val (w1, w2, b) = lrWeights(spark, dir)
     val p = sig(lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2")
     f.select($"source", floor(p * 10).cast("int").as("bin"))
   }
@@ -1543,20 +1564,11 @@ object Models {
   private[graft] def bootScored(spark: SparkSession,
                                 dir: String): DataFrame = {
     import spark.implicits._
-    val feats = Tables.documents(spark, dir)
-      .select($"doc_id",
-        ($"n_chars" / 1000.0).as("x1"),
-        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
-          / 100.0).as("x2"))
-      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
-        "doc_id")
-      .select($"doc_id", $"x1", $"x2",
-        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
-    val f = Tables.materialize(feats)
+    val f = lrBase(spark, dir).select($"doc_id", $"x1", $"x2", $"y")
     if (f.isEmpty)
       return spark.createDataFrame(Seq.empty[(Long, Double, Double)])
         .toDF("doc_id", "p", "y")
-    val (w1, w2, b) = fitOn(f.select($"x1", $"x2", $"y"))
+    val (w1, w2, b) = lrWeights(spark, dir)
     f.select($"doc_id",
       sig(lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2").as("p"), $"y")
   }
@@ -1804,17 +1816,8 @@ object Models {
   // by the confusion convention.
   def fairnessAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = Tables.documents(spark, dir)
-      .select($"doc_id", $"lang",
-        ($"n_chars" / 1000.0).as("x1"),
-        ((length($"text") - length(expr("replace(text, ' ', '')")) + 1)
-          / 100.0).as("x2"))
-      .join(TextAnalysis.taQuality(spark, dir).select($"doc_id", $"quality"),
-        "doc_id")
-      .select($"lang", $"x1", $"x2",
-        when($"quality" >= 0.5, 1.0).otherwise(0.0).as("y"))
-    val f = Tables.materialize(feats)
-    val (w1, w2, b) = fitOn(f)
+    val f = lrBase(spark, dir).select($"lang", $"x1", $"x2", $"y")
+    val (w1, w2, b) = lrWeights(spark, dir)
     val z = lit(b) + lit(w1) * $"x1" + lit(w2) * $"x2"
     val g = Tables.materialize(
       f.select($"lang", $"y", when(z >= 0.0, 1L).otherwise(0L).as("yhat"))
