@@ -75,6 +75,22 @@ object Graph {
       Tables.materialize(edges.join(deg, "src"))
     }
 
+  /** Session-cached `(node, outdeg)` table — the distinct-over-edges
+    * collapse EVERY degree-grain consumer (degree, assortativity,
+    * rich_club, powerlaw_alpha, degree_gini, pagerank's node set,
+    * bfs/eff_diameter seeds and totals) previously re-ran per
+    * invocation: one exchange + often a per-call materialize each,
+    * ~0.1–0.3 s × 8 consumers at bench SF (r15 graph decomposition,
+    * docs/bench/r15_graph_iso.json). Node-cardinality, derived purely
+    * from the cached edge artifact — same sharing contract as the
+    * edge list itself; at cluster scale this is the degree dimension
+    * you'd co-write with the bucketed edge table. */
+  private def nodeDeg(spark: SparkSession, dir: String): DataFrame =
+    Tables.sessionCached(spark, Tables.stamped(spark, dir, "graph_node_deg")) {
+      Tables.materialize(edgesWithDeg(spark, dir)
+        .select(col("src").as("node"), col("outdeg")).distinct())
+    }
+
   // --------------------------------------------------------------------
   // llm_graph_pagerank: 3-iteration damped PageRank, join-iterated.
   // r_{k+1}(v) = (1-d)/N + d·Σ_{u→v} r_k(u)/outdeg(u). The symmetric
@@ -90,14 +106,16 @@ object Graph {
   private[graft] def pagerankRanks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = edgesWithDeg(spark, dir)
-    // materialized: the node table is referenced by r0 AND by the
-    // totals scalar — left lazy, the distinct-over-edges shuffle would
-    // replay inside the unrolled 3-iteration plan (measured 19 s →
-    // 1.7 s at sf0.1). outdeg rides on the EDGE table (the only place
-    // a contribution reads it), so no iteration re-joins the node
-    // table — the r8 shape paid one node-cardinality join per
-    // iteration re-attaching an outdeg column nothing consumed.
-    val nodes = Tables.materialize(e.select($"src".as("node")).distinct())
+    // the session-cached node table is referenced by r0 AND by the
+    // totals scalar — as a checkpointed artifact the distinct-over-
+    // edges shuffle never replays inside the unrolled 3-iteration plan
+    // (the lazy form measured 19 s → 1.7 s at sf0.1; r15 moved the
+    // per-invocation materialize into the shared graph_node_deg
+    // artifact). outdeg rides on the EDGE table (the only place a
+    // contribution reads it), so no iteration re-joins the node table
+    // — the r8 shape paid one node-cardinality join per iteration
+    // re-attaching an outdeg column nothing consumed.
+    val nodes = nodeDeg(spark, dir).select($"node")
     val totals = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     var ranks = nodes.crossJoin(totals)
       .select($"node", (lit(1.0) / $"n_nodes").as("rank"))
@@ -174,8 +192,7 @@ object Graph {
   // O(sides × log(max_degree)).
   def degree(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = edgesWithDeg(spark, dir)
-    val deg = e.select($"src".as("node"), $"outdeg").distinct()
+    val deg = nodeDeg(spark, dir)
     deg
       .groupBy(
         when($"node" % 2 === 0, "customer").otherwise("supplier").as("side"),
@@ -806,7 +823,7 @@ object Graph {
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = edgesWithDeg(spark, dir)
-    val deg = e.select($"src".as("node"), $"outdeg".as("ddeg")).distinct()
+    val deg = nodeDeg(spark, dir).select($"node", $"outdeg".as("ddeg"))
     val xy = e
       .join(broadcast(deg), $"dst" === $"node")
       .select(($"outdeg" - 1).as("x"), ($"ddeg" - 1).as("y"))
@@ -1142,7 +1159,7 @@ object Graph {
   def richClub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = edgesWithDeg(spark, dir)
-    val deg = e.select($"src".as("node"), $"outdeg").distinct()
+    val deg = nodeDeg(spark, dir)
     // per-edge min(deg_src, deg_dst) → bounded histogram
     val mhist = e.join(deg.select($"node".as("dst"),
         $"outdeg".as("ddeg")), "dst")
@@ -1293,8 +1310,7 @@ object Graph {
   // the denominator is never 0 and α is always finite.
   def powerlawAlpha(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = edgesWithDeg(spark, dir)
-    val deg = e.select($"src".as("node"), $"outdeg").distinct()
+    val deg = nodeDeg(spark, dir)
     val hist = deg
       .groupBy(
         when($"node" % 2 === 0, "customer").otherwise("supplier").as("side"),
@@ -1368,7 +1384,7 @@ object Graph {
       return spark.createDataFrame(Seq.empty[(Int, Long, Long, Long)])
         .toDF("hop", "n_new", "n_cum", "n_unreached")
     val edges = e.select($"src", $"dst")
-    val seed = e.select($"src".as("node"), $"outdeg").distinct()
+    val seed = nodeDeg(spark, dir)
       .orderBy($"outdeg".desc, $"node").limit(1).select($"node")
     var visited = seed.select($"node", lit(0).as("hop")).localCheckpoint()
     var frontier = visited.select($"node")
@@ -1383,8 +1399,7 @@ object Graph {
       Dedup.freeCheckpoint(visited)
       visited = nextVisited
     }
-    val tot = e.select($"src".as("node")).distinct()
-      .agg(count(lit(1)).as("n_nodes"))
+    val tot = nodeDeg(spark, dir).agg(count(lit(1)).as("n_nodes"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy($"hop")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1452,8 +1467,7 @@ object Graph {
   def degreeGini(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val deg = edgesWithDeg(spark, dir)
-      .select($"src".as("node"), $"outdeg").distinct()
+    val deg = nodeDeg(spark, dir)
     val hist = deg.groupBy(
         when($"node" % 2 === 0, "customer").otherwise("supplier").as("side"),
         $"outdeg".as("d"))
@@ -1543,7 +1557,7 @@ object Graph {
     import spark.implicits._
     val e = edgesWithDeg(spark, dir)
     val edges = e.select($"src", $"dst")
-    val seeds = e.select($"src".as("node"), $"outdeg").distinct()
+    val seeds = nodeDeg(spark, dir)
       .orderBy($"outdeg".desc, $"node").limit(EffDiamSources)
       .select($"node".as("root"))
     var visited = seeds
