@@ -2222,21 +2222,55 @@ object Similarity {
   // = 256x the pairs), the capped form excludes all 16 cells and
   // reports it; production answers by refining the grid (IVF nlist),
   // exactly as at ssKnnPurity.
+  //
+  // The cell cap alone does not bound PER-QUERY work: a query's 3x3
+  // neighborhood can hold up to 9 just-under-cap cells, and the
+  // queries of a dense (excluded) home cell still probe their served
+  // fringe neighbors — at 64x replica density that cross term is
+  // #queries x fringe occupancy, both growing with replication, i.e.
+  // pairs grow quadratically while every single cell stays under cap
+  // (measured: 2.6 s timed at 16x -> 38 s at 64x, 14.5x for 4x data).
+  // KnnProbeBudget closes it: a home cell whose SERVED 3x3 load
+  // (sum of under-cap neighbor occupancies) exceeds the budget has
+  // its queries return no rows — the same mis-sized-grid signal as
+  // the cell cap, mirrored in the oracle, and decided on the
+  // grid-bounded cell-count table (one tiny aggregate, no payload).
+  // Per-query scored candidates are then <= KnnProbeBudget by
+  // construction, so total join work is linear in the query count at
+  // any density. 2x KnnCellCap keeps it above any base-SF
+  // neighborhood (sf0.1 max is ~1.9k = the whole corpus) so the
+  // budget only binds in the replica-dense regime.
+  private[graft] val KnnProbeBudget = 2 * KnnCellCap
   def ssKnnJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = withNorm(spark, dir)
       .withColumn("cx", floor(element_at($"v", 1) * 4).cast("long"))
       .withColumn("cy", floor(element_at($"v", 2) * 4).cast("long"))
-    val all = e.select($"vec_id", $"v", $"nrm",
+    val all = e.select($"vec_id", $"v", $"nrm", $"cx", $"cy",
       concat_ws(":", $"cx", $"cy").as("cell"))
-    val ok = all.groupBy($"cell").agg(count(lit(1)).as("nb"))
-      .filter($"nb" <= KnnCellCap).select($"cell")
-    val corpus = all.join(broadcast(ok), Seq("cell"))
+    val cnt = all.groupBy($"cx", $"cy").agg(count(lit(1)).as("nb"))
+      .filter($"nb" <= KnnCellCap)
+    val ok = cnt.select(concat_ws(":", $"cx", $"cy").as("cell"))
+    val corpus = all.select($"vec_id", $"v", $"nrm", $"cell")
+      .join(broadcast(ok), Seq("cell"))
+    // Served 3x3 load per HOME cell: every query in one home cell has
+    // the same neighborhood, so the budget is decided once per cell on
+    // the grid-bounded count table, never per query.
+    val okHome = cnt.select(explode(array(
+        (for { dx <- -1 to 1; dy <- -1 to 1 }
+          yield struct(($"cx" + lit(dx)).as("hx"),
+            ($"cy" + lit(dy)).as("hy"))): _*)).as("h"), $"nb")
+      .select($"h.hx".as("hx"), $"h.hy".as("hy"), $"nb")
+      .groupBy($"hx", $"hy")
+      .agg(sum($"nb").as("n_cand"))
+      .filter($"n_cand" <= KnnProbeBudget)
+      .select($"hx", $"hy")
     // 9 probe cells per query: distinct strings, so no candidate pair
     // is generated twice and no distinct() is needed before the top-k
     val probes = for { dx <- -1 to 1; dy <- -1 to 1 }
       yield concat_ws(":", $"cx" + lit(dx), $"cy" + lit(dy))
     val q = e.filter($"vec_id" % 10 === 0)
+      .join(broadcast(okHome), $"cx" === $"hx" && $"cy" === $"hy")
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
         explode(array(probes: _*)).as("cell"))
     val scored = corpus.hint("merge")
@@ -2256,14 +2290,23 @@ object Similarity {
        |c AS (SELECT vec_id, v, nrm,
        |  CAST(FLOOR(v[1] * 4) AS BIGINT) AS cx,
        |  CAST(FLOOR(v[2] * 4) AS BIGINT) AS cy FROM n),
-       |allc AS (SELECT vec_id, v, nrm,
+       |allc AS (SELECT vec_id, v, nrm, cx, cy,
        |  CAST(cx AS VARCHAR) || ':' || CAST(cy AS VARCHAR) AS cell FROM c),
-       |ok AS (SELECT cell FROM allc GROUP BY cell
+       |cnt AS (SELECT cx, cy, COUNT(*) AS nb FROM allc GROUP BY cx, cy
        |  HAVING COUNT(*) <= $KnnCellCap),
-       |corpus AS (SELECT allc.* FROM allc JOIN ok USING (cell)),
+       |ok AS (SELECT CAST(cx AS VARCHAR) || ':' || CAST(cy AS VARCHAR)
+       |  AS cell FROM cnt),
+       |corpus AS (SELECT allc.vec_id, allc.v, allc.nrm, allc.cell
+       |  FROM allc JOIN ok USING (cell)),
+       |okhome AS (SELECT cx + dx AS hx, cy + dy AS hy, SUM(nb) AS n_cand
+       |  FROM cnt, (SELECT unnest([-1, 0, 1]) AS dx),
+       |       (SELECT unnest([-1, 0, 1]) AS dy)
+       |  GROUP BY 1, 2 HAVING SUM(nb) <= $KnnProbeBudget),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn,
-       |    CAST(cx + dx AS VARCHAR) || ':' || CAST(cy + dy AS VARCHAR) AS cell
-       |  FROM c, (SELECT unnest([-1, 0, 1]) AS dx),
+       |    CAST(c.cx + dx AS VARCHAR) || ':' || CAST(c.cy + dy AS VARCHAR)
+       |      AS cell
+       |  FROM c JOIN okhome ON c.cx = okhome.hx AND c.cy = okhome.hy,
+       |       (SELECT unnest([-1, 0, 1]) AS dx),
        |       (SELECT unnest([-1, 0, 1]) AS dy)
        |  WHERE vec_id % 10 = 0),
        |scored AS (

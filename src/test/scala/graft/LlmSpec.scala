@@ -98,6 +98,68 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.ddNgramJaccard(spark, tmp).collect().isEmpty)
   }
 
+  test("decontaminate rep-grain regime equals the doc-grain reference") {
+    // Replica-dense fixture that flips the ExpandCacheMaxRows gate:
+    // 9 classes x 1000 copies gives pairExpansionRows >= 9 * C(1000,2)
+    // ~ 4.5M > 4M, so ddDecontaminate takes the rep-grain path while
+    // the doc-grain form stays the semantic reference. Class sizes
+    // stay <= MaxBucketDf so each class keeps its unique shingles
+    // (an all-hot fixture reads pairExpansionRows = 0 — the gate
+    // proxy rides the ngram candidate machinery). Ids are
+    // base*100000 + k so every class holds BOTH eval (k % 10 == 0)
+    // and train members — the rep_t == rep_e diagonal (identical text
+    // leaked into eval) is exercised, not just cross-class overlap.
+    // Classes 0 and 1 share exactly 2 shingles: below the >= 3
+    // threshold, so only the 9 diagonals survive.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_decon_rep").toString
+    val texts = Vector(
+      "alpha beta gamma delta epsilon zeta",   // class 0
+      "alpha beta gamma delta theta iota") ++  // class 1: shares 2 with 0
+      (2 until 9).map(b => s"u${b}a u${b}b u${b}c u${b}d u${b}e u${b}f")
+    val rows = for {
+      b <- texts.indices; k <- 0 until 1000
+    } yield (b * 100000L + k, texts(b))
+    rows.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    assert(Dedup.pairExpansionRows(spark, tmp) > 4000000L,
+      "fixture must sit above the materialization gate")
+    val got = Dedup.ddDecontaminate(spark, tmp)
+    val ref = Dedup.ddDecontaminateDocGrain(spark, tmp)
+    assert(got.schema == ref.schema, s"schema drift: ${got.schema}")
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty,
+      "rep-grain decontaminate must equal the doc-grain reference")
+    // the diagonal really fired: every class's eval members flag their
+    // own train members (100 eval x 900 train each); the 2-shingle
+    // cross pairs stay below the >= 3 threshold
+    val n = got.count()
+    assert(n == 9L * 100 * 900, s"expected the 9 diagonals only: $n rows")
+  }
+
+  test("simhash pairs fence fails fast on replica-dense output, passes under it") {
+    // Thresholds dropped via system properties so the fence is
+    // testable without a 100k-doc fixture; cleared in finally so no
+    // other test inherits them.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sh_fence").toString
+    val rows = for { b <- 0 until 5; k <- 0 until 40 }
+      yield (b * 1000L + k, s"text number $b with some shared words $b")
+    rows.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    try {
+      sys.props("graft.dd.simhashFenceDocs") = "100"
+      sys.props("graft.dd.simhashMaxPairs") = "1000"
+      // 5 classes x C(40,2) = 3900 same-hash pairs > 1000: must refuse
+      val e = intercept[IllegalArgumentException] {
+        Dedup.ddSimhashPairs(spark, tmp).count()
+      }
+      assert(e.getMessage.contains("llm_dd_exact"),
+        s"fence message must point at the pipeline order: ${e.getMessage}")
+      // raising the cap clears the fence and the op completes
+      sys.props("graft.dd.simhashMaxPairs") = "100000"
+      assert(Dedup.ddSimhashPairs(spark, tmp).count() >= 3900L)
+    } finally {
+      sys.props -= "graft.dd.simhashFenceDocs"
+      sys.props -= "graft.dd.simhashMaxPairs"
+    }
+  }
+
   test("decontamination flags planted n-gram overlap above threshold only") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_decon").toString
     // eval doc 10 (%10==0): shingles {abc bcd cde def efg}

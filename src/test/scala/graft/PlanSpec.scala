@@ -218,12 +218,14 @@ class PlanSpec extends SparkSpec {
     // both sides are corpus-scale by contract: the candidate join must
     // be a shuffle join on the cell key; an (AQE-injected) broadcast
     // would hide the regression until the query side is 10^6x larger.
-    // The ONE allowed broadcast is the grid-bounded surviving-cell
-    // list (the count-first occupancy cap).
+    // The TWO allowed broadcasts are both grid-bounded cell lists:
+    // the surviving-cell occupancy cap and the r16 per-home-cell probe
+    // budget (KnnProbeBudget) — never a corpus or query side.
     assert(plan.contains("SortMergeJoin"), plan.take(700))
     val bhj = plan.split("\n").count(_.contains("BroadcastHashJoin"))
-    assert(bhj == 1,
-      s"expected exactly the cap-list broadcast, found $bhj:\n" + plan.take(900))
+    assert(bhj == 2,
+      s"expected the cap-list + probe-budget broadcasts, found $bhj:\n"
+        + plan.take(900))
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "knn join degenerated to a nested loop:\n" + plan.take(900))
   }
