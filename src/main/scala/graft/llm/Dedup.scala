@@ -3006,7 +3006,13 @@ object Dedup {
     // identically.
     val (classInfo, members) = rawClassesFor(spark, dir)
     val sh = repShinglesFor(spark, dir)
-    val (repPairs, keptCnt) = repPairsAndKept(spark, sh, MaxBucketDf)
+    // session-cached rep-pair core (r16): this call site was the one
+    // consumer still re-running repPairsAndKept — the explode +
+    // hot-shingle anti-join + pair aggregation over the rep shingles —
+    // per invocation (~1 s/pass at sf0.1) instead of reading the
+    // materialized dd_ngramRepPairs / dd_ngramKeptCnt artifacts every
+    // other consumer shares. Same function, same cap, same tables.
+    val (repPairs, keptCnt) = repPairCoreFor(spark, dir)
     val tau = 0.3
     val crossReps = repPairs
       .filter(round($"n_inter".cast("double")

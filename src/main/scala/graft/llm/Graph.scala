@@ -896,17 +896,12 @@ object Graph {
 
   def linkPred(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val so = Tables.materialize(
-      Tables.lineitem(spark, dir)
-        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct())
-    val occ = so.groupBy($"ok").agg(count(lit(1)).as("n_supp"))
-    val keptSo = so.join(
-      occ.filter($"n_supp" <= TriOrderCap).select($"ok"), "ok")
-    val support = Tables.materialize(
-      keptSo.select($"ok", $"sk".as("s1"))
-        .join(keptSo.select($"ok".as("ok2"), $"sk".as("s2")),
-          $"ok" === $"ok2" && $"s1" < $"s2")
-        .groupBy($"s1", $"s2").agg(count(lit(1)).as("support")))
+    // session-cached support table (r16): this call site re-ran the
+    // fact distinct + occupancy gate + wedge join + partial agg — and
+    // parked two private materializes — per invocation, byte-identical
+    // to the graph_tri_support artifact triangles/local_cc share
+    // (~1 s/pass at sf0.1). Same derivation, same caps, same table.
+    val support = triSupport(spark, dir)
     // the prediction backbone must actually threshold: a cut that
     // keeps >= all candidate pairs leaves a graph with no non-edge to
     // predict (at tiny SFs the co-purchase graph is complete), so the
